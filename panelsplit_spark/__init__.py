@@ -1,0 +1,55 @@
+"""panelsplit_spark — a PySpark-native panel time-series CV + data engine.
+
+Distributed re-expression of the capabilities of 4Freye/panelsplit
+(reference surveyed in SURVEY.md): expanding-window panel cross-validation,
+per-fold model fit/apply with out-of-fold reassembly, sequential CV
+pipelines, per-fold metrics/scorers and hyper-parameter search — plus the
+large-scale training-data operators a 100 TB pipeline needs (dedup,
+similarity search, text analysis, multimodal plumbing).
+
+Everything is declared through the DataFrame API so Catalyst owns the
+physical plan: folds are sargable period-range predicates, model fit is a
+grouped-map pandas UDF, apply is a broadcast + ``mapInPandas``, and all
+relational pieces (label frames, fan-outs, metrics) are plain Spark SQL.
+"""
+
+from .estimators import (
+    FirstColumnRegressor,
+    IdentityTransformer,
+    LinearRegression,
+    LogisticRegression,
+    MeanRegressor,
+    Ridge,
+    StandardScaler,
+    clone,
+)
+from .operators.application import (
+    cross_val_fit,
+    cross_val_fit_predict,
+    cross_val_predict,
+    with_row_key,
+)
+from .operators.cross_validation import PanelSplit, drop_splits
+from .plans.fold_spec import FoldSpec, build_fold_spec, time_series_fold_bounds
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PanelSplit",
+    "drop_splits",
+    "cross_val_fit",
+    "cross_val_predict",
+    "cross_val_fit_predict",
+    "with_row_key",
+    "FoldSpec",
+    "build_fold_spec",
+    "time_series_fold_bounds",
+    "clone",
+    "MeanRegressor",
+    "LinearRegression",
+    "Ridge",
+    "LogisticRegression",
+    "StandardScaler",
+    "IdentityTransformer",
+    "FirstColumnRegressor",
+]

@@ -1,0 +1,289 @@
+"""Per-fold fit / apply over Spark: the engine's UDF execution surface.
+
+Re-expresses the reference's joblib-parallel fit/predict loop
+(/root/reference/panelsplit/application.py:160-371) in Spark's execution
+model (SURVEY §3.2):
+
+* **fit** — one job: fan-out rows to ``(fold_id, role='train')`` via a
+  broadcast hash join with the fold spec, then ``groupBy(fold_id).
+  applyInPandas(fit_fn)``. Every fold trains concurrently in its own
+  executor task on an Arrow-delivered pandas frame; what returns to the
+  driver is only ``(fold_id, pickled_model)`` — data never leaves the
+  cluster.
+* **apply** — one job, shuffle-free: pickled models are broadcast to
+  executors; ``mapInPandas`` applies ``models[fold_id].method(batch)``
+  per Arrow batch. No groupBy is needed because prediction is row-local
+  given ``fold_id``.
+* **reassembly** — the reference restores original row order with an
+  argsort permutation (application.py:142-157). Spark DataFrames are
+  unordered; instead predictions carry the caller's stable key columns and
+  the terminal ``orderBy(row_key)`` happens only at the driver boundary.
+
+Fold-skew note (SURVEY §4.2): expanding windows make the last fold's train
+set the largest; ``applyInPandas`` materializes one fold per task. For folds
+too big for a single task, swap the estimator for a distributed
+``spark.ml`` Estimator via ``fit_fn``-style composition — the fold predicate
+still comes from the same FoldSpec.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Callable, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..estimators import clone, supports_sample_weight
+from .cross_validation import PanelSplit
+
+__all__ = [
+    "with_row_key",
+    "cross_val_fit",
+    "cross_val_predict",
+    "cross_val_fit_predict",
+]
+
+
+def with_row_key(
+    df: DataFrame,
+    order_by: Sequence[str],
+    key_col: str = "row_key",
+) -> DataFrame:
+    """Attach a deterministic dense row key ordered by ``order_by``.
+
+    Prefer a *natural* unique key (event_id, (orderkey, linenumber), …) and
+    skip this entirely — that is the scale path. This helper exists for
+    reference-parity cases that genuinely need positional identity
+    (SURVEY §1.4); it uses a global window, i.e. a single-partition sort,
+    and is documented as a small-data / driver-boundary tool.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(key_col, F.row_number().over(w) - F.lit(1))
+
+
+def _schema_plus(base, output_col: str, output_type: str):
+    """base StructType + one typed output column."""
+    from pyspark.sql import types as T
+
+    try:
+        extra = T.DataType.fromDDL(output_type)
+    except AttributeError:  # pragma: no cover - older pyspark
+        from pyspark.sql.types import _parse_datatype_string
+
+        extra = _parse_datatype_string(output_type)
+    return T.StructType(
+        list(base.fields) + [T.StructField(output_col, extra, True)]
+    )
+
+
+def _make_fit_fn(
+    estimator: Any,
+    feature_cols: Sequence[str],
+    y_col: Optional[str],
+    sample_weight_col: Optional[str],
+    drop_na_in_y: bool,
+    use_weight: bool,
+) -> Callable:
+    """Build the grouped-map fit function. Runs inside an executor task on
+    the full pandas frame of one fold's train rows (reference semantics:
+    application.py:54-139)."""
+    import pandas as pd
+
+    feature_cols = list(feature_cols)
+
+    def fit_fn(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fold_id = int(key[0])
+        est = clone(estimator)
+        sub = pdf
+        if y_col is not None and drop_na_in_y:
+            sub = sub[sub[y_col].notna()]
+        X = sub[feature_cols]
+        y = sub[y_col] if y_col is not None else None
+        kwargs = {}
+        if sample_weight_col is not None and use_weight:
+            kwargs["sample_weight"] = sub[sample_weight_col].to_numpy()
+        if y is not None:
+            est.fit(X, y, **kwargs)
+        else:
+            est.fit(X, **kwargs)
+        return pd.DataFrame(
+            {"fold_id": [fold_id], "model": [pickle.dumps(est)]}
+        )
+
+    return fit_fn
+
+
+def cross_val_fit(
+    estimator: Any,
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: Optional[str],
+    cv: PanelSplit,
+    sample_weight_col: Optional[str] = None,
+    drop_na_in_y: bool = False,
+) -> List[Any]:
+    """Fit one cloned estimator per fold; returns the fitted models in
+    fold order (reference application.py:160-225).
+
+    One Spark job: broadcast-join fan-out → ``groupBy(fold_id)`` (the single
+    shuffle, with map-side combine of nothing but the fold's own rows) →
+    grouped-map fit. Column pruning: only the columns the fit needs are
+    shipped through the shuffle and Arrow.
+    """
+    use_weight = sample_weight_col is not None and supports_sample_weight(
+        estimator
+    )
+    if sample_weight_col is not None and not use_weight:
+        import warnings
+
+        warnings.warn(
+            f"{type(estimator).__name__}.fit does not support "
+            "sample_weight; fitting without it.",
+            stacklevel=2,
+        )
+    needed = list(feature_cols)
+    for c in (y_col, sample_weight_col):
+        if c is not None and c not in needed:
+            needed.append(c)
+    needed.append(cv.period_col) if cv.period_col not in needed else None
+    if cv.snapshot_col and cv.snapshot_col not in needed:
+        needed.append(cv.snapshot_col)
+
+    assigned = cv.assign(df.select(*needed), roles=("train",))
+    fit_fn = _make_fit_fn(
+        estimator, feature_cols, y_col, sample_weight_col, drop_na_in_y,
+        use_weight,
+    )
+    rows = (
+        assigned.groupBy("fold_id")
+        .applyInPandas(fit_fn, schema="fold_id int, model binary")
+        .collect()
+    )
+    by_id = {r["fold_id"]: pickle.loads(bytes(r["model"])) for r in rows}
+    models: List[Any] = []
+    for i in range(cv.n_splits):
+        if i not in by_id:
+            raise ValueError(
+                f"Fold {i} has no training rows; cannot fit. "
+                "Use drop_splits() to remove degenerate folds first."
+            )
+        models.append(by_id[i])
+    return models
+
+
+def cross_val_predict(
+    fitted_estimators: List[Any],
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    cv: PanelSplit,
+    method: str = "predict",
+    return_group: str = "test",
+    output_col: str = "prediction",
+    output_type: Optional[str] = None,
+    keep_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Out-of-fold apply: each fold's model applied to its *test* rows
+    (or train rows with ``return_group='train'``), as one shuffle-free
+    ``mapInPandas`` pass (reference application.py:228-297).
+
+    Returns a DataFrame with ``keep_cols`` (default: all input columns) +
+    ``fold_id`` + ``output_col``. Rows belonging to several folds' groups
+    appear once per fold — identical to the reference's concatenation
+    semantics. Order restoration is the caller's terminal
+    ``orderBy(row_key)``.
+    """
+    if return_group not in ("train", "test"):
+        raise ValueError(
+            f"return_group must be train or test. Got {return_group} instead."
+        )
+    for m in fitted_estimators:
+        if not hasattr(m, method):
+            raise AttributeError(
+                f"Fitted estimator {type(m).__name__} has no method "
+                f"{method!r}."
+            )
+    if output_type is None:
+        output_type = (
+            "array<double>"
+            if method in ("predict_proba", "predict_log_proba", "transform")
+            else "double"
+        )
+    keep = list(keep_cols) if keep_cols is not None else list(df.columns)
+    needed = list(dict.fromkeys(list(keep) + list(feature_cols)))
+    if cv.period_col not in needed:
+        needed.append(cv.period_col)
+    if cv.snapshot_col and cv.snapshot_col not in needed:
+        needed.append(cv.snapshot_col)
+
+    assigned = cv.assign(df.select(*needed), roles=(return_group,))
+    spark = df.sparkSession
+    models_b = spark.sparkContext.broadcast(
+        [pickle.dumps(m) for m in fitted_estimators]
+    )
+    feature_cols = list(feature_cols)
+    out_fields = list(keep) + ["fold_id"]
+    out_schema = _schema_plus(
+        assigned.select(*out_fields).schema, output_col, output_type
+    )
+    wide = output_type.startswith("array")
+
+    def apply_fn(batches):
+        import pandas as pd
+
+        cache = {}
+
+        def model_for(fid: int):
+            if fid not in cache:
+                cache[fid] = pickle.loads(models_b.value[fid])
+            return cache[fid]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_parts = []
+            # group the Arrow batch by fold; vectorized apply per group
+            for fid, g in pdf.groupby("fold_id", sort=False):
+                model = model_for(int(fid))
+                res = getattr(model, method)(g[feature_cols])
+                res = np.asarray(res)
+                o = g[out_fields].copy()
+                if wide:
+                    if res.ndim == 1:
+                        res = res.reshape(-1, 1)
+                    o[output_col] = list(res)
+                else:
+                    o[output_col] = res.reshape(-1)
+                out_parts.append(o)
+            yield pd.concat(out_parts, ignore_index=True)
+
+    return assigned.mapInPandas(apply_fn, schema=out_schema)
+
+
+def cross_val_fit_predict(
+    estimator: Any,
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: Optional[str],
+    cv: PanelSplit,
+    method: str = "predict",
+    sample_weight_col: Optional[str] = None,
+    return_group: str = "test",
+    drop_na_in_y: bool = False,
+    output_col: str = "prediction",
+    output_type: Optional[str] = None,
+    keep_cols: Optional[Sequence[str]] = None,
+) -> Tuple[DataFrame, List[Any]]:
+    """Fit per fold, then out-of-fold apply (reference
+    application.py:300-371). Returns ``(predictions_df, fitted_models)``."""
+    models = cross_val_fit(
+        estimator, df, feature_cols, y_col, cv,
+        sample_weight_col=sample_weight_col, drop_na_in_y=drop_na_in_y,
+    )
+    preds = cross_val_predict(
+        models, df, feature_cols, cv, method=method,
+        return_group=return_group, output_col=output_col,
+        output_type=output_type, keep_cols=keep_cols,
+    )
+    return preds, models

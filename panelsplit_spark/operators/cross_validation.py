@@ -1,0 +1,308 @@
+"""PanelSplit: panel-data time-series cross-validation over Spark DataFrames.
+
+Spark-first re-expression of the reference splitter
+(/root/reference/panelsplit/cross_validation.py:41-470). The reference
+computes integer row-index arrays per fold; Spark DataFrames are unordered
+bags, so folds here are **period predicates** instead — semantically
+identical because reference fold membership is purely a function of
+``(period, snapshot)`` (cross_validation.py:186-197), never of row position.
+
+Two physical strategies are exposed (SURVEY §4.2):
+
+* **loop** — n_splits filtered scans; each filter is a sargable BETWEEN that
+  Catalyst pushes into the parquet scan (partition pruning when data is laid
+  out by period). Best when folds are few and data is big.
+* **fan-out** — one broadcast join against the driver-small fold-spec table,
+  yielding ``(row, fold_id, role)`` in a single pass. Best for many folds and
+  for single-pass statistics (``drop_splits``, ``gen_snapshots``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.fold_spec import FoldSpec, build_fold_spec
+
+__all__ = ["PanelSplit", "drop_splits"]
+
+
+class PanelSplit:
+    """Expanding-window panel cross-validator over a Spark DataFrame.
+
+    Parameters mirror the reference (cross_validation.py:93-104) but take
+    **column names** instead of aligned Series — on Spark the data, target,
+    periods and snapshots all live in one DataFrame.
+
+    Parameters
+    ----------
+    df : DataFrame
+        The panel data. Only used to derive distinct periods (one tiny
+        aggregate job) and, when ``snapshot_col`` is set, ``min(snapshot)``.
+    period_col : str
+        Column holding the time coordinate of each row.
+    unique_periods : optional sequence
+        Pre-computed sorted unique periods; skips the distinct job.
+    snapshot_col : optional str
+        Column holding the data-vintage ("as of") coordinate; enables the
+        reference's snapshot selection rule (cross_validation.py:172-193).
+    n_splits, gap, test_size, max_train_size,
+    include_first_train_in_test, include_train_in_test
+        Exactly the reference's fold-arithmetic knobs.
+    """
+
+    def __init__(
+        self,
+        df: Optional[DataFrame] = None,
+        period_col: str = "period",
+        unique_periods: Optional[Sequence[Any]] = None,
+        snapshot_col: Optional[str] = None,
+        n_splits: int = 2,
+        gap: int = 0,
+        test_size: int = 1,
+        max_train_size: Optional[int] = None,
+        include_first_train_in_test: bool = False,
+        include_train_in_test: bool = False,
+    ) -> None:
+        if unique_periods is None:
+            if df is None:
+                raise ValueError("provide either df or unique_periods")
+            # O(|distinct periods|) driver collect — #periods ≪ #rows.
+            # Partial aggregation happens map-side; only distinct values
+            # cross the wire.
+            rows = (
+                df.select(F.col(period_col).alias("p"))
+                .where(F.col(period_col).isNotNull())
+                .distinct()
+                .orderBy("p")
+                .collect()
+            )
+            unique_periods = [r["p"] for r in rows]
+        snapshot_min = None
+        if snapshot_col is not None:
+            if df is None:
+                raise ValueError("snapshot_col requires df")
+            snapshot_min = df.agg(
+                F.min(snapshot_col).alias("m")
+            ).collect()[0]["m"]
+        self.period_col = period_col
+        self.snapshot_col = snapshot_col
+        self.spec: FoldSpec = build_fold_spec(
+            unique_periods,
+            n_splits=n_splits,
+            gap=gap,
+            test_size=test_size,
+            max_train_size=max_train_size,
+            include_first_train_in_test=include_first_train_in_test,
+            include_train_in_test=include_train_in_test,
+            snapshot_min=snapshot_min,
+        )
+        self.n_splits = n_splits
+        # mirror of the reference's `_u_periods_cv` attribute (used by plot)
+        self._u_periods_cv: List[Tuple[list, list]] = [
+            (f.train_periods, f.test_periods) for f in self.spec.folds
+        ]
+
+    # ------------------------------------------------------------------
+    # sklearn-CV-protocol surface (cross_validation.py:203-277)
+    # ------------------------------------------------------------------
+
+    def get_n_splits(self, X=None, y=None, groups=None) -> int:
+        return self.n_splits
+
+    def split(
+        self, df: Optional[DataFrame] = None, X=None, y=None, groups=None
+    ):
+        """Yield ``(train_df, test_df)`` per fold when given a DataFrame,
+        else the list of ``(train_periods, test_periods)`` value folds.
+
+        Both are lazy: filters are only predicates until an action runs.
+        """
+        if df is None:
+            return list(self._u_periods_cv)
+        return [
+            (
+                df.where(self.train_filter(i)),
+                df.where(self.test_filter(i)),
+            )
+            for i in range(self.n_splits)
+        ]
+
+    # ------------------------------------------------------------------
+    # predicates (loop strategy)
+    # ------------------------------------------------------------------
+
+    def _snap(self):
+        return F.col(self.snapshot_col) if self.snapshot_col else None
+
+    def train_filter(self, fold_id: int):
+        return self.spec.predicate(
+            F.col(self.period_col), fold_id, "train", self._snap()
+        )
+
+    def test_filter(self, fold_id: int):
+        return self.spec.predicate(
+            F.col(self.period_col), fold_id, "test", self._snap()
+        )
+
+    # ------------------------------------------------------------------
+    # fan-out strategy
+    # ------------------------------------------------------------------
+
+    def fold_spec_df(self, spark) -> DataFrame:
+        """The fold spec as a broadcast-tagged small DataFrame."""
+        return self.spec.spec_df(spark)
+
+    def assign(
+        self, df: DataFrame, roles: Tuple[str, ...] = ("train", "test")
+    ) -> DataFrame:
+        """Fan-out: one row per (data row, fold membership).
+
+        Implemented as a **broadcast hash join** against the driver-small
+        fold-spec table — a single pass over the data, no shuffle of the
+        big side, regardless of n_splits. Output columns = df's +
+        ``fold_id`` + ``role``.
+        """
+        spec = (
+            self.spec.spec_df(df.sparkSession)
+            .withColumnRenamed("period", "__fold_period")
+        )
+        if roles != ("train", "test"):
+            spec = spec.where(F.col("role").isin(list(roles)))
+        cond = df[self.period_col] == spec["__fold_period"]
+        if self.snapshot_col:
+            cond = cond & (df[self.snapshot_col] == spec["snapshot_value"])
+        return (
+            df.join(F.broadcast(spec), cond, "inner")
+            .drop("__fold_period", "snapshot_value")
+        )
+
+    # ------------------------------------------------------------------
+    # label-frame helpers (cross_validation.py:279-353)
+    # ------------------------------------------------------------------
+
+    def gen_train_labels(self, df: DataFrame) -> DataFrame:
+        """Rows belonging to ANY fold's train set (deduped by construction:
+        it's a filter on the original rows, i.e. a semi-join with the fold
+        spec — no row is duplicated)."""
+        return df.where(
+            self.spec.union_predicate(
+                F.col(self.period_col), "train", self._snap()
+            )
+        )
+
+    def gen_test_labels(self, df: DataFrame) -> DataFrame:
+        """Rows belonging to ANY fold's test set; the frame OOF
+        predictions attach to (reference tests/test_PanelSplit.py:66-68)."""
+        return df.where(
+            self.spec.union_predicate(
+                F.col(self.period_col), "test", self._snap()
+            )
+        )
+
+    def gen_snapshots(
+        self, df: DataFrame, period_col: Optional[str] = None
+    ) -> DataFrame:
+        """Per fold: rows in train ∪ test, plus ``split`` and (if
+        ``period_col``) ``snapshot_period`` = max period in the fold
+        (cross_validation.py:355-428). Implemented as a projection +
+        literal columns + ``unionByName`` — Spark unions are plan-level
+        (no data movement), and each branch's filter still pushes down.
+        """
+        parts = []
+        for f in self.spec.folds:
+            pred = self.train_filter(f.fold_id) | self.test_filter(f.fold_id)
+            part = df.where(pred).withColumn(
+                "split", F.lit(f.fold_id).cast("int")
+            )
+            if period_col is not None:
+                last = max(list(f.train_periods) + list(f.test_periods))
+                part = part.withColumn("snapshot_period", F.lit(last))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+def drop_splits(
+    cv: PanelSplit,
+    df: DataFrame,
+    y_col: str,
+    exact: bool = True,
+    check_all: bool = False,
+) -> PanelSplit:
+    """Drop folds whose train or test set is empty or whose ``y`` has a
+    single distinct value (reference cross_validation.py:431-470).
+
+    One single-pass job: fan-out assign → ``groupBy(fold_id, role)`` with
+    map-side partial aggregation of ``count`` + ``countDistinct`` — not
+    2×n_splits separate scans. At very large scale pass ``exact=False`` to
+    use ``approx_count_distinct`` (HLL, no distinct-expansion shuffle).
+
+    The reference pops folds from the list *while iterating*
+    (cross_validation.py:460-466), so the fold immediately following a
+    dropped one is never inspected — behavior pinned by its own doctest
+    (cross_validation.py:236-242). Default replicates that observable
+    semantics; pass ``check_all=True`` for the fixed rule that inspects
+    every fold (SURVEY §7.3 risk 2).
+    """
+    nd = (
+        F.countDistinct(F.col(y_col))
+        if exact
+        else F.approx_count_distinct(F.col(y_col))
+    )
+    # The reference's n_unique counts NULL as its own distinct value
+    # (narwhals semantics; pinned by the doctest where train y = [0, NaN]
+    # yields 2 uniques). Spark's countDistinct drops NULLs — adjust.
+    has_null = F.max(
+        F.when(F.col(y_col).isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    stats = (
+        cv.assign(df)
+        .groupBy("fold_id", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (nd + has_null).alias("nuniq"),
+        )
+        .collect()
+    )
+    by_fold = {}
+    for r in stats:
+        by_fold.setdefault(r["fold_id"], {})[r["role"]] = (r["n"], r["nuniq"])
+
+    def bad(f) -> bool:
+        tr = by_fold.get(f.fold_id, {}).get("train", (0, 0))
+        te = by_fold.get(f.fold_id, {}).get("test", (0, 0))
+        return tr[0] == 0 or te[0] == 0 or tr[1] == 1 or te[1] == 1
+
+    keep = list(cv.spec.folds)
+    if check_all:
+        dropped = [f for f in keep if bad(f)]
+        keep = [f for f in keep if not bad(f)]
+        for f in dropped:
+            _print_drop(f.fold_id)
+    else:
+        # Emulate the reference's pop-while-iterating loop: after a drop at
+        # position i, the element that slides into i is skipped.
+        i = 0
+        while i < len(keep):
+            if bad(keep[i]):
+                _print_drop(i)
+                keep.pop(i)
+            i += 1
+    for new_id, f in enumerate(keep):  # renumber to dense fold ids
+        f.fold_id = new_id
+    cv.spec.folds = keep
+    cv.spec.n_splits = len(keep)
+    cv.n_splits = len(keep)
+    cv._u_periods_cv = [(f.train_periods, f.test_periods) for f in keep]
+    return cv
+
+
+def _print_drop(i: int) -> None:
+    print(
+        f"Dropping split {i} as either the test or train set is either "
+        "empty or contains only one unique value."
+    )

@@ -1,0 +1,170 @@
+"""cross_val_fit / cross_val_predict / cross_val_fit_predict semantics
+(reference application.py:160-371): per-fold models, OOF reassembly,
+return_group, drop_na_in_y, sample_weight handling, method dispatch."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from panelsplit_spark import (
+    LinearRegression,
+    LogisticRegression,
+    MeanRegressor,
+    PanelSplit,
+    StandardScaler,
+    cross_val_fit,
+    cross_val_fit_predict,
+    cross_val_predict,
+)
+
+
+@pytest.fixture(scope="module")
+def lin(spark):
+    # reference doctest data (application.py:204-211): y = 2 * feature
+    rows = [(float(i), p, 2.0 * i) for i, p in zip(
+        range(1, 7), [1, 1, 2, 2, 3, 3]
+    )]
+    return spark.createDataFrame(rows, "feature double, period int, y double")
+
+
+def test_cross_val_fit_models(spark, lin):
+    ps = PanelSplit(lin, "period", n_splits=2)
+    models = cross_val_fit(LinearRegression(), lin, ["feature"], "y", ps)
+    assert len(models) == 2
+    for m in models:
+        assert m.coef_[0] == pytest.approx(2.0)
+        assert m.intercept_ == pytest.approx(0.0, abs=1e-9)
+
+
+def test_oof_predictions(spark, lin):
+    ps = PanelSplit(lin, "period", n_splits=2)
+    preds, models = cross_val_fit_predict(
+        LinearRegression(), lin, ["feature"], "y", ps
+    )
+    got = {
+        (r["feature"], r["fold_id"]): r["prediction"]
+        for r in preds.collect()
+    }
+    # fold 0 tests period 2 (features 3,4), fold 1 tests period 3 (5,6)
+    assert got == pytest.approx(
+        {(3.0, 0): 6.0, (4.0, 0): 8.0, (5.0, 1): 10.0, (6.0, 1): 12.0}
+    )
+
+
+def test_return_group_train(spark, lin):
+    ps = PanelSplit(lin, "period", n_splits=2)
+    models = cross_val_fit(MeanRegressor(), lin, ["feature"], "y", ps)
+    preds = cross_val_predict(
+        models, lin, ["feature"], ps, return_group="train"
+    )
+    rows = preds.collect()
+    # train rows: fold0 periods {1} (2 rows), fold1 {1,2} (4 rows)
+    assert len(rows) == 6
+    by_fold = {}
+    for r in rows:
+        by_fold.setdefault(r["fold_id"], []).append(r["prediction"])
+    assert by_fold[0] == pytest.approx([3.0, 3.0])  # mean of y [2,4]
+    assert by_fold[1] == pytest.approx([5.0] * 4)  # mean of y [2,4,6,8]
+
+
+def test_mean_regressor_oof(spark, lin):
+    ps = PanelSplit(lin, "period", n_splits=2)
+    preds, _ = cross_val_fit_predict(
+        MeanRegressor(), lin, ["feature"], "y", ps
+    )
+    got = {r["fold_id"]: r["prediction"] for r in preds.collect()}
+    assert got[0] == pytest.approx(3.0)
+    assert got[1] == pytest.approx(5.0)
+
+
+def test_drop_na_in_y(spark):
+    rows = [
+        (1.0, 1, 2.0),
+        (2.0, 1, None),  # dropped from training when drop_na_in_y
+        (3.0, 2, 6.0),
+        (4.0, 2, 8.0),
+        (5.0, 3, 10.0),
+        (6.0, 3, 12.0),
+    ]
+    df = spark.createDataFrame(rows, "feature double, period int, y double")
+    ps = PanelSplit(df, "period", n_splits=2)
+    models = cross_val_fit(
+        MeanRegressor(), df, ["feature"], "y", ps, drop_na_in_y=True
+    )
+    assert models[0].mean_ == pytest.approx(2.0)  # only the non-null row
+    # without dropping, the NaN poisons the mean
+    models2 = cross_val_fit(MeanRegressor(), df, ["feature"], "y", ps)
+    import math
+
+    assert math.isnan(models2[0].mean_)
+
+
+def test_sample_weight(spark, lin):
+    w = lin.withColumn(
+        "w", F.when(F.col("feature") <= 2.0, 100.0).otherwise(1e-9)
+    )
+    ps = PanelSplit(w, "period", n_splits=2)
+    models = cross_val_fit(
+        MeanRegressor(), w, ["feature"], "y", ps, sample_weight_col="w"
+    )
+    # fold 1 train = features 1..4, weights favor y of features 1,2 (2,4)
+    assert models[1].mean_ == pytest.approx(3.0, abs=1e-6)
+
+
+def test_sample_weight_unsupported_warns(spark, lin):
+    from helpers import NoWeightEstimator
+
+    w = lin.withColumn("w", F.lit(1.0))
+    ps = PanelSplit(w, "period", n_splits=2)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cross_val_fit(
+            NoWeightEstimator(), w, ["feature"], "y", ps,
+            sample_weight_col="w",
+        )
+    assert any("sample_weight" in str(x.message) for x in rec)
+
+
+def test_transform_method(spark, lin):
+    ps = PanelSplit(lin, "period", n_splits=2)
+    models = cross_val_fit(StandardScaler(), lin, ["feature"], None, ps)
+    out = cross_val_predict(
+        models, lin, ["feature"], ps, method="transform"
+    )
+    row = out.where(
+        (F.col("fold_id") == 0) & (F.col("feature") == 3.0)
+    ).collect()[0]
+    # fold 0 scaler fitted on features [1,2]: mean 1.5, std 0.5
+    assert row["prediction"][0] == pytest.approx((3.0 - 1.5) / 0.5)
+
+
+def test_predict_proba(spark):
+    rows = [
+        (float(i), p, 1 if i > 6 else 0)
+        for i, p in zip(range(1, 13), [1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3])
+    ]
+    df = spark.createDataFrame(rows, "feature double, period int, y int")
+    ps = PanelSplit(df, "period", n_splits=1, test_size=1)
+    preds, _ = cross_val_fit_predict(
+        LogisticRegression(), df, ["feature"], "y", ps,
+        method="predict_proba",
+    )
+    r = preds.collect()[0]
+    assert len(r["prediction"]) == 2
+    assert sum(r["prediction"]) == pytest.approx(1.0)
+
+
+def test_bad_return_group(spark, lin):
+    ps = PanelSplit(lin, "period", n_splits=2)
+    with pytest.raises(ValueError, match="return_group must be"):
+        cross_val_predict([MeanRegressor()], lin, ["feature"], ps,
+                          return_group="oops")
+
+
+def test_missing_method_raises(spark, lin):
+    ps = PanelSplit(lin, "period", n_splits=2)
+    models = cross_val_fit(MeanRegressor(), lin, ["feature"], "y", ps)
+    with pytest.raises(AttributeError):
+        cross_val_predict(models, lin, ["feature"], ps,
+                          method="predict_proba")

@@ -1,0 +1,142 @@
+"""PanelSplit over Spark: golden fold membership, label frames, fan-out,
+snapshots, drop_splits (reference tests/test_PanelSplit.py,
+tests/test_edge_cases.py semantics)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from panelsplit_spark import PanelSplit, drop_splits
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # reference tiny_panel fixture (FIXTURES.md A2)
+    rows = [
+        (p, f1, f1 * 2, f1 * 10)
+        for f1, p in enumerate([1, 1, 2, 2, 3, 3, 4, 4], start=1)
+    ]
+    return spark.createDataFrame(rows, "period int, f1 int, f2 int, y int")
+
+
+def test_split_membership(spark, tiny):
+    ps = PanelSplit(tiny, "period", n_splits=2)
+    folds = ps.split(tiny)
+    (tr0, te0), (tr1, te1) = folds
+    assert sorted(r["period"] for r in tr0.collect()) == [1, 1, 2, 2]
+    assert sorted(r["period"] for r in te0.collect()) == [3, 3]
+    assert sorted(r["period"] for r in tr1.collect()) == [1, 1, 2, 2, 3, 3]
+    assert sorted(r["period"] for r in te1.collect()) == [4, 4]
+
+
+def test_date_panel_union_labels(spark):
+    # reference date_panel golden expectations (tests/test_PanelSplit.py:29-49)
+    dates = [datetime.date(2022, 1, d) for d in range(1, 11)]
+    rows = [(d, i) for i, d in enumerate(dates * 2)]
+    df = spark.createDataFrame(rows, "period date, label int")
+    ps = PanelSplit(df, "period", n_splits=3)
+    train_labels = sorted(
+        r["label"] for r in ps.gen_train_labels(df).collect()
+    )
+    test_labels = sorted(r["label"] for r in ps.gen_test_labels(df).collect())
+    assert train_labels == list(range(0, 9)) + list(range(10, 19))
+    assert test_labels == [7, 8, 9, 17, 18, 19]
+
+
+def test_assign_fanout_counts(spark, tiny):
+    ps = PanelSplit(tiny, "period", n_splits=2)
+    a = ps.assign(tiny)
+    got = {
+        (r["fold_id"], r["role"]): r["n"]
+        for r in a.groupBy("fold_id", "role").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert got == {
+        (0, "train"): 4,
+        (0, "test"): 2,
+        (1, "train"): 6,
+        (1, "test"): 2,
+    }
+
+
+def test_gen_snapshots(spark):
+    # reference doctest cross_validation.py:377-393
+    df = spark.createDataFrame(
+        [(10, 1), (None, 2), (30, 3)], "value int, period int"
+    )
+    ps = PanelSplit(df, "period", n_splits=2)
+    snaps = ps.gen_snapshots(df, period_col="period")
+    rows = sorted(
+        (r["split"], r["period"], r["snapshot_period"])
+        for r in snaps.collect()
+    )
+    assert rows == [(0, 1, 2), (0, 2, 2), (1, 1, 3), (1, 2, 3), (1, 3, 3)]
+
+
+def test_snapshot_col_vintage_selection(spark):
+    # two vintages of the same periods; fold sees only max(test_period)'s
+    # vintage (reference cross_validation.py:172-193)
+    rows = []
+    for snap in (2, 3):
+        for p in (1, 2, 3):
+            rows.append((p, snap, p * 10 + snap))
+    df = spark.createDataFrame(rows, "period int, snapshot int, y int")
+    ps = PanelSplit(df, "period", snapshot_col="snapshot", n_splits=2)
+    (tr0, te0), (tr1, te1) = ps.split(df)
+    assert [(r["period"], r["snapshot"]) for r in tr0.collect()] == [(1, 2)]
+    assert [(r["period"], r["snapshot"]) for r in te0.collect()] == [(2, 2)]
+    assert sorted(
+        (r["period"], r["snapshot"]) for r in tr1.collect()
+    ) == [(1, 3), (2, 3)]
+    assert [(r["period"], r["snapshot"]) for r in te1.collect()] == [(3, 3)]
+
+
+def test_drop_splits(spark):
+    # reference doctest cross_validation.py:449-458: y [0, NaN, 1],
+    # periods [1,2,3] -> split 0 (train {0}, test {NaN}) dropped
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 1.0)], "period int, y double"
+    )
+    ps = PanelSplit(df, "period", n_splits=2)
+    ps = drop_splits(ps, df, "y")
+    # fold 1 survives only via the reference's pop-while-iterate skip,
+    # pinned by its doctest — we replicate that observable behavior.
+    assert ps.n_splits == 1
+    assert ps.spec.folds[0].train_periods == [1, 2]
+    assert ps.spec.folds[0].test_periods == [3]
+
+
+def test_drop_splits_check_all(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 1.0)], "period int, y double"
+    )
+    ps = PanelSplit(df, "period", n_splits=2)
+    # fixed semantics: fold 1's test set has a single unique y -> dropped too
+    ps = drop_splits(ps, df, "y", check_all=True)
+    assert ps.n_splits == 0
+
+
+def test_unique_periods_override(spark, tiny):
+    ps = PanelSplit(unique_periods=[1, 2, 3, 4], n_splits=2)
+    folds = ps.split()
+    assert folds[0] == ([1, 2], [3])
+    assert folds[1] == ([1, 2, 3], [4])
+
+
+def test_fold_filter_pushdown(spark):
+    """The fold predicate must reach the parquet scan (PushedFilters):
+    BETWEEN range predicates on a scan-native column are sargable."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    ps = PanelSplit(
+        li.select(F.col("l_shipdate").alias("period")), "period", n_splits=3
+    )
+    plan = (
+        li.where(ps.spec.predicate(F.col("l_shipdate"), 0, "train"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
