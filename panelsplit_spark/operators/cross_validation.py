@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..plans.fold_spec import FoldSpec, build_fold_spec
 
-__all__ = ["PanelSplit", "drop_splits"]
+__all__ = ["PanelSplit", "fold_stats", "drop_splits"]
 
 
 class PanelSplit:
@@ -226,6 +226,35 @@ class PanelSplit:
         return out
 
 
+def fold_stats(
+    cv: PanelSplit, df: DataFrame, y_col: str, exact: bool = True
+) -> DataFrame:
+    """Per-(fold, role) row count and distinct-y count in ONE pass:
+    fan-out assign → grouped aggregate with map-side partials.
+
+    The reference's n_unique counts NULL as its own distinct value
+    (narwhals semantics; pinned by the doctest where train y = [0, NaN]
+    yields 2 uniques). Spark's countDistinct drops NULLs — adjusted with
+    an explicit null-presence term.
+    """
+    nd = (
+        F.countDistinct(F.col(y_col))
+        if exact
+        else F.approx_count_distinct(F.col(y_col))
+    )
+    has_null = F.max(
+        F.when(F.col(y_col).isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        cv.assign(df)
+        .groupBy("fold_id", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (nd + has_null).cast("long").alias("nuniq"),
+        )
+    )
+
+
 def drop_splits(
     cv: PanelSplit,
     df: DataFrame,
@@ -248,26 +277,7 @@ def drop_splits(
     semantics; pass ``check_all=True`` for the fixed rule that inspects
     every fold (SURVEY §7.3 risk 2).
     """
-    nd = (
-        F.countDistinct(F.col(y_col))
-        if exact
-        else F.approx_count_distinct(F.col(y_col))
-    )
-    # The reference's n_unique counts NULL as its own distinct value
-    # (narwhals semantics; pinned by the doctest where train y = [0, NaN]
-    # yields 2 uniques). Spark's countDistinct drops NULLs — adjust.
-    has_null = F.max(
-        F.when(F.col(y_col).isNull(), F.lit(1)).otherwise(F.lit(0))
-    )
-    stats = (
-        cv.assign(df)
-        .groupBy("fold_id", "role")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (nd + has_null).alias("nuniq"),
-        )
-        .collect()
-    )
+    stats = fold_stats(cv, df, y_col, exact=exact).collect()
     by_fold = {}
     for r in stats:
         by_fold.setdefault(r["fold_id"], {})[r["role"]] = (r["n"], r["nuniq"])

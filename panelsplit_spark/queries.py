@@ -1,0 +1,292 @@
+"""Declared query registry: every entry pairs a Spark DataFrame program
+with an equivalent ANSI-SQL oracle that DuckDB can run on the same parquet
+tables. This is the engine's correctness gate (driver contract in
+``__spark_entry__.py``).
+
+Cross-engine determinism rules used throughout:
+
+* periods are compared as **strings** (``date_format`` ↔ ``strftime``);
+* every floating-point output is ``round(x, 6)`` in BOTH engines — two
+  doubles that agree to ~1e-9 round to the *identical* double, so
+  value-hashes match exactly;
+* every aggregate / computed column is aliased identically on both sides;
+* fold arithmetic appears twice by design: the engine computes it on the
+  driver (plans/fold_spec.py), the oracle recomputes it in pure SQL via
+  ``dense_rank`` — an independent implementation, which is what makes the
+  check meaningful.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .estimators import LinearRegression, MeanRegressor
+from .operators.application import cross_val_fit_predict
+from .operators.cross_validation import PanelSplit, fold_stats
+from .sources.tables import load_table
+
+# ----------------------------------------------------------------------
+# Shared CV configuration for the events panel: 30 daily periods at every
+# SF; n_splits=5, test_size=2, gap=1, max_train_size=10 exercises the full
+# fold arithmetic (tail test blocks, gap exclusion, train-window cap).
+# ----------------------------------------------------------------------
+EV_K, EV_T, EV_GAP, EV_MTS = 5, 2, 1, 10
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("period", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("hod", F.hour("ts").cast("double"))
+    )
+
+
+def _events_cv(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir)
+    ps = PanelSplit(
+        ev,
+        "period",
+        n_splits=EV_K,
+        gap=EV_GAP,
+        test_size=EV_T,
+        max_train_size=EV_MTS,
+    )
+    return ev, ps
+
+
+# The same fold arithmetic, independently in DuckDB SQL. ``up`` ranks the
+# distinct periods; ``bounds`` is the TimeSeriesSplit index math; ``assign``
+# explodes to (fold_id, role, period).
+_EV_PERIOD = "strftime(ts, '%Y-%m-%d')"
+
+_FOLD_CTE = f"""
+up AS (
+  SELECT period, CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT) AS rk
+  FROM (SELECT DISTINCT {_EV_PERIOD} AS period FROM events) tt
+),
+np AS (SELECT count(*) AS n FROM up),
+bounds AS (
+  SELECT CAST(f.fold_id AS BIGINT) AS fold_id,
+         np.n - ({EV_K} - f.fold_id) * {EV_T} AS test_lo,
+         np.n - ({EV_K} - f.fold_id) * {EV_T} + {EV_T} AS test_hi,
+         np.n - ({EV_K} - f.fold_id) * {EV_T} - {EV_GAP} AS train_hi,
+         GREATEST(0, np.n - ({EV_K} - f.fold_id) * {EV_T} - {EV_GAP}
+                     - {EV_MTS}) AS train_lo
+  FROM (SELECT unnest(generate_series(0, {EV_K - 1})) AS fold_id) f, np
+),
+assign AS (
+  SELECT b.fold_id, 'train' AS role, u.period
+  FROM bounds b JOIN up u ON u.rk >= b.train_lo AND u.rk < b.train_hi
+  UNION ALL
+  SELECT b.fold_id, 'test' AS role, u.period
+  FROM bounds b JOIN up u ON u.rk >= b.test_lo AND u.rk < b.test_hi
+),
+ev AS (
+  SELECT event_id, {_EV_PERIOD} AS period, value,
+         CAST(date_part('hour', ts) AS DOUBLE) AS hod
+  FROM events
+)
+"""
+
+
+# ----------------------------------------------------------------------
+# Query implementations (Spark side)
+# ----------------------------------------------------------------------
+
+
+def q_ps_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out fold assignment summarized per (fold, role): exercises the
+    broadcast-join fan-out against real rows."""
+    ev, ps = _events_cv(spark, sf_dir)
+    return (
+        ps.assign(ev)
+        .groupBy(
+            F.col("fold_id").cast("long").alias("fold_id"), F.col("role")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("period").alias("n_periods"),
+            F.min("period").alias("min_period"),
+            F.max("period").alias("max_period"),
+        )
+    )
+
+
+def q_ps_train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, ps = _events_cv(spark, sf_dir)
+    return ps.gen_train_labels(ev).select("event_id", "period")
+
+
+def q_ps_test_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, ps = _events_cv(spark, sf_dir)
+    return ps.gen_test_labels(ev).select("event_id", "period")
+
+
+def q_ps_gen_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, ps = _events_cv(spark, sf_dir)
+    return ps.gen_snapshots(ev, period_col="period").select(
+        "event_id",
+        "period",
+        F.col("split").cast("long").alias("split"),
+        "snapshot_period",
+    )
+
+
+def q_ps_fold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop_splits decision statistics (n, n-unique-with-null) —
+    single-pass grouped aggregate over the fan-out."""
+    ev, ps = _events_cv(spark, sf_dir)
+    return fold_stats(ps, ev, "value").select(
+        F.col("fold_id").cast("long").alias("fold_id"),
+        "role",
+        "n",
+        "nuniq",
+    )
+
+
+def q_cv_mean_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed fit→OOF-predict path with the closed-form
+    MeanRegressor; the oracle recomputes the per-fold train mean in SQL."""
+    ev, ps = _events_cv(spark, sf_dir)
+    preds, _ = cross_val_fit_predict(
+        MeanRegressor(), ev, ["hod"], "value", ps,
+        keep_cols=["event_id"],
+    )
+    return preds.select(
+        "event_id",
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.round("prediction", 6).alias("pred"),
+    )
+
+
+def q_cv_ols_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold simple OLS (value ~ hour-of-day) via the distributed fit
+    path; oracle = SQL regr_slope / regr_intercept closed form."""
+    ev, ps = _events_cv(spark, sf_dir)
+    preds, _ = cross_val_fit_predict(
+        LinearRegression(), ev, ["hod"], "value", ps,
+        keep_cols=["event_id"],
+    )
+    return preds.select(
+        "event_id",
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.round("prediction", 6).alias("pred"),
+    )
+
+
+def q_cv_fold_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold OOF MSE of the mean predictor — the metrics fast path
+    (per-fold aggregate on the predictions frame)."""
+    ev, ps = _events_cv(spark, sf_dir)
+    preds, _ = cross_val_fit_predict(
+        MeanRegressor(), ev, ["hod"], "value", ps, keep_cols=["event_id", "value"],
+    )
+    return (
+        preds.groupBy(F.col("fold_id").cast("long").alias("fold_id"))
+        .agg(
+            F.round(
+                F.avg((F.col("value") - F.col("prediction")) ** 2), 6
+            ).alias("mse"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Oracle SQL (DuckDB side)
+# ----------------------------------------------------------------------
+
+ORACLES: Dict[str, str] = {
+    "ps_fold_assignment": f"""
+WITH {_FOLD_CTE}
+SELECT a.fold_id, a.role, count(*) AS n_rows,
+       count(DISTINCT e.period) AS n_periods,
+       min(e.period) AS min_period, max(e.period) AS max_period
+FROM assign a JOIN ev e ON e.period = a.period
+GROUP BY a.fold_id, a.role
+""",
+    "ps_train_labels": f"""
+WITH {_FOLD_CTE}
+SELECT e.event_id, e.period FROM ev e
+WHERE e.period IN (SELECT period FROM assign WHERE role = 'train')
+""",
+    "ps_test_labels": f"""
+WITH {_FOLD_CTE}
+SELECT e.event_id, e.period FROM ev e
+WHERE e.period IN (SELECT period FROM assign WHERE role = 'test')
+""",
+    "ps_gen_snapshots": f"""
+WITH {_FOLD_CTE},
+fold_periods AS (SELECT fold_id, period FROM assign GROUP BY fold_id, period),
+snap AS (SELECT fold_id, max(period) AS snapshot_period
+         FROM assign GROUP BY fold_id)
+SELECT e.event_id, e.period, fp.fold_id AS split, s.snapshot_period
+FROM fold_periods fp
+JOIN ev e ON e.period = fp.period
+JOIN snap s ON s.fold_id = fp.fold_id
+""",
+    "ps_fold_stats": f"""
+WITH {_FOLD_CTE}
+SELECT a.fold_id, a.role, count(*) AS n,
+       count(DISTINCT e.value)
+         + max(CASE WHEN e.value IS NULL THEN 1 ELSE 0 END) AS nuniq
+FROM assign a JOIN ev e ON e.period = a.period
+GROUP BY a.fold_id, a.role
+""",
+    "cv_mean_oof": f"""
+WITH {_FOLD_CTE},
+trm AS (
+  SELECT a.fold_id, avg(e.value) AS mu
+  FROM assign a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+)
+SELECT e.event_id, a.fold_id, round(t.mu, 6) AS pred
+FROM assign a
+JOIN ev e ON e.period = a.period
+JOIN trm t ON t.fold_id = a.fold_id
+WHERE a.role = 'test'
+""",
+    "cv_ols_oof": f"""
+WITH {_FOLD_CTE},
+fit AS (
+  SELECT a.fold_id,
+         regr_slope(e.value, e.hod) AS b1,
+         regr_intercept(e.value, e.hod) AS b0
+  FROM assign a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+)
+SELECT e.event_id, a.fold_id, round(f.b0 + f.b1 * e.hod, 6) AS pred
+FROM assign a
+JOIN ev e ON e.period = a.period
+JOIN fit f ON f.fold_id = a.fold_id
+WHERE a.role = 'test'
+""",
+    "cv_fold_mse": f"""
+WITH {_FOLD_CTE},
+trm AS (
+  SELECT a.fold_id, avg(e.value) AS mu
+  FROM assign a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+)
+SELECT a.fold_id, round(avg((e.value - t.mu) ^ 2), 6) AS mse,
+       count(*) AS n
+FROM assign a
+JOIN ev e ON e.period = a.period
+JOIN trm t ON t.fold_id = a.fold_id
+WHERE a.role = 'test'
+GROUP BY a.fold_id
+""",
+}
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ps_fold_assignment": q_ps_fold_assignment,
+    "ps_train_labels": q_ps_train_labels,
+    "ps_test_labels": q_ps_test_labels,
+    "ps_gen_snapshots": q_ps_gen_snapshots,
+    "ps_fold_stats": q_ps_fold_stats,
+    "cv_mean_oof": q_cv_mean_oof,
+    "cv_ols_oof": q_cv_ols_oof,
+    "cv_fold_mse": q_cv_fold_mse,
+}
