@@ -24,12 +24,26 @@ from .estimators import (
     clone,
 )
 from .operators.application import (
+    apply_model,
     cross_val_fit,
     cross_val_fit_predict,
     cross_val_predict,
     with_row_key,
 )
-from .operators.cross_validation import PanelSplit, drop_splits
+from .operators.cross_validation import PanelSplit, drop_splits, fold_stats
+from .operators.metrics import (
+    check_scoring,
+    get_scorer,
+    make_SequentialCV_scorer,
+    per_fold_scores,
+)
+from .operators.model_selection import (
+    GridSearch,
+    ParameterGrid,
+    ParameterSampler,
+    RandomizedSearch,
+)
+from .operators.pipeline import SequentialCVPipeline
 from .plans.fold_spec import FoldSpec, build_fold_spec, time_series_fold_bounds
 
 __version__ = "0.1.0"
@@ -37,6 +51,17 @@ __version__ = "0.1.0"
 __all__ = [
     "PanelSplit",
     "drop_splits",
+    "fold_stats",
+    "SequentialCVPipeline",
+    "GridSearch",
+    "RandomizedSearch",
+    "ParameterGrid",
+    "ParameterSampler",
+    "make_SequentialCV_scorer",
+    "get_scorer",
+    "check_scoring",
+    "per_fold_scores",
+    "apply_model",
     "cross_val_fit",
     "cross_val_predict",
     "cross_val_fit_predict",

@@ -40,10 +40,54 @@ from .cross_validation import PanelSplit
 
 __all__ = [
     "with_row_key",
+    "apply_model",
     "cross_val_fit",
     "cross_val_predict",
     "cross_val_fit_predict",
 ]
+
+
+def apply_model(
+    df: DataFrame,
+    model: Any,
+    feature_cols: Sequence[str],
+    method: str = "predict",
+    output_col: str = "prediction",
+    output_type: str = "double",
+    keep_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Apply one fitted model to every row — broadcast + ``mapInPandas``,
+    no shuffle. The non-CV ('fit on all, apply to all') counterpart of
+    cross_val_predict."""
+    keep = list(keep_cols) if keep_cols is not None else list(df.columns)
+    needed = list(dict.fromkeys(list(keep) + list(feature_cols)))
+    proj = df.select(*needed)
+    spark = df.sparkSession
+    model_b = spark.sparkContext.broadcast(pickle.dumps(model))
+    feature_cols = list(feature_cols)
+    out_schema = _schema_plus(
+        proj.select(*keep).schema, output_col, output_type
+    )
+    wide = output_type.startswith("array")
+
+    def fn(batches):
+        import pandas as pd
+
+        m = pickle.loads(model_b.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = np.asarray(getattr(m, method)(pdf[feature_cols]))
+            o = pdf[list(keep)].copy()
+            if wide:
+                if res.ndim == 1:
+                    res = res.reshape(-1, 1)
+                o[output_col] = list(res)
+            else:
+                o[output_col] = res.reshape(-1)
+            yield o
+
+    return proj.mapInPandas(fn, schema=out_schema)
 
 
 def with_row_key(
@@ -93,7 +137,7 @@ def _make_fit_fn(
 
     feature_cols = list(feature_cols)
 
-    def fit_fn(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def fit_fn(key, pdf):
         fold_id = int(key[0])
         est = clone(estimator)
         sub = pdf

@@ -1,0 +1,369 @@
+"""Hyper-parameter search over SequentialCVPipeline
+(reference /root/reference/panelsplit/model_selection/, 2,035 LoC).
+
+Driver-side orchestration, cluster-side work: each candidate evaluation is
+a full pipeline fit+score in which every Spark job is already
+fold/data-parallel across executors; candidates can additionally run
+concurrently from driver threads (``n_jobs``), which overlaps their Spark
+jobs in the scheduler — the Spark analog of the reference's joblib
+candidate parallelism (model_selection.py:653-722). Result bookkeeping
+(`cv_results_`: split scores, means, stds, min-ranks, masked params) is
+tiny and stays in numpy on the driver, mirroring
+``_format_results`` (model_selection.py:783-923).
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+import time
+import traceback
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..estimators import clone as _clone_est
+from .metrics import check_multimetric_scoring, check_scoring
+from .pipeline import SequentialCVPipeline
+
+__all__ = ["ParameterGrid", "ParameterSampler", "GridSearch",
+           "RandomizedSearch"]
+
+
+class ParameterGrid:
+    """Exhaustive cross-product of a param grid (dict or list of dicts)."""
+
+    def __init__(self, param_grid: Union[Dict, List[Dict]]):
+        if isinstance(param_grid, dict):
+            param_grid = [param_grid]
+        self.param_grid = param_grid
+
+    def __iter__(self):
+        for grid in self.param_grid:
+            keys = sorted(grid)
+            if not keys:
+                yield {}
+                continue
+            for combo in itertools.product(*(grid[k] for k in keys)):
+                yield dict(zip(keys, combo))
+
+    def __len__(self) -> int:
+        total = 0
+        for grid in self.param_grid:
+            n = 1
+            for v in grid.values():
+                n *= len(v)
+            total += n
+        return total
+
+
+class ParameterSampler:
+    """Seeded random sampler: list values are drawn uniformly; objects
+    with ``.rvs(random_state=...)`` are sampled (scipy-style)."""
+
+    def __init__(self, param_distributions: Dict, n_iter: int,
+                 random_state: Optional[int] = None):
+        self.param_distributions = param_distributions
+        self.n_iter = n_iter
+        self.random_state = random_state
+
+    def __iter__(self):
+        rng = random.Random(self.random_state)
+        keys = sorted(self.param_distributions)
+        for _ in range(self.n_iter):
+            out = {}
+            for k in keys:
+                v = self.param_distributions[k]
+                if hasattr(v, "rvs"):
+                    out[k] = v.rvs(random_state=rng.randrange(2**31))
+                else:
+                    out[k] = v[rng.randrange(len(v))]
+            yield out
+
+    def __len__(self) -> int:
+        return self.n_iter
+
+
+def _rankdata_min_desc(scores: np.ndarray) -> np.ndarray:
+    """scipy.rankdata(-scores, method='min') with NaN ranked worst
+    (reference model_selection.py:875-885)."""
+    s = np.array(scores, dtype=float)
+    nan = np.isnan(s)
+    s[nan] = -np.inf
+    ranks = np.empty(len(s), dtype=np.int32)
+    for i, v in enumerate(s):
+        ranks[i] = 1 + int(np.sum(s > v))
+    return ranks
+
+
+class BaseSearch:
+    """Shared search engine (reference BaseSearch,
+    model_selection.py:558-781)."""
+
+    def __init__(
+        self,
+        estimator: SequentialCVPipeline,
+        scoring: Any = None,
+        n_jobs: int = 1,
+        refit: Union[bool, str, Any] = True,
+        verbose: int = 0,
+        error_score: Any = np.nan,
+        return_train_score: bool = False,
+    ) -> None:
+        self.estimator = estimator
+        self.scoring = scoring
+        self.n_jobs = n_jobs
+        self.refit = refit
+        self.verbose = verbose
+        self.error_score = error_score
+        self.return_train_score = return_train_score
+
+    # subclasses yield candidate param dicts
+    def _candidates(self) -> List[Dict[str, Any]]:
+        raise NotImplementedError
+
+    def _n_splits(self) -> int:
+        """n_splits from the pipeline's LAST cv step (reference
+        model_selection.py:612-631)."""
+        for cv in reversed(self.estimator.cv_steps):
+            if cv is not None:
+                return cv.n_splits
+        return 1
+
+    def _clone_pipeline(self) -> SequentialCVPipeline:
+        import copy
+
+        pipe = copy.copy(self.estimator)
+        pipe.steps = [
+            (n, e if e is None or isinstance(e, str) else _clone_est(e))
+            for n, e in self.estimator.steps
+        ]
+        pipe.fitted_steps_ = {}
+        return pipe
+
+    def _fit_and_score(
+        self, params: Dict[str, Any], df: DataFrame,
+        scorers: Dict[str, Any],
+    ) -> Dict[str, Any]:
+        """One candidate: set params → fit → per-fold scores
+        (reference _validation.py:185-422)."""
+        out: Dict[str, Any] = {"params": params}
+        t0 = time.time()
+        try:
+            pipe = self._clone_pipeline()
+            pipe.set_params(**params)
+            pipe.fit(df)
+            out["fit_time"] = time.time() - t0
+            t1 = time.time()
+            for mname, scorer in scorers.items():
+                out[f"test_{mname}"] = scorer(pipe, df)
+            if self.return_train_score:
+                orig = pipe.return_group
+                pipe.return_group = "train"
+                try:
+                    for mname, scorer in scorers.items():
+                        out[f"train_{mname}"] = scorer(pipe, df)
+                finally:
+                    pipe.return_group = orig
+            out["score_time"] = time.time() - t1
+            out["estimator"] = pipe
+        except Exception as e:
+            if self.error_score == "raise":
+                raise
+            warnings.warn(
+                f"Candidate {params} failed: {e}\n"
+                f"{traceback.format_exc(limit=3)}",
+                stacklevel=2,
+            )
+            ns = self._n_splits()
+            out["fit_time"] = time.time() - t0
+            out["score_time"] = 0.0
+            for mname in scorers:
+                out[f"test_{mname}"] = [float(self.error_score)] * ns
+                if self.return_train_score:
+                    out[f"train_{mname}"] = [float(self.error_score)] * ns
+            out["failed"] = True
+        return out
+
+    def fit(self, df: DataFrame) -> "BaseSearch":
+        candidates = list(self._candidates())
+        if not candidates:
+            raise ValueError("No candidates to search")
+        multimetric = isinstance(self.scoring, (list, tuple, set, dict))
+        if multimetric:
+            scorers = check_multimetric_scoring(self.scoring)
+            if not (
+                isinstance(self.refit, str) and self.refit in scorers
+            ) and self.refit not in (False,) and not callable(self.refit):
+                raise ValueError(
+                    "For multimetric scoring, refit must be False, a metric "
+                    f"name among {sorted(scorers)}, or a callable."
+                )
+        else:
+            scorers = {"score": check_scoring(self.scoring)}
+        if self.verbose:
+            print(
+                f"Fitting {self._n_splits()} folds for each of "
+                f"{len(candidates)} candidates"
+            )
+
+        if self.n_jobs and self.n_jobs != 1:
+            jobs = (
+                self.n_jobs if self.n_jobs > 0 else min(len(candidates), 8)
+            )
+            with ThreadPoolExecutor(max_workers=jobs) as pool:
+                results = list(
+                    pool.map(
+                        lambda p: self._fit_and_score(p, df, scorers),
+                        candidates,
+                    )
+                )
+        else:
+            results = [
+                self._fit_and_score(p, df, scorers) for p in candidates
+            ]
+
+        n_failed = sum(1 for r in results if r.get("failed"))
+        if n_failed == len(results):
+            raise ValueError(
+                "All candidates failed. Set error_score='raise' to see "
+                "the underlying errors."
+            )
+        if n_failed:
+            warnings.warn(
+                f"{n_failed} of {len(results)} candidates failed "
+                f"(error_score={self.error_score}).",
+                stacklevel=2,
+            )
+
+        self.cv_results_ = self._format_results(results, scorers)
+        self.n_splits_ = self._n_splits()
+        self.multimetric_ = multimetric
+
+        refit_metric = (
+            self.refit if isinstance(self.refit, str) else "score"
+        )
+        if callable(self.refit):
+            self.best_index_ = int(self.refit(self.cv_results_))
+        elif self.refit is not False:
+            self.best_index_ = int(
+                np.argmin(self.cv_results_[f"rank_test_{refit_metric}"])
+            )
+        if self.refit is not False:
+            self.best_params_ = self.cv_results_["params"][self.best_index_]
+            if not callable(self.refit):
+                self.best_score_ = float(
+                    self.cv_results_[f"mean_test_{refit_metric}"][
+                        self.best_index_
+                    ]
+                )
+            # refit on the full data (reference model_selection.py:752-767)
+            t0 = time.time()
+            self.best_estimator_ = self._clone_pipeline()
+            self.best_estimator_.set_params(**self.best_params_)
+            self.best_estimator_.fit(df)
+            self.refit_time_ = time.time() - t0
+        self.scorer_ = scorers if multimetric else scorers["score"]
+        return self
+
+    def _format_results(self, results, scorers) -> Dict[str, np.ndarray]:
+        n_cand = len(results)
+        n_splits = self._n_splits()
+        out: Dict[str, Any] = {}
+        out["params"] = [r["params"] for r in results]
+        for key in ("fit_time", "score_time"):
+            arr = np.array([r[key] for r in results])
+            out[f"mean_{key}"] = arr
+        # masked param arrays (param_<name>)
+        all_keys = sorted({k for r in results for k in r["params"]})
+        for k in all_keys:
+            out[f"param_{k}"] = np.array(
+                [r["params"].get(k, None) for r in results], dtype=object
+            )
+        prefixes = ["test"] + (
+            ["train"] if self.return_train_score else []
+        )
+        for prefix in prefixes:
+            for mname in scorers:
+                mat = np.full((n_cand, n_splits), np.nan)
+                for i, r in enumerate(results):
+                    scores = r.get(f"{prefix}_{mname}", [])
+                    for j, s in enumerate(scores[:n_splits]):
+                        mat[i, j] = s
+                for j in range(n_splits):
+                    out[f"split{j}_{prefix}_{mname}"] = mat[:, j]
+                means = np.nanmean(mat, axis=1)
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    stds = np.nanstd(mat, axis=1)
+                means[np.all(np.isnan(mat), axis=1)] = np.nan
+                out[f"mean_{prefix}_{mname}"] = means
+                out[f"std_{prefix}_{mname}"] = stds
+                if prefix == "test":
+                    out[f"rank_test_{mname}"] = _rankdata_min_desc(means)
+        return out
+
+    # ---- delegation to best_estimator_ (model_selection.py:138-375) ----
+
+    def _check_refit(self, what: str) -> None:
+        if getattr(self, "best_estimator_", None) is None:
+            raise AttributeError(
+                f"{what} is only available after fitting with refit enabled."
+            )
+
+    def predict(self, df: DataFrame):
+        self._check_refit("predict")
+        return self.best_estimator_.predict(df)
+
+    def predict_proba(self, df: DataFrame):
+        self._check_refit("predict_proba")
+        return self.best_estimator_.predict_proba(df)
+
+    def predict_log_proba(self, df: DataFrame):
+        self._check_refit("predict_log_proba")
+        return self.best_estimator_.predict_log_proba(df)
+
+    def transform(self, df: DataFrame):
+        self._check_refit("transform")
+        return self.best_estimator_.transform(df)
+
+    def score(self, df: DataFrame):
+        self._check_refit("score")
+        return self.best_estimator_.score(df)
+
+    @property
+    def classes_(self):
+        self._check_refit("classes_")
+        return self.best_estimator_.classes_
+
+
+class GridSearch(BaseSearch):
+    """Exhaustive grid search (reference model_selection.py:936-1212)."""
+
+    def __init__(self, estimator, param_grid, **kwargs):
+        super().__init__(estimator, **kwargs)
+        self.param_grid = param_grid
+
+    def _candidates(self):
+        return list(ParameterGrid(self.param_grid))
+
+
+class RandomizedSearch(BaseSearch):
+    """Seeded randomized search (reference model_selection.py:1215-1523)."""
+
+    def __init__(self, estimator, param_distributions, n_iter: int = 10,
+                 random_state: Optional[int] = None, **kwargs):
+        super().__init__(estimator, **kwargs)
+        self.param_distributions = param_distributions
+        self.n_iter = n_iter
+        self.random_state = random_state
+
+    def _candidates(self):
+        return list(
+            ParameterSampler(
+                self.param_distributions, self.n_iter, self.random_state
+            )
+        )

@@ -1,0 +1,151 @@
+"""GridSearch / RandomizedSearch: cv_results_ contract, refit variants,
+error_score, multimetric (reference tests/test_search.py semantics)."""
+
+import numpy as np
+import pytest
+
+from panelsplit_spark import PanelSplit, Ridge
+from panelsplit_spark.operators.model_selection import (
+    GridSearch,
+    ParameterGrid,
+    ParameterSampler,
+    RandomizedSearch,
+)
+from panelsplit_spark.operators.pipeline import SequentialCVPipeline
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    for p in range(1, 9):
+        for _ in range(6):
+            x1 = float(rng.normal())
+            x2 = float(rng.normal())
+            y = 3.0 * x1 - 2.0 * x2 + float(rng.normal() * 0.01)
+            rows.append((p, x1, x2, y))
+    return spark.createDataFrame(
+        rows, "period int, x1 double, x2 double, y double"
+    )
+
+
+def _pipe(spark_df):
+    ps = PanelSplit(spark_df, "period", n_splits=3)
+    return SequentialCVPipeline(
+        [("reg", Ridge(alpha=1.0))], [ps], ["x1", "x2"], y_col="y"
+    )
+
+
+def test_parameter_grid():
+    g = ParameterGrid({"a": [1, 2], "b": ["x", "y"]})
+    combos = list(g)
+    assert len(combos) == len(g) == 4
+    assert {"a": 1, "b": "x"} in combos
+
+
+def test_parameter_sampler_seeded():
+    s1 = list(ParameterSampler({"a": [1, 2, 3]}, 5, random_state=7))
+    s2 = list(ParameterSampler({"a": [1, 2, 3]}, 5, random_state=7))
+    assert s1 == s2 and len(s1) == 5
+
+
+def test_grid_search_basic(spark, panel):
+    gs = GridSearch(
+        _pipe(panel),
+        {"reg__alpha": [100.0, 1e-6]},
+        scoring="neg_mean_squared_error",
+    )
+    gs.fit(panel)
+    # tiny alpha ~= OLS recovers the linear law -> best
+    assert gs.best_params_ == {"reg__alpha": 1e-6}
+    assert gs.best_index_ == 1
+    res = gs.cv_results_
+    assert len(res["params"]) == 2
+    for j in range(3):
+        assert f"split{j}_test_score" in res
+    assert res["rank_test_score"][gs.best_index_] == 1
+    assert "param_reg__alpha" in res
+    # refit model predicts on new data
+    assert gs.predict(panel).count() > 0
+
+
+def test_randomized_search(spark, panel):
+    rs = RandomizedSearch(
+        _pipe(panel),
+        {"reg__alpha": [1e-6, 1.0, 10.0, 100.0]},
+        n_iter=3,
+        random_state=0,
+        scoring="neg_mean_squared_error",
+    )
+    rs.fit(panel)
+    assert len(rs.cv_results_["params"]) == 3
+    assert hasattr(rs, "best_estimator_")
+
+
+def test_refit_false(spark, panel):
+    gs = GridSearch(
+        _pipe(panel), {"reg__alpha": [1.0]},
+        scoring="neg_mean_squared_error", refit=False,
+    )
+    gs.fit(panel)
+    assert not hasattr(gs, "best_estimator_")
+    with pytest.raises(AttributeError, match="refit"):
+        gs.predict(panel)
+
+
+def test_refit_callable(spark, panel):
+    def pick_first(cv_results):
+        return 0
+
+    gs = GridSearch(
+        _pipe(panel), {"reg__alpha": [100.0, 1e-6]},
+        scoring="neg_mean_squared_error", refit=pick_first,
+    )
+    gs.fit(panel)
+    assert gs.best_index_ == 0
+    assert gs.best_params_ == {"reg__alpha": 100.0}
+
+
+def test_multimetric_requires_named_refit(spark, panel):
+    with pytest.raises(ValueError, match="refit must be"):
+        GridSearch(
+            _pipe(panel), {"reg__alpha": [1.0]},
+            scoring=["r2", "neg_mean_squared_error"], refit=True,
+        ).fit(panel)
+
+
+def test_multimetric(spark, panel):
+    gs = GridSearch(
+        _pipe(panel), {"reg__alpha": [100.0, 1e-6]},
+        scoring=["r2", "neg_mean_squared_error"], refit="r2",
+    )
+    gs.fit(panel)
+    assert "mean_test_r2" in gs.cv_results_
+    assert "mean_test_neg_mean_squared_error" in gs.cv_results_
+    assert gs.best_params_ == {"reg__alpha": 1e-6}
+
+
+def test_error_score_nan(spark, panel):
+    class Exploder(Ridge):
+        def fit(self, X, y, sample_weight=None):
+            raise RuntimeError("boom")
+
+    ps = PanelSplit(panel, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("reg", Exploder())], [ps], ["x1", "x2"], y_col="y"
+    )
+    gs = GridSearch(
+        pipe, {"reg__alpha": [1.0]}, scoring="neg_mean_squared_error",
+        error_score="raise",
+    )
+    with pytest.raises(Exception):
+        gs.fit(panel)
+
+
+def test_return_train_score(spark, panel):
+    gs = GridSearch(
+        _pipe(panel), {"reg__alpha": [1e-6]},
+        scoring="neg_mean_squared_error", return_train_score=True,
+    )
+    gs.fit(panel)
+    assert "mean_train_score" in gs.cv_results_

@@ -1,0 +1,193 @@
+"""SequentialCVPipeline over Spark: step chaining, OOF feature flow,
+passthrough, params, slicing, classes_, score (reference pipeline.py
+semantics; config grid mirrors tests/test_sequentialcvpipeline_indices.py).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from panelsplit_spark import (
+    FirstColumnRegressor,
+    LinearRegression,
+    LogisticRegression,
+    PanelSplit,
+    StandardScaler,
+)
+from panelsplit_spark.operators.pipeline import SequentialCVPipeline
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    # 8 periods x 4 rows; y = 2*x1 - x2, deterministic
+    rows = []
+    for p in range(1, 9):
+        for j in range(4):
+            x1 = float(p * 10 + j)
+            x2 = float(j + 1)
+            rows.append((p, x1, x2, 2 * x1 - x2))
+    return spark.createDataFrame(
+        rows, "period int, x1 double, x2 double, y double"
+    )
+
+
+@pytest.mark.parametrize("cv_first,cv_second", [
+    (False, False), (True, False), (False, True), (True, True),
+])
+def test_config_grid(spark, panel, cv_first, cv_second):
+    # chained-CV steps need include_first_train_in_test=True so the OOF
+    # output covers every row — the reference's own test pattern
+    # (tests/test_sequentialcvpipeline_indices.py:19)
+    ps1 = (
+        PanelSplit(panel, "period", n_splits=3,
+                   include_first_train_in_test=True)
+        if cv_first else None
+    )
+    ps2 = PanelSplit(panel, "period", n_splits=3) if cv_second else None
+    pipe = SequentialCVPipeline(
+        steps=[("scale", StandardScaler()), ("reg", LinearRegression())],
+        cv_steps=[ps1, ps2],
+        feature_cols=["x1", "x2"],
+        y_col="y",
+    )
+    pipe.fit(panel)
+    preds = pipe.predict(panel)
+    rows = preds.collect()
+    assert len(rows) > 0
+    import math
+
+    assert all(math.isfinite(r["prediction"]) for r in rows)
+    if not cv_first:
+        # un-distorted features: the linear relation is recovered exactly
+        err = max(abs(r["y"] - r["prediction"]) for r in rows)
+        assert err < 1e-6
+
+
+def test_oof_only_test_rows(spark, panel):
+    ps = PanelSplit(panel, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("reg", LinearRegression())], [ps], ["x1", "x2"], y_col="y"
+    )
+    pipe.fit(panel)
+    preds = pipe.predict(panel)
+    periods = sorted({r["period"] for r in preds.select("period").collect()})
+    assert periods == [6, 7, 8]  # only test periods of the 3 folds
+
+
+def test_passthrough_step(spark, panel):
+    ps = PanelSplit(panel, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("noop", None), ("reg", LinearRegression())],
+        [None, ps],
+        ["x1", "x2"],
+        y_col="y",
+    )
+    pipe.fit(panel)
+    assert pipe.fitted_steps_["noop"] is None
+    assert pipe.predict(panel).count() > 0
+
+
+def test_identity_order_invariant(spark, panel):
+    """FirstColumnRegressor: prediction == x1 for every OOF row — the
+    order-restoration invariant (reference tests/test_pipeline.py:224-256)
+    expressed relationally: predictions stay attached to their rows.
+    Feature columns are replaced by the pipeline, so join back on a key."""
+    keyed = panel.withColumn(
+        "rid", F.monotonically_increasing_id()
+    ).cache()
+    keyed.count()  # pin the ids
+    ps = PanelSplit(keyed, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("reg", FirstColumnRegressor())], [ps], ["x1", "x2"], y_col="y"
+    )
+    preds = pipe.fit_predict(keyed)
+    joined = preds.join(keyed.select("rid", "x1"), "rid").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r["prediction"] == r["x1"]
+
+
+def test_get_set_params_nested(spark, panel):
+    pipe = SequentialCVPipeline(
+        [("scale", StandardScaler()), ("reg", LinearRegression())],
+        [None, None],
+        ["x1", "x2"],
+        y_col="y",
+    )
+    params = pipe.get_params()
+    assert params["reg__fit_intercept"] is True
+    pipe.set_params(reg__fit_intercept=False)
+    assert pipe.steps[1][1].fit_intercept is False
+    with pytest.raises(ValueError, match="Unknown step"):
+        pipe.set_params(nope__x=1)
+
+
+def test_slicing(spark, panel):
+    ps = PanelSplit(panel, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("scale", StandardScaler()), ("reg", LinearRegression())],
+        [None, ps],
+        ["x1", "x2"],
+        y_col="y",
+    )
+    pipe.fit(panel)
+    assert isinstance(pipe[1], LinearRegression)
+    sub = pipe[:1]
+    assert [n for n, _ in sub.steps] == ["scale"]
+    assert "scale" in sub.fitted_steps_
+
+
+def test_classes_union(spark, panel):
+    df = panel.withColumn("label", (F.col("x2") > 2.0).cast("int"))
+    ps = PanelSplit(df, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("clf", LogisticRegression())], [ps], ["x1", "x2"], y_col="label"
+    )
+    pipe.fit(df)
+    assert list(pipe.classes_) == [0, 1]
+
+
+def test_classes_on_regressor_raises(spark, panel):
+    pipe = SequentialCVPipeline(
+        [("reg", LinearRegression())], [None], ["x1", "x2"], y_col="y"
+    )
+    pipe.fit(panel)
+    with pytest.raises(AttributeError):
+        _ = pipe.classes_
+
+
+def test_score_per_fold(spark, panel):
+    ps = PanelSplit(panel, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("reg", LinearRegression())], [ps], ["x1", "x2"], y_col="y"
+    )
+    pipe.fit(panel)
+    scores = pipe.score(panel)
+    assert len(scores) == 3
+    for s in scores:
+        assert s > 0.99  # exact linear relation -> r2 ~ 1
+
+
+def test_unfitted_raises(spark, panel):
+    pipe = SequentialCVPipeline(
+        [("reg", LinearRegression())], [None], ["x1", "x2"], y_col="y"
+    )
+    with pytest.raises(RuntimeError, match="not fitted"):
+        pipe.predict(panel)
+
+
+def test_unsupported_method_raises(spark, panel):
+    pipe = SequentialCVPipeline(
+        [("reg", LinearRegression())], [None], ["x1", "x2"], y_col="y"
+    )
+    pipe.fit(panel)
+    with pytest.raises(AttributeError):
+        pipe.predict_proba(panel)
+
+
+def test_duplicate_step_names_rejected(spark):
+    with pytest.raises(ValueError, match="unique"):
+        SequentialCVPipeline(
+            [("a", StandardScaler()), ("a", LinearRegression())],
+            [None, None],
+            ["x1"],
+        )
