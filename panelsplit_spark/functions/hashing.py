@@ -1,0 +1,58 @@
+"""Cross-engine-stable hashing & shingling column functions.
+
+Everything here is built from **md5 over explicit strings** — the one hash
+both Spark and any ANSI-SQL oracle (DuckDB, Trino, …) compute identically —
+so dedup signatures are reproducible across engines and across cluster
+topologies (no dependence on partitioning, JVM hash seeds, or
+``xxhash64``'s engine-specific variants). All expressions are built-in
+Catalyst functions: codegen'd, no Python in the row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "md5_long",
+    "word_tokens",
+    "word_ngrams",
+    "minhash_col",
+]
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+
+    Oracle-SQL twin: ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens (oracle: string_split(lower(x),' '))."""
+    return F.split(F.lower(col), " ")
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-gram shingles from a token array, space-joined.
+
+    Catalyst higher-order functions only: a ``transform`` over
+    ``sequence(1, size-n+1)`` with ``slice`` — no explode needed until the
+    caller wants rows.
+    """
+    return F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def minhash_col(shingle: Column, seed: int) -> Column:
+    """One minhash component: the *string-min* of ``md5(seed|shingle)``.
+
+    String-min of a uniformly distributed hex digest is a valid minhash
+    (order statistics on any total order work) and is exactly reproducible
+    in SQL: ``min(md5(concat('<seed>|', shingle)))``. Use as an aggregate.
+    """
+    return F.min(F.md5(F.concat(F.lit(f"{seed}|"), shingle)))

@@ -1,0 +1,295 @@
+"""Deduplication operators for large-scale document corpora.
+
+These are the operators a 100 TB training-data pipeline runs before
+anything else. Scale design notes (per operator):
+
+* **exact** — one ``groupBy(md5(text))``: a single shuffle of (hash, id)
+  pairs only (never the payload); map-side partial aggregation collapses
+  local duplicates before the exchange.
+* **MinHash + LSH** — per-doc signatures are one pass + one grouped
+  aggregate over (doc, shingle) pairs; banding turns O(n²) comparison into
+  equi-joins on (band, signature) bucket keys, which Spark executes as
+  plain hash joins; within-bucket pairing is quadratic only in bucket
+  size (bounded by hash uniformity, skew-handled by AQE).
+* **n-gram Jaccard** — exact verification for candidate pairs: explode
+  distinct shingles, self-equi-join on shingle, count intersections;
+  at scale run it *after* LSH pruning, not on the full cross product.
+* **SimHash** — per-token 60-bit hashes aggregated bitwise into one
+  64-bit-class fingerprint per doc; near-dups differ in few bits
+  (hamming ≤ k) and are found via band-exact-match like LSH.
+* **embedding near-dup** — cosine over ``array<float>``; brute pairs for
+  verification, LSH (random hyperplanes, see similarity.py) for recall
+  at scale.
+
+All signatures/hashes are md5-derived (functions/hashing.py) so results
+are engine- and partitioning-independent — re-runnable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import md5_long, minhash_col, word_ngrams, word_tokens
+from ..functions.vector import cosine_similarity
+
+__all__ = [
+    "exact_dedup_groups",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+    "embedding_near_duplicates",
+]
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-group exact duplicates → (content_hash, canonical_id, n_dups).
+
+    Canonical = min(id) per group: deterministic regardless of
+    partitioning. Only (hash, id) crosses the shuffle.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"),
+                  F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per distinct text (the min-id row): a semi-join of the
+    input against the canonical set — no payload shuffle of losers."""
+    winners = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``sig_0 .. sig_{n_hashes-1}`` columns.
+
+    One explode of distinct shingles + one grouped aggregate computing all
+    ``n_hashes`` mins simultaneously (single shuffle; map-side partials).
+    """
+    toks = word_tokens(F.col(text_col))
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    aggs = [
+        minhash_col(F.col("shingle"), j).alias(f"sig_{j}")
+        for j in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    band_size: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing ALL hashes within any band become a
+    candidate pair → (id_a, id_b) distinct, id_a < id_b.
+
+    Per band: an equi-join on the concatenated band signature — a hash
+    join on a short string key. Bands union at the plan level; dedup is
+    one distinct on the (small) pair set.
+    """
+    n_bands = n_hashes // band_size
+    pair_parts: List[DataFrame] = []
+    for b in range(n_bands):
+        cols = [f"sig_{j}" for j in range(b * band_size, (b + 1) * band_size)]
+        banded = signatures.select(
+            F.col(id_col),
+            F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_sig"),
+        )
+        left = banded.alias("l")
+        right = banded.alias("r")
+        pairs = left.join(
+            right,
+            (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        pair_parts.append(pairs)
+    out = pair_parts[0]
+    for p in pair_parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity pairs ≥ threshold →
+    (id_a, id_b, jaccard).
+
+    |A∩B| via self-equi-join on shingle; |A∪B| = |A|+|B|−|A∩B| from
+    per-doc sizes. Pass ``candidates`` (e.g. LSH output) to verify only a
+    pruned pair set at scale — the join then becomes a semi-join-filtered
+    explode instead of the full shingle cross-match.
+    """
+    toks = word_tokens(F.col(text_col))
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            F.broadcast(candidates), ["id_a", "id_b"], "left_semi"
+        )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= F.lit(threshold))
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 24,
+) -> DataFrame:
+    """SimHash fingerprint: bit i set iff the token-count-weighted sum of
+    (±1 per token's hash bit i) is positive → (id, simhash bigint).
+
+    Token hashes are md5-derived 60-bit ints; one explode + one grouped
+    aggregate with ``n_bits`` conditional sums (all codegen'd — the
+    per-bit expressions are cheap integer ops on an already-computed
+    hash column).
+    """
+    toks = word_tokens(F.col(text_col))
+    t = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", md5_long(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("w"),
+            ).otherwise(-F.col("w"))
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    sums = t.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(n_bits):
+        term = F.when(
+            F.col(f"s{i}") > 0, F.lit(2 ** i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming, via
+    ``bit_count(a XOR b)``. Quadratic self-join — at scale, band the
+    fingerprint (split bits into max_hamming+1 chunks; equal-chunk
+    equi-join guarantees recall by pigeonhole) before verifying."""
+    a = fingerprints.alias("a")
+    b = fingerprints.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold → (id_a, id_b, cosine).
+
+    Brute-force pair join (verification path). For the 100 TB path,
+    pre-bucket with similarity.random_hyperplane_signatures and only join
+    within buckets.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

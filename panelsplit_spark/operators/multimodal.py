@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark side — schemas, partition-friendly batch iteration, Arrow batch
+shapes, UDF signatures — is real and tested. The *codec* layer (actual
+JPEG/PNG/audio decode) is stubbed behind ``decoder=`` injection points
+because no media libraries ship in this environment: pass a real decoder
+(e.g. PIL/torchaudio-backed) in production, or use the deterministic fake
+(:func:`fake_decoder`) which derives plausible metadata from the bytes'
+md5 — enough to exercise every seam end-to-end.
+
+Scale notes: media payloads dominate row size, so every operator here
+(a) selects only the columns it needs (column pruning keeps payloads out
+of shuffles), (b) uses ``mapInPandas`` so payload bytes move driver-free
+via Arrow in bounded batches (tune
+``spark.sql.execution.arrow.maxRecordsPerBatch`` down for big blobs), and
+(c) never calls ``collect()`` on payload columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "with_media_meta",
+    "fake_decoder",
+    "decode_media",
+    "frame_sample",
+]
+
+#: Canonical metadata struct for a decoded media column.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def fake_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: metadata derived from md5(bytes).
+    Replace with a real codec in production."""
+    h = hashlib.md5(payload).digest()
+    return {
+        "format": ["jpeg", "png", "webp", "wav"][h[0] % 4],
+        "width": 64 + (h[1] % 64) * 16,
+        "height": 64 + (h[2] % 64) * 16,
+        "n_frames": 1 + h[3] % 8,
+        "duration_ms": int.from_bytes(h[4:6], "big"),
+    }
+
+
+def _not_implemented(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "No media codec available in this environment; inject a real "
+        "decoder (PIL / libav-backed) or use fake_decoder for plumbing "
+        "tests."
+    )
+
+
+def with_media_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    meta_col: str = "media_meta",
+    decoder: Optional[Callable[[bytes], dict]] = None,
+) -> DataFrame:
+    """Decode metadata for a binary media column → adds a typed struct
+    column. Runs as ``mapInPandas`` over Arrow batches; payload bytes
+    never leave the executors."""
+    decoder = decoder or _not_implemented
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(meta_col, MEDIA_SCHEMA, True)]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [
+                decoder(bytes(b)) if b is not None else None
+                for b in pdf[content_col]
+            ]
+            out = pdf.copy()
+            out[meta_col] = metas
+            yield out
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def decode_media(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "decoded",
+    decoder: Optional[Callable[[bytes], bytes]] = None,
+) -> DataFrame:
+    """Payload → decoded-payload transform (resize/transcode/feature
+    bytes). Same Arrow-batched shape as metadata decode; output stays a
+    binary column so downstream operators keep column-pruning wins."""
+    decoder = decoder or _not_implemented
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.BinaryType(), True)]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                decoder(bytes(b)) if b is not None else None
+                for b in pdf[content_col]
+            ]
+            yield out
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    meta_col: str = "media_meta",
+    every_n: int = 2,
+    frame_idx_col: str = "frame_idx",
+) -> DataFrame:
+    """Explode one row per sampled frame index (0, every_n, 2·every_n, …
+    up to n_frames−1) — pure Catalyst ``sequence``/``explode``, no Python.
+    The downstream per-frame decode then runs on an already-row-expanded,
+    evenly-partitionable frame table."""
+    n = F.col(f"{meta_col}.n_frames")
+    idx = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n)
+    )
+    return df.withColumn(frame_idx_col, F.explode(idx))

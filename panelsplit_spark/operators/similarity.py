@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+
+* **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus; cosine is a codegen'd
+  ``zip_with``/``aggregate`` chain; top-k is a per-query window. One
+  shuffle (the window's partition-by-query), corpus scanned once.
+* **random-hyperplane LSH buckets** — the scale path: h sign-bits of
+  seeded hyperplane projections form a bucket key; candidate generation
+  is an equi-join on the key (hash join, no cross product), then exact
+  cosine re-ranks the candidates. Hyperplanes are generated from a seeded
+  RNG on the driver and inlined as literal arrays — deterministic across
+  runs, engines, and partitionings.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_similarity, dot
+
+__all__ = [
+    "cosine_topk",
+    "random_hyperplanes",
+    "hyperplane_signature",
+    "lsh_topk",
+]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query → (query_id, neighbor_id, cosine,
+    rank). Queries are broadcast; ranking orders by the *rounded* cosine
+    with an id tiebreak so results are reproducible to the last ulp
+    across engines."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Seeded Gaussian hyperplanes, rounded to 6dp so the same literals
+    can be inlined into engine code AND oracle SQL."""
+    rng = np.random.default_rng(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def hyperplane_signature(
+    vec: Column, planes: Sequence[Sequence[float]]
+) -> Column:
+    """LSH bucket key: one sign-bit per hyperplane, packed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(
+            dot(F.transform(vec, lambda x: x.cast("double")), plane) > 0,
+            F.lit(2 ** i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: Optional[int] = None,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket in ANY of
+    ``n_tables`` independent hash tables, re-ranked by exact cosine →
+    (query_id, neighbor_id, cosine, rank).
+
+    Each table is an equi-join on a (table_id, bucket) key — a hash join,
+    no cross product. More tables → higher recall, linearly more candidate
+    work; more planes per table → smaller buckets → less work, lower
+    per-table recall. Candidates are deduped before the (expensive) exact
+    re-rank.
+    """
+    if dim is None:
+        dim = len(
+            corpus.select(vec_col).limit(1).collect()[0][0]
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # bucket keys for all tables in one projection each side
+    c_keys, q_keys = [], []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_keys.append(
+            hyperplane_signature(F.col("cv"), planes).alias(f"b{t}")
+        )
+        q_keys.append(
+            hyperplane_signature(F.col("qv"), planes).alias(f"b{t}")
+        )
+    c_b = c.select("neighbor_id", "cv", *c_keys)
+    q_b = q.select("query_id", "qv", *q_keys)
+    cand_parts = []
+    for t in range(n_tables):
+        cand_parts.append(
+            c_b.select("neighbor_id", F.col(f"b{t}").alias("bucket"))
+            .join(
+                F.broadcast(
+                    q_b.select("query_id", F.col(f"b{t}").alias("bucket"))
+                ),
+                "bucket",
+            )
+            .select("query_id", "neighbor_id")
+        )
+    cands = cand_parts[0]
+    for p in cand_parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).distinct()
+    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
+        cands.join(c_b.select("neighbor_id", "cv"), "neighbor_id")
+        .join(F.broadcast(q_b.select("query_id", "qv")), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

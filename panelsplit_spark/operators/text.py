@@ -1,0 +1,145 @@
+"""Text-analysis operators for training-data pipelines: token statistics,
+quality scoring, language ID, document fingerprinting.
+
+Everything is built-in Catalyst expressions (string/regex/array
+higher-order functions) — fully codegen'd, no Python per row, trivially
+parallel at 100 TB (narrow transformations only; zero shuffles except
+where an aggregate is the point). Every formula is also expressible in
+ANSI SQL so results are oracle-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import word_ngrams, word_tokens
+
+__all__ = [
+    "STOPWORDS",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+]
+
+# Tiny per-language function-word lists for the n-gram/stopword language
+# heuristic. Deliberately small and hard-coded: the operator must be
+# deterministic and reproducible in SQL, not comprehensive.
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+# BPE-ish token regex: letter runs, digit runs, single other glyphs.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tok(text_col: str) -> Column:
+    return word_tokens(F.col(text_col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: whitespace token count, BPE-ish token
+    count, mean token length, punctuation/digit ratios, stopword ratio.
+
+    Adds columns: n_ws_tokens, n_bpe_tokens, avg_token_len, punct_ratio,
+    digit_ratio, stopword_ratio.
+    """
+    toks = _tok(text_col)
+    lower = F.lower(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_alpha_space = F.length(F.regexp_replace(lower, "[^a-z ]", ""))
+    n_digit = F.length(F.regexp_replace(lower, "[^0-9]", ""))
+    en_stop = [F.lit(w) for w in STOPWORDS["en"]]
+    return (
+        df.withColumn("n_ws_tokens", F.size(toks))
+        .withColumn(
+            "n_bpe_tokens",
+            F.size(F.regexp_extract_all(lower, F.lit(BPE_RE), 0)),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.length(F.regexp_replace(lower, " ", ""))
+            / F.greatest(F.size(toks), F.lit(1)),
+        )
+        .withColumn(
+            "punct_ratio",
+            (n_chars - n_alpha_space - n_digit)
+            / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "digit_ratio", n_digit / F.greatest(n_chars, F.lit(1))
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.size(
+                F.filter(toks, lambda t: t.isin(STOPWORDS["en"]))
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document-quality heuristic in [0, 1]:
+    length term × (1 − punct_ratio) × (1 − digit_ratio), where the length
+    term saturates at ~150 tokens. Adds ``quality``."""
+    stats = text_stats(df, text_col)
+    length_term = F.least(
+        F.lit(1.0), F.log(F.lit(1.0) + F.col("n_ws_tokens")) / F.lit(5.0)
+    )
+    return stats.withColumn(
+        "quality",
+        length_term
+        * (F.lit(1.0) - F.col("punct_ratio"))
+        * (F.lit(1.0) - F.col("digit_ratio")),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic: score each language by its
+    function-word hit count; argmax with lexicographic tiebreak (and 'und'
+    when nothing matches). Adds ``lang_scores`` debug cols and
+    ``pred_lang``."""
+    toks = _tok(text_col)
+    out = df
+    langs = sorted(STOPWORDS)
+    for lang in langs:
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))),
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reversed so earlier (lexicographically smaller) languages win ties
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(
+            pred
+        )
+    out = out.withColumn(
+        "pred_lang", F.when(best > 0, pred).otherwise(F.lit("und"))
+    )
+    return out
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 digest over
+    word ``shingle_n``-gram shingles (rolling-hash selection by order
+    statistic). Equal fingerprints ⇒ likely near-identical prefix
+    content; stable under partitioning. → (id, fingerprint)."""
+    toks = _tok(text_col)
+    shingles = word_ngrams(toks, shingle_n)
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
+    )

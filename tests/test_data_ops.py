@@ -1,0 +1,182 @@
+"""Dedup / text / similarity / multimodal operators on the documents and
+embeddings corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from panelsplit_spark.operators import dedup, multimodal, similarity, text
+from panelsplit_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd")], "doc_id long, text string"
+    )
+    groups = dedup.exact_dedup_groups(df).collect()
+    by_canon = {r["canonical_id"]: r["n_dups"] for r in groups}
+    assert by_canon == {1: 2, 3: 1}
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "x1 x2 x3 x4 x5")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, n_hashes=6).collect()
+    by_id = {r["doc_id"]: tuple(r[f"sig_{j}"] for j in range(6)) for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(df, n_hashes=6), n_hashes=6, band_size=3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),   # shares 3 of 4+4-3 trigram-shingles
+            (3, "q r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_simhash_near_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    fp = dedup.simhash(df, n_bits=24)
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert vals[1] == vals[2]
+    pairs = dedup.simhash_near_pairs(fp, max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_embedding_near_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = dedup.embedding_near_duplicates(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_text_stats_and_quality(spark, docs):
+    out = text.quality_score(docs).select(
+        "doc_id", "n_ws_tokens", "punct_ratio", "quality"
+    ).collect()
+    assert len(out) == docs.count()
+    for r in out[:50]:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["punct_ratio"] == pytest.approx(0.0)  # corpus is clean
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a cat"),
+            (2, "der hund und die katze ist ein tier von hier"),
+            (3, "el perro y la casa es una cosa de que"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_fingerprint_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert len(fps[1]) == 32  # md5 hex
+
+
+def test_cosine_topk(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(emb, queries, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=1)
+    approx = similarity.lsh_topk(emb, queries, k=1, n_planes=4, n_tables=6)
+    e = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    a = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    # 6 tables x 4 planes: top-1 recall should be strong
+    hits = sum(1 for q in e if a.get(q) == e[q])
+    assert hits >= 6
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, bytes([i]) * 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    meta = multimodal.with_media_meta(
+        df, decoder=multimodal.fake_decoder
+    )
+    got = meta.select("media_id", "media_meta.*").collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["format"] in ("jpeg", "png", "webp", "wav")
+        assert r["width"] >= 64 and r["height"] >= 64
+    # deterministic: same bytes -> same meta
+    again = multimodal.with_media_meta(
+        df, decoder=multimodal.fake_decoder
+    ).select("media_id", "media_meta.*").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # frame sampling explodes per frame index
+    frames = multimodal.frame_sample(meta, every_n=2)
+    for r in frames.select("media_id", "media_meta.n_frames", "frame_idx").collect():
+        assert r["frame_idx"] <= r["n_frames"] - 1 if r["n_frames"] > 0 else True
+
+
+def test_multimodal_stub_raises(spark):
+    df = spark.createDataFrame([(1, b"xx")], "media_id long, content binary")
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        multimodal.with_media_meta(df).collect()
