@@ -23,6 +23,19 @@ HEADLINE = [
     "cv_mean_oof",
     "cv_ols_oof",
     "cv_fold_mse",
+    "cv_li_ols_oof",
+    "cv_li_fold_mse",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "text_stats",
+    "text_langid",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "rel_last_ship_per_supplier",
 ]
 
 

@@ -38,14 +38,17 @@ def word_ngrams(tokens: Column, n: int) -> Column:
 
     Catalyst higher-order functions only: a ``transform`` over
     ``sequence(1, size-n+1)`` with ``slice`` — no explode needed until the
-    caller wants rows.
+    caller wants rows. Guarded for short docs: Spark's ``sequence(1, 0)``
+    auto-descends to ``[1, 0]``, so fewer-than-n tokens must yield an
+    explicitly empty shingle set.
     """
-    return F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    return F.when(
+        F.size(tokens) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
         ),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_col(shingle: Column, seed: int) -> Column:

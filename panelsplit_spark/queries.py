@@ -290,3 +290,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_ols_oof": q_cv_ols_oof,
     "cv_fold_mse": q_cv_fold_mse,
 }
+
+# data-pipeline / relational / scale-CV registry (part 2)
+from .queries_data import ORACLES2, QUERIES2  # noqa: E402
+
+QUERIES.update(QUERIES2)
+ORACLES.update(ORACLES2)

@@ -1,0 +1,656 @@
+"""Query registry, part 2: training-data pipeline + relational + scale-CV
+queries with DuckDB oracles (same cross-engine determinism rules as
+queries.py).
+
+Shared constants (stopword lists, LSH hyperplanes, thresholds, rounding)
+are injected into BOTH the Spark program and the generated oracle SQL from
+one place, so the two sides can only diverge on execution, never on
+configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup, similarity, text
+from .operators.application import cross_val_fit_predict
+from .operators.cross_validation import PanelSplit
+from .estimators import LinearRegression, MeanRegressor
+from .sources.tables import load_table
+
+# ----------------------------------------------------------------------
+# shared configuration
+# ----------------------------------------------------------------------
+MH_HASHES, MH_BAND, MH_SHINGLE = 12, 3, 3
+JACCARD_N, JACCARD_T = 3, 0.3
+SIMHASH_BITS = 24
+TOPK_K, TOPK_NQ = 10, 5
+LSH_PLANES, LSH_TABLES, LSH_SEED = 6, 2, 42
+EMB_DIM = 64
+LI_K, LI_T, LI_MTS = 6, 3, 24
+
+_DUCK_TOKS = "string_split(lower(text), ' ')"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB word-n-gram shingle list from the token list ``t``."""
+    return (
+        f"[array_to_string(t[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(t)-{n - 1}, 0)+1)]"
+    )
+
+
+def _duck_md5_long(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ======================================================================
+# dedup
+# ======================================================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    return dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    sig_aggs = ",\n    ".join(
+        f"min(md5(concat('{j}|', s))) AS sig_{j}" for j in range(MH_HASHES)
+    )
+    n_bands = MH_HASHES // MH_BAND
+    band_selects = []
+    for b in range(n_bands):
+        cols = [
+            f"sig_{j}" for j in range(b * MH_BAND, (b + 1) * MH_BAND)
+        ]
+        band_sig = " || '|' || ".join(cols)
+        band_selects.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+            f"  FROM sigs a JOIN sigs b\n"
+            f"    ON ({band_sig.replace('sig_', 'a.sig_')}) = "
+            f"({band_sig.replace('sig_', 'b.sig_')})\n"
+            f"   AND a.doc_id < b.doc_id"
+        )
+    unions = "\n  UNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(MH_SHINGLE)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM sh GROUP BY doc_id
+)
+SELECT DISTINCT id_a, id_b FROM (
+  {unions}
+)
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_SQL_DEDUP_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(JACCARD_N)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, n_bits=SIMHASH_BITS)
+
+
+def _sql_simhash() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN w ELSE -w END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+tw AS (
+  SELECT doc_id, tok, count(*) AS w,
+         {_duck_md5_long("tok")} AS h
+  FROM toks GROUP BY doc_id, tok
+),
+sums AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM tw GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM sums
+"""
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_duplicates(emb, threshold=0.4)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+# ======================================================================
+# text analysis
+# ======================================================================
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.quality_score(docs)
+    return out.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def _sql_text_stats() -> str:
+    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lower(text) AS lo, {_DUCK_TOKS} AS t,
+         length(text) AS n_chars
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(lo, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS INT) AS n_bpe_tokens,
+         length(replace(lo, ' ', ''))
+           / greatest(len(t), 1) AS avg_token_len,
+         (n_chars - length(regexp_replace(lo, '[^a-z ]', '', 'g'))
+                  - length(regexp_replace(lo, '[^0-9]', '', 'g')))
+           * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         length(regexp_replace(lo, '[^0-9]', '', 'g'))
+           * 1.0 / greatest(n_chars, 1) AS digit_ratio,
+         len(list_filter(t, x -> x IN ({en})))
+           * 1.0 / greatest(len(t), 1) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(1.0, ln(1.0 + n_ws_tokens) / 5.0)
+             * (1.0 - punct_ratio) * (1.0 - digit_ratio), 6) AS quality
+FROM c
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.language_id(docs)
+    cols = ["doc_id"] + [
+        F.col(f"score_{lang}").cast("long").alias(f"score_{lang}")
+        for lang in sorted(text.STOPWORDS)
+    ]
+    return out.select(*cols, "pred_lang")
+
+
+def _sql_langid() -> str:
+    langs = sorted(text.STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(t, x -> x IN ({words}))) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+s AS (
+  SELECT doc_id, {", ".join(score_cols)} FROM base
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, shingle_n=5)
+
+
+_SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       list_min([md5(s) for s in {_duck_shingles(5).replace('t[', 't[')}])
+         AS fingerprint
+FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+"""
+
+
+# ======================================================================
+# similarity search
+# ======================================================================
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < TOPK_NQ)
+    out = similarity.cosine_topk(emb, queries, k=TOPK_K)
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {TOPK_NQ}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank FROM s
+) WHERE rank <= {TOPK_K}
+"""
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < TOPK_NQ)
+    out = similarity.lsh_topk(
+        emb, queries, k=TOPK_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+        seed=LSH_SEED, dim=EMB_DIM,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_lsh_topk() -> str:
+    bucket_exprs = []
+    for t in range(LSH_TABLES):
+        planes = similarity.random_hyperplanes(
+            EMB_DIM, LSH_PLANES, LSH_SEED + 1000 * t
+        )
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(x) for x in p)
+            terms.append(
+                f"CASE WHEN list_dot_product(v, [{lits}]) > 0 "
+                f"THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        bucket_exprs.append(" + ".join(terms) + f" AS b{t}")
+    cand_unions = "\n    UNION ALL\n".join(
+        f"SELECT q.query_id, c.neighbor_id FROM q JOIN c ON q.b{t} = c.b{t}"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         {", ".join(bucket_exprs)}
+  FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings)
+),
+q AS (
+  SELECT neighbor_id AS query_id, cv AS qv,
+         {", ".join(f"b{t}" for t in range(LSH_TABLES))}
+  FROM c WHERE neighbor_id < {TOPK_NQ}
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM (
+    {cand_unions}
+  ) WHERE query_id <> neighbor_id
+),
+s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(q.qv, c.cv), 6) AS cosine
+  FROM cand JOIN q ON q.query_id = cand.query_id
+            JOIN c ON c.neighbor_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank FROM s
+) WHERE rank <= {TOPK_K}
+"""
+
+
+# ======================================================================
+# relational coverage (SURVEY §2.8 primitives on the TPC-H-ish tables)
+# ======================================================================
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter (pushed) → groupBy agg with map-side partials —
+    the classic pricing-summary shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: fact ⋈ three broadcast dims + agg. Catalyst
+    broadcasts every dim (all far below the 10 MB threshold)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+_SQL_REGION_REVENUE = """
+SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders, count(DISTINCT c_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_rel_last_ship_per_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of-style: latest shipment per supplier via a ranked window with
+    deterministic tiebreaks (the relational form of 'last vintage ≤ t')."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+_SQL_LAST_SHIP = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+  ) AS rn FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# ======================================================================
+# lineitem-scale CV (month folds over ~7 years — the bench workhorse)
+# ======================================================================
+
+
+def _li_cv(spark: SparkSession, sf_dir: str):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("period", F.date_format("l_shipdate", "yyyy-MM"))
+    )
+    ps = PanelSplit(
+        li, "period", n_splits=LI_K, test_size=LI_T,
+        max_train_size=LI_MTS,
+    )
+    return li, ps
+
+
+_LI_FOLD_CTE = f"""
+up AS (
+  SELECT period, CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT)
+           AS rk
+  FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS period
+        FROM lineitem) tt
+),
+np AS (SELECT count(*) AS n FROM up),
+bounds AS (
+  SELECT CAST(f.fold_id AS BIGINT) AS fold_id,
+         np.n - ({LI_K} - f.fold_id) * {LI_T} AS test_lo,
+         np.n - ({LI_K} - f.fold_id) * {LI_T} + {LI_T} AS test_hi,
+         np.n - ({LI_K} - f.fold_id) * {LI_T} AS train_hi,
+         GREATEST(0, np.n - ({LI_K} - f.fold_id) * {LI_T} - {LI_MTS})
+           AS train_lo
+  FROM (SELECT unnest(generate_series(0, {LI_K - 1})) AS fold_id) f, np
+),
+assign AS (
+  SELECT b.fold_id, 'train' AS role, u.period
+  FROM bounds b JOIN up u ON u.rk >= b.train_lo AND u.rk < b.train_hi
+  UNION ALL
+  SELECT b.fold_id, 'test' AS role, u.period
+  FROM bounds b JOIN up u ON u.rk >= b.test_lo AND u.rk < b.test_hi
+),
+li AS (
+  SELECT l_orderkey, l_linenumber,
+         strftime(l_shipdate, '%Y-%m') AS period,
+         l_quantity, l_extendedprice
+  FROM lineitem
+)
+"""
+
+
+def q_cv_li_ols_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold OLS (extendedprice ~ quantity) over month folds on the
+    fact table — the full distributed fit/apply path at bench scale."""
+    li, ps = _li_cv(spark, sf_dir)
+    preds, _ = cross_val_fit_predict(
+        LinearRegression(), li, ["l_quantity"], "l_extendedprice", ps,
+        keep_cols=["l_orderkey", "l_linenumber"],
+    )
+    return preds.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.round("prediction", 2).alias("pred"),
+    )
+
+
+_SQL_LI_OLS = f"""
+WITH {_LI_FOLD_CTE},
+fit AS (
+  SELECT a.fold_id,
+         regr_slope(l.l_extendedprice, l.l_quantity) AS b1,
+         regr_intercept(l.l_extendedprice, l.l_quantity) AS b0
+  FROM assign a JOIN li l ON l.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+)
+SELECT l.l_orderkey, l.l_linenumber, a.fold_id,
+       round(f.b0 + f.b1 * l.l_quantity, 2) AS pred
+FROM assign a
+JOIN li l ON l.period = a.period
+JOIN fit f ON f.fold_id = a.fold_id
+WHERE a.role = 'test'
+"""
+
+
+def q_cv_li_fold_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold OOF MSE of the month-fold mean predictor (metrics fast
+    path over the big fact table)."""
+    li, ps = _li_cv(spark, sf_dir)
+    preds, _ = cross_val_fit_predict(
+        MeanRegressor(), li, ["l_quantity"], "l_extendedprice", ps,
+        keep_cols=["l_extendedprice"],
+    )
+    return preds.groupBy(
+        F.col("fold_id").cast("long").alias("fold_id")
+    ).agg(
+        F.round(
+            F.avg((F.col("l_extendedprice") - F.col("prediction")) ** 2), 2
+        ).alias("mse"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_LI_MSE = f"""
+WITH {_LI_FOLD_CTE},
+trm AS (
+  SELECT a.fold_id, avg(l.l_extendedprice) AS mu
+  FROM assign a JOIN li l ON l.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+)
+SELECT a.fold_id, round(avg((l.l_extendedprice - t.mu) ^ 2), 2) AS mse,
+       count(*) AS n
+FROM assign a
+JOIN li l ON l.period = a.period
+JOIN trm t ON t.fold_id = a.fold_id
+WHERE a.role = 'test'
+GROUP BY a.fold_id
+"""
+
+
+QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "emb_near_dup": q_emb_near_dup,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_region_revenue": q_rel_region_revenue,
+    "rel_last_ship_per_supplier": q_rel_last_ship_per_supplier,
+    "cv_li_ols_oof": q_cv_li_ols_oof,
+    "cv_li_fold_mse": q_cv_li_fold_mse,
+}
+
+ORACLES2: Dict[str, str] = {
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": _sql_minhash_lsh(),
+    "dedup_jaccard": _SQL_DEDUP_JACCARD,
+    "dedup_simhash": _sql_simhash(),
+    "emb_near_dup": _SQL_EMB_NEAR_DUP,
+    "text_stats": _sql_text_stats(),
+    "text_langid": _sql_langid(),
+    "text_fingerprint": _SQL_FINGERPRINT,
+    "sim_cosine_topk": _SQL_COSINE_TOPK,
+    "sim_lsh_topk": _sql_lsh_topk(),
+    "rel_pricing_summary": _SQL_PRICING,
+    "rel_region_revenue": _SQL_REGION_REVENUE,
+    "rel_last_ship_per_supplier": _SQL_LAST_SHIP,
+    "cv_li_ols_oof": _SQL_LI_OLS,
+    "cv_li_fold_mse": _SQL_LI_MSE,
+}
