@@ -116,28 +116,47 @@ def lsh_candidate_pairs(
     one distinct on the (small) pair set.
     """
     n_bands = n_hashes // band_size
-    pair_parts: List[DataFrame] = []
-    for b in range(n_bands):
-        cols = [f"sig_{j}" for j in range(b * band_size, (b + 1) * band_size)]
-        banded = signatures.select(
-            F.col(id_col),
-            F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_sig"),
-        )
-        left = banded.alias("l")
-        right = banded.alias("r")
-        pairs = left.join(
+    # Explode to one (doc, band_id, band_sig) row per band, then a single
+    # self-equi-join on (band_id, band_sig). One pass over the signatures
+    # and one hash join total — vs. one join per band, which recomputes
+    # the (aggregation-backed) signature frame 2×n_bands times.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{j}")
+                        for j in range(b * band_size, (b + 1) * band_size)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(
+        F.col(id_col),
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_sig").alias("band_sig"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
             right,
-            (F.col("l.band_sig") == F.col("r.band_sig"))
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        ).select(
+        )
+        .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
         )
-        pair_parts.append(pairs)
-    out = pair_parts[0]
-    for p in pair_parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,137 @@
+"""Structured Streaming surface: panel features, fold assignment and model
+scoring over unbounded event streams.
+
+The reference engine is batch-only (SURVEY §2.8: streaming N/A); these
+operators are the engine's forward extension: the *same* FoldSpec
+predicates and broadcast-model scoring used in batch run unchanged on
+streams, because both are expressed as stream-static joins / narrow
+projections — exactly what Structured Streaming supports incrementally.
+
+Scale design: watermarks bound state; windowed aggregations use
+micro-batch partial aggregation; fold assignment is a broadcast
+stream-static join (no stateful shuffle); scoring is a stateless
+``mapInPandas`` — all safe at production stream rates.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.cross_validation import PanelSplit
+
+__all__ = [
+    "windowed_panel_features",
+    "stream_fold_assign",
+    "stream_score",
+]
+
+
+def windowed_panel_features(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-entity tumbling/sliding-window features with late-data
+    handling: (window, entity, n, sum, avg, min, max).
+
+    The watermark bounds aggregation state: events later than
+    ``watermark`` are dropped, finalized windows are emitted and evicted —
+    the streaming analog of a period-grouped batch aggregate.
+    """
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col(entity_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(entity_col),
+            "n",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def stream_fold_assign(
+    stream_df: DataFrame, cv: PanelSplit, roles=("test",)
+) -> DataFrame:
+    """Assign streaming rows to folds: the batch fan-out's broadcast
+    stream-static join, unchanged. Incoming events join against the tiny
+    fold-spec table; no streaming state is created."""
+    return cv.assign(stream_df, roles=tuple(roles))
+
+
+def stream_score(
+    stream_df: DataFrame,
+    fitted_estimators: List[Any],
+    feature_cols: Sequence[str],
+    cv: PanelSplit,
+    method: str = "predict",
+    output_col: str = "prediction",
+) -> DataFrame:
+    """Score a stream with per-fold fitted models: fold assignment
+    (stream-static broadcast join) + stateless Arrow-batched apply.
+
+    This is online inference for the batch-trained panel-CV models — e.g.
+    score each arriving event with the model whose test window covers its
+    period. Returns an unbounded DataFrame; attach any sink.
+    """
+    import numpy as np
+
+    assigned = stream_fold_assign(stream_df, cv, roles=("test",))
+    spark = stream_df.sparkSession
+    models_b = spark.sparkContext.broadcast(
+        [pickle.dumps(m) for m in fitted_estimators]
+    )
+    feature_cols = list(feature_cols)
+    out_fields = [c for c in assigned.columns if c != "role"]
+    from ..operators.application import _schema_plus
+
+    out_schema = _schema_plus(
+        assigned.select(*out_fields).schema, output_col, "double"
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        cache = {}
+
+        def model_for(fid: int):
+            if fid not in cache:
+                cache[fid] = pickle.loads(models_b.value[fid])
+            return cache[fid]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for fid, g in pdf.groupby("fold_id", sort=False):
+                m = model_for(int(fid))
+                res = np.asarray(getattr(m, method)(g[feature_cols]))
+                o = g[out_fields].copy()
+                o[output_col] = res.reshape(-1)
+                parts.append(o)
+            yield pd.concat(parts, ignore_index=True)
+
+    return assigned.mapInPandas(fn, schema=out_schema)
