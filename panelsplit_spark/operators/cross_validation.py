@@ -19,13 +19,48 @@ Two physical strategies are exposed (SURVEY §4.2):
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+import datetime
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..plans.fold_spec import FoldSpec, build_fold_spec
 
-__all__ = ["PanelSplit", "fold_stats", "drop_splits"]
+__all__ = ["PanelSplit", "fold_stats", "drop_splits", "date_period_bounds"]
+
+
+def date_period_bounds(pattern: str) -> Callable[[Any], Tuple[Any, Any]]:
+    """Map a formatted period string back to raw-timestamp bounds
+    ``[lo, hi)`` — the inverse needed to make fold predicates **sargable
+    on the scan column** when periods are derived via
+    ``date_format(ts, pattern)`` (a monotone transform).
+
+    Supports the common panel granularities ``yyyy``, ``yyyy-MM``,
+    ``yyyy-MM-dd``.
+    """
+
+    def bounds(period: str) -> Tuple[Any, Any]:
+        if pattern == "yyyy":
+            y = int(period)
+            return (
+                datetime.datetime(y, 1, 1),
+                datetime.datetime(y + 1, 1, 1),
+            )
+        if pattern == "yyyy-MM":
+            y, m = map(int, period.split("-"))
+            lo = datetime.datetime(y, m, 1)
+            hi = (
+                datetime.datetime(y + 1, 1, 1)
+                if m == 12
+                else datetime.datetime(y, m + 1, 1)
+            )
+            return lo, hi
+        if pattern == "yyyy-MM-dd":
+            lo = datetime.datetime.strptime(period, "%Y-%m-%d")
+            return lo, lo + datetime.timedelta(days=1)
+        raise ValueError(f"Unsupported period pattern: {pattern}")
+
+    return bounds
 
 
 class PanelSplit:
@@ -64,7 +99,18 @@ class PanelSplit:
         max_train_size: Optional[int] = None,
         include_first_train_in_test: bool = False,
         include_train_in_test: bool = False,
+        scan_col: Optional[str] = None,
+        period_bounds: Optional[Callable[[Any], Tuple[Any, Any]]] = None,
     ) -> None:
+        """``scan_col`` + ``period_bounds`` enable **scan pruning for
+        derived periods**: when ``period_col`` is computed from a raw
+        column by a monotone transform (e.g. ``date_format(ts, 'yyyy-MM')``
+        — see :func:`date_period_bounds`), every fold predicate also
+        emits a sargable range on the raw column, which Catalyst pushes
+        into the parquet scan (``PushedFilters``) and uses for partition
+        pruning. Without it, a derived-period filter evaluates after a
+        full scan — fine at 60k rows, fatal at 100 TB.
+        """
         if unique_periods is None:
             if df is None:
                 raise ValueError("provide either df or unique_periods")
@@ -88,6 +134,8 @@ class PanelSplit:
             ).collect()[0]["m"]
         self.period_col = period_col
         self.snapshot_col = snapshot_col
+        self.scan_col = scan_col
+        self.period_bounds = period_bounds
         self.spec: FoldSpec = build_fold_spec(
             unique_periods,
             n_splits=n_splits,
@@ -136,15 +184,33 @@ class PanelSplit:
     def _snap(self):
         return F.col(self.snapshot_col) if self.snapshot_col else None
 
-    def train_filter(self, fold_id: int):
-        return self.spec.predicate(
-            F.col(self.period_col), fold_id, "train", self._snap()
+    def _scan_range(self, ranges: List[Tuple[Any, Any]]):
+        """Sargable raw-column OR-of-ranges for the given period ranges
+        (None when no scan mapping is configured)."""
+        if not (self.scan_col and self.period_bounds and ranges):
+            return None
+        pred = None
+        for lo, hi in ranges:
+            raw_lo = self.period_bounds(lo)[0]
+            raw_hi = self.period_bounds(hi)[1]
+            p = (F.col(self.scan_col) >= F.lit(raw_lo)) & (
+                F.col(self.scan_col) < F.lit(raw_hi)
+            )
+            pred = p if pred is None else (pred | p)
+        return pred
+
+    def _role_filter(self, fold_id: int, role: str):
+        pred = self.spec.predicate(
+            F.col(self.period_col), fold_id, role, self._snap()
         )
+        extra = self._scan_range(self.spec._role_ranges(fold_id, role))
+        return pred if extra is None else (extra & pred)
+
+    def train_filter(self, fold_id: int):
+        return self._role_filter(fold_id, "train")
 
     def test_filter(self, fold_id: int):
-        return self.spec.predicate(
-            F.col(self.period_col), fold_id, "test", self._snap()
-        )
+        return self._role_filter(fold_id, "test")
 
     # ------------------------------------------------------------------
     # fan-out strategy
@@ -173,6 +239,15 @@ class PanelSplit:
         cond = df[self.period_col] == spec["__fold_period"]
         if self.snapshot_col:
             cond = cond & (df[self.snapshot_col] == spec["snapshot_value"])
+        # pre-prune the scan to the union of all folds' periods when a
+        # sargable raw-column mapping is configured
+        all_ranges = []
+        for f in self.spec.folds:
+            all_ranges.extend(f.train_ranges)
+            all_ranges.extend(f.test_ranges)
+        extra = self._scan_range(all_ranges)
+        if extra is not None:
+            df = df.where(extra)
         return (
             df.join(F.broadcast(spec), cond, "inner")
             .drop("__fold_period", "snapshot_value")

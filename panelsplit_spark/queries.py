@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .estimators import LinearRegression, MeanRegressor
 from .operators.application import cross_val_fit_predict
-from .operators.cross_validation import PanelSplit, fold_stats
+from .operators.cross_validation import (
+    PanelSplit,
+    date_period_bounds,
+    fold_stats,
+)
 from .sources.tables import load_table
 
 # ----------------------------------------------------------------------
@@ -52,6 +56,9 @@ def _events_cv(spark: SparkSession, sf_dir: str):
         gap=EV_GAP,
         test_size=EV_T,
         max_train_size=EV_MTS,
+        # sargable raw-column mapping: fold filters prune the ts scan
+        scan_col="ts",
+        period_bounds=date_period_bounds("yyyy-MM-dd"),
     )
     return ev, ps
 

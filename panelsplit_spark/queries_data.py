@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import dedup, similarity, text
 from .operators.application import cross_val_fit_predict
-from .operators.cross_validation import PanelSplit
+from .operators.cross_validation import PanelSplit, date_period_bounds
 from .estimators import LinearRegression, MeanRegressor
 from .sources.tables import load_table
 
@@ -513,6 +513,8 @@ def _li_cv(spark: SparkSession, sf_dir: str):
     ps = PanelSplit(
         li, "period", n_splits=LI_K, test_size=LI_T,
         max_train_size=LI_MTS,
+        scan_col="l_shipdate",
+        period_bounds=date_period_bounds("yyyy-MM"),
     )
     return li, ps
 

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from panelsplit_spark import PanelSplit, drop_splits
+from panelsplit_spark.operators.cross_validation import date_period_bounds
 
 
 @pytest.fixture(scope="module")
@@ -140,3 +141,34 @@ def test_fold_filter_pushdown(spark):
     )
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_derived_period_scan_pruning(spark):
+    """With scan_col + period_bounds, fold filters on a DERIVED period
+    (date_format) still emit sargable raw-column ranges that reach the
+    parquet scan — the 100 TB partition-pruning path."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    lip = li.withColumn("period", F.date_format("l_shipdate", "yyyy-MM"))
+    ps = PanelSplit(
+        lip, "period", n_splits=3,
+        scan_col="l_shipdate",
+        period_bounds=date_period_bounds("yyyy-MM"),
+    )
+    plan = (
+        lip.where(ps.train_filter(0))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # membership must be unchanged vs the pure derived-period predicate
+    ps_plain = PanelSplit(lip, "period", n_splits=3)
+    a = sorted(
+        r["l_orderkey"] * 10 + r["l_linenumber"]
+        for r in lip.where(ps.train_filter(0)).collect()
+    )
+    b = sorted(
+        r["l_orderkey"] * 10 + r["l_linenumber"]
+        for r in lip.where(ps_plain.train_filter(0)).collect()
+    )
+    assert a == b and len(a) > 0
