@@ -27,7 +27,7 @@ HEADLINE = [
     "cv_li_fold_mse",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_jaccard",
+    "dedup_jaccard_lsh",
     "dedup_simhash",
     "text_stats",
     "text_langid",

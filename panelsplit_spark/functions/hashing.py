@@ -17,6 +17,9 @@ __all__ = [
     "word_tokens",
     "word_ngrams",
     "minhash_col",
+    "minhash_params",
+    "universal_minhash_col",
+    "MINHASH_P",
 ]
 
 
@@ -57,5 +60,42 @@ def minhash_col(shingle: Column, seed: int) -> Column:
     String-min of a uniformly distributed hex digest is a valid minhash
     (order statistics on any total order work) and is exactly reproducible
     in SQL: ``min(md5(concat('<seed>|', shingle)))``. Use as an aggregate.
+
+    Simple but computes one md5 per (shingle, seed); prefer the universal-
+    hash family below for many-hash signatures (one md5 total).
     """
     return F.min(F.md5(F.concat(F.lit(f"{seed}|"), shingle)))
+
+
+#: Mersenne prime 2^31−1: universal-hash modulus. With h < P31 and
+#: a < P31, a*h + b < 2^62 — no BIGINT overflow in either engine.
+MINHASH_P = 2147483647
+
+
+def minhash_params(n_hashes: int, seed: int = 7):
+    """Deterministic (a_j, b_j) universal-hash coefficients, shared
+    verbatim between engine code and oracle SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (
+            int(rng.integers(1, MINHASH_P)),
+            int(rng.integers(0, MINHASH_P)),
+        )
+        for _ in range(n_hashes)
+    ]
+
+
+def universal_minhash_col(base_hash: Column, a: int, b: int) -> Column:
+    """One minhash component from a shared base hash: integer-min of the
+    universal hash ``(a·h + b) mod P31``.
+
+    The base hash (one md5 per shingle, via :func:`md5_long` ``% P31``)
+    is computed once; each additional component is two codegen'd integer
+    ops — 12-hash signatures cost 1 md5, not 12. SQL twin:
+    ``min((a * h + b) % 2147483647)``.
+    """
+    return F.min(
+        (F.lit(a) * base_hash + F.lit(b)) % F.lit(MINHASH_P)
+    )

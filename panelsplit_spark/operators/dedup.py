@@ -31,7 +31,14 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import md5_long, minhash_col, word_ngrams, word_tokens
+from ..functions.hashing import (
+    MINHASH_P,
+    md5_long,
+    minhash_params,
+    universal_minhash_col,
+    word_ngrams,
+    word_tokens,
+)
 from ..functions.vector import cosine_similarity
 
 __all__ = [
@@ -87,6 +94,9 @@ def minhash_signatures(
 
     One explode of distinct shingles + one grouped aggregate computing all
     ``n_hashes`` mins simultaneously (single shuffle; map-side partials).
+    Hash cost is ONE md5 per shingle: the remaining components come from
+    the universal-hash family ``(a_j·h + b_j) mod P`` — pure codegen'd
+    integer ops (functions/hashing.py).
     """
     toks = word_tokens(F.col(text_col))
     shingled = df.select(
@@ -94,10 +104,11 @@ def minhash_signatures(
         F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
             "shingle"
         ),
-    )
+    ).withColumn("h", md5_long(F.col("shingle")) % F.lit(MINHASH_P))
+    params = minhash_params(n_hashes)
     aggs = [
-        minhash_col(F.col("shingle"), j).alias(f"sig_{j}")
-        for j in range(n_hashes)
+        universal_minhash_col(F.col("h"), a, b).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(params)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
 
@@ -170,10 +181,14 @@ def ngram_jaccard_pairs(
     """Exact n-gram-set Jaccard similarity pairs ≥ threshold →
     (id_a, id_b, jaccard).
 
-    |A∩B| via self-equi-join on shingle; |A∪B| = |A|+|B|−|A∩B| from
-    per-doc sizes. Pass ``candidates`` (e.g. LSH output) to verify only a
-    pruned pair set at scale — the join then becomes a semi-join-filtered
-    explode instead of the full shingle cross-match.
+    Without ``candidates``: |A∩B| via self-equi-join on shingle — exact
+    all-pairs, quadratic in document frequency of popular shingles; fine
+    for verification scale, NOT for 100 TB.
+
+    With ``candidates`` (e.g. LSH output): intersections are computed
+    ONLY for the candidate pairs — candidates ⋈ shingles(id_a) ⋈
+    shingles(id_b on shingle). Work is O(|candidates| × shingles/doc),
+    independent of shingle popularity; this is the scale path.
     """
     toks = word_tokens(F.col(text_col))
     sh = df.select(
@@ -183,22 +198,33 @@ def ngram_jaccard_pairs(
         ),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    else:
+        sh_a = sh.select(
+            F.col(id_col).alias("id_a"), F.col("shingle")
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(
-            F.broadcast(candidates), ["id_a", "id_b"], "left_semi"
+        sh_b = sh.select(
+            F.col(id_col).alias("id_b"), F.col("shingle")
+        )
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     sa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")

@@ -74,8 +74,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_lsh() -> str:
+    from .functions.hashing import MINHASH_P, minhash_params
+
+    params = minhash_params(MH_HASHES)
+    h = (
+        "(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) "
+        f"% {MINHASH_P})"
+    )
     sig_aggs = ",\n    ".join(
-        f"min(md5(concat('{j}|', s))) AS sig_{j}" for j in range(MH_HASHES)
+        f"min(({a} * {h} + {b}) % {MINHASH_P}) AS sig_{j}"
+        for j, (a, b) in enumerate(params)
     )
     n_bands = MH_HASHES // MH_BAND
     band_selects = []
@@ -134,6 +142,51 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}
+"""
+
+
+def q_dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scale-path dedup pipeline: MinHash → LSH candidates →
+    exact Jaccard verification of candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    out = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _sql_jaccard_lsh() -> str:
+    lsh = _sql_minhash_lsh().strip().rstrip()
+    return f"""
+WITH cands AS (
+  {lsh}
+),
+sh2 AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(JACCARD_N)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter2 AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cands c
+  JOIN sh2 a ON a.doc_id = c.id_a
+  JOIN sh2 b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter2
+JOIN sizes2 sa ON sa.doc_id = id_a
+JOIN sizes2 sb ON sb.doc_id = id_b
 WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}
 """
 
@@ -500,6 +553,57 @@ FROM (
 """
 
 
+def q_rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) + aggregate — the
+    semi-structured column path."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
+       max(CAST(props->>'k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_rel_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the batch analog of a streaming
+    tumbling window): per (day, hour) event count, distinct users, mean
+    value."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("hour", F.hour("ts").cast("long"))
+        .groupBy("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+_SQL_HOURLY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       count(*) AS n, count(DISTINCT user_id) AS n_users,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ======================================================================
 # lineitem-scale CV (month folds over ~7 years — the bench workhorse)
 # ======================================================================
@@ -625,6 +729,7 @@ QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
     "dedup_simhash": q_dedup_simhash,
     "emb_near_dup": q_emb_near_dup,
     "text_stats": q_text_stats,
@@ -635,6 +740,8 @@ QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_region_revenue": q_rel_region_revenue,
     "rel_last_ship_per_supplier": q_rel_last_ship_per_supplier,
+    "rel_json_props": q_rel_json_props,
+    "rel_hourly_activity": q_rel_hourly_activity,
     "cv_li_ols_oof": q_cv_li_ols_oof,
     "cv_li_fold_mse": q_cv_li_fold_mse,
 }
@@ -643,6 +750,7 @@ ORACLES2: Dict[str, str] = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _sql_minhash_lsh(),
     "dedup_jaccard": _SQL_DEDUP_JACCARD,
+    "dedup_jaccard_lsh": _sql_jaccard_lsh(),
     "dedup_simhash": _sql_simhash(),
     "emb_near_dup": _SQL_EMB_NEAR_DUP,
     "text_stats": _sql_text_stats(),
@@ -653,6 +761,8 @@ ORACLES2: Dict[str, str] = {
     "rel_pricing_summary": _SQL_PRICING,
     "rel_region_revenue": _SQL_REGION_REVENUE,
     "rel_last_ship_per_supplier": _SQL_LAST_SHIP,
+    "rel_json_props": _SQL_JSON_PROPS,
+    "rel_hourly_activity": _SQL_HOURLY,
     "cv_li_ols_oof": _SQL_LI_OLS,
     "cv_li_fold_mse": _SQL_LI_MSE,
 }
