@@ -44,6 +44,10 @@ from .operators.model_selection import (
     RandomizedSearch,
 )
 from .operators.pipeline import SequentialCVPipeline
+from .operators import dedup, multimodal, similarity, text  # noqa: F401
+from .plot import plot_splits
+from .sources import tables as sources_tables  # noqa: F401
+from .sources.tables import load_table, read_source, write_sink
 from .plans.fold_spec import FoldSpec, build_fold_spec, time_series_fold_bounds
 
 __version__ = "0.1.0"

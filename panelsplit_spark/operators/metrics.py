@@ -337,6 +337,15 @@ class _Scorer:
         if y_col is None:
             raise ValueError("y_col required (pass explicitly or set on estimator)")
         preds = estimator.predict_df(df, method=self._response_method)
+        return self.score_from_preds(preds, y_col)
+
+    def score_from_preds(
+        self, preds: DataFrame, y_col: str
+    ) -> List[float]:
+        """Score an already-computed predictions frame — lets callers
+        share (and .cache()) one prediction pass across several metrics,
+        the distributed analog of the reference's response-method result
+        cache (metrics.py:173-194)."""
         pred_col = "prediction"
         scored = per_fold_scores(
             preds, y_col, pred_col, self._score_func, **self._kwargs

@@ -158,14 +158,12 @@ class BaseSearch:
             pipe.fit(df)
             out["fit_time"] = time.time() - t0
             t1 = time.time()
-            for mname, scorer in scorers.items():
-                out[f"test_{mname}"] = scorer(pipe, df)
+            self._score_all(pipe, df, scorers, out, "test")
             if self.return_train_score:
                 orig = pipe.return_group
                 pipe.return_group = "train"
                 try:
-                    for mname, scorer in scorers.items():
-                        out[f"train_{mname}"] = scorer(pipe, df)
+                    self._score_all(pipe, df, scorers, out, "train")
                 finally:
                     pipe.return_group = orig
             out["score_time"] = time.time() - t1
@@ -187,6 +185,31 @@ class BaseSearch:
                     out[f"train_{mname}"] = [float(self.error_score)] * ns
             out["failed"] = True
         return out
+
+    def _score_all(self, pipe, df, scorers, out, prefix: str) -> None:
+        """Score all metrics, computing (and caching) ONE prediction pass
+        per distinct response method — the reference's scorer result
+        cache (metrics.py:173-194) in DataFrame form."""
+        by_method: Dict[str, List[Tuple[str, Any]]] = {}
+        for mname, scorer in scorers.items():
+            by_method.setdefault(
+                getattr(scorer, "_response_method", "predict"), []
+            ).append((mname, scorer))
+        for method, group in by_method.items():
+            preds = pipe.predict_df(df, method=method)
+            if len(group) > 1:
+                preds = preds.cache()
+            try:
+                for mname, scorer in group:
+                    if hasattr(scorer, "score_from_preds"):
+                        out[f"{prefix}_{mname}"] = scorer.score_from_preds(
+                            preds, pipe.y_col
+                        )
+                    else:
+                        out[f"{prefix}_{mname}"] = scorer(pipe, df)
+            finally:
+                if len(group) > 1:
+                    preds.unpersist()
 
     def fit(self, df: DataFrame) -> "BaseSearch":
         candidates = list(self._candidates())

@@ -28,7 +28,14 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-__all__ = ["TABLE_NAMES", "configure", "load_table", "load_all"]
+__all__ = [
+    "TABLE_NAMES",
+    "configure",
+    "load_table",
+    "load_all",
+    "read_source",
+    "write_sink",
+]
 
 
 def configure(spark: SparkSession) -> SparkSession:
@@ -58,3 +65,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def read_source(
+    spark: SparkSession, path: str, format: str = "parquet", **options
+) -> DataFrame:
+    """Generic source: parquet/csv/json/orc. CSV defaults to header +
+    schema inference off (pass an explicit ``schema=`` option at scale —
+    inference is a full extra pass)."""
+    configure(spark)
+    reader = spark.read.format(format)
+    if format == "csv" and "header" not in options:
+        options["header"] = "true"
+    schema = options.pop("schema", None)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by=None,
+    **options,
+) -> None:
+    """Generic sink. ``partition_by`` lays data out for downstream
+    partition pruning — for panel data, partition by the period column so
+    fold predicates skip whole directories."""
+    if format == "csv" and "header" not in options:
+        options["header"] = "true"
+    writer = df.write.format(format).mode(mode).options(**options)
+    if partition_by:
+        cols = (
+            [partition_by]
+            if isinstance(partition_by, str)
+            else list(partition_by)
+        )
+        writer = writer.partitionBy(*cols)
+    writer.save(path)

@@ -1,0 +1,85 @@
+"""Source/sink round-trips incl. period-partitioned layout (the
+partition-pruning write path) and pipeline pickling."""
+
+import os
+import pickle
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from panelsplit_spark import (
+    LinearRegression,
+    PanelSplit,
+    SequentialCVPipeline,
+    read_source,
+    write_sink,
+)
+
+
+def test_csv_json_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="pss_src_")
+    try:
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+        )
+        for fmt in ("csv", "json", "parquet"):
+            p = os.path.join(d, fmt)
+            write_sink(df, p, format=fmt)
+            back = read_source(
+                spark, p, format=fmt,
+                **({"inferSchema": "true"} if fmt == "csv" else {}),
+            )
+            got = sorted(
+                (int(r["id"]), r["s"], float(r["v"]))
+                for r in back.collect()
+            )
+            assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_write_prunes(spark):
+    d = tempfile.mkdtemp(prefix="pss_part_")
+    try:
+        rows = [(p, float(i)) for i, p in enumerate([1, 1, 2, 2, 3, 3, 4, 4])]
+        df = spark.createDataFrame(rows, "period int, x double")
+        p = os.path.join(d, "t")
+        write_sink(df, p, partition_by="period")
+        back = read_source(spark, p)
+        ps = PanelSplit(back, "period", n_splits=2)
+        plan = (
+            back.where(ps.train_filter(0))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # period is now a partition column: pruning, not data filters
+        assert "PartitionFilters" in plan
+        assert back.where(ps.train_filter(0)).count() == 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pipeline_pickle_roundtrip(spark):
+    rows = [
+        (p, float(p * 10 + j), float(p * 20 + j))
+        for p in range(1, 7)
+        for j in range(2)
+    ]
+    df = spark.createDataFrame(rows, "period int, x double, y double")
+    ps = PanelSplit(df, "period", n_splits=2)
+    pipe = SequentialCVPipeline(
+        [("reg", LinearRegression())], [ps], ["x"], y_col="y"
+    )
+    pipe.fit(df)
+    blob = pickle.dumps(pipe)
+    pipe2 = pickle.loads(blob)
+    a = sorted(
+        (r["period"], r["prediction"]) for r in pipe.predict(df).collect()
+    )
+    b = sorted(
+        (r["period"], r["prediction"]) for r in pipe2.predict(df).collect()
+    )
+    assert a == b and len(a) > 0
