@@ -152,6 +152,70 @@ class PanelSplit:
             (f.train_periods, f.test_periods) for f in self.spec.folds
         ]
 
+    @classmethod
+    def from_folds(
+        cls,
+        folds: Sequence[Tuple[Sequence[Any], Sequence[Any]]],
+        period_col: str = "period",
+        snapshot_col: Optional[str] = None,
+        scan_col: Optional[str] = None,
+        period_bounds: Optional[Callable[[Any], Tuple[Any, Any]]] = None,
+    ) -> "PanelSplit":
+        """Build a splitter from a literal iterable of
+        ``(train_periods, test_periods)`` pairs — the reference accepts
+        raw split lists anywhere a splitter goes
+        (utils/validation.py:218-227). Arbitrary (even non-contiguous)
+        period sets are supported; predicates fall back to per-value
+        ranges."""
+        from ..plans.fold_spec import Fold, FoldSpec
+
+        ps = cls.__new__(cls)
+        ps.period_col = period_col
+        ps.snapshot_col = snapshot_col
+        ps.scan_col = scan_col
+        ps.period_bounds = period_bounds
+        all_periods = sorted(
+            {p for tr, te in folds for p in list(tr) + list(te)}
+        )
+
+        def ranges(vals):
+            """Merge sorted period values into contiguous runs w.r.t.
+            the global unique-period axis."""
+            vals = sorted(set(vals))
+            if not vals:
+                return []
+            idx = {p: i for i, p in enumerate(all_periods)}
+            out = []
+            start = prev = vals[0]
+            for v in vals[1:]:
+                if idx[v] == idx[prev] + 1:
+                    prev = v
+                else:
+                    out.append((start, prev))
+                    start = prev = v
+            out.append((start, prev))
+            return out
+
+        built = []
+        for i, (tr, te) in enumerate(folds):
+            built.append(
+                Fold(
+                    fold_id=i,
+                    train_periods=sorted(set(tr)),
+                    test_periods=sorted(set(te)),
+                    train_ranges=ranges(tr),
+                    test_ranges=ranges(te),
+                )
+            )
+        ps.spec = FoldSpec(
+            unique_periods=all_periods, folds=built, n_splits=len(built)
+        )
+        ps.n_splits = len(built)
+        ps._u_periods_cv = [
+            (f.train_periods, f.test_periods) for f in built
+        ]
+        return ps
+
     # ------------------------------------------------------------------
     # sklearn-CV-protocol surface (cross_validation.py:203-277)
     # ------------------------------------------------------------------

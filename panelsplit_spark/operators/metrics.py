@@ -296,9 +296,13 @@ def per_fold_scores(
     fn = metric
 
     def score_fn(key, pdf):
-        val = fn(
-            pdf[y_col].to_numpy(), pdf[pred_col].to_numpy(), **metric_kwargs
-        )
+        yv = pdf[y_col].to_numpy()
+        pv = pdf[pred_col].to_numpy()
+        # array-typed predictions (predict_proba / transform) arrive as
+        # an object Series of per-row arrays — stack to (n, k)
+        if len(pv) and isinstance(pv[0], (list, tuple, np.ndarray)):
+            pv = np.stack([np.asarray(x, dtype=float) for x in pv])
+        val = fn(yv, pv, **metric_kwargs)
         return pd.DataFrame({fold_col: [key[0]], "score": [float(val)]})
 
     return preds.groupBy(fold_col).applyInPandas(
