@@ -553,6 +553,39 @@ FROM (
 """
 
 
+def q_feat_user_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-ordered feature engineering: lag(1) and a
+    trailing 3-row mean per user — the leakage-safe panel feature
+    pattern (windows ordered strictly by past rows)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-3, -1)
+    return (
+        ev.withColumn("lag_value", F.lag("value", 1).over(w))
+        .withColumn("trail3_mean", F.avg("value").over(w3))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("lag_value", 6).alias("lag_value"),
+            F.round("trail3_mean", 6).alias("trail3_mean"),
+        )
+    )
+
+
+_SQL_USER_LAG = """
+SELECT event_id, user_id,
+       round(lag(value, 1) OVER w, 6) AS lag_value,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+       ), 6) AS trail3_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (get_json_object) + aggregate — the
     semi-structured column path."""
@@ -742,6 +775,7 @@ QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_last_ship_per_supplier": q_rel_last_ship_per_supplier,
     "rel_json_props": q_rel_json_props,
     "rel_hourly_activity": q_rel_hourly_activity,
+    "feat_user_lag": q_feat_user_lag,
     "cv_li_ols_oof": q_cv_li_ols_oof,
     "cv_li_fold_mse": q_cv_li_fold_mse,
 }
@@ -763,6 +797,7 @@ ORACLES2: Dict[str, str] = {
     "rel_last_ship_per_supplier": _SQL_LAST_SHIP,
     "rel_json_props": _SQL_JSON_PROPS,
     "rel_hourly_activity": _SQL_HOURLY,
+    "feat_user_lag": _SQL_USER_LAG,
     "cv_li_ols_oof": _SQL_LI_OLS,
     "cv_li_fold_mse": _SQL_LI_MSE,
 }
