@@ -119,6 +119,28 @@ def test_drop_splits_check_all(spark):
     assert ps.n_splits == 0
 
 
+def test_gen_snapshots_no_period_col(spark):
+    df = spark.createDataFrame(
+        [(10, 1), (None, 2), (30, 3)], "value int, period int"
+    )
+    ps = PanelSplit(df, "period", n_splits=2)
+    snaps = ps.gen_snapshots(df)  # no period_col -> only split column
+    assert "snapshot_period" not in snaps.columns
+    rows = sorted((r["split"], r["period"]) for r in snaps.collect())
+    assert rows == [(0, 1), (0, 2), (1, 1), (1, 2), (1, 3)]
+
+
+def test_include_first_train_in_test_spark(spark, tiny):
+    ps = PanelSplit(
+        tiny, "period", n_splits=2, include_first_train_in_test=True
+    )
+    folds = ps.split(tiny)
+    (_, te0), (_, te1) = folds
+    # fold 0's test set now includes its train periods {1,2}
+    assert sorted(r["period"] for r in te0.collect()) == [1, 1, 2, 2, 3, 3]
+    assert sorted(r["period"] for r in te1.collect()) == [4, 4]
+
+
 def test_unique_periods_override(spark, tiny):
     ps = PanelSplit(unique_periods=[1, 2, 3, 4], n_splits=2)
     folds = ps.split()
