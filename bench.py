@@ -61,6 +61,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM (codegen) and the Python worker pool so per-query
+    # timings measure the queries, not session spin-up.
+    from pyspark.sql import functions as _F
+
+    spark.range(100000).select(_F.sum("id")).collect()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
     qs = entrymod.queries()
     timings = {}
     for name in HEADLINE:

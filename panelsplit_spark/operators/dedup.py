@@ -53,6 +53,20 @@ __all__ = [
 ]
 
 
+def _ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None
+                        ) -> DataFrame:
+    """Repartition compute-heavy narrow chains when the source has too
+    few splits (e.g. one parquet file): hashing a million shingles on one
+    core starves the cluster. No-op when the input is already parallel —
+    at real scale the scan supplies the partitions and this never fires.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or min(sc.defaultParallelism, 64)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -99,7 +113,9 @@ def minhash_signatures(
     integer ops (functions/hashing.py).
     """
     toks = word_tokens(F.col(text_col))
-    shingled = df.select(
+    shingled = _ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
             "shingle"
@@ -153,6 +169,12 @@ def lsh_candidate_pairs(
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_sig").alias("band_sig"),
     )
+    # The self-join would otherwise recompute the (aggregation-backed)
+    # signature pipeline once per side — Spark does not share common
+    # subplans across join inputs. Cache the small banded frame
+    # (n_docs × n_bands short rows); at production scale persist
+    # signatures to a table instead.
+    banded = banded.cache()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -191,7 +213,9 @@ def ngram_jaccard_pairs(
     independent of shingle popularity; this is the scale path.
     """
     toks = word_tokens(F.col(text_col))
-    sh = df.select(
+    sh = _ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
             "shingle"
@@ -263,7 +287,8 @@ def simhash(
     """
     toks = word_tokens(F.col(text_col))
     t = (
-        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(toks).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", md5_long(F.col("tok")))
