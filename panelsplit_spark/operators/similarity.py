@@ -29,6 +29,7 @@ __all__ = [
     "random_hyperplanes",
     "hyperplane_signature",
     "lsh_topk",
+    "ivf_topk",
 ]
 
 
@@ -160,6 +161,84 @@ def lsh_topk(
         cands.join(c_b.select("neighbor_id", "cv"), "neighbor_id")
         .join(F.broadcast(q_b.select("query_id", "qv")), "query_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[DataFrame] = None,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into ``n_cells``
+    Voronoi cells around centroid vectors, then search each query only in
+    its ``n_probe`` nearest cells — the inverted-file pattern every
+    vector store uses to avoid scanning the full corpus.
+
+    Centroids default to the ``n_cells`` lowest-id corpus vectors so the
+    whole computation is deterministic and oracle-checkable; in
+    production pass k-means centroids (e.g. ``spark.ml`` KMeans centers)
+    — the plan shape is identical. Cell assignment is a broadcast join
+    against the tiny centroid set (no shuffle of the corpus), so the
+    only shuffles are the candidate equi-join on ``cell_id`` and the
+    final per-query top-k window. At scale, persist the assignment
+    (``cell_id`` as a partition column) and candidate generation becomes
+    a partition-pruned scan.
+    """
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+    )
+
+    def assign(df: DataFrame, out_id: str, vec_out: str, rank_max: int
+               ) -> DataFrame:
+        cos = cosine_similarity(F.col(vec_out), F.col("cvec"))
+        if round_to is not None:
+            cos = F.round(cos, round_to)
+        w = Window.partitionBy(out_id).orderBy(
+            F.desc("ccos"), F.asc("cell_id")
+        )
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", cos)
+            .withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= rank_max)
+            .select(out_id, vec_out, "cell_id")
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c_cells = assign(c, "neighbor_id", "cv", 1)
+    q_cells = assign(q, "query_id", "qv", n_probe)
+
+    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
+        c_cells.join(
+            F.broadcast(q_cells.select("query_id", "qv", "cell_id")),
+            "cell_id",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

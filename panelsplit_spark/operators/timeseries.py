@@ -1,0 +1,134 @@
+"""Time-series relational operators: gap-based sessionization and
+backward as-of joins.
+
+Both generalize patterns in the reference: the snapshot rule "use the
+last vintage at-or-before the fold's cutoff"
+(reference cross_validation.py:172-193) is exactly a backward as-of
+join, and session assignment is the event-time analog of contiguous
+period grouping.
+
+Scale notes:
+- ``sessionize`` costs one shuffle (hash-partition on the entity keys)
+  plus an in-partition sort — the minimum for any per-entity ordered
+  computation. No Python; stays in whole-stage codegen.
+- ``asof_join`` uses the union + ordered-window merge formulation
+  instead of an inequality join: an inequality (theta) join degenerates
+  to broadcast-nested-loop at scale, while the merge is one shuffle on
+  the key and one sort — the same cost as a sort-merge join, and skew
+  on hot keys can be handled by AQE like any other shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["sessionize", "asof_join"]
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: float,
+    order_cols: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign a per-entity session index: a new session starts when the
+    time since the previous event exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum formulation — the batch equivalent of a
+    streaming session window (``F.session_window`` covers the
+    aggregate-only case; this keeps every row, so downstream per-row
+    features can use the session id).
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    t = F.unix_micros(F.col(ts_col))
+    gap_us = int(round(gap_seconds * 1_000_000))
+    is_new = F.when(
+        (t - F.lag(t, 1).over(w)).isNull()
+        | ((t - F.lag(t, 1).over(w)) > F.lit(gap_us)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    right_order: Sequence[str] = (),
+    tolerance_seconds: Optional[float] = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward inclusive as-of join: for each left row, attach the
+    right row with the greatest ``right_ts`` ≤ ``left_ts`` within the
+    same ``on`` key (ties among right rows broken by ``right_order``,
+    last wins; the reference's vintage rule at cross_validation.py:186
+    is the ``right_ts == snapshot`` special case).
+
+    Implementation: tag and union both sides, sort each key partition by
+    time with right rows ordered before left rows at equal timestamps
+    (inclusive semantics), and carry the latest right-row payload
+    forward with ``last(..., ignorenulls=True)``. The payload travels as
+    ONE struct column, so right columns that are legitimately NULL in a
+    matched row stay NULL instead of falling back to an older row.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        payload.alias("__r"),
+        *[F.col(c).alias(f"__ro_{i}") for i, c in enumerate(right_order)],
+    )
+    l = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    order: list[Column] = [F.col("__t").asc(), F.col("__is_left").asc()]
+    for i in range(len(right_order)):
+        order.append(F.col(f"__ro_{i}").asc_nulls_last())
+    w = (
+        Window.partitionBy(*[F.col(c) for c in on])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__r", ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        within = (
+            F.unix_micros(F.col("__t"))
+            - F.unix_micros(matched["__rts"])
+        ) <= F.lit(tol_us)
+        matched = F.when(within, matched)
+
+    out = (
+        u.withColumn("__m", matched)
+        .where(F.col("__is_left") == 1)
+        .withColumn(f"{prefix}{right_ts}", F.col("__m.__rts"))
+    )
+    for c in right_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__m")[c])
+    drop = (
+        ["__t", "__is_left", "__r", "__m"]
+        + [f"__ro_{i}" for i in range(len(right_order))]
+    )
+    return out.drop(*drop)

@@ -758,6 +758,253 @@ GROUP BY a.fold_id
 """
 
 
+# ======================================================================
+# time-series relational ops: sessionization, as-of join, grouping sets
+# ======================================================================
+
+SESSION_GAP_S = 21600  # 6 h inactivity ends a session
+ASOF_L_TYPE, ASOF_R_TYPE = "purchase", "view"
+IVF_CELLS, IVF_PROBE = 8, 2
+
+
+def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch analog of a streaming session
+    window): per-user session ids via lag + running sum, then
+    per-session aggregates."""
+    from .operators.timeseries import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        ev, ["user_id"], "ts", SESSION_GAP_S, order_cols=["event_id"]
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events
+),
+m AS (
+  SELECT *, CASE WHEN t - lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > {SESSION_GAP_S * 1_000_000}
+            THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY t, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_id FROM m
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(t) AS start_us, max(t) AS end_us,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the user's most
+    recent view event at-or-before it (union + ordered-window merge —
+    one shuffle, no inequality join)."""
+    from .operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == ASOF_L_TYPE).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == ASOF_R_TYPE).select(
+        F.col("event_id").alias("v_event_id"), "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        views.withColumnRenamed("value", "v_value"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["v_event_id", "v_value"],
+        right_order=["v_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_v_event_id").alias("view_event_id"),
+        F.unix_micros("asof_ts").alias("view_ts_us"),
+        F.round("asof_v_value", 6).alias("view_value"),
+    )
+
+
+_SQL_ASOF = f"""
+WITH l AS (
+  SELECT event_id AS l_event_id, user_id, epoch_us(ts) AS t,
+         1 AS is_left, NULL::BIGINT AS r_event_id, NULL::DOUBLE AS r_value
+  FROM events WHERE event_type = '{ASOF_L_TYPE}'
+),
+r AS (
+  SELECT NULL::BIGINT, user_id, epoch_us(ts), 0, event_id, value
+  FROM events WHERE event_type = '{ASOF_R_TYPE}'
+),
+u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+m AS (
+  SELECT *,
+    last_value(r_event_id IGNORE NULLS) OVER w AS view_event_id,
+    last_value(CASE WHEN is_left = 0 THEN t END IGNORE NULLS)
+      OVER w AS view_ts_us,
+    last_value(r_value IGNORE NULLS) OVER w AS asof_value
+  FROM u
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY t, is_left, r_event_id NULLS LAST
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+SELECT l_event_id AS event_id, user_id, view_event_id, view_ts_us,
+       round(asof_value, 6) AS view_value
+FROM m WHERE is_left = 1
+"""
+
+
+def q_rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: revenue by (region, nation) with ROLLUP subtotals
+    and grand total — partial aggregation handles all grouping sets in
+    one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < TOPK_NQ)
+    out = similarity.ivf_topk(
+        emb, queries, k=TOPK_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < {IVF_CELLS}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+ca AS (
+  SELECT neighbor_id, cv, cell_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY neighbor_id ORDER BY ccos DESC, cell_id
+    ) AS rn FROM (
+      SELECT neighbor_id, cv, cell_id,
+             round(list_cosine_similarity(cv, cvec), 6) AS ccos
+      FROM c, cent
+    )
+  ) WHERE rn = 1
+),
+q AS (SELECT neighbor_id AS query_id, cv AS qv
+      FROM c WHERE neighbor_id < {TOPK_NQ}),
+qa AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY ccos DESC, cell_id
+    ) AS rn FROM (
+      SELECT query_id, qv, cell_id,
+             round(list_cosine_similarity(qv, cvec), 6) AS ccos
+      FROM q, cent
+    )
+  ) WHERE rn <= {IVF_PROBE}
+),
+s AS (
+  SELECT DISTINCT qa.query_id, ca.neighbor_id,
+         round(list_cosine_similarity(qa.qv, ca.cv), 6) AS cosine
+  FROM qa JOIN ca ON qa.cell_id = ca.cell_id
+  WHERE qa.query_id <> ca.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank FROM s
+) WHERE rank <= {TOPK_K}
+"""
+
+
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column →
+    Arrow-batched metadata decode (deterministic fake codec) →
+    frame sampling — oracle-checkable because the fake codec derives
+    metadata from md5(payload)."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    meta = multimodal.with_media_meta(
+        payload, decoder=multimodal.fake_decoder
+    )
+    frames = (
+        multimodal.frame_sample(meta, every_n=2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        meta.select("doc_id", "media_meta.*")
+        .join(frames, "doc_id")
+    )
+
+
+_SQL_MM_META = """
+WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+b AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(m, 1, 2)) AS INT) AS h0,
+    CAST(concat('0x', substr(m, 3, 2)) AS INT) AS h1,
+    CAST(concat('0x', substr(m, 5, 2)) AS INT) AS h2,
+    CAST(concat('0x', substr(m, 7, 2)) AS INT) AS h3,
+    CAST(concat('0x', substr(m, 9, 4)) AS BIGINT) AS h45
+  FROM h
+)
+SELECT doc_id,
+  ['jpeg', 'png', 'webp', 'wav'][(h0 % 4) + 1] AS format,
+  CAST(64 + (h1 % 64) * 16 AS INT) AS width,
+  CAST(64 + (h2 % 64) * 16 AS INT) AS height,
+  CAST(1 + (h3 % 8) AS INT) AS n_frames,
+  h45 AS duration_ms,
+  CAST((h3 % 8) // 2 + 1 AS BIGINT) AS n_sampled
+FROM b
+"""
+
+
 QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -776,6 +1023,11 @@ QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_json_props": q_rel_json_props,
     "rel_hourly_activity": q_rel_hourly_activity,
     "feat_user_lag": q_feat_user_lag,
+    "rel_sessionize": q_rel_sessionize,
+    "rel_asof_join": q_rel_asof_join,
+    "rel_rollup_revenue": q_rel_rollup_revenue,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "mm_media_meta": q_mm_media_meta,
     "cv_li_ols_oof": q_cv_li_ols_oof,
     "cv_li_fold_mse": q_cv_li_fold_mse,
 }
@@ -798,6 +1050,11 @@ ORACLES2: Dict[str, str] = {
     "rel_json_props": _SQL_JSON_PROPS,
     "rel_hourly_activity": _SQL_HOURLY,
     "feat_user_lag": _SQL_USER_LAG,
+    "rel_sessionize": _SQL_SESSIONIZE,
+    "rel_asof_join": _SQL_ASOF,
+    "rel_rollup_revenue": _SQL_ROLLUP,
+    "sim_ivf_topk": _SQL_IVF_TOPK,
+    "mm_media_meta": _SQL_MM_META,
     "cv_li_ols_oof": _SQL_LI_OLS,
     "cv_li_fold_mse": _SQL_LI_MSE,
 }
