@@ -61,16 +61,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM (codegen) and the Python worker pool so per-query
-    # timings measure the queries, not session spin-up.
+    # Warm up codegen/JIT and the Python worker pool so per-query
+    # timings measure steady-state execution, not first-compile: run the
+    # SAME headline plans once at the tiny sf before timing them at the
+    # bench sf. Generated code is cached by source text, so the sf0.1
+    # runs reuse the compiled classes.
     from pyspark.sql import functions as _F
 
-    spark.range(100000).select(_F.sum("id")).collect()
-    spark.range(1000).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
-
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
     qs = entrymod.queries()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:
+                pass
     timings = {}
     for name in HEADLINE:
         if name not in qs:

@@ -187,6 +187,19 @@ def cross_val_fit(
             "sample_weight; fitting without it.",
             stacklevel=2,
         )
+    # Closed-form family → one JVM-side moment aggregation instead of a
+    # fold-sized pandas task (see linear_fastpath.py; removes the
+    # biggest-fold skew ceiling at scale).
+    from .linear_fastpath import suffstats_fit
+
+    fast = suffstats_fit(
+        estimator, df, feature_cols, y_col, cv,
+        sample_weight_col=sample_weight_col if use_weight else None,
+        drop_na_in_y=drop_na_in_y,
+    )
+    if fast is not None:
+        return fast
+
     needed = list(feature_cols)
     for c in (y_col, sample_weight_col):
         if c is not None and c not in needed:
@@ -262,6 +275,20 @@ def cross_val_predict(
         needed.append(cv.snapshot_col)
 
     assigned = cv.assign(df.select(*needed), roles=(return_group,))
+
+    # Closed-form family + plain predict → broadcast-joined coefficient
+    # frame + arithmetic projection: the whole OOF pass stays in
+    # whole-stage codegen, no Python workers, no model broadcast.
+    if output_type == "double":
+        from .linear_fastpath import linear_predict_frame
+
+        fast_df = linear_predict_frame(
+            assigned, fitted_estimators, list(feature_cols), method,
+            list(keep) + ["fold_id"], output_col,
+        )
+        if fast_df is not None:
+            return fast_df
+
     spark = df.sparkSession
     models_b = spark.sparkContext.broadcast(
         [pickle.dumps(m) for m in fitted_estimators]

@@ -175,6 +175,7 @@ def lsh_candidate_pairs(
     # (n_docs × n_bands short rows); at production scale persist
     # signatures to a table instead.
     banded = banded.cache()
+    banded.count()  # populate before both join sides race to compute it
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -221,6 +222,24 @@ def ngram_jaccard_pairs(
             "shingle"
         ),
     )
+    if candidates is not None:
+        # Candidate pairs are sparse: prune the shingle table to docs
+        # that appear in some pair BEFORE any shuffle. The candidate-id
+        # set is small (it's a near-dup list) → broadcast semi-join,
+        # then everything downstream operates on a tiny frame.
+        candidates = candidates.select("id_a", "id_b").cache()
+        candidates.count()  # populate; reused for ids + the inter join
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(ids), id_col, "left_semi")
+    # consumed three times (both join sides + sizes); cache so the
+    # tokenize/shingle chain runs once — at production scale write the
+    # shingle table out instead
+    sh = sh.cache()
+    sh.count()  # populate before the three consumers race to compute it
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")

@@ -1,0 +1,216 @@
+"""Sufficient-statistics fast path for closed-form estimators.
+
+The generic per-fold fit ships every train row of a fold into one
+``applyInPandas`` task (reference semantics, application.py:54-139) —
+correct, but a single task must hold a whole fold, which is the
+documented skew ceiling at scale (SURVEY §4.2). For estimators whose fit
+is a function of second-order moments — OLS / ridge / mean — the fold fit
+collapses to ONE distributed aggregation:
+
+    groupBy(fold_id).agg(Σw, Σwy, Σwxᵢ, Σwxᵢy, Σwxᵢxⱼ)
+
+i.e. map-side partial aggregation over however many partitions the fold
+spans (no fold-sized task anywhere), a shuffle of a few dozen doubles per
+fold, and an O(d³) driver-side solve. Prediction similarly needs no
+Python: per-fold coefficients fold into a literal CASE expression, so the
+whole OOF pass stays inside whole-stage codegen.
+
+The produced models are ordinary estimator objects (coef_/intercept_/
+mean_ set), indistinguishable from pandas-path fits to downstream code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..estimators import LinearRegression, MeanRegressor, Ridge, clone
+
+__all__ = ["suffstats_fit", "linear_predict_frame"]
+
+#: fast path covers at most this many features (d² aggregate columns)
+_MAX_FEATURES = 16
+#: ...and at most this many folds for the literal predict expression
+_MAX_FOLDS_FOR_EXPR = 64
+
+
+def _eligible_fit(estimator: Any) -> bool:
+    return type(estimator) in (MeanRegressor, LinearRegression, Ridge)
+
+
+def suffstats_fit(
+    estimator: Any,
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: Optional[str],
+    cv,
+    sample_weight_col: Optional[str] = None,
+    drop_na_in_y: bool = False,
+) -> Optional[List[Any]]:
+    """Fit one clone per fold from per-fold moment aggregates; returns
+    the fitted models in fold order, or ``None`` when the estimator is
+    outside the closed-form family (caller falls back to the grouped
+    pandas fit)."""
+    if y_col is None or not _eligible_fit(estimator):
+        return None
+    feats = list(feature_cols)
+    if len(feats) > _MAX_FEATURES:
+        return None
+
+    needed = list(dict.fromkeys(feats + [y_col]))
+    if sample_weight_col is not None:
+        needed.append(sample_weight_col)
+    if cv.period_col not in needed:
+        needed.append(cv.period_col)
+    if cv.snapshot_col and cv.snapshot_col not in needed:
+        needed.append(cv.snapshot_col)
+
+    assigned = cv.assign(df.select(*needed), roles=("train",))
+    if drop_na_in_y:
+        assigned = assigned.where(F.col(y_col).isNotNull())
+
+    w = (
+        F.col(sample_weight_col).cast("double")
+        if sample_weight_col is not None
+        else F.lit(1.0)
+    )
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in feats]
+    # The pandas path converts Spark NULLs to NaN, which poisons numpy
+    # sums; Spark aggregates SKIP nulls, so reproduce the poisoning with
+    # an explicit any-null flag per fold. MeanRegressor never looks at X,
+    # so only y (and the weight) can poison it.
+    null_cond = F.lit(False) if drop_na_in_y else y.isNull()
+    if sample_weight_col is not None:
+        null_cond = null_cond | F.col(sample_weight_col).isNull()
+    if type(estimator) is not MeanRegressor:
+        for c in feats:
+            null_cond = null_cond | F.col(c).isNull()
+    aggs = [
+        F.sum(w).alias("n"),
+        F.sum(w * y).alias("sy"),
+        F.max(F.when(null_cond, 1).otherwise(0)).alias("has_null"),
+    ]
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(w * xi).alias(f"sx_{i}"))
+        aggs.append(F.sum(w * xi * y).alias(f"sxy_{i}"))
+        for j in range(i, len(xs)):
+            aggs.append(F.sum(w * xi * xs[j]).alias(f"sxx_{i}_{j}"))
+    rows = {
+        r["fold_id"]: r
+        for r in assigned.groupBy("fold_id").agg(*aggs).collect()
+    }
+
+    d = len(feats)
+    models: List[Any] = []
+    for fid in range(cv.n_splits):
+        r = rows.get(fid)
+        if r is None or not r["n"]:
+            raise ValueError(
+                f"Fold {fid} has no training rows; cannot fit. "
+                "Use drop_splits() to remove degenerate folds first."
+            )
+        est = clone(estimator)
+        poisoned = bool(r["has_null"])
+        if type(est) is MeanRegressor:
+            est.mean_ = (
+                float("nan") if poisoned
+                else float(r["sy"]) / float(r["n"])
+            )
+            models.append(est)
+            continue
+        if poisoned:
+            est.intercept_ = float("nan")
+            est.coef_ = np.full(d, np.nan)
+            models.append(est)
+            continue
+        sxx = np.empty((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                sxx[i, j] = sxx[j, i] = r[f"sxx_{i}_{j}"]
+        sx = np.array([r[f"sx_{i}"] for i in range(d)])
+        sxy = np.array([r[f"sxy_{i}"] for i in range(d)])
+        if est.fit_intercept:
+            g = np.empty((d + 1, d + 1))
+            g[0, 0] = r["n"]
+            g[0, 1:] = g[1:, 0] = sx
+            g[1:, 1:] = sxx
+            rhs = np.concatenate([[r["sy"]], sxy])
+        else:
+            g, rhs = sxx, sxy
+        if type(est) is Ridge:
+            pen = est.alpha * np.eye(g.shape[0])
+            if est.fit_intercept:
+                pen[0, 0] = 0.0
+            g = g + pen
+        beta, *_ = np.linalg.lstsq(g, rhs, rcond=None)
+        if est.fit_intercept:
+            est.intercept_ = float(beta[0])
+            est.coef_ = beta[1:]
+        else:
+            est.intercept_ = 0.0
+            est.coef_ = beta
+        models.append(est)
+    return models
+
+
+def linear_predict_frame(
+    assigned: DataFrame,
+    fitted_estimators: List[Any],
+    feature_cols: Sequence[str],
+    method: str,
+    out_fields: Sequence[str],
+    output_col: str,
+) -> Optional[DataFrame]:
+    """Apply closed-form models as a broadcast join against a tiny
+    (fold_id, intercept, coefs) frame + one arithmetic projection —
+    whole pass stays in codegen, no Python workers, no model broadcast.
+
+    Coefficients travel as DATA (a joined frame), not as literals: the
+    generated code is identical across fits, so warmed-up compiled
+    classes are reused no matter what the model learned. Returns ``None``
+    when any model is outside the closed-form family (caller falls back
+    to the broadcast-model pandas apply)."""
+    if method != "predict":
+        return None
+    if len(fitted_estimators) > _MAX_FOLDS_FOR_EXPR:
+        return None
+    mean_only = all(type(m) is MeanRegressor for m in fitted_estimators)
+    for m in fitted_estimators:
+        if type(m) is MeanRegressor:
+            if m.mean_ is None:
+                return None
+        elif type(m) in (LinearRegression, Ridge):
+            if m.coef_ is None:
+                return None
+        else:
+            return None
+        if (type(m) is MeanRegressor) != mean_only:
+            return None  # mixed families: keep the generic path
+
+    spark = assigned.sparkSession
+    rows = []
+    for fid, m in enumerate(fitted_estimators):
+        if mean_only:
+            rows.append((fid, float(m.mean_), []))
+        else:
+            rows.append(
+                (
+                    fid,
+                    float(m.intercept_),
+                    [float(b) for b in np.asarray(m.coef_).reshape(-1)],
+                )
+            )
+    coefs = spark.createDataFrame(
+        rows, "fold_id int, __b0 double, __bs array<double>"
+    )
+    joined = assigned.join(F.broadcast(coefs), "fold_id")
+    pred: Column = F.col("__b0")
+    if not mean_only:
+        # MeanRegressor ignores X entirely (NaN features must not
+        # poison it), so feature terms are added only for linear models
+        for i, c in enumerate(feature_cols):
+            pred = pred + F.col("__bs")[i] * F.col(c).cast("double")
+    return joined.select(*out_fields, pred.alias(output_col))

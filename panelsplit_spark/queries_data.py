@@ -18,7 +18,7 @@ from .operators import dedup, similarity, text
 from .operators.application import cross_val_fit_predict
 from .operators.cross_validation import PanelSplit, date_period_bounds
 from .estimators import LinearRegression, MeanRegressor
-from .sources.tables import load_table
+from .sources.tables import configure, load_table
 
 # ----------------------------------------------------------------------
 # shared configuration
@@ -758,6 +758,66 @@ GROUP BY a.fold_id
 """
 
 
+def q_stream_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming: readStream over the events
+    parquet → watermarked tumbling-window per-user aggregation →
+    availableNow trigger draining into a memory sink. Hash-checked
+    against the equivalent batch SQL — streaming results must equal the
+    batch computation on the same closed input."""
+    import os
+
+    from .streaming.rolling import windowed_panel_features
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # file stream sources list a directory; glob-filter to one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    feats = windowed_panel_features(
+        stream, window="1 hour", watermark="2 hours"
+    )
+    name = "stream_hourly_features_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        feats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("win_start_us"),
+        "user_id",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+_SQL_STREAM_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, user_id,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ======================================================================
 # time-series relational ops: sessionization, as-of join, grouping sets
 # ======================================================================
@@ -1023,6 +1083,7 @@ QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_json_props": q_rel_json_props,
     "rel_hourly_activity": q_rel_hourly_activity,
     "feat_user_lag": q_feat_user_lag,
+    "stream_hourly_features": q_stream_hourly_features,
     "rel_sessionize": q_rel_sessionize,
     "rel_asof_join": q_rel_asof_join,
     "rel_rollup_revenue": q_rel_rollup_revenue,
@@ -1050,6 +1111,7 @@ ORACLES2: Dict[str, str] = {
     "rel_json_props": _SQL_JSON_PROPS,
     "rel_hourly_activity": _SQL_HOURLY,
     "feat_user_lag": _SQL_USER_LAG,
+    "stream_hourly_features": _SQL_STREAM_HOURLY,
     "rel_sessionize": _SQL_SESSIONIZE,
     "rel_asof_join": _SQL_ASOF,
     "rel_rollup_revenue": _SQL_ROLLUP,

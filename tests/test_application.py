@@ -17,6 +17,7 @@ from panelsplit_spark import (
     cross_val_fit_predict,
     cross_val_predict,
 )
+from panelsplit_spark.estimators import LinearRegression as _FastLinearRegression
 
 
 @pytest.fixture(scope="module")
@@ -168,3 +169,39 @@ def test_missing_method_raises(spark, lin):
     with pytest.raises(AttributeError):
         cross_val_predict(models, lin, ["feature"], ps,
                           method="predict_proba")
+
+
+class SlowLinearRegression(_FastLinearRegression):
+    """Module-level so Spark workers can unpickle it; subclassing defeats
+    the exact-type fast-path check, forcing the grouped-pandas fit."""
+
+
+def test_suffstats_fastpath_matches_pandas_path(spark):
+    """The closed-form moment-aggregation fit must agree with the
+    grouped-pandas fit to numerical precision. A subclass falls outside
+    the exact-type fast-path check, forcing the slow path — same math,
+    different execution."""
+    import numpy as np
+
+    rows = [
+        (float(i % 7 + 1), float(i % 5), 2000 + i % 6,
+         3.0 + 1.5 * (i % 7 + 1) - 0.5 * (i % 5) + 0.01 * (i % 11))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, period int, y double")
+    ps = PanelSplit(df, "period", n_splits=3)
+    fast = cross_val_fit(_FastLinearRegression(), df, ["x1", "x2"], "y", ps)
+    slow = cross_val_fit(SlowLinearRegression(), df, ["x1", "x2"], "y", ps)
+    for mf, ms in zip(fast, slow):
+        assert mf.intercept_ == pytest.approx(ms.intercept_, abs=1e-8)
+        assert np.allclose(mf.coef_, ms.coef_, atol=1e-8)
+
+    predsf, _ = cross_val_fit_predict(
+        _FastLinearRegression(), df, ["x1", "x2"], "y", ps, keep_cols=["y"]
+    )
+    predss, _ = cross_val_fit_predict(
+        SlowLinearRegression(), df, ["x1", "x2"], "y", ps, keep_cols=["y"]
+    )
+    a = sorted(r["prediction"] for r in predsf.collect())
+    b = sorted(r["prediction"] for r in predss.collect())
+    assert np.allclose(a, b, atol=1e-8)
