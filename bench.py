@@ -36,6 +36,18 @@ HEADLINE = [
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_last_ship_per_supplier",
+    "rel_json_props",
+    "rel_hourly_activity",
+    "rel_sessionize",
+    "rel_asof_join",
+    "rel_rollup_revenue",
+    "feat_user_lag",
+    "text_fingerprint",
+    "dedup_jaccard",
+    "emb_near_dup",
+    "sim_ivf_topk",
+    "mm_media_meta",
+    "stream_hourly_features",
 ]
 
 

@@ -363,18 +363,65 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold → (id_a, id_b, cosine).
 
-    Brute-force pair join (verification path). For the 100 TB path,
-    pre-bucket with similarity.random_hyperplane_signatures and only join
-    within buckets.
+    Two phases:
+
+    1. **BLAS prefilter** — broadcast the (normalized, float64) corpus
+       matrix; each partition GEMMs its rows against it and emits pairs
+       with cosine ≥ threshold − margin. ~100× faster than evaluating a
+       per-pair ``aggregate``/``zip_with`` expression over an O(n²)
+       join, and one scan instead of a self-join. The broadcast bounds
+       this at ~1M×128-dim corpora; beyond that, LSH-bucket first
+       (similarity.lsh_topk) or block the matrix.
+    2. **Exact re-verify** — the (few) candidates are re-scored with the
+       sequential left-to-right ``aggregate`` cosine, so the reported
+       value is bit-identical to a SQL engine's and independent of the
+       GEMM's summation order.
     """
-    a = df.select(
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = np.nan  # zero vectors: cosine undefined
+    matn = mat / norms
+    b = spark.sparkContext.broadcast((ids, matn))
+    margin = 1e-9
+
+    def prefilter(batches):
+        import pandas as pd
+
+        b_ids, b_mat = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = np.nan
+            sims = (q / qn) @ b_mat.T
+            qi = pdf[id_col].to_numpy(dtype=np.int64)
+            out_a, out_b = [], []
+            for r in range(sims.shape[0]):
+                hits = np.where(sims[r] >= threshold - margin)[0]
+                for j in hits:
+                    if qi[r] < b_ids[j]:
+                        out_a.append(qi[r])
+                        out_b.append(b_ids[j])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        prefilter, schema="id_a long, id_b long"
+    )
+    va = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
-    b = df.select(
+    vb = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
