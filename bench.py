@@ -48,6 +48,14 @@ HEADLINE = [
     "sim_ivf_topk",
     "mm_media_meta",
     "stream_hourly_features",
+    "search_ridge_grid",
+    "rel_cube_revenue",
+    "rel_cust_no_orders",
+    "rel_top_orders_per_cust",
+    "rel_daily_revenue_ma7",
+    "rel_nation_setops",
+    "rel_scalar_gallery",
+    "rel_value_deciles",
 ]
 
 

@@ -303,3 +303,9 @@ from .queries_data import ORACLES2, QUERIES2  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
+
+# search + relational-breadth registry (part 3)
+from .queries_wide import QUERIES3, oracles3  # noqa: E402
+
+QUERIES.update(QUERIES3)
+ORACLES.update(oracles3())

@@ -1,0 +1,396 @@
+"""Coverage-widening query batch 3: distributed hyper-parameter search
+plus relational-breadth queries (cube, anti join, top-k windows, moving
+averages, set ops, scalar-function gallery, deciles).
+
+Same contract as `queries.py` / `queries_data.py`: every entry pairs a
+Spark DataFrame program with a DuckDB-runnable ANSI-SQL oracle, aliased
+identically on both sides and rounded to 6 (money: 2) decimals so
+value-hashes match exactly.
+
+The flagship entry here is ``search_ridge_grid``: the full
+GridSearch → SequentialCVPipeline → PanelSplit → suffstats-fastpath →
+per-fold-scorer stack (reference surface model_selection.py:936-1212 +
+pipeline.py + metrics.py), oracle-checked end-to-end because 1-feature
+ridge with an unpenalized intercept has the closed form
+``b1 = Sxy / (Sxx + alpha)``, ``b0 = ybar - b1 * xbar`` (centered
+second moments) that DuckDB's ``regr_sxy`` / ``regr_sxx`` reproduce
+independently.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .estimators import Ridge
+from .operators.model_selection import GridSearch
+from .operators.pipeline import SequentialCVPipeline
+from .sources.tables import load_table
+
+#: widely spaced so the MSE ordering is stable far beyond double noise
+RIDGE_ALPHAS = [0.01, 10.0, 1000.0, 100000.0]
+
+
+# ======================================================================
+# distributed hyper-parameter search (oracle-checked)
+# ======================================================================
+
+
+def q_search_ridge_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid search over ridge alpha on the events panel: 4 candidates ×
+    5 folds, each candidate fit via the sufficient-statistics fast path
+    (one moment aggregate per fit, no fold-sized task), candidates run
+    concurrently from driver threads. Emits the scored grid
+    (alpha, fold_id, mse, rnk) — the engine's cv_results_ table."""
+    from .queries import EV_K, _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    pipe = SequentialCVPipeline(
+        [("reg", Ridge(alpha=1.0))], [ps], ["hod"], y_col="value"
+    )
+    gs = GridSearch(
+        pipe,
+        {"reg__alpha": RIDGE_ALPHAS},
+        scoring="neg_mean_squared_error",
+        refit=False,
+        n_jobs=4,
+    )
+    gs.fit(ev)
+    res = gs.cv_results_
+    rows = []
+    for i, params in enumerate(res["params"]):
+        rnk = int(res["rank_test_score"][i])
+        for j in range(EV_K):
+            rows.append(
+                (
+                    float(params["reg__alpha"]),
+                    j,
+                    round(-float(res[f"split{j}_test_score"][i]), 6),
+                    rnk,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "alpha double, fold_id bigint, mse double, rnk bigint"
+    )
+
+
+def _sql_search_ridge_grid() -> str:
+    from .queries import _FOLD_CTE
+
+    alphas = ", ".join(str(a) for a in RIDGE_ALPHAS)
+    return f"""
+WITH {_FOLD_CTE},
+alphas AS (SELECT CAST(unnest([{alphas}]) AS DOUBLE) AS alpha),
+tr AS (
+  SELECT a.fold_id,
+         avg(e.hod) AS xbar, avg(e.value) AS ybar,
+         regr_sxx(e.value, e.hod) AS sxx,
+         regr_sxy(e.value, e.hod) AS sxy
+  FROM assign a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+),
+fit AS (
+  SELECT al.alpha, t.fold_id,
+         t.sxy / (t.sxx + al.alpha) AS b1,
+         t.ybar - t.sxy / (t.sxx + al.alpha) * t.xbar AS b0
+  FROM alphas al CROSS JOIN tr t
+),
+scores AS (
+  SELECT f.alpha, f.fold_id,
+         avg((e.value - (f.b0 + f.b1 * e.hod)) ^ 2) AS mse
+  FROM fit f
+  JOIN assign a ON a.fold_id = f.fold_id AND a.role = 'test'
+  JOIN ev e ON e.period = a.period
+  GROUP BY f.alpha, f.fold_id
+),
+means AS (
+  SELECT alpha, avg(mse) AS mean_mse FROM scores GROUP BY alpha
+),
+ranks AS (
+  SELECT alpha,
+         CAST(rank() OVER (ORDER BY mean_mse) AS BIGINT) AS rnk
+  FROM means
+)
+SELECT s.alpha, s.fold_id, round(s.mse, 6) AS mse, r.rnk
+FROM scores s JOIN ranks r ON r.alpha = s.alpha
+"""
+
+
+# ======================================================================
+# relational breadth
+# ======================================================================
+
+
+def q_rel_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (order year, priority): all four grouping sets in one
+    shuffle via partial aggregation (Expand + hash aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("order_year", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_SQL_CUBE = """
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (order_year, o_orderpriority)
+"""
+
+
+def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no URGENT order, aggregated per
+    nation. The priority filter is pushed to the orders scan before the
+    anti join; the final aggregate is nation-small."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    inactive = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        inactive.join(
+            F.broadcast(nation), inactive.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_inactive"),
+            F.round(F.sum("c_acctbal"), 2).alias("idle_balance"),
+        )
+    )
+
+
+_SQL_CUST_NO_ORDERS = """
+SELECT n_name, count(*) AS n_inactive,
+       round(sum(c_acctbal), 2) AS idle_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+"""
+
+
+def q_rel_top_orders_per_cust(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group top-k: top-3 orders by price per customer. One shuffle
+    on the partition key, rank inside the sorted partition; deterministic
+    tiebreak on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS BIGINT) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_rel_daily_revenue_ma7(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series windows over a pre-aggregated frame: daily revenue,
+    7-day trailing moving average, day-over-day delta. The raw scan
+    collapses to ~|days| rows before any window runs, so the ordered
+    window is driver-cheap at any scale. Window inputs are the *rounded*
+    daily sums, keeping every engine's double arithmetic identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(
+            F.avg("revenue").over(w.rowsBetween(-6, 0)), 4
+        ).alias("ma7"),
+        F.round(
+            F.col("revenue") - F.lag("revenue", 1).over(w), 2
+        ).alias("delta"),
+    )
+
+
+_SQL_MA7 = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY day
+)
+SELECT day, revenue,
+       round(avg(revenue) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS ma7,
+       round(revenue - lag(revenue, 1) OVER (ORDER BY day), 2) AS delta
+FROM daily
+"""
+
+
+def q_rel_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: nations with both suppliers and customers
+    (INTERSECT) vs customer-only nations (EXCEPT), tagged and unioned."""
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    ).distinct()
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    ).distinct()
+    nation = load_table(spark, sf_dir, "nation")
+    both = supp.intersect(cust).withColumn("tag", F.lit("both"))
+    conly = cust.exceptAll(supp).withColumn("tag", F.lit("customer_only"))
+    return (
+        both.unionByName(conly)
+        .join(F.broadcast(nation), F.col("nk") == nation.n_nationkey)
+        .select("tag", "n_name")
+    )
+
+
+_SQL_SETOPS = """
+WITH s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+tagged AS (
+  SELECT 'both' AS tag, nk FROM (SELECT nk FROM s INTERSECT
+                                 SELECT nk FROM c)
+  UNION ALL
+  SELECT 'customer_only' AS tag, nk FROM (SELECT nk FROM c EXCEPT
+                                          SELECT nk FROM s)
+)
+SELECT tag, n_name FROM tagged JOIN nation ON nk = n_nationkey
+"""
+
+
+def q_rel_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function gallery (string / date / math built-ins), all
+    whole-stage-codegen'd narrow expressions; the modulo filter reaches
+    the scan as a pushed predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias(
+            "status_prio"
+        ),
+        F.year(od).alias("yr"),
+        F.month(od).alias("mo"),
+        F.quarter(od).alias("qtr"),
+        F.datediff(F.lit("1998-01-01").cast("date"), od).alias(
+            "days_to_98"
+        ),
+        F.floor(F.col("o_totalprice") / 10000).cast("long").alias(
+            "price_bucket"
+        ),
+        F.round(F.log1p("o_totalprice"), 6).alias("log_price"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        (F.col("o_orderkey") % 97).alias("key_mod"),
+    )
+
+
+_SQL_SCALAR_GALLERY = """
+SELECT o_orderkey,
+       upper(substring(o_orderpriority, 1, 3)) AS prio3,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+       CAST(date_part('year', o_orderdate) AS INT) AS yr,
+       CAST(date_part('month', o_orderdate) AS INT) AS mo,
+       CAST(date_part('quarter', o_orderdate) AS INT) AS qtr,
+       CAST(date_diff('day', o_orderdate::DATE, DATE '1998-01-01')
+            AS INT) AS days_to_98,
+       CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_bucket,
+       round(ln(1 + o_totalprice), 6) AS log_price,
+       round(sqrt(o_totalprice), 6) AS sqrt_price,
+       o_orderkey % 97 AS key_mod
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+def q_rel_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deciles of the events value distribution via ntile over a
+    deterministic (value, id) order, then per-decile profile.
+
+    Note: an un-partitioned ntile is a global sort — fine as a
+    correctness witness; at 100 TB the same result comes from a
+    range-partitioned sort + per-partition offsets (Spark's sort is
+    already range-partitioned; only the ntile *window* collapses to one
+    task), or approx percentile boundaries when exactness isn't needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    return (
+        ev.where(F.col("value").isNotNull())
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+_SQL_DECILES = """
+WITH d AS (
+  SELECT value,
+         CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT)
+           AS decile
+  FROM events WHERE value IS NOT NULL
+)
+SELECT decile, count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM d GROUP BY decile
+"""
+
+
+QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "search_ridge_grid": q_search_ridge_grid,
+    "rel_cube_revenue": q_rel_cube_revenue,
+    "rel_cust_no_orders": q_rel_cust_no_orders,
+    "rel_top_orders_per_cust": q_rel_top_orders_per_cust,
+    "rel_daily_revenue_ma7": q_rel_daily_revenue_ma7,
+    "rel_nation_setops": q_rel_nation_setops,
+    "rel_scalar_gallery": q_rel_scalar_gallery,
+    "rel_value_deciles": q_rel_value_deciles,
+}
+
+
+def oracles3() -> Dict[str, str]:
+    return {
+        "search_ridge_grid": _sql_search_ridge_grid(),
+        "rel_cube_revenue": _SQL_CUBE,
+        "rel_cust_no_orders": _SQL_CUST_NO_ORDERS,
+        "rel_top_orders_per_cust": _SQL_TOP_ORDERS,
+        "rel_daily_revenue_ma7": _SQL_MA7,
+        "rel_nation_setops": _SQL_SETOPS,
+        "rel_scalar_gallery": _SQL_SCALAR_GALLERY,
+        "rel_value_deciles": _SQL_DECILES,
+    }
