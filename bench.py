@@ -56,6 +56,7 @@ HEADLINE = [
     "rel_nation_setops",
     "rel_scalar_gallery",
     "rel_value_deciles",
+    "stream_sessionize",
 ]
 
 

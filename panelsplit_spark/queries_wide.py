@@ -371,6 +371,88 @@ FROM d GROUP BY decile
 """
 
 
+# ======================================================================
+# custom stateful streaming (applyInPandasWithState)
+# ======================================================================
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end: readStream over
+    events → per-user ``applyInPandasWithState`` sessionizer (GroupState
+    carries last-event-time + session counter across micro-batches) →
+    memory sink → per-session aggregate. Hash-checked against the batch
+    lag+cumsum sessionization in SQL: on a closed input the stateful
+    stream must produce byte-identical session ids."""
+    import os
+
+    from .queries_data import SESSION_GAP_S, configure
+    from .streaming.rolling import stream_sessionize
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    sess = stream_sessionize(
+        stream, gap_seconds=float(SESSION_GAP_S)
+    )
+    name = "stream_sessionize_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def _sql_stream_sessionize() -> str:
+    from .queries_data import SESSION_GAP_S
+
+    return f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS t FROM events
+),
+m AS (
+  SELECT *, CASE WHEN t - lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > {SESSION_GAP_S * 1_000_000}
+            THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_id FROM m
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(t) AS start_us, max(t) AS end_us,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_ridge_grid": q_search_ridge_grid,
     "rel_cube_revenue": q_rel_cube_revenue,
@@ -380,6 +462,7 @@ QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_nation_setops": q_rel_nation_setops,
     "rel_scalar_gallery": q_rel_scalar_gallery,
     "rel_value_deciles": q_rel_value_deciles,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 
@@ -393,4 +476,5 @@ def oracles3() -> Dict[str, str]:
         "rel_nation_setops": _SQL_SETOPS,
         "rel_scalar_gallery": _SQL_SCALAR_GALLERY,
         "rel_value_deciles": _SQL_DECILES,
+        "stream_sessionize": _sql_stream_sessionize(),
     }

@@ -26,6 +26,7 @@ __all__ = [
     "windowed_panel_features",
     "stream_fold_assign",
     "stream_score",
+    "stream_sessionize",
 ]
 
 
@@ -135,3 +136,73 @@ def stream_score(
             yield pd.concat(parts, ignore_index=True)
 
     return assigned.mapInPandas(fn, schema=out_schema)
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    gap_seconds: float = 1800.0,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-entity session assignment over an unbounded stream, emitting
+    every event with its session index.
+
+    Semantics mirror the batch ``operators.timeseries.sessionize``
+    (lag + cumulative sum): a new session starts when the gap since the
+    entity's previous event exceeds ``gap_seconds``; ids start at 1.
+    Streaming needs explicit state because the "previous event" may be
+    many micro-batches in the past: the per-entity ``GroupState`` holds
+    (last event time, current session id) — a handful of longs per
+    entity, independent of stream length.
+
+    Scale: state is partitioned by ``entity_col`` (one shuffle per
+    micro-batch, same key-partitioning a batch window would need); rows
+    inside a micro-batch are sorted per entity inside the task. Built-in
+    ``F.session_window`` covers the aggregate-only case; this keeps every
+    row so downstream per-event features can use the id.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(round(gap_seconds * 1_000_000))
+    out_schema = (
+        f"{entity_col} long, {ts_col} timestamp, {value_col} double, "
+        f"{session_col} long"
+    )
+    state_schema = "last_us long, sid long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (uid,) = key
+        if state.exists:
+            last_us, sid = state.get
+        else:
+            last_us, sid = None, 0
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="mergesort"
+        )
+        sids = []
+        for t in rows[ts_col]:
+            t_us = t.value // 1000  # pandas ns -> engine µs
+            if last_us is None or t_us - last_us > gap_us:
+                sid += 1
+            last_us = t_us
+            sids.append(sid)
+        state.update((int(last_us), int(sid)))
+        out = rows[[entity_col, ts_col, value_col]].copy()
+        out[session_col] = sids
+        yield out
+
+    return (
+        stream_df.groupBy(entity_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

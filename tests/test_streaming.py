@@ -112,3 +112,35 @@ def test_stream_score_matches_batch_oof(spark, stream_dir):
     for r in got:
         assert r["p"] == pytest.approx(models[r["fold_id"]].mean_, abs=1e-9)
         assert r["n"] == 9  # one test day x 3 users x 3 events
+
+
+def test_stream_sessionize_matches_batch(spark, stream_dir):
+    from panelsplit_spark.operators.timeseries import sessionize
+    from panelsplit_spark.streaming.rolling import stream_sessionize
+
+    gap = 4 * 3600.0  # 4h: the 6h jumps between events open new sessions
+    stream = _read_stream(spark, stream_dir)
+    sess = stream_sessionize(
+        stream, ts_col="ts", entity_col="user_id", value_col="value",
+        gap_seconds=gap,
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["ts"]): r["session_id"]
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    batch = sessionize(
+        spark.read.parquet(stream_dir), ["user_id"], "ts", gap
+    ).collect()
+    assert len(got) == len(batch) > 0
+    for r in batch:
+        assert got[(r["user_id"], r["ts"])] == r["session_id"]
+    # sanity: sessions actually split (3 per day x 10 days per user)
+    assert max(got.values()) == 30
