@@ -21,6 +21,8 @@ mean_ set), indistinguishable from pandas-path fits to downstream code.
 
 from __future__ import annotations
 
+import threading
+import weakref
 from typing import Any, List, Optional, Sequence
 
 import numpy as np
@@ -28,7 +30,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..estimators import LinearRegression, MeanRegressor, Ridge, clone
 
-__all__ = ["suffstats_fit", "linear_predict_frame"]
+__all__ = ["suffstats_fit", "linear_predict_frame", "sweep_scores"]
+
+# Moment aggregates are a function of (data, folds, columns, null rule) —
+# NOT of the estimator's hyper-parameters. A hyper-parameter search over
+# the closed-form family therefore needs exactly ONE distributed
+# aggregate: every candidate resolves from the cached moments with an
+# O(d³) driver solve. Two-level weak keying (df, then cv) scopes cache
+# lifetime to the objects themselves; the lock makes concurrent candidate
+# threads (BaseSearch n_jobs) compute the aggregate once and share it.
+_MOMENT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_CACHE_LOCK = threading.Lock()
 
 #: fast path covers at most this many features (d² aggregate columns)
 _MAX_FEATURES = 16
@@ -40,25 +52,17 @@ def _eligible_fit(estimator: Any) -> bool:
     return type(estimator) in (MeanRegressor, LinearRegression, Ridge)
 
 
-def suffstats_fit(
-    estimator: Any,
+def _fold_moments(
     df: DataFrame,
-    feature_cols: Sequence[str],
-    y_col: Optional[str],
     cv,
-    sample_weight_col: Optional[str] = None,
-    drop_na_in_y: bool = False,
-) -> Optional[List[Any]]:
-    """Fit one clone per fold from per-fold moment aggregates; returns
-    the fitted models in fold order, or ``None`` when the estimator is
-    outside the closed-form family (caller falls back to the grouped
-    pandas fit)."""
-    if y_col is None or not _eligible_fit(estimator):
-        return None
-    feats = list(feature_cols)
-    if len(feats) > _MAX_FEATURES:
-        return None
-
+    feats: List[str],
+    y_col: str,
+    sample_weight_col: Optional[str],
+    drop_na_in_y: bool,
+    mean_like: bool,
+) -> dict:
+    """One grouped aggregate: per-fold (Σw, Σwy, Σwxᵢ, Σwxᵢy, Σwxᵢxⱼ,
+    any-null flag), collected to a tiny driver dict."""
     needed = list(dict.fromkeys(feats + [y_col]))
     if sample_weight_col is not None:
         needed.append(sample_weight_col)
@@ -85,7 +89,7 @@ def suffstats_fit(
     null_cond = F.lit(False) if drop_na_in_y else y.isNull()
     if sample_weight_col is not None:
         null_cond = null_cond | F.col(sample_weight_col).isNull()
-    if type(estimator) is not MeanRegressor:
+    if not mean_like:
         for c in feats:
             null_cond = null_cond | F.col(c).isNull()
     aggs = [
@@ -98,14 +102,62 @@ def suffstats_fit(
         aggs.append(F.sum(w * xi * y).alias(f"sxy_{i}"))
         for j in range(i, len(xs)):
             aggs.append(F.sum(w * xi * xs[j]).alias(f"sxx_{i}_{j}"))
-    rows = {
+    return {
         r["fold_id"]: r
         for r in assigned.groupBy("fold_id").agg(*aggs).collect()
     }
 
+
+def suffstats_fit(
+    estimator: Any,
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: Optional[str],
+    cv,
+    sample_weight_col: Optional[str] = None,
+    drop_na_in_y: bool = False,
+) -> Optional[List[Any]]:
+    """Fit one clone per fold from per-fold moment aggregates; returns
+    the fitted models in fold order, or ``None`` when the estimator is
+    outside the closed-form family (caller falls back to the grouped
+    pandas fit)."""
+    if y_col is None or not _eligible_fit(estimator):
+        return None
+    feats = list(feature_cols)
+    if len(feats) > _MAX_FEATURES:
+        return None
+
+    mean_like = type(estimator) is MeanRegressor
+    ckey = (
+        tuple(feats),
+        y_col,
+        sample_weight_col,
+        bool(drop_na_in_y),
+        mean_like,
+    )
+    with _CACHE_LOCK:
+        per_df = _MOMENT_CACHE.setdefault(df, weakref.WeakKeyDictionary())
+        per_cv = per_df.setdefault(cv, {})
+        rows = per_cv.get(ckey)
+        if rows is None:
+            rows = _fold_moments(
+                df, cv, feats, y_col, sample_weight_col,
+                drop_na_in_y, mean_like,
+            )
+            per_cv[ckey] = rows
+
+    return _solve_from_moments(estimator, rows, feats, cv.n_splits)
+
+
+def _solve_from_moments(
+    estimator: Any, rows: dict, feats: List[str], n_splits: int
+) -> List[Any]:
+    """Driver-side O(d³) per-fold solve from collected moment rows —
+    shared by single fits and whole-grid candidate sweeps (which reuse
+    one moments pass for every hyper-parameter)."""
     d = len(feats)
     models: List[Any] = []
-    for fid in range(cv.n_splits):
+    for fid in range(n_splits):
         r = rows.get(fid)
         if r is None or not r["n"]:
             raise ValueError(
@@ -214,3 +266,153 @@ def linear_predict_frame(
         for i, c in enumerate(feature_cols):
             pred = pred + F.col("__bs")[i] * F.col(c).cast("double")
     return joined.select(*out_fields, pred.alias(output_col))
+
+
+def sweep_scores(
+    estimators: List[Any],
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: str,
+    cv,
+    metrics: "dict",
+    roles: Sequence[str] = ("test",),
+    sample_weight_col: Optional[str] = None,
+    drop_na_in_y: bool = False,
+):
+    """Score an ENTIRE candidate grid of closed-form estimators in two
+    Spark jobs, independent of grid size.
+
+    1. one cached moment aggregate (shared with ``suffstats_fit``) fits
+       every candidate with an O(d³) driver solve each;
+    2. one pass over the fact rows joined against the tiny broadcast
+       ``(candidate, fold, coefficients)`` frame computes every
+       candidate × fold × metric aggregate simultaneously — map-side
+       partial aggregation, a few doubles per group on the wire.
+
+    A 1000-point grid therefore costs the same cluster work as a single
+    candidate — versus 1000 fit + 1000 score jobs on the generic path
+    (the reference's per-candidate joblib loop, model_selection.py:
+    653-722, re-subsets and refits the data per candidate).
+
+    ``metrics`` maps metric name → fast-path key in
+    ``metrics._SQL_METRICS`` (plus ``"r2"``). Returns
+    ``(models_per_candidate, scores)`` where ``scores[(ci, role, mname)]``
+    is the per-fold score list, or ``None`` if anything falls outside the
+    closed-form/SQL-expressible envelope (caller uses the generic path).
+    """
+    from .metrics import _SQL_METRICS
+
+    if not estimators or y_col is None:
+        return None
+    est0 = estimators[0]
+    if not _eligible_fit(est0):
+        return None
+    if any(type(e) is not type(est0) for e in estimators):
+        return None
+    feats = list(feature_cols)
+    if len(feats) > _MAX_FEATURES:
+        return None
+    for key in metrics.values():
+        if key != "r2" and key not in _SQL_METRICS:
+            return None
+
+    mean_like = type(est0) is MeanRegressor
+    ckey = (
+        tuple(feats),
+        y_col,
+        sample_weight_col,
+        bool(drop_na_in_y),
+        mean_like,
+    )
+    with _CACHE_LOCK:
+        per_df = _MOMENT_CACHE.setdefault(df, weakref.WeakKeyDictionary())
+        per_cv = per_df.setdefault(cv, {})
+        rows = per_cv.get(ckey)
+        if rows is None:
+            rows = _fold_moments(
+                df, cv, feats, y_col, sample_weight_col,
+                drop_na_in_y, mean_like,
+            )
+            per_cv[ckey] = rows
+
+    models_per_cand = [
+        _solve_from_moments(e, rows, feats, cv.n_splits)
+        for e in estimators
+    ]
+
+    crows = []
+    for ci, models in enumerate(models_per_cand):
+        for fid, m in enumerate(models):
+            if mean_like:
+                if m.mean_ is None:
+                    return None
+                crows.append((ci, fid, float(m.mean_), []))
+            else:
+                if m.coef_ is None:
+                    return None
+                crows.append(
+                    (
+                        ci,
+                        fid,
+                        float(m.intercept_),
+                        [float(b) for b in np.asarray(m.coef_).reshape(-1)],
+                    )
+                )
+    spark = df.sparkSession
+    coefs = spark.createDataFrame(
+        crows, "__cand int, fold_id int, __b0 double, __bs array<double>"
+    )
+
+    needed = list(dict.fromkeys(feats + [y_col]))
+    if cv.period_col not in needed:
+        needed.append(cv.period_col)
+    if cv.snapshot_col and cv.snapshot_col not in needed:
+        needed.append(cv.snapshot_col)
+    assigned = cv.assign(df.select(*needed), roles=tuple(roles))
+
+    pred: Column = F.col("__b0")
+    if not mean_like:
+        for i, c in enumerate(feats):
+            pred = pred + F.col("__bs")[i] * F.col(c).cast("double")
+    nan = F.lit(float("nan"))
+    base = assigned.join(F.broadcast(coefs), "fold_id").select(
+        "__cand",
+        "role",
+        "fold_id",
+        # NULL→NaN so Spark aggregates reproduce numpy poisoning
+        F.coalesce(F.col(y_col).cast("double"), nan).alias("__y"),
+        F.coalesce(pred, nan).alias("__p"),
+    )
+    aggs = []
+    need_r2 = any(k == "r2" for k in metrics.values())
+    for mname, key in metrics.items():
+        if key != "r2":
+            aggs.append(
+                _SQL_METRICS[key](F.col("__y"), F.col("__p")).alias(
+                    f"__m_{mname}"
+                )
+            )
+    if need_r2:
+        aggs += [
+            F.sum((F.col("__y") - F.col("__p")) ** 2).alias("__ss_res"),
+            F.sum(F.col("__y") ** 2).alias("__ss_y2"),
+            F.sum("__y").alias("__s_y"),
+            F.count(F.lit(1)).alias("__n"),
+        ]
+    out = base.groupBy("__cand", "role", "fold_id").agg(*aggs).collect()
+
+    scores: dict = {}
+    for r in out:
+        for mname, key in metrics.items():
+            if key == "r2":
+                denom = r["__ss_y2"] - r["__s_y"] ** 2 / r["__n"]
+                val = 1.0 - r["__ss_res"] / denom
+            else:
+                val = r[f"__m_{mname}"]
+            scores.setdefault(
+                (r["__cand"], r["role"], mname), {}
+            )[r["fold_id"]] = float(val)
+    folded = {
+        k: [v[f] for f in sorted(v)] for k, v in scores.items()
+    }
+    return models_per_cand, folded

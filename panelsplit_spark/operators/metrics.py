@@ -250,6 +250,24 @@ def sql_metric_expr(name: str, y_col: str, pred_col: str):
     return _SQL_METRICS[name](F.col(y_col), F.col(pred_col))
 
 
+def _fastpath_name(metric: Any, metric_kwargs: dict) -> Optional[str]:
+    """Fast-path name for a metric callable whose unweighted form is a
+    single Catalyst aggregate — keeps the hot scoring loop JVM-side
+    (scorers always hand per_fold_scores the callable, so without this
+    mapping every search candidate would pay a grouped-map pandas UDF)."""
+    if metric_kwargs:
+        return None
+    return {
+        mean_squared_error: "mse",
+        root_mean_squared_error: "rmse",
+        mean_absolute_error: "mae",
+        max_error: "max_error",
+        accuracy_score: "accuracy",
+        median_absolute_error: "medae",
+        r2_score: "r2",
+    }.get(metric)
+
+
 def per_fold_scores(
     preds: DataFrame,
     y_col: str,
@@ -265,6 +283,26 @@ def per_fold_scores(
     ``f(y_true, y_pred, **kw) -> float`` (run per fold via grouped-map
     pandas UDF).
     """
+    if callable(metric):
+        fast = _fastpath_name(metric, metric_kwargs)
+        if fast is not None:
+            metric, metric_kwargs = fast, {}
+    if isinstance(metric, str):
+        # Spark aggregates SKIP NULLs; numpy metrics poison on NaN.
+        # Normalize numeric NULL→NaN so the JVM fast path reproduces the
+        # reference's poisoning semantics exactly (NaN is a double value
+        # Spark does NOT skip). Non-numeric label columns (accuracy on
+        # strings) are left as-is.
+        nan = F.lit(float("nan"))
+        dtypes = dict(preds.dtypes)
+        num = ("double", "float", "int", "bigint", "smallint", "tinyint")
+        for c in (y_col, pred_col):
+            if dtypes.get(c, "").startswith(num) or dtypes.get(
+                c, ""
+            ).startswith("decimal"):
+                preds = preds.withColumn(
+                    c, F.coalesce(F.col(c).cast("double"), nan)
+                )
     if isinstance(metric, str) and metric == "r2":
         # decomposed algebraically: 1 - Σ(y-p)² / Σ(y-ȳ_g)², with the group
         # mean folded in via sums — single aggregation, no window

@@ -186,6 +186,84 @@ class BaseSearch:
             out["failed"] = True
         return out
 
+    def _try_sweep(
+        self, candidates: List[Dict[str, Any]], df: DataFrame,
+        scorers: Dict[str, Any],
+    ) -> Optional[List[Dict[str, Any]]]:
+        """Whole-grid fast path: when the pipeline is a single
+        closed-form CV step and every scorer is a SQL-expressible
+        predict metric, fit AND score the entire candidate grid in two
+        Spark jobs (one cached moment aggregate + one grid-scoring
+        aggregate) via ``linear_fastpath.sweep_scores`` — cluster work
+        independent of grid size. Returns per-candidate result dicts in
+        the ``_fit_and_score`` shape, or None to use the generic path."""
+        from .linear_fastpath import sweep_scores
+        from .metrics import _fastpath_name
+
+        pipe = self.estimator
+        if len(pipe.steps) != 1 or pipe.include_indices:
+            return None
+        name, est = pipe.steps[0]
+        cv = pipe.cv_steps[0]
+        if cv is None or est is None or isinstance(est, str):
+            return None
+        prefix = name + "__"
+        for params in candidates:
+            if not all(k.startswith(prefix) for k in params):
+                return None
+        metrics: Dict[str, str] = {}
+        for mname, scorer in scorers.items():
+            if getattr(scorer, "_response_method", "predict") != "predict":
+                return None
+            fn = getattr(scorer, "_score_func", None)
+            if fn is None:
+                return None
+            key = _fastpath_name(fn, getattr(scorer, "_kwargs", {}) or {})
+            if key is None:
+                return None
+            metrics[mname] = key
+
+        ests = []
+        for params in candidates:
+            e = _clone_est(est)
+            e.set_params(
+                **{k[len(prefix):]: v for k, v in params.items()}
+            )
+            ests.append(e)
+        roles = (
+            ("test", "train") if self.return_train_score else ("test",)
+        )
+        t0 = time.time()
+        try:
+            res = sweep_scores(
+                ests, df, pipe.feature_cols, pipe.y_col, cv, metrics,
+                roles=roles,
+            )
+        except Exception:
+            return None  # generic path will surface per-candidate errors
+        if res is None:
+            return None
+        _, folded = res
+        per_cand = (time.time() - t0) / max(len(candidates), 1)
+        results: List[Dict[str, Any]] = []
+        for ci, params in enumerate(candidates):
+            out: Dict[str, Any] = {
+                "params": params,
+                "fit_time": per_cand,
+                "score_time": 0.0,
+            }
+            for mname, scorer in scorers.items():
+                sign = getattr(scorer, "_sign", 1.0)
+                out[f"test_{mname}"] = [
+                    sign * v for v in folded[(ci, "test", mname)]
+                ]
+                if self.return_train_score:
+                    out[f"train_{mname}"] = [
+                        sign * v for v in folded[(ci, "train", mname)]
+                    ]
+            results.append(out)
+        return results
+
     def _score_all(self, pipe, df, scorers, out, prefix: str) -> None:
         """Score all metrics, computing (and caching) ONE prediction pass
         per distinct response method — the reference's scorer result
@@ -233,21 +311,26 @@ class BaseSearch:
                 f"{len(candidates)} candidates"
             )
 
-        if self.n_jobs and self.n_jobs != 1:
-            jobs = (
-                self.n_jobs if self.n_jobs > 0 else min(len(candidates), 8)
-            )
-            with ThreadPoolExecutor(max_workers=jobs) as pool:
-                results = list(
-                    pool.map(
-                        lambda p: self._fit_and_score(p, df, scorers),
-                        candidates,
-                    )
+        results = self._try_sweep(candidates, df, scorers)
+        if results is None:
+            if self.n_jobs and self.n_jobs != 1:
+                jobs = (
+                    self.n_jobs
+                    if self.n_jobs > 0
+                    else min(len(candidates), 8)
                 )
-        else:
-            results = [
-                self._fit_and_score(p, df, scorers) for p in candidates
-            ]
+                with ThreadPoolExecutor(max_workers=jobs) as pool:
+                    results = list(
+                        pool.map(
+                            lambda p: self._fit_and_score(p, df, scorers),
+                            candidates,
+                        )
+                    )
+            else:
+                results = [
+                    self._fit_and_score(p, df, scorers)
+                    for p in candidates
+                ]
 
         n_failed = sum(1 for r in results if r.get("failed"))
         if n_failed == len(results):

@@ -205,3 +205,41 @@ def test_suffstats_fastpath_matches_pandas_path(spark):
     a = sorted(r["prediction"] for r in predsf.collect())
     b = sorted(r["prediction"] for r in predss.collect())
     assert np.allclose(a, b, atol=1e-8)
+
+
+def test_suffstats_moment_cache_shared_across_candidates(spark):
+    """A hyper-parameter sweep over the closed-form family reuses ONE
+    moment aggregate: fitting Ridge twice with different alphas on the
+    same (df, cv) must hit the cache, and the cached fit must equal a
+    cold fit exactly."""
+    from panelsplit_spark.estimators import Ridge
+    from panelsplit_spark.operators import linear_fastpath as lf
+
+    rows = [
+        (float(i % 7 + 1), 2000 + i % 6, 1.0 + 2.0 * (i % 7 + 1))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, period int, y double")
+    ps = PanelSplit(df, "period", n_splits=3)
+
+    calls = []
+    orig = lf._fold_moments
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    lf._fold_moments = counting
+    try:
+        m1 = lf.suffstats_fit(Ridge(alpha=0.5), df, ["x1"], "y", ps)
+        m2 = lf.suffstats_fit(Ridge(alpha=50.0), df, ["x1"], "y", ps)
+    finally:
+        lf._fold_moments = orig
+    assert len(calls) == 1  # second fit resolved from cached moments
+    assert len(m1) == len(m2) == 3
+    # cached-moment solve == cold solve for the same alpha
+    cold = lf.suffstats_fit(Ridge(alpha=0.5), spark.createDataFrame(
+        rows, "x1 double, period int, y double"), ["x1"], "y", ps)
+    for a, b in zip(m1, cold):
+        assert a.intercept_ == pytest.approx(b.intercept_, abs=1e-12)
+        assert a.coef_[0] == pytest.approx(b.coef_[0], abs=1e-12)

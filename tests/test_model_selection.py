@@ -149,3 +149,48 @@ def test_return_train_score(spark, panel):
     )
     gs.fit(panel)
     assert "mean_train_score" in gs.cv_results_
+
+
+class _SlowRidge(Ridge):
+    """Subclass falls outside the exact-type closed-form checks,
+    forcing the generic per-candidate fit/score path."""
+
+
+def test_sweep_matches_generic_path(spark, panel):
+    """The whole-grid sweep (2 Spark jobs for the entire grid) must
+    produce the same cv_results_ as the generic per-candidate path,
+    including multimetric + train scores."""
+    import numpy as np
+
+    grid = {"reg__alpha": [1e-6, 1.0, 100.0]}
+    scoring = {
+        "mse": "neg_mean_squared_error",
+        "mae": "neg_mean_absolute_error",
+        "r2": "r2",
+    }
+
+    def run(est):
+        ps = PanelSplit(panel, "period", n_splits=3)
+        pipe = SequentialCVPipeline(
+            [("reg", est)], [ps], ["x1", "x2"], y_col="y"
+        )
+        gs = GridSearch(
+            pipe, grid, scoring=scoring, refit="mse",
+            return_train_score=True,
+        )
+        gs.fit(panel)
+        return gs
+
+    fast = run(Ridge(alpha=1.0))
+    slow = run(_SlowRidge(alpha=1.0))
+    assert fast.best_params_ == slow.best_params_
+    for m in scoring:
+        for j in range(3):
+            for grp in ("test", "train"):
+                a = fast.cv_results_[f"split{j}_{grp}_{m}"]
+                b = slow.cv_results_[f"split{j}_{grp}_{m}"]
+                assert np.allclose(a, b, rtol=1e-9), (m, j, grp, a, b)
+        assert (
+            fast.cv_results_[f"rank_test_{m}"]
+            == slow.cv_results_[f"rank_test_{m}"]
+        ).all()
