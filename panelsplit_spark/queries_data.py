@@ -643,6 +643,12 @@ FROM events GROUP BY 1, 2
 
 
 def _li_cv(spark: SparkSession, sf_dir: str):
+    from .queries import _CV_CACHE
+
+    key = (id(spark), sf_dir, "lineitem")
+    hit = _CV_CACHE.get(key)
+    if hit is not None:
+        return hit
     li = (
         load_table(spark, sf_dir, "lineitem")
         .withColumn("period", F.date_format("l_shipdate", "yyyy-MM"))
@@ -653,6 +659,7 @@ def _li_cv(spark: SparkSession, sf_dir: str):
         scan_col="l_shipdate",
         period_bounds=date_period_bounds("yyyy-MM"),
     )
+    _CV_CACHE[key] = (li, ps)
     return li, ps
 
 
