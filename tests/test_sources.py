@@ -83,3 +83,35 @@ def test_pipeline_pickle_roundtrip(spark):
         (r["period"], r["prediction"]) for r in pipe2.predict(df).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Bucketed layout moves the join shuffle to write time: a join on
+    the bucket key must plan with NO Exchange on either side."""
+    from panelsplit_spark.sources.tables import write_bucketed_table
+
+    left = spark.range(0, 1000).selectExpr(
+        "id AS k", "id * 2.0 AS v_l"
+    )
+    right = spark.range(0, 1000).selectExpr(
+        "id AS k", "id * 3.0 AS v_r"
+    )
+    write_bucketed_table(left, "bkt_left", "k", 4, sort_cols="k")
+    write_bucketed_table(right, "bkt_right", "k", 4, sort_cols="k")
+    # tiny test tables would broadcast (which bypasses bucketing);
+    # force the shuffle-join planner path a big-table join would take
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l, r = spark.table("bkt_left"), spark.table("bkt_right")
+        joined = l.join(r, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+        got = joined.where("k = 7").collect()[0]
+        assert (float(got["v_l"]), float(got["v_r"])) == (14.0, 21.0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
