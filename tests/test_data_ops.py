@@ -180,3 +180,36 @@ def test_multimodal_stub_raises(spark):
 
     with pytest.raises(PythonException, match="NotImplementedError"):
         multimodal.with_media_meta(df).collect()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting spreads a hot key across shuffle partitions without
+    changing the join result; the shuffle key must include the salt."""
+    from panelsplit_spark.operators.skew import salted_join
+
+    # heavy-hitter: 90% of left rows share key 0
+    left = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 50 END AS k",
+        "id AS row_id",
+    )
+    right = spark.range(0, 50).selectExpr("id AS k", "id * 10 AS dim")
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = salted_join(left, right, "k", n_salts=8)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan  # shuffle spreads on (k, __salt)
+        exp = left.join(right, "k")
+        a = sorted((r["k"], r["row_id"], r["dim"]) for r in got.collect())
+        b = sorted((r["k"], r["row_id"], r["dim"]) for r in exp.collect())
+        assert a == b and len(a) == 2000
+        # left join keeps unmatched rows exactly once
+        right_sub = right.where("k < 5")
+        gl = salted_join(left, right_sub, "k", n_salts=8, how="left")
+        el = left.join(right_sub, "k", "left")
+        assert sorted(
+            (r["k"], r["row_id"], r["dim"]) for r in gl.collect()
+        ) == sorted((r["k"], r["row_id"], r["dim"]) for r in el.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
