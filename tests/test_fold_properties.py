@@ -82,3 +82,49 @@ def test_fold_spec_membership(p, include_train):
         for lo, hi in f.test_ranges:
             covered |= {p for p in periods if lo <= p <= hi}
         assert covered == set(f.test_periods)
+
+
+# ----------------------------------------------------------------------
+# Closed-form solve property: _solve_from_moments from exact moments must
+# equal the estimator's own numpy fit on the raw data (no Spark needed —
+# this pins the algebra the distributed aggregate relies on).
+# ----------------------------------------------------------------------
+
+_ridge_data = st.tuples(
+    st.integers(1, 3),  # n features
+    st.integers(8, 40),  # n rows
+    st.floats(0.0, 1e4),  # alpha
+    st.randoms(use_true_random=False),
+)
+
+
+@given(_ridge_data)
+@settings(max_examples=150, deadline=None)
+def test_solve_from_moments_matches_numpy_fit(data):
+    import numpy as np
+
+    from panelsplit_spark.estimators import Ridge
+    from panelsplit_spark.operators.linear_fastpath import (
+        _solve_from_moments,
+    )
+
+    d, n, alpha, rnd = data
+    rng = np.random.default_rng(rnd.randint(0, 2**31))
+    X = rng.normal(size=(n, d)) * rng.uniform(0.5, 3.0)
+    y = rng.normal(size=n) + X @ rng.normal(size=d)
+
+    # exact moments, as the distributed aggregate would produce them
+    r = {"n": float(n), "sy": float(y.sum()), "has_null": 0}
+    for i in range(d):
+        r[f"sx_{i}"] = float(X[:, i].sum())
+        r[f"sxy_{i}"] = float((X[:, i] * y).sum())
+        for j in range(i, d):
+            r[f"sxx_{i}_{j}"] = float((X[:, i] * X[:, j]).sum())
+    feats = [f"x{i}" for i in range(d)]
+
+    est = Ridge(alpha=alpha)
+    (solved,) = _solve_from_moments(est, {0: r}, feats, 1)
+    direct = Ridge(alpha=alpha).fit(X, y)
+    assert np.isclose(solved.intercept_, direct.intercept_,
+                      rtol=1e-6, atol=1e-8)
+    assert np.allclose(solved.coef_, direct.coef_, rtol=1e-6, atol=1e-8)
