@@ -108,11 +108,14 @@ def lsh_topk(
     ``n_tables`` independent hash tables, re-ranked by exact cosine →
     (query_id, neighbor_id, cosine, rank).
 
-    Each table is an equi-join on a (table_id, bucket) key — a hash join,
-    no cross product. More tables → higher recall, linearly more candidate
+    Plan shape (the part that matters at 100 TB): the corpus is scanned
+    exactly TWICE and shuffled NEVER — one scan computes all table
+    signatures and explodes them to (table, bucket) pairs joined against
+    the broadcast exploded query buckets (a hash join, no cross
+    product); the second scan re-ranks by joining the broadcast deduped
+    candidate list. More tables → higher recall, linearly more candidate
     work; more planes per table → smaller buckets → less work, lower
-    per-table recall. Candidates are deduped before the (expensive) exact
-    re-rank.
+    per-table recall.
     """
     if dim is None:
         dim = len(
@@ -124,7 +127,8 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    # bucket keys for all tables in one projection each side
+    # all tables' bucket keys in ONE projection per side, exploded to
+    # (table, bucket) join keys
     c_keys, q_keys = [], []
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
@@ -134,31 +138,33 @@ def lsh_topk(
         q_keys.append(
             hyperplane_signature(F.col("qv"), planes).alias(f"b{t}")
         )
-    c_b = c.select("neighbor_id", "cv", *c_keys)
-    q_b = q.select("query_id", "qv", *q_keys)
-    cand_parts = []
-    for t in range(n_tables):
-        cand_parts.append(
-            c_b.select("neighbor_id", F.col(f"b{t}").alias("bucket"))
-            .join(
-                F.broadcast(
-                    q_b.select("query_id", F.col(f"b{t}").alias("bucket"))
-                ),
-                "bucket",
+
+    def tb(prefix: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"{prefix}{t}").alias("b")
+                    )
+                    for t in range(n_tables)
+                ]
             )
-            .select("query_id", "neighbor_id")
-        )
-    cands = cand_parts[0]
-    for p in cand_parts[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.where(
-        F.col("query_id") != F.col("neighbor_id")
-    ).distinct()
+        ).alias("tb")
+
+    c_pairs = c.select("neighbor_id", *c_keys).select("neighbor_id", tb("b"))
+    q_b = q.select("query_id", "qv", *q_keys)
+    q_pairs = q_b.select("query_id", tb("b"))
+    cands = (
+        c_pairs.join(F.broadcast(q_pairs), "tb")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     cos = cosine_similarity(F.col("qv"), F.col("cv"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = (
-        cands.join(c_b.select("neighbor_id", "cv"), "neighbor_id")
+        c.join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(q_b.select("query_id", "qv")), "query_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
