@@ -57,6 +57,7 @@ HEADLINE = [
     "rel_scalar_gallery",
     "rel_value_deciles",
     "stream_sessionize",
+    "cv_pipe_scaled_ols",
 ]
 
 

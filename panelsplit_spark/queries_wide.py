@@ -372,6 +372,105 @@ FROM d GROUP BY decile
 
 
 # ======================================================================
+# two-step pipeline: OOF scaler -> per-fold OLS (the pipeline layer's
+# out-of-fold feature chaining, oracle-checked end-to-end)
+# ======================================================================
+
+PIPE_K2 = 3  # second-step splitter over the OOF-covered periods
+
+
+def q_cv_pipe_scaled_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequentialCVPipeline with two CV steps: a per-fold StandardScaler
+    whose OUT-OF-FOLD transform (each row scaled by the fold where it is
+    test) feeds a per-fold OLS under a second splitter built over the
+    OOF-covered periods. Exercises: grouped-pandas fit (scaler), OOF
+    transform reassembly, feature renaming between steps, the suffstats
+    fast path on derived features, and per-step distinct CVs. The oracle
+    recomputes both stages in SQL (stddev_pop scaling + regr_slope)."""
+    from .estimators import LinearRegression, StandardScaler
+    from .operators.cross_validation import PanelSplit
+    from .operators.pipeline import SequentialCVPipeline
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    test_periods = sorted(
+        {p for f in ps.spec.folds for p in f.test_periods}
+    )
+    ps2 = PanelSplit(
+        period_col="period",
+        unique_periods=test_periods,
+        n_splits=PIPE_K2,
+    )
+    pipe = SequentialCVPipeline(
+        [("sc", StandardScaler()), ("reg", LinearRegression())],
+        [ps, ps2],
+        ["hod"],
+        y_col="value",
+    )
+    pipe.fit(ev)
+    preds = pipe.predict_df(ev)
+    return preds.select(
+        "event_id",
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.round("prediction", 6).alias("pred"),
+    )
+
+
+def _sql_pipe_scaled_ols() -> str:
+    from .queries import _FOLD_CTE
+
+    k2 = PIPE_K2
+    return f"""
+WITH {_FOLD_CTE},
+up2 AS (
+  SELECT period, CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT)
+           AS rk
+  FROM (SELECT DISTINCT period FROM assign WHERE role = 'test') t2
+),
+np2 AS (SELECT count(*) AS n FROM up2),
+bounds2 AS (
+  SELECT CAST(g.fold_id AS BIGINT) AS fold_id,
+         np2.n - ({k2} - g.fold_id) AS test_lo,
+         np2.n - ({k2} - g.fold_id) + 1 AS test_hi,
+         np2.n - ({k2} - g.fold_id) AS train_hi,
+         0 AS train_lo
+  FROM (SELECT unnest(generate_series(0, {k2 - 1})) AS fold_id) g, np2
+),
+assign2 AS (
+  SELECT b.fold_id, 'train' AS role, u.period
+  FROM bounds2 b JOIN up2 u ON u.rk >= b.train_lo AND u.rk < b.train_hi
+  UNION ALL
+  SELECT b.fold_id, 'test' AS role, u.period
+  FROM bounds2 b JOIN up2 u ON u.rk >= b.test_lo AND u.rk < b.test_hi
+),
+sc AS (
+  SELECT a.fold_id, avg(e.hod) AS mu, stddev_pop(e.hod) AS sd
+  FROM assign a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+),
+oof AS (
+  SELECT e.event_id, e.period, e.value, (e.hod - s.mu) / s.sd AS z
+  FROM assign a
+  JOIN ev e ON e.period = a.period
+  JOIN sc s ON s.fold_id = a.fold_id
+  WHERE a.role = 'test'
+),
+fit2 AS (
+  SELECT a2.fold_id,
+         regr_slope(o.value, o.z) AS b1,
+         regr_intercept(o.value, o.z) AS b0
+  FROM assign2 a2 JOIN oof o ON o.period = a2.period
+  WHERE a2.role = 'train' GROUP BY a2.fold_id
+)
+SELECT o.event_id, a2.fold_id, round(f.b0 + f.b1 * o.z, 6) AS pred
+FROM assign2 a2
+JOIN oof o ON o.period = a2.period
+JOIN fit2 f ON f.fold_id = a2.fold_id
+WHERE a2.role = 'test'
+"""
+
+
+# ======================================================================
 # custom stateful streaming (applyInPandasWithState)
 # ======================================================================
 
@@ -463,6 +562,7 @@ QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scalar_gallery": q_rel_scalar_gallery,
     "rel_value_deciles": q_rel_value_deciles,
     "stream_sessionize": q_stream_sessionize,
+    "cv_pipe_scaled_ols": q_cv_pipe_scaled_ols,
 }
 
 
@@ -477,4 +577,5 @@ def oracles3() -> Dict[str, str]:
         "rel_scalar_gallery": _SQL_SCALAR_GALLERY,
         "rel_value_deciles": _SQL_DECILES,
         "stream_sessionize": _sql_stream_sessionize(),
+        "cv_pipe_scaled_ols": _sql_pipe_scaled_ols(),
     }
