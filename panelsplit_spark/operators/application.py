@@ -288,6 +288,15 @@ def cross_val_predict(
         )
         if fast_df is not None:
             return fast_df
+    if output_type == "array<double>" and method == "transform":
+        from .linear_fastpath import scaler_transform_frame
+
+        fast_df = scaler_transform_frame(
+            assigned, fitted_estimators, list(feature_cols),
+            list(keep) + ["fold_id"], output_col,
+        )
+        if fast_df is not None:
+            return fast_df
 
     spark = df.sparkSession
     models_b = spark.sparkContext.broadcast(

@@ -28,7 +28,13 @@ from typing import Any, List, Optional, Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..estimators import LinearRegression, MeanRegressor, Ridge, clone
+from ..estimators import (
+    LinearRegression,
+    MeanRegressor,
+    Ridge,
+    StandardScaler,
+    clone,
+)
 
 __all__ = ["suffstats_fit", "linear_predict_frame", "sweep_scores"]
 
@@ -49,7 +55,24 @@ _MAX_FOLDS_FOR_EXPR = 64
 
 
 def _eligible_fit(estimator: Any) -> bool:
-    return type(estimator) in (MeanRegressor, LinearRegression, Ridge)
+    return type(estimator) in (
+        MeanRegressor,
+        LinearRegression,
+        Ridge,
+        StandardScaler,
+    )
+
+
+def _null_rule(estimator: Any) -> str:
+    """Which columns' NULLs poison this estimator's numpy fit:
+    MeanRegressor only looks at y; linear models at X and y; the scaler
+    only at X."""
+    t = type(estimator)
+    if t is MeanRegressor:
+        return "y"
+    if t is StandardScaler:
+        return "x"
+    return "xy"
 
 
 def _fold_moments(
@@ -59,7 +82,7 @@ def _fold_moments(
     y_col: str,
     sample_weight_col: Optional[str],
     drop_na_in_y: bool,
-    mean_like: bool,
+    null_rule: str,
 ) -> dict:
     """One grouped aggregate: per-fold (Σw, Σwy, Σwxᵢ, Σwxᵢy, Σwxᵢxⱼ,
     any-null flag), collected to a tiny driver dict."""
@@ -86,10 +109,14 @@ def _fold_moments(
     # sums; Spark aggregates SKIP nulls, so reproduce the poisoning with
     # an explicit any-null flag per fold. MeanRegressor never looks at X,
     # so only y (and the weight) can poison it.
-    null_cond = F.lit(False) if drop_na_in_y else y.isNull()
+    null_cond = (
+        y.isNull()
+        if "y" in null_rule and not drop_na_in_y
+        else F.lit(False)
+    )
     if sample_weight_col is not None:
         null_cond = null_cond | F.col(sample_weight_col).isNull()
-    if not mean_like:
+    if "x" in null_rule:
         for c in feats:
             null_cond = null_cond | F.col(c).isNull()
     aggs = [
@@ -127,13 +154,13 @@ def suffstats_fit(
     if len(feats) > _MAX_FEATURES:
         return None
 
-    mean_like = type(estimator) is MeanRegressor
+    rule = _null_rule(estimator)
     ckey = (
         tuple(feats),
         y_col,
         sample_weight_col,
         bool(drop_na_in_y),
-        mean_like,
+        rule,
     )
     with _CACHE_LOCK:
         per_df = _MOMENT_CACHE.setdefault(df, weakref.WeakKeyDictionary())
@@ -142,7 +169,7 @@ def suffstats_fit(
         if rows is None:
             rows = _fold_moments(
                 df, cv, feats, y_col, sample_weight_col,
-                drop_na_in_y, mean_like,
+                drop_na_in_y, rule,
             )
             per_cv[ckey] = rows
 
@@ -166,6 +193,26 @@ def _solve_from_moments(
             )
         est = clone(estimator)
         poisoned = bool(r["has_null"])
+        if type(est) is StandardScaler:
+            if poisoned:
+                est.mean_ = np.full(d, np.nan)
+                est.scale_ = np.full(d, np.nan)
+                models.append(est)
+                continue
+            n = float(r["n"])
+            mu = np.array([r[f"sx_{i}"] / n for i in range(d)])
+            if est.with_std:
+                var = np.array(
+                    [r[f"sxx_{i}_{i}"] / n for i in range(d)]
+                ) - mu**2
+                s = np.sqrt(np.maximum(var, 0.0))
+                s[s == 0.0] = 1.0
+                est.scale_ = s
+            else:
+                est.scale_ = np.ones(d)
+            est.mean_ = mu if est.with_mean else np.zeros(d)
+            models.append(est)
+            continue
         if type(est) is MeanRegressor:
             est.mean_ = (
                 float("nan") if poisoned
@@ -268,6 +315,43 @@ def linear_predict_frame(
     return joined.select(*out_fields, pred.alias(output_col))
 
 
+def scaler_transform_frame(
+    assigned: DataFrame,
+    fitted_estimators: List[Any],
+    feature_cols: Sequence[str],
+    out_fields: Sequence[str],
+    output_col: str,
+) -> Optional[DataFrame]:
+    """Per-fold StandardScaler transform as a broadcast join against a
+    tiny (fold_id, mean, scale) frame + one array projection — the OOF
+    feature pass of a scaler pipeline step stays entirely in codegen
+    (no Python workers, no pickled-model broadcast)."""
+    for m in fitted_estimators:
+        if type(m) is not StandardScaler or m.mean_ is None:
+            return None
+    spark = assigned.sparkSession
+    rows = [
+        (
+            fid,
+            [float(x) for x in np.asarray(m.mean_).reshape(-1)],
+            [float(x) for x in np.asarray(m.scale_).reshape(-1)],
+        )
+        for fid, m in enumerate(fitted_estimators)
+    ]
+    coefs = spark.createDataFrame(
+        rows, "fold_id int, __mu array<double>, __sc array<double>"
+    )
+    joined = assigned.join(F.broadcast(coefs), "fold_id")
+    arr = F.array(
+        *[
+            (F.col(c).cast("double") - F.col("__mu")[i])
+            / F.col("__sc")[i]
+            for i, c in enumerate(feature_cols)
+        ]
+    )
+    return joined.select(*out_fields, arr.alias(output_col))
+
+
 def sweep_scores(
     estimators: List[Any],
     df: DataFrame,
@@ -317,12 +401,15 @@ def sweep_scores(
             return None
 
     mean_like = type(est0) is MeanRegressor
+    if type(est0) is StandardScaler:
+        return None  # transformers have no predict metrics to sweep
+    rule = _null_rule(est0)
     ckey = (
         tuple(feats),
         y_col,
         sample_weight_col,
         bool(drop_na_in_y),
-        mean_like,
+        rule,
     )
     with _CACHE_LOCK:
         per_df = _MOMENT_CACHE.setdefault(df, weakref.WeakKeyDictionary())
@@ -331,7 +418,7 @@ def sweep_scores(
         if rows is None:
             rows = _fold_moments(
                 df, cv, feats, y_col, sample_weight_col,
-                drop_na_in_y, mean_like,
+                drop_na_in_y, rule,
             )
             per_cv[ckey] = rows
 

@@ -243,3 +243,53 @@ def test_suffstats_moment_cache_shared_across_candidates(spark):
     for a, b in zip(m1, cold):
         assert a.intercept_ == pytest.approx(b.intercept_, abs=1e-12)
         assert a.coef_[0] == pytest.approx(b.coef_[0], abs=1e-12)
+
+
+from panelsplit_spark.estimators import StandardScaler as _Scaler
+
+
+class SlowScaler(_Scaler):
+    """Subclass → outside the exact-type fast path → pandas path."""
+
+
+def test_scaler_fastpath_matches_pandas_path(spark):
+    """Closed-form per-fold StandardScaler (moment aggregate + JVM
+    transform frame) must agree with the grouped-pandas scaler to
+    numerical precision, including the NULL-poisoning rule (scaler
+    ignores y nulls; feature nulls poison)."""
+    import numpy as np
+
+    from panelsplit_spark.estimators import StandardScaler
+    from panelsplit_spark.operators.application import (
+        cross_val_fit,
+        cross_val_predict,
+    )
+
+    rows = []
+    for i in range(240):
+        y = None if i % 17 == 0 else float(i % 11)  # y nulls: no poison
+        rows.append((float(i % 9) * 1.7, float(i % 4), 2000 + i % 6, y))
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, period int, y double"
+    )
+    ps = PanelSplit(df, "period", n_splits=3)
+    fast = cross_val_fit(StandardScaler(), df, ["x1", "x2"], "y", ps)
+    slow = cross_val_fit(SlowScaler(), df, ["x1", "x2"], "y", ps)
+    for mf, ms in zip(fast, slow):
+        assert np.allclose(mf.mean_, ms.mean_, atol=1e-9)
+        assert np.allclose(mf.scale_, ms.scale_, atol=1e-9)
+
+    pf = cross_val_predict(
+        fast, df, ["x1", "x2"], ps, method="transform",
+        output_col="z", output_type="array<double>", keep_cols=["period"],
+    )
+    psl = cross_val_predict(
+        slow, df, ["x1", "x2"], ps, method="transform",
+        output_col="z", output_type="array<double>", keep_cols=["period"],
+    )
+    a = sorted(tuple(r["z"]) for r in pf.collect())
+    b = sorted(tuple(r["z"]) for r in psl.collect())
+    assert np.allclose(a, b, atol=1e-9)
+    # JVM path actually engaged: no Python eval in the fast plan
+    plan = pf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan, plan
