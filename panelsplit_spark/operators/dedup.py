@@ -49,6 +49,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
+    "embedding_lsh_candidate_pairs",
     "embedding_near_duplicates",
 ]
 
@@ -60,9 +61,21 @@ def _ensure_parallelism(df: DataFrame, min_parts: Optional[int] = None
     core starves the cluster. No-op when the input is already parallel —
     at real scale the scan supplies the partitions and this never fires.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_parts or min(sc.defaultParallelism, 64)
-    if df.rdd.getNumPartitions() < target:
+    sess = df.sparkSession
+    mode = sess.conf.get("spark.panelsplit.dedup.repartition", "auto")
+    if mode == "off":
+        return df
+    target = min_parts or min(sess.sparkContext.defaultParallelism, 64)
+    if mode != "auto":
+        return df.repartition(int(mode))
+    # Plan-safe parallelism estimate: count source files via the scan's
+    # FileIndex (never df.rdd, which forces plan->RDD conversion and
+    # defeats AQE). Non-file sources report no files -> leave untouched.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -335,15 +348,57 @@ def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    n_bits: int = 24,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance ≤ max_hamming, via
-    ``bit_count(a XOR b)``. Quadratic self-join — at scale, band the
-    fingerprint (split bits into max_hamming+1 chunks; equal-chunk
-    equi-join guarantees recall by pigeonhole) before verifying."""
-    a = fingerprints.alias("a")
-    b = fingerprints.alias("b")
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming →
+    (id_a, id_b, hamming). EXACT (100% recall) via pigeonhole banding:
+    split the fingerprint's ``n_bits`` into ``max_hamming + 1`` chunks —
+    two fingerprints within ``max_hamming`` differing bits must agree on
+    at least one whole chunk — then equi-join on (chunk_id, chunk_value)
+    and verify with ``bit_count(a XOR b)``.
+
+    Scale shape: one narrow projection explodes each doc to
+    ``max_hamming+1`` (chunk, value) keys; candidates come from a hash
+    equi-join on the key (never a cross/theta join); within-bucket work
+    is quadratic only in bucket size (2^chunk_width buckets per chunk).
+    The XOR verify runs on candidates only, in codegen.
+    """
+    n_chunks = max_hamming + 1
+    base, extra = divmod(n_bits, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    chunks, lo = [], 0
+    for i, w in enumerate(widths):
+        chunks.append(
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("chunk_val"),
+            )
+        )
+        lo += w
+    banded = (
+        fingerprints.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(F.array(*chunks)).alias("c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_val").alias("chunk_val"),
+        )
+        .cache()  # tiny (id, fp, chunk) frame; both join sides reuse it
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -352,6 +407,77 @@ def simhash_near_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )
+
+
+def embedding_lsh_candidate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Candidate near-dup pairs from random-hyperplane LSH: two vectors
+    are candidates iff they share a bucket in ANY of ``n_tables``
+    independent sign-bit tables → (id_a, id_b) distinct, id_a < id_b.
+
+    Scale shape: the corpus is scanned once to compute all tables'
+    signatures (pure codegen'd dot products against literal planes,
+    similarity.py:80-92), exploded to (table, bucket) keys, and
+    self-equi-joined on the key — a hash join on a long, never a cross
+    product and never a driver collect. Within-bucket pairing is
+    quadratic only in bucket size (tune ``n_planes`` up to shrink
+    buckets). Recall per pair is ``1-(1-(1-θ/π)^n_planes)^n_tables`` —
+    raise ``n_tables`` for distant thresholds.
+    """
+    from .similarity import hyperplane_signature, random_hyperplanes
+
+    if dim is None:
+        dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    keys = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        keys.append(
+            hyperplane_signature(F.col(vec_col), planes).alias(f"b{t}")
+        )
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    bucketed = (
+        df.select(F.col(id_col), *keys)
+        .select(F.col(id_col), tb)
+        .select(
+            F.col(id_col),
+            F.col("tb.t").alias("t"),
+            F.col("tb.b").alias("b"),
+        )
+    )
+    # cache the tiny (id, table, bucket) frame so the self-join does not
+    # recompute the signature projection per side; at production scale
+    # persist it as a bucketed table instead
+    bucketed = bucketed.cache()
+    left = bucketed.alias("l")
+    right = bucketed.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.b") == F.col("r.b"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
 
 
@@ -360,59 +486,34 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: Optional[int] = None,
+    candidates: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold → (id_a, id_b, cosine).
 
-    Two phases:
+    Two phases, both fully distributed (nothing is ever collected to the
+    driver — at 100 TB the corpus exists only as executor partitions):
 
-    1. **BLAS prefilter** — broadcast the (normalized, float64) corpus
-       matrix; each partition GEMMs its rows against it and emits pairs
-       with cosine ≥ threshold − margin. ~100× faster than evaluating a
-       per-pair ``aggregate``/``zip_with`` expression over an O(n²)
-       join, and one scan instead of a self-join. The broadcast bounds
-       this at ~1M×128-dim corpora; beyond that, LSH-bucket first
-       (similarity.lsh_topk) or block the matrix.
-    2. **Exact re-verify** — the (few) candidates are re-scored with the
-       sequential left-to-right ``aggregate`` cosine, so the reported
-       value is bit-identical to a SQL engine's and independent of the
-       GEMM's summation order.
+    1. **LSH candidate generation** — random-hyperplane bucket
+       self-equi-join (``embedding_lsh_candidate_pairs``), or a caller-
+       supplied ``candidates`` frame (e.g. IVF cells from
+       similarity.ivf_topk's assignment).
+    2. **Exact re-verify** — candidates join their two vectors and are
+       scored with the sequential left-to-right ``aggregate`` cosine, so
+       reported values are bit-identical to a SQL engine's and
+       independent of partitioning.
+
+    Approximate by construction (LSH recall < 1 for distant pairs); the
+    oracle twin replicates the same literal hyperplanes, so results are
+    still deterministic and cross-engine checkable.
     """
-    import numpy as np
-
-    spark = df.sparkSession
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0.0] = np.nan  # zero vectors: cosine undefined
-    matn = mat / norms
-    b = spark.sparkContext.broadcast((ids, matn))
-    margin = 1e-9
-
-    def prefilter(batches):
-        import pandas as pd
-
-        b_ids, b_mat = b.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            qn[qn == 0.0] = np.nan
-            sims = (q / qn) @ b_mat.T
-            qi = pdf[id_col].to_numpy(dtype=np.int64)
-            out_a, out_b = [], []
-            for r in range(sims.shape[0]):
-                hits = np.where(sims[r] >= threshold - margin)[0]
-                for j in hits:
-                    if qi[r] < b_ids[j]:
-                        out_a.append(qi[r])
-                        out_b.append(b_ids[j])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    cand = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        prefilter, schema="id_a long, id_b long"
-    )
+    if candidates is None:
+        candidates = embedding_lsh_candidate_pairs(
+            df, vec_col, id_col, n_planes, n_tables, seed, dim
+        )
     va = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -420,7 +521,7 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     return (
-        cand.join(va, "id_a")
+        candidates.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",

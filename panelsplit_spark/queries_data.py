@@ -224,22 +224,86 @@ SELECT doc_id, {fp} AS simhash FROM sums
 """
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-pairs: pigeonhole chunk equi-join (exact —
+    the oracle is the plain all-pairs hamming filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash(docs, n_bits=SIMHASH_BITS)
+    out = dedup.simhash_near_pairs(
+        fps, max_hamming=SIMHASH_MAX_HAMMING, n_bits=SIMHASH_BITS
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    fp_sql = _sql_simhash().strip()
+    return f"""
+WITH fp AS ({fp_sql})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_duplicates(emb, threshold=0.4)
+    out = dedup.embedding_near_duplicates(
+        emb,
+        threshold=0.4,
+        n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES,
+        seed=LSH_SEED,
+        dim=EMB_DIM,
+    )
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 
 
-_SQL_EMB_NEAR_DUP = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6)
-         AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+def _sql_emb_near_dup() -> str:
+    """Oracle twin of the LSH-candidate near-dup: identical literal
+    hyperplanes, per-table bucket equi-joins, exact cosine verify."""
+    bucket_exprs = []
+    for t in range(LSH_TABLES):
+        planes = similarity.random_hyperplanes(
+            EMB_DIM, LSH_PLANES, LSH_SEED + 1000 * t
+        )
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(x) for x in p)
+            terms.append(
+                f"CASE WHEN list_dot_product(v, [{lits}]) > 0 "
+                f"THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        bucket_exprs.append(" + ".join(terms) + f" AS b{t}")
+    cand_unions = "\n    UNION ALL\n".join(
+        f"SELECT a.vec_id AS id_a, b2.vec_id AS id_b "
+        f"FROM b a JOIN b b2 ON a.b{t} = b2.b{t} "
+        f"AND a.vec_id < b2.vec_id"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, v, {", ".join(bucket_exprs)}
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    {cand_unions}
+  )
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+FROM cand
+JOIN b va ON va.vec_id = id_a
+JOIN b vb ON vb.vec_id = id_b
+WHERE list_cosine_similarity(va.v, vb.v) >= 0.4
 """
 
 
@@ -454,18 +518,33 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan → filter (pushed) → groupBy agg with map-side partials —
     the classic pricing-summary shape."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Money columns are 2-dp doubles; quantize each row to exact integer
+    # cents BEFORE summing so the aggregate is an order-independent
+    # integer sum (float partial-agg order is partition-dependent and
+    # flips round(sum(double), k) near rounding boundaries).
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                "sum_qty_cents"
+            ),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("sum_base_price_cents"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("sum_disc_price_cents"),
+            F.avg(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                "avg_qty_cents"
+            ),
+            F.avg(F.round(F.col("l_discount") * 10000).cast("long")).alias(
+                "avg_disc_bp"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -473,11 +552,13 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS sum_disc_price_cents,
+       avg(CAST(round(l_quantity * 100) AS BIGINT)) AS avg_qty_cents,
+       avg(CAST(round(l_discount * 10000) AS BIGINT)) AS avg_disc_bp,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -500,7 +581,9 @@ def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("c_custkey").alias("n_customers"),
         )
@@ -508,7 +591,8 @@ def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_REGION_REVENUE = """
-SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+SELECT r_name,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
        count(*) AS n_orders, count(DISTINCT c_custkey) AS n_customers
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -623,7 +707,9 @@ def q_rel_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.avg(F.round(F.col("value") * 100).cast("long")).alias(
+                "avg_value_cents"
+            ),
         )
     )
 
@@ -632,7 +718,7 @@ _SQL_HOURLY = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        CAST(date_part('hour', ts) AS BIGINT) AS hour,
        count(*) AS n, count(DISTINCT user_id) AS n_users,
-       round(avg(value), 6) AS avg_value
+       avg(CAST(round(value * 100) AS BIGINT)) AS avg_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -788,6 +874,10 @@ def q_stream_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # Quantize to exact integer cents (held in a double) so every
+    # streaming aggregate is an exact integer sum — order-independent
+    # across micro-batch partial aggregations and engines.
+    stream = stream.withColumn("value", F.round(F.col("value") * 100))
     feats = windowed_panel_features(
         stream, window="1 hour", watermark="2 hours"
     )
@@ -807,20 +897,20 @@ def q_stream_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("window_start").alias("win_start_us"),
         "user_id",
         "n",
-        F.round("sum_value", 6).alias("sum_value"),
-        F.round("avg_value", 6).alias("avg_value"),
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
+        F.col("sum_value").cast("long").alias("sum_value_cents"),
+        F.col("avg_value").alias("avg_value_cents"),
+        F.col("min_value").cast("long").alias("min_value_cents"),
+        F.col("max_value").cast("long").alias("max_value_cents"),
     )
 
 
 _SQL_STREAM_HOURLY = """
 SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, user_id,
        count(*) AS n,
-       round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS avg_value,
-       round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value
+       CAST(sum(round(value * 100)) AS BIGINT) AS sum_value_cents,
+       avg(round(value * 100)) AS avg_value_cents,
+       CAST(min(round(value * 100)) AS BIGINT) AS min_value_cents,
+       CAST(max(round(value * 100)) AS BIGINT) AS max_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -848,7 +938,9 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
     )
 
 
@@ -870,7 +962,7 @@ s AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(t) AS start_us, max(t) AS end_us,
-       round(sum(value), 6) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
 FROM s GROUP BY user_id, session_id
 """
 
@@ -949,14 +1041,17 @@ def q_rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
 
 _SQL_ROLLUP = """
-SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+SELECT r_name, n_name,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -1078,6 +1173,7 @@ QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_near_dup": q_emb_near_dup,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1106,7 +1202,8 @@ ORACLES2: Dict[str, str] = {
     "dedup_jaccard": _SQL_DEDUP_JACCARD,
     "dedup_jaccard_lsh": _sql_jaccard_lsh(),
     "dedup_simhash": _sql_simhash(),
-    "emb_near_dup": _SQL_EMB_NEAR_DUP,
+    "dedup_simhash_pairs": _sql_simhash_pairs(),
+    "emb_near_dup": _sql_emb_near_dup(),
     "text_stats": _sql_text_stats(),
     "text_langid": _sql_langid(),
     "text_fingerprint": _SQL_FINGERPRINT,

@@ -130,7 +130,9 @@ def q_rel_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("order_year", F.year("o_orderdate"))
         .cube("order_year", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -139,7 +141,7 @@ def q_rel_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CUBE = """
 SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
        o_orderpriority,
-       round(sum(o_totalprice), 2) AS revenue,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
        count(*) AS n_orders
 FROM orders
 GROUP BY CUBE (order_year, o_orderpriority)
@@ -165,14 +167,16 @@ def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_inactive"),
-            F.round(F.sum("c_acctbal"), 2).alias("idle_balance"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "idle_balance_cents"
+            ),
         )
     )
 
 
 _SQL_CUST_NO_ORDERS = """
 SELECT n_name, count(*) AS n_inactive,
-       round(sum(c_acctbal), 2) AS idle_balance
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS idle_balance_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -224,32 +228,41 @@ def q_rel_daily_revenue_ma7(
         orders.groupBy(
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents")
+        )
     )
     w = Window.orderBy("day")
     return daily.select(
         "day",
-        "revenue",
-        F.round(
-            F.avg("revenue").over(w.rowsBetween(-6, 0)), 4
-        ).alias("ma7"),
-        F.round(
-            F.col("revenue") - F.lag("revenue", 1).over(w), 2
-        ).alias("delta"),
+        "revenue_cents",
+        # window avg over exact integer cents: numerator is an exact
+        # integer sum, so the double division and integer round are
+        # deterministic and engine-identical
+        F.round(F.avg("revenue_cents").over(w.rowsBetween(-6, 0)))
+        .cast("long")
+        .alias("ma7_cents"),
+        (
+            F.col("revenue_cents")
+            - F.lag("revenue_cents", 1).over(w)
+        ).alias("delta_cents"),
     )
 
 
 _SQL_MA7 = """
 WITH daily AS (
   SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-         round(sum(o_totalprice), 2) AS revenue
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
   FROM orders GROUP BY day
 )
-SELECT day, revenue,
-       round(avg(revenue) OVER (
+SELECT day, revenue_cents,
+       CAST(round(avg(revenue_cents) OVER (
          ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-       ), 4) AS ma7,
-       round(revenue - lag(revenue, 1) OVER (ORDER BY day), 2) AS delta
+       )) AS BIGINT) AS ma7_cents,
+       revenue_cents - lag(revenue_cents, 1) OVER (ORDER BY day)
+         AS delta_cents
 FROM daily
 """
 
@@ -349,9 +362,15 @@ def q_rel_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.min("value"), 6).alias("lo"),
-            F.round(F.max("value"), 6).alias("hi"),
+            F.avg(F.round(F.col("value") * 100).cast("long")).alias(
+                "avg_value_cents"
+            ),
+            F.min(F.round(F.col("value") * 100).cast("long")).alias(
+                "lo_cents"
+            ),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias(
+                "hi_cents"
+            ),
         )
     )
 
@@ -364,9 +383,9 @@ WITH d AS (
   FROM events WHERE value IS NOT NULL
 )
 SELECT decile, count(*) AS n,
-       round(avg(value), 6) AS avg_value,
-       round(min(value), 6) AS lo,
-       round(max(value), 6) AS hi
+       avg(CAST(round(value * 100) AS BIGINT)) AS avg_value_cents,
+       min(CAST(round(value * 100) AS BIGINT)) AS lo_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS hi_cents
 FROM d GROUP BY decile
 """
 
@@ -521,7 +540,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min(F.unix_micros("ts")).alias("start_us"),
             F.max(F.unix_micros("ts")).alias("end_us"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
         )
     )
 
@@ -547,7 +568,7 @@ s AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(t) AS start_us, max(t) AS end_us,
-       round(sum(value), 6) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
 FROM s GROUP BY user_id, session_id
 """
 
