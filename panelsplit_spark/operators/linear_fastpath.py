@@ -384,7 +384,7 @@ def sweep_scores(
     is the per-fold score list, or ``None`` if anything falls outside the
     closed-form/SQL-expressible envelope (caller uses the generic path).
     """
-    from .metrics import _SQL_METRICS
+    from .metrics import _SQL_METRICS, metric_agg_expr
 
     if not estimators or y_col is None:
         return None
@@ -475,9 +475,9 @@ def sweep_scores(
     for mname, key in metrics.items():
         if key != "r2":
             aggs.append(
-                _SQL_METRICS[key](F.col("__y"), F.col("__p")).alias(
-                    f"__m_{mname}"
-                )
+                metric_agg_expr(
+                    key, F.col("__y"), F.col("__p"), nan_aware=True
+                ).alias(f"__m_{mname}")
             )
     if need_r2:
         aggs += [
@@ -499,7 +499,15 @@ def sweep_scores(
             scores.setdefault(
                 (r["__cand"], r["role"], mname), {}
             )[r["fold_id"]] = float(val)
+    # Index by fold POSITION 0..n_splits-1, NaN-filling folds with zero
+    # rows for a role — a positional list built from only the folds
+    # present would silently shift later folds into the wrong
+    # split{j} column (ADVICE r01).
+    n_splits = (
+        cv.get_n_splits() if hasattr(cv, "get_n_splits") else cv.n_splits
+    )
     folded = {
-        k: [v[f] for f in sorted(v)] for k, v in scores.items()
+        k: [v.get(f, float("nan")) for f in range(n_splits)]
+        for k, v in scores.items()
     }
     return models_per_cand, folded

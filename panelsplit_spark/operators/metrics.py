@@ -241,6 +241,36 @@ _SQL_METRICS: Dict[str, Callable[[Any, Any], Any]] = {
 }
 
 
+def metric_agg_expr(name: str, y, p, nan_aware: bool = False):
+    """Aggregate Column for a fast-path metric.
+
+    ``nan_aware=True`` (use whenever y/p are doubles that may hold NaN —
+    i.e. after the NULL→NaN normalization) patches the two metrics whose
+    default Spark semantics diverge from numpy on NaN inputs:
+
+    * ``accuracy`` — Spark evaluates ``NaN = NaN`` as TRUE; numpy's
+      ``nan != nan`` counts it as a mismatch. Count NaN rows as wrong.
+    * ``medae`` — NaN sorts greatest in Spark, so the median can stay
+      finite; ``np.median`` poisons on any NaN. Add an any-NaN poison
+      flag around the median.
+
+    The arithmetic metrics (mse/rmse/mae/max_error) already propagate
+    NaN through ``avg``/``max`` like numpy does.
+    """
+    if nan_aware and name == "accuracy":
+        return F.avg(
+            F.when(F.isnan(y) | F.isnan(p), F.lit(0.0)).otherwise(
+                (y == p).cast("double")
+            )
+        )
+    if nan_aware and name == "medae":
+        any_nan = F.max((F.isnan(y) | F.isnan(p)).cast("int")) == 1
+        return F.when(any_nan, F.lit(float("nan"))).otherwise(
+            F.median(F.abs(y - p))
+        )
+    return _SQL_METRICS[name](y, p)
+
+
 def sql_metric_expr(name: str, y_col: str, pred_col: str):
     """Aggregate Column for a SQL-expressible metric, or None if the
     metric has no single-aggregate form (r2 is decomposed separately in
@@ -296,6 +326,7 @@ def per_fold_scores(
         nan = F.lit(float("nan"))
         dtypes = dict(preds.dtypes)
         num = ("double", "float", "int", "bigint", "smallint", "tinyint")
+        nanified = False
         for c in (y_col, pred_col):
             if dtypes.get(c, "").startswith(num) or dtypes.get(
                 c, ""
@@ -303,6 +334,7 @@ def per_fold_scores(
                 preds = preds.withColumn(
                     c, F.coalesce(F.col(c).cast("double"), nan)
                 )
+                nanified = True
     if isinstance(metric, str) and metric == "r2":
         # decomposed algebraically: 1 - Σ(y-p)² / Σ(y-ȳ_g)², with the group
         # mean folded in via sums — single aggregation, no window
@@ -326,7 +358,9 @@ def per_fold_scores(
                 f"Unknown metric name {metric!r}; pass a callable or one of "
                 f"{sorted(_SQL_METRICS)}"
             )
-        expr = _SQL_METRICS[metric](F.col(y_col), F.col(pred_col))
+        expr = metric_agg_expr(
+            metric, F.col(y_col), F.col(pred_col), nan_aware=nanified
+        )
         return preds.groupBy(fold_col).agg(expr.alias("score"))
 
     import pandas as pd

@@ -203,6 +203,11 @@ class BaseSearch:
         pipe = self.estimator
         if len(pipe.steps) != 1 or pipe.include_indices:
             return None
+        # The sweep always scores role='test'; a pipeline configured to
+        # return train-group predictions would silently get different
+        # cv_results_ — fall back to the generic path (ADVICE r01).
+        if getattr(pipe, "return_group", "test") != "test":
+            return None
         name, est = pipe.steps[0]
         cv = pipe.cv_steps[0]
         if cv is None or est is None or isinstance(est, str):
@@ -234,35 +239,44 @@ class BaseSearch:
             ("test", "train") if self.return_train_score else ("test",)
         )
         t0 = time.time()
+        # guard covers result assembly too: a fully missing
+        # (cand, role, metric) key must mean generic-path fallback,
+        # never a crashed GridSearch.fit (ADVICE r01)
         try:
             res = sweep_scores(
                 ests, df, pipe.feature_cols, pipe.y_col, cv, metrics,
                 roles=roles,
             )
+            if res is None:
+                return None
+            _, folded = res
+            n_splits = cv.get_n_splits()
+            nan_row = [float("nan")] * n_splits
+            per_cand = (time.time() - t0) / max(len(candidates), 1)
+            results: List[Dict[str, Any]] = []
+            for ci, params in enumerate(candidates):
+                out: Dict[str, Any] = {
+                    "params": params,
+                    "fit_time": per_cand,
+                    "score_time": 0.0,
+                }
+                for mname, scorer in scorers.items():
+                    sign = getattr(scorer, "_sign", 1.0)
+                    out[f"test_{mname}"] = [
+                        sign * v
+                        for v in folded.get((ci, "test", mname), nan_row)
+                    ]
+                    if self.return_train_score:
+                        out[f"train_{mname}"] = [
+                            sign * v
+                            for v in folded.get(
+                                (ci, "train", mname), nan_row
+                            )
+                        ]
+                results.append(out)
+            return results
         except Exception:
             return None  # generic path will surface per-candidate errors
-        if res is None:
-            return None
-        _, folded = res
-        per_cand = (time.time() - t0) / max(len(candidates), 1)
-        results: List[Dict[str, Any]] = []
-        for ci, params in enumerate(candidates):
-            out: Dict[str, Any] = {
-                "params": params,
-                "fit_time": per_cand,
-                "score_time": 0.0,
-            }
-            for mname, scorer in scorers.items():
-                sign = getattr(scorer, "_sign", 1.0)
-                out[f"test_{mname}"] = [
-                    sign * v for v in folded[(ci, "test", mname)]
-                ]
-                if self.return_train_score:
-                    out[f"train_{mname}"] = [
-                        sign * v for v in folded[(ci, "train", mname)]
-                    ]
-            results.append(out)
-        return results
 
     def _score_all(self, pipe, df, scorers, out, prefix: str) -> None:
         """Score all metrics, computing (and caching) ONE prediction pass

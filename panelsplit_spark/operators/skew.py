@@ -31,10 +31,15 @@ def salted_join(
     ``right`` (the smaller side) is replicated ``n_salts`` times, so one
     hot key spreads over ``n_salts`` shuffle partitions.
 
-    The salt is a deterministic hash of the whole left row (results are
-    partitioning-independent, per the engine's determinism rule). Output
-    columns match ``left.join(right, on, how)``; supported ``how``:
-    inner / left / left_outer.
+    The salt is content-independent (``monotonically_increasing_id``
+    mod ``n_salts``): duplicate rows under a hot key spread evenly —
+    a row-content hash would send every duplicate to ONE salt partition,
+    failing in exactly the duplicate-heavy skew case, and breaks on
+    unhashable (map-typed) columns. The salt never reaches the output,
+    so join RESULTS stay deterministic regardless of partitioning; only
+    the shuffle layout varies. Output columns match
+    ``left.join(right, on, how)``; supported ``how``: inner / left /
+    left_outer.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(
@@ -42,7 +47,7 @@ def salted_join(
         )
     keys: List[str] = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(
-        F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+        F.monotonically_increasing_id(), F.lit(n_salts)
     ).cast("int")
     lhs = left.withColumn("__salt", salt)
     rhs = right.withColumn(

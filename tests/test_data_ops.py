@@ -258,3 +258,20 @@ def test_salted_join_matches_plain_join(spark):
         ) == sorted((r["k"], r["row_id"], r["dim"]) for r in el.collect())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_salted_join_duplicates_and_map_columns(spark):
+    """Content-independent salt: fully duplicate rows under one hot key
+    still join correctly, and map-typed columns (unhashable by F.hash)
+    don't break the salting projection (ADVICE r01)."""
+    from panelsplit_spark.operators.skew import salted_join
+
+    left = spark.range(0, 500).selectExpr(
+        "0 AS k",  # every row identical key
+        "map('a', 1) AS props",  # F.hash would reject this column
+        "'same' AS payload",  # rows are duplicates modulo range id
+    ).drop("id")
+    right = spark.range(0, 1).selectExpr("id AS k", "id + 7 AS dim")
+    got = salted_join(left, right, "k", n_salts=4).collect()
+    assert len(got) == 500
+    assert all(r["dim"] == 7 and r["payload"] == "same" for r in got)

@@ -61,6 +61,49 @@ def test_per_fold_scores_sql_vs_udf(spark):
     assert udf_scores == pytest.approx(sql_scores)
 
 
+def test_per_fold_scores_nan_parity(spark):
+    """Fast-path medae/accuracy must reproduce numpy NaN semantics on
+    NULL-containing data: medae poisons to NaN, accuracy counts the NaN
+    row as a mismatch (ADVICE r01)."""
+    rows = [
+        (0, 1.0, 1.0), (0, None, 2.0), (0, 3.0, 3.5),
+        (1, 1.0, 1.0), (1, 2.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "fold_id int, y double, prediction double"
+    )
+    for name, fn in (
+        ("medae", M.median_absolute_error),
+        ("accuracy", M.accuracy_score),
+    ):
+        sql_scores = {
+            r["fold_id"]: r["score"]
+            for r in M.per_fold_scores(
+                df, "y", "prediction", name
+            ).collect()
+        }
+        udf_scores = {
+            r["fold_id"]: r["score"]
+            for r in M.per_fold_scores(df, "y", "prediction", fn).collect()
+        }
+        for fid in (0, 1):
+            a, b = sql_scores[fid], udf_scores[fid]
+            assert (np.isnan(a) and np.isnan(b)) or a == pytest.approx(
+                b
+            ), (name, fid, a, b)
+    # fold 0 had a NULL y: medae poisons, accuracy counts it wrong
+    medae0 = M.per_fold_scores(df, "y", "prediction", "medae").collect()
+    assert np.isnan({r["fold_id"]: r["score"] for r in medae0}[0])
+    acc = {
+        r["fold_id"]: r["score"]
+        for r in M.per_fold_scores(
+            df, "y", "prediction", "accuracy"
+        ).collect()
+    }
+    assert acc[0] == pytest.approx(1 / 3)
+    assert acc[1] == pytest.approx(1.0)
+
+
 def test_per_fold_r2_decomposed(spark):
     rows = [(0, 1.0, 1.1), (0, 2.0, 1.9), (0, 3.0, 3.2), (0, 4.0, 3.9)]
     df = spark.createDataFrame(

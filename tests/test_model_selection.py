@@ -156,6 +156,34 @@ class _SlowRidge(Ridge):
     forcing the generic per-candidate fit/score path."""
 
 
+def test_sweep_bails_on_return_group_train(spark, panel):
+    """A pipeline configured with return_group='train' must NOT take the
+    whole-grid sweep (which always scores role='test'); results must
+    match the generic per-candidate path (ADVICE r01)."""
+    import numpy as np
+
+    grid = {"reg__alpha": [1e-6, 100.0]}
+
+    def run(est):
+        ps = PanelSplit(panel, "period", n_splits=3)
+        pipe = SequentialCVPipeline(
+            [("reg", est)], [ps], ["x1", "x2"], y_col="y",
+            return_group="train",
+        )
+        gs = GridSearch(
+            pipe, grid, scoring="neg_mean_squared_error", refit=False
+        )
+        gs.fit(panel)
+        return gs
+
+    fast = run(Ridge(alpha=1.0))       # closed-form type: sweep-eligible
+    slow = run(_SlowRidge(alpha=1.0))  # forced generic path
+    for j in range(3):
+        a = fast.cv_results_[f"split{j}_test_score"]
+        b = slow.cv_results_[f"split{j}_test_score"]
+        assert np.allclose(a, b, rtol=1e-9), (j, a, b)
+
+
 def test_sweep_matches_generic_path(spark, panel):
     """The whole-grid sweep (2 Spark jobs for the entire grid) must
     produce the same cv_results_ as the generic per-candidate path,
