@@ -19,6 +19,7 @@ from .estimators import (
     LinearRegression,
     LogisticRegression,
     MeanRegressor,
+    PriorClassifier,
     Ridge,
     StandardScaler,
     clone,
@@ -78,6 +79,7 @@ __all__ = [
     "LinearRegression",
     "Ridge",
     "LogisticRegression",
+    "PriorClassifier",
     "StandardScaler",
     "IdentityTransformer",
     "FirstColumnRegressor",

@@ -26,6 +26,7 @@ __all__ = [
     "LinearRegression",
     "Ridge",
     "LogisticRegression",
+    "PriorClassifier",
     "StandardScaler",
     "IdentityTransformer",
     "FirstColumnRegressor",
@@ -186,7 +187,12 @@ class Ridge(LinearRegression):
 
 
 class LogisticRegression(BaseEstimator):
-    """Deterministic full-batch Newton-ish logistic regression (binary)."""
+    """Deterministic full-batch Newton-ish logistic regression.
+
+    Binary targets use one IRLS solve; >2 classes fit one-vs-rest (one
+    binary solve per class, probabilities row-normalized), keeping the
+    sklearn ``classes_`` / ``predict_proba`` / ``decision_function``
+    contract (reference handles multiclass through sklearn)."""
 
     def __init__(self, max_iter: int = 100, tol: float = 1e-8,
                  l2: float = 1e-6):
@@ -194,22 +200,10 @@ class LogisticRegression(BaseEstimator):
         self.tol = tol
         self.l2 = l2
         self.coef_: Optional[np.ndarray] = None
-        self.intercept_: float = 0.0
+        self.intercept_: Any = 0.0
         self.classes_: Optional[np.ndarray] = None
 
-    def fit(self, X, y, sample_weight=None):
-        X = _as_2d(X)
-        yraw = np.asarray(y)
-        self.classes_ = np.unique(yraw)
-        if len(self.classes_) != 2:
-            raise ValueError("LogisticRegression supports binary targets")
-        yb = (yraw == self.classes_[1]).astype(np.float64)
-        w = (
-            _as_1d(sample_weight)
-            if sample_weight is not None
-            else np.ones(len(yb))
-        )
-        Xd = np.hstack([np.ones((len(X), 1)), X])
+    def _solve_binary(self, Xd, yb, w):
         beta = np.zeros(Xd.shape[1])
         for _ in range(self.max_iter):
             z = Xd @ beta
@@ -221,25 +215,95 @@ class LogisticRegression(BaseEstimator):
             beta -= step
             if np.max(np.abs(step)) < self.tol:
                 break
-        self.intercept_ = float(beta[0])
-        self.coef_ = beta[1:]
+        return beta
+
+    def fit(self, X, y, sample_weight=None):
+        X = _as_2d(X)
+        yraw = np.asarray(y)
+        self.classes_ = np.unique(yraw)
+        if len(self.classes_) < 2:
+            raise ValueError(
+                "LogisticRegression needs at least 2 classes in y"
+            )
+        w = (
+            _as_1d(sample_weight)
+            if sample_weight is not None
+            else np.ones(len(yraw))
+        )
+        Xd = np.hstack([np.ones((len(X), 1)), X])
+        if len(self.classes_) == 2:
+            yb = (yraw == self.classes_[1]).astype(np.float64)
+            beta = self._solve_binary(Xd, yb, w)
+            self.intercept_ = float(beta[0])
+            self.coef_ = beta[1:]
+        else:  # one-vs-rest: one binary solve per class
+            betas = np.stack(
+                [
+                    self._solve_binary(
+                        Xd, (yraw == c).astype(np.float64), w
+                    )
+                    for c in self.classes_
+                ]
+            )
+            self.intercept_ = betas[:, 0]
+            self.coef_ = betas[:, 1:]
         return self
 
-    def _proba1(self, X):
+    def decision_function(self, X):
+        """Binary: 1-D logit of the greater class; multiclass: (n, C)
+        per-class OvR logits."""
         X = _as_2d(X)
-        z = X @ self.coef_ + self.intercept_
-        return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        if len(self.classes_) == 2:
+            return X @ self.coef_ + self.intercept_
+        return X @ np.asarray(self.coef_).T + np.asarray(self.intercept_)
 
     def predict_proba(self, X):
-        p1 = self._proba1(X)
-        return np.column_stack([1 - p1, p1])
+        z = self.decision_function(X)
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        if len(self.classes_) == 2:
+            return np.column_stack([1 - p, p])
+        denom = p.sum(axis=1, keepdims=True)
+        denom[denom == 0.0] = 1.0
+        return p / denom
 
     def predict_log_proba(self, X):
         return np.log(self.predict_proba(X))
 
     def predict(self, X):
-        p1 = self._proba1(X)
-        return np.where(p1 >= 0.5, self.classes_[1], self.classes_[0])
+        proba = self.predict_proba(X)
+        return self.classes_[np.argmax(proba, axis=1)]
+
+
+class PriorClassifier(BaseEstimator):
+    """Predicts the train-set majority class (min label on ties);
+    ``predict_proba`` = train class rates. Closed-form and
+    SQL-expressible — the engine's classification differential-oracle
+    estimator (the categorical analog of MeanRegressor)."""
+
+    def __init__(self):
+        self.classes_: Optional[np.ndarray] = None
+        self.rates_: Optional[np.ndarray] = None
+        self.majority_: Any = None
+
+    def fit(self, X, y, sample_weight=None):
+        yraw = np.asarray(y)
+        self.classes_, counts = np.unique(yraw, return_counts=True)
+        if sample_weight is not None:
+            w = _as_1d(sample_weight)
+            counts = np.array(
+                [w[yraw == c].sum() for c in self.classes_]
+            )
+        self.rates_ = counts / counts.sum()
+        # np.argmax takes the FIRST max -> min label on ties (classes_
+        # is sorted), reproducible in SQL as (count DESC, class ASC)
+        self.majority_ = self.classes_[int(np.argmax(counts))]
+        return self
+
+    def predict(self, X):
+        return np.full(len(X), self.majority_)
+
+    def predict_proba(self, X):
+        return np.tile(self.rates_, (len(X), 1))
 
 
 class StandardScaler(BaseEstimator):

@@ -29,17 +29,15 @@ from ..plans.fold_spec import FoldSpec, build_fold_spec
 __all__ = ["PanelSplit", "fold_stats", "drop_splits", "date_period_bounds"]
 
 
-def date_period_bounds(pattern: str) -> Callable[[Any], Tuple[Any, Any]]:
-    """Map a formatted period string back to raw-timestamp bounds
-    ``[lo, hi)`` — the inverse needed to make fold predicates **sargable
-    on the scan column** when periods are derived via
-    ``date_format(ts, pattern)`` (a monotone transform).
+class _DatePeriodBounds:
+    """Picklable period→raw-bounds mapper (a closure would break the
+    fitted-pipeline pickle protocol, reference pipeline.py:1145-1244)."""
 
-    Supports the common panel granularities ``yyyy``, ``yyyy-MM``,
-    ``yyyy-MM-dd``.
-    """
+    def __init__(self, pattern: str) -> None:
+        self.pattern = pattern
 
-    def bounds(period: str) -> Tuple[Any, Any]:
+    def __call__(self, period: str) -> Tuple[Any, Any]:
+        pattern = self.pattern
         if pattern == "yyyy":
             y = int(period)
             return (
@@ -60,7 +58,17 @@ def date_period_bounds(pattern: str) -> Callable[[Any], Tuple[Any, Any]]:
             return lo, lo + datetime.timedelta(days=1)
         raise ValueError(f"Unsupported period pattern: {pattern}")
 
-    return bounds
+
+def date_period_bounds(pattern: str) -> Callable[[Any], Tuple[Any, Any]]:
+    """Map a formatted period string back to raw-timestamp bounds
+    ``[lo, hi)`` — the inverse needed to make fold predicates **sargable
+    on the scan column** when periods are derived via
+    ``date_format(ts, pattern)`` (a monotone transform).
+
+    Supports the common panel granularities ``yyyy``, ``yyyy-MM``,
+    ``yyyy-MM-dd``.
+    """
+    return _DatePeriodBounds(pattern)
 
 
 class PanelSplit:

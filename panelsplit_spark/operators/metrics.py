@@ -129,25 +129,96 @@ def _binary_counts(y_true, y_pred, pos_label=1):
     return tp, fp, fn
 
 
-def precision_score(y_true, y_pred, pos_label=1, zero_division=0.0):
-    tp, fp, _ = _binary_counts(y_true, y_pred, pos_label)
-    return float(tp / (tp + fp)) if tp + fp else float(zero_division)
+def _multiclass_counts(y_true, y_pred):
+    """Per-label (tp, fp, fn, support) over sorted unique labels of
+    y_true ∪ y_pred."""
+    y_true, y_pred = np.asarray(y_true), np.asarray(y_pred)
+    labels = np.unique(np.concatenate([y_true, y_pred]))
+    tp = np.array([np.sum((y_pred == c) & (y_true == c)) for c in labels])
+    fp = np.array([np.sum((y_pred == c) & (y_true != c)) for c in labels])
+    fn = np.array([np.sum((y_pred != c) & (y_true == c)) for c in labels])
+    support = np.array([np.sum(y_true == c) for c in labels])
+    return labels, tp, fp, fn, support
 
 
-def recall_score(y_true, y_pred, pos_label=1, zero_division=0.0):
-    tp, _, fn = _binary_counts(y_true, y_pred, pos_label)
-    return float(tp / (tp + fn)) if tp + fn else float(zero_division)
+def _safe_div(num, den, zero_division):
+    num, den = np.asarray(num, float), np.asarray(den, float)
+    out = np.full(num.shape, float(zero_division))
+    nz = den != 0
+    out[nz] = num[nz] / den[nz]
+    return out
 
 
-def f1_score(y_true, y_pred, pos_label=1, zero_division=0.0):
-    p = precision_score(y_true, y_pred, pos_label, zero_division)
-    r = recall_score(y_true, y_pred, pos_label, zero_division)
-    return float(2 * p * r / (p + r)) if p + r else float(zero_division)
+def _averaged_prf(
+    y_true, y_pred, num_fn, den_fn, average, pos_label, zero_division
+):
+    """Shared machinery for precision/recall/jaccard-style ratios:
+    ``num_fn/den_fn`` map (tp, fp, fn) → numerator/denominator arrays."""
+    if average == "binary":
+        tp, fp, fn = _binary_counts(y_true, y_pred, pos_label)
+        num, den = num_fn(tp, fp, fn), den_fn(tp, fp, fn)
+        return float(num / den) if den else float(zero_division)
+    if average == "samples":
+        raise ValueError(
+            "average='samples' requires multilabel targets, which this "
+            "engine does not support"
+        )
+    _, tp, fp, fn, support = _multiclass_counts(y_true, y_pred)
+    if average == "micro":
+        num, den = num_fn(tp.sum(), fp.sum(), fn.sum()), den_fn(
+            tp.sum(), fp.sum(), fn.sum()
+        )
+        return float(num / den) if den else float(zero_division)
+    vals = _safe_div(
+        num_fn(tp, fp, fn), den_fn(tp, fp, fn), zero_division
+    )
+    if average == "macro":
+        return float(np.mean(vals))
+    if average == "weighted":
+        if support.sum() == 0:
+            return float(zero_division)
+        return float(np.average(vals, weights=support))
+    raise ValueError(f"Unknown average {average!r}")
 
 
-def jaccard_score(y_true, y_pred, pos_label=1, zero_division=0.0):
-    tp, fp, fn = _binary_counts(y_true, y_pred, pos_label)
-    return float(tp / (tp + fp + fn)) if tp + fp + fn else float(zero_division)
+def precision_score(
+    y_true, y_pred, pos_label=1, zero_division=0.0, average="binary"
+):
+    return _averaged_prf(
+        y_true, y_pred,
+        lambda tp, fp, fn: tp, lambda tp, fp, fn: tp + fp,
+        average, pos_label, zero_division,
+    )
+
+
+def recall_score(
+    y_true, y_pred, pos_label=1, zero_division=0.0, average="binary"
+):
+    return _averaged_prf(
+        y_true, y_pred,
+        lambda tp, fp, fn: tp, lambda tp, fp, fn: tp + fn,
+        average, pos_label, zero_division,
+    )
+
+
+def f1_score(
+    y_true, y_pred, pos_label=1, zero_division=0.0, average="binary"
+):
+    return _averaged_prf(
+        y_true, y_pred,
+        lambda tp, fp, fn: 2 * tp, lambda tp, fp, fn: 2 * tp + fp + fn,
+        average, pos_label, zero_division,
+    )
+
+
+def jaccard_score(
+    y_true, y_pred, pos_label=1, zero_division=0.0, average="binary"
+):
+    return _averaged_prf(
+        y_true, y_pred,
+        lambda tp, fp, fn: tp, lambda tp, fp, fn: tp + fp + fn,
+        average, pos_label, zero_division,
+    )
 
 
 def matthews_corrcoef(y_true, y_pred):
@@ -174,24 +245,35 @@ def log_loss(y_true, y_proba, eps=1e-15):
     return float(-np.mean(yb * np.log(p) + (1 - yb) * np.log(1 - p)))
 
 
-def brier_score_loss(y_true, y_proba):
-    y_true = np.asarray(y_true)
-    p = np.asarray(y_proba, float)
-    if p.ndim == 2:
-        p = p[:, 1]
-    classes = np.unique(y_true)
-    yb = (y_true == classes[-1]).astype(float)
-    return float(np.mean((p - yb) ** 2))
-
-
-def roc_auc_score(y_true, y_score):
-    """Binary AUC via the rank statistic (ties get midranks)."""
+def _pos_scores(y_true, y_score, pos_label=None):
+    """Resolve (binary indicator, positive-class scores) honoring
+    ``pos_label`` (reference utils/_response.py:13-73): with a 2-column
+    proba matrix the pos_label's column is selected; with 1-D scores the
+    sign flips when pos_label is the smaller class."""
     y_true = np.asarray(y_true)
     s = np.asarray(y_score, float)
-    if s.ndim == 2:
-        s = s[:, 1]
     classes = np.unique(y_true)
-    yb = y_true == classes[-1]
+    pos = classes[-1] if pos_label is None else pos_label
+    if s.ndim == 2:
+        if s.shape[1] == 1:
+            s = s[:, 0]
+        else:
+            idx = int(np.where(classes == pos)[0][0]) if pos in classes else 1
+            s = s[:, idx]
+    elif pos_label is not None and len(classes) == 2 and pos == classes[0]:
+        s = -s
+    return (y_true == pos), s
+
+
+def brier_score_loss(y_true, y_proba, pos_label=None):
+    yb, p = _pos_scores(y_true, y_proba, pos_label)
+    return float(np.mean((p - yb.astype(float)) ** 2))
+
+
+def _binary_auc(yb, s):
+    """AUC of boolean yb vs scores s via the midrank statistic."""
+    yb = np.asarray(yb, bool)
+    s = np.asarray(s, float)
     n_pos, n_neg = int(yb.sum()), int((~yb).sum())
     if n_pos == 0 or n_neg == 0:
         raise ValueError("roc_auc undefined with a single class")
@@ -207,16 +289,62 @@ def roc_auc_score(y_true, y_score):
         ranks[order[i : j + 1]] = (r + r + (j - i)) / 2.0
         r += j - i + 1
         i = j + 1
-    return float((ranks[yb].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+    return float(
+        (ranks[yb].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    )
 
 
-def average_precision_score(y_true, y_score):
+def roc_auc_score(
+    y_true,
+    y_score,
+    multi_class="raise",
+    average="macro",
+    pos_label=None,
+):
+    """AUC: binary via the rank statistic; multiclass via one-vs-rest
+    (``multi_class='ovr'``) or all-pairs one-vs-one (``'ovo'``), averaged
+    macro or prevalence-weighted (reference registers roc_auc_ovr/ovo
+    [_weighted] through sklearn; formulas per Hand & Till (2001))."""
     y_true = np.asarray(y_true)
     s = np.asarray(y_score, float)
-    if s.ndim == 2:
-        s = s[:, 1]
     classes = np.unique(y_true)
-    yb = (y_true == classes[-1]).astype(int)
+    if len(classes) <= 2 and (s.ndim == 1 or s.shape[1] <= 2):
+        yb, s1 = _pos_scores(y_true, y_score, pos_label)
+        return _binary_auc(yb, s1)
+    if multi_class == "raise":
+        raise ValueError(
+            "multiclass targets need multi_class='ovr' or 'ovo'"
+        )
+    if s.ndim != 2 or s.shape[1] != len(classes):
+        raise ValueError(
+            "multiclass roc_auc needs an (n, n_classes) probability "
+            "matrix aligned to the sorted class labels"
+        )
+    support = np.array([np.sum(y_true == c) for c in classes], float)
+    if multi_class == "ovr":
+        aucs = [
+            _binary_auc(y_true == c, s[:, i])
+            for i, c in enumerate(classes)
+        ]
+        w = support if average == "weighted" else None
+        return float(np.average(aucs, weights=w))
+    if multi_class == "ovo":
+        pair_aucs, pair_w = [], []
+        for i in range(len(classes)):
+            for j in range(i + 1, len(classes)):
+                mask = (y_true == classes[i]) | (y_true == classes[j])
+                a_ij = _binary_auc(y_true[mask] == classes[i], s[mask, i])
+                a_ji = _binary_auc(y_true[mask] == classes[j], s[mask, j])
+                pair_aucs.append((a_ij + a_ji) / 2.0)
+                pair_w.append(support[i] + support[j])
+        w = pair_w if average == "weighted" else None
+        return float(np.average(pair_aucs, weights=w))
+    raise ValueError(f"Unknown multi_class {multi_class!r}")
+
+
+def average_precision_score(y_true, y_score, pos_label=None):
+    yb, s = _pos_scores(y_true, y_score, pos_label)
+    yb = yb.astype(int)
     order = np.argsort(-s, kind="mergesort")
     yb = yb[order]
     tp = np.cumsum(yb)
@@ -225,6 +353,280 @@ def average_precision_score(y_true, y_score):
     if n_pos == 0:
         return 0.0
     return float(np.sum(precision * yb) / n_pos)
+
+
+def top_k_accuracy_score(y_true, y_score, k=2):
+    """Fraction of rows whose true label is among the k highest scores.
+    1-D scores are treated as decision values of the greater class
+    (score matrix [−s, s]); ties count in the row's favor."""
+    y_true = np.asarray(y_true)
+    s = np.asarray(y_score, float)
+    classes = np.unique(y_true)
+    if s.ndim == 1:
+        s = np.column_stack([-s, s])
+    if s.shape[1] < len(classes):
+        raise ValueError("y_score has fewer columns than classes")
+    hits = 0
+    for r in range(len(y_true)):
+        ci = int(np.where(classes == y_true[r])[0][0])
+        n_greater = int(np.sum(s[r] > s[r, ci]))
+        hits += n_greater < k
+    return float(hits / max(len(y_true), 1))
+
+
+def class_likelihood_ratios(y_true, y_pred, replace_undefined_by=1.0):
+    """(LR+, LR−) of a binary classifier: sensitivity/(1−specificity)
+    and (1−sensitivity)/specificity, undefined ratios replaced."""
+    y_true, y_pred = np.asarray(y_true), np.asarray(y_pred)
+    classes = np.unique(y_true)
+    pos = classes[-1]
+    tp = np.sum((y_pred == pos) & (y_true == pos))
+    fn = np.sum((y_pred != pos) & (y_true == pos))
+    fp = np.sum((y_pred == pos) & (y_true != pos))
+    tn = np.sum((y_pred != pos) & (y_true != pos))
+    sens = tp / (tp + fn) if tp + fn else np.nan
+    spec = tn / (tn + fp) if tn + fp else np.nan
+    lr_pos = (
+        sens / (1 - spec)
+        if np.isfinite(sens) and np.isfinite(spec) and spec < 1
+        else replace_undefined_by
+    )
+    lr_neg = (
+        (1 - sens) / spec
+        if np.isfinite(sens) and np.isfinite(spec) and spec > 0
+        else replace_undefined_by
+    )
+    return float(lr_pos), float(lr_neg)
+
+
+def positive_likelihood_ratio(y_true, y_pred):
+    return class_likelihood_ratios(y_true, y_pred)[0]
+
+
+def negative_likelihood_ratio(y_true, y_pred):
+    return class_likelihood_ratios(y_true, y_pred)[1]
+
+
+# ----------------------------------------------------------------------
+# deviance / D² regression scores
+# ----------------------------------------------------------------------
+
+
+def _xlogy(x, y):
+    x, y = np.asarray(x, float), np.asarray(y, float)
+    out = np.zeros(np.broadcast(x, y).shape)
+    nz = x != 0
+    out[nz] = (x * np.log(np.where(nz, y, 1.0)))[nz]
+    return out
+
+
+def mean_poisson_deviance(y_true, y_pred, sample_weight=None):
+    y, p = np.asarray(y_true, float), np.asarray(y_pred, float)
+    if np.any(p <= 0) or np.any(y < 0):
+        raise ValueError("poisson deviance needs y_pred > 0 and y >= 0")
+    dev = 2 * (_xlogy(y, y / p) - y + p)
+    return float(np.average(dev, weights=sample_weight))
+
+
+def mean_gamma_deviance(y_true, y_pred, sample_weight=None):
+    y, p = np.asarray(y_true, float), np.asarray(y_pred, float)
+    if np.any(p <= 0) or np.any(y <= 0):
+        raise ValueError("gamma deviance needs y_pred > 0 and y > 0")
+    dev = 2 * (np.log(p / y) + y / p - 1)
+    return float(np.average(dev, weights=sample_weight))
+
+
+def d2_absolute_error_score(y_true, y_pred):
+    """1 − |err| deviance vs the median-predictor null model."""
+    y, p = np.asarray(y_true, float), np.asarray(y_pred, float)
+    num = np.sum(np.abs(y - p))
+    den = np.sum(np.abs(y - np.median(y)))
+    if den == 0.0:
+        return 1.0 if num == 0.0 else 0.0
+    return float(1.0 - num / den)
+
+
+def d2_brier_score(y_true, y_proba):
+    """1 − Brier(y, p) / Brier(y, base rate)."""
+    yb, p = _pos_scores(y_true, y_proba, None)
+    yb = yb.astype(float)
+    num = np.mean((p - yb) ** 2)
+    base = np.mean(yb)
+    den = np.mean((base - yb) ** 2)
+    if den == 0.0:
+        return 1.0 if num == 0.0 else 0.0
+    return float(1.0 - num / den)
+
+
+def d2_log_loss_score(y_true, y_proba, eps=1e-15):
+    """1 − log_loss(y, p) / log_loss(y, base rate)."""
+    yb, p = _pos_scores(y_true, y_proba, None)
+    yb = yb.astype(float)
+    p = np.clip(p, eps, 1 - eps)
+    num = -np.mean(yb * np.log(p) + (1 - yb) * np.log(1 - p))
+    base = np.clip(np.mean(yb), eps, 1 - eps)
+    den = -np.mean(yb * np.log(base) + (1 - yb) * np.log(1 - base))
+    if den == 0.0:
+        return 1.0 if num == 0.0 else 0.0
+    return float(1.0 - num / den)
+
+
+# ----------------------------------------------------------------------
+# clustering (supervised label-agreement) metrics — contingency-based
+# ----------------------------------------------------------------------
+
+
+def _contingency(labels_true, labels_pred):
+    a = np.asarray(labels_true)
+    b = np.asarray(labels_pred)
+    ca, ia = np.unique(a, return_inverse=True)
+    cb, ib = np.unique(b, return_inverse=True)
+    m = np.zeros((len(ca), len(cb)), dtype=np.int64)
+    np.add.at(m, (ia, ib), 1)
+    return m
+
+
+def _comb2(x):
+    x = np.asarray(x, float)
+    return x * (x - 1) / 2.0
+
+
+def rand_score(labels_true, labels_pred):
+    m = _contingency(labels_true, labels_pred)
+    n = m.sum()
+    total = _comb2(n)
+    if total == 0:
+        return 1.0
+    same = _comb2(m).sum()
+    a = _comb2(m.sum(axis=1)).sum()
+    b = _comb2(m.sum(axis=0)).sum()
+    # agreements = pairs together in both + pairs apart in both
+    return float((total + 2 * same - a - b) / total)
+
+
+def adjusted_rand_score(labels_true, labels_pred):
+    m = _contingency(labels_true, labels_pred)
+    n = m.sum()
+    idx = _comb2(m).sum()
+    a = _comb2(m.sum(axis=1)).sum()
+    b = _comb2(m.sum(axis=0)).sum()
+    total = _comb2(n)
+    if total == 0:
+        return 1.0
+    expected = a * b / total
+    max_idx = (a + b) / 2.0
+    if max_idx == expected:
+        return 1.0
+    return float((idx - expected) / (max_idx - expected))
+
+
+def mutual_info_score(labels_true, labels_pred):
+    m = _contingency(labels_true, labels_pred).astype(float)
+    n = m.sum()
+    if n == 0:
+        return 0.0
+    pij = m / n
+    pi = pij.sum(axis=1, keepdims=True)
+    pj = pij.sum(axis=0, keepdims=True)
+    nz = pij > 0
+    return float(np.sum(pij[nz] * np.log((pij / (pi @ pj))[nz])))
+
+
+def _entropy(labels):
+    _, counts = np.unique(np.asarray(labels), return_counts=True)
+    p = counts / counts.sum()
+    return float(-np.sum(p * np.log(p)))
+
+
+def normalized_mutual_info_score(labels_true, labels_pred):
+    mi = mutual_info_score(labels_true, labels_pred)
+    h1, h2 = _entropy(labels_true), _entropy(labels_pred)
+    if h1 == 0.0 and h2 == 0.0:
+        return 1.0
+    denom = (h1 + h2) / 2.0  # arithmetic mean (sklearn default)
+    if denom == 0.0:
+        return 0.0
+    return float(mi / denom)
+
+
+def _expected_mutual_info(m):
+    """Expected MI under the hypergeometric null (Vinh et al. 2010),
+    via log-gamma to stay stable at any count."""
+    from math import exp, lgamma, log
+
+    m = np.asarray(m, dtype=np.int64)
+    n = int(m.sum())
+    a = m.sum(axis=1).astype(int)
+    b = m.sum(axis=0).astype(int)
+    emi = 0.0
+    for ai in a:
+        for bj in b:
+            lo = max(1, ai + bj - n)
+            hi = min(ai, bj)
+            for nij in range(lo, hi + 1):
+                # hypergeometric pmf P(nij) in log space
+                log_p = (
+                    lgamma(ai + 1)
+                    + lgamma(bj + 1)
+                    + lgamma(n - ai + 1)
+                    + lgamma(n - bj + 1)
+                    - lgamma(n + 1)
+                    - lgamma(nij + 1)
+                    - lgamma(ai - nij + 1)
+                    - lgamma(bj - nij + 1)
+                    - lgamma(n - ai - bj + nij + 1)
+                )
+                emi += (
+                    (nij / n) * log(n * nij / (ai * bj)) * exp(log_p)
+                )
+    return emi
+
+
+def adjusted_mutual_info_score(labels_true, labels_pred):
+    m = _contingency(labels_true, labels_pred)
+    mi = mutual_info_score(labels_true, labels_pred)
+    h1, h2 = _entropy(labels_true), _entropy(labels_pred)
+    if h1 == 0.0 and h2 == 0.0:
+        return 1.0
+    emi = _expected_mutual_info(m)
+    denom = (h1 + h2) / 2.0 - emi
+    if denom == 0.0:
+        return 1.0 if mi == emi else 0.0
+    return float((mi - emi) / denom)
+
+
+def homogeneity_score(labels_true, labels_pred):
+    h_c = _entropy(labels_true)
+    if h_c == 0.0:
+        return 1.0
+    mi = mutual_info_score(labels_true, labels_pred)
+    return float(mi / h_c)
+
+
+def completeness_score(labels_true, labels_pred):
+    h_k = _entropy(labels_pred)
+    if h_k == 0.0:
+        return 1.0
+    mi = mutual_info_score(labels_true, labels_pred)
+    return float(mi / h_k)
+
+
+def v_measure_score(labels_true, labels_pred):
+    h = homogeneity_score(labels_true, labels_pred)
+    c = completeness_score(labels_true, labels_pred)
+    if h + c == 0.0:
+        return 0.0
+    return float(2 * h * c / (h + c))
+
+
+def fowlkes_mallows_score(labels_true, labels_pred):
+    m = _contingency(labels_true, labels_pred)
+    tk = _comb2(m).sum()
+    pk = _comb2(m.sum(axis=1)).sum()
+    qk = _comb2(m.sum(axis=0)).sum()
+    if pk == 0.0 or qk == 0.0:
+        return 0.0
+    return float(tk / np.sqrt(pk * qk))
 
 
 # ----------------------------------------------------------------------
@@ -412,7 +814,8 @@ class _Scorer:
         y_col = y_col or getattr(estimator, "y_col", None)
         if y_col is None:
             raise ValueError("y_col required (pass explicitly or set on estimator)")
-        preds = estimator.predict_df(df, method=self._response_method)
+        method = resolve_response_method(estimator, self._response_method)
+        preds = estimator.predict_df(df, method=method)
         return self.score_from_preds(preds, y_col)
 
     def score_from_preds(
@@ -434,6 +837,27 @@ class _Scorer:
         return [self._sign * by_fold[k] for k in sorted(by_fold)]
 
 
+def resolve_response_method(estimator: Any, response_method) -> str:
+    """Pick the first response method the estimator supports from a
+    name or fallback tuple (reference metrics.py:613-625 registers
+    scorers with ``("decision_function", "predict_proba")``)."""
+    methods = (
+        (response_method,)
+        if isinstance(response_method, str)
+        else tuple(response_method)
+    )
+    sup = getattr(estimator, "_supports", None)
+    for m in methods:
+        if sup is not None:
+            if sup(m):
+                return m
+        elif hasattr(estimator, m):
+            return m
+    raise AttributeError(
+        f"Estimator {estimator!r} supports none of {methods}"
+    )
+
+
 def make_SequentialCV_scorer(
     score_func: Callable,
     greater_is_better: bool = True,
@@ -451,10 +875,16 @@ def make_SequentialCV_scorer(
 
 
 _REGISTRY: Dict[str, Callable[[], _Scorer]] = {
-    # regression
+    # regression (reference metrics.py:554-592)
     "r2": lambda: make_SequentialCV_scorer(r2_score),
     "explained_variance": lambda: make_SequentialCV_scorer(
         explained_variance_score
+    ),
+    "neg_max_error": lambda: make_SequentialCV_scorer(
+        max_error, greater_is_better=False
+    ),
+    "max_error": lambda: make_SequentialCV_scorer(
+        max_error, greater_is_better=False
     ),
     "neg_mean_squared_error": lambda: make_SequentialCV_scorer(
         mean_squared_error, greater_is_better=False
@@ -477,25 +907,65 @@ _REGISTRY: Dict[str, Callable[[], _Scorer]] = {
     "neg_root_mean_squared_log_error": lambda: make_SequentialCV_scorer(
         root_mean_squared_log_error, greater_is_better=False
     ),
-    "max_error": lambda: make_SequentialCV_scorer(
-        max_error, greater_is_better=False
+    # deviances + D² (reference metrics.py:580-592)
+    "neg_mean_poisson_deviance": lambda: make_SequentialCV_scorer(
+        mean_poisson_deviance, greater_is_better=False
     ),
-    # classification (label-based)
+    "neg_mean_gamma_deviance": lambda: make_SequentialCV_scorer(
+        mean_gamma_deviance, greater_is_better=False
+    ),
+    "d2_absolute_error_score": lambda: make_SequentialCV_scorer(
+        d2_absolute_error_score
+    ),
+    "d2_brier_score": lambda: make_SequentialCV_scorer(
+        d2_brier_score, response_method="predict_proba"
+    ),
+    "d2_log_loss_score": lambda: make_SequentialCV_scorer(
+        d2_log_loss_score, response_method="predict_proba"
+    ),
+    # classification, label-based (reference metrics.py:594-610)
     "accuracy": lambda: make_SequentialCV_scorer(accuracy_score),
     "balanced_accuracy": lambda: make_SequentialCV_scorer(
         balanced_accuracy_score
     ),
-    "precision": lambda: make_SequentialCV_scorer(precision_score),
-    "recall": lambda: make_SequentialCV_scorer(recall_score),
-    "f1": lambda: make_SequentialCV_scorer(f1_score),
-    "jaccard": lambda: make_SequentialCV_scorer(jaccard_score),
     "matthews_corrcoef": lambda: make_SequentialCV_scorer(matthews_corrcoef),
-    # classification (probability/score-based)
+    "positive_likelihood_ratio": lambda: make_SequentialCV_scorer(
+        positive_likelihood_ratio
+    ),
+    "neg_negative_likelihood_ratio": lambda: make_SequentialCV_scorer(
+        negative_likelihood_ratio, greater_is_better=False
+    ),
+    # classification, score/probability-based with decision-function
+    # fallback tuples (reference metrics.py:613-645)
+    "top_k_accuracy": lambda: make_SequentialCV_scorer(
+        top_k_accuracy_score,
+        response_method=("decision_function", "predict_proba"),
+    ),
     "roc_auc": lambda: make_SequentialCV_scorer(
-        roc_auc_score, response_method="predict_proba"
+        roc_auc_score,
+        response_method=("decision_function", "predict_proba"),
     ),
     "average_precision": lambda: make_SequentialCV_scorer(
-        average_precision_score, response_method="predict_proba"
+        average_precision_score,
+        response_method=("decision_function", "predict_proba"),
+    ),
+    "roc_auc_ovr": lambda: make_SequentialCV_scorer(
+        roc_auc_score, response_method="predict_proba", multi_class="ovr"
+    ),
+    "roc_auc_ovo": lambda: make_SequentialCV_scorer(
+        roc_auc_score, response_method="predict_proba", multi_class="ovo"
+    ),
+    "roc_auc_ovr_weighted": lambda: make_SequentialCV_scorer(
+        roc_auc_score,
+        response_method="predict_proba",
+        multi_class="ovr",
+        average="weighted",
+    ),
+    "roc_auc_ovo_weighted": lambda: make_SequentialCV_scorer(
+        roc_auc_score,
+        response_method="predict_proba",
+        multi_class="ovo",
+        average="weighted",
     ),
     "neg_log_loss": lambda: make_SequentialCV_scorer(
         log_loss, greater_is_better=False, response_method="predict_proba"
@@ -505,7 +975,51 @@ _REGISTRY: Dict[str, Callable[[], _Scorer]] = {
         greater_is_better=False,
         response_method="predict_proba",
     ),
+    # clustering / supervised label agreement (reference
+    # metrics.py:659-668)
+    "adjusted_rand_score": lambda: make_SequentialCV_scorer(
+        adjusted_rand_score
+    ),
+    "rand_score": lambda: make_SequentialCV_scorer(rand_score),
+    "homogeneity_score": lambda: make_SequentialCV_scorer(
+        homogeneity_score
+    ),
+    "completeness_score": lambda: make_SequentialCV_scorer(
+        completeness_score
+    ),
+    "v_measure_score": lambda: make_SequentialCV_scorer(v_measure_score),
+    "mutual_info_score": lambda: make_SequentialCV_scorer(
+        mutual_info_score
+    ),
+    "adjusted_mutual_info_score": lambda: make_SequentialCV_scorer(
+        adjusted_mutual_info_score
+    ),
+    "normalized_mutual_info_score": lambda: make_SequentialCV_scorer(
+        normalized_mutual_info_score
+    ),
+    "fowlkes_mallows_score": lambda: make_SequentialCV_scorer(
+        fowlkes_mallows_score
+    ),
 }
+
+# precision/recall/f1/jaccard × {binary, macro, micro, samples, weighted}
+# (reference metrics.py:707-724 loop)
+for _name, _metric in [
+    ("precision", precision_score),
+    ("recall", recall_score),
+    ("f1", f1_score),
+    ("jaccard", jaccard_score),
+]:
+    _REGISTRY[_name] = (
+        lambda m=_metric: make_SequentialCV_scorer(m, average="binary")
+    )
+    for _avg in ["macro", "micro", "samples", "weighted"]:
+        _REGISTRY[f"{_name}_{_avg}"] = (
+            lambda m=_metric, a=_avg: make_SequentialCV_scorer(
+                m, pos_label=None, average=a
+            )
+        )
+del _name, _metric, _avg
 
 SCORER_NAMES = sorted(_REGISTRY)
 

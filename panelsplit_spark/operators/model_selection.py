@@ -112,7 +112,14 @@ class BaseSearch:
         verbose: int = 0,
         error_score: Any = np.nan,
         return_train_score: bool = False,
+        fold_weights: Optional[Sequence[float]] = None,
     ) -> None:
+        if getattr(estimator, "include_indices", False):
+            # reference model_selection.py:126-128: scorers force
+            # include_indices themselves; a pre-set True would double-wrap
+            raise ValueError(
+                "Searched pipelines must have include_indices=False"
+            )
         self.estimator = estimator
         self.scoring = scoring
         self.n_jobs = n_jobs
@@ -120,6 +127,7 @@ class BaseSearch:
         self.verbose = verbose
         self.error_score = error_score
         self.return_train_score = return_train_score
+        self.fold_weights = fold_weights
 
     # subclasses yield candidate param dicts
     def _candidates(self) -> List[Dict[str, Any]]:
@@ -282,11 +290,14 @@ class BaseSearch:
         """Score all metrics, computing (and caching) ONE prediction pass
         per distinct response method — the reference's scorer result
         cache (metrics.py:173-194) in DataFrame form."""
+        from .metrics import resolve_response_method
+
         by_method: Dict[str, List[Tuple[str, Any]]] = {}
         for mname, scorer in scorers.items():
-            by_method.setdefault(
-                getattr(scorer, "_response_method", "predict"), []
-            ).append((mname, scorer))
+            method = resolve_response_method(
+                pipe, getattr(scorer, "_response_method", "predict")
+            )
+            by_method.setdefault(method, []).append((mname, scorer))
         for method, group in by_method.items():
             preds = pipe.predict_df(df, method=method)
             if len(group) > 1:
@@ -415,10 +426,24 @@ class BaseSearch:
                         mat[i, j] = s
                 for j in range(n_splits):
                     out[f"split{j}_{prefix}_{mname}"] = mat[:, j]
-                means = np.nanmean(mat, axis=1)
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore")
-                    stds = np.nanstd(mat, axis=1)
+                    # weighted mean/std over folds (reference
+                    # model_selection.py:843-858): with fold weights,
+                    # mean = np.average and std = sqrt of the weighted
+                    # average squared deviation; without, NaN-skipping
+                    # uniform statistics
+                    w = self.fold_weights
+                    if w is None:
+                        means = np.nanmean(mat, axis=1)
+                        stds = np.nanstd(mat, axis=1)
+                    else:
+                        w = np.asarray(w, dtype=float)
+                        means = np.average(mat, axis=1, weights=w)
+                        diffs = mat - means[:, None]
+                        stds = np.sqrt(
+                            np.average(diffs ** 2, axis=1, weights=w)
+                        )
                 means[np.all(np.isnan(mat), axis=1)] = np.nan
                 out[f"mean_{prefix}_{mname}"] = means
                 out[f"std_{prefix}_{mname}"] = stds
@@ -449,6 +474,14 @@ class BaseSearch:
     def transform(self, df: DataFrame):
         self._check_refit("transform")
         return self.best_estimator_.transform(df)
+
+    def decision_function(self, df: DataFrame):
+        self._check_refit("decision_function")
+        return self.best_estimator_.decision_function(df)
+
+    def score_samples(self, df: DataFrame):
+        self._check_refit("score_samples")
+        return self.best_estimator_.score_samples(df)
 
     def score(self, df: DataFrame):
         self._check_refit("score")

@@ -391,6 +391,12 @@ class SequentialCVPipeline:
     def transform(self, df: DataFrame) -> DataFrame:
         return self.predict_df(df, "transform")
 
+    def decision_function(self, df: DataFrame) -> DataFrame:
+        return self.predict_df(df, "decision_function")
+
+    def score_samples(self, df: DataFrame) -> DataFrame:
+        return self.predict_df(df, "score_samples")
+
     def fit_predict(self, df: DataFrame, y_col: Optional[str] = None
                     ) -> DataFrame:
         return self.fit(df, y_col).predict(df)

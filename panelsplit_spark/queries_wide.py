@@ -573,8 +573,86 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+# ======================================================================
+# classification CV with a scorer-registry metric (oracle-checked)
+# ======================================================================
+
+
+def q_cv_cls_prior_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classification CV end-to-end: PriorClassifier
+    (majority-class, the categorical MeanRegressor analog) OOF-predicted
+    per fold, scored with the registry 'accuracy' fast path. Every
+    output is an exact count ratio — deterministic without rounding.
+    Oracle recomputes the per-fold train majority (count DESC, label
+    ASC) and test accuracy in SQL."""
+    from .estimators import PriorClassifier
+    from .operators.application import cross_val_fit_predict
+    from .operators.metrics import per_fold_scores
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    evl = ev.withColumn(
+        "label", (F.col("event_type") == "purchase").cast("int")
+    )
+    preds, _ = cross_val_fit_predict(
+        PriorClassifier(), evl, ["hod"], "label", ps,
+        keep_cols=["event_id", "label"],
+    )
+    preds = preds.cache()
+    acc = per_fold_scores(preds, "label", "prediction", "accuracy")
+    stats = preds.groupBy("fold_id").agg(
+        F.max("prediction").cast("long").alias("majority"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        acc.join(stats, "fold_id")
+        .select(
+            F.col("fold_id").cast("long").alias("fold_id"),
+            F.col("score").alias("accuracy"),
+            "majority",
+            "n",
+        )
+    )
+
+
+def _sql_cv_cls_prior_acc() -> str:
+    from .queries import _EV_PERIOD, _FOLD_CTE
+
+    return f"""
+WITH {_FOLD_CTE},
+eva AS (
+  SELECT event_id, {_EV_PERIOD} AS period,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+trm AS (
+  SELECT a.fold_id, e.label, count(*) AS c
+  FROM assign a JOIN eva e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id, e.label
+),
+maj AS (
+  SELECT fold_id, label AS majority FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY fold_id ORDER BY c DESC, label ASC
+    ) AS rn FROM trm
+  ) WHERE rn = 1
+)
+SELECT a.fold_id,
+       avg(CASE WHEN e.label = m.majority THEN 1.0 ELSE 0.0 END)
+         AS accuracy,
+       CAST(m.majority AS BIGINT) AS majority,
+       count(*) AS n
+FROM assign a
+JOIN eva e ON e.period = a.period
+JOIN maj m ON m.fold_id = a.fold_id
+WHERE a.role = 'test'
+GROUP BY a.fold_id, m.majority
+"""
+
+
 QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_ridge_grid": q_search_ridge_grid,
+    "cv_cls_prior_acc": q_cv_cls_prior_acc,
     "rel_cube_revenue": q_rel_cube_revenue,
     "rel_cust_no_orders": q_rel_cust_no_orders,
     "rel_top_orders_per_cust": q_rel_top_orders_per_cust,
@@ -590,6 +668,7 @@ QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def oracles3() -> Dict[str, str]:
     return {
         "search_ridge_grid": _sql_search_ridge_grid(),
+        "cv_cls_prior_acc": _sql_cv_cls_prior_acc(),
         "rel_cube_revenue": _SQL_CUBE,
         "rel_cust_no_orders": _SQL_CUST_NO_ORDERS,
         "rel_top_orders_per_cust": _SQL_TOP_ORDERS,

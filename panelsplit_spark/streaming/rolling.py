@@ -145,6 +145,7 @@ def stream_sessionize(
     value_col: str = "value",
     gap_seconds: float = 1800.0,
     session_col: str = "session_id",
+    lateness: Optional[str] = None,
 ) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-entity session assignment over an unbounded stream, emitting
@@ -158,11 +159,24 @@ def stream_sessionize(
     (last event time, current session id) — a handful of longs per
     entity, independent of stream length.
 
+    **Event-time ordering.** With ``lateness=None`` (fast path) the
+    operator requires per-entity event-time-ordered arrival ACROSS
+    micro-batches (rows inside a batch are sorted per entity): a
+    multi-file backfill can split one entity's history across batches
+    out of order and mis-assign sessions. Pass ``lateness`` (e.g.
+    ``"2 hours"``) to run the watermark-buffered mode instead: events
+    buffer in per-entity state and are emitted — sorted, exactly once —
+    only after the watermark (max seen event time − lateness) passes
+    them, so any disorder within the lateness bound yields byte-identical
+    sessions to the batch sessionizer. An event-time state timeout
+    flushes residual buffers as the watermark advances past end-of-
+    stream. State per entity = the events inside the lateness horizon —
+    bounded, watermark-evicted.
+
     Scale: state is partitioned by ``entity_col`` (one shuffle per
-    micro-batch, same key-partitioning a batch window would need); rows
-    inside a micro-batch are sorted per entity inside the task. Built-in
-    ``F.session_window`` covers the aggregate-only case; this keeps every
-    row so downstream per-event features can use the id.
+    micro-batch, same key-partitioning a batch window would need).
+    Built-in ``F.session_window`` covers the aggregate-only case; this
+    keeps every row so downstream per-event features can use the id.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -171,38 +185,105 @@ def stream_sessionize(
         f"{entity_col} long, {ts_col} timestamp, {value_col} double, "
         f"{session_col} long"
     )
-    state_schema = "last_us long, sid long"
 
-    def fn(key, pdfs, state):
-        import pandas as pd
-
-        (uid,) = key
-        if state.exists:
-            last_us, sid = state.get
-        else:
-            last_us, sid = None, 0
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ts_col, kind="mergesort"
-        )
+    def assign(ts_us_list, last_us, sid):
         sids = []
-        for t in rows[ts_col]:
-            t_us = t.value // 1000  # pandas ns -> engine µs
+        for t_us in ts_us_list:
             if last_us is None or t_us - last_us > gap_us:
                 sid += 1
             last_us = t_us
             sids.append(sid)
-        state.update((int(last_us), int(sid)))
-        out = rows[[entity_col, ts_col, value_col]].copy()
-        out[session_col] = sids
-        yield out
+        return sids, last_us, sid
 
-    return (
-        stream_df.groupBy(entity_col)
-        .applyInPandasWithState(
+    if lateness is None:
+        state_schema = "last_us long, sid long"
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+
+            (uid,) = key
+            if state.exists:
+                last_us, sid = state.get
+            else:
+                last_us, sid = None, 0
+            rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+                ts_col, kind="mergesort"
+            )
+            ts_us = [t.value // 1000 for t in rows[ts_col]]
+            sids, last_us, sid = assign(ts_us, last_us, sid)
+            state.update((int(last_us), int(sid)))
+            out = rows[[entity_col, ts_col, value_col]].copy()
+            out[session_col] = sids
+            yield out
+
+        return stream_df.groupBy(entity_col).applyInPandasWithState(
             fn,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    state_schema = (
+        "last_us long, sid long, buf_ts array<long>, buf_val array<double>"
+    )
+
+    def fn_buffered(key, pdfs, state):
+        import pandas as pd
+
+        (uid,) = key
+        if state.exists:
+            last_us, sid, buf_ts, buf_val = state.get
+            buf = list(zip(buf_ts or [], buf_val or []))
+        else:
+            last_us, sid, buf = None, 0, []
+        flush_all = state.hasTimedOut
+        if not flush_all:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            buf += [
+                (t.value // 1000, v)
+                for t, v in zip(rows[ts_col], rows[value_col])
+            ]
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        cut = len(buf) if flush_all else sum(
+            1 for t, _ in buf if t <= wm_us
+        )
+        emit, hold = buf[:cut], buf[cut:]
+        sids, last_us, sid = assign([t for t, _ in emit], last_us, sid)
+        if hold:
+            state.update((
+                last_us if last_us is None else int(last_us),
+                int(sid),
+                [t for t, _ in hold],
+                [v for _, v in hold],
+            ))
+            # fire as soon as the watermark advances again, so buffers
+            # drain at end-of-stream via the no-data micro-batch
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        elif flush_all:
+            state.remove()
+        else:
+            state.update((int(last_us) if last_us is not None else None,
+                          int(sid), [], []))
+        if emit:
+            yield pd.DataFrame({
+                entity_col: uid,
+                ts_col: pd.to_datetime(
+                    [t * 1000 for t, _ in emit], unit="ns", utc=False
+                ),
+                value_col: [v for _, v in emit],
+                session_col: sids,
+            })
+
+    return (
+        stream_df.withWatermark(ts_col, lateness)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            fn_buffered,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

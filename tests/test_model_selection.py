@@ -3,6 +3,7 @@ error_score, multimetric (reference tests/test_search.py semantics)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from panelsplit_spark import PanelSplit, Ridge
 from panelsplit_spark.operators.model_selection import (
@@ -154,6 +155,88 @@ def test_return_train_score(spark, panel):
 class _SlowRidge(Ridge):
     """Subclass falls outside the exact-type closed-form checks,
     forcing the generic per-candidate fit/score path."""
+
+
+def test_fitted_pipeline_pickle_roundtrip(spark, panel):
+    """A fitted SequentialCVPipeline (per-fold models + fold spec +
+    sargable period_bounds) must survive pickle and predict identically
+    (reference pipeline.py:1145-1244 pickle protocol)."""
+    import pickle
+
+    from panelsplit_spark.operators.cross_validation import (
+        date_period_bounds,
+    )
+
+    df = panel.withColumn(
+        "pstr", F.format_string("2024-01-%02d", F.col("period"))
+    )
+    ps = PanelSplit(
+        df, "pstr", n_splits=3,
+        period_bounds=date_period_bounds("yyyy-MM-dd"),
+    )
+    pipe = SequentialCVPipeline(
+        [("reg", Ridge(alpha=1.0))], [ps], ["x1", "x2"], y_col="y"
+    )
+    pipe.fit(df)
+    clone = pickle.loads(pickle.dumps(pipe))
+    a = sorted(
+        (r["period"], r["fold_id"], round(r["prediction"], 9))
+        for r in pipe.predict(df).collect()
+    )
+    b = sorted(
+        (r["period"], r["fold_id"], round(r["prediction"], 9))
+        for r in clone.predict(df).collect()
+    )
+    assert a == b and len(a) > 0
+    assert [n for n, _ in clone.steps] == ["reg"]
+
+
+def test_search_delegates_decision_function_and_asserts_indices(
+    spark, panel
+):
+    """decision_function/score_samples forward to best_estimator_;
+    include_indices=True pipelines are rejected at construction
+    (reference model_selection.py:126-128, 138-375)."""
+    from panelsplit_spark import LogisticRegression
+
+    df = panel.withColumn("label", (F.col("x2") > 0.0).cast("int"))
+    ps = PanelSplit(df, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("clf", LogisticRegression())], [ps], ["x1", "x2"],
+        y_col="label",
+    )
+    gs = GridSearch(pipe, {"clf__l2": [1e-6]}, scoring="accuracy")
+    gs.fit(df)
+    z = gs.decision_function(df).collect()
+    assert len(z) > 0  # OOF rows forwarded through best_estimator_
+    with pytest.raises(AttributeError):
+        gs.score_samples(df)  # final estimator lacks score_samples
+    bad = SequentialCVPipeline(
+        [("clf", LogisticRegression())], [ps], ["x1", "x2"],
+        y_col="label", include_indices=True,
+    )
+    with pytest.raises(ValueError, match="include_indices"):
+        GridSearch(bad, {"clf__l2": [1e-6]}, scoring="accuracy")
+
+
+def test_weighted_std_in_cv_results(spark, panel):
+    """fold_weights reproduce the reference's weighted mean/std formula
+    (model_selection.py:843-858)."""
+    import numpy as np
+
+    w = [1.0, 2.0, 3.0]
+    gs = GridSearch(
+        _pipe(panel), {"reg__alpha": [1.0]},
+        scoring="neg_mean_squared_error", refit=False, fold_weights=w,
+    )
+    gs.fit(panel)
+    splits = np.array([
+        gs.cv_results_[f"split{j}_test_score"][0] for j in range(3)
+    ])
+    mean = np.average(splits, weights=w)
+    std = np.sqrt(np.average((splits - mean) ** 2, weights=w))
+    assert gs.cv_results_["mean_test_score"][0] == pytest.approx(mean)
+    assert gs.cv_results_["std_test_score"][0] == pytest.approx(std)
 
 
 def test_sweep_bails_on_return_group_train(spark, panel):

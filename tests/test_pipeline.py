@@ -146,6 +146,36 @@ def test_classes_union(spark, panel):
     assert list(pipe.classes_) == [0, 1]
 
 
+def test_multiclass_logreg_and_classes_union(spark, panel):
+    """OvR multiclass LogisticRegression keeps the classes_/proba
+    contract through a CV pipeline (reference pipeline.py:1032-1103
+    handles multiclass through sklearn)."""
+    df = panel.withColumn(  # x2 takes values 1..4 in the fixture
+        "label",
+        F.when(F.col("x2") > 3.0, 2)
+        .when(F.col("x2") > 1.5, 1)
+        .otherwise(0),
+    )
+    ps = PanelSplit(df, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("clf", LogisticRegression())], [ps], ["x1", "x2"], y_col="label"
+    )
+    pipe.fit(df)
+    assert list(pipe.classes_) == [0, 1, 2]
+    preds = pipe.predict(df).collect()
+    assert {r["prediction"] for r in preds} <= {0.0, 1.0, 2.0}
+    proba = pipe.predict_proba(df).collect()
+    for r in proba[:20]:
+        assert len(r["prediction"]) == 3
+        assert sum(r["prediction"]) == pytest.approx(1.0)
+    # the label rule is an x2 threshold: OvR should recover it well
+    # (predict_df passes the label column through)
+    import numpy as np
+
+    acc = np.mean([float(r["prediction"]) == r["label"] for r in preds])
+    assert acc > 0.8
+
+
 def test_classes_on_regressor_raises(spark, panel):
     pipe = SequentialCVPipeline(
         [("reg", LinearRegression())], [None], ["x1", "x2"], y_col="y"
