@@ -1,0 +1,172 @@
+"""Differential test vs the reference implementation (SURVEY §5 oracle b).
+
+Runs /root/reference panelsplit (read-only import) on a tiny panel
+fixture and asserts the engine produces identical fold periods, OOF
+predictions, and per-fold MSE.
+
+The reference hard-depends on ``narwhals`` and ``sklearn``, which are
+not installed in this container (and installs are disallowed). When the
+import fails, the test falls back to ``_ReferenceReplica`` — a
+positional-pandas/numpy transliteration of the reference's documented
+semantics (unique-period TimeSeriesSplit folds, ``np.isin`` row masks,
+per-fold fit + argsort OOF reassembly; cross_validation.py:93-201,
+application.py:54-297). The replica is an independent implementation in
+the reference's paradigm (integer row positions), while the engine is
+predicate/DataFrame based — so agreement is still a meaningful
+cross-check, like the DuckDB SQL oracle but row-positional.
+"""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from panelsplit_spark import LinearRegression, MeanRegressor, PanelSplit
+from panelsplit_spark.operators.application import cross_val_fit_predict
+from panelsplit_spark.operators.metrics import per_fold_scores
+
+
+def _load_reference():
+    sys.path.insert(0, "/root/reference")
+    try:
+        from panelsplit.cross_validation import PanelSplit as RefPS
+
+        return RefPS
+    except Exception:
+        return None
+    finally:
+        sys.path.pop(0)
+
+
+class _ReferenceReplica:
+    """Reference semantics, transliterated: splits on the unique-period
+    axis (cross_validation.py:107-137), rows selected by
+    ``np.isin(periods, fold_periods)`` (cross_validation.py:159-201)."""
+
+    def __init__(self, periods, n_splits=2, gap=0, test_size=1,
+                 max_train_size=None):
+        u = np.sort(pd.unique(np.asarray(periods)))
+        n = len(u)
+        folds = []
+        for i in range(n_splits):
+            # sklearn TimeSeriesSplit index math: test blocks of
+            # test_size from the tail, expanding train minus gap,
+            # optionally capped at max_train_size
+            test_lo = n - (n_splits - i) * test_size
+            test_hi = test_lo + test_size
+            train_hi = test_lo - gap
+            train_lo = 0
+            if max_train_size is not None:
+                train_lo = max(0, train_hi - max_train_size)
+            folds.append((u[train_lo:train_hi], u[test_lo:test_hi]))
+        self._u_periods_cv = folds
+        self.periods = np.asarray(periods)
+        self.train_test_splits = [
+            (
+                np.where(np.isin(self.periods, tr))[0],
+                np.where(np.isin(self.periods, te))[0],
+            )
+            for tr, te in folds
+        ]
+
+    def split(self, X=None, y=None, groups=None):
+        return self.train_test_splits
+
+
+def _ref_cv_fit_predict(est_factory, X, y, splits):
+    """Reference cross_val_fit_predict semantics (application.py:160-297):
+    per-fold clone/fit/predict, concat, argsort back to row order."""
+    idx_all, preds_all, fold_mse = [], [], {}
+    for fid, (tr, te) in enumerate(splits):
+        m = est_factory()
+        m.fit(X[tr], y[tr])
+        p = np.asarray(m.predict(X[te]), dtype=float)
+        idx_all.append(te)
+        preds_all.append(p)
+        fold_mse[fid] = float(np.mean((y[te] - p) ** 2))
+    idx = np.concatenate(idx_all)
+    preds = np.concatenate(preds_all)
+    order = np.argsort(idx, kind="mergesort")
+    return idx[order], preds[order], fold_mse
+
+
+@pytest.fixture(scope="module")
+def tiny_panel():
+    rng = np.random.default_rng(7)
+    rows = []
+    for p in range(1, 11):  # 10 periods
+        for e in range(4):  # 4 entities
+            x = float(rng.normal())
+            y = 2.5 * x + 0.5 + float(rng.normal() * 0.05)
+            rows.append((p, e, x, y))
+    return pd.DataFrame(rows, columns=["period", "entity", "x", "y"])
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(n_splits=3),
+    dict(n_splits=4, gap=1, test_size=2, max_train_size=3),
+])
+def test_fold_periods_match_reference(spark, tiny_panel, kwargs):
+    RefPS = _load_reference()
+    if RefPS is not None:
+        ref = RefPS(pd.Series(tiny_panel["period"]), **kwargs)
+        ref_folds = ref._u_periods_cv
+    else:
+        ref_folds = _ReferenceReplica(
+            tiny_panel["period"].to_numpy(), **kwargs
+        )._u_periods_cv
+    sdf = spark.createDataFrame(tiny_panel)
+    ps = PanelSplit(sdf, "period", **kwargs)
+    assert len(ps._u_periods_cv) == len(ref_folds)
+    for (etr, ete), (rtr, rte) in zip(ps._u_periods_cv, ref_folds):
+        assert list(etr) == list(rtr)
+        assert list(ete) == list(rte)
+
+
+@pytest.mark.parametrize("est_name", ["mean", "ols"])
+def test_oof_predictions_and_mse_match_reference(
+    spark, tiny_panel, est_name
+):
+    RefPS = _load_reference()
+    pdf = tiny_panel.sort_values(["period", "entity"]).reset_index(
+        drop=True
+    )
+    X = pdf[["x"]].to_numpy()
+    y = pdf["y"].to_numpy()
+    if RefPS is not None:
+        splits = RefPS(pd.Series(pdf["period"]), n_splits=3).split()
+    else:
+        splits = _ReferenceReplica(
+            pdf["period"].to_numpy(), n_splits=3
+        ).split()
+
+    if est_name == "mean":
+        factory = MeanRegressor
+    else:
+        factory = LinearRegression
+    ref_idx, ref_preds, ref_mse = _ref_cv_fit_predict(
+        factory, X, y, splits
+    )
+
+    sdf = spark.createDataFrame(pdf.reset_index(names="row_id"))
+    ps = PanelSplit(sdf, "period", n_splits=3)
+    preds, _ = cross_val_fit_predict(
+        factory(), sdf, ["x"], "y", ps, keep_cols=["row_id", "y"]
+    )
+    got = preds.select("row_id", "fold_id", "prediction", "y").collect()
+    got_by_row = {r["row_id"]: r for r in got}
+    assert sorted(got_by_row) == list(ref_idx)
+    for i, p in zip(ref_idx, ref_preds):
+        assert got_by_row[int(i)]["prediction"] == pytest.approx(
+            p, rel=1e-9, abs=1e-12
+        )
+    eng_mse = {
+        r["fold_id"]: r["score"]
+        for r in per_fold_scores(
+            preds, "y", "prediction", "mse"
+        ).collect()
+    }
+    for fid, m in ref_mse.items():
+        assert eng_mse[fid] == pytest.approx(m, rel=1e-9)
