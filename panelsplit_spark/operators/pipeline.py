@@ -48,6 +48,52 @@ def _is_passthrough(est: Any) -> bool:
     return est is None or (isinstance(est, str) and est == "passthrough")
 
 
+#: cached y-signature reflection per (type name, method) — reference
+#: pipeline.py:83,86-162 (fixes issue #59: score() needs y, predict()
+#: doesn't, and transformers may fit on X alone)
+_METHOD_SIGNATURE_CACHE: Dict[Tuple[str, str], Tuple[bool, bool]] = {}
+
+
+def _y_signature(model: Any, method_name: str) -> Tuple[bool, bool]:
+    """(accepts_y, requires_y) for ``model.method_name``, cached."""
+    import inspect
+
+    key = (type(model).__name__, method_name)
+    if key not in _METHOD_SIGNATURE_CACHE:
+        try:
+            params = inspect.signature(
+                getattr(model, method_name)
+            ).parameters
+            has_y = "y" in params
+            required = (
+                has_y
+                and params["y"].default is inspect.Parameter.empty
+            )
+            _METHOD_SIGNATURE_CACHE[key] = (has_y, required)
+        except Exception:
+            _METHOD_SIGNATURE_CACHE[key] = (False, False)
+    return _METHOD_SIGNATURE_CACHE[key]
+
+
+def _call_method_with_correct_args(
+    model: Any, method_name: str, X: Any, y: Any = None
+) -> Any:
+    """Call ``model.method_name`` passing y only if the signature takes
+    it; raise if y is required but None (reference pipeline.py:86-162)."""
+    has_y, required = _y_signature(model, method_name)
+    if has_y:
+        if required and y is None:
+            raise ValueError(
+                f"Method {method_name!r} requires y parameter but y is None"
+            )
+        return (
+            getattr(model, method_name)(X, y)
+            if y is not None
+            else getattr(model, method_name)(X)
+        )
+    return getattr(model, method_name)(X)
+
+
 class SequentialCVPipeline:
     """Sequentially-fitted CV pipeline (reference pipeline.py:272-1244).
 
@@ -250,13 +296,19 @@ class SequentialCVPipeline:
         y_col = self.y_col
         feats = list(features)
 
+        # reflect the fit signature DRIVER-side (cached) and ship plain
+        # booleans into the task — reference pipeline.py:86-162 semantics
+        accepts_y, requires_y = _y_signature(est0, "fit")
+        if requires_y and y_col is None:
+            raise ValueError(
+                f"Method 'fit' of {type(est0).__name__} requires y "
+                "parameter but y_col is None"
+            )
+
         def fit_fn(pdf):
             e = clone(est0)
-            if y_col is not None and hasattr(e, "fit"):
-                try:
-                    e.fit(pdf[feats], pdf[y_col])
-                except TypeError:
-                    e.fit(pdf[feats])
+            if accepts_y and y_col is not None:
+                e.fit(pdf[feats], pdf[y_col])
             else:
                 e.fit(pdf[feats])
             return pd.DataFrame({"model": [pickle.dumps(e)]})
@@ -449,6 +501,28 @@ class SequentialCVPipeline:
                 "Final estimator has no classes_ (not a classifier)"
             )
         return np.unique(np.concatenate(all_classes))
+
+    @property
+    def _estimator_type(self):
+        """Copied from the final step (reference pipeline.py:322-366) so
+        sklearn-protocol callers can classify the pipeline."""
+        final = self._final_estimator()
+        t = getattr(final, "_estimator_type", None)
+        if t is None and hasattr(final, "predict_proba"):
+            return "classifier"
+        return t
+
+    def __sklearn_tags__(self):
+        """Delegate sklearn tags to the final estimator (reference
+        pipeline.py:1105-1143); raises AttributeError when the final
+        step doesn't implement the tags protocol so ``hasattr`` checks
+        stay accurate."""
+        final = self._final_estimator()
+        if hasattr(final, "__sklearn_tags__"):
+            return final.__sklearn_tags__()
+        raise AttributeError(
+            f"{type(final).__name__} does not implement __sklearn_tags__"
+        )
 
     def __repr__(self) -> str:
         inner = ", ".join(

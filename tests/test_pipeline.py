@@ -146,6 +146,97 @@ def test_classes_union(spark, panel):
     assert list(pipe.classes_) == [0, 1]
 
 
+class XOnlyScaler:
+    """fit(X) — no y parameter at all (module level: executor tasks
+    pickle the fitted instance)."""
+
+    def get_params(self, deep=True):
+        return {}
+
+    def fit(self, X):
+        self.mean_ = X.mean(axis=0)
+        return self
+
+    def transform(self, X):
+        return X - self.mean_
+
+
+class NeedsY:
+    def get_params(self, deep=True):
+        return {}
+
+    def fit(self, X, y):  # y REQUIRED
+        self.n_ = len(y)
+        return self
+
+    def predict(self, X):
+        import numpy as np
+
+        return np.zeros(len(X))
+
+
+def test_y_signature_reflection(spark, panel):
+    """Reference pipeline.py:86-162 (issue #59): methods that take y
+    get it, methods that don't are called with X alone, and a
+    REQUIRED y with y_col=None raises."""
+    from panelsplit_spark.operators.pipeline import (
+        _METHOD_SIGNATURE_CACHE,
+        _call_method_with_correct_args,
+    )
+
+    # X-only transformer fits inside a pipeline step
+    pipe = SequentialCVPipeline(
+        [("sc", XOnlyScaler()), ("reg", LinearRegression())],
+        [None, None], ["x1", "x2"], y_col="y",
+    )
+    pipe.fit(panel)
+    assert pipe.predict(panel).count() == panel.count()
+    assert ("XOnlyScaler", "fit") in _METHOD_SIGNATURE_CACHE
+
+    # required-y estimator + y_col=None raises the reference's error
+    bad = SequentialCVPipeline(
+        [("m", NeedsY())], [None], ["x1", "x2"], y_col=None
+    )
+    with pytest.raises(ValueError, match="requires y"):
+        bad.fit(panel)
+
+    # direct utility parity
+    import numpy as np
+
+    m = NeedsY().fit(np.zeros((3, 1)), [1, 2, 3])
+    assert list(
+        _call_method_with_correct_args(m, "predict", np.zeros((2, 1)))
+    ) == [0.0, 0.0]
+    with pytest.raises(ValueError, match="requires y"):
+        _call_method_with_correct_args(m, "fit", np.zeros((2, 1)))
+
+
+def test_estimator_type_and_sklearn_tags(spark, panel):
+    df = panel.withColumn("label", (F.col("x2") > 2.0).cast("int"))
+    clf_pipe = SequentialCVPipeline(
+        [("clf", LogisticRegression())], [None], ["x1", "x2"],
+        y_col="label",
+    )
+    assert clf_pipe._estimator_type == "classifier"
+
+    class Tagged(LinearRegression):
+        _estimator_type = "regressor"
+
+        def __sklearn_tags__(self):
+            return {"requires_y": True}
+
+    tag_pipe = SequentialCVPipeline(
+        [("reg", Tagged())], [None], ["x1", "x2"], y_col="y"
+    )
+    assert tag_pipe._estimator_type == "regressor"
+    assert tag_pipe.__sklearn_tags__() == {"requires_y": True}
+    plain = SequentialCVPipeline(
+        [("reg", LinearRegression())], [None], ["x1", "x2"], y_col="y"
+    )
+    with pytest.raises(AttributeError):
+        plain.__sklearn_tags__()
+
+
 def test_multiclass_logreg_and_classes_union(spark, panel):
     """OvR multiclass LogisticRegression keeps the classes_/proba
     contract through a CV pipeline (reference pipeline.py:1032-1103
