@@ -312,3 +312,40 @@ def test_duplicate_step_names_rejected(spark):
             [None, None],
             ["x1"],
         )
+
+
+def test_pickle_roundtrip_fitted(spark, panel):
+    """A FITTED pipeline round-trips pickle (reference
+    pipeline.py:1145-1244): fitted per-fold models, slicing state, and
+    predictions all survive dumps/loads. Our fitted state is
+    driver-local plain Python by construction (cross_val_fit collects
+    models), so no __getstate__ scrubbing is needed — this test pins
+    that contract."""
+    import pickle
+
+    ps1 = PanelSplit(panel, "period", n_splits=3,
+                     include_first_train_in_test=True)
+    ps2 = PanelSplit(panel, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        steps=[("scale", StandardScaler()), ("reg", LinearRegression())],
+        cv_steps=[ps1, ps2],
+        feature_cols=["x1", "x2"],
+        y_col="y",
+    )
+    pipe.fit(panel)
+    clone = pickle.loads(pickle.dumps(pipe))
+
+    a = pipe.predict_df(panel).orderBy("period", "y").collect()
+    b = clone.predict_df(panel).orderBy("period", "y").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    # sliced sub-pipeline keeps fitted state through pickle too
+    sub = pickle.loads(pickle.dumps(clone[:1]))
+    assert sub.transform(panel).count() == panel.count()
+
+    # unfitted pipelines pickle as well (config-only state)
+    fresh = pickle.loads(pickle.dumps(SequentialCVPipeline(
+        [("reg", LinearRegression())], [None], ["x1", "x2"], y_col="y",
+    )))
+    fresh.fit(panel)
+    assert fresh.predict(panel).count() == panel.count()
