@@ -323,3 +323,9 @@ from .queries_wide import QUERIES3, oracles3  # noqa: E402
 
 QUERIES.update(QUERIES3)
 ORACLES.update(oracles3())
+
+# corpus/NLP + relational-breadth registry (part 4)
+from .queries_nlp import ORACLES4, QUERIES4  # noqa: E402
+
+QUERIES.update(QUERIES4)
+ORACLES.update(ORACLES4)

@@ -1,0 +1,345 @@
+"""Query registry, part 4: corpus/NLP analytics and relational-breadth
+additions (pivot, exact percentiles, window gallery, grouping sets).
+
+Same cross-engine determinism rules as queries.py: string periods,
+``round(x, 6)`` on every floating output in BOTH engines, identical
+aliases, integer-cents exact sums, and *exactly comparable* ranking keys
+(single IEEE divisions, never multi-term float sums) wherever a LIMIT or
+row_number makes row membership order-dependent.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.hashing import word_tokens
+from .sources.tables import load_table
+
+_DUCK_TOKS = "string_split(lower(text), ' ')"
+
+TOPTERMS_N = 100
+TFIDF_TOP = 3
+
+# ======================================================================
+# corpus vocabulary
+# ======================================================================
+
+
+def q_text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary: top-N terms by frequency over the whole corpus.
+
+    Shape at scale: explode is a narrow transformation; the count is one
+    partial-aggregated shuffle on the term key; top-N is a
+    TakeOrderedAndProject (no global sort materialization). Ties broken
+    by term so the LIMIT membership is deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(TOPTERMS_N)
+    )
+
+
+_SQL_TOPTERMS = f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest({_DUCK_TOKS}) AS term FROM documents)
+WHERE length(term) > 0
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT {TOPTERMS_N}
+"""
+
+
+# ======================================================================
+# tf-idf top terms per document
+# ======================================================================
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP`` terms per document.
+
+    The *ranking key* is ``tf / df`` — a single IEEE division, bit-equal
+    on any engine — with a term tiebreak, so row membership under the
+    per-doc top-k is deterministic. The reported ``tfidf`` value is the
+    classic ``tf * ln(N / df)`` (rounded to 6 dp). Document frequency is
+    one grouped count; N is a scalar broadcast; no all-pairs anything.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+        )
+        .where(F.length("term") > 0)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("nd"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("nd") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+_SQL_TFIDF = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+),
+t AS (SELECT doc_id, term FROM terms WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, nd.nd,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * 1.0 / df.df DESC, tf.term
+         ) AS rk
+  FROM tf JOIN df USING (term), nd
+)
+SELECT doc_id, term, tf, df, round(tf * ln(nd * 1.0 / df), 6) AS tfidf
+FROM ranked WHERE rk <= {TFIDF_TOP}
+"""
+
+
+# ======================================================================
+# pivot
+# ======================================================================
+
+_PRIORITIES = [
+    ("1-URGENT", "p1"),
+    ("2-HIGH", "p2"),
+    ("3-MEDIUM", "p3"),
+    ("4-NOT SPECIFIED", "p4"),
+    ("5-LOW", "p5"),
+]
+
+
+def q_rel_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders pivoted: one row per order status, one (count, cents)
+    column pair per priority. Pivot values are supplied explicitly so the
+    plan is a single grouped aggregate — no extra distinct-values job.
+    Sums are exact integer cents (order-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    cols = [F.col("o_orderstatus")]
+    for p, short in _PRIORITIES:
+        cols.append(
+            F.coalesce(F.col(f"`{p}_n`"), F.lit(0)).alias(f"{short}_n")
+        )
+        cols.append(
+            F.coalesce(F.col(f"`{p}_cents`"), F.lit(0)).alias(
+                f"{short}_cents"
+            )
+        )
+    return piv.select(*cols)
+
+
+def _sql_pivot() -> str:
+    parts = []
+    for p, short in _PRIORITIES:
+        parts.append(
+            f"count(*) FILTER (WHERE o_orderpriority = '{p}')"
+            f" AS {short}_n"
+        )
+        parts.append(
+            f"coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            f" FILTER (WHERE o_orderpriority = '{p}'), 0)"
+            f" AS {short}_cents"
+        )
+    return (
+        "SELECT o_orderstatus, "
+        + ", ".join(parts)
+        + " FROM orders GROUP BY o_orderstatus"
+    )
+
+
+# ======================================================================
+# exact percentiles
+# ======================================================================
+
+_PCTS = [0.25, 0.5, 0.75, 0.9]
+
+
+def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag —
+    Spark's ``percentile`` (exact, linear interpolation), matching
+    DuckDB's ``quantile_cont``. One grouped aggregate; the per-group sort
+    happens inside the aggregate buffer, not as a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = ", ".join(f"{p}D" for p in _PCTS)
+    g = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({arr}))").alias("ps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cols = [F.col("l_returnflag"), F.col("n")]
+    for i, p in enumerate(_PCTS):
+        name = f"p{int(p * 100)}"
+        cols.append(F.round(F.col("ps")[i], 6).alias(name))
+    return g.select(*cols)
+
+
+def _sql_percentiles() -> str:
+    parts = [
+        f"round(quantile_cont(l_extendedprice, {p}), 6)"
+        f" AS p{int(p * 100)}"
+        for p in _PCTS
+    ]
+    return (
+        "SELECT l_returnflag, count(*) AS n, "
+        + ", ".join(parts)
+        + " FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+# ======================================================================
+# window-function gallery
+# ======================================================================
+
+
+def q_rel_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist / lead / max-over per
+    market segment, ordered by account balance. Two window specs share
+    ONE partitioning (single shuffle on c_mktsegment): the ranking family
+    orders by balance alone (ties rank equally — engine-independent);
+    row_number and lead add the custkey tiebreak so their row identity is
+    deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    by_bal = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc()
+    )
+    by_bal_key = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 6).alias("bal"),
+        F.row_number().over(by_bal_key).alias("rn"),
+        F.rank().over(by_bal).alias("rnk"),
+        F.dense_rank().over(by_bal).alias("drk"),
+        F.round(F.percent_rank().over(by_bal), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(by_bal), 6).alias("cume"),
+        F.round(
+            F.coalesce(F.lead("c_acctbal", 1).over(by_bal_key), F.lit(-1.0)),
+            6,
+        ).alias("next_bal"),
+        F.round(F.max("c_acctbal").over(seg), 6).alias("seg_max"),
+    )
+
+
+_SQL_WINDOW_GALLERY = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 6) AS bal,
+       row_number() OVER w2 AS rn,
+       rank() OVER w1 AS rnk,
+       dense_rank() OVER w1 AS drk,
+       round(percent_rank() OVER w1, 6) AS pct_rank,
+       round(cume_dist() OVER w1, 6) AS cume,
+       round(coalesce(lead(c_acctbal, 1) OVER w2, -1.0), 6) AS next_bal,
+       round(max(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
+         AS seg_max
+FROM customer
+WINDOW w1 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+       w2 AS (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# ======================================================================
+# grouping sets
+# ======================================================================
+
+
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the existing rollup/cube queries)
+    with a grouping_id disambiguator — one Expand + one aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                 AS gid,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority),
+          (o_orderstatus),
+          (o_orderpriority),
+          ()
+        )
+        """
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority),
+  (o_orderstatus),
+  (o_orderpriority),
+  ()
+)
+"""
+
+
+# ======================================================================
+# registry
+# ======================================================================
+
+QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_topterms": q_text_topterms,
+    "text_tfidf": q_text_tfidf,
+    "rel_pivot_priority": q_rel_pivot_priority,
+    "rel_percentiles": q_rel_percentiles,
+    "rel_window_gallery": q_rel_window_gallery,
+    "rel_grouping_sets": q_rel_grouping_sets,
+}
+
+ORACLES4: Dict[str, str] = {
+    "text_topterms": _SQL_TOPTERMS,
+    "text_tfidf": _SQL_TFIDF,
+    "rel_pivot_priority": _sql_pivot(),
+    "rel_percentiles": _sql_percentiles(),
+    "rel_window_gallery": _SQL_WINDOW_GALLERY,
+    "rel_grouping_sets": _SQL_GROUPING_SETS,
+}
