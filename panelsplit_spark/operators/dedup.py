@@ -51,6 +51,7 @@ __all__ = [
     "simhash_near_pairs",
     "embedding_lsh_candidate_pairs",
     "embedding_near_duplicates",
+    "connected_components",
 ]
 
 
@@ -529,4 +530,71 @@ def embedding_near_duplicates(
             cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster labels from a near-dup pair list: every node
+    gets the MINIMUM id reachable in its connected component →
+    ``(id, cluster)``. This is the step that turns pairwise LSH/SimHash
+    hits into dedup groups (keep ``id == cluster``, drop the rest).
+
+    Distributed min-label propagation: each round joins the current
+    labels across the symmetrized edge list and takes the per-node min —
+    two shuffles per round, converging in O(component diameter) rounds
+    (near-dup clusters are shallow; star-contraction variants cut this
+    to O(log d) and keep the same per-round plan shape). The label frame
+    is ``localCheckpoint``-ed each round so the plan does not grow with
+    the iteration count — at production scale point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
+    in ``checkpoint``.
+
+    Wholly expressible as joins/aggregates — the oracle twin is a
+    recursive CTE computing min-over-transitive-closure.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"),
+        F.col(id_b).cast("long").alias("v"),
+    )
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vl").alias("nl"))
+        )
+        new = labels.join(nbr, "u", "left").select(
+            "u",
+            F.col("label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+            ).alias("label2"),
+        )
+        new = new.localCheckpoint(eager=True)
+        n_changed = (
+            new.where(F.col("label2") < F.col("label")).limit(1).count()
+        )
+        labels = new.select("u", F.col("label2").alias("label"))
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("id"), F.col("label").alias("cluster")
     )

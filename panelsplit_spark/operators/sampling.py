@@ -1,0 +1,105 @@
+"""Deterministic sampling / split-assignment operators.
+
+A training-data pipeline needs *reproducible* row routing: the same
+document must land in the same split on every run, on any cluster, from
+any engine — which rules out ``rand()`` and engine-native ``TABLESAMPLE``
+(both are partitioning- and engine-dependent). Everything here keys off
+``md5`` of the row id: pure codegen'd expressions, zero shuffles, and
+bit-identical in any engine with an md5 function.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_topn"]
+
+# basis points: split weights are resolved on a 0..9999 integer scale so
+# threshold comparisons are exact integer comparisons on both engines
+_BP = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000) from md5(id || salt): the first
+    8 hex digits as an integer, mod 10000. Changing ``salt`` re-deals
+    every row independently (use one salt per experiment)."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BP
+
+
+def duckdb_hash_bucket(id_expr: str, salt: str = "") -> str:
+    """The oracle twin of :func:`hash_bucket` as a DuckDB SQL expression."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({id_expr} AS VARCHAR),"
+        f" '{salt}')), 1, 8)) AS BIGINT) % {_BP}"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Optional[Dict[str, float]] = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a reproducible train/valid/test split.
+
+    ``weights`` maps split name → fraction (must sum to ~1); rows route
+    by ``hash_bucket`` thresholds, so membership is content-addressed:
+    stable under reruns, repartitioning, appends, and engine swaps. A
+    narrow projection — nothing shuffles, nothing is sampled twice.
+    """
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    items: Sequence[Tuple[str, float]] = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cut = int(round(acc / total * _BP))
+        cond = bucket < F.lit(cut)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    falls under the cutoff. Unlike ``DataFrame.sample`` this is stable
+    across runs/engines and composes with incremental loads (new rows
+    self-select with the same probability)."""
+    cut = int(round(fraction * _BP))
+    return df.where(hash_bucket(F.col(id_col), salt) < F.lit(cut))
+
+
+def stratified_topn(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows inside each
+    stratum by their hash bucket (id tiebreak) and keep the first n.
+    One shuffle on the stratum key; the rank is a window, not a sort of
+    the whole table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "hyperplane_signature",
     "lsh_topk",
     "ivf_topk",
+    "label_centroids",
 ]
 
 
@@ -252,4 +253,43 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Per-label embedding centroid in long form → (label, pos, n,
+    centroid): the mean of each vector component over the label group.
+
+    Determinism at scale: float sums are partition-order-dependent, so
+    each component is scaled to integer micro-units (exact float→double
+    promotion, one double multiply, round to long) and summed EXACTLY;
+    the final mean is one deterministic double division. Plan shape: one
+    posexplode (narrow) + one grouped aggregate with map-side partials —
+    shuffle carries (label, pos, partial-sum) only, never vectors.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos0", "val"),
+    ).select(
+        "label",
+        # 1-based to match SQL array subscripts
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val") * F.lit(scale)).cast("long").alias("mu"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("mu").alias("s"))
+        .select(
+            "label",
+            "pos",
+            "n",
+            F.round(F.col("s") / F.lit(scale) / F.col("n"), 6).alias(
+                "centroid"
+            ),
+        )
     )

@@ -323,6 +323,122 @@ GROUP BY GROUPING SETS (
 
 
 # ======================================================================
+# dedup clustering (pairs -> connected components)
+# ======================================================================
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs contracted into duplicate CLUSTERS:
+    every clustered doc labeled with the min doc_id of its component
+    (distributed min-label propagation over the pair graph). The oracle
+    recomputes the same components with a recursive CTE — an independent
+    transitive-closure implementation."""
+    from .operators import dedup
+    from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    return dedup.connected_components(pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    from .queries_data import _sql_minhash_lsh
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_sql_minhash_lsh().strip()}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u
+"""
+
+
+# ======================================================================
+# deterministic hash split / sampling
+# ======================================================================
+
+SPLIT_SALT = "exp1"
+SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def q_pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/valid/test routing of the corpus (md5-bucket
+    thresholds — content-addressed, engine-independent), summarized per
+    (split, lang). Narrow projection + one small aggregate."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(
+        docs, "doc_id", SPLIT_WEIGHTS, salt=SPLIT_SALT
+    )
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _sql_hash_split() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    b = duckdb_hash_bucket("doc_id", SPLIT_SALT)
+    return f"""
+WITH routed AS (
+  SELECT doc_id, lang,
+         CASE WHEN {b} < 8000 THEN 'train'
+              WHEN {b} < 9000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM routed GROUP BY split, lang
+"""
+
+
+# ======================================================================
+# embedding label centroids
+# ======================================================================
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form — exact integer-scaled
+    component sums (order-independent), one posexplode + one grouped
+    aggregate."""
+    from .operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+# NB: DuckDB evaluates FLOAT * DOUBLE-literal in float32 (the literal is
+# demoted); the explicit CAST forces the same float->double promotion
+# Spark applies, so per-element rounding is bit-identical.
+_SQL_LABEL_CENTROIDS = """
+SELECT label, i AS pos, count(*) AS n,
+       round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                      AS BIGINT))
+             / 1000000.0 / count(*), 6) AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -333,6 +449,9 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_percentiles": q_rel_percentiles,
     "rel_window_gallery": q_rel_window_gallery,
     "rel_grouping_sets": q_rel_grouping_sets,
+    "dedup_clusters": q_dedup_clusters,
+    "pipe_hash_split": q_pipe_hash_split,
+    "emb_label_centroids": q_emb_label_centroids,
 }
 
 ORACLES4: Dict[str, str] = {
@@ -342,4 +461,7 @@ ORACLES4: Dict[str, str] = {
     "rel_percentiles": _sql_percentiles(),
     "rel_window_gallery": _SQL_WINDOW_GALLERY,
     "rel_grouping_sets": _SQL_GROUPING_SETS,
+    "dedup_clusters": _sql_dedup_clusters(),
+    "pipe_hash_split": _sql_hash_split(),
+    "emb_label_centroids": _SQL_LABEL_CENTROIDS,
 }

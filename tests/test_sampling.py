@@ -1,0 +1,131 @@
+"""Deterministic sampling / split routing + dedup clustering +
+embedding centroids."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from panelsplit_spark.operators import sampling
+from panelsplit_spark.operators.dedup import connected_components
+from panelsplit_spark.operators.similarity import label_centroids
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_hash_split_fractions_and_determinism(spark, docs):
+    out = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1},
+        salt="s1",
+    )
+    counts = {
+        r["split"]: r["count"]
+        for r in out.groupBy("split").count().collect()
+    }
+    n = sum(counts.values())
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    # recomputing yields the identical assignment (content-addressed)
+    again = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1},
+        salt="s1",
+    )
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+    # a different salt re-deals rows
+    other = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1},
+        salt="s2",
+    )
+    moved = (
+        out.select("doc_id", "split")
+        .exceptAll(other.select("doc_id", "split"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_hash_sample_is_subset_and_stable(spark, docs):
+    s = sampling.hash_sample(docs, "doc_id", 0.25, salt="x")
+    n, ns = docs.count(), s.count()
+    assert 0 < ns < n
+    assert abs(ns / n - 0.25) < 0.08
+    # sampling the sample with the same salt is a no-op (same cutoff set)
+    assert sampling.hash_sample(s, "doc_id", 0.25, salt="x").count() == ns
+
+
+def test_stratified_topn_exact_counts(spark, docs):
+    out = sampling.stratified_topn(docs, "lang", "doc_id", 5, salt="y")
+    per = {
+        r["lang"]: r["count"]
+        for r in out.groupBy("lang").count().collect()
+    }
+    full = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    for lang, n_full in full.items():
+        assert per[lang] == min(5, n_full)
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["cluster"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path stresses the iteration bound (diameter 11)
+    edges = [(i, i + 1) for i in range(100, 111)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(pairs)
+    assert got.where(F.col("cluster") != 100).count() == 0
+    assert got.count() == 12
+
+
+def test_label_centroids_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = {
+        (r["label"], r["pos"]): (r["n"], r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    for label, vecs in by_label.items():
+        # Spark rounds HALF_UP (away from zero); np.round is banker's
+        def half_away(x):
+            return float(np.copysign(np.floor(abs(x) + 0.5), x))
+
+        arr = np.array(
+            [
+                [half_away(float(v) * 1e6) for v in vec]
+                for vec in vecs
+            ]
+        )
+        mu = arr.sum(axis=0) / 1e6 / len(vecs)
+        for j in range(arr.shape[1]):
+            n, c = out[(label, j + 1)]
+            assert n == len(vecs)
+            # rounding-mode parity is the oracle's job; here assert the
+            # centroid math to within one 6-dp rounding step
+            assert abs(c - mu[j]) < 1.01e-6
