@@ -439,6 +439,126 @@ GROUP BY label, i
 
 
 # ======================================================================
+# streaming exact dedup
+# ======================================================================
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication end-to-end: readStream over the events
+    parquet → stateful ``dropDuplicates`` on (user_id, event_type) →
+    availableNow drain to a memory sink. On a closed input the emitted
+    set must equal batch ``SELECT DISTINCT`` — which is the oracle."""
+    import os
+
+    from .sources.tables import configure
+    from .streaming.rolling import stream_distinct
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream_distinct(stream, ["user_id", "event_type"])
+    name = "stream_dedup_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type")
+
+
+_SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+# ======================================================================
+# sink -> source round-trips (CSV / JSON)
+# ======================================================================
+
+
+def _rt_dir(spark: SparkSession, leaf: str) -> str:
+    import os
+
+    base = os.path.join(os.getcwd(), "spark-warehouse", "roundtrip")
+    return os.path.join(base, leaf)
+
+
+def q_src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source gate: project documents → partitioned CSV (header)
+    → read back with explicit schema → aggregate. The aggregate must
+    equal computing directly on the parquet (the oracle) — proving the
+    CSV writer/reader round-trips values losslessly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _rt_dir(spark, "csv_docs")
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .schema("doc_id long, lang string, n_chars long")
+        .csv(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_SQL_CSV_ROUNDTRIP = """
+SELECT lang, count(*) AS n, sum(n_chars) AS chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY lang
+"""
+
+
+def q_src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source gate for JSON lines, including a nested struct column
+    — written, read back with explicit schema, unnested, aggregated."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.struct(
+            F.col("o_orderpriority").alias("prio"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ).alias("meta"),
+    )
+    path = _rt_dir(spark, "json_orders")
+    orders.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string,"
+        " meta struct<prio: string, cents: long>"
+    ).json(path)
+    return back.groupBy("o_orderstatus", F.col("meta.prio").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("meta.cents").alias("cents"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+_SQL_JSON_ROUNDTRIP = """
+SELECT o_orderstatus, o_orderpriority AS prio, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+       min(o_orderkey) AS min_key
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -452,6 +572,9 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "pipe_hash_split": q_pipe_hash_split,
     "emb_label_centroids": q_emb_label_centroids,
+    "stream_dedup": q_stream_dedup,
+    "src_csv_roundtrip": q_src_csv_roundtrip,
+    "src_json_roundtrip": q_src_json_roundtrip,
 }
 
 ORACLES4: Dict[str, str] = {
@@ -464,4 +587,7 @@ ORACLES4: Dict[str, str] = {
     "dedup_clusters": _sql_dedup_clusters(),
     "pipe_hash_split": _sql_hash_split(),
     "emb_label_centroids": _SQL_LABEL_CENTROIDS,
+    "stream_dedup": _SQL_STREAM_DEDUP,
+    "src_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
+    "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
 }

@@ -27,6 +27,7 @@ __all__ = [
     "stream_fold_assign",
     "stream_score",
     "stream_sessionize",
+    "stream_distinct",
 ]
 
 
@@ -287,3 +288,28 @@ def stream_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_distinct(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    watermark: Optional[tuple] = None,
+) -> DataFrame:
+    """Streaming exact deduplication: emit each distinct ``keys`` tuple
+    once (append mode). The batch-equivalent result is
+    ``SELECT DISTINCT keys`` — what a continuous ingest pipeline runs to
+    suppress replayed/duplicated records before they reach storage.
+
+    State = one entry per distinct key, sharded by the keys' hash across
+    the stateful shuffle. For unbounded streams pass
+    ``watermark=(ts_col, "24 hours")`` — state then expires and the
+    guarantee narrows to within-watermark dedup
+    (``dropDuplicatesWithinWatermark``), which is the only
+    bounded-memory contract possible on an infinite stream.
+    """
+    if watermark is not None:
+        ts_col, delay = watermark
+        return stream_df.withWatermark(
+            ts_col, delay
+        ).dropDuplicatesWithinWatermark(list(keys))
+    return stream_df.select(*keys).dropDuplicates(list(keys))
