@@ -325,7 +325,7 @@ QUERIES.update(QUERIES3)
 ORACLES.update(oracles3())
 
 # corpus/NLP + relational-breadth registry (part 4)
-from .queries_nlp import ORACLES4, QUERIES4  # noqa: E402
+from .queries_nlp import QUERIES4, oracles4  # noqa: E402
 
 QUERIES.update(QUERIES4)
-ORACLES.update(ORACLES4)
+ORACLES.update(oracles4())

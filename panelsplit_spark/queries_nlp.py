@@ -483,6 +483,72 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 # ======================================================================
+# streaming online inference (batch-trained models scoring a stream)
+# ======================================================================
+
+
+def q_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online inference end-to-end: per-fold OLS models trained in BATCH
+    (closed-form fast path), then a STREAM of events is fold-assigned
+    (stream-static broadcast join) and scored statelessly
+    (Arrow-batched mapInPandas). On a closed input the scored stream
+    must equal the batch OOF predictions — the oracle is the same SQL
+    regr_slope/intercept closed form that gates cv_ols_oof."""
+    import os
+
+    from .estimators import LinearRegression
+    from .operators.application import cross_val_fit
+    from .queries import _events_cv
+    from .sources.tables import configure
+    from .streaming.rolling import stream_score
+
+    ev, ps = _events_cv(spark, sf_dir)
+    models = cross_val_fit(LinearRegression(), ev, ["hod"], "value", ps)
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    stream = stream.withColumn(
+        "period", F.date_format("ts", "yyyy-MM-dd")
+    ).withColumn("hod", F.hour("ts").cast("double"))
+
+    scored = stream_score(stream, models, ["hod"], ps)
+    name = "stream_score_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        scored.select("event_id", "fold_id", "prediction")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id",
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.round("prediction", 6).alias("pred"),
+    )
+
+
+def _sql_stream_score() -> str:
+    from .queries import ORACLES
+
+    return ORACLES["cv_ols_oof"]
+
+
+# ======================================================================
 # sink -> source round-trips (CSV / JSON)
 # ======================================================================
 
@@ -573,21 +639,27 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_hash_split": q_pipe_hash_split,
     "emb_label_centroids": q_emb_label_centroids,
     "stream_dedup": q_stream_dedup,
+    "stream_score": q_stream_score,
     "src_csv_roundtrip": q_src_csv_roundtrip,
     "src_json_roundtrip": q_src_json_roundtrip,
 }
 
-ORACLES4: Dict[str, str] = {
-    "text_topterms": _SQL_TOPTERMS,
-    "text_tfidf": _SQL_TFIDF,
-    "rel_pivot_priority": _sql_pivot(),
-    "rel_percentiles": _sql_percentiles(),
-    "rel_window_gallery": _SQL_WINDOW_GALLERY,
-    "rel_grouping_sets": _SQL_GROUPING_SETS,
-    "dedup_clusters": _sql_dedup_clusters(),
-    "pipe_hash_split": _sql_hash_split(),
-    "emb_label_centroids": _SQL_LABEL_CENTROIDS,
-    "stream_dedup": _SQL_STREAM_DEDUP,
-    "src_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
-    "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
-}
+def oracles4() -> Dict[str, str]:
+    """Built lazily (called from queries.py AFTER its oracles exist):
+    several entries re-use CTEs defined there, and building them at
+    module-import time would make the registry imports circular."""
+    return {
+        "text_topterms": _SQL_TOPTERMS,
+        "text_tfidf": _SQL_TFIDF,
+        "rel_pivot_priority": _sql_pivot(),
+        "rel_percentiles": _sql_percentiles(),
+        "rel_window_gallery": _SQL_WINDOW_GALLERY,
+        "rel_grouping_sets": _SQL_GROUPING_SETS,
+        "dedup_clusters": _sql_dedup_clusters(),
+        "pipe_hash_split": _sql_hash_split(),
+        "emb_label_centroids": _SQL_LABEL_CENTROIDS,
+        "stream_dedup": _SQL_STREAM_DEDUP,
+        "stream_score": _sql_stream_score(),
+        "src_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
+        "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
+    }

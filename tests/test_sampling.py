@@ -129,3 +129,22 @@ def test_label_centroids_matches_numpy(spark):
             # rounding-mode parity is the oracle's job; here assert the
             # centroid math to within one 6-dp rounding step
             assert abs(c - mu[j]) < 1.01e-6
+
+
+def test_hash_split_plan_is_narrow(spark, docs):
+    """Split routing must be a pure projection: no Exchange in the plan
+    (at 100 TB an accidental shuffle here would dominate the pipeline)."""
+    out = sampling.hash_split(docs, "doc_id", salt="p")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_joins_are_broadcast(spark):
+    """The df/N side-tables must come back as broadcast joins — a
+    shuffled join on the term key would double the explode shuffle."""
+    from panelsplit_spark.queries_nlp import q_text_tfidf
+
+    out = q_text_tfidf(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert plan.count("SortMergeJoin") == 0
