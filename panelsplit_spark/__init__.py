@@ -45,7 +45,15 @@ from .operators.model_selection import (
     RandomizedSearch,
 )
 from .operators.pipeline import SequentialCVPipeline
-from .operators import dedup, multimodal, similarity, text  # noqa: F401
+from .operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
+from .operators.dedup import connected_components
+from .operators.sampling import hash_sample, hash_split, stratified_topn
 from .plot import plot_splits
 from .sources import tables as sources_tables  # noqa: F401
 from .sources.tables import load_table, read_source, write_sink
@@ -83,4 +91,8 @@ __all__ = [
     "StandardScaler",
     "IdentityTransformer",
     "FirstColumnRegressor",
+    "connected_components",
+    "hash_split",
+    "hash_sample",
+    "stratified_topn",
 ]

@@ -483,6 +483,58 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 # ======================================================================
+# skew-salted join correctness gate
+# ======================================================================
+
+
+def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted heavy-hitter join under the correctness gate: events
+    (skewed fact side — user activity follows a power-ish law) salted
+    and joined to a per-user dimension, then aggregated. Salting must
+    never change the RESULT — the oracle is the plain SQL join."""
+    from .operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    user_dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_n"))
+        .withColumn(
+            "tier",
+            F.when(F.col("user_n") >= 100, F.lit("heavy"))
+            .when(F.col("user_n") >= 20, F.lit("mid"))
+            .otherwise(F.lit("light")),
+        )
+    )
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        user_dim,
+        on="user_id",
+        n_salts=8,
+    )
+    return joined.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event"),
+    )
+
+
+_SQL_SALTED_JOIN = """
+WITH user_dim AS (
+  SELECT user_id, count(*) AS user_n,
+         CASE WHEN count(*) >= 100 THEN 'heavy'
+              WHEN count(*) >= 20 THEN 'mid'
+              ELSE 'light' END AS tier
+  FROM events GROUP BY user_id
+)
+SELECT d.tier, e.event_type, count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       min(e.event_id) AS min_event
+FROM events e JOIN user_dim d USING (user_id)
+GROUP BY d.tier, e.event_type
+"""
+
+
+# ======================================================================
 # streaming online inference (batch-trained models scoring a stream)
 # ======================================================================
 
@@ -640,6 +692,7 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_label_centroids": q_emb_label_centroids,
     "stream_dedup": q_stream_dedup,
     "stream_score": q_stream_score,
+    "rel_salted_join": q_rel_salted_join,
     "src_csv_roundtrip": q_src_csv_roundtrip,
     "src_json_roundtrip": q_src_json_roundtrip,
 }
@@ -660,6 +713,7 @@ def oracles4() -> Dict[str, str]:
         "emb_label_centroids": _SQL_LABEL_CENTROIDS,
         "stream_dedup": _SQL_STREAM_DEDUP,
         "stream_score": _sql_stream_score(),
+        "rel_salted_join": _SQL_SALTED_JOIN,
         "src_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
     }
