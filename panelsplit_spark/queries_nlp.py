@@ -483,6 +483,100 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 # ======================================================================
+# end-to-end corpus cleaning pipeline
+# ======================================================================
+
+CLEAN_MIN_QUALITY = 0.5
+CLEAN_MIN_TOKENS = 5
+
+
+def q_pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB preprocessing pipeline in miniature, as ONE gate entry:
+    quality scoring (codegen expressions) → quality/length filter →
+    exact dedup (min-id canonical via hash group + semi join) →
+    deterministic hash split routing → per-split summary.
+
+    Every stage composes narrow transformations or single-shuffle
+    aggregates; the only payload movement is the dedup semi join's key
+    exchange. The oracle replays the identical pipeline in SQL."""
+    from .operators import dedup, sampling, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs)
+    kept = scored.where(
+        (F.col("quality") >= CLEAN_MIN_QUALITY)
+        & (F.col("n_ws_tokens") >= CLEAN_MIN_TOKENS)
+    )
+    deduped = dedup.dedup_exact(kept)
+    routed = sampling.hash_split(
+        deduped, "doc_id", SPLIT_WEIGHTS, salt=SPLIT_SALT
+    )
+    return routed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("n_tokens"),
+        F.sum(
+            F.round(F.col("quality") * 1000000).cast("long")
+        ).alias("quality_sum_micro"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _sql_pipe_corpus_clean() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+    from .operators.text import STOPWORDS  # noqa: F401 (parity w/ spark)
+
+    b = duckdb_hash_bucket("doc_id", SPLIT_SALT)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lower(text) AS lo, {_DUCK_TOKS} AS t,
+         length(text) AS n_chars
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+         CAST(len(t) AS INT) AS n_ws_tokens,
+         (n_chars - length(regexp_replace(lo, '[^a-z ]', '', 'g'))
+                  - length(regexp_replace(lo, '[^0-9]', '', 'g')))
+           * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         length(regexp_replace(lo, '[^0-9]', '', 'g'))
+           * 1.0 / greatest(n_chars, 1) AS digit_ratio
+  FROM base
+),
+q AS (
+  SELECT doc_id, text, n_ws_tokens,
+         least(1.0, ln(1.0 + n_ws_tokens) / 5.0)
+           * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality
+  FROM c
+),
+kept AS (
+  SELECT * FROM q
+  WHERE quality >= {CLEAN_MIN_QUALITY}
+    AND n_ws_tokens >= {CLEAN_MIN_TOKENS}
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+deduped AS (
+  SELECT k.* FROM kept k JOIN canon USING (doc_id)
+),
+routed AS (
+  SELECT *,
+         CASE WHEN {b} < 8000 THEN 'train'
+              WHEN {b} < 9000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM deduped
+)
+SELECT split, count(*) AS n_docs,
+       sum(n_ws_tokens) AS n_tokens,
+       sum(CAST(round(quality * 1000000) AS BIGINT))
+         AS quality_sum_micro,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM routed GROUP BY split
+"""
+
+
+# ======================================================================
 # skew-salted join correctness gate
 # ======================================================================
 
@@ -693,6 +787,7 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "stream_score": q_stream_score,
     "rel_salted_join": q_rel_salted_join,
+    "pipe_corpus_clean": q_pipe_corpus_clean,
     "src_csv_roundtrip": q_src_csv_roundtrip,
     "src_json_roundtrip": q_src_json_roundtrip,
 }
@@ -714,6 +809,7 @@ def oracles4() -> Dict[str, str]:
         "stream_dedup": _SQL_STREAM_DEDUP,
         "stream_score": _sql_stream_score(),
         "rel_salted_join": _SQL_SALTED_JOIN,
+        "pipe_corpus_clean": _sql_pipe_corpus_clean(),
         "src_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
     }
