@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine_similarity, dot
+from ..functions.vector import as_double, cosine_similarity, dot
 
 __all__ = [
     "cosine_topk",
@@ -31,6 +31,9 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "label_centroids",
+    "kmeans_fit",
+    "kmeans_assign",
+    "centroid_frame",
 ]
 
 
@@ -293,3 +296,112 @@ def label_centroids(
             ),
         )
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, first
+    index wins ties) → adds ``cell_col``. The centroid list is inlined
+    as Catalyst literals, so assignment is a pure codegen'd narrow
+    projection — the corpus is never shuffled and nothing is collected.
+    """
+    def sqdist(c: List[float]):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                as_double(F.col(vec_col)),
+                lit,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[sqdist(c) for c in centroids])
+    return df.withColumn(
+        cell_col,
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 5,
+    scale: float = 1_000_000.0,
+) -> List[List[float]]:
+    """Distributed Lloyd k-means over an embedding column; returns the
+    ``k`` centroid vectors (the model — a k×dim list, driver-sized by
+    definition).
+
+    Built for the 100 TB shape: initialization is the ``k`` smallest
+    ``md5(id)`` vectors (a deterministic hash sample — no rand(), no
+    full sort: TakeOrdered over a narrow projection); each Lloyd round
+    is ONE distributed pass — broadcast-literal assignment
+    (:func:`kmeans_assign`, zero shuffle) + a single grouped aggregate
+    whose partial sums are exact integer micro-units (order-independent,
+    so the fit is bit-reproducible under any partitioning). Per round
+    only k×dim numbers return to the driver. Empty cells keep their
+    previous centroid. Use the result as ``centroids`` for
+    :func:`ivf_topk` (convert via ``centroid_frame``).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    init_rows = (
+        vecs.withColumn("__h", F.md5(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["__v"]) for r in init_rows]
+    dim = len(centroids[0])
+    vecs = vecs.localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        assigned = kmeans_assign(vecs, centroids, "__v", "__cell")
+        exploded = assigned.select(
+            "__cell", F.posexplode("__v").alias("pos", "val")
+        ).select(
+            "__cell",
+            "pos",
+            F.round(F.col("val") * F.lit(scale)).cast("long").alias("mu"),
+        )
+        stats = (
+            exploded.groupBy("__cell", "pos")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("mu").alias("s"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for cell in range(k):
+            comp = [r for r in stats if r["__cell"] == cell]
+            if not comp:
+                continue  # empty cell keeps previous centroid
+            for r in comp:
+                new[cell][r["pos"]] = r["s"] / scale / r["n"]
+            assert len(comp) == dim
+        centroids = new
+    return centroids
+
+
+def centroid_frame(
+    spark, centroids: List[List[float]],
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Package driver-side centroids as the (id, vector) frame
+    :func:`ivf_topk` expects (ids 0..k-1 = cell ids)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, schema)

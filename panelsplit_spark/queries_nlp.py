@@ -483,6 +483,42 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 # ======================================================================
+# k-means-trained IVF ANN (iterative algorithm -> rows-only check)
+# ======================================================================
+
+
+def q_sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k search over k-means-trained cells: distributed Lloyd
+    (deterministic md5-sample init, exact integer-unit means) fits the
+    coarse quantizer, then the standard IVF probe runs against it.
+
+    Declared WITHOUT an oracle: k-means is an iterative fixpoint
+    algorithm, not expressible as one SQL statement — the driver records
+    the weaker rows-only check; the numpy differential test
+    (tests/test_sampling.py::test_kmeans_matches_numpy_lloyd) pins the
+    Lloyd math itself."""
+    from .operators.similarity import centroid_frame, ivf_topk, kmeans_fit
+    from .queries_data import IVF_CELLS, IVF_PROBE, TOPK_K, TOPK_NQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=IVF_CELLS, n_iter=3)
+    queries = emb.orderBy("vec_id").limit(TOPK_NQ)
+    return ivf_topk(
+        emb,
+        queries,
+        k=TOPK_K,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        centroids=centroid_frame(spark, cents),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ======================================================================
 # end-to-end corpus cleaning pipeline
 # ======================================================================
 
@@ -788,6 +824,7 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_score": q_stream_score,
     "rel_salted_join": q_rel_salted_join,
     "pipe_corpus_clean": q_pipe_corpus_clean,
+    "sim_kmeans_ivf_topk": q_sim_kmeans_ivf_topk,
     "src_csv_roundtrip": q_src_csv_roundtrip,
     "src_json_roundtrip": q_src_json_roundtrip,
 }

@@ -148,3 +148,53 @@ def test_tfidf_joins_are_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Distributed Lloyd must equal a numpy reference running the SAME
+    deterministic recipe (md5-ordered init, first-index tie argmin,
+    integer-micro-unit means)."""
+    import hashlib
+
+    from panelsplit_spark.operators.similarity import (
+        centroid_frame,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    k, n_iter = 4, 3
+    got = kmeans_fit(emb, k=k, n_iter=n_iter)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(),
+                       ids[i]),
+    )
+    cents = X[order[:k]].copy()
+
+    def half_away(x):
+        return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = np.argmin(d, axis=1)  # first-index tiebreak, like argmin
+        for c in range(k):
+            members = X[cell == c]
+            if len(members):
+                cents[c] = half_away(members * 1e6).sum(axis=0) / 1e6 \
+                    / len(members)
+
+    got_arr = np.array(got)
+    assert got_arr.shape == cents.shape
+    np.testing.assert_allclose(got_arr, cents, rtol=1e-9, atol=1e-12)
+
+    # the fitted centroids drive a deterministic IVF assignment
+    assigned = kmeans_assign(emb, got)
+    n_cells = assigned.select("cell").distinct().count()
+    assert 1 < n_cells <= k
+    cf = centroid_frame(spark, got)
+    assert cf.count() == k
