@@ -483,6 +483,105 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 # ======================================================================
+# date-function gallery
+# ======================================================================
+
+
+def q_rel_date_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar-function breadth over orders: add/trunc/last_day/
+    extract/diff — all codegen'd projections, zero shuffles (the final
+    small aggregate exists only to keep output compact). Spark's
+    dayofweek is 1=Sunday; the engine normalizes to 0=Sunday to match
+    ANSI-ish engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    proj = orders.select(
+        F.date_format(d, "yyyy-MM").alias("month"),
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("next_week"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.to_date(F.lit("2024-01-01"))).alias(
+            "days_since_epoch_2024"
+        ),
+    )
+    return proj.groupBy("month", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doy").alias("min_doy"),
+        F.max("doy").alias("max_doy"),
+        F.min("next_week").alias("first_next_week"),
+        F.min("month_start").alias("month_start"),
+        F.max("month_end").alias("month_end"),
+        F.sum("days_since_epoch_2024").alias("day_offset_sum"),
+    )
+
+
+_SQL_DATE_GALLERY = """
+WITH proj AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         dayofweek(o_orderdate) AS dow,
+         dayofyear(o_orderdate) AS doy,
+         strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS next_week,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+           AS month_start,
+         strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+         date_diff('day', DATE '2024-01-01', o_orderdate)
+           AS days_since_epoch_2024
+  FROM orders
+)
+SELECT month, dow, count(*) AS n,
+       min(doy) AS min_doy, max(doy) AS max_doy,
+       min(next_week) AS first_next_week,
+       min(month_start) AS month_start,
+       max(month_end) AS month_end,
+       sum(days_since_epoch_2024) AS day_offset_sum
+FROM proj GROUP BY month, dow
+"""
+
+
+# ======================================================================
+# RANGE-frame window (value-based frame, vs the ROWS frames elsewhere)
+# ======================================================================
+
+
+def q_rel_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame: for each lineitem, how many lines of the
+    same return flag have quantity within the trailing 5-unit band, and
+    their exact cents sum. RANGE frames are set-based (all ties enter
+    the frame), so the result is deterministic without a tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, 0)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_quantity", 6).alias("qty"),
+        F.count(F.lit(1)).over(w).alias("band_n"),
+        F.sum(cents).over(w).alias("band_cents"),
+    )
+
+
+_SQL_RANGE_WINDOW = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(l_quantity, 6) AS qty,
+       count(*) OVER w AS band_n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER w
+         AS band_cents
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ======================================================================
 # k-means-trained IVF ANN (iterative algorithm -> rows-only check)
 # ======================================================================
 
@@ -825,6 +924,8 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_salted_join": q_rel_salted_join,
     "pipe_corpus_clean": q_pipe_corpus_clean,
     "sim_kmeans_ivf_topk": q_sim_kmeans_ivf_topk,
+    "rel_date_gallery": q_rel_date_gallery,
+    "rel_range_window": q_rel_range_window,
     "src_csv_roundtrip": q_src_csv_roundtrip,
     "src_json_roundtrip": q_src_json_roundtrip,
 }
@@ -847,6 +948,8 @@ def oracles4() -> Dict[str, str]:
         "stream_score": _sql_stream_score(),
         "rel_salted_join": _SQL_SALTED_JOIN,
         "pipe_corpus_clean": _sql_pipe_corpus_clean(),
+        "rel_date_gallery": _SQL_DATE_GALLERY,
+        "rel_range_window": _SQL_RANGE_WINDOW,
         "src_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
     }
