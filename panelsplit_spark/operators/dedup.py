@@ -188,8 +188,10 @@ def lsh_candidate_pairs(
     # subplans across join inputs. Cache the small banded frame
     # (n_docs × n_bands short rows); at production scale persist
     # signatures to a table instead.
-    banded = banded.cache()
-    banded.count()  # populate before both join sides race to compute it
+    # one eager job (same cost as cache+count) that also CUTS LINEAGE:
+    # both self-join sides reference a materialized leaf instead of two
+    # copies of the aggregation-backed signature plan
+    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -241,19 +243,24 @@ def ngram_jaccard_pairs(
         # that appear in some pair BEFORE any shuffle. The candidate-id
         # set is small (it's a near-dup list) → broadcast semi-join,
         # then everything downstream operates on a tiny frame.
-        candidates = candidates.select("id_a", "id_b").cache()
-        candidates.count()  # populate; reused for ids + the inter join
+        # localCheckpoint (one eager job, like cache+count) ALSO cuts
+        # the lineage: each downstream reference would otherwise inline
+        # the whole upstream LSH plan, exploding the plan tree — at
+        # production scale write the pair set to a table instead.
+        candidates = candidates.select("id_a", "id_b").localCheckpoint(
+            eager=True
+        )
         ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
         sh = sh.join(F.broadcast(ids), id_col, "left_semi")
-    # consumed three times (both join sides + sizes); cache so the
-    # tokenize/shingle chain runs once — at production scale write the
-    # shingle table out instead
-    sh = sh.cache()
-    sh.count()  # populate before the three consumers race to compute it
+    # consumed three times (both join sides + sizes); materialize so the
+    # tokenize/shingle chain runs once and the three consumers reference
+    # a leaf, not three copies of the chain — at production scale write
+    # the shingle table out instead
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")

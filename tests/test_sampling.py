@@ -198,3 +198,42 @@ def test_kmeans_matches_numpy_lloyd(spark):
     assert 1 < n_cells <= k
     cf = centroid_frame(spark, got)
     assert cf.count() == k
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized differential: min-label propagation must equal a
+    driver-side union-find on arbitrary pair graphs (seeded, small —
+    each case costs a full Spark fixpoint)."""
+    rng = np.random.default_rng(123)
+    for _ in range(4):
+        n_nodes = int(rng.integers(5, 30))
+        n_edges = int(rng.integers(1, 40))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+            if a != b
+        ]
+        if not edges:
+            continue
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expect = {v: find(v) for v in touched}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["cluster"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expect
