@@ -483,6 +483,51 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 # ======================================================================
+# bucketed-table co-located join
+# ======================================================================
+
+
+def q_src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout join under the gate: orders and lineitem are
+    written ONCE as catalog tables bucketed+sorted on the join key, then
+    joined exchange-free (the 100 TB pattern: pay the shuffle at layout
+    time, never per query). The oracle is the plain SQL join — layout
+    must not change results. A plan test asserts the exchange-free
+    shape; here the gate checks the values."""
+    from .sources.tables import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders, "gate_orders_b", "o_orderkey", 8,
+        sort_cols="o_orderkey",
+    )
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "gate_lineitem_b", "o_orderkey", 8, sort_cols="o_orderkey",
+    )
+    bo = spark.table("gate_orders_b")
+    bl = spark.table("gate_lineitem_b")
+    j = bo.join(bl, "o_orderkey")
+    return j.groupBy("o_orderstatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT o_orderstatus, l_returnflag, count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus, l_returnflag
+"""
+
+
+# ======================================================================
 # date-function gallery
 # ======================================================================
 
@@ -925,6 +970,7 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_corpus_clean": q_pipe_corpus_clean,
     "sim_kmeans_ivf_topk": q_sim_kmeans_ivf_topk,
     "rel_date_gallery": q_rel_date_gallery,
+    "src_bucketed_join": q_src_bucketed_join,
     "rel_range_window": q_rel_range_window,
     "src_csv_roundtrip": q_src_csv_roundtrip,
     "src_json_roundtrip": q_src_json_roundtrip,
@@ -949,6 +995,7 @@ def oracles4() -> Dict[str, str]:
         "rel_salted_join": _SQL_SALTED_JOIN,
         "pipe_corpus_clean": _sql_pipe_corpus_clean(),
         "rel_date_gallery": _SQL_DATE_GALLERY,
+        "src_bucketed_join": _SQL_BUCKETED_JOIN,
         "rel_range_window": _SQL_RANGE_WINDOW,
         "src_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
