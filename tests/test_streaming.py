@@ -224,3 +224,56 @@ def test_stream_sessionize_out_of_order_files(spark):
         assert batch and {r["session_id"] for r in batch} == {1, 2}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_distinct_plain_and_watermarked(spark):
+    """stream_distinct: plain mode equals batch SELECT DISTINCT on a
+    closed input; watermark mode (dropDuplicatesWithinWatermark) dedups
+    replays that arrive within the lateness bound."""
+    from panelsplit_spark.streaming.rolling import stream_distinct
+
+    rows = [
+        ("2024-03-01 00:00:00", 1, "a"),
+        ("2024-03-01 00:05:00", 1, "a"),  # duplicate key within bound
+        ("2024-03-01 00:10:00", 2, "b"),
+        ("2024-03-01 01:00:00", 1, "a"),  # replay, still within bound
+        ("2024-03-01 01:30:00", 2, "a"),
+    ]
+    d = tempfile.mkdtemp(prefix="pss_sded_")
+    try:
+        df = spark.createDataFrame(
+            rows, "ts_s string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+
+        # plain mode
+        stream = spark.readStream.schema(schema).parquet(d)
+        out = stream_distinct(stream, ["user_id", "event_type"])
+        q = (
+            out.writeStream.format("memory").queryName("sded_plain")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        got = {
+            (r["user_id"], r["event_type"])
+            for r in spark.table("sded_plain").collect()
+        }
+        assert got == {(1, "a"), (2, "b"), (2, "a")}
+
+        # watermarked mode: same distinct set on this in-bound input
+        stream = spark.readStream.schema(schema).parquet(d)
+        out = stream_distinct(
+            stream, ["user_id", "event_type"], watermark=("ts", "2 hours")
+        )
+        q = (
+            out.writeStream.format("memory").queryName("sded_wm")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        wm = spark.table("sded_wm").select("user_id", "event_type")
+        assert {
+            (r["user_id"], r["event_type"]) for r in wm.collect()
+        } == {(1, "a"), (2, "b"), (2, "a")}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
