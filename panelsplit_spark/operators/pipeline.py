@@ -158,6 +158,14 @@ class SequentialCVPipeline:
     # sklearn-protocol plumbing
     # ------------------------------------------------------------------
 
+    def __sklearn_is_fitted__(self) -> bool:
+        """sklearn ``check_is_fitted`` protocol (reference
+        tests/test_check_fitted_fix.py): the engine initializes
+        ``fitted_steps_`` eagerly (its trailing underscore would fool
+        the attribute-convention check), so fitted-ness is answered
+        explicitly — True only once ``_fit`` has populated every step."""
+        return bool(self.fitted_steps_)
+
     @property
     def named_steps(self) -> Dict[str, Any]:
         return dict(self.steps)

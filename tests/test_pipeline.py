@@ -349,3 +349,33 @@ def test_pickle_roundtrip_fitted(spark, panel):
     )))
     fresh.fit(panel)
     assert fresh.predict(panel).count() == panel.count()
+
+
+def test_sklearn_is_fitted_protocol(spark, panel):
+    """Unfitted pipeline reports not-fitted; fitted reports fitted —
+    the reference's check_is_fitted fix (tests/test_check_fitted_fix.py)
+    via the explicit __sklearn_is_fitted__ hook."""
+    from panelsplit_spark import (
+        LinearRegression,
+        PanelSplit,
+        SequentialCVPipeline,
+    )
+
+    ps = PanelSplit(panel, "period", n_splits=3)
+    pipe = SequentialCVPipeline(
+        [("reg", LinearRegression())], [ps], ["x1"], y_col="y"
+    )
+    assert pipe.__sklearn_is_fitted__() is False
+    try:
+        from sklearn.utils.validation import check_is_fitted
+        from sklearn.exceptions import NotFittedError
+
+        try:
+            check_is_fitted(pipe)
+            raise AssertionError("expected NotFittedError")
+        except NotFittedError:
+            pass
+    except ImportError:
+        pass  # sklearn absent: the hook itself is the contract
+    pipe.fit(panel)
+    assert pipe.__sklearn_is_fitted__() is True
