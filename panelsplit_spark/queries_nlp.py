@@ -392,6 +392,21 @@ def q_pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_case_sql(bucket_expr: str) -> str:
+    """CASE expression mirroring hash_split's threshold arithmetic —
+    derived from SPLIT_WEIGHTS so the two engines cannot drift."""
+    total = sum(SPLIT_WEIGHTS.values())
+    items = list(SPLIT_WEIGHTS.items())
+    acc, branches = 0.0, []
+    for name, w in items[:-1]:
+        acc += w
+        cut = int(round(acc / total * 10_000))
+        branches.append(f"WHEN {bucket_expr} < {cut} THEN '{name}'")
+    return (
+        "CASE " + " ".join(branches) + f" ELSE '{items[-1][0]}' END"
+    )
+
+
 def _sql_hash_split() -> str:
     from .operators.sampling import duckdb_hash_bucket
 
@@ -399,9 +414,7 @@ def _sql_hash_split() -> str:
     return f"""
 WITH routed AS (
   SELECT doc_id, lang,
-         CASE WHEN {b} < 8000 THEN 'train'
-              WHEN {b} < 9000 THEN 'valid'
-              ELSE 'test' END AS split
+         {_split_case_sql(b)} AS split
   FROM documents
 )
 SELECT split, lang, count(*) AS n,
@@ -742,9 +755,7 @@ deduped AS (
 ),
 routed AS (
   SELECT *,
-         CASE WHEN {b} < 8000 THEN 'train'
-              WHEN {b} < 9000 THEN 'valid'
-              ELSE 'test' END AS split
+         {_split_case_sql(b)} AS split
   FROM deduped
 )
 SELECT split, count(*) AS n_docs,
