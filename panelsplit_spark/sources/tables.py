@@ -133,6 +133,21 @@ def write_bucketed_table(
     bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(
         bucket_cols
     )
+    if mode == "overwrite":
+        # Without a persistent metastore the catalog is per-session, but
+        # managed-table LOCATIONS persist on disk; a stale directory from
+        # an earlier session makes saveAsTable refuse even in overwrite
+        # mode. Drop the catalog entry and clear the orphaned location.
+        import shutil
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(warehouse, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.write.format(format)
         .mode(mode)
