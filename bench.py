@@ -58,6 +58,11 @@ HEADLINE = [
     "rel_value_deciles",
     "stream_sessionize",
     "cv_pipe_scaled_ols",
+    "rel_tpch_q3",
+    "rel_tpch_q5",
+    "rel_tpch_q10",
+    "src_partitioned_prune",
+    "stream_interval_join",
 ]
 
 

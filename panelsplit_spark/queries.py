@@ -329,3 +329,10 @@ from .queries_nlp import QUERIES4, oracles4  # noqa: E402
 
 QUERIES.update(QUERIES4)
 ORACLES.update(oracles4())
+
+# decision-support join trees + partitioned-sink + stream-stream join
+# registry (part 5)
+from .queries_tpch import QUERIES5, oracles5  # noqa: E402
+
+QUERIES.update(QUERIES5)
+ORACLES.update(oracles5())

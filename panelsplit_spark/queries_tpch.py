@@ -1,0 +1,377 @@
+"""Declared-query registry, part 5: classic decision-support join trees
+(TPC-H Q3/Q5/Q10 analogs on the driver's TPC-H-ish tables), a
+partitioned-sink partition-pruning gate, and a watermarked stream-stream
+interval join.
+
+Why these exist: the reference library (4Freye/panelsplit) is a panel-CV
+engine, but the mandate's §2.8 relational checklist calls for the full
+decision-support surface. The three TPC-H analogs exercise multi-table
+join planning end-to-end — selective dimension broadcast, big-fact
+shuffle join, group-agg over the join tree, deterministic top-k — the
+exact plan shapes a 1000-executor run lives or dies on.
+
+Scale notes (100 TB):
+
+* Q3/Q5/Q10: the only shuffles are lineitem⋈orders on orderkey (both
+  sides huge → SMJ, or exchange-free with the bucketed layout from
+  ``sources/tables.write_bucketed_table``) and the final group-agg, which
+  partial-aggregates map-side. Every dimension path (customer filtered by
+  segment, supplier⋈nation⋈region) is explicitly broadcast.
+* Partition-pruned source: the sink writes hive-partitioned parquet; the
+  read-back filter on the partition column prunes directories at planning
+  time (asserted by ``tests/test_sources.py::test_partition_pruning``) —
+  at 100 TB this is the difference between scanning 1/5 of the data and
+  all of it.
+* Stream-stream join: both sides watermarked, state bounded by the
+  interval width + watermark; the join is an equi-join on the entity key
+  with an event-time range predicate, so state is keyed and scoped per
+  user — no unbounded buffering.
+
+All floating money flows through ``CAST(round(x*100) AS BIGINT)`` (cents)
+so cross-engine hashes are exact — the module-level convention from
+``queries.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .sources.tables import load_table
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+_REV_CENTS = F.sum(
+    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+).alias("revenue_cents")
+
+_SQL_REV_CENTS = (
+    "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))"
+    " AS revenue_cents"
+)
+
+
+# ======================================================================
+# TPC-H Q3 analog: shipping priority
+# ======================================================================
+
+
+def q_rel_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped orders by revenue for one market segment.
+
+    Plan shape: customer is filtered to ~1/5 and broadcast; the
+    lineitem⋈orders equi-join on orderkey is the one real shuffle (both
+    filters pushed to the scans); group-agg partial-aggregates map-side;
+    the top-10 is a deterministic total order (revenue desc, orderkey) —
+    TakeOrderedAndProject, no global sort materialized."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_REV_CENTS)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_TPCH_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       {_SQL_REV_CENTS}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ======================================================================
+# TPC-H Q5 analog: local supplier volume
+# ======================================================================
+
+
+def q_rel_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where the customer and the line's supplier share
+    a nation, for one region and a 2-year order window.
+
+    Plan shape: region→nation→supplier collapses to one broadcast dim
+    (~tens of rows even at 100 TB); customer broadcasts after the region
+    filter implied by ``c_nationkey = s_nationkey``; lineitem⋈orders is
+    the single big shuffle. The nationkey-equality between customer and
+    supplier rides the broadcast joins as an extra equi-condition — no
+    additional exchange."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_REV_CENTS, F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_SQL_TPCH_Q5 = f"""
+SELECT n_name, {_SQL_REV_CENTS}, count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+# ======================================================================
+# TPC-H Q10 analog: returned-item reporting
+# ======================================================================
+
+
+def q_rel_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one half-year.
+
+    Plan shape: returnflag + date filters pushed to both fact scans; one
+    orderkey shuffle join; customer and nation broadcast; deterministic
+    top-k via (revenue desc, custkey)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+            "n_name",
+        )
+        .agg(_REV_CENTS)
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       n_name, {_SQL_REV_CENTS}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1999-01-01'
+  AND o_orderdate < TIMESTAMP '1999-07-01'
+GROUP BY c_custkey, c_name, acctbal_cents, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ======================================================================
+# partitioned sink -> partition-pruned source
+# ======================================================================
+
+
+def q_src_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source gate: events written hive-partitioned by event_type,
+    read back with a partition-column filter. The filter must prune to
+    one directory at planning time (PartitionFilters — asserted by the
+    plan test in tests/test_sources.py); the aggregate must equal
+    filtering the original parquet, which is the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    path = os.path.join(
+        os.getcwd(), "spark-warehouse", "roundtrip", "events_by_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+        F.min("event_id").alias("min_event"),
+    )
+
+
+_SQL_PARTITIONED_PRUNE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       min(event_id) AS min_event
+FROM events WHERE event_type = 'purchase'
+GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+# ======================================================================
+# watermarked stream-stream interval join
+# ======================================================================
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase event joined to the same
+    user's view events from the trailing 2 hours. Both sides are
+    watermarked so join state is bounded (interval width + watermark
+    slack per user); on a closed availableNow input the emitted set
+    equals the batch interval join, which is the oracle."""
+    from .sources.tables import configure
+    from .streaming.rolling import stream_interval_join
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # Watermarks require TIMESTAMP (tz-aware); the parquet holds
+        # TIMESTAMP_NTZ. The cast shifts the epoch by the session zone,
+        # but the join interval is shift-invariant and no timestamp is
+        # emitted, so results are unaffected.
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        _stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_event_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        purchases,
+        views,
+        left_key="user_id",
+        right_key="v_user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        lookback="2 hours",
+        watermark="4 hours",
+    )
+    name = "stream_interval_join_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "p_event_id", "v_event_id", "user_id"
+    )
+
+
+_SQL_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id AS p_event_id, v.event_id AS v_event_id, p.user_id
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 2 HOUR
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
+# ======================================================================
+# registry
+# ======================================================================
+
+QUERIES5: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_tpch_q3": q_rel_tpch_q3,
+    "rel_tpch_q5": q_rel_tpch_q5,
+    "rel_tpch_q10": q_rel_tpch_q10,
+    "src_partitioned_prune": q_src_partitioned_prune,
+    "stream_interval_join": q_stream_interval_join,
+}
+
+
+def oracles5() -> Dict[str, str]:
+    return {
+        "rel_tpch_q3": _SQL_TPCH_Q3,
+        "rel_tpch_q5": _SQL_TPCH_Q5,
+        "rel_tpch_q10": _SQL_TPCH_Q10,
+        "src_partitioned_prune": _SQL_PARTITIONED_PRUNE,
+        "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
+    }

@@ -28,6 +28,7 @@ __all__ = [
     "stream_score",
     "stream_sessionize",
     "stream_distinct",
+    "stream_interval_join",
 ]
 
 
@@ -313,3 +314,43 @@ def stream_distinct(
             ts_col, delay
         ).dropDuplicatesWithinWatermark(list(keys))
     return stream_df.select(*keys).dropDuplicates(list(keys))
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event matched to
+    the same entity's right events inside the trailing ``lookback``
+    window (``left_ts - lookback <= right_ts <= left_ts``).
+
+    This is the streaming form of the batch interval join (an equi-join
+    on the entity key plus an event-time range predicate) — the shape a
+    feature pipeline uses to attach "what did this user do in the last
+    N hours" context to each event as it arrives.
+
+    State bounds: BOTH sides carry a watermark and the join condition
+    bounds each side's event time relative to the other, so Spark derives
+    a state-eviction horizon for both buffers (state ≈ rows inside
+    ``lookback + watermark`` per side, keyed by the entity hash — the
+    stream-stream join requirement; an unconstrained join would buffer
+    forever). On a closed ``availableNow`` input the emitted rows equal
+    the batch interval join, which is what the oracle checks.
+
+    Scale: one keyed state shuffle per side per micro-batch, identical
+    partitioning to the batch SMJ; no broadcast, no driver state.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "inner")

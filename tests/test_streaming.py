@@ -277,3 +277,68 @@ def test_stream_distinct_plain_and_watermarked(spark):
         } == {(1, "a"), (2, "b"), (2, "a")}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_interval_join_matches_batch(spark, stream_dir):
+    """Watermarked stream-stream interval join on a closed input equals
+    the batch interval join (equi-key + trailing 2h range)."""
+    from panelsplit_spark.streaming.rolling import stream_interval_join
+
+    batch = spark.read.parquet(stream_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # left = midday events, right = morning events of the same user
+    left_b = batch.filter(F.hour("ts") == 12).select(
+        F.col("user_id"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    right_b = batch.filter(F.hour("ts") == 6).select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+    expected = (
+        left_b.join(
+            right_b,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 8 hours"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        .select("user_id", "p_value", "v_value")
+        .collect()
+    )
+
+    schema = spark.read.parquet(stream_dir).schema
+
+    def _s():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    left_s = _s().filter(F.hour("ts") == 12).select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    right_s = _s().filter(F.hour("ts") == 6).select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+    joined = stream_interval_join(
+        left_s, right_s,
+        left_key="user_id", right_key="v_user_id",
+        left_ts="p_ts", right_ts="v_ts",
+        lookback="8 hours", watermark="2 days",
+    )
+    q = (
+        joined.select("user_id", "p_value", "v_value")
+        .writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ivj").collect()
+    assert len(expected) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
