@@ -870,10 +870,9 @@ def q_stream_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    from .sources.tables import normalize_event_ts
+
+    stream = normalize_event_ts(stream)
     # Quantize to exact integer cents (held in a double) so every
     # streaming aggregate is an exact integer sum — order-independent
     # across micro-batch partial aggregations and engines.

@@ -850,10 +850,9 @@ def q_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    from .sources.tables import normalize_event_ts
+
+    stream = normalize_event_ts(stream)
     stream = stream.withColumn(
         "period", F.date_format("ts", "yyyy-MM-dd")
     ).withColumn("hod", F.hour("ts").cast("double"))

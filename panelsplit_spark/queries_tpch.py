@@ -46,11 +46,15 @@ def _cents(col) -> F.Column:
     return F.round(col * 100).cast("long")
 
 
-_REV_CENTS = F.sum(
-    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
-).alias("revenue_cents")
+def _rev_cents() -> F.Column:
+    # built lazily: Column construction needs an active SparkContext, and
+    # this module must stay importable without one (driver imports the
+    # registry before the session exists)
+    return F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+    ).alias("revenue_cents")
 
 _SQL_REV_CENTS = (
     "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))"
@@ -84,7 +88,7 @@ def q_rel_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_REV_CENTS)
+        .agg(_rev_cents())
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -154,7 +158,7 @@ def q_rel_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(_REV_CENTS, F.count(F.lit(1)).alias("n_lines"))
+        .agg(_rev_cents(), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -206,7 +210,7 @@ def q_rel_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents(F.col("c_acctbal")).alias("acctbal_cents"),
             "n_name",
         )
-        .agg(_REV_CENTS)
+        .agg(_rev_cents())
         .orderBy(F.desc("revenue_cents"), "c_custkey")
         .limit(20)
     )

@@ -514,10 +514,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    from .sources.tables import normalize_event_ts
+
+    stream = normalize_event_ts(stream)
     sess = stream_sessionize(
         stream, gap_seconds=float(SESSION_GAP_S)
     )

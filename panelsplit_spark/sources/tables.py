@@ -36,6 +36,7 @@ __all__ = [
     "read_source",
     "write_sink",
     "write_bucketed_table",
+    "normalize_event_ts",
 ]
 
 
@@ -57,13 +58,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table; normalizes ``events.ts`` to a timestamp."""
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # integer div, NOT `/`: float division of int64 nanos loses the
         # low bits (~2^60 ns exceeds double's 53-bit mantissa) and lands
         # a microsecond off for ~25% of rows.
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # tz-aware TIMESTAMP is required by unix_micros/watermarks; with
+        # the UTC session zone (configure() above) the cast is a pure
+        # type change — identical wall-clock and epoch on both engines.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -159,3 +166,16 @@ def write_bucketed_table(
         )
         writer = writer.sortBy(*scols)
     writer.saveAsTable(table)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events frame's ``ts`` to tz-aware TIMESTAMP, whatever
+    the parquet generation wrote (int64 nanos, TIMESTAMP_NTZ, TIMESTAMP).
+    Works on batch and streaming frames alike; with the UTC session zone
+    the NTZ cast is a pure type change."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
