@@ -63,6 +63,14 @@ HEADLINE = [
     "rel_tpch_q10",
     "src_partitioned_prune",
     "stream_interval_join",
+    "rel_tpch_q4",
+    "rel_tpch_q12",
+    "rel_tpch_q14",
+    "rel_tpch_q18",
+    "rel_tpch_q22",
+    "text_contamination",
+    "emb_gram",
+    "stream_session_window",
 ]
 
 

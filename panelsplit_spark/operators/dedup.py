@@ -52,6 +52,7 @@ __all__ = [
     "embedding_lsh_candidate_pairs",
     "embedding_near_duplicates",
     "connected_components",
+    "ngram_contamination",
 ]
 
 
@@ -604,4 +605,57 @@ def connected_components(
             break
     return labels.select(
         F.col("u").alias("id"), F.col("label").alias("cluster")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 3,
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark-contamination check: (corpus doc, benchmark doc) pairs
+    sharing at least ``min_shared`` distinct word ``n``-grams.
+
+    The pre-training hygiene op: before a corpus feeds a training run,
+    every document is screened against the evaluation suites so test
+    questions don't leak into the training set (the reference library has
+    no corpus ops; this extends the engine's dedup family — same shingle
+    machinery as ``ngram_jaccard_pairs``).
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    documents, not billions — so its exploded shingle set is explicitly
+    ``broadcast()``: the corpus-side shingles are screened by a broadcast
+    hash join where they sit (ZERO corpus shuffles; the only exchange is
+    the per-pair count aggregate over surviving matches, which is
+    contamination-sized, not corpus-sized). Shingles are md5-hashed to
+    longs before the join so the wire/state carries 8 bytes per shingle,
+    never the strings.
+    """
+    from ..functions.hashing import md5_long, word_ngrams, word_tokens
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        toks = word_tokens(F.col(text_col))
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.explode(
+                    F.array_distinct(word_ngrams(toks, n))
+                ).alias("_g"),
+            )
+            # array_distinct above already dedups per doc — no extra
+            # distinct() shuffle needed
+            .select(out_id, md5_long(F.col("_g")).alias("_gh"))
+        )
+
+    corp = shingles(corpus, "doc_id")
+    bench = shingles(benchmark, bench_id_col)
+    return (
+        corp.join(F.broadcast(bench), "_gh")
+        .groupBy("doc_id", bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -34,6 +34,7 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "centroid_frame",
+    "gram_matrix",
 ]
 
 
@@ -405,3 +406,78 @@ def centroid_frame(
     )
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     return spark.createDataFrame(rows, schema)
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = 1000.0,
+) -> DataFrame:
+    """Distributed exact second-moment (Gram) matrix of an embedding
+    column → long-form ``(i, j, n, sum_xy)`` with 1-based indices, upper
+    triangle only (``i <= j``; the matrix is symmetric).
+
+    This is the reduction step under PCA / whitening / covariance
+    estimation over a 100 TB embedding corpus: ``cov = (sum_xy −
+    sum_x·sum_y/n)/n`` is driver arithmetic once these d² cells exist,
+    and the eigendecomposition of a d×d matrix is a microsecond of
+    driver numpy — only THIS aggregate touches the data.
+
+    Scale/determinism design:
+
+    * components are quantized to integer units (``round(x·scale)`` —
+      exact float→double promotion, one multiply) so partial sums are
+      EXACT integer adds: partition- and engine-order-independent, which
+      is what lets DuckDB hash-match the result.
+    * per Arrow batch, one int64 ``qᵀq`` numpy matmul produces the d×d
+      partial; a task emits d(d+1)/2 rows per batch — the shuffle
+      carries partial matrices, never vectors. ``sum_xy`` is summed as
+      decimal(38,0) so no practical corpus overflows.
+    * returned values are raw quantized sums; divide by ``scale²`` (and
+      n) driver-side for the float moment/covariance.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("n_part", T.LongType()),
+            T.StructField("sum_part", T.LongType()),
+        ]
+    )
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            q = np.rint(mat * scale).astype(np.int64)
+            g = q.T @ q
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype(np.int32),
+                    "j": (ju + 1).astype(np.int32),
+                    "n_part": np.int64(len(pdf)),
+                    "sum_part": g[iu, ju],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(partial_gram, schema=out_schema)
+    return (
+        parts.groupBy("i", "j")
+        .agg(
+            F.sum("n_part").alias("n"),
+            F.sum(F.col("sum_part").cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            # exact integer value; BIGINT output for cross-engine hashing
+            F.col("_s").cast("long").alias("sum_xy"),
+        )
+    )

@@ -336,3 +336,10 @@ from .queries_tpch import QUERIES5, oracles5  # noqa: E402
 
 QUERIES.update(QUERIES5)
 ORACLES.update(oracles5())
+
+# subquery-shaped decision support + corpus hygiene + gram reduction
+# registry (part 6)
+from .queries_dss import QUERIES6, oracles6  # noqa: E402
+
+QUERIES.update(QUERIES6)
+ORACLES.update(oracles6())

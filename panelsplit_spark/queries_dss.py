@@ -1,0 +1,494 @@
+"""Declared-query registry, part 6: subquery-shaped decision support
+(EXISTS / scalar-subquery / HAVING — TPC-H Q4/Q12/Q14/Q18/Q22 analogs),
+corpus contamination screening, the distributed Gram-matrix reduction,
+and the built-in ``session_window`` streaming aggregate.
+
+Why these exist: part 5 covered the join-tree shapes; this part covers
+the *subquery* shapes a SQL surface must plan well — correlated EXISTS
+(semi join, never a per-row probe), anti-join + scalar aggregate
+(broadcast of a 1-row frame), conditional aggregation (codegen'd CASE
+inside the agg buffer, one pass), and group-filter HAVING — plus the two
+numeric pipeline reductions (contamination pairs, Gram cells) that feed
+LLM-corpus hygiene and PCA/whitening.
+
+Scale notes (100 TB):
+
+* Q4: the EXISTS probe is a LEFT SEMI hash join on orderkey with the
+  extra time predicate riding the join — one shuffle, each order emitted
+  at most once regardless of matching line count.
+* Q12/Q14: single fact shuffle (lineitem⋈orders / broadcast part), all
+  conditional logic inside map-side partial aggregation.
+* Q18: the IN-subquery collapses to groupBy(orderkey) + HAVING, then the
+  surviving (tiny) key set re-joins the facts; threshold keeps the
+  re-join broadcast-able.
+* Q22: the global average is a 1-row aggregate broadcast to the filter
+  (integer cross-multiplication, no float compare); "has no orders" is a
+  broadcast anti join on the filtered customer set.
+* Contamination: benchmark shingles broadcast — zero corpus shuffles
+  (operators/dedup.ngram_contamination).
+* Gram: the corpus reduces to d(d+1)/2 integer cells via per-batch numpy
+  matmuls; only partial matrices cross the wire
+  (operators/similarity.gram_matrix).
+* session_window: built-in streaming session aggregation — state is one
+  open session per (user, key-partition), watermark-evicted; this is the
+  aggregate-only complement to the row-preserving custom
+  ``stream_sessionize``.
+
+Money/quantity flows through exact integer cents (module convention from
+``queries.py``) so every hash compare is order-independent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .sources.tables import load_table
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# ======================================================================
+# TPC-H Q4 analog: order-priority checking (correlated EXISTS)
+# ======================================================================
+
+Q4_LATE_DAYS = 30
+
+
+def q_rel_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority, in one quarter, having at least one lineitem
+    shipped more than 30 days after the order date.
+
+    Plan shape: the correlated EXISTS is a LEFT SEMI hash join on
+    orderkey with the late-ship predicate attached to the join — the
+    order emits once however many lines match, and no per-row subquery
+    ever executes. One shuffle; date filter pushed to the orders scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_SQL_TPCH_Q4 = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ======================================================================
+# TPC-H Q12 analog: shipping priority classes (conditional aggregation)
+# ======================================================================
+
+
+def q_rel_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per line status for one ship year: how many lines belong to
+    high-priority vs other orders.
+
+    Plan shape: one lineitem⋈orders shuffle; both CASE counts evaluate
+    inside the same map-side partial aggregate — one pass, no second
+    scan for the second bucket."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# ======================================================================
+# TPC-H Q14 analog: promotion effect (aggregate ratio)
+# ======================================================================
+
+
+def q_rel_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue coming from PROMO parts.
+
+    Plan shape: part is broadcast; numerator and denominator are exact
+    integer cents accumulated in ONE partial aggregate; the final ratio
+    is a single deterministic double division of two exact longs —
+    bit-identical on any engine."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.round(
+            100.0 * F.col("promo_cents") / F.col("total_cents"), 6
+        ).alias("promo_pct"),
+    )
+
+
+_SQL_TPCH_Q14 = """
+SELECT promo_cents, total_cents,
+       round(100.0 * promo_cents / total_cents, 6) AS promo_pct
+FROM (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT) ELSE 0 END) AS promo_cents,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+)
+"""
+
+
+# ======================================================================
+# TPC-H Q18 analog: large-volume customers (HAVING group filter)
+# ======================================================================
+
+Q18_QTY_CENTS = 260 * 100
+
+
+def q_rel_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose single orders total more than 260 units.
+
+    Plan shape: the IN-subquery is groupBy(orderkey) + HAVING over
+    exact integer quantity-cents — one fact shuffle; the surviving key
+    set (~top 1 % of orders) is broadcast back against orders⋈customer,
+    so the facts are never shuffled a second time."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"))
+        .filter(F.col("qty_cents") > Q18_QTY_CENTS)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "qty_cents",
+        )
+    )
+
+
+_SQL_TPCH_Q18 = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       big.qty_cents
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {Q18_QTY_CENTS}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ======================================================================
+# TPC-H Q22 analog: global-sales opportunity (scalar subquery + anti)
+# ======================================================================
+
+
+Q22_LAPSE_CUTOFF = "2000-01-01"
+
+
+def q_rel_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: lapsed high-value customers — above-average positive
+    balance, no orders since the cutoff.
+
+    Plan shape: the scalar subquery (average positive balance) is a
+    1-row aggregate cross-joined (broadcast) into the filter; the
+    comparison is integer cross-multiplication
+    (``balance·n > total`` ⇔ ``balance > total/n``) so no float average
+    is ever compared; "no recent orders" is a broadcast LEFT ANTI join
+    on the date-filtered order custkeys (filter pushed to the scan)."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "acctbal_cents", _cents(F.col("c_acctbal"))
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_LAPSE_CUTOFF).cast("timestamp")
+    )
+    avg_row = cust.filter(F.col("acctbal_cents") > 0).agg(
+        F.sum("acctbal_cents").alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("acctbal_cents") * F.col("_n") > F.col("_tot"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("acctbal_cents").alias("totacctbal_cents"),
+    )
+
+
+_SQL_TPCH_Q22 = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+FROM customer
+WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+      * (SELECT count(*) FROM customer
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+      > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_LAPSE_CUTOFF}')
+GROUP BY c_nationkey
+"""
+
+
+# ======================================================================
+# corpus contamination screening
+# ======================================================================
+
+CONTAM_N, CONTAM_MIN_SHARED, CONTAM_BENCH_MAX = 3, 3, 25
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen the corpus (doc_id ≥ 25) against a benchmark set
+    (doc_id < 25): pairs sharing ≥ 3 distinct word trigrams.
+    Benchmark shingles broadcast — zero corpus shuffles
+    (operators/dedup.ngram_contamination)."""
+    from .operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX)
+    corpus = docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX)
+    return ngram_contamination(
+        corpus,
+        bench,
+        n=CONTAM_N,
+        min_shared=CONTAM_MIN_SHARED,
+    )
+
+
+_SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{CONTAM_N - 1}], ' ') AS g
+  FROM toks, UNNEST(
+    CASE WHEN len(w) >= {CONTAM_N}
+         THEN range(1, len(w) - {CONTAM_N - 2}) ELSE [] END) AS t(i)
+),
+bench AS (SELECT doc_id AS bench_id, g FROM grams
+          WHERE doc_id < {CONTAM_BENCH_MAX}),
+corp  AS (SELECT doc_id, g FROM grams
+          WHERE doc_id >= {CONTAM_BENCH_MAX})
+SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+FROM corp c JOIN bench b USING (g)
+GROUP BY 1, 2
+HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""
+
+
+# ======================================================================
+# distributed Gram matrix (PCA/whitening reduction)
+# ======================================================================
+
+GRAM_SCALE = 1000.0
+
+
+def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-quantized second-moment matrix of the embedding
+    corpus — the one data-touching reduction under distributed PCA
+    (operators/similarity.gram_matrix)."""
+    from .operators.similarity import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, vec_col="embedding", scale=GRAM_SCALE)
+
+
+_SQL_EMB_GRAM = f"""
+WITH q AS (
+  SELECT vec_id, i AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {GRAM_SCALE})
+              AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT a.pos AS i, b.pos AS j, count(*) AS n,
+       CAST(sum(a.qv * b.qv) AS BIGINT) AS sum_xy
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY a.pos, b.pos
+"""
+
+
+# ======================================================================
+# built-in session_window streaming aggregate
+# ======================================================================
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming sessionization: ``F.session_window`` gap-merge
+    aggregation per user (the aggregate-only complement to the
+    row-preserving custom ``stream_sessionize``). State = the open
+    session per user, merged/evicted by the watermark; on a closed
+    availableNow input the result equals the batch lag+cumsum session
+    aggregate, which is the oracle."""
+    from .queries_data import SESSION_GAP_S
+    from .sources.tables import configure, normalize_event_ts
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_event_ts(stream)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{SESSION_GAP_S} seconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    name = "stream_session_window_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        "n_events",
+        "sum_value_cents",
+    )
+
+
+def _sql_stream_session_window() -> str:
+    from .queries_data import SESSION_GAP_S
+
+    return f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS t FROM events
+),
+m AS (
+  SELECT *, CASE WHEN t - lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > {SESSION_GAP_S * 1_000_000}
+            THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_id FROM m
+)
+SELECT user_id, min(t) AS start_us, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ======================================================================
+# registry
+# ======================================================================
+
+QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_tpch_q4": q_rel_tpch_q4,
+    "rel_tpch_q12": q_rel_tpch_q12,
+    "rel_tpch_q14": q_rel_tpch_q14,
+    "rel_tpch_q18": q_rel_tpch_q18,
+    "rel_tpch_q22": q_rel_tpch_q22,
+    "text_contamination": q_text_contamination,
+    "emb_gram": q_emb_gram,
+    "stream_session_window": q_stream_session_window,
+}
+
+
+def oracles6() -> Dict[str, str]:
+    return {
+        "rel_tpch_q4": _SQL_TPCH_Q4,
+        "rel_tpch_q12": _SQL_TPCH_Q12,
+        "rel_tpch_q14": _SQL_TPCH_Q14,
+        "rel_tpch_q18": _SQL_TPCH_Q18,
+        "rel_tpch_q22": _SQL_TPCH_Q22,
+        "text_contamination": _SQL_CONTAMINATION,
+        "emb_gram": _SQL_EMB_GRAM,
+        "stream_session_window": _sql_stream_session_window(),
+    }

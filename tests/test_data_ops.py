@@ -275,3 +275,64 @@ def test_salted_join_duplicates_and_map_columns(spark):
     got = salted_join(left, right, "k", n_salts=4).collect()
     assert len(got) == 500
     assert all(r["dim"] == 7 and r["payload"] == "same" for r in got)
+
+
+def test_ngram_contamination_known_pairs(spark):
+    """A planted shared trigram run crosses the threshold; unrelated
+    docs don't. Plan: benchmark side broadcast — corpus never shuffles
+    before the match join."""
+    from panelsplit_spark.operators.dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the full 9-token run with bench doc 1:
+            # 7 distinct trigrams >= min_shared=3
+            (10, "the quick brown fox jumps over the lazy dog"),
+            # shares only one trigram ("quick brown fox") -> filtered
+            (11, "a quick brown fox sat still"),
+            (12, "nothing in common with anything"),
+        ],
+        "doc_id long, text string",
+    )
+    got = ngram_contamination(
+        corpus, docs, n=3, min_shared=3
+    ).collect()
+    assert [(r["doc_id"], r["bench_id"], r["n_shared"]) for r in got] == [
+        (10, 1, 7)
+    ]
+    plan = ngram_contamination(corpus, docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """Distributed integer-quantized Gram equals the local numpy
+    computation on the same vectors (exact, order-independent)."""
+    import numpy as np
+
+    from panelsplit_spark.operators.similarity import gram_matrix
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 6)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["i"], r["j"]): (r["n"], r["sum_xy"])
+        for r in gram_matrix(df, scale=1000.0).collect()
+    }
+    q = np.rint(vecs.astype(np.float64) * 1000.0).astype(np.int64)
+    expect = q.T @ q
+    d = 6
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            n, s = got[(i + 1, j + 1)]
+            assert n == 40
+            assert s == int(expect[i, j])
