@@ -71,6 +71,7 @@ HEADLINE = [
     "text_contamination",
     "emb_gram",
     "stream_session_window",
+    "feat_row_key_dist",
 ]
 
 

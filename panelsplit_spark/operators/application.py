@@ -40,6 +40,7 @@ from .cross_validation import PanelSplit
 
 __all__ = [
     "with_row_key",
+    "with_row_key_distributed",
     "apply_model",
     "cross_val_fit",
     "cross_val_predict",
@@ -105,6 +106,70 @@ def with_row_key(
     """
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(key_col, F.row_number().over(w) - F.lit(1))
+
+
+def with_row_key_distributed(
+    df: DataFrame,
+    order_by: Sequence[str],
+    key_col: str = "row_key",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Scalable dense row key ordered by ``order_by`` — the 100 TB form
+    of :func:`with_row_key` (no single-partition sort anywhere).
+
+    ``order_by`` must be a TOTAL order (unique per row — e.g. an id, or
+    (orderkey, linenumber)); ties would make the assignment depend on
+    physical row placement.
+
+    Two-pass range-bucket scheme, the distributed classic:
+
+    1. ``repartitionByRange(n_buckets)`` on the key — every bucket holds
+       a contiguous key range; the frame is persisted so the sampled
+       range boundaries (and so each row's bucket id) are computed once
+       and stay fixed across the two downstream jobs.
+    2. bucket sizes → driver (``n_buckets`` longs), cumulative offsets
+       broadcast back.
+    3. per-bucket ``row_number`` (window partitioned BY BUCKET — sorts
+       one bucket per task, never the globe) + the bucket's offset.
+
+    Cost: one range exchange + one bucket-keyed window exchange, both
+    fully parallel; driver traffic is ``n_buckets`` counts. Size
+    ``n_buckets`` ≈ cluster cores (or data_size / 256 MB).
+
+    The result is engine- and partitioning-independent (it equals SQL
+    ``row_number() OVER (ORDER BY …) - 1``), so it is oracle-checkable.
+    Caller may ``unpersist()`` the returned frame's lineage when done.
+    """
+    cols = [F.col(c) for c in order_by]
+    ranged = (
+        df.repartitionByRange(n_buckets, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_bucket", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r["_bucket"]: r["cnt"]
+        for r in ranged.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sizes):
+        offsets.append((b, acc))
+        acc += sizes[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, "_bucket int, _offset long"
+    )
+    w = Window.partitionBy("_bucket").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            key_col,
+            F.col("_offset") + F.row_number().over(w) - F.lit(1),
+        )
+        .drop("_bucket", "_offset")
+    )
 
 
 def _schema_plus(base, output_col: str, output_type: str):

@@ -384,6 +384,35 @@ GROUP BY a.pos, b.pos
 
 
 # ======================================================================
+# distributed dense row key (positional-identity bridge at scale)
+# ======================================================================
+
+
+def q_feat_row_key_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based row key over lineitem in (orderkey, linenumber)
+    order via the range-bucketed two-pass scheme — no single-partition
+    sort anywhere (operators/application.with_row_key_distributed).
+    Equals SQL ``row_number() OVER (ORDER BY …) - 1``, which is the
+    oracle."""
+    from .operators.application import with_row_key_distributed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    return with_row_key_distributed(
+        li, ["l_orderkey", "l_linenumber"], n_buckets=16
+    )
+
+
+_SQL_ROW_KEY_DIST = """
+SELECT l_orderkey, l_linenumber,
+       row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+         AS row_key
+FROM lineitem
+"""
+
+
+# ======================================================================
 # built-in session_window streaming aggregate
 # ======================================================================
 
@@ -477,6 +506,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_tpch_q22": q_rel_tpch_q22,
     "text_contamination": q_text_contamination,
     "emb_gram": q_emb_gram,
+    "feat_row_key_dist": q_feat_row_key_dist,
     "stream_session_window": q_stream_session_window,
 }
 
@@ -490,5 +520,6 @@ def oracles6() -> Dict[str, str]:
         "rel_tpch_q22": _SQL_TPCH_Q22,
         "text_contamination": _SQL_CONTAMINATION,
         "emb_gram": _SQL_EMB_GRAM,
+        "feat_row_key_dist": _SQL_ROW_KEY_DIST,
         "stream_session_window": _sql_stream_session_window(),
     }

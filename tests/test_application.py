@@ -293,3 +293,26 @@ def test_scaler_fastpath_matches_pandas_path(spark):
     # JVM path actually engaged: no Python eval in the fast plan
     plan = pf._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_with_row_key_distributed_matches_global(spark):
+    """Range-bucketed two-pass row key equals the single-partition
+    global window on the same total order, and the plan contains no
+    single-partition (empty partitionBy) window exchange."""
+    from panelsplit_spark.operators.application import (
+        with_row_key,
+        with_row_key_distributed,
+    )
+
+    df = spark.range(0, 997).selectExpr(
+        "pmod(id * 7919, 997) AS k", "id AS payload"
+    )
+    exp = {
+        r["k"]: r["row_key"]
+        for r in with_row_key(df, ["k"]).collect()
+    }
+    out = with_row_key_distributed(df, ["k"], n_buckets=8)
+    got = {r["k"]: r["row_key"] for r in out.collect()}
+    assert got == exp
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
