@@ -35,6 +35,8 @@ __all__ = [
     "kmeans_assign",
     "centroid_frame",
     "gram_matrix",
+    "pca_fit",
+    "pca_project",
 ]
 
 
@@ -481,3 +483,89 @@ def gram_matrix(
             F.col("_s").cast("long").alias("sum_xy"),
         )
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    scale: float = 1000.0,
+):
+    """Distributed PCA fit over an embedding column → ``(components,
+    mean, explained_variance)`` with ``components`` a k×d list of lists
+    (rows = principal axes, deterministically sign-normalized so the
+    largest-|loading| entry is positive).
+
+    Execution split, the right shape for 100 TB: the DATA work is two
+    exact integer reductions — the Gram matrix (:func:`gram_matrix`,
+    d(d+1)/2 cells) and the component sums (one grouped aggregate after
+    posexplode) — everything after (covariance assembly, ``numpy.eigh``
+    of a d×d symmetric matrix, sign fix) is microseconds of driver
+    arithmetic on d² numbers. No vector ever leaves the executors; no
+    iteration, no convergence parameter.
+
+    Both reductions quantize to integer units (exact adds, partition-
+    order-independent) so a re-run on any topology yields bit-identical
+    components.
+    """
+    d = len(df.select(vec_col).limit(1).collect()[0][0])
+    cells = gram_matrix(df, vec_col=vec_col, scale=scale).collect()
+    n = cells[0]["n"]
+    S = np.zeros((d, d))
+    for r in cells:
+        S[r["i"] - 1, r["j"] - 1] = r["sum_xy"]
+        S[r["j"] - 1, r["i"] - 1] = r["sum_xy"]
+    sums = (
+        df.select(F.posexplode(as_double(F.col(vec_col))).alias("p", "v"))
+        .select(
+            "p", F.round(F.col("v") * F.lit(scale)).cast("long").alias("q")
+        )
+        .groupBy("p")
+        .agg(F.sum("q").alias("s"))
+        .collect()
+    )
+    mu_q = np.zeros(d)
+    for r in sums:
+        mu_q[r["p"]] = r["s"]
+    mu = mu_q / (n * scale)
+    cov = S / (scale * scale * n) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        # deterministic sign: largest-|loading| coordinate positive
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(x) for x in mu], [float(evals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean,
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project vectors onto fitted principal axes → adds ``out_col``
+    (array<double>, length k). Components and mean are inlined as
+    Catalyst literals — a pure codegen'd narrow projection like
+    :func:`kmeans_assign`: the corpus is never shuffled, nothing is
+    collected, and the same compiled plan serves batch or streaming
+    frames."""
+    mu = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(
+        as_double(F.col(vec_col)), mu, lambda a, b: a - b
+    )
+
+    def proj(c):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(centered, lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return df.withColumn(out_col, F.array(*[proj(c) for c in components]))

@@ -384,6 +384,32 @@ GROUP BY a.pos, b.pos
 
 
 # ======================================================================
+# distributed PCA (fit = Gram reduction + driver eigh; project = codegen)
+# ======================================================================
+
+
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit PCA on the embedding corpus (two exact integer reductions +
+    d×d driver eigh) and project every vector onto the top-4 axes.
+    No SQL oracle — eigenvectors aren't SQL-expressible; correctness is
+    pinned by the numpy differential test
+    (tests/test_data_ops.py::test_pca_differential_vs_numpy) and the
+    driver's rows-only check."""
+    from .operators.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, mean, _ = pca_fit(emb, k=4, scale=GRAM_SCALE)
+    out = pca_project(emb, comps, mean)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pc", 1), 6).alias("pc1"),
+        F.round(F.element_at("pc", 2), 6).alias("pc2"),
+        F.round(F.element_at("pc", 3), 6).alias("pc3"),
+        F.round(F.element_at("pc", 4), 6).alias("pc4"),
+    )
+
+
+# ======================================================================
 # distributed dense row key (positional-identity bridge at scale)
 # ======================================================================
 
@@ -506,6 +532,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_tpch_q22": q_rel_tpch_q22,
     "text_contamination": q_text_contamination,
     "emb_gram": q_emb_gram,
+    "emb_pca_project": q_emb_pca_project,
     "feat_row_key_dist": q_feat_row_key_dist,
     "stream_session_window": q_stream_session_window,
 }

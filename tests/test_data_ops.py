@@ -336,3 +336,42 @@ def test_gram_matrix_matches_numpy(spark):
             n, s = got[(i + 1, j + 1)]
             assert n == 40
             assert s == int(expect[i, j])
+
+
+def test_pca_differential_vs_numpy(spark):
+    """Distributed PCA (Gram reduction + driver eigh) matches local
+    numpy PCA on the same vectors: eigenvalues, axes (up to the
+    deterministic sign rule), and projections."""
+    import numpy as np
+
+    from panelsplit_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(200, 4)) @ np.diag([5.0, 2.0, 0.5, 0.1])
+    vecs = (base @ rng.normal(size=(4, 4))).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    comps, mean, evals = pca_fit(df, k=2, scale=100000.0)
+
+    X = vecs.astype(np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    np.testing.assert_allclose(mean, mu, atol=1e-4)
+    np.testing.assert_allclose(evals, w[order], rtol=1e-3)
+    for got, idx in zip(comps, order):
+        ref = v[:, idx]
+        j = int(np.argmax(np.abs(ref)))
+        if ref[j] < 0:
+            ref = -ref
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    proj = {
+        r["vec_id"]: r["pc"]
+        for r in pca_project(df, comps, mean).select("vec_id", "pc").collect()
+    }
+    expect = (X - mu) @ np.array(comps).T
+    for i in range(len(X)):
+        np.testing.assert_allclose(proj[i], expect[i], atol=1e-2)
