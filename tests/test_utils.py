@@ -65,3 +65,28 @@ def test_plot_splits_smoke():
     ps = PanelSplit(unique_periods=list(range(10)), n_splits=3)
     fig = plot_splits(ps, show=False)
     assert fig is not None
+
+
+def test_plot_splits_structure(spark):
+    """plot_splits draws one train + one test series per fold (gated on
+    matplotlib; asserts the ImportError contract when absent)."""
+    import pytest
+
+    from panelsplit_spark import PanelSplit
+    from panelsplit_spark.plot import plot_splits
+
+    df = spark.createDataFrame(
+        [(f"2024-01-{d:02d}",) for d in range(1, 11)], "period string"
+    )
+    ps = PanelSplit(df, "period", n_splits=3)
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="matplotlib"):
+            plot_splits(ps, show=False)
+        return
+    fig = plot_splits(ps, show=False)
+    ax = fig.axes[0]
+    # 2 scatter collections per fold (train + test)
+    assert len(ax.collections) == 2 * 3
+    assert len(ax.get_yticklabels()) == 3
