@@ -72,6 +72,9 @@ HEADLINE = [
     "emb_gram",
     "stream_session_window",
     "feat_row_key_dist",
+    "rel_orders_above_cust_avg",
+    "rel_unpivot_customer",
+    "rel_price_histogram",
 ]
 
 

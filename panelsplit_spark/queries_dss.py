@@ -521,6 +521,116 @@ FROM s GROUP BY user_id, session_id
 
 
 # ======================================================================
+# correlated scalar subquery (decorrelated to a window aggregate)
+# ======================================================================
+
+
+def q_rel_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders worth more than 1.5× their own customer's average order.
+
+    The classic correlated-scalar-subquery shape. Spark-first execution
+    DEcorrelates it: the per-customer aggregate is a window over the
+    custkey partition — ONE shuffle of the orders table, no per-row
+    subquery, no second scan. Comparison by integer cross-multiplication
+    (``2·price·n > 3·total``), so no float average exists on either
+    engine."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_cents", _cents(F.col("o_totalprice"))
+    )
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("_tot", F.sum("price_cents").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("price_cents") * 2 * F.col("_n") > F.col("_tot") * 3
+        )
+        .select("o_orderkey", "o_custkey", "price_cents")
+    )
+
+
+_SQL_ORDERS_ABOVE_CUST_AVG = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders o
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2
+      * (SELECT count(*) FROM orders o2
+         WHERE o2.o_custkey = o.o_custkey)
+      > 3 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+# ======================================================================
+# unpivot / melt
+# ======================================================================
+
+
+def q_rel_unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of customer numeric attributes via ``stack`` — a
+    pure narrow projection (each row emits k rows in place, zero
+    shuffles), the inverse of the pivot gate query."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal_cents', acctbal_cents,"
+            " 'nationkey', nationkey) AS (metric, val)"
+        ),
+    )
+
+
+_SQL_UNPIVOT_CUSTOMER = """
+SELECT c_custkey, metric, val FROM (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         CAST(c_nationkey AS BIGINT) AS nationkey
+  FROM customer
+) UNPIVOT (val FOR metric IN (acctbal_cents, nationkey))
+"""
+
+
+# ======================================================================
+# fixed-width histogram
+# ======================================================================
+
+HIST_BUCKET_CENTS = 5_000_000  # 50k currency units per bucket
+
+
+def q_rel_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value histogram in fixed-width buckets: pure integer
+    arithmetic + one partial-aggregated groupBy — the profiling scan a
+    pipeline runs before choosing quantile thresholds."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(
+        _cents(F.col("o_totalprice")) / F.lit(HIST_BUCKET_CENTS)
+    ).alias("bucket")
+    return (
+        orders.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(_cents(F.col("o_totalprice"))).alias("min_cents"),
+            F.max(_cents(F.col("o_totalprice"))).alias("max_cents"),
+        )
+    )
+
+
+_SQL_PRICE_HISTOGRAM = f"""
+SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT)
+                  / {HIST_BUCKET_CENTS}) AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+FROM orders GROUP BY 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -535,6 +645,9 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca_project": q_emb_pca_project,
     "feat_row_key_dist": q_feat_row_key_dist,
     "stream_session_window": q_stream_session_window,
+    "rel_orders_above_cust_avg": q_rel_orders_above_cust_avg,
+    "rel_unpivot_customer": q_rel_unpivot_customer,
+    "rel_price_histogram": q_rel_price_histogram,
 }
 
 
@@ -549,4 +662,7 @@ def oracles6() -> Dict[str, str]:
         "emb_gram": _SQL_EMB_GRAM,
         "feat_row_key_dist": _SQL_ROW_KEY_DIST,
         "stream_session_window": _sql_stream_session_window(),
+        "rel_orders_above_cust_avg": _SQL_ORDERS_ABOVE_CUST_AVG,
+        "rel_unpivot_customer": _SQL_UNPIVOT_CUSTOMER,
+        "rel_price_histogram": _SQL_PRICE_HISTOGRAM,
     }
