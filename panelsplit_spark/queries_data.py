@@ -884,14 +884,17 @@ def q_stream_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        feats.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.rolling import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            feats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.unix_micros("window_start").alias("win_start_us"),
         "user_id",

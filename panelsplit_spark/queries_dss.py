@@ -479,14 +479,17 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.rolling import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.unix_micros(F.col("session_window.start")).alias("start_us"),

@@ -479,14 +479,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.rolling import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("user_id", "event_type")
 
 
@@ -862,15 +865,18 @@ def q_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        scored.select("event_id", "fold_id", "prediction")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.rolling import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            scored.select("event_id", "fold_id", "prediction")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "event_id",
         F.col("fold_id").cast("long").alias("fold_id"),

@@ -524,14 +524,17 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.rolling import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id", "session_id")
