@@ -377,13 +377,19 @@ class BaseSearch:
         refit_metric = (
             self.refit if isinstance(self.refit, str) else "score"
         )
-        if callable(self.refit):
-            self.best_index_ = int(self.refit(self.cv_results_))
-        elif self.refit is not False:
-            self.best_index_ = int(
-                np.argmin(self.cv_results_[f"rank_test_{refit_metric}"])
-            )
-        if self.refit is not False:
+        # Reference model_selection.py:736-750: in SINGLE-metric
+        # evaluation best_index_/best_score_/best_params_ are set even
+        # when refit=False; under multimetric they require refit naming
+        # a metric (or a callable).
+        if self.refit or not multimetric:
+            if callable(self.refit):
+                self.best_index_ = int(self.refit(self.cv_results_))
+            else:
+                self.best_index_ = int(
+                    np.argmin(
+                        self.cv_results_[f"rank_test_{refit_metric}"]
+                    )
+                )
             self.best_params_ = self.cv_results_["params"][self.best_index_]
             if not callable(self.refit):
                 self.best_score_ = float(
@@ -391,6 +397,7 @@ class BaseSearch:
                         self.best_index_
                     ]
                 )
+        if self.refit is not False:
             # refit on the full data (reference model_selection.py:752-767)
             t0 = time.time()
             self.best_estimator_ = self._clone_pipeline()

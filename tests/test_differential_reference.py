@@ -170,3 +170,74 @@ def test_oof_predictions_and_mse_match_reference(
     }
     for fid, m in ref_mse.items():
         assert eng_mse[fid] == pytest.approx(m, rel=1e-9)
+
+
+def _ridge_closed_form(X, y, alpha):
+    """Plain numpy ridge with intercept (intercept unpenalized) — the
+    reference path runs sklearn.Ridge; this is the same normal-equation
+    math, independent of the engine's moment-aggregate solver."""
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    d = X.shape[1]
+    w = np.linalg.solve(Xc.T @ Xc + alpha * np.eye(d), Xc.T @ yc)
+    b = y.mean() - X.mean(axis=0) @ w
+    return w, b
+
+
+def test_grid_search_cv_results_match_reference_loop(spark, tiny_panel):
+    """Differential §2.5 check: GridSearch cv_results_ (per-split scores,
+    mean/std, rank, best candidate) equals the reference's explicit
+    per-candidate per-fold loop (model_selection.py:614-885 semantics)
+    run with independent numpy ridge fits on the same fixture."""
+    from panelsplit_spark import Ridge
+    from panelsplit_spark.operators.model_selection import GridSearch
+    from panelsplit_spark.operators.pipeline import SequentialCVPipeline
+
+    kwargs = dict(n_splits=3, test_size=2)
+    alphas = [1e-6, 1.0, 50.0]
+
+    # --- reference-style positional loop (numpy) ---
+    rep = _ReferenceReplica(tiny_panel["period"].to_numpy(), **kwargs)
+    X = tiny_panel[["x"]].to_numpy(float)
+    y = tiny_panel["y"].to_numpy(float)
+    split_scores = []  # [cand][fold] = neg MSE
+    for a in alphas:
+        per_fold = []
+        for tr, te in rep.split():
+            w, b = _ridge_closed_form(X[tr], y[tr], a)
+            pred = X[te] @ w + b
+            per_fold.append(-float(np.mean((y[te] - pred) ** 2)))
+        split_scores.append(per_fold)
+    means = [float(np.mean(s)) for s in split_scores]
+    stds = [float(np.std(s)) for s in split_scores]
+    order = np.argsort([-m for m in means], kind="mergesort")
+    ranks = np.empty(len(alphas), dtype=int)
+    ranks[order] = np.arange(1, len(alphas) + 1)
+
+    # --- engine ---
+    sdf = spark.createDataFrame(tiny_panel)
+    ps = PanelSplit(sdf, "period", **kwargs)
+    pipe = SequentialCVPipeline(
+        [("reg", Ridge(alpha=1.0))], [ps], ["x"], y_col="y"
+    )
+    gs = GridSearch(
+        pipe,
+        {"reg__alpha": alphas},
+        scoring="neg_mean_squared_error",
+        refit=False,
+    )
+    gs.fit(sdf)
+    res = gs.cv_results_
+
+    for c in range(len(alphas)):
+        for j in range(kwargs["n_splits"]):
+            np.testing.assert_allclose(
+                res[f"split{j}_test_score"][c], split_scores[c][j],
+                rtol=1e-8,
+            )
+        np.testing.assert_allclose(res["mean_test_score"][c], means[c],
+                                   rtol=1e-8)
+        np.testing.assert_allclose(res["std_test_score"][c], stds[c],
+                                   rtol=1e-8)
+    assert list(res["rank_test_score"]) == list(ranks)
+    assert gs.best_index_ == int(order[0])
