@@ -75,6 +75,7 @@ HEADLINE = [
     "rel_orders_above_cust_avg",
     "rel_unpivot_customer",
     "rel_price_histogram",
+    "stream_online_linreg",
 ]
 
 

@@ -632,6 +632,98 @@ SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT)
 FROM orders GROUP BY 1
 """
 
+# ======================================================================
+# streaming rolling refit: per-entity online linear regression
+# ======================================================================
+
+
+def q_stream_online_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling refit: each event scored by a linear model
+    (value ~ hour-of-day) fitted on that user's strict event-time past,
+    refit continuously from 5 exact integer moments of state — the
+    streaming generalization of expanding-window panel CV. The oracle
+    replays the identical integer moments as windowed SQL sums and the
+    identical float64 slope/intercept expression, so the match is exact
+    (streaming/rolling.stream_online_linreg)."""
+    from .sources.tables import configure, normalize_event_ts
+    from .streaming.rolling import (
+        stream_online_linreg,
+        stream_shuffle_partitions,
+    )
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_event_ts(stream)
+    feats = stream.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.hour("ts").cast("long").alias("qx"),
+        F.round(F.col("value") * 100).cast("long").alias("qy"),
+    )
+    scored = stream_online_linreg(feats)
+    name = "stream_online_linreg_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "event_id",
+        # operator emits NaN for not-yet-fittable rows (pandas float
+        # column); normalize to NULL to match the SQL oracle
+        F.when(F.isnan("pred"), F.lit(None))
+        .otherwise(F.round("pred", 6))
+        .alias("pred_cents"),
+    )
+
+
+_SQL_STREAM_ONLINE_LINREG = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(hour(ts) AS BIGINT) AS qx,
+         CAST(round(value * 100) AS BIGINT) AS qy
+  FROM events
+),
+m AS (
+  SELECT event_id, qx,
+         count(*) OVER w AS n,
+         sum(qx) OVER w AS sx,
+         sum(qy) OVER w AS sy,
+         sum(qx * qx) OVER w AS sxx,
+         sum(qx * qy) OVER w AS sxy
+  FROM e WINDOW w AS (
+    PARTITION BY user_id ORDER BY t, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx != 0 THEN
+         round(
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(qx AS DOUBLE)
+           + (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+       ELSE NULL END AS pred_cents
+FROM m
+"""
+
+
 
 # ======================================================================
 # registry
@@ -651,6 +743,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_orders_above_cust_avg": q_rel_orders_above_cust_avg,
     "rel_unpivot_customer": q_rel_unpivot_customer,
     "rel_price_histogram": q_rel_price_histogram,
+    "stream_online_linreg": q_stream_online_linreg,
 }
 
 
@@ -668,4 +761,5 @@ def oracles6() -> Dict[str, str]:
         "rel_orders_above_cust_avg": _SQL_ORDERS_ABOVE_CUST_AVG,
         "rel_unpivot_customer": _SQL_UNPIVOT_CUSTOMER,
         "rel_price_histogram": _SQL_PRICE_HISTOGRAM,
+        "stream_online_linreg": _SQL_STREAM_ONLINE_LINREG,
     }

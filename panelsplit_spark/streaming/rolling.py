@@ -31,6 +31,7 @@ __all__ = [
     "stream_distinct",
     "stream_interval_join",
     "stream_shuffle_partitions",
+    "stream_online_linreg",
 ]
 
 
@@ -383,3 +384,109 @@ def stream_shuffle_partitions(spark, n: Optional[int] = None):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def stream_online_linreg(
+    stream_df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming rolling refit (SURVEY §7 stretch item): a per-entity
+    simple linear regression that re-fits CONTINUOUSLY as events arrive,
+    scoring each event with the model fitted on that entity's strict
+    past — the streaming generalization of expanding-window panel CV
+    (every event is its own out-of-sample "fold").
+
+    Inputs must be pre-quantized to integer units (``qx``, ``qy`` longs —
+    e.g. hour-of-day and value cents): state is then five EXACT integers
+    (n, Σx, Σy, Σxx, Σxy) per entity, so the fit is bit-reproducible
+    under any partitioning and the final slope/intercept arithmetic can
+    be replayed identically by a SQL oracle (windowed integer sums +
+    the same float64 expression). Emits ``pred`` (NULL until the entity
+    has 2 informative points) = slope·qx + intercept in qy units.
+
+    Scale: one keyed shuffle per micro-batch (same as any stateful op);
+    state is 5 longs per entity — no window buffer, no event history.
+    Same ordering contract as ``stream_sessionize``'s fast path:
+    per-entity event-time order across micro-batches (rows are sorted
+    within each batch).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("pred", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("sx", T.LongType()),
+            T.StructField("sy", T.LongType()),
+            T.StructField("sxx", T.LongType()),
+            T.StructField("sxy", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n0, sx0, sy0, sxx0, sxy0 = state.get
+        else:
+            n0 = sx0 = sy0 = sxx0 = sxy0 = 0
+        outs = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            qx = pdf[qx_col].to_numpy(np.int64)
+            qy = pdf[qy_col].to_numpy(np.int64)
+            # prior-state cumulative moments (exact integer math)
+            z = np.zeros(1, np.int64)
+            n = n0 + np.arange(len(qx), dtype=np.int64)
+            sx = sx0 + np.concatenate([z, np.cumsum(qx)[:-1]])
+            sy = sy0 + np.concatenate([z, np.cumsum(qy)[:-1]])
+            sxx = sxx0 + np.concatenate([z, np.cumsum(qx * qx)[:-1]])
+            sxy = sxy0 + np.concatenate([z, np.cumsum(qx * qy)[:-1]])
+            den = n * sxx - sx * sx
+            ok = (n >= 2) & (den != 0)
+            # float64 expression mirrored verbatim in the SQL oracle —
+            # same integers, same operation order, identical doubles
+            with np.errstate(divide="ignore", invalid="ignore"):
+                slope = (n * sxy - sx * sy).astype(np.float64) / den.astype(
+                    np.float64
+                )
+                icept = (
+                    sy.astype(np.float64) - slope * sx.astype(np.float64)
+                ) / n.astype(np.float64)
+                pred = slope * qx.astype(np.float64) + icept
+            o = pdf[[id_col]].copy()
+            o["pred"] = np.where(ok, pred, np.nan)
+            o.loc[~ok, "pred"] = None
+            outs.append(o)
+            n0 = int(n[-1]) + 1
+            sx0 = int(sx[-1]) + int(qx[-1])
+            sy0 = int(sy[-1]) + int(qy[-1])
+            sxx0 = int(sxx[-1]) + int(qx[-1] * qx[-1])
+            sxy0 = int(sxy[-1]) + int(qx[-1] * qy[-1])
+        state.update((n0, sx0, sy0, sxx0, sxy0))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return (
+        stream_df.select(entity_col, ts_col, id_col, qx_col, qy_col)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -342,3 +342,91 @@ def test_stream_interval_join_matches_batch(spark, stream_dir):
     got = spark.table("ivj").collect()
     assert len(expected) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stream_online_linreg_state_across_batches(spark):
+    """Online regression state (5 integer moments) survives micro-batch
+    boundaries: forcing one file per trigger, the two-batch run equals a
+    single-pass pandas replay over the ordered events."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from panelsplit_spark.streaming.rolling import stream_online_linreg
+
+    d = tempfile.mkdtemp(prefix="pss_olr_")
+    try:
+        rng = np.random.default_rng(3)
+        rows = []
+        eid = 0
+        for day in range(1, 7):
+            for uid in range(3):
+                for h in (1, 5, 9, 13):
+                    rows.append(
+                        (eid, uid, f"2024-01-{day:02d} {h:02d}:00:00",
+                         int(h), int(rng.integers(-50, 500)))
+                    )
+                    eid += 1
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts_s", "qx", "qy"]
+        )
+        df = spark.createDataFrame(pdf).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        # file 0 = days 1-3, file 1 = days 4-6 (lexicographic order
+        # matches time order -> ordered-arrival contract holds)
+        df.filter(F.dayofmonth("ts") <= 3).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d + "/p=0")
+        df.filter(F.dayofmonth("ts") > 3).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d + "/p=1")
+
+        schema = spark.read.parquet(d + "/p=0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/p=*")
+        )
+        scored = stream_online_linreg(stream)
+        q = (
+            scored.writeStream.format("memory")
+            .queryName("olr")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["event_id"]: r["pred"] for r in spark.table("olr").collect()
+        }
+
+        # single-pass replay
+        expect = {}
+        for uid, g in pdf.sort_values(["ts_s", "event_id"]).groupby(
+            "user_id"
+        ):
+            n = sx = sy = sxx = sxy = 0
+            for _, r in g.iterrows():
+                qx, qy = int(r.qx), int(r.qy)
+                den = n * sxx - sx * sx
+                if n >= 2 and den != 0:
+                    slope = float(n * sxy - sx * sy) / float(den)
+                    icept = (float(sy) - slope * float(sx)) / float(n)
+                    expect[r.event_id] = slope * qx + icept
+                else:
+                    expect[r.event_id] = None
+                n += 1; sx += qx; sy += qy; sxx += qx * qx; sxy += qx * qy
+
+        assert len(got) == len(expect)
+        import math
+        for k, v in expect.items():
+            g = got[k]
+            if v is None:
+                assert g is None or math.isnan(g)
+            else:
+                assert abs(g - v) < 1e-9
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
