@@ -32,6 +32,7 @@ __all__ = [
     "stream_interval_join",
     "stream_shuffle_partitions",
     "stream_online_linreg",
+    "stream_parquet_sink",
 ]
 
 
@@ -490,3 +491,36 @@ def stream_online_linreg(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    query_name: Optional[str] = None,
+    partition_by: Optional[Sequence[str]] = None,
+):
+    """Durable exactly-once parquet sink for a streaming frame.
+
+    The production landing pattern: the file sink's transaction log
+    (``_spark_metadata``) plus the checkpoint's offset log give
+    end-to-end exactly-once — a restart with the SAME checkpoint resumes
+    from the recorded offsets and never rewrites committed files, so
+    replayed input produces no duplicate rows (pinned by
+    ``test_stream_sink_restart_exactly_once``).
+
+    Scale: each micro-batch writes its partitions in parallel; commit is
+    one driver metadata append. Partition by a pruning column (period,
+    event_type) so downstream reads skip directories.
+    """
+    w = df.writeStream.format("parquet").option(
+        "path", path
+    ).option("checkpointLocation", checkpoint)
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    if query_name:
+        w = w.queryName(query_name)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

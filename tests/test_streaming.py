@@ -430,3 +430,39 @@ def test_stream_online_linreg_state_across_batches(spark):
                 assert abs(g - v) < 1e-9
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sink_restart_exactly_once(spark):
+    """Durable parquet sink + checkpoint: draining, appending new input,
+    and restarting with the SAME checkpoint processes only the new file
+    — every record lands exactly once across the two runs."""
+    import shutil
+    import tempfile
+
+    from panelsplit_spark.streaming.rolling import stream_parquet_sink
+
+    root = tempfile.mkdtemp(prefix="pss_sink_")
+    src, out, ckpt = root + "/src", root + "/out", root + "/ckpt"
+    try:
+        df1 = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+        df1.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = stream_parquet_sink(stream, out, ckpt)
+            q.awaitTermination(120)
+
+        run()
+        first = spark.read.parquet(out).count()
+        assert first == 100
+
+        spark.range(100, 150).selectExpr("id", "id * 2 AS v").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        run()
+        got = spark.read.parquet(out)
+        assert got.count() == 150          # no duplicates from file 1
+        assert got.select("id").distinct().count() == 150
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
