@@ -76,6 +76,7 @@ HEADLINE = [
     "rel_unpivot_customer",
     "rel_price_histogram",
     "stream_online_linreg",
+    "rel_sql_gateway",
 ]
 
 

@@ -724,6 +724,37 @@ FROM m
 """
 
 
+# ======================================================================
+# SQL gateway: one dialect-shared text, two engines
+# ======================================================================
+
+# The SAME string is submitted verbatim to spark.sql AND to the DuckDB
+# oracle — no translation layer. Pinning a shared ANSI subset (explicit
+# casts, integer cents, no engine-specific functions) demonstrates the
+# engine's SQL surface end-to-end: Catalyst parses, optimizes and
+# codegen-executes the identical text a warehouse engine runs.
+_SQL_GATEWAY = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+       min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
+       max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_price_cents
+FROM lineitem
+WHERE l_discount BETWEEN 0.02 AND 0.08
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_sql_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() path: register the corpus as temp views and run the
+    ORACLE'S EXACT SQL text on Spark. Plan is identical to the
+    DataFrame-API equivalent (same Catalyst pipeline): pushed filter,
+    partial aggregation, one shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_SQL_GATEWAY)
+
+
 
 # ======================================================================
 # registry
@@ -744,6 +775,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_unpivot_customer": q_rel_unpivot_customer,
     "rel_price_histogram": q_rel_price_histogram,
     "stream_online_linreg": q_stream_online_linreg,
+    "rel_sql_gateway": q_rel_sql_gateway,
 }
 
 
@@ -762,4 +794,5 @@ def oracles6() -> Dict[str, str]:
         "rel_unpivot_customer": _SQL_UNPIVOT_CUSTOMER,
         "rel_price_histogram": _SQL_PRICE_HISTOGRAM,
         "stream_online_linreg": _SQL_STREAM_ONLINE_LINREG,
+        "rel_sql_gateway": _SQL_GATEWAY,
     }

@@ -37,6 +37,7 @@ __all__ = [
     "write_sink",
     "write_bucketed_table",
     "normalize_event_ts",
+    "compact_parquet",
 ]
 
 
@@ -179,3 +180,50 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if t == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+    sort_within_by=None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_file_mb``-sized files → returns the output file count.
+
+    Every long-running ingest (especially streaming sinks, which commit
+    one file per micro-batch per partition) degrades into thousands of
+    tiny files; at 100 TB the resulting scan-planning and open() overhead
+    dominates query time. Compaction is the maintenance op that restores
+    scan efficiency.
+
+    Sizing reads the source's total byte size from the file index (no
+    data pass), then ``repartition(n)`` for even output. Optional
+    ``sort_within_by`` clusters rows within each output file so parquet
+    row-group min/max statistics prune at read time (poor man's
+    Z-order on one key prefix).
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n)
+    if sort_within_by:
+        cols = (
+            [sort_within_by]
+            if isinstance(sort_within_by, str)
+            else list(sort_within_by)
+        )
+        out = out.sortWithinPartitions(*cols)
+    out.write.mode("overwrite").parquet(dst_path)
+    return sum(
+        1
+        for f in os.listdir(dst_path)
+        if f.endswith(".parquet")
+    )

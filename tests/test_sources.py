@@ -115,3 +115,28 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_compact_parquet_preserves_data(spark, tmp_path):
+    """Compaction collapses a many-small-files dataset into the sized
+    file count and preserves every row."""
+    from panelsplit_spark.sources.tables import compact_parquet
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 10_000).selectExpr(
+        "id", "id % 7 AS k"
+    ).repartition(40).write.parquet(src)
+    import os as _os
+
+    n_src = sum(
+        1 for f in _os.listdir(src) if f.endswith(".parquet")
+    )
+    assert n_src == 40
+    n_out = compact_parquet(
+        spark, src, dst, target_file_mb=256, sort_within_by="id"
+    )
+    assert n_out == 1  # 10k tiny rows fit one 256MB target file
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
