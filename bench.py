@@ -77,6 +77,8 @@ HEADLINE = [
     "rel_price_histogram",
     "stream_online_linreg",
     "rel_sql_gateway",
+    "rel_asof_join_fwd",
+    "rel_full_outer_recon",
 ]
 
 

@@ -73,12 +73,16 @@ def asof_join(
     right_order: Sequence[str] = (),
     tolerance_seconds: Optional[float] = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join: for each left row, attach the
-    right row with the greatest ``right_ts`` ≤ ``left_ts`` within the
-    same ``on`` key (ties among right rows broken by ``right_order``,
-    last wins; the reference's vintage rule at cross_validation.py:186
-    is the ``right_ts == snapshot`` special case).
+    """Inclusive as-of join. ``direction="backward"`` (default): for
+    each left row, attach the right row with the greatest ``right_ts``
+    ≤ ``left_ts`` within the same ``on`` key (ties among right rows
+    broken by ``right_order``, last wins; the reference's vintage rule
+    at cross_validation.py:186 is the ``right_ts == snapshot`` special
+    case). ``direction="forward"``: the right row with the SMALLEST
+    ``right_ts`` ≥ ``left_ts`` (first tie wins) — the "next quote/
+    event" lookup.
 
     Implementation: tag and union both sides, sort each key partition by
     time with right rows ordered before left rows at equal timestamps
@@ -103,21 +107,29 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
-    order: list[Column] = [F.col("__t").asc(), F.col("__is_left").asc()]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
+    # At equal timestamps the right row must stay eligible (inclusive):
+    # backward looks over [start..current] so rights sort BEFORE lefts;
+    # forward looks over [current..end] so lefts sort BEFORE rights.
+    order: list[Column] = [
+        F.col("__t").asc(),
+        F.col("__is_left").desc() if fwd else F.col("__is_left").asc(),
+    ]
     for i in range(len(right_order)):
         order.append(F.col(f"__ro_{i}").asc_nulls_last())
-    w = (
-        Window.partitionBy(*[F.col(c) for c in on])
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("__r", ignorenulls=True).over(w)
+    wb = Window.partitionBy(*[F.col(c) for c in on]).orderBy(*order)
+    if fwd:
+        w = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = F.first("__r", ignorenulls=True).over(w)
+    else:
+        w = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.last("__r", ignorenulls=True).over(w)
     if tolerance_seconds is not None:
         tol_us = int(round(tolerance_seconds * 1_000_000))
-        within = (
-            F.unix_micros(F.col("__t"))
-            - F.unix_micros(matched["__rts"])
-        ) <= F.lit(tol_us)
+        gap = F.unix_micros(F.col("__t")) - F.unix_micros(matched["__rts"])
+        within = (-gap if fwd else gap) <= F.lit(tol_us)
         matched = F.when(within, matched)
 
     out = (

@@ -755,6 +755,129 @@ def q_rel_sql_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_GATEWAY)
 
 
+# ======================================================================
+# forward as-of join + full-outer reconciliation
+# ======================================================================
+
+
+def q_rel_asof_join_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase picks up the user's NEXT view
+    at-or-after it (operators/timeseries.asof_join direction='forward'
+    — same union + ordered-window merge, mirrored; one shuffle, no
+    theta join)."""
+    from .operators.timeseries import asof_join
+    from .queries_data import ASOF_L_TYPE, ASOF_R_TYPE
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == ASOF_L_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == ASOF_R_TYPE).select(
+        F.col("event_id").alias("v_event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("v_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["v_event_id", "v_value"],
+        right_order=["v_event_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_v_event_id").alias("next_view_event_id"),
+        F.unix_micros("asof_ts").alias("next_view_ts_us"),
+        F.round("asof_v_value", 6).alias("next_view_value"),
+    )
+
+
+def _sql_asof_fwd() -> str:
+    from .queries_data import ASOF_L_TYPE, ASOF_R_TYPE
+
+    return f"""
+WITH l AS (
+  SELECT event_id AS l_event_id, user_id, epoch_us(ts) AS t,
+         1 AS is_left, NULL::BIGINT AS r_event_id, NULL::DOUBLE AS r_value
+  FROM events WHERE event_type = '{ASOF_L_TYPE}'
+),
+r AS (
+  SELECT NULL::BIGINT, user_id, epoch_us(ts), 0, event_id, value
+  FROM events WHERE event_type = '{ASOF_R_TYPE}'
+),
+u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+m AS (
+  SELECT *,
+    first_value(r_event_id IGNORE NULLS) OVER w AS next_view_event_id,
+    first_value(CASE WHEN is_left = 0 THEN t END IGNORE NULLS)
+      OVER w AS next_view_ts_us,
+    first_value(r_value IGNORE NULLS) OVER w AS next_value
+  FROM u
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY t, is_left DESC, r_event_id NULLS LAST
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+  )
+)
+SELECT l_event_id AS event_id, user_id, next_view_event_id,
+       next_view_ts_us, round(next_value, 6) AS next_view_value
+FROM m WHERE is_left = 1
+"""
+
+
+def q_rel_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation: per-day purchase revenue FULL OUTER joined to
+    per-day view counts — days present on either side survive, gaps
+    COALESCE to zero. Two partial-aggregated shuffles + one join of two
+    ~|days|-sized frames (broadcast-able at any corpus scale)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("day")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "purchase_cents"
+            )
+        )
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("day").alias("v_day"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    joined = purchases.join(
+        views, purchases.day == views.v_day, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("day", "v_day").alias("day"),
+        F.coalesce("purchase_cents", F.lit(0)).alias("purchase_cents"),
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+    )
+
+
+_SQL_FULL_OUTER_RECON = """
+WITH p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+v AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS v_day, count(*) AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT COALESCE(day, v_day) AS day,
+       COALESCE(purchase_cents, 0) AS purchase_cents,
+       COALESCE(n_views, 0) AS n_views
+FROM p FULL OUTER JOIN v ON day = v_day
+"""
+
+
 
 # ======================================================================
 # registry
@@ -776,6 +899,8 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_price_histogram": q_rel_price_histogram,
     "stream_online_linreg": q_stream_online_linreg,
     "rel_sql_gateway": q_rel_sql_gateway,
+    "rel_asof_join_fwd": q_rel_asof_join_fwd,
+    "rel_full_outer_recon": q_rel_full_outer_recon,
 }
 
 
@@ -795,4 +920,6 @@ def oracles6() -> Dict[str, str]:
         "rel_price_histogram": _SQL_PRICE_HISTOGRAM,
         "stream_online_linreg": _SQL_STREAM_ONLINE_LINREG,
         "rel_sql_gateway": _SQL_GATEWAY,
+        "rel_asof_join_fwd": _sql_asof_fwd(),
+        "rel_full_outer_recon": _SQL_FULL_OUTER_RECON,
     }
