@@ -79,6 +79,7 @@ HEADLINE = [
     "rel_sql_gateway",
     "rel_asof_join_fwd",
     "rel_full_outer_recon",
+    "pipe_pack_sequences",
 ]
 
 

@@ -14,7 +14,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_topn"]
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_topn",
+           "pack_sequences"]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
 # threshold comparisons are exact integer comparisons on both engines
@@ -103,3 +104,54 @@ def stratified_topn(
         .where(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """LLM sequence packing: assign each document a (shard, seq, offset)
+    slot under concat-then-chunk semantics — documents are concatenated
+    in deterministic order within a shard and the token stream is cut
+    every ``budget`` tokens; ``seq`` is the chunk the document STARTS
+    in, ``offset`` its position inside that chunk (a document may
+    straddle into ``seq+1``; the trainer's loader handles the split,
+    exactly as a streaming packer would).
+
+    This is the step that turns a cleaned corpus into fixed-length
+    training sequences. Determinism is the whole point: shard =
+    md5-bucket of the id (content-addressed, stable under reruns and
+    engine swaps), order within shard = id — so the packing layout of a
+    100 TB corpus is byte-reproducible on any cluster topology, and a
+    SQL engine can replay it (the oracle does).
+
+    Scale: ONE shuffle (by shard) + a per-shard running-sum window —
+    shards are embarrassingly parallel, exactly how per-worker packing
+    runs in production loaders. n_shards ≈ cluster cores (or total
+    tokens / (budget · sequences-per-task)).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5_long
+
+    shard = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("_run", F.sum(token_col).over(w))
+        .withColumn("_start", F.col("_run") - F.col(token_col))
+        .withColumn(
+            "seq", F.floor(F.col("_start") / F.lit(budget)).cast("long")
+        )
+        .withColumn(
+            "offset", (F.col("_start") % F.lit(budget)).cast("long")
+        )
+    )
+    return out.drop("_run", "_start")

@@ -878,6 +878,54 @@ FROM p FULL OUTER JOIN v ON day = v_day
 """
 
 
+# ======================================================================
+# LLM sequence packing
+# ======================================================================
+
+PACK_BUDGET, PACK_SHARDS = 2048, 4
+
+
+def q_pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the documents corpus into fixed-token-budget training
+    sequences: md5-sharded, id-ordered concat-then-chunk layout —
+    byte-reproducible on any topology (operators/sampling.pack_sequences,
+    token counts from operators/text.text_stats)."""
+    from .operators.sampling import pack_sequences
+    from .operators.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_stats(docs, "text").select(
+        "doc_id", F.col("n_ws_tokens").cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(
+        toks, "n_tokens", PACK_BUDGET, id_col="doc_id",
+        n_shards=PACK_SHARDS,
+    )
+    return out.select("doc_id", "n_tokens", "shard", "seq", "offset")
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+           AS n_tokens,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {PACK_SHARDS} AS INTEGER) AS shard
+  FROM documents
+),
+runs AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - n_tokens AS start
+  FROM toks
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor(start / {PACK_BUDGET}) AS BIGINT) AS seq,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS offset
+FROM runs
+"""
+
+
 
 # ======================================================================
 # registry
@@ -901,6 +949,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_sql_gateway": q_rel_sql_gateway,
     "rel_asof_join_fwd": q_rel_asof_join_fwd,
     "rel_full_outer_recon": q_rel_full_outer_recon,
+    "pipe_pack_sequences": q_pipe_pack_sequences,
 }
 
 
@@ -922,4 +971,5 @@ def oracles6() -> Dict[str, str]:
         "rel_sql_gateway": _SQL_GATEWAY,
         "rel_asof_join_fwd": _sql_asof_fwd(),
         "rel_full_outer_recon": _SQL_FULL_OUTER_RECON,
+        "pipe_pack_sequences": _SQL_PACK_SEQUENCES,
     }

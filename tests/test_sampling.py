@@ -237,3 +237,34 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expect
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-then-chunk invariants: offsets stay inside the budget,
+    consecutive docs in a shard tile the token stream with no gaps, and
+    the layout is identical across partitionings (content-addressed)."""
+    from panelsplit_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "(id % 37) + 1 AS n_tokens"
+    )
+    out = pack_sequences(
+        df, "n_tokens", budget=64, id_col="doc_id", n_shards=3
+    ).collect()
+    assert len(out) == 300
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["offset"] < 64
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            assert r["seq"] * 64 + r["offset"] == pos  # gapless tiling
+            pos += r["n_tokens"]
+    # partitioning-independence
+    out2 = pack_sequences(
+        df.repartition(13), "n_tokens", budget=64,
+        id_col="doc_id", n_shards=3,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
