@@ -80,6 +80,7 @@ HEADLINE = [
     "rel_asof_join_fwd",
     "rel_full_outer_recon",
     "pipe_pack_sequences",
+    "dedup_keep_best",
 ]
 
 

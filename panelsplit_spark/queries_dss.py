@@ -926,6 +926,83 @@ FROM runs
 """
 
 
+# ======================================================================
+# duplicate-cluster curation: keep the best member
+# ======================================================================
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composition: MinHash-LSH pairs → connected components →
+    per cluster keep the LONGEST member (whitespace tokens, min doc_id
+    tiebreak — integer-exact on every engine). The decision rule real
+    pipelines apply after near-dup clustering: drop all but the best
+    representative. Cluster frame is duplicate-sized (tiny vs corpus);
+    the ranking window shuffles only (id, cluster, n_tokens)."""
+    from pyspark.sql.window import Window
+
+    from .operators import dedup
+    from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    clusters = dedup.connected_components(pairs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    member = clusters.join(
+        toks, clusters.id == toks.doc_id
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        member.withColumn("_rk", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("_rk") == 1, F.col("doc_id"))).alias(
+                "keep_id"
+            ),
+            F.max(F.when(F.col("_rk") == 1, F.col("n_tokens"))).alias(
+                "keep_tokens"
+            ),
+        )
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    from .queries_nlp import _sql_dedup_clusters
+
+    return f"""
+WITH clust AS (
+  {_sql_dedup_clusters().strip()}
+),
+member AS (
+  SELECT c.id, c.cluster,
+         CAST(len(string_split(lower(d.text), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM clust c JOIN documents d ON c.id = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster ORDER BY n_tokens DESC, id ASC) AS rk
+  FROM member
+)
+SELECT cluster, count(*) AS n_members,
+       max(CASE WHEN rk = 1 THEN id END) AS keep_id,
+       max(CASE WHEN rk = 1 THEN n_tokens END) AS keep_tokens
+FROM ranked GROUP BY cluster
+"""
+
+
 
 # ======================================================================
 # registry
@@ -950,6 +1027,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_asof_join_fwd": q_rel_asof_join_fwd,
     "rel_full_outer_recon": q_rel_full_outer_recon,
     "pipe_pack_sequences": q_pipe_pack_sequences,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 
@@ -972,4 +1050,5 @@ def oracles6() -> Dict[str, str]:
         "rel_asof_join_fwd": _sql_asof_fwd(),
         "rel_full_outer_recon": _SQL_FULL_OUTER_RECON,
         "pipe_pack_sequences": _SQL_PACK_SEQUENCES,
+        "dedup_keep_best": _sql_dedup_keep_best(),
     }
