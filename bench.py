@@ -81,6 +81,7 @@ HEADLINE = [
     "rel_full_outer_recon",
     "pipe_pack_sequences",
     "dedup_keep_best",
+    "rel_scd2_intervals",
 ]
 
 

@@ -1003,6 +1003,46 @@ FROM ranked GROUP BY cluster
 """
 
 
+# ======================================================================
+# SCD2 / temporal validity intervals
+# ======================================================================
+
+
+def q_rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) assembly from the event log:
+    each user's purchase history becomes validity intervals
+    [valid_from, valid_to) with the NULL-terminated current row — the
+    lead() window over the user partition, one shuffle. This is how a
+    temporal dimension table is built from a change stream; the as-of
+    join then serves point-in-time lookups against it."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        (F.lead("ts").over(w).isNull()).alias("is_current"),
+    )
+
+
+_SQL_SCD2_INTERVALS = """
+SELECT user_id, event_id,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 
 # ======================================================================
 # registry
@@ -1028,6 +1068,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_full_outer_recon": q_rel_full_outer_recon,
     "pipe_pack_sequences": q_pipe_pack_sequences,
     "dedup_keep_best": q_dedup_keep_best,
+    "rel_scd2_intervals": q_rel_scd2_intervals,
 }
 
 
@@ -1051,4 +1092,5 @@ def oracles6() -> Dict[str, str]:
         "rel_full_outer_recon": _SQL_FULL_OUTER_RECON,
         "pipe_pack_sequences": _SQL_PACK_SEQUENCES,
         "dedup_keep_best": _sql_dedup_keep_best(),
+        "rel_scd2_intervals": _SQL_SCD2_INTERVALS,
     }
