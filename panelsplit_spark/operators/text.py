@@ -22,6 +22,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "register_ngram_udtf",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -143,3 +144,31 @@ def fingerprint(
         F.col(id_col),
         F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
     )
+
+
+def register_ngram_udtf(spark, name: str = "ngrams"):
+    """Register a Python UDTF exploding a document into word n-gram
+    rows: ``SELECT t.* FROM ngrams(text, 3) t``.
+
+    Completes the user-extension surface triad next to grouped-map
+    (UDAF-like) fits and ``mapInPandas`` (UDF-like) scoring — a UDTF is
+    the row-generating form users reach for in lateral joins.
+
+    The engine's own shingling deliberately does NOT use this: the
+    Catalyst higher-order-function path (``functions.hashing.
+    word_ngrams``) runs JVM-side in whole-stage codegen, ~10-100× faster
+    than a per-row Python generator. Register this only for ad-hoc
+    exploration or logic genuinely inexpressible as HOFs.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class _NGrams:
+        def eval(self, text, n):
+            toks = text.lower().split() if text else []
+            n = int(n)
+            for i in range(max(0, len(toks) - n + 1)):
+                yield i, " ".join(toks[i: i + n])
+
+    spark.udtf.register(name, _NGrams)
+    return name

@@ -375,3 +375,26 @@ def test_pca_differential_vs_numpy(spark):
     expect = (X - mu) @ np.array(comps).T
     for i in range(len(X)):
         np.testing.assert_allclose(proj[i], expect[i], atol=1e-2)
+
+
+def test_ngram_udtf_matches_hof(spark):
+    """The demonstration Python UDTF produces the same shingle set as
+    the engine's codegen'd higher-order-function path."""
+    from panelsplit_spark.functions.hashing import word_ngrams, word_tokens
+    from panelsplit_spark.operators.text import register_ngram_udtf
+
+    docs = spark.createDataFrame(
+        [(1, "The quick brown Fox"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    register_ngram_udtf(spark, "ngrams_t")
+    got = spark.sql(
+        "SELECT d.doc_id, t.gram FROM udtf_docs d, "
+        "LATERAL ngrams_t(d.text, 2) t"
+    ).collect()
+    hof = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(word_tokens(F.col("text")), 2)).alias("gram"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, hof))
