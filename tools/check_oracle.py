@@ -68,6 +68,9 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # progress bars share the line with PASS/FAIL output via \r and
+        # break anchored grep over the log — keep stdout line-clean
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
