@@ -148,3 +148,67 @@ def test_ivf_probe_subset_is_subset_of_exact_candidates(spark):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_asof_join_differential_vs_pandas_merge_asof(spark):
+    """asof_join (both directions, with/without tolerance) equals
+    pandas.merge_asof on randomized keyed time series — an independent
+    reference implementation of as-of semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from panelsplit_spark.operators.timeseries import asof_join
+
+    rng = np.random.default_rng(17)
+    left_rows, right_rows = [], []
+    rid = 0
+    for k in range(5):
+        lt = np.sort(rng.choice(np.arange(0, 500), size=30, replace=False))
+        rt = np.sort(rng.choice(np.arange(0, 500), size=20, replace=False))
+        for i, t in enumerate(lt):
+            left_rows.append((k, int(t), k * 100 + i))
+        for t in rt:
+            right_rows.append((k, int(t), float(rid)))
+            rid += 1
+    lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lid"])
+    rpdf = pd.DataFrame(right_rows, columns=["k", "t", "rv"])
+    base = pd.Timestamp("2024-01-01")
+    lpdf["ts"] = base + pd.to_timedelta(lpdf["t"], unit="s")
+    rpdf["ts"] = base + pd.to_timedelta(rpdf["t"], unit="s")
+
+    ldf = spark.createDataFrame(lpdf[["k", "lid", "ts"]])
+    rdf = spark.createDataFrame(
+        rpdf[["k", "rv", "ts"]].rename(columns={"ts": "rts"})
+    )
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 60.0):
+            got = asof_join(
+                ldf,
+                rdf,
+                on=["k"],
+                left_ts="ts",
+                right_ts="rts",
+                right_cols=["rv"],
+                tolerance_seconds=tol,
+                direction=direction,
+            ).collect()
+            exp = pd.merge_asof(
+                lpdf.sort_values("ts"),
+                rpdf.sort_values("ts")[["k", "ts", "rv"]],
+                on="ts",
+                by="k",
+                direction=direction,
+                allow_exact_matches=True,
+                tolerance=(
+                    pd.Timedelta(seconds=tol) if tol is not None else None
+                ),
+            ).set_index("lid")["rv"]
+            assert len(got) == len(lpdf)
+            for r in got:
+                e = exp.loc[r["lid"]]
+                g = r["asof_rv"]
+                if pd.isna(e):
+                    assert g is None, (direction, tol, r["lid"], g, e)
+                else:
+                    assert g == e, (direction, tol, r["lid"], g, e)
