@@ -398,3 +398,40 @@ def test_ngram_udtf_matches_hof(spark):
         F.explode(word_ngrams(word_tokens(F.col("text")), 2)).alias("gram"),
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, hof))
+
+
+def test_aqe_splits_skewed_smj(spark):
+    """Evidence for the engine's skew story: with AQE skew-join enabled
+    (engine default via sources.tables.configure) a hot-key sort-merge
+    join is split at runtime — the final adaptive plan carries
+    SortMergeJoin(skew=true) and a skewed AQEShuffleRead — and the
+    result matches the plain join. Salting (operators/skew.salted_join)
+    remains the explicit fallback for engines/paths without AQE."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "id AS payload",
+        )
+        right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS dim")
+        j = left.join(right, "k")
+        rows = j.collect()
+        # 90% of left rows hit key 0 (dim=0); the rest join where k<1000
+        assert len(rows) == 180_000 + 100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
