@@ -82,6 +82,7 @@ HEADLINE = [
     "pipe_pack_sequences",
     "dedup_keep_best",
     "rel_scd2_intervals",
+    "cv_weighted_ols_oof",
 ]
 
 

@@ -1043,6 +1043,65 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ======================================================================
+# weighted CV fit (sample_weight through the closed-form path)
+# ======================================================================
+
+
+def q_cv_weighted_ols_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold WEIGHTED OLS (value ~ hour-of-day, w = 1 + event_id%5)
+    through the distributed moment-aggregate fast path — exercises the
+    sample_weight contract end-to-end under the oracle gate. Oracle =
+    the weighted normal equations over the same fold assignment."""
+    from .estimators import LinearRegression
+    from .operators.application import cross_val_fit_predict
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    ev = ev.withColumn(
+        "w", (F.lit(1) + F.col("event_id") % 5).cast("double")
+    )
+    preds, _ = cross_val_fit_predict(
+        LinearRegression(), ev, ["hod"], "value", ps,
+        sample_weight_col="w", keep_cols=["event_id"],
+    )
+    return preds.select(
+        "event_id",
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.round("prediction", 6).alias("pred"),
+    )
+
+
+def _sql_cv_weighted_ols() -> str:
+    from .queries import _FOLD_CTE
+
+    return f"""
+WITH {_FOLD_CTE},
+wfit AS (
+  SELECT a.fold_id,
+         sum(1.0 + e.event_id % 5) AS sw,
+         sum((1.0 + e.event_id % 5) * e.hod) AS swx,
+         sum((1.0 + e.event_id % 5) * e.value) AS swy,
+         sum((1.0 + e.event_id % 5) * e.hod * e.hod) AS swxx,
+         sum((1.0 + e.event_id % 5) * e.hod * e.value) AS swxy
+  FROM assign a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+),
+coef AS (
+  SELECT fold_id,
+         (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1,
+         (swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
+           / sw AS b0
+  FROM wfit
+)
+SELECT e.event_id, a.fold_id, round(c.b0 + c.b1 * e.hod, 6) AS pred
+FROM assign a
+JOIN ev e ON e.period = a.period
+JOIN coef c ON c.fold_id = a.fold_id
+WHERE a.role = 'test'
+"""
+
+
 
 # ======================================================================
 # registry
@@ -1069,6 +1128,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_pack_sequences": q_pipe_pack_sequences,
     "dedup_keep_best": q_dedup_keep_best,
     "rel_scd2_intervals": q_rel_scd2_intervals,
+    "cv_weighted_ols_oof": q_cv_weighted_ols_oof,
 }
 
 
@@ -1093,4 +1153,5 @@ def oracles6() -> Dict[str, str]:
         "pipe_pack_sequences": _SQL_PACK_SEQUENCES,
         "dedup_keep_best": _sql_dedup_keep_best(),
         "rel_scd2_intervals": _SQL_SCD2_INTERVALS,
+        "cv_weighted_ols_oof": _sql_cv_weighted_ols(),
     }
