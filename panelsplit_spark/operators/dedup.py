@@ -445,7 +445,15 @@ def embedding_lsh_candidate_pairs(
     from .similarity import hyperplane_signature, random_hyperplanes
 
     if dim is None:
-        dim = len(df.select(vec_col).limit(1).collect()[0][0])
+        # dim sniff = a driver boundary (ONE row, not the corpus);
+        # pass dim= explicitly to keep plan construction fully lazy
+        head = df.select(vec_col).limit(1).collect()
+        if not head:
+            raise ValueError(
+                f"cannot infer embedding dim from an empty frame; "
+                f"pass dim= explicitly ({vec_col})"
+            )
+        dim = len(head[0][0])
     keys = []
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
@@ -603,6 +611,16 @@ def connected_components(
         labels = new.select("u", F.col("label2").alias("label"))
         if n_changed == 0:
             break
+    else:
+        # labels are only partially merged: a component with diameter >
+        # max_iter would silently split into several clusters downstream
+        # (keep-best would then keep one doc per FRAGMENT). Loud beats
+        # wrong — the caller can raise max_iter (rounds needed ≈ the
+        # duplicate-cluster diameter, which is small for near-dup graphs).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds; raise max_iter (component diameter exceeds it)"
+        )
     return labels.select(
         F.col("u").alias("id"), F.col("label").alias("cluster")
     )

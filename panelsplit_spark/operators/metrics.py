@@ -364,8 +364,16 @@ def top_k_accuracy_score(y_true, y_score, k=2):
     classes = np.unique(y_true)
     if s.ndim == 1:
         s = np.column_stack([-s, s])
-    if s.shape[1] < len(classes):
-        raise ValueError("y_score has fewer columns than classes")
+    # sklearn parity: without an explicit labels= argument the column
+    # order is only knowable when every class appears in y_true — a fold
+    # missing a class would otherwise be silently mis-indexed (column j
+    # belongs to the model's j-th class, not y_true's j-th distinct)
+    if s.shape[1] != len(classes):
+        raise ValueError(
+            f"Number of classes in y_true ({len(classes)}) not equal to "
+            f"the number of y_score columns ({s.shape[1]}); score this "
+            "fold with a full-class sample"
+        )
     hits = 0
     for r in range(len(y_true)):
         ci = int(np.where(classes == y_true[r])[0][0])

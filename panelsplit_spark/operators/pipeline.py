@@ -51,22 +51,33 @@ def _is_passthrough(est: Any) -> bool:
 #: cached y-signature reflection per (type name, method) — reference
 #: pipeline.py:83,86-162 (fixes issue #59: score() needs y, predict()
 #: doesn't, and transformers may fit on X alone)
-_METHOD_SIGNATURE_CACHE: Dict[Tuple[str, str], Tuple[bool, bool]] = {}
+_METHOD_SIGNATURE_CACHE: Dict[Tuple[type, str], Tuple[bool, bool]] = {}
 
 
 def _y_signature(model: Any, method_name: str) -> Tuple[bool, bool]:
     """(accepts_y, requires_y) for ``model.method_name``, cached."""
     import inspect
 
-    key = (type(model).__name__, method_name)
+    cls = type(model)
+    # key on the class OBJECT — names collide (same-named classes in
+    # different modules, or two `<locals>` classes sharing a qualname)
+    key = (cls, method_name)
     if key not in _METHOD_SIGNATURE_CACHE:
         try:
             params = inspect.signature(
                 getattr(model, method_name)
             ).parameters
-            has_y = "y" in params
+            kinds = {p.kind for p in params.values()}
+            catch_all = (
+                inspect.Parameter.VAR_POSITIONAL in kinds
+                or inspect.Parameter.VAR_KEYWORD in kinds
+            )
+            # *args/**kwargs wrappers hide a possible y parameter —
+            # assume y is accepted (optional) rather than silently
+            # fitting without labels
+            has_y = "y" in params or catch_all
             required = (
-                has_y
+                "y" in params
                 and params["y"].default is inspect.Parameter.empty
             )
             _METHOD_SIGNATURE_CACHE[key] = (has_y, required)

@@ -381,13 +381,20 @@ def kmeans_fit(
             .collect()
         )
         new = [list(c) for c in centroids]
-        for cell in range(k):
-            comp = [r for r in stats if r["__cell"] == cell]
-            if not comp:
-                continue  # empty cell keeps previous centroid
+        # one pass over the k·dim stat rows (a per-cell scan would be
+        # O(k²·dim) driver work at large k); empty cells keep their
+        # previous centroid
+        per_cell: dict = {}
+        for r in stats:
+            per_cell.setdefault(r["__cell"], []).append(r)
+        for cell, comp in per_cell.items():
+            if len(comp) != dim:
+                raise RuntimeError(
+                    f"kmeans_fit: cell {cell} produced {len(comp)} "
+                    f"component stats, expected {dim}"
+                )
             for r in comp:
                 new[cell][r["pos"]] = r["s"] / scale / r["n"]
-            assert len(comp) == dim
         centroids = new
     return centroids
 
@@ -508,7 +515,10 @@ def pca_fit(
     order-independent) so a re-run on any topology yields bit-identical
     components.
     """
-    d = len(df.select(vec_col).limit(1).collect()[0][0])
+    head = df.select(vec_col).limit(1).collect()
+    if not head:
+        raise ValueError("pca_fit: input frame has no rows")
+    d = len(head[0][0])
     cells = gram_matrix(df, vec_col=vec_col, scale=scale).collect()
     n = cells[0]["n"]
     S = np.zeros((d, d))

@@ -42,8 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .sources.tables import load_table
 
 
-def _cents(col) -> F.Column:
-    return F.round(col * 100).cast("long")
+from .functions.exact import cents as _cents  # noqa: E402
 
 
 def _rev_cents() -> F.Column:

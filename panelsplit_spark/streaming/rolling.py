@@ -442,9 +442,15 @@ def stream_online_linreg(
         else:
             n0 = sx0 = sy0 = sxx0 = sxy0 = 0
         outs = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        # ONE sort over the whole micro-batch group: a group larger than
+        # the Arrow chunk size arrives as several pdfs in arbitrary
+        # order, and sorting chunks independently would accumulate
+        # moments out of event-time order (same rule as the sessionizer)
+        chunks = [p for p in pdfs if len(p)]
+        merged = (
+            pd.concat(chunks, ignore_index=True) if chunks else None
+        )
+        for pdf in ([merged] if merged is not None else []):
             pdf = pdf.sort_values([ts_col, id_col])
             qx = pdf[qx_col].to_numpy(np.int64)
             qy = pdf[qy_col].to_numpy(np.int64)

@@ -191,7 +191,7 @@ def test_y_signature_reflection(spark, panel):
     )
     pipe.fit(panel)
     assert pipe.predict(panel).count() == panel.count()
-    assert ("XOnlyScaler", "fit") in _METHOD_SIGNATURE_CACHE
+    assert (XOnlyScaler, "fit") in _METHOD_SIGNATURE_CACHE
 
     # required-y estimator + y_col=None raises the reference's error
     bad = SequentialCVPipeline(
@@ -379,3 +379,42 @@ def test_sklearn_is_fitted_protocol(spark, panel):
         pass  # sklearn absent: the hook itself is the contract
     pipe.fit(panel)
     assert pipe.__sklearn_is_fitted__() is True
+
+
+def test_y_signature_catch_all_and_name_collision():
+    """Code-review r02 fixes: *args/**kwargs fit signatures are treated
+    as y-accepting (no silent label drop), and the signature cache keys
+    on full class identity so same-named classes don't collide."""
+    import numpy as np
+
+    from panelsplit_spark.operators.pipeline import (
+        _call_method_with_correct_args,
+        _y_signature,
+    )
+
+    class VarArgs:
+        def fit(self, *args):
+            self.n_args = len(args)
+            return self
+
+    m = VarArgs()
+    accepts_y, requires_y = _y_signature(m, "fit")
+    assert accepts_y and not requires_y
+    _call_method_with_correct_args(m, "fit", np.zeros((2, 1)), [1, 2])
+    assert m.n_args == 2  # y was passed through
+
+    def make(has_y):
+        if has_y:
+            class Scaler:
+                def fit(self, X, y):
+                    return self
+        else:
+            class Scaler:
+                def fit(self, X):
+                    return self
+        return Scaler
+
+    A, B = make(False), make(True)
+    assert _y_signature(A(), "fit") == (False, False)
+    # same bare name, different class: must NOT reuse A's cache entry
+    assert _y_signature(B(), "fit") == (True, True)
