@@ -52,11 +52,37 @@ from .operators import (  # noqa: F401
     similarity,
     text,
 )
-from .operators.dedup import connected_components
-from .operators.sampling import hash_sample, hash_split, stratified_topn
+from .operators.application import with_row_key_distributed
+from .operators.dedup import connected_components, ngram_contamination
+from .operators.sampling import (
+    hash_sample,
+    hash_split,
+    pack_sequences,
+    stratified_topn,
+)
+from .operators.similarity import (
+    cosine_topk,
+    gram_matrix,
+    pca_fit,
+    pca_project,
+)
+from .operators.skew import salted_join
+from .operators.text import register_ngram_udtf
+from .operators.timeseries import asof_join, sessionize
 from .plot import plot_splits
 from .sources import tables as sources_tables  # noqa: F401
-from .sources.tables import load_table, read_source, write_sink
+from .sources.tables import (
+    compact_parquet,
+    load_table,
+    read_source,
+    write_sink,
+)
+from .streaming.rolling import (
+    stream_interval_join,
+    stream_online_linreg,
+    stream_parquet_sink,
+    stream_sessionize,
+)
 from .plans.fold_spec import FoldSpec, build_fold_spec, time_series_fold_bounds
 
 __version__ = "0.1.0"
@@ -92,7 +118,27 @@ __all__ = [
     "IdentityTransformer",
     "FirstColumnRegressor",
     "connected_components",
+    "ngram_contamination",
     "hash_split",
     "hash_sample",
     "stratified_topn",
+    "pack_sequences",
+    "with_row_key_distributed",
+    "cosine_topk",
+    "gram_matrix",
+    "pca_fit",
+    "pca_project",
+    "salted_join",
+    "register_ngram_udtf",
+    "asof_join",
+    "sessionize",
+    "compact_parquet",
+    "load_table",
+    "read_source",
+    "write_sink",
+    "stream_sessionize",
+    "stream_interval_join",
+    "stream_online_linreg",
+    "stream_parquet_sink",
+    "plot_splits",
 ]
