@@ -83,6 +83,7 @@ HEADLINE = [
     "dedup_keep_best",
     "rel_scd2_intervals",
     "cv_weighted_ols_oof",
+    "text_lm_score",
 ]
 
 

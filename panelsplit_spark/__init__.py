@@ -67,7 +67,7 @@ from .operators.similarity import (
     pca_project,
 )
 from .operators.skew import salted_join
-from .operators.text import register_ngram_udtf
+from .operators.text import lm_unigram_score, register_ngram_udtf
 from .operators.timeseries import asof_join, sessionize
 from .plot import plot_splits
 from .sources import tables as sources_tables  # noqa: F401
@@ -130,6 +130,7 @@ __all__ = [
     "pca_project",
     "salted_join",
     "register_ngram_udtf",
+    "lm_unigram_score",
     "asof_join",
     "sessionize",
     "compact_parquet",

@@ -23,6 +23,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "register_ngram_udtf",
+    "lm_unigram_score",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -172,3 +173,73 @@ def register_ngram_udtf(spark, name: str = "ngrams"):
 
     spark.udtf.register(name, _NGrams)
     return name
+
+
+def lm_unigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    CCNet-style quality/perplexity filter: documents whose tokens are
+    improbable under the corpus LM (boilerplate, noise, wrong-language)
+    score low and get dropped or down-sampled.
+
+    Two aggregates, both exact-integer:
+
+    1. vocabulary counts (one explode + grouped count) → add-one
+       smoothed ``p(tok) = (c+1)/(T+V)`` with c, T, V integers;
+    2. per-doc sum of quantized log-probs: each token contributes
+       ``round(ln(p)·scale)`` as a LONG, so the per-doc sum is an exact
+       integer — partition-order-independent and replayable by a SQL
+       engine (ulp-level libm differences are absorbed by the
+       quantization).
+
+    Emits ``n_tokens``, ``logprob_micro`` (Σ quantized log-probs) and
+    ``avg_logprob`` (one deterministic double division). Scale: the
+    vocab count frame is term-distinct-sized; if it exceeds broadcast
+    range the equi-join on the token shuffles tokens once — same cost
+    class as tf-idf.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tok(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("T") + F.col("V")).cast("double")
+                )
+                * F.lit(scale)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("q").alias("logprob_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "logprob_micro",
+            F.round(
+                F.col("logprob_micro")
+                / F.lit(scale)
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1101,6 +1101,42 @@ WHERE a.role = 'test'
 """
 
 
+# ======================================================================
+# unigram-LM quality scoring (perplexity filter)
+# ======================================================================
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM log-likelihood per document (CCNet-
+    style perplexity filtering). Log-probs are quantized to integer
+    micro-units so the per-doc sums are exact and engine-independent
+    (operators/text.lm_unigram_score)."""
+    from .operators.text import lm_unigram_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_unigram_score(docs)
+
+
+_SQL_TEXT_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS T, count(*) AS V FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(CAST(v.c + 1 AS DOUBLE)
+                       / CAST(tot.T + tot.V AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS q
+  FROM toks t JOIN vocab v USING (tok), tot
+)
+SELECT doc_id, count(*) AS n_tokens, sum(q) AS logprob_micro,
+       round(sum(q) / 1000000.0 / count(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 
 # ======================================================================
 # registry
@@ -1128,6 +1164,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "rel_scd2_intervals": q_rel_scd2_intervals,
     "cv_weighted_ols_oof": q_cv_weighted_ols_oof,
+    "text_lm_score": q_text_lm_score,
 }
 
 
@@ -1153,4 +1190,5 @@ def oracles6() -> Dict[str, str]:
         "dedup_keep_best": _sql_dedup_keep_best(),
         "rel_scd2_intervals": _SQL_SCD2_INTERVALS,
         "cv_weighted_ols_oof": _sql_cv_weighted_ols(),
+        "text_lm_score": _SQL_TEXT_LM_SCORE,
     }
