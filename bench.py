@@ -130,7 +130,9 @@ def main() -> None:
     # Two timed passes, min per query: single-shot numbers on a shared
     # host swing several-fold with neighbor load; the min approximates
     # steady-state engine cost (the quantity being tracked round over
-    # round). Query set unchanged since round 1.
+    # round). Round-1 query names are unchanged (apples-to-apples per
+    # query); later rounds only APPEND queries, so compare per-query,
+    # not the total.
     timings = {}
     for _pass in range(2):
         for name in HEADLINE:
@@ -142,6 +144,21 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
     total = round(sum(timings.values()), 3)
+    # Round-over-round hygiene: flag queries >1.5x slower than the last
+    # recorded round (extra key; ignored by consumers that don't use it)
+    regressions = {}
+    try:
+        import glob
+
+        hist = sorted(glob.glob("BENCH_r*.json"))
+        if hist:
+            prev = json.load(open(hist[-1]))["parsed"]["queries"]
+            for name, dt in timings.items():
+                p = prev.get(name)
+                if p and dt > 1.5 * p and dt > 0.5:
+                    regressions[name] = {"prev": p, "now": dt}
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -150,6 +167,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )
