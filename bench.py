@@ -84,6 +84,7 @@ HEADLINE = [
     "rel_scd2_intervals",
     "cv_weighted_ols_oof",
     "text_lm_score",
+    "rel_morton_layout",
 ]
 
 

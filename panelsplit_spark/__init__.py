@@ -69,6 +69,7 @@ from .operators.similarity import (
 from .operators.skew import salted_join
 from .operators.text import lm_unigram_score, register_ngram_udtf
 from .operators.timeseries import asof_join, sessionize
+from .functions.exact import cents, micro_units, morton_code
 from .plot import plot_splits
 from .sources import tables as sources_tables  # noqa: F401
 from .sources.tables import (
@@ -131,6 +132,9 @@ __all__ = [
     "salted_join",
     "register_ngram_udtf",
     "lm_unigram_score",
+    "cents",
+    "micro_units",
+    "morton_code",
     "asof_join",
     "sessionize",
     "compact_parquet",

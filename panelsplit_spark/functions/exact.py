@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["cents", "micro_units"]
+__all__ = ["cents", "micro_units", "morton_code"]
 
 
 def cents(col) -> Column:
@@ -23,3 +23,28 @@ def micro_units(col, scale: float = 1_000_000.0) -> Column:
     """Exact integer micro-units (for embeddings/measures needing more
     resolution than cents)."""
     return F.round(col * F.lit(scale)).cast("long")
+
+
+def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    the multi-dimensional clustering key: rows sorted by ``morton_code``
+    place near-in-(a,b) rows in the same parquet row group, so min/max
+    statistics prune scans filtered on EITHER dimension (the effect
+    Delta/Iceberg sell as Z-ORDER, produced here with plain codegen'd
+    bit arithmetic + ``sortWithinPartitions``).
+
+    Each input is masked to ``bits`` low bits; output interleaves them
+    a-even/b-odd into a ``2·bits``-bit long. Pure shifts/ors in
+    whole-stage codegen, zero shuffles; the identical expression is
+    SQL-replayable for the oracle gate.
+    """
+    a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return out

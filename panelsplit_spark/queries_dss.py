@@ -1137,6 +1137,41 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ======================================================================
+# Z-order (Morton) clustering key
+# ======================================================================
+
+
+def q_rel_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (user_id, hour-of-day): the
+    write-time sort key that makes parquet row-group min/max statistics
+    prune on EITHER dimension (functions/exact.morton_code — pure
+    codegen'd bit arithmetic, zero shuffles)."""
+    from .functions.exact import morton_code
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id"),
+        F.hour("ts").cast("long").alias("hod"),
+        morton_code(F.col("user_id"), F.hour("ts")).alias("zkey"),
+    )
+
+
+_SQL_MORTON_LAYOUT = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         user_id & 65535 AS a,
+         CAST(hour(ts) AS BIGINT) & 65535 AS b
+  FROM events
+)
+SELECT event_id, user_id, hod,
+       CAST((((a >> 0) & 1) << 0) | (((b >> 0) & 1) << 1) | (((a >> 1) & 1) << 2) | (((b >> 1) & 1) << 3) | (((a >> 2) & 1) << 4) | (((b >> 2) & 1) << 5) | (((a >> 3) & 1) << 6) | (((b >> 3) & 1) << 7) | (((a >> 4) & 1) << 8) | (((b >> 4) & 1) << 9) | (((a >> 5) & 1) << 10) | (((b >> 5) & 1) << 11) | (((a >> 6) & 1) << 12) | (((b >> 6) & 1) << 13) | (((a >> 7) & 1) << 14) | (((b >> 7) & 1) << 15) | (((a >> 8) & 1) << 16) | (((b >> 8) & 1) << 17) | (((a >> 9) & 1) << 18) | (((b >> 9) & 1) << 19) | (((a >> 10) & 1) << 20) | (((b >> 10) & 1) << 21) | (((a >> 11) & 1) << 22) | (((b >> 11) & 1) << 23) | (((a >> 12) & 1) << 24) | (((b >> 12) & 1) << 25) | (((a >> 13) & 1) << 26) | (((b >> 13) & 1) << 27) | (((a >> 14) & 1) << 28) | (((b >> 14) & 1) << 29) | (((a >> 15) & 1) << 30) | (((b >> 15) & 1) << 31) AS BIGINT) AS zkey
+FROM e
+"""
+
+
 
 # ======================================================================
 # registry
@@ -1165,6 +1200,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scd2_intervals": q_rel_scd2_intervals,
     "cv_weighted_ols_oof": q_cv_weighted_ols_oof,
     "text_lm_score": q_text_lm_score,
+    "rel_morton_layout": q_rel_morton_layout,
 }
 
 
@@ -1191,4 +1227,5 @@ def oracles6() -> Dict[str, str]:
         "rel_scd2_intervals": _SQL_SCD2_INTERVALS,
         "cv_weighted_ols_oof": _sql_cv_weighted_ols(),
         "text_lm_score": _SQL_TEXT_LM_SCORE,
+        "rel_morton_layout": _SQL_MORTON_LAYOUT,
     }
