@@ -85,6 +85,7 @@ HEADLINE = [
     "cv_weighted_ols_oof",
     "text_lm_score",
     "rel_morton_layout",
+    "pipe_rebalance_mix",
 ]
 
 

@@ -58,6 +58,7 @@ from .operators.sampling import (
     hash_sample,
     hash_split,
     pack_sequences,
+    rebalance_sources,
     stratified_topn,
 )
 from .operators.similarity import (
@@ -124,6 +125,7 @@ __all__ = [
     "hash_sample",
     "stratified_topn",
     "pack_sequences",
+    "rebalance_sources",
     "with_row_key_distributed",
     "cosine_topk",
     "gram_matrix",

@@ -15,7 +15,7 @@ from typing import Dict, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_topn",
-           "pack_sequences"]
+           "pack_sequences", "rebalance_sources"]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
 # threshold comparisons are exact integer comparisons on both engines
@@ -155,3 +155,51 @@ def pack_sequences(
         )
     )
     return out.drop("_run", "_start")
+
+
+def rebalance_sources(
+    df: DataFrame,
+    weights_bp: Dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mixture rebalancing: down-sample each source so the kept
+    corpus matches a target mixture (``weights_bp`` in basis points,
+    summing to 10000) — the data-mixing step every multi-source training
+    corpus runs before packing.
+
+    All arithmetic is INTEGER, so the kept set is content-addressed and
+    engine-replayable: feasible total ``T = min_s floor(n_s·10000 /
+    w_s)`` (the largest corpus achieving the target proportions without
+    up-sampling), per-source keep count ``k_s = floor(w_s·T/10000)``,
+    keep-rate ``bp_s = floor(k_s·10000/n_s)``, and a row survives iff
+    ``hash_bucket(id, salt) < bp_s``. Sources absent from ``weights_bp``
+    are dropped.
+
+    Scale: ONE small count aggregate (rows = #sources, collected — a
+    driver boundary by design), then a pure narrow filter over the
+    corpus: zero data shuffles, stable under reruns/appends. Exact
+    per-source kept counts approximate ``k_s`` to hash uniformity
+    (±O(√n_s)), like every hash-routed sampler.
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] in weights_bp
+    }
+    if not counts:
+        raise ValueError("no source in weights_bp present in the data")
+    T = min(counts[s] * _BP // w for s, w in weights_bp.items()
+            if s in counts and w > 0)
+    rate = {
+        s: min(_BP, (weights_bp[s] * T // _BP) * _BP // counts[s])
+        for s in counts
+    }
+    bucket = hash_bucket(F.col(id_col), salt)
+    rate_col = F.create_map(
+        *[x for s, r in sorted(rate.items()) for x in (F.lit(s), F.lit(r))]
+    )[F.col(source_col)]
+    return df.filter(rate_col.isNotNull() & (bucket < rate_col))

@@ -1172,6 +1172,63 @@ FROM e
 """
 
 
+# ======================================================================
+# domain-mixture rebalancing
+# ======================================================================
+
+REBAL_SALT = "mix1"
+# target: src0 30%, src1 20%, src2..src5 12.5% each (others dropped)
+REBAL_BP = {"src0": 3000, "src1": 2000, "src2": 1250, "src3": 1250,
+            "src4": 1250, "src5": 1250}
+
+
+def q_pipe_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample sources to a target mixture (integer basis-point
+    arithmetic + md5-bucket routing — content-addressed, zero corpus
+    shuffles; operators/sampling.rebalance_sources), summarized per
+    source."""
+    from .operators.sampling import rebalance_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = rebalance_sources(docs, REBAL_BP, salt=REBAL_SALT)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _sql_rebalance_mix() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    weights = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(REBAL_BP.items())
+    )
+    b = duckdb_hash_bucket("doc_id", REBAL_SALT)
+    return f"""
+WITH w(src, bp) AS (VALUES {weights}),
+cnt AS (
+  SELECT source, count(*) AS n FROM documents
+  JOIN w ON source = src GROUP BY source
+),
+t AS (
+  SELECT min(n * 10000 // bp) AS T
+  FROM cnt JOIN w ON source = src WHERE bp > 0
+),
+rate AS (
+  SELECT source,
+         least(10000, (bp * t.T // 10000) * 10000 // n) AS bp_keep
+  FROM cnt JOIN w ON source = src, t
+)
+SELECT d.source, count(*) AS n_kept,
+       min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
+FROM documents d
+JOIN rate r ON d.source = r.source
+WHERE {b} < r.bp_keep
+GROUP BY d.source
+"""
+
+
 
 # ======================================================================
 # registry
@@ -1201,6 +1258,7 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_weighted_ols_oof": q_cv_weighted_ols_oof,
     "text_lm_score": q_text_lm_score,
     "rel_morton_layout": q_rel_morton_layout,
+    "pipe_rebalance_mix": q_pipe_rebalance_mix,
 }
 
 
@@ -1228,4 +1286,5 @@ def oracles6() -> Dict[str, str]:
         "cv_weighted_ols_oof": _sql_cv_weighted_ols(),
         "text_lm_score": _SQL_TEXT_LM_SCORE,
         "rel_morton_layout": _SQL_MORTON_LAYOUT,
+        "pipe_rebalance_mix": _sql_rebalance_mix(),
     }

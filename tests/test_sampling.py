@@ -268,3 +268,32 @@ def test_pack_sequences_layout(spark):
         id_col="doc_id", n_shards=3,
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_rebalance_sources_mixture(spark):
+    """Kept counts approximate the target mixture and the routing is
+    content-addressed (partitioning-independent)."""
+    from panelsplit_spark.operators.sampling import rebalance_sources
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target: s0 50%, s1 30%, s2 20%; s3 dropped entirely
+    bp = {"s0": 5000, "s1": 3000, "s2": 2000}
+    kept = rebalance_sources(df, bp, salt="t")
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert "s3" not in counts
+    # feasible T = min(1000/w): limited by s0 -> T = 2000,
+    # targets s0=1000, s1=600, s2=400 (+- hash uniformity)
+    assert abs(counts["s0"] - 1000) < 80
+    assert abs(counts["s1"] - 600) < 80
+    assert abs(counts["s2"] - 400) < 80
+    # partitioning-independence
+    kept2 = rebalance_sources(df.repartition(17), bp, salt="t")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in kept2.collect()
+    )
