@@ -86,6 +86,9 @@ HEADLINE = [
     "text_lm_score",
     "rel_morton_layout",
     "pipe_rebalance_mix",
+    "rel_tpch_q6",
+    "rel_tpch_q17",
+    "rel_tpch_q19",
 ]
 
 

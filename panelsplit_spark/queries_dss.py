@@ -1229,6 +1229,134 @@ GROUP BY d.source
 """
 
 
+# ======================================================================
+# TPC-H Q6 / Q17 / Q19 analogs
+# ======================================================================
+
+
+def q_rel_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change: the scan-dominant query — every
+    predicate (date range, discount band, quantity cap) reaches the
+    parquet scan as PushedFilters; the whole query is one partial
+    aggregate with NO shuffle of any width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_discount") * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+         AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_rel_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue: lines below 20% of their part's
+    average quantity. The correlated per-part aggregate decorrelates to
+    one groupBy(partkey) + broadcast join back; the 0.2·avg comparison
+    is integer cross-multiplied (5·qty·n < Σqty) — no float average."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("p_key"))
+        .filter(
+            _cents(F.col("l_quantity")) * 5 * F.col("_n") < F.col("_sq")
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias(
+                "price_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_TPCH_Q17 = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+       count(*) AS n_lines
+FROM lineitem l
+WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5
+      * (SELECT count(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT sum(CAST(round(l_quantity * 100) AS BIGINT))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_rel_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under an OR-of-ANDs predicate (three brand ×
+    size × quantity bands): the disjunction stays a single scan-level
+    filter — Catalyst pushes the common join key and evaluates the
+    disjunct in codegen after the broadcast part join; no union of three
+    scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_TPCH_Q19 = """
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 
 # ======================================================================
 # registry
@@ -1259,6 +1387,9 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_score": q_text_lm_score,
     "rel_morton_layout": q_rel_morton_layout,
     "pipe_rebalance_mix": q_pipe_rebalance_mix,
+    "rel_tpch_q6": q_rel_tpch_q6,
+    "rel_tpch_q17": q_rel_tpch_q17,
+    "rel_tpch_q19": q_rel_tpch_q19,
 }
 
 
@@ -1287,4 +1418,7 @@ def oracles6() -> Dict[str, str]:
         "text_lm_score": _SQL_TEXT_LM_SCORE,
         "rel_morton_layout": _SQL_MORTON_LAYOUT,
         "pipe_rebalance_mix": _sql_rebalance_mix(),
+        "rel_tpch_q6": _SQL_TPCH_Q6,
+        "rel_tpch_q17": _SQL_TPCH_Q17,
+        "rel_tpch_q19": _SQL_TPCH_Q19,
     }
