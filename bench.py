@@ -89,6 +89,8 @@ HEADLINE = [
     "rel_tpch_q6",
     "rel_tpch_q17",
     "rel_tpch_q19",
+    "rel_tpch_q13",
+    "rel_tpch_q21",
 ]
 
 

@@ -1357,6 +1357,108 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 """
 
 
+# ======================================================================
+# TPC-H Q13 / Q21 analogs
+# ======================================================================
+
+
+def q_rel_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution by order count INCLUDING zero-order
+    customers: LEFT OUTER join (orders may be absent), per-customer
+    count ignoring the null side, then a second tiny aggregate over the
+    counts. Two shuffles (custkey join, count agg over |customers|
+    rows); customers broadcast-sized sides never shuffle the fact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+Q21_LATE_DAYS = 60
+
+
+def q_rel_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on a multi-supplier
+    order: one EXISTS (another supplier contributed to the order) and
+    one NOT EXISTS (no OTHER supplier shipped late). Both quantifiers
+    become semi/anti hash joins on orderkey with the supplier-inequality
+    riding the join — never a per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ol_key"),
+        F.col("l_suppkey").alias("ol_supp"),
+    )
+    cand = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    sole = cand.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("ol_key"))
+        & (F.col("l_suppkey") != F.col("ol_supp")),
+        "left_anti",
+    )
+    return sole.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+
+
+_SQL_TPCH_Q21 = f"""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+)
+SELECT l1.l_suppkey, count(*) AS numwait
+FROM late l1
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY l1.l_suppkey
+"""
+
+
 
 # ======================================================================
 # registry
@@ -1390,6 +1492,8 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_tpch_q6": q_rel_tpch_q6,
     "rel_tpch_q17": q_rel_tpch_q17,
     "rel_tpch_q19": q_rel_tpch_q19,
+    "rel_tpch_q13": q_rel_tpch_q13,
+    "rel_tpch_q21": q_rel_tpch_q21,
 }
 
 
@@ -1421,4 +1525,6 @@ def oracles6() -> Dict[str, str]:
         "rel_tpch_q6": _SQL_TPCH_Q6,
         "rel_tpch_q17": _SQL_TPCH_Q17,
         "rel_tpch_q19": _SQL_TPCH_Q19,
+        "rel_tpch_q13": _SQL_TPCH_Q13,
+        "rel_tpch_q21": _SQL_TPCH_Q21,
     }
