@@ -91,6 +91,8 @@ HEADLINE = [
     "rel_tpch_q19",
     "rel_tpch_q13",
     "rel_tpch_q21",
+    "rel_tpch_q11",
+    "rel_tpch_q15",
 ]
 
 

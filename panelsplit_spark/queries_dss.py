@@ -1459,6 +1459,92 @@ GROUP BY l1.l_suppkey
 """
 
 
+# ======================================================================
+# TPC-H Q11 / Q15 analogs
+# ======================================================================
+
+
+def q_rel_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important parts: parts whose revenue exceeds 1.1× the mean
+    part revenue. One part-keyed aggregate; the global (total, count)
+    is a 1-row broadcast; the threshold compare is integer
+    cross-multiplication (10·part·n > 11·total) — no float mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).alias("part_cents")
+    )
+    total = per_part.agg(
+        F.sum("part_cents").alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_cents") * 10 * F.col("_n")
+            > F.col("_tot") * 11
+        )
+        .select("l_partkey", "part_cents")
+    )
+
+
+_SQL_TPCH_Q11 = """
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS part_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_cents
+FROM pp
+WHERE part_cents * 10 * (SELECT count(*) FROM pp)
+      > 11 * (SELECT sum(part_cents) FROM pp)
+"""
+
+
+def q_rel_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue — the view + argmax shape:
+    per-supplier aggregate, 1-row max broadcast back, ties kept (the
+    TPC-H semantic). Exact integer revenue makes the argmax
+    deterministic on any engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).alias("total_cents")
+    )
+    mx = per_supp.agg(F.max("total_cents").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+_SQL_TPCH_Q15 = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM r)
+"""
+
+
 
 # ======================================================================
 # registry
@@ -1494,6 +1580,8 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_tpch_q19": q_rel_tpch_q19,
     "rel_tpch_q13": q_rel_tpch_q13,
     "rel_tpch_q21": q_rel_tpch_q21,
+    "rel_tpch_q11": q_rel_tpch_q11,
+    "rel_tpch_q15": q_rel_tpch_q15,
 }
 
 
@@ -1527,4 +1615,6 @@ def oracles6() -> Dict[str, str]:
         "rel_tpch_q19": _SQL_TPCH_Q19,
         "rel_tpch_q13": _SQL_TPCH_Q13,
         "rel_tpch_q21": _SQL_TPCH_Q21,
+        "rel_tpch_q11": _SQL_TPCH_Q11,
+        "rel_tpch_q15": _SQL_TPCH_Q15,
     }
