@@ -36,6 +36,7 @@ __all__ = [
     "centroid_frame",
     "gram_matrix",
     "pca_fit",
+    "pca_from_moments",
     "pca_project",
 ]
 
@@ -306,15 +307,21 @@ def kmeans_assign(
     centroids: List[List[float]],
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    round_to: Optional[int] = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2, first
     index wins ties) → adds ``cell_col``. The centroid list is inlined
     as Catalyst literals, so assignment is a pure codegen'd narrow
     projection — the corpus is never shuffled and nothing is collected.
+
+    ``round_to`` quantizes each squared distance before the argmin —
+    float sums of 64 products differ by ulps across engines/summation
+    orders, so rounding makes the assignment (and everything downstream
+    of it) reproducible against an independent SQL replay.
     """
     def sqdist(c: List[float]):
         lit = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
+        d = F.aggregate(
             F.zip_with(
                 as_double(F.col(vec_col)),
                 lit,
@@ -323,6 +330,7 @@ def kmeans_assign(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        return F.round(d, round_to) if round_to is not None else d
 
     dists = F.array(*[sqdist(c) for c in centroids])
     return df.withColumn(
@@ -338,6 +346,7 @@ def kmeans_fit(
     k: int = 8,
     n_iter: int = 5,
     scale: float = 1_000_000.0,
+    round_to: Optional[int] = 6,
 ) -> List[List[float]]:
     """Distributed Lloyd k-means over an embedding column; returns the
     ``k`` centroid vectors (the model — a k×dim list, driver-sized by
@@ -367,7 +376,9 @@ def kmeans_fit(
     dim = len(centroids[0])
     vecs = vecs.localCheckpoint(eager=False)
     for _ in range(n_iter):
-        assigned = kmeans_assign(vecs, centroids, "__v", "__cell")
+        assigned = kmeans_assign(
+            vecs, centroids, "__v", "__cell", round_to=round_to
+        )
         exploded = assigned.select(
             "__cell", F.posexplode("__v").alias("pos", "val")
         ).select(
@@ -537,6 +548,22 @@ def pca_fit(
     mu_q = np.zeros(d)
     for r in sums:
         mu_q[r["p"]] = r["s"]
+    return pca_from_moments(S, mu_q, n, k, scale)
+
+
+def pca_from_moments(S, mu_q, n: int, k: int, scale: float):
+    """Driver half of the PCA fit: quantized second-moment matrix ``S``
+    (raw integer sums as float64, d×d symmetric) + quantized component
+    sums ``mu_q`` (raw integer sums, length d) → ``(components, mean,
+    explained_variance)``.
+
+    Split out from :func:`pca_fit` so an independent replay (e.g. the
+    DuckDB oracle, which recomputes the SAME exact integer moments with
+    SQL over the raw parquet) produces bit-identical components: given
+    identical integer moments, every operation here is deterministic
+    IEEE double arithmetic plus ``numpy.linalg.eigh`` on the same d×d
+    matrix, ending in the deterministic largest-|loading|-positive sign
+    canonicalization."""
     mu = mu_q / (n * scale)
     cov = S / (scale * scale * n) - np.outer(mu, mu)
     evals, evecs = np.linalg.eigh(cov)

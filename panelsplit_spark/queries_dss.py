@@ -387,25 +387,119 @@ GROUP BY a.pos, b.pos
 # ======================================================================
 
 
+PCA_K = 4
+
+
 def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit PCA on the embedding corpus (two exact integer reductions +
     d×d driver eigh) and project every vector onto the top-4 axes.
-    No SQL oracle — eigenvectors aren't SQL-expressible; correctness is
-    pinned by the numpy differential test
-    (tests/test_data_ops.py::test_pca_differential_vs_numpy) and the
-    driver's rows-only check."""
+
+    Oracle-gated (sign-canonicalized replay): an eigendecomposition is
+    not SQL-expressible, but the FIT is a pure function of two exact
+    integer moment reductions the oracle CAN recompute independently —
+    so ``_sql_pca_project`` has DuckDB rebuild the quantized Gram matrix
+    and component sums from the raw parquet (the ``emb_gram`` gate
+    proves those integers match Spark's), feeds them through the same
+    deterministic driver math (``pca_from_moments``: IEEE double ops +
+    ``eigh`` + largest-|loading|-positive sign fix — bit-identical given
+    identical integers), inlines the resulting axes as SQL literals, and
+    lets DuckDB do the projection arithmetic. The numpy differential
+    test (tests/test_data_ops.py::test_pca_differential_vs_numpy)
+    additionally pins the fit against an independent implementation."""
     from .operators.similarity import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    comps, mean, _ = pca_fit(emb, k=4, scale=GRAM_SCALE)
+    comps, mean, _ = pca_fit(emb, k=PCA_K, scale=GRAM_SCALE)
     out = pca_project(emb, comps, mean)
     return out.select(
         "vec_id",
-        F.round(F.element_at("pc", 1), 6).alias("pc1"),
-        F.round(F.element_at("pc", 2), 6).alias("pc2"),
-        F.round(F.element_at("pc", 3), 6).alias("pc3"),
-        F.round(F.element_at("pc", 4), 6).alias("pc4"),
+        *[
+            F.round(F.element_at("pc", i + 1), 6).alias(f"pc{i + 1}")
+            for i in range(PCA_K)
+        ],
     )
+
+
+def _sql_pca_project() -> str:
+    """Build the DuckDB twin of q_emb_pca_project (see its docstring).
+
+    Reads the embeddings parquet for the sf dir the driver compares at
+    (``PANELSPLIT_ORACLE_SF_DIR``, default the driver's sf0.01), so the
+    inlined axis literals are fit on exactly the data the gate runs on.
+    Raises if the parquet is unreadable — oracles6() then degrades this
+    query to the rows-only check instead of failing the whole registry.
+    """
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from .operators.similarity import pca_from_moments
+
+    sf_dir = os.environ.get(
+        "PANELSPLIT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    scale = GRAM_SCALE
+    cells = con.execute(
+        f"""
+        WITH q AS (
+          SELECT vec_id, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * {scale})
+                      AS BIGINT) AS qv
+          FROM read_parquet('{path}'),
+               UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        )
+        SELECT a.pos AS i, b.pos AS j, count(*) AS n,
+               CAST(sum(a.qv * b.qv) AS BIGINT) AS sum_xy
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY a.pos, b.pos
+        """
+    ).fetchall()
+    sums = con.execute(
+        f"""
+        SELECT i AS pos,
+               CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * {scale})
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM read_parquet('{path}'),
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY i
+        """
+    ).fetchall()
+    con.close()
+    d = max(r[0] for r in sums)
+    n = cells[0][2]
+    S = np.zeros((d, d))
+    for i, j, _, sxy in cells:
+        S[i - 1, j - 1] = sxy
+        S[j - 1, i - 1] = sxy
+    mu_q = np.zeros(d)
+    for pos, s in sums:
+        mu_q[pos - 1] = s
+    comps, mean, _ = pca_from_moments(S, mu_q, n, PCA_K, scale)
+
+    def lst(xs):
+        return "[" + ", ".join(repr(float(x)) for x in xs) + "]::DOUBLE[]"
+
+    axes = ",\n       ".join(
+        f"{lst(c)} AS c{i + 1}" for i, c in enumerate(comps)
+    )
+    pcs = ",\n       ".join(
+        f"""round(list_sum(list_transform(range(1, len(embedding) + 1),
+             j -> (CAST(embedding[j] AS DOUBLE) - m.mu[j]) * m.c{i + 1}[j])),
+           6) AS pc{i + 1}"""
+        for i in range(PCA_K)
+    )
+    return f"""
+WITH m AS (
+  SELECT {lst(mean)} AS mu,
+       {axes}
+)
+SELECT vec_id,
+       {pcs}
+FROM embeddings, m
+"""
 
 
 # ======================================================================
@@ -1586,6 +1680,18 @@ QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def oracles6() -> Dict[str, str]:
+    out = {}
+    try:
+        # data-dependent build (inlines fitted axis literals); degrade to
+        # the rows-only check if the sf dir isn't readable here
+        out["emb_pca_project"] = _sql_pca_project()
+    except Exception:
+        pass
+    out.update(_oracles6_static())
+    return out
+
+
+def _oracles6_static() -> Dict[str, str]:
     return {
         "rel_tpch_q4": _SQL_TPCH_Q4,
         "rel_tpch_q12": _SQL_TPCH_Q12,

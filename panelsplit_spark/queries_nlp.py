@@ -652,17 +652,23 @@ def q_sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic md5-sample init, exact integer-unit means) fits the
     coarse quantizer, then the standard IVF probe runs against it.
 
-    Declared WITHOUT an oracle: k-means is an iterative fixpoint
-    algorithm, not expressible as one SQL statement — the driver records
-    the weaker rows-only check; the numpy differential test
-    (tests/test_sampling.py::test_kmeans_matches_numpy_lloyd) pins the
-    Lloyd math itself."""
+    Oracle-gated by full centroid replay: the fit is a fixed-seed,
+    fixed-iteration fixpoint, so the SQL twin unrolls the three Lloyd
+    rounds as chained CTEs — same md5-ordered init, same 6dp-quantized
+    squared distances (argmin ties to the lowest cell), same exact
+    integer-micro-unit means — and then runs the identical IVF probe
+    against the replayed centroids. Every float the two engines compare
+    is either an exact integer or a single rounded expression, so the
+    hash gate is exact (see _sql_kmeans_ivf). The numpy differential
+    test (tests/test_sampling.py::test_kmeans_matches_numpy_lloyd)
+    additionally pins the Lloyd math against an independent
+    implementation."""
     from .operators.similarity import centroid_frame, ivf_topk, kmeans_fit
     from .queries_data import IVF_CELLS, IVF_PROBE, TOPK_K, TOPK_NQ
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, k=IVF_CELLS, n_iter=3)
-    queries = emb.orderBy("vec_id").limit(TOPK_NQ)
+    queries = emb.where(F.col("vec_id") < TOPK_NQ)
     return ivf_topk(
         emb,
         queries,
@@ -676,6 +682,117 @@ def q_sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _sql_kmeans_ivf(n_iter: int = 3) -> str:
+    """DuckDB replay of q_sim_kmeans_ivf_topk: unrolls ``n_iter`` Lloyd
+    rounds as chained CTEs, then the IVF probe.
+
+    Exactness contract (mirrors operators/similarity.kmeans_fit):
+
+    * init = the k rows with smallest ``(md5(id::varchar), id)`` —
+      identical hex strings and collation on both engines;
+    * assignment compares squared L2 rounded to 6dp (ties → lowest
+      cell), exactly like ``kmeans_assign(round_to=6)``;
+    * centroid update sums ``round(x·1e6)`` as exact integers and
+      divides ``s / 1e6 / n`` — the identical IEEE double division
+      sequence the driver loop performs, so the replayed centroids are
+      bit-identical and every later float comparison is safe;
+    * empty cells keep the previous centroid (LEFT JOIN + CASE).
+    """
+    from .queries_data import IVF_CELLS, IVF_PROBE, TOPK_K, TOPK_NQ
+
+    parts = [
+        """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cell, x AS c FROM (
+    SELECT id, x, md5(CAST(id AS VARCHAR)) AS h FROM v
+    ORDER BY h, id LIMIT %d
+  )
+)""" % IVF_CELLS
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            """,
+a%(i)d AS (
+  SELECT id, x, cell FROM (
+    SELECT v.id, v.x, p.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_sum(list_transform(
+                        range(1, len(v.x) + 1),
+                        j -> (v.x[j] - p.c[j]) * (v.x[j] - p.c[j]))), 6),
+                      p.cell
+           ) AS rn
+    FROM v, cent%(p)d p
+  ) WHERE rn = 1
+),
+s%(i)d AS (
+  SELECT cell, j, count(*) AS n, CAST(sum(q) AS BIGINT) AS s
+  FROM (
+    SELECT cell,
+           UNNEST(range(1, len(x) + 1)) AS j,
+           UNNEST(list_transform(
+             x, e -> CAST(round(e * 1000000.0) AS BIGINT))) AS q
+    FROM a%(i)d
+  )
+  GROUP BY cell, j
+),
+cent%(i)d AS (
+  SELECT px.cell,
+         list(CASE WHEN st.n IS NULL THEN px.cj
+                   ELSE st.s / 1000000.0 / st.n END ORDER BY px.j) AS c
+  FROM (
+    SELECT cell,
+           UNNEST(range(1, len(c) + 1)) AS j,
+           UNNEST(c) AS cj
+    FROM cent%(p)d
+  ) px
+  LEFT JOIN s%(i)d st ON st.cell = px.cell AND st.j = px.j
+  GROUP BY px.cell
+)""" % {"i": i, "p": i - 1}
+        )
+    parts.append(
+        """,
+ca AS (
+  SELECT neighbor_id, cv, cell_id FROM (
+    SELECT v.id AS neighbor_id, v.x AS cv, p.cell AS cell_id,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_cosine_similarity(v.x, p.c), 6) DESC,
+                      p.cell
+           ) AS rn
+    FROM v, cent%(last)d p
+  ) WHERE rn = 1
+),
+qa AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT v.id AS query_id, v.x AS qv, p.cell AS cell_id,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_cosine_similarity(v.x, p.c), 6) DESC,
+                      p.cell
+           ) AS rn
+    FROM v, cent%(last)d p WHERE v.id < %(nq)d
+  ) WHERE rn <= %(probe)d
+),
+s AS (
+  SELECT DISTINCT qa.query_id, ca.neighbor_id,
+         round(list_cosine_similarity(qa.qv, ca.cv), 6) AS cosine
+  FROM qa JOIN ca ON qa.cell_id = ca.cell_id
+  WHERE qa.query_id <> ca.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank FROM s
+) WHERE rank <= %(k)d
+""" % {"last": n_iter, "nq": TOPK_NQ, "probe": IVF_PROBE, "k": TOPK_K}
+    )
+    return "".join(parts)
 
 
 # ======================================================================
@@ -1010,6 +1127,7 @@ def oracles4() -> Dict[str, str]:
         "stream_score": _sql_stream_score(),
         "rel_salted_join": _SQL_SALTED_JOIN,
         "pipe_corpus_clean": _sql_pipe_corpus_clean(),
+        "sim_kmeans_ivf_topk": _sql_kmeans_ivf(),
         "rel_date_gallery": _SQL_DATE_GALLERY,
         "src_bucketed_join": _SQL_BUCKETED_JOIN,
         "rel_range_window": _SQL_RANGE_WINDOW,

@@ -181,6 +181,7 @@ def test_kmeans_matches_numpy_lloyd(spark):
 
     for _ in range(n_iter):
         d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d = np.round(d, 6)  # mirror kmeans_fit's round_to=6 quantization
         cell = np.argmin(d, axis=1)  # first-index tiebreak, like argmin
         for c in range(k):
             members = X[cell == c]

@@ -55,6 +55,9 @@ def value_hash(cols, rows) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracle builders (emb_pca_project) fit literals on
+    # the compared sf dir; must be set before the registry import below
+    os.environ["PANELSPLIT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
