@@ -458,7 +458,7 @@ def embedding_lsh_candidate_pairs(
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
         keys.append(
-            hyperplane_signature(F.col(vec_col), planes).alias(f"b{t}")
+            hyperplane_signature(vec_col, planes).alias(f"b{t}")
         )
     tb = F.explode(
         F.array(
@@ -477,10 +477,11 @@ def embedding_lsh_candidate_pairs(
             F.col("tb.b").alias("b"),
         )
     )
-    # cache the tiny (id, table, bucket) frame so the self-join does not
-    # recompute the signature projection per side; at production scale
-    # persist it as a bucketed table instead
-    bucketed = bucketed.cache()
+    # both join inputs are the identical (id, table, bucket) plan, so the
+    # self-join's two shuffles collapse into one ReusedExchange — cheaper
+    # than a .cache() (which blocks that reuse behind an InMemoryRelation
+    # and pays a materialization); at production scale persist the frame
+    # as a bucketed table instead and the join is co-located
     left = bucketed.alias("l")
     right = bucketed.alias("r")
     return (

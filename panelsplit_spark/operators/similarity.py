@@ -22,7 +22,14 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import as_double, cosine_similarity, dot
+from ..functions.vector import (
+    as_double,
+    cosine_similarity,
+    dot,
+    sql_as_double,
+    sql_dot,
+    sql_double_array,
+)
 
 __all__ = [
     "cosine_topk",
@@ -86,18 +93,33 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[flo
 
 
 def hyperplane_signature(
-    vec: Column, planes: Sequence[Sequence[float]]
+    vec, planes: Sequence[Sequence[float]]
 ) -> Column:
-    """LSH bucket key: one sign-bit per hyperplane, packed into a long."""
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = F.when(
-            dot(F.transform(vec, lambda x: x.cast("double")), plane) > 0,
-            F.lit(2 ** i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        sig = sig + bit
-    return sig
+    """LSH bucket key: one sign-bit per hyperplane, packed into a long.
+
+    ``vec`` is the array column's NAME: the whole signature is emitted as
+    one SQL string and parsed JVM-side in a single call — the Column-API
+    equivalent costs a py4j round-trip per node (~1.5 s of driver time
+    per 8-plane table; see functions/vector.py SQL-text builders). A
+    Column is still accepted for backward compatibility via the slow
+    path."""
+    if isinstance(vec, Column):
+        vd = as_double(vec)
+        sig = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane = F.lit([float(x) for x in p])
+            bit = F.when(
+                dot(vd, plane) > 0, F.lit(2 ** i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sig = sig + bit
+        return sig
+    vd = sql_as_double(vec)
+    terms = [
+        "(CASE WHEN %s > 0 THEN %dL ELSE 0L END)"
+        % (sql_dot(vd, sql_double_array(p)), 2 ** i)
+        for i, p in enumerate(planes)
+    ]
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def lsh_topk(
@@ -140,12 +162,8 @@ def lsh_topk(
     c_keys, q_keys = [], []
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
-        c_keys.append(
-            hyperplane_signature(F.col("cv"), planes).alias(f"b{t}")
-        )
-        q_keys.append(
-            hyperplane_signature(F.col("qv"), planes).alias(f"b{t}")
-        )
+        c_keys.append(hyperplane_signature("cv", planes).alias(f"b{t}"))
+        q_keys.append(hyperplane_signature("qv", planes).alias(f"b{t}"))
 
     def tb(prefix: str):
         return F.explode(
@@ -318,25 +336,27 @@ def kmeans_assign(
     float sums of 64 products differ by ulps across engines/summation
     orders, so rounding makes the assignment (and everything downstream
     of it) reproducible against an independent SQL replay.
-    """
-    def sqdist(c: List[float]):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(
-                as_double(F.col(vec_col)),
-                lit,
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.round(d, round_to) if round_to is not None else d
 
-    dists = F.array(*[sqdist(c) for c in centroids])
-    return df.withColumn(
-        cell_col,
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    The whole k-distance argmin is emitted as ONE SQL string parsed
+    JVM-side (functions/vector.py SQL-text builders) — Column-API
+    composition of k literal-array aggregates costs seconds of py4j
+    driver time per call, which multiplies by ``n_iter`` inside
+    :func:`kmeans_fit`.
+    """
+    vd = sql_as_double(vec_col)
+
+    def sqdist(c: List[float]) -> str:
+        d = (
+            f"aggregate(zip_with({vd}, {sql_double_array(c)}, "
+            f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+        )
+        return f"round({d}, {round_to})" if round_to is not None else d
+
+    dists = "array(" + ", ".join(sqdist(c) for c in centroids) + ")"
+    cell = (
+        f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
     )
+    return df.withColumn(cell_col, F.expr(cell))
 
 
 def kmeans_fit(
@@ -592,17 +612,11 @@ def pca_project(
     :func:`kmeans_assign`: the corpus is never shuffled, nothing is
     collected, and the same compiled plan serves batch or streaming
     frames."""
-    mu = F.array(*[F.lit(float(x)) for x in mean])
-    centered = F.zip_with(
-        as_double(F.col(vec_col)), mu, lambda a, b: a - b
+    centered = (
+        f"zip_with({sql_as_double(vec_col)}, {sql_double_array(mean)}, "
+        f"(a, b) -> a - b)"
     )
-
-    def proj(c):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(centered, lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    return df.withColumn(out_col, F.array(*[proj(c) for c in components]))
+    projs = ", ".join(
+        sql_dot(centered, sql_double_array(c)) for c in components
+    )
+    return df.withColumn(out_col, F.expr(f"array({projs})"))
