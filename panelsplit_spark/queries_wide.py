@@ -117,6 +117,141 @@ FROM scores s JOIN ranks r ON r.alpha = s.alpha
 """
 
 
+#: sampling pool/draws for the randomized twin — the seeded sampler is
+#: data-independent, so the oracle replays the identical draw sequence
+RIDGE_RANDOM_POOL = [0.01, 0.1, 1.0, 10.0, 100.0, 1000.0, 1e4, 1e5]
+RIDGE_RANDOM_ITER = 6
+RIDGE_RANDOM_SEED = 7
+
+
+def _sampled_random_alphas() -> list:
+    """The exact candidate sequence RandomizedSearch will draw — same
+    ParameterSampler, same seed (operators/model_selection.py:63-87)."""
+    from .operators.model_selection import ParameterSampler
+
+    return [
+        float(p["reg__alpha"])
+        for p in ParameterSampler(
+            {"reg__alpha": RIDGE_RANDOM_POOL},
+            RIDGE_RANDOM_ITER,
+            RIDGE_RANDOM_SEED,
+        )
+    ]
+
+
+def q_search_random_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomizedSearch over ridge alpha (reference
+    model_selection.py:1215-1523): seeded ParameterSampler draws from a
+    fixed pool, then the identical closed-form sweep as
+    ``search_ridge_grid``. Output keyed by candidate index so duplicate
+    draws stay distinguishable: (cand, alpha, fold_id, mse, rnk)."""
+    from .operators.model_selection import RandomizedSearch
+    from .queries import EV_K, _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    pipe = SequentialCVPipeline(
+        [("reg", Ridge(alpha=1.0))], [ps], ["hod"], y_col="value"
+    )
+    rs = RandomizedSearch(
+        pipe,
+        {"reg__alpha": RIDGE_RANDOM_POOL},
+        n_iter=RIDGE_RANDOM_ITER,
+        random_state=RIDGE_RANDOM_SEED,
+        scoring="neg_mean_squared_error",
+        refit=False,
+        n_jobs=4,
+    )
+    rs.fit(ev)
+    res = rs.cv_results_
+    # 3dp, not the usual 6: small sampled alphas leave the fit near the
+    # OLS optimum where cross-engine float-sum noise (~1e-8 abs on
+    # mse≈3e3) straddles a 6dp boundary; 3dp keeps 7 significant digits
+    # with negligible boundary probability
+    fold_mse = {
+        (i, j): round(-float(res[f"split{j}_test_score"][i]), 3)
+        for i in range(len(res["params"]))
+        for j in range(EV_K)
+    }
+    # rank on EXACT integer milli-unit sums of the rounded fold mses
+    # (min-rank ties) — BaseSearch's rank_test_score ranks raw float
+    # means, which near-duplicate candidates can flip at the last ulp
+    # between engines (rank parity with the float path is pinned by
+    # tests/test_model_selection.py instead)
+    basis = {
+        i: sum(
+            int(round(fold_mse[(i, j)] * 1000)) for j in range(EV_K)
+        )
+        for i in range(len(res["params"]))
+    }
+    rows = []
+    for i, params in enumerate(res["params"]):
+        rnk = 1 + sum(1 for v in basis.values() if v < basis[i])
+        for j in range(EV_K):
+            rows.append(
+                (
+                    i,
+                    float(params["reg__alpha"]),
+                    j,
+                    fold_mse[(i, j)],
+                    rnk,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "cand bigint, alpha double, fold_id bigint, mse double, "
+        "rnk bigint",
+    )
+
+
+def _sql_search_random_ridge() -> str:
+    from .queries import _FOLD_CTE
+
+    cands = ", ".join(
+        f"({i}, {a!r})" for i, a in enumerate(_sampled_random_alphas())
+    )
+    return f"""
+WITH {_FOLD_CTE},
+alphas AS (
+  SELECT CAST(cand AS BIGINT) AS cand, CAST(alpha AS DOUBLE) AS alpha
+  FROM (VALUES {cands}) t(cand, alpha)
+),
+tr AS (
+  SELECT a.fold_id,
+         avg(e.hod) AS xbar, avg(e.value) AS ybar,
+         regr_sxx(e.value, e.hod) AS sxx,
+         regr_sxy(e.value, e.hod) AS sxy
+  FROM assign a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY a.fold_id
+),
+fit AS (
+  SELECT al.cand, al.alpha, t.fold_id,
+         t.sxy / (t.sxx + al.alpha) AS b1,
+         t.ybar - t.sxy / (t.sxx + al.alpha) * t.xbar AS b0
+  FROM alphas al CROSS JOIN tr t
+),
+scores AS (
+  SELECT f.cand, f.alpha, f.fold_id,
+         avg((e.value - (f.b0 + f.b1 * e.hod)) ^ 2) AS mse
+  FROM fit f
+  JOIN assign a ON a.fold_id = f.fold_id AND a.role = 'test'
+  JOIN ev e ON e.period = a.period
+  GROUP BY f.cand, f.alpha, f.fold_id
+),
+means AS (
+  SELECT cand,
+         sum(CAST(round(round(mse, 3) * 1000) AS BIGINT)) AS basis
+  FROM scores GROUP BY cand
+),
+ranks AS (
+  SELECT cand,
+         CAST(rank() OVER (ORDER BY basis) AS BIGINT) AS rnk
+  FROM means
+)
+SELECT s.cand, s.alpha, s.fold_id, round(s.mse, 3) AS mse, r.rnk
+FROM scores s JOIN ranks r ON r.cand = s.cand
+"""
+
+
 # ======================================================================
 # relational breadth
 # ======================================================================
@@ -654,6 +789,7 @@ GROUP BY a.fold_id, m.majority
 
 QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_ridge_grid": q_search_ridge_grid,
+    "search_random_ridge": q_search_random_ridge,
     "cv_cls_prior_acc": q_cv_cls_prior_acc,
     "rel_cube_revenue": q_rel_cube_revenue,
     "rel_cust_no_orders": q_rel_cust_no_orders,
@@ -670,6 +806,7 @@ QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def oracles3() -> Dict[str, str]:
     return {
         "search_ridge_grid": _sql_search_ridge_grid(),
+        "search_random_ridge": _sql_search_random_ridge(),
         "cv_cls_prior_acc": _sql_cv_cls_prior_acc(),
         "rel_cube_revenue": _SQL_CUBE,
         "rel_cust_no_orders": _SQL_CUST_NO_ORDERS,

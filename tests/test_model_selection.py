@@ -305,3 +305,55 @@ def test_sweep_matches_generic_path(spark, panel):
             fast.cv_results_[f"rank_test_{m}"]
             == slow.cv_results_[f"rank_test_{m}"]
         ).all()
+
+
+def test_randomized_matches_grid_on_sampled_subset(spark, panel):
+    """RandomizedSearch's scores are exactly GridSearch's restricted to
+    the sampled candidates: same sampler draws -> same closed-form sweep
+    -> per-split scores and mean must agree bit-for-bit, and the
+    within-subset rank ordering must match a grid run over just those
+    values (oracle twin: queries_wide.q_search_random_ridge)."""
+    pool = [1e-6, 1.0, 10.0, 100.0, 1e4]
+    rs = RandomizedSearch(
+        _pipe(panel),
+        {"reg__alpha": pool},
+        n_iter=4,
+        random_state=3,
+        scoring="neg_mean_squared_error",
+        refit=False,
+    )
+    rs.fit(panel)
+    sampled = [p["reg__alpha"] for p in rs.cv_results_["params"]]
+    assert sampled == [
+        p["reg__alpha"]
+        for p in ParameterSampler({"reg__alpha": pool}, 4, 3)
+    ], "fit must consume the seeded sampler's exact draw sequence"
+
+    # grid over the de-duplicated sampled values
+    uniq = sorted(set(sampled))
+    gs = GridSearch(
+        _pipe(panel), {"reg__alpha": uniq},
+        scoring="neg_mean_squared_error", refit=False,
+    )
+    gs.fit(panel)
+    gpos = {a: i for i, a in enumerate(
+        p["reg__alpha"] for p in gs.cv_results_["params"]
+    )}
+    for i, a in enumerate(sampled):
+        g = gpos[a]
+        for j in range(3):
+            assert (
+                rs.cv_results_[f"split{j}_test_score"][i]
+                == gs.cv_results_[f"split{j}_test_score"][g]
+            )
+        assert (
+            rs.cv_results_["mean_test_score"][i]
+            == gs.cv_results_["mean_test_score"][g]
+        )
+    # rank ordering within the subset matches the grid's ordering
+    rs_order = np.argsort(rs.cv_results_["rank_test_score"], kind="stable")
+    gs_rank_of_sampled = [
+        gs.cv_results_["rank_test_score"][gpos[a]] for a in sampled
+    ]
+    gs_order = np.argsort(gs_rank_of_sampled, kind="stable")
+    assert list(rs_order) == list(gs_order)
