@@ -93,6 +93,14 @@ HEADLINE = [
     "rel_tpch_q21",
     "rel_tpch_q11",
     "rel_tpch_q15",
+    "sim_kmeans_ivf_topk",
+    "emb_pca_project",
+    "search_random_ridge",
+    "rel_tpch_q2",
+    "rel_tpch_q7",
+    "rel_tpch_q8",
+    "rel_tpch_q9",
+    "rel_tpch_q20",
 ]
 
 

@@ -361,6 +361,441 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 
 
 # ======================================================================
+# TPC-H Q2 analog: min-cost supplier (correlated min-per-group)
+# ======================================================================
+
+
+def q_rel_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (TPC-H Q2's correlated-min shape on
+    the local schema — lineitem is the part↔supplier bridge): for
+    STANDARD parts, the supplier(s) whose line hit the part's minimum
+    line price among EUROPE suppliers.
+
+    Plan shape: the correlated ``price = (SELECT min(price) … same
+    part)`` decorrelates to ONE groupBy(partkey) aggregate broadcast-
+    joined back on (partkey, price) — the per-part probe never runs per
+    row. region→nation→supplier is a single broadcast dim; the min
+    compare is exact integer cents, so ties are engine-independent.
+    Deterministic top-100 by (acctbal desc, part, supplier)."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("price_cents").alias("best_cents")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bp"))
+            & (F.col("price_cents") == F.col("best_cents")),
+        )
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            "acctbal_cents", "price_cents",
+        )
+        .distinct()
+        .orderBy(
+            F.desc("acctbal_cents"), "p_partkey", "s_name"
+        )
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q2 = """
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+)
+SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+       acctbal_cents, price_cents
+FROM offers o
+WHERE price_cents = (SELECT min(price_cents) FROM offers o2
+                     WHERE o2.p_partkey = o.p_partkey)
+ORDER BY acctbal_cents DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+# ======================================================================
+# TPC-H Q7 analog: bilateral volume shipping
+# ======================================================================
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+
+
+def q_rel_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two nations, both directions, by ship
+    year: supplier-nation from the line, customer-nation from the
+    order. Both nation paths are broadcast dims pre-filtered to the two
+    nations; the (A→B)|(B→A) disjunction rides the fact join, so the
+    only shuffle is lineitem⋈orders."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.filter(
+                    F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.filter(
+                    F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(_rev_cents(), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_SQL_TPCH_Q7 = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS INT) AS ship_year,
+       {_SQL_REV_CENTS}, count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND ((ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+    OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}'))
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+# ======================================================================
+# TPC-H Q8 analog: national market share
+# ======================================================================
+
+Q8_SHARE_NATION = "NATION_3"
+
+
+def q_rel_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of one nation's suppliers in PROMO-part revenue to
+    ASIA customers, by order year: numerator and denominator come out of
+    ONE conditional aggregate (no second pass over the facts); the share
+    itself is a single division of the two exact cent sums, identical on
+    both engines."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation).select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == Q8_SHARE_NATION, rev
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("nation_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "order_year",
+            "nation_cents",
+            "total_cents",
+            F.round(
+                F.col("nation_cents") / F.col("total_cents"), 6
+            ).alias("share"),
+        )
+    )
+
+
+_SQL_TPCH_Q8 = f"""
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       sum(CASE WHEN ns.n_name = '{Q8_SHARE_NATION}'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)
+                ELSE 0 END) AS nation_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS total_cents,
+       round(sum(CASE WHEN ns.n_name = '{Q8_SHARE_NATION}'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)
+                      ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)), 6) AS share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY order_year
+"""
+
+
+# ======================================================================
+# TPC-H Q9 analog: product-line profit decomposition
+# ======================================================================
+
+
+def q_rel_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year for parts named
+    '%red%': profit = discounted revenue − unit cost × quantity, with
+    10% of retail price standing in for Q9's ps_supplycost (no partsupp
+    table in this schema). The amount expression is computed at the
+    LINE level and pushed below the aggregate — the plan keeps one fact
+    shuffle (lineitem⋈orders) with part/supplier/nation broadcast, and
+    partial aggregation sees only (nation, year, amount) triples.
+    Both profit terms are separately rounded to exact integer cents so
+    the decomposition hashes identically cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        - F.round(
+            F.col("p_retailprice") * F.col("l_quantity") * 10
+        ).cast("long")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.sum(amount).alias("profit_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_TPCH_Q9 = """
+SELECT n_name AS supp_nation,
+       CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)
+           - CAST(round(p_retailprice * l_quantity * 10) AS BIGINT))
+         AS profit_cents,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY supp_nation, order_year
+"""
+
+
+# ======================================================================
+# TPC-H Q20 analog: dominant-supplier screen (double decorrelation)
+# ======================================================================
+
+
+def q_rel_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EUROPE suppliers who DOMINATED some 'small%' part in 1998 —
+    shipped more than half that part's total shipped quantity (TPC-H
+    Q20's nested IN + correlated threshold, availqty replaced by the
+    part's total shipped volume on this schema).
+
+    Double decorrelation: the inner correlated aggregate becomes TWO
+    grouped aggregates over the same filtered fact scan — per-part
+    totals and per-(supplier, part) sums — joined on partkey with the
+    threshold as an integer cross-multiplication; the outer IN becomes
+    a left-semi broadcast join onto the supplier dim. No per-row
+    subquery ever runs."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            _cents(F.col("l_quantity")).alias("qty_c"),
+        )
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("qty_c").alias("part_qty")
+    )
+    per_supp_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty_c").alias("supp_qty")
+    )
+    dominant = (
+        per_supp_part.join(
+            F.broadcast(per_part), F.col("l_partkey") == F.col("tp")
+        )
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_SQL_TPCH_Q20 = """
+WITH f AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+),
+per_part AS (
+  SELECT l_partkey AS tp, sum(qty_c) AS part_qty FROM f GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT l_suppkey, l_partkey, sum(qty_c) AS supp_qty
+        FROM f GROUP BY 1, 2) sp
+  JOIN per_part ON sp.l_partkey = per_part.tp
+  WHERE supp_qty * 2 > part_qty
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -368,6 +803,11 @@ QUERIES5: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_tpch_q3": q_rel_tpch_q3,
     "rel_tpch_q5": q_rel_tpch_q5,
     "rel_tpch_q10": q_rel_tpch_q10,
+    "rel_tpch_q2": q_rel_tpch_q2,
+    "rel_tpch_q7": q_rel_tpch_q7,
+    "rel_tpch_q8": q_rel_tpch_q8,
+    "rel_tpch_q9": q_rel_tpch_q9,
+    "rel_tpch_q20": q_rel_tpch_q20,
     "src_partitioned_prune": q_src_partitioned_prune,
     "stream_interval_join": q_stream_interval_join,
 }
@@ -378,6 +818,11 @@ def oracles5() -> Dict[str, str]:
         "rel_tpch_q3": _SQL_TPCH_Q3,
         "rel_tpch_q5": _SQL_TPCH_Q5,
         "rel_tpch_q10": _SQL_TPCH_Q10,
+        "rel_tpch_q2": _SQL_TPCH_Q2,
+        "rel_tpch_q7": _SQL_TPCH_Q7,
+        "rel_tpch_q8": _SQL_TPCH_Q8,
+        "rel_tpch_q9": _SQL_TPCH_Q9,
+        "rel_tpch_q20": _SQL_TPCH_Q20,
         "src_partitioned_prune": _SQL_PARTITIONED_PRUNE,
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
     }
