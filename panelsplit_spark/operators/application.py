@@ -95,15 +95,24 @@ def with_row_key(
     df: DataFrame,
     order_by: Sequence[str],
     key_col: str = "row_key",
+    auto_distributed_above: Optional[int] = 1_000_000,
 ) -> DataFrame:
     """Attach a deterministic dense row key ordered by ``order_by``.
 
     Prefer a *natural* unique key (event_id, (orderkey, linenumber), …) and
     skip this entirely — that is the scale path. This helper exists for
     reference-parity cases that genuinely need positional identity
-    (SURVEY §1.4); it uses a global window, i.e. a single-partition sort,
-    and is documented as a small-data / driver-boundary tool.
+    (SURVEY §1.4); it uses a global window, i.e. a single-partition sort.
+
+    Because the name invites misuse on large frames, it self-guards:
+    above ``auto_distributed_above`` rows (one count job) it dispatches
+    to :func:`with_row_key_distributed`, which computes the identical
+    key without any single-partition sort. Pass ``None`` to skip the
+    count and force the narrow window form.
     """
+    if auto_distributed_above is not None:
+        if df.count() > auto_distributed_above:
+            return with_row_key_distributed(df, order_by, key_col)
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(key_col, F.row_number().over(w) - F.lit(1))
 
@@ -113,6 +122,7 @@ def with_row_key_distributed(
     order_by: Sequence[str],
     key_col: str = "row_key",
     n_buckets: int = 64,
+    eager: bool = False,
 ) -> DataFrame:
     """Scalable dense row key ordered by ``order_by`` — the 100 TB form
     of :func:`with_row_key` (no single-partition sort anywhere).
@@ -138,7 +148,15 @@ def with_row_key_distributed(
 
     The result is engine- and partitioning-independent (it equals SQL
     ``row_number() OVER (ORDER BY …) - 1``), so it is oracle-checkable.
-    Caller may ``unpersist()`` the returned frame's lineage when done.
+
+    The intermediate ``ranged`` frame must stay persisted while the
+    result can still recompute (a re-sampled range exchange could move
+    bucket boundaries after the offsets were taken). With
+    ``eager=False`` (default, fully lazy) the persisted handle is
+    exposed as ``result.persisted_intermediate`` — unpersist it when
+    done. With ``eager=True`` the result is localCheckpoint-ed and
+    ``ranged`` is unpersisted before returning: nothing leaks, at the
+    cost of materializing the result now.
     """
     cols = [F.col(c) for c in order_by]
     ranged = (
@@ -162,7 +180,7 @@ def with_row_key_distributed(
         offsets, "_bucket int, _offset long"
     )
     w = Window.partitionBy("_bucket").orderBy(*cols)
-    return (
+    out = (
         ranged.join(F.broadcast(off_df), "_bucket")
         .withColumn(
             key_col,
@@ -170,6 +188,12 @@ def with_row_key_distributed(
         )
         .drop("_bucket", "_offset")
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        ranged.unpersist()
+        return out
+    out.persisted_intermediate = ranged
+    return out
 
 
 def _schema_plus(base, output_col: str, output_type: str):

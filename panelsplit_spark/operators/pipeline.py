@@ -24,6 +24,7 @@ is Spark:
 from __future__ import annotations
 
 import copy
+import weakref
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
@@ -48,10 +49,15 @@ def _is_passthrough(est: Any) -> bool:
     return est is None or (isinstance(est, str) and est == "passthrough")
 
 
-#: cached y-signature reflection per (type name, method) — reference
+#: cached y-signature reflection per (class, method) — reference
 #: pipeline.py:83,86-162 (fixes issue #59: score() needs y, predict()
-#: doesn't, and transformers may fit on X alone)
-_METHOD_SIGNATURE_CACHE: Dict[Tuple[type, str], Tuple[bool, bool]] = {}
+#: doesn't, and transformers may fit on X alone). Keyed on the class
+#: OBJECT (names collide across modules / `<locals>` qualnames) but via
+#: WeakKeyDictionary so dynamically created classes (tests, factories in
+#: loops) stay collectable instead of being pinned process-long.
+_METHOD_SIGNATURE_CACHE: "weakref.WeakKeyDictionary[type, Dict[str, Tuple[bool, bool]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _y_signature(model: Any, method_name: str) -> Tuple[bool, bool]:
@@ -59,10 +65,10 @@ def _y_signature(model: Any, method_name: str) -> Tuple[bool, bool]:
     import inspect
 
     cls = type(model)
-    # key on the class OBJECT — names collide (same-named classes in
-    # different modules, or two `<locals>` classes sharing a qualname)
-    key = (cls, method_name)
-    if key not in _METHOD_SIGNATURE_CACHE:
+    per_cls = _METHOD_SIGNATURE_CACHE.get(cls)
+    if per_cls is None:
+        per_cls = _METHOD_SIGNATURE_CACHE.setdefault(cls, {})
+    if method_name not in per_cls:
         try:
             params = inspect.signature(
                 getattr(model, method_name)
@@ -80,10 +86,10 @@ def _y_signature(model: Any, method_name: str) -> Tuple[bool, bool]:
                 "y" in params
                 and params["y"].default is inspect.Parameter.empty
             )
-            _METHOD_SIGNATURE_CACHE[key] = (has_y, required)
+            per_cls[method_name] = (has_y, required)
         except Exception:
-            _METHOD_SIGNATURE_CACHE[key] = (False, False)
-    return _METHOD_SIGNATURE_CACHE[key]
+            per_cls[method_name] = (False, False)
+    return per_cls[method_name]
 
 
 def _call_method_with_correct_args(
@@ -127,6 +133,13 @@ class SequentialCVPipeline:
         Kept for API parity: Spark outputs are DataFrames that always
         carry the passthrough/key columns, which subsumes the reference's
         ``(indices, values)`` tuple protocol (pipeline.py:599-605).
+    max_fit_rows : int, optional
+        Guard for fit-on-all steps (``cv_steps[i] is None``): such a
+        step funnels the WHOLE frame through one grouped-map task, so
+        above this row count ``fit`` raises a clear error instead of
+        letting an executor OOM. Pass ``None`` to disable (you know the
+        step's memory math), give the step its own CV, or use a
+        distributed estimator (operators/sparkml.py).
     """
 
     def __init__(
@@ -138,6 +151,7 @@ class SequentialCVPipeline:
         return_group: str = "test",
         include_indices: bool = False,
         verbose: bool = False,
+        max_fit_rows: Optional[int] = 20_000_000,
     ) -> None:
         if len(steps) != len(cv_steps):
             raise ValueError(
@@ -163,6 +177,7 @@ class SequentialCVPipeline:
         self.return_group = return_group
         self.include_indices = include_indices
         self.verbose = verbose
+        self.max_fit_rows = max_fit_rows
         self.fitted_steps_: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
@@ -193,6 +208,7 @@ class SequentialCVPipeline:
             "return_group": self.return_group,
             "include_indices": self.include_indices,
             "verbose": self.verbose,
+            "max_fit_rows": self.max_fit_rows,
         }
         if deep:
             for name, est in self.steps:
@@ -207,7 +223,7 @@ class SequentialCVPipeline:
         pinned by tests/test_set_params.py)."""
         own = {
             "steps", "cv_steps", "feature_cols", "y_col", "return_group",
-            "include_indices", "verbose",
+            "include_indices", "verbose", "max_fit_rows",
         }
         by_step: Dict[str, Dict[str, Any]] = {}
         for key, val in params.items():
@@ -311,6 +327,17 @@ class SequentialCVPipeline:
         needed = list(features) + (
             [self.y_col] if self.y_col and self.y_col not in features else []
         )
+        if self.max_fit_rows is not None:
+            n = df.count()
+            if n > self.max_fit_rows:
+                raise ValueError(
+                    f"fit-on-all step {type(est).__name__} would funnel "
+                    f"{n} rows through ONE grouped-map task "
+                    f"(max_fit_rows={self.max_fit_rows}). Give the step "
+                    "a CV (fold-wise fit), use a distributed estimator "
+                    "(operators/sparkml.py), or raise/disable "
+                    "max_fit_rows if one executor can hold the frame."
+                )
         est0 = clone(est)
         y_col = self.y_col
         feats = list(features)

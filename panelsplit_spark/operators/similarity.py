@@ -494,6 +494,15 @@ def gram_matrix(
                 continue
             mat = np.stack(pdf[vec_col].values).astype(np.float64)
             q = np.rint(mat * scale).astype(np.int64)
+            # the int64 matmul wraps SILENTLY on overflow — bound each
+            # batch's worst cell (rows · max|q|²) before computing
+            m = float(np.abs(q).max(initial=0))
+            if len(pdf) * m * m >= float(2 ** 63):
+                raise ValueError(
+                    "gram_matrix: quantized products overflow int64 "
+                    "within a batch — lower `scale` (bound: "
+                    "rows·(scale·max|x|)² < 2^63)"
+                )
             g = q.T @ q
             d = g.shape[0]
             iu, ju = np.triu_indices(d)
@@ -517,8 +526,25 @@ def gram_matrix(
             "i",
             "j",
             "n",
-            # exact integer value; BIGINT output for cross-engine hashing
-            F.col("_s").cast("long").alias("sum_xy"),
+            # exact integer value; BIGINT output for cross-engine
+            # hashing. The decimal(38,0) accumulation cannot overflow in
+            # practice, but a silent out-of-range cast (NULL / wrap under
+            # non-ANSI mode) would corrupt the covariance downstream —
+            # so the cast is guarded: out-of-range raises instead.
+            F.when(
+                F.abs(F.col("_s"))
+                <= F.lit(str(2 ** 63 - 1)).cast("decimal(38,0)"),
+                F.col("_s").cast("long"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "gram_matrix: sum_xy overflows BIGINT — lower "
+                        "`scale` (bound: n·(scale·max|x|)² < 2^63)"
+                    )
+                )
+            )
+            .alias("sum_xy"),
         )
     )
 

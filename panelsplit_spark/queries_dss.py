@@ -519,7 +519,7 @@ def q_feat_row_key_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber"
     )
     return with_row_key_distributed(
-        li, ["l_orderkey", "l_linenumber"], n_buckets=16
+        li, ["l_orderkey", "l_linenumber"], n_buckets=16, eager=True
     )
 
 

@@ -203,9 +203,21 @@ def compact_parquet(
     ``sort_within_by`` clusters rows within each output file so parquet
     row-group min/max statistics prune at read time (poor man's
     Z-order on one key prefix).
+
+    ``dst_path`` must differ from ``src_path``: the write is
+    ``mode("overwrite")`` over a LAZY read of the source, so compacting
+    in place would truncate the input mid-read. Sizing walks the local
+    filesystem — for object stores, list via the store's API and pass
+    an explicit partition count instead.
     """
     import math
 
+    if os.path.abspath(dst_path) == os.path.abspath(src_path):
+        raise ValueError(
+            "compact_parquet: dst_path must differ from src_path — "
+            "overwrite of a lazily-read source would destroy the data; "
+            "write to a sibling directory and swap atomically."
+        )
     df = spark.read.parquet(src_path)
     total = 0
     for root, _dirs, files in os.walk(src_path):

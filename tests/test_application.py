@@ -316,3 +316,47 @@ def test_with_row_key_distributed_matches_global(spark):
     assert got == exp
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_with_row_key_auto_dispatches_to_distributed(spark):
+    """Above the row threshold the convenience helper must hand off to
+    the distributed two-pass scheme (no single-partition sort) and still
+    produce the identical dense key."""
+    from panelsplit_spark.operators.application import with_row_key
+
+    df = spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+    small = with_row_key(df, ["k"])  # under threshold: narrow window
+    assert not hasattr(small, "persisted_intermediate")
+    big = with_row_key(df, ["k"], auto_distributed_above=10)
+    assert hasattr(big, "persisted_intermediate")
+    try:
+        got = {r["k"]: r["row_key"] for r in big.collect()}
+        assert got == {r["k"]: r["row_key"] for r in small.collect()}
+    finally:
+        big.persisted_intermediate.unpersist()
+
+
+def test_with_row_key_distributed_eager_releases_cache(spark):
+    """eager=True must checkpoint the result and leave NO persisted
+    intermediate behind (the lazy form leaks it by necessity and exposes
+    the handle instead)."""
+    from panelsplit_spark.operators.application import (
+        with_row_key_distributed,
+    )
+
+    df = spark.range(100).selectExpr("id AS k")
+    before = len(
+        [
+            r
+            for rdd_id, r in spark.sparkContext._jsc.sc()
+            .getPersistentRDDs().items()
+        ]
+    ) if False else spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = with_row_key_distributed(df, ["k"], n_buckets=4, eager=True)
+    assert not hasattr(out, "persisted_intermediate")
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # the localCheckpoint itself registers one RDD; the ranged persist
+    # must be gone, so growth is at most the checkpoint's own entry
+    assert after - before <= 1
+    keys = [r["row_key"] for r in out.orderBy("k").collect()]
+    assert keys == list(range(100))

@@ -435,3 +435,18 @@ def test_aqe_splits_skewed_smj(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gram_matrix_overflow_guard(spark):
+    """An out-of-BIGINT-range quantized sum must raise loudly, never
+    silently wrap/NULL into the downstream covariance."""
+    import pytest
+
+    from panelsplit_spark.operators.similarity import gram_matrix
+
+    df = spark.createDataFrame(
+        [(i, [1e5] * 4) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="overflow"):
+        gram_matrix(df, scale=1e9).collect()

@@ -191,7 +191,7 @@ def test_y_signature_reflection(spark, panel):
     )
     pipe.fit(panel)
     assert pipe.predict(panel).count() == panel.count()
-    assert (XOnlyScaler, "fit") in _METHOD_SIGNATURE_CACHE
+    assert "fit" in _METHOD_SIGNATURE_CACHE.get(XOnlyScaler, {})
 
     # required-y estimator + y_col=None raises the reference's error
     bad = SequentialCVPipeline(
@@ -418,3 +418,53 @@ def test_y_signature_catch_all_and_name_collision():
     assert _y_signature(A(), "fit") == (False, False)
     # same bare name, different class: must NOT reuse A's cache entry
     assert _y_signature(B(), "fit") == (True, True)
+
+
+def test_fit_single_row_guard(spark):
+    """A fit-on-all step (cv=None) funnels the frame through ONE task:
+    above max_fit_rows the fit must raise the clear guard error, not
+    OOM an executor; None disables the guard."""
+    import pytest
+
+    from panelsplit_spark import StandardScaler
+    from panelsplit_spark.operators.pipeline import SequentialCVPipeline
+
+    df = spark.range(100).selectExpr(
+        "CAST(id AS DOUBLE) AS x", "CAST(id * 2 AS DOUBLE) AS y"
+    )
+    pipe = SequentialCVPipeline(
+        [("sc", StandardScaler())], [None], ["x"], y_col="y",
+        max_fit_rows=10,
+    )
+    with pytest.raises(ValueError, match="max_fit_rows"):
+        pipe.fit(df)
+    # disabled guard (and the generous default) still fit fine
+    pipe2 = SequentialCVPipeline(
+        [("sc", StandardScaler())], [None], ["x"], y_col="y",
+        max_fit_rows=None,
+    )
+    pipe2.fit(df)
+    assert pipe2.__sklearn_is_fitted__()
+
+
+def test_y_signature_cache_is_weak():
+    """Dynamically created estimator classes must stay collectable —
+    the signature cache may not pin them for process lifetime."""
+    import gc
+
+    from panelsplit_spark.operators.pipeline import (
+        _METHOD_SIGNATURE_CACHE,
+        _y_signature,
+    )
+
+    class Ephemeral:
+        def fit(self, X, y):
+            return self
+
+    _y_signature(Ephemeral(), "fit")
+    assert any(c.__name__ == "Ephemeral" for c in _METHOD_SIGNATURE_CACHE)
+    del Ephemeral
+    gc.collect()
+    assert not any(
+        c.__name__ == "Ephemeral" for c in _METHOD_SIGNATURE_CACHE
+    )

@@ -140,3 +140,15 @@ def test_compact_parquet_preserves_data(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_compact_parquet_refuses_in_place(spark, tmp_path):
+    """dst == src would overwrite a lazily-read source mid-read."""
+    import pytest
+
+    from panelsplit_spark.sources.tables import compact_parquet
+
+    p = str(tmp_path / "d")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError, match="dst_path must differ"):
+        compact_parquet(spark, p, str(tmp_path / "d"))
