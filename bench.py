@@ -101,6 +101,7 @@ HEADLINE = [
     "rel_tpch_q8",
     "rel_tpch_q9",
     "rel_tpch_q20",
+    "rel_tpch_q16",
 ]
 
 

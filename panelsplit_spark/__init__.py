@@ -53,7 +53,11 @@ from .operators import (  # noqa: F401
     text,
 )
 from .operators.application import with_row_key_distributed
-from .operators.dedup import connected_components, ngram_contamination
+from .operators.dedup import (
+    connected_components,
+    connected_components_star,
+    ngram_contamination,
+)
 from .operators.sampling import (
     hash_sample,
     hash_split,
@@ -120,6 +124,7 @@ __all__ = [
     "IdentityTransformer",
     "FirstColumnRegressor",
     "connected_components",
+    "connected_components_star",
     "ngram_contamination",
     "hash_split",
     "hash_sample",

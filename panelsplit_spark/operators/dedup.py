@@ -627,6 +627,109 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction → ``(id, cluster)`` with ``cluster`` = the component's
+    minimum id — same contract as :func:`connected_components`, but
+    converging in O(log d) rounds instead of O(d) (the public
+    MapReduce-CC algorithm of Kiveris et al., SoCC'14: each round first
+    hangs every strictly-larger neighbor off the local minimum
+    (large-star), then collapses each remaining star one level
+    (small-star); the edge set monotonically contracts toward one star
+    per component, centered at the component minimum).
+
+    When to prefer it: deep chain-shaped duplicate graphs (transcript
+    dedup, SCD chains) where min-label's rounds ≈ diameter — at
+    diameter 10⁶ min-label is 10⁶ shuffles, star contraction ~20. For
+    shallow near-dup clusters (the common LSH case) min-label's one
+    aggregate per round is cheaper per round, so it stays the default.
+
+    Per round: two grouped MIN aggregates + two joins on the current
+    edge set (which only shrinks), each round ``localCheckpoint``-ed so
+    the plan stays O(1) deep; convergence is an EXACT fixed-point test
+    (count + one-sided exceptAll), not a probabilistic checksum.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"),
+        F.col(id_b).cast("long").alias("v"),
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    nodes = (
+        edges.select("u")
+        .union(edges.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # canonical orientation: every edge points large → small
+    canon = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = canon.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        # large-star: on the symmetric view, hang every neighbor that is
+        # LARGER than the center off m = min(N(center) ∪ {center})
+        sym = canon.union(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        big_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        big_min = big_min.select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        ls = (
+            sym.join(big_min, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: centers now only have SMALLER neighbors (ls emits
+        # u > v by construction); collapse N(center) ∪ {center} onto
+        # min(N(center))
+        small_min = ls.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            ls.join(small_min, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(small_min.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if (
+            n_next == n_edges
+            and nxt.exceptAll(canon).limit(1).count() == 0
+        ):
+            canon = nxt
+            break
+        canon, n_edges = nxt, n_next
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
+    # at the fixed point every edge is (member → component min); nodes
+    # absent on the left are the minima themselves
+    return (
+        nodes.join(canon, "u", "left")
+        .select(
+            F.col("u").alias("id"),
+            F.coalesce("v", "u").alias("cluster"),
+        )
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -796,6 +796,65 @@ WHERE r_name = 'EUROPE'
 
 
 # ======================================================================
+# TPC-H Q16 analog: supplier diversity per part descriptor
+# ======================================================================
+
+
+def q_rel_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier count per part descriptor, excluding suppliers
+    on a complaints screen (TPC-H Q16's shape on the local schema —
+    lineitem is the part↔supplier bridge; ``s_acctbal < 0`` plays the
+    ``s_comment LIKE '%Complaints%'`` role).
+
+    Plan shape: the ``NOT IN (SELECT s_suppkey …)`` screen decorrelates
+    to a BROADCAST left-anti join (the complaint list is supplier-dim
+    sized, never fact sized); the part descriptor filter is a broadcast
+    dim join with the brand/type/size predicates pushed into the part
+    scan; count(DISTINCT l_suppkey) expands to a two-level aggregate
+    that partial-aggregates map-side. One fact shuffle total — the
+    distinct-agg exchange on the (brand, type, size) key."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -808,6 +867,7 @@ QUERIES5: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_tpch_q8": q_rel_tpch_q8,
     "rel_tpch_q9": q_rel_tpch_q9,
     "rel_tpch_q20": q_rel_tpch_q20,
+    "rel_tpch_q16": q_rel_tpch_q16,
     "src_partitioned_prune": q_src_partitioned_prune,
     "stream_interval_join": q_stream_interval_join,
 }
@@ -823,6 +883,7 @@ def oracles5() -> Dict[str, str]:
         "rel_tpch_q8": _SQL_TPCH_Q8,
         "rel_tpch_q9": _SQL_TPCH_Q9,
         "rel_tpch_q20": _SQL_TPCH_Q20,
+        "rel_tpch_q16": _SQL_TPCH_Q16,
         "src_partitioned_prune": _SQL_PARTITIONED_PRUNE,
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
     }

@@ -240,6 +240,53 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == expect
 
 
+def test_connected_components_star_matches_minlabel(spark):
+    """Differential: the O(log d) large-star/small-star contraction must
+    produce the same (id, cluster) labeling as min-label propagation on
+    chain, star, and random graphs."""
+    from panelsplit_spark.operators.dedup import connected_components_star
+
+    rng = np.random.default_rng(7)
+    cases = [
+        [(i, i + 1) for i in range(100, 111)],        # deep chain
+        [(50, x) for x in range(51, 60)],             # star (hub = min)
+        [(x, 90) for x in range(91, 99)],             # star (hub... spokes > hub)
+        [(5, 1), (1, 9), (9, 3), (2, 8), (8, 2)],     # mixed + dup edge
+    ]
+    for _ in range(3):
+        n_nodes = int(rng.integers(5, 25))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, size=(30, 2))
+            if a != b
+        ]
+        cases.append(edges)
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        expect = {
+            (r["id"], r["cluster"])
+            for r in connected_components(pairs).collect()
+        }
+        got = {
+            (r["id"], r["cluster"])
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == expect, edges
+
+
+def test_connected_components_star_deep_chain_few_rounds(spark):
+    """A 40-node path (diameter 39) must converge well inside 30 rounds
+    — star contraction halves depth per round where min-label walks it
+    one hop at a time (min-label would need 39+ rounds here)."""
+    from panelsplit_spark.operators.dedup import connected_components_star
+
+    edges = [(i, i + 1) for i in range(200, 239)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components_star(pairs, max_iter=12)
+    assert got.count() == 40
+    assert got.where(F.col("cluster") != 200).count() == 0
+
+
 def test_pack_sequences_layout(spark):
     """Concat-then-chunk invariants: offsets stay inside the budget,
     consecutive docs in a shard tile the token stream with no gaps, and
