@@ -1,0 +1,203 @@
+"""Property tests of the CROSS-ENGINE ORACLE CONVENTIONS themselves.
+
+The whole correctness gate rests on three conventions hammered out in
+rounds 1-2 (see docs/SCALE_NOTES.md "oracle conventions"):
+
+1. money compares as integer cents — ``CAST(round(x*100) AS BIGINT)`` —
+   because float sums depend on partial-aggregation order, so a Spark
+   32-partition sum and a DuckDB single-thread sum of the same doubles
+   can differ in the last ulps and hash-mismatch;
+2. periods compare as formatted STRINGS (``yyyy-MM[-dd]``), because
+   timestamp binary values render differently across engines/timezones;
+3. the driver's value hash is order-insensitive in both rows and
+   columns (columns sorted by name, rows sorted after rendering).
+
+These tests pin each convention for ALL inputs hypothesis can find, not
+just the query corpus: (1) is checked as *partition-count invariance +
+engine parity* of grouped cent-sums, (2) as engine parity of period
+rendering over arbitrary epochs, (3) as a pure permutation-invariance
+property of the hash function itself. A failure here means the gate —
+not a query — is broken, which is exactly the regression this file
+exists to catch.
+"""
+
+import importlib.util
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from panelsplit_spark.functions.exact import cents
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", os.path.join(_REPO, "tools", "check_oracle.py")
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracle)
+value_hash = check_oracle.value_hash
+norm_cell = check_oracle.norm_cell
+
+
+# money-like doubles: exact-cent amounts plus 4-decimal rates — the two
+# shapes every monetary column in the corpus takes
+_money = st.one_of(
+    st.integers(min_value=-(10**8), max_value=10**8).map(
+        lambda c: c / 100.0
+    ),
+    st.integers(min_value=-(10**8), max_value=10**8).map(
+        lambda c: c / 10000.0
+    ),
+)
+
+_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4), _money),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_rows, st.integers(min_value=1, max_value=7))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cent_sums_partition_invariant_and_engine_equal(
+    spark, rows, n_parts
+):
+    """sum(cents(x)) per group must hash identically whatever the Spark
+    partitioning, and identically to DuckDB's reading of the same SQL
+    text — the invariant every money aggregate in the corpus relies on."""
+    pdf = pd.DataFrame(rows, columns=["k", "x"])
+    sdf = (
+        spark.createDataFrame(pdf)
+        .repartition(n_parts)
+        .groupBy("k")
+        .agg(F.sum(cents(F.col("x"))).alias("cents_sum"))
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    d = con.execute(
+        "SELECT k, sum(CAST(round(x * 100) AS BIGINT)) AS cents_sum "
+        "FROM t GROUP BY k"
+    )
+    d_rows = d.fetchall()
+    con.close()
+
+    cols = ["k", "cents_sum"]
+    assert value_hash(cols, s_rows) == value_hash(cols, d_rows)
+
+
+@given(
+    st.lists(
+        # 1990..2100 in seconds; odd offsets hit month/day boundaries
+        st.integers(min_value=631_152_000, max_value=4_102_444_800),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_period_strings_engine_equal(spark, epochs):
+    """yyyy-MM / yyyy-MM-dd period rendering must agree between Spark's
+    date_format (UTC session) and DuckDB's strftime for arbitrary
+    timestamps — the convention every fold-assignment oracle uses."""
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(epochs, unit="s")}
+    )
+    sdf = spark.createDataFrame(pdf).select(
+        F.date_format("ts", "yyyy-MM").alias("pm"),
+        F.date_format("ts", "yyyy-MM-dd").alias("pd"),
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    d_rows = con.execute(
+        "SELECT strftime(ts, '%Y-%m') AS pm, "
+        "strftime(ts, '%Y-%m-%d') AS pd FROM t"
+    ).fetchall()
+    con.close()
+
+    cols = ["pm", "pd"]
+    assert value_hash(cols, s_rows) == value_hash(cols, d_rows)
+
+
+_cells = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=126, exclude_characters="\x01"
+        ),
+        max_size=12,
+    ),
+    st.booleans(),
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=5).flatmap(
+        lambda ncols: st.tuples(
+            st.just(ncols),
+            st.lists(
+                st.lists(_cells, min_size=ncols, max_size=ncols),
+                min_size=0,
+                max_size=20,
+            ),
+            st.randoms(use_true_random=False),
+        )
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_value_hash_permutation_invariant(case):
+    """The driver-style hash must be invariant to row order and to
+    column order (columns travel WITH their names), and sensitive to an
+    actual value change."""
+    ncols, rows, rng = case
+    cols = [f"c{i}" for i in range(ncols)]
+    h0 = value_hash(cols, [tuple(r) for r in rows])
+
+    # permute rows
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    assert value_hash(cols, [tuple(r) for r in shuffled]) == h0
+
+    # permute columns together with their names
+    perm = list(range(ncols))
+    rng.shuffle(perm)
+    pcols = [cols[i] for i in perm]
+    prows = [tuple(r[i] for i in perm) for r in rows]
+    assert value_hash(pcols, prows) == h0
+
+    # a changed cell must change the hash (pick a non-None numeric cell)
+    for ri, row in enumerate(rows):
+        for ci, v in enumerate(row):
+            if isinstance(v, int) and not isinstance(v, bool):
+                mut = [list(r) for r in rows]
+                mut[ri][ci] = v + 1
+                assert (
+                    value_hash(cols, [tuple(r) for r in mut]) != h0
+                )
+                return
+
+
+def test_float_render_matches_duckdb_formatting():
+    """norm_cell's %.6f float rendering is the cross-engine contract —
+    NaN spells 'NaN' and -0.0 renders like 0.0 only if both engines
+    agree; pin the exact strings."""
+    assert norm_cell(float("nan")) == "NaN"
+    assert norm_cell(1.0) == "1.000000"
+    assert norm_cell(2 / 3) == "0.666667"
+    assert norm_cell(None) == "NULL"
+    assert norm_cell(True) == "1"

@@ -1,0 +1,52 @@
+"""The plan-audit CI gate itself: a scoped --check run must pass on
+known-good queries (zero row-Python, whitelisted bnlj) and the scoped
+form must not clobber the full-registry report."""
+
+import importlib.util
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(_REPO, "tools", "plan_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_scoped_plan_check_passes(spark, monkeypatch):
+    mod = _load()
+    before = open(os.path.join(_REPO, "docs", "PLAN_AUDIT.md")).read()
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "plan_audit.py",
+            "--check",
+            "/root/testdata/sf0.001",
+            # one relational, one bnlj-whitelisted, one grouped-map CV
+            "rel_tpch_q16",
+            "sim_cosine_topk",
+            "cv_mean_oof",
+        ],
+    )
+    assert mod.main() == 0
+    after = open(os.path.join(_REPO, "docs", "PLAN_AUDIT.md")).read()
+    assert after == before, "scoped --check must not rewrite the report"
+
+
+def test_plan_check_flags_row_python(spark):
+    """A plan containing BatchEvalPython must be reported as a
+    violation by the counter the gate keys on."""
+    mod = _load()
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(10).select(slow("id").alias("y"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert mod._counts(plan)["row_py"] > 0
