@@ -170,7 +170,12 @@ def main() -> None:
 
         hist = sorted(glob.glob("BENCH_r*.json"))
         if hist:
-            prev = json.load(open(hist[-1]))["parsed"]["queries"]
+            parsed = json.load(open(hist[-1]))["parsed"]
+            # only compare like-for-like scale factors (manual runs at
+            # other SFs would flag everything)
+            prev = (
+                parsed["queries"] if parsed.get("sf") == sf else {}
+            )
             for name, dt in timings.items():
                 p = prev.get(name)
                 if p and dt > 1.5 * p and dt > 0.5:

@@ -24,6 +24,8 @@ is Spark:
 from __future__ import annotations
 
 import copy
+import functools
+import types
 import weakref
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -47,6 +49,34 @@ _RESPONSE_METHODS = (
 
 def _is_passthrough(est: Any) -> bool:
     return est is None or (isinstance(est, str) and est == "passthrough")
+
+
+class _available_if:
+    """Descriptor hiding a response method unless the pipeline's FINAL
+    estimator exposes it — ``hasattr(pipe, "predict")`` is False for a
+    transform-only pipeline, matching sklearn's ``available_if``
+    semantics and the reference's conditional method injection
+    (reference pipeline.py:165-269 only binds methods the last step
+    has). Capability is checked at ATTRIBUTE ACCESS, fitted-ness later
+    at call (so an unfitted-but-capable pipeline still raises the
+    not-fitted RuntimeError, not AttributeError)."""
+
+    def __init__(self, method_name: str, fn) -> None:
+        self.method_name = method_name
+        self.fn = fn
+        functools.update_wrapper(self, fn)
+
+    def __get__(self, obj, owner=None):
+        if obj is None:
+            return self
+        if not obj._supports(self.method_name):
+            est = obj._final_estimator()
+            raise AttributeError(
+                f"{type(obj).__name__!r} object has no attribute "
+                f"{self.method_name!r} (final step "
+                f"{type(est).__name__} does not expose it)"
+            )
+        return types.MethodType(self.fn, obj)
 
 
 #: cached y-signature reflection per (class, method) — reference
@@ -476,28 +506,41 @@ class SequentialCVPipeline:
                 )
         raise RuntimeError("Pipeline has no final estimator")
 
-    # response-method surface (parity with the injected methods)
-    def predict(self, df: DataFrame) -> DataFrame:
-        return self.predict_df(df, "predict")
+    # response-method surface (parity with the injected methods): each
+    # is an _available_if descriptor, so hasattr() mirrors the final
+    # step's capability instead of raising at call time
+    predict = _available_if(
+        "predict", lambda self, df: self.predict_df(df, "predict")
+    )
 
-    def predict_proba(self, df: DataFrame) -> DataFrame:
-        return self.predict_df(df, "predict_proba")
+    predict_proba = _available_if(
+        "predict_proba",
+        lambda self, df: self.predict_df(df, "predict_proba"),
+    )
 
-    def predict_log_proba(self, df: DataFrame) -> DataFrame:
-        return self.predict_df(df, "predict_log_proba")
+    predict_log_proba = _available_if(
+        "predict_log_proba",
+        lambda self, df: self.predict_df(df, "predict_log_proba"),
+    )
 
-    def transform(self, df: DataFrame) -> DataFrame:
-        return self.predict_df(df, "transform")
+    transform = _available_if(
+        "transform", lambda self, df: self.predict_df(df, "transform")
+    )
 
-    def decision_function(self, df: DataFrame) -> DataFrame:
-        return self.predict_df(df, "decision_function")
+    decision_function = _available_if(
+        "decision_function",
+        lambda self, df: self.predict_df(df, "decision_function"),
+    )
 
-    def score_samples(self, df: DataFrame) -> DataFrame:
-        return self.predict_df(df, "score_samples")
+    score_samples = _available_if(
+        "score_samples",
+        lambda self, df: self.predict_df(df, "score_samples"),
+    )
 
-    def fit_predict(self, df: DataFrame, y_col: Optional[str] = None
-                    ) -> DataFrame:
-        return self.fit(df, y_col).predict(df)
+    fit_predict = _available_if(
+        "predict",
+        lambda self, df, y_col=None: self.fit(df, y_col).predict(df),
+    )
 
     def fit_transform(self, df: DataFrame, y_col: Optional[str] = None
                       ) -> DataFrame:

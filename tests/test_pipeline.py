@@ -305,6 +305,31 @@ def test_unsupported_method_raises(spark, panel):
         pipe.predict_proba(panel)
 
 
+def test_available_if_hides_methods(spark):
+    """hasattr mirrors the FINAL step's capability (sklearn available_if
+    semantics): a transform-only pipeline has no .predict, a regressor
+    pipeline has no .predict_proba — checked at attribute access, not at
+    call time."""
+    scaler_pipe = SequentialCVPipeline(
+        [("scale", StandardScaler())], [None], ["x1"], y_col="y"
+    )
+    assert hasattr(scaler_pipe, "transform")
+    assert not hasattr(scaler_pipe, "predict")
+    assert not hasattr(scaler_pipe, "fit_predict")
+
+    reg_pipe = SequentialCVPipeline(
+        [("reg", LinearRegression())], [None], ["x1"], y_col="y"
+    )
+    assert hasattr(reg_pipe, "predict")
+    assert hasattr(reg_pipe, "fit_predict")
+    assert not hasattr(reg_pipe, "predict_proba")
+    assert not hasattr(reg_pipe, "transform")
+
+    # class-level access (no instance) returns the descriptor, so
+    # introspection tools don't explode
+    assert SequentialCVPipeline.predict is not None
+
+
 def test_duplicate_step_names_rejected(spark):
     with pytest.raises(ValueError, match="unique"):
         SequentialCVPipeline(
