@@ -102,6 +102,8 @@ HEADLINE = [
     "rel_tpch_q9",
     "rel_tpch_q20",
     "rel_tpch_q16",
+    "text_chunks",
+    "text_repetition",
 ]
 
 

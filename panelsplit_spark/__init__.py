@@ -72,7 +72,12 @@ from .operators.similarity import (
     pca_project,
 )
 from .operators.skew import salted_join
-from .operators.text import lm_unigram_score, register_ngram_udtf
+from .operators.text import (
+    chunk_documents,
+    lm_unigram_score,
+    register_ngram_udtf,
+    repetition_signals,
+)
 from .operators.timeseries import asof_join, sessionize
 from .functions.exact import cents, micro_units, morton_code
 from .plot import plot_splits
@@ -139,6 +144,8 @@ __all__ = [
     "salted_join",
     "register_ngram_udtf",
     "lm_unigram_score",
+    "chunk_documents",
+    "repetition_signals",
     "cents",
     "micro_units",
     "morton_code",

@@ -24,6 +24,8 @@ __all__ = [
     "fingerprint",
     "register_ngram_udtf",
     "lm_unigram_score",
+    "chunk_documents",
+    "repetition_signals",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -242,4 +244,105 @@ def lm_unigram_score(
                 6,
             ).alias("avg_logprob"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-tokenization step feeding embedding models and context-bounded
+    trainers (complements ``sampling.pack_sequences``, which CONCATS
+    small docs; this SPLITS big ones). One row per (doc, window):
+    ``(id, chunk_id, n_tokens, chunk_text)``.
+
+    Windows start every ``chunk_size - overlap`` tokens and carry up to
+    ``chunk_size`` tokens; the final window is the (possibly short)
+    tail. Pure higher-order Catalyst expressions — ``sequence`` for the
+    window starts, ``explode`` (narrow: no shuffle), ``slice`` +
+    ``array_join`` per window — so the operator is codegen'd end to end
+    and scales as a map-only pass over the corpus. The identical
+    arithmetic runs in ANSI SQL (list slicing), making chunk boundaries
+    engine-exact.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size})"
+        )
+    stride = chunk_size - overlap
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    with_chunks = (
+        df.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("_n") - 1) / F.lit(stride)).cast(
+                        "int"
+                    ),
+                )
+            ).alias("chunk_id"),
+        )
+    )
+    window = F.slice(
+        F.col("_toks"),
+        F.col("chunk_id") * F.lit(stride) + F.lit(1),
+        F.lit(chunk_size),
+    )
+    return with_chunks.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition ratios — the quality
+    signals that catch boilerplate, keyword stuffing, and templated spam
+    that length/punctuation stats miss. Adds:
+
+    * ``distinct_token_ratio`` — |distinct tokens| / |tokens|;
+    * ``dup_2gram_ratio`` / ``dup_3gram_ratio`` — fraction of word
+      n-grams that are repeats of an earlier n-gram in the same doc.
+
+    All array higher-order functions over the token array — codegen'd,
+    zero shuffles, no Python; a 100 TB corpus pays exactly one narrow
+    pass. Ratios are rounded to 6 decimals so the doubles compare
+    engine-exact."""
+    toks = _tok(text_col)
+
+    def dup_ratio(grams: Column) -> Column:
+        n = F.size(grams)
+        return F.when(
+            n > 0,
+            F.round(
+                (n - F.size(F.array_distinct(grams))).cast("double")
+                / n,
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    n_toks = F.size(toks)
+    return (
+        df.withColumn(
+            "distinct_token_ratio",
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.greatest(n_toks, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn("dup_2gram_ratio", dup_ratio(word_ngrams(toks, 2)))
+        .withColumn("dup_3gram_ratio", dup_ratio(word_ngrams(toks, 3)))
     )

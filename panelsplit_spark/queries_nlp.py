@@ -1084,6 +1084,117 @@ FROM orders GROUP BY o_orderstatus, o_orderpriority
 
 
 # ======================================================================
+# document chunking: overlapping token windows
+# ======================================================================
+
+CHUNK_SIZE, CHUNK_OVERLAP = 64, 8
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows per document (operators/text.
+    chunk_documents) summarized per doc so the gate result stays
+    doc-sized: chunk count, total window tokens, and an order-insensitive
+    xor-ish checksum (sum of chunk-text md5-longs) pinning every window's
+    exact text against the SQL twin."""
+    from .functions.hashing import md5_long
+    from .operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+            # mod keeps the LONG sum far from 2^63 (DuckDB widens BIGINT
+            # sums to HUGEINT; Spark would wrap) — still pins every
+            # window's exact text
+            F.sum(
+                md5_long(F.col("chunk_text")) % F.lit(10**12)
+            ).alias("chunk_checksum"),
+        )
+    )
+
+
+_SQL_TEXT_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           CAST(floor((len(toks) - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1
+         )) AS chunk_id
+  FROM t WHERE len(toks) > 0
+),
+w AS (
+  SELECT doc_id,
+         toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+              chunk_id * {_CHUNK_STRIDE} + {CHUNK_SIZE}] AS win
+  FROM c
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CAST(len(win) AS BIGINT)) AS total_tokens,
+       sum(CAST(concat('0x', substr(md5(array_to_string(win, ' ')),
+                       1, 15)) AS BIGINT) % 1000000000000)
+         AS chunk_checksum
+FROM w
+GROUP BY doc_id
+"""
+
+
+# ======================================================================
+# within-document repetition signals (Gopher-style quality filters)
+# ======================================================================
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token and duplicate-n-gram ratios per document
+    (operators/text.repetition_signals) — pure codegen'd array HOFs, one
+    narrow pass, rounded to 6 decimals for engine-exact doubles."""
+    from .operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs).select(
+        "doc_id",
+        "distinct_token_ratio",
+        "dup_2gram_ratio",
+        "dup_3gram_ratio",
+    )
+
+
+def _sql_text_repetition() -> str:
+    def grams(n: int) -> str:
+        return (
+            f"list_transform(range(1, len(toks) - {n - 2}), "
+            f"i -> array_to_string(toks[i : i + {n - 1}], ' '))"
+        )
+
+    def dup(g: str) -> str:
+        return (
+            f"CASE WHEN len({g}) > 0 THEN round("
+            f"CAST(len({g}) - len(list_distinct({g})) AS DOUBLE) "
+            f"/ len({g}), 6) ELSE 0.0 END"
+        )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS distinct_token_ratio,
+       {dup(grams(2))} AS dup_2gram_ratio,
+       {dup(grams(3))} AS dup_3gram_ratio
+FROM t
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1107,6 +1218,8 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_range_window": q_rel_range_window,
     "src_csv_roundtrip": q_src_csv_roundtrip,
     "src_json_roundtrip": q_src_json_roundtrip,
+    "text_chunks": q_text_chunks,
+    "text_repetition": q_text_repetition,
 }
 
 def oracles4() -> Dict[str, str]:
@@ -1133,4 +1246,6 @@ def oracles4() -> Dict[str, str]:
         "rel_range_window": _SQL_RANGE_WINDOW,
         "src_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
+        "text_chunks": _SQL_TEXT_CHUNKS,
+        "text_repetition": _sql_text_repetition(),
     }

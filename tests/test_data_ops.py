@@ -450,3 +450,53 @@ def test_gram_matrix_overflow_guard(spark):
     )
     with pytest.raises(Exception, match="overflow"):
         gram_matrix(df, scale=1e9).collect()
+
+
+def test_chunk_documents_windows(spark):
+    from panelsplit_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9 -> 4 windows
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2, 3]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert d1[3]["chunk_text"] == "w9"            # short tail
+    assert d1[3]["n_tokens"] == 1
+    # doc 2: one window, doc 3: split("") -> [""] -> one 1-token window
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    assert len(by_doc[3]) == 1
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_repetition_signals_known_values(spark):
+    from panelsplit_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 2 distinct / 6; 2grams: 5, distinct 2
+            (2, "x y z"),             # no repeats
+            (3, "solo"),              # too short for 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["distinct_token_ratio"],
+            r["dup_2gram_ratio"],
+            r["dup_3gram_ratio"],
+        )
+        for r in repetition_signals(df).collect()
+    }
+    assert got[1] == (round(2 / 6, 6), round(3 / 5, 6), round(2 / 4, 6))
+    assert got[2] == (1.0, 0.0, 0.0)
+    assert got[3] == (1.0, 0.0, 0.0)
