@@ -123,6 +123,16 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 16)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # bench files are MBs, not the 128MB-block production shape: tiny
+        # byte-range splits (together with sources.ensure_splittable_layout's
+        # row-group re-layout) let scan-side compute use all cores.
+        # Production sessions keep the default — at real block sizes this
+        # knob must NOT be this small.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "524288"),
+        )
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

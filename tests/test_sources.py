@@ -152,3 +152,51 @@ def test_compact_parquet_refuses_in_place(spark, tmp_path):
     spark.range(10).write.parquet(p)
     with pytest.raises(ValueError, match="dst_path must differ"):
         compact_parquet(spark, p, str(tmp_path / "d"))
+
+
+def test_ensure_splittable_layout_rewrites_fat_row_groups(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from panelsplit_spark.sources.tables import ensure_splittable_layout
+
+    src = str(tmp_path / "fat.parquet")
+    n = 20_000
+    pq.write_table(
+        pa.table({"k": list(range(n)), "v": [float(i) for i in range(n)]}),
+        src,
+        row_group_size=n,  # the pathological single-group shape
+    )
+    out = ensure_splittable_layout(spark, src)
+    assert out != src, "single fat row group must be re-laid-out"
+    pf = pq.ParquetFile(out)
+    assert pf.metadata.num_rows == n
+    assert pf.metadata.num_row_groups > 1
+    # contents identical
+    assert pq.read_table(out).sort_by("k").equals(
+        pq.read_table(src).sort_by("k")
+    )
+    # cache hit: same path returned without rework
+    assert ensure_splittable_layout(spark, src) == out
+
+
+def test_ensure_splittable_layout_leaves_good_files_alone(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from panelsplit_spark.sources.tables import ensure_splittable_layout
+
+    small = str(tmp_path / "small.parquet")
+    pq.write_table(pa.table({"k": list(range(100))}), small)
+    assert ensure_splittable_layout(spark, small) == small
+
+    fine = str(tmp_path / "fine.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(20_000))}), fine, row_group_size=512
+    )
+    assert ensure_splittable_layout(spark, fine) == fine
+
+    assert (
+        ensure_splittable_layout(spark, str(tmp_path / "missing.parquet"))
+        == str(tmp_path / "missing.parquet")
+    )
