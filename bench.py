@@ -104,6 +104,7 @@ HEADLINE = [
     "rel_tpch_q16",
     "text_chunks",
     "text_repetition",
+    "dedup_clusters_star",
 ]
 
 
@@ -130,7 +131,7 @@ def main() -> None:
         # knob must NOT be this small.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "524288"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2097152"),
         )
         .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.driver.memory", "16g")
@@ -182,7 +183,18 @@ def main() -> None:
 
         hist = sorted(glob.glob("BENCH_r*.json"))
         if hist:
-            parsed = json.load(open(hist[-1]))["parsed"]
+            rec = json.load(open(hist[-1]))
+            parsed = rec.get("parsed")
+            if not isinstance(parsed, dict):
+                # driver artifacts sometimes truncate the parsed blob;
+                # recover per-query numbers from the raw tail fragment
+                pairs = re.findall(
+                    r'"([a-z0-9_]+)": ([0-9.]+)', rec.get("tail", "")
+                )
+                parsed = {
+                    "sf": float(rec.get("sf", "nan")),
+                    "queries": {k: float(v) for k, v in pairs},
+                }
             # only compare like-for-like scale factors (manual runs at
             # other SFs would flag everything)
             prev = (

@@ -346,6 +346,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via the O(log d) large-star/small-star contraction
+    (operators/dedup.connected_components_star) — gated against the
+    IDENTICAL recursive-CTE oracle as `dedup_clusters`, so the two CC
+    algorithms are proven interchangeable on real LSH pair graphs."""
+    from .operators import dedup
+    from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    return dedup.connected_components_star(pairs)
+
+
 def _sql_dedup_clusters() -> str:
     from .queries_data import _sql_minhash_lsh
 
@@ -1220,6 +1238,7 @@ QUERIES4: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_json_roundtrip": q_src_json_roundtrip,
     "text_chunks": q_text_chunks,
     "text_repetition": q_text_repetition,
+    "dedup_clusters_star": q_dedup_clusters_star,
 }
 
 def oracles4() -> Dict[str, str]:
@@ -1248,4 +1267,5 @@ def oracles4() -> Dict[str, str]:
         "src_json_roundtrip": _SQL_JSON_ROUNDTRIP,
         "text_chunks": _SQL_TEXT_CHUNKS,
         "text_repetition": _sql_text_repetition(),
+        "dedup_clusters_star": _sql_dedup_clusters(),
     }

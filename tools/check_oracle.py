@@ -70,7 +70,7 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "524288")
+        .config("spark.sql.files.maxPartitionBytes", "2097152")
         .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         # progress bars share the line with PASS/FAIL output via \r and
