@@ -105,6 +105,7 @@ HEADLINE = [
     "text_chunks",
     "text_repetition",
     "dedup_clusters_star",
+    "cv_target_encode",
 ]
 
 

@@ -53,6 +53,7 @@ from .operators import (  # noqa: F401
     text,
 )
 from .operators.application import with_row_key_distributed
+from .operators.encoding import oof_target_encode
 from .operators.dedup import (
     connected_components,
     connected_components_star,
@@ -130,6 +131,7 @@ __all__ = [
     "FirstColumnRegressor",
     "connected_components",
     "connected_components_star",
+    "oof_target_encode",
     "ngram_contamination",
     "hash_split",
     "hash_sample",

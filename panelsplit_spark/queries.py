@@ -301,6 +301,61 @@ GROUP BY a.fold_id
 """,
 }
 
+TE_PRIOR_W, TE_Q = 10.0, 100.0
+
+
+def q_cv_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe OOF target encoding of event_type under the panel
+    folds (operators/encoding.oof_target_encode): each test row carries
+    the smoothed train-only mean of its category; unseen categories
+    collapse to the fold's global train mean. The oracle replays the
+    fold arithmetic AND the exact-integer smoothing expression in SQL."""
+    from .operators.encoding import oof_target_encode
+
+    ev, ps = _events_cv(spark, sf_dir)
+    out = oof_target_encode(
+        ev,
+        "event_type",
+        "value",
+        ps,
+        prior_weight=TE_PRIOR_W,
+        quantize=TE_Q,
+        keep_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.round("te", 6).alias("te"),
+    )
+
+
+ORACLES["cv_target_encode"] = f"""
+WITH {_FOLD_CTE},
+ev2 AS (
+  SELECT event_id, {_EV_PERIOD} AS period, event_type,
+         CAST(round(value * {TE_Q}) AS BIGINT) AS qy
+  FROM events
+),
+trc AS (
+  SELECT a.fold_id, e.event_type,
+         sum(e.qy) AS s, count(e.qy) AS n
+  FROM assign a JOIN ev2 e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY 1, 2
+),
+trg AS (SELECT fold_id, sum(s) AS gs, sum(n) AS gn FROM trc GROUP BY 1)
+SELECT e.event_id, a.fold_id,
+       round(
+         (COALESCE(CAST(c.s AS DOUBLE), 0.0) / {TE_Q}
+          + {TE_PRIOR_W} * ((CAST(g.gs AS DOUBLE) / {TE_Q}) / g.gn))
+         / (COALESCE(c.n, 0) + {TE_PRIOR_W}), 6) AS te
+FROM assign a
+JOIN ev2 e ON e.period = a.period
+LEFT JOIN trc c ON c.fold_id = a.fold_id
+               AND c.event_type = e.event_type
+JOIN trg g ON g.fold_id = a.fold_id
+WHERE a.role = 'test'
+"""
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ps_fold_assignment": q_ps_fold_assignment,
     "ps_train_labels": q_ps_train_labels,
@@ -310,6 +365,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_mean_oof": q_cv_mean_oof,
     "cv_ols_oof": q_cv_ols_oof,
     "cv_fold_mse": q_cv_fold_mse,
+    "cv_target_encode": q_cv_target_encode,
 }
 
 # data-pipeline / relational / scale-CV registry (part 2)

@@ -360,3 +360,59 @@ def test_with_row_key_distributed_eager_releases_cache(spark):
     assert after - before <= 1
     keys = [r["row_key"] for r in out.orderBy("k").collect()]
     assert keys == list(range(100))
+
+
+def test_oof_target_encode_matches_hand_computation(spark):
+    """Leakage check by construction: fold-f encodings must equal the
+    smoothed means computed from fold-f TRAIN rows only (hand-computed
+    with a driver-side replica of the fold arithmetic)."""
+    from panelsplit_spark.operators.cross_validation import PanelSplit
+    from panelsplit_spark.operators.encoding import oof_target_encode
+
+    rows = []
+    rid = 0
+    for p in range(1, 9):
+        for j in range(4):
+            cat = "ab"[j % 2]
+            # category 'c' appears ONLY in late periods -> unseen in
+            # early folds' train windows
+            if p >= 7 and j == 3:
+                cat = "c"
+            rows.append((rid, p, cat, float(10 * p + j)))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "rid long, period int, cat string, y double"
+    )
+    ps = PanelSplit(df, "period", n_splits=3, test_size=1)
+    w, q = 10.0, 100.0
+    got = {
+        (r["rid"], r["fold_id"]): r["te"]
+        for r in oof_target_encode(
+            df, "cat", "y", ps, prior_weight=w, quantize=q,
+            keep_cols=["rid"],
+        ).collect()
+    }
+    assert len(got) == 3 * 4  # 3 folds x 1 test period x 4 rows
+
+    # driver-side replica: expanding window, test periods 6, 7, 8
+    by_fold_periods = {0: range(1, 6), 1: range(1, 7), 2: range(1, 8)}
+    test_period = {0: 6, 1: 7, 2: 8}
+    data = [(r[0], r[1], r[2], r[3]) for r in rows]
+    for f, train_ps in by_fold_periods.items():
+        train = [(c, y) for (_, p, c, y) in data if p in train_ps]
+        gs = sum(round(y * q) for _, y in train)
+        gn = len(train)
+        gm = (gs / q) / gn
+        for rid_, p, c, _ in data:
+            if p != test_period[f]:
+                continue
+            s = sum(round(y * q) for cc, y in train if cc == c)
+            n = sum(1 for cc, _ in train if cc == c)
+            want = (s / q + w * gm) / (n + w)
+            assert got[(rid_, f)] == pytest.approx(want, abs=1e-9), (
+                f, rid_, c,
+            )
+            if c == "c" and n == 0:
+                # category unseen in THIS fold's train window must
+                # collapse to the fold's global prior
+                assert got[(rid_, f)] == pytest.approx(gm, abs=1e-9)
