@@ -106,6 +106,7 @@ HEADLINE = [
     "text_repetition",
     "dedup_clusters_star",
     "cv_target_encode",
+    "feat_resample_ffill",
 ]
 
 

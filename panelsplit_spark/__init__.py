@@ -79,7 +79,7 @@ from .operators.text import (
     register_ngram_udtf,
     repetition_signals,
 )
-from .operators.timeseries import asof_join, sessionize
+from .operators.timeseries import asof_join, resample_daily_ffill, sessionize
 from .functions.exact import cents, micro_units, morton_code
 from .plot import plot_splits
 from .sources import tables as sources_tables  # noqa: F401
@@ -152,6 +152,7 @@ __all__ = [
     "micro_units",
     "morton_code",
     "asof_join",
+    "resample_daily_ffill",
     "sessionize",
     "compact_parquet",
     "load_table",

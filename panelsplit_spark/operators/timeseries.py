@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "asof_join"]
+__all__ = ["sessionize", "asof_join", "resample_daily_ffill"]
 
 
 def sessionize(
@@ -144,3 +144,73 @@ def asof_join(
         + [f"__ro_{i}" for i in range(len(right_order))]
     )
     return out.drop(*drop)
+
+
+def resample_daily_ffill(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    value_cols: Sequence[str],
+    gap_col: str = "is_gap",
+) -> DataFrame:
+    """Densify a panel to a per-entity DAILY grid and forward-fill —
+    the gap-filling step every panel-CV pipeline needs before lags or
+    rolling windows make sense (a missing day would silently shift a
+    lag-1 feature to lag-k; the reference's pandas users reach for
+    ``DataFrame.resample().ffill()`` — this is the distributed form).
+
+    Input: one row per (entity, date, values). Output: one row per
+    (entity, calendar day between that entity's min and max date), with
+    each value column carried forward across gap days and ``gap_col``
+    = 1 on synthesized rows.
+
+    Scale shape: per-entity spans are one grouped aggregate; the grid
+    is ``sequence(lo, hi)`` exploded (narrow — generates rows where the
+    span row lives); the observed values join back on (entity, day) and
+    the fill is ONE pass of ``last(value, ignoreNulls=True)`` over an
+    entity-keyed growing window. Everything is keyed by entity — state
+    and shuffle volume scale with the grid, never quadratically. The
+    whole thing is ANSI-expressible (generate_series + IGNORE NULLS
+    window), so it is oracle-gated end to end.
+    """
+    day = F.to_date(F.col(date_col))
+    vals = [F.col(c) for c in value_cols]
+    obs = df.select(
+        F.col(entity_col).alias("__e"), day.alias("__d"), *vals
+    )
+    spans = obs.groupBy("__e").agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    grid = spans.select(
+        "__e",
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("interval 1 day")
+            )
+        ).alias("__d"),
+    )
+    joined = grid.join(obs, ["__e", "__d"], "left")
+    w = (
+        Window.partitionBy("__e")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = [
+        F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+        for c in value_cols
+    ]
+    # a synthesized day has EVERY observed column NULL pre-fill; flag it
+    # off the first value column (cheap and deterministic)
+    gap = (
+        F.when(F.col(value_cols[0]).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias(gap_col)
+        if value_cols
+        else F.lit(0).alias(gap_col)
+    )
+    return joined.select(
+        F.col("__e").alias(entity_col),
+        F.col("__d").alias(date_col),
+        gap,
+        *filled,
+    )

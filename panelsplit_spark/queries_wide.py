@@ -787,7 +787,64 @@ GROUP BY a.fold_id, m.majority
 """
 
 
+def q_feat_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily revenue densified to a gap-free calendar with
+    forward fill (operators/timeseries.resample_daily_ffill): every user
+    gets one row per day between their first and last event, gap days
+    flagged and carrying the last observed day's cents. The oracle is
+    generate_series + an IGNORE NULLS window — an independent ANSI
+    implementation of the same semantics."""
+    from .operators.timeseries import resample_daily_ffill
+    from .sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    out = resample_daily_ffill(daily, "user_id", "day", ["cents"])
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "is_gap",
+        "cents",
+    )
+
+
+_SQL_RESAMPLE_FFILL = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM spans
+)
+SELECT g.user_id,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       CASE WHEN d.cents IS NULL THEN 1 ELSE 0 END AS is_gap,
+       last_value(d.cents IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
+FROM grid g
+LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
+"""
+
+
 QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "feat_resample_ffill": q_feat_resample_ffill,
     "search_ridge_grid": q_search_ridge_grid,
     "search_random_ridge": q_search_random_ridge,
     "cv_cls_prior_acc": q_cv_cls_prior_acc,
@@ -805,6 +862,7 @@ QUERIES3: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def oracles3() -> Dict[str, str]:
     return {
+        "feat_resample_ffill": _SQL_RESAMPLE_FFILL,
         "search_ridge_grid": _sql_search_ridge_grid(),
         "search_random_ridge": _sql_search_random_ridge(),
         "cv_cls_prior_acc": _sql_cv_cls_prior_acc(),

@@ -212,3 +212,32 @@ def test_asof_join_differential_vs_pandas_merge_asof(spark):
                     assert g is None, (direction, tol, r["lid"], g, e)
                 else:
                     assert g == e, (direction, tol, r["lid"], g, e)
+
+
+def test_resample_daily_ffill_gaps(spark):
+    from panelsplit_spark.operators.timeseries import resample_daily_ffill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10),
+            (1, "2024-01-04", 40),     # 2-day gap
+            (2, "2024-01-02", 20),     # single-day span
+            (3, "2024-01-01", None),   # observed but null value
+            (3, "2024-01-03", 30),
+        ],
+        "e long, d string, v long",
+    )
+    out = {
+        (r["e"], str(r["d"])): (r["is_gap"], r["v"])
+        for r in resample_daily_ffill(df, "e", "d", ["v"]).collect()
+    }
+    assert out == {
+        (1, "2024-01-01"): (0, 10),
+        (1, "2024-01-02"): (1, 10),
+        (1, "2024-01-03"): (1, 10),
+        (1, "2024-01-04"): (0, 40),
+        (2, "2024-01-02"): (0, 20),
+        (3, "2024-01-01"): (1, None),   # null observation: no fill source
+        (3, "2024-01-02"): (1, None),
+        (3, "2024-01-03"): (0, 30),
+    }
