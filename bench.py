@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_clusters_star",
     "cv_target_encode",
     "feat_resample_ffill",
+    "pipe_winsorize",
 ]
 
 

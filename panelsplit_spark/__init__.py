@@ -54,6 +54,7 @@ from .operators import (  # noqa: F401
 )
 from .operators.application import with_row_key_distributed
 from .operators.encoding import oof_target_encode
+from .operators.sampling import winsorize
 from .operators.dedup import (
     connected_components,
     connected_components_star,
@@ -132,6 +133,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "oof_target_encode",
+    "winsorize",
     "ngram_contamination",
     "hash_split",
     "hash_sample",

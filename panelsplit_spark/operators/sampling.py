@@ -15,7 +15,7 @@ from typing import Dict, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_topn",
-           "pack_sequences", "rebalance_sources"]
+           "pack_sequences", "rebalance_sources", "winsorize"]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
 # threshold comparisons are exact integer comparisons on both engines
@@ -203,3 +203,52 @@ def rebalance_sources(
         *[x for s, r in sorted(rate.items()) for x in (F.lit(s), F.lit(r))]
     )[F.col(source_col)]
     return df.filter(rate_col.isNotNull() & (bucket < rate_col))
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[str] = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    output_col: Optional[str] = None,
+) -> DataFrame:
+    """Clamp ``value_col`` to its (per-group) exact interpolated
+    [``lower``, ``upper``] quantiles — the outlier-robust normalization
+    step for metric/label columns before aggregation or model fitting
+    (heavy-tailed panels otherwise let one fat row dominate a fold).
+
+    Adds ``output_col`` (default ``{value_col}_wins``) as a double
+    rounded to 6 decimals. Exact percentiles (Spark ``percentile``,
+    = DuckDB ``quantile_cont`` linear interpolation), computed in ONE
+    grouped aggregate over the groups — group-cardinality sized — and
+    broadcast back onto the rows; the clamp itself is codegen'd
+    ``least``/``greatest``. Bounds are rounded to 6 dp BEFORE clamping
+    so the clamped values are cross-engine exact. One shuffle total
+    (the bounds aggregate); the fact table never moves.
+    """
+    out = output_col or f"{value_col}_wins"
+    pct = F.expr(
+        f"percentile({value_col}, array({lower}D, {upper}D))"
+    )
+    if group_by is not None:
+        bounds = df.groupBy(
+            F.col(group_by).alias("__g")
+        ).agg(pct.alias("__b"))
+        joined = df.join(
+            F.broadcast(bounds), F.col(group_by) == F.col("__g")
+        ).drop("__g")
+    else:
+        bounds = df.select(pct.alias("__b"))
+        joined = df.crossJoin(F.broadcast(bounds))
+    lo = F.round(F.col("__b")[0], 6)
+    hi = F.round(F.col("__b")[1], 6)
+    return joined.withColumn(
+        out,
+        F.round(
+            F.least(
+                F.greatest(F.col(value_col).cast("double"), lo), hi
+            ),
+            6,
+        ),
+    ).drop("__b")

@@ -1641,10 +1641,65 @@ WHERE total_cents = (SELECT max(total_cents) FROM r)
 
 
 # ======================================================================
+# winsorized robust aggregation
+# ======================================================================
+
+WINS_LO, WINS_HI = 0.05, 0.95
+
+
+def q_pipe_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorized price mass: line prices clamped to the
+    group's exact [5th, 95th] percentile band, then summed as exact
+    integer micro-cents (operators/sampling.winsorize). One bounds
+    aggregate (group-cardinality sized, broadcast back) + one clamp in
+    codegen — the fact table never shuffles."""
+    from .operators.sampling import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = winsorize(
+        li, "cents", group_by="l_returnflag",
+        lower=WINS_LO, upper=WINS_HI,
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("cents_wins") * 1_000_000).cast("long")
+        ).alias("wins_micro"),
+    )
+
+
+_SQL_WINSORIZE = f"""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+b AS (
+  SELECT l_returnflag,
+         round(quantile_cont(cents, {WINS_LO}), 6) AS lo,
+         round(quantile_cont(cents, {WINS_HI}), 6) AS hi
+  FROM c GROUP BY 1
+)
+SELECT c.l_returnflag, count(*) AS n,
+       sum(CAST(round(round(least(greatest(CAST(cents AS DOUBLE), lo),
+                                  hi), 6) * 1000000) AS BIGINT))
+         AS wins_micro
+FROM c JOIN b USING (l_returnflag)
+GROUP BY c.l_returnflag
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
 QUERIES6: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipe_winsorize": q_pipe_winsorize,
     "rel_tpch_q4": q_rel_tpch_q4,
     "rel_tpch_q12": q_rel_tpch_q12,
     "rel_tpch_q14": q_rel_tpch_q14,
@@ -1716,6 +1771,7 @@ def _oracles6_static() -> Dict[str, str]:
         "text_lm_score": _SQL_TEXT_LM_SCORE,
         "rel_morton_layout": _SQL_MORTON_LAYOUT,
         "pipe_rebalance_mix": _sql_rebalance_mix(),
+        "pipe_winsorize": _SQL_WINSORIZE,
         "rel_tpch_q6": _SQL_TPCH_Q6,
         "rel_tpch_q17": _SQL_TPCH_Q17,
         "rel_tpch_q19": _SQL_TPCH_Q19,

@@ -345,3 +345,34 @@ def test_rebalance_sources_mixture(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in kept2.collect()
     )
+
+
+def test_winsorize_clamps_to_group_quantiles(spark):
+    import numpy as np
+    from panelsplit_spark.operators.sampling import winsorize
+
+    vals_a = list(range(1, 101))          # 1..100
+    vals_b = [5] * 50 + [1000]            # heavy outlier
+    rows = [("a", float(v)) for v in vals_a] + [
+        ("b", float(v)) for v in vals_b
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", group_by="g", lower=0.1, upper=0.9)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["g"], []).append((r["v"], r["v_wins"]))
+    lo_a, hi_a = np.percentile(vals_a, [10, 90])
+    for v, w in got["a"]:
+        assert w == round(float(np.clip(v, round(lo_a, 6),
+                                        round(hi_a, 6))), 6)
+    # outlier group: the 1000 collapses to the 90th percentile
+    lo_b, hi_b = np.percentile(vals_b, [10, 90])
+    assert max(w for _, w in got["b"]) == round(float(hi_b), 6)
+    assert all(w >= round(float(lo_b), 6) for _, w in got["b"])
+
+    # ungrouped form
+    glob = winsorize(df, "v", lower=0.0, upper=0.5)
+    med = np.percentile([v for _, v in rows], 50)
+    assert max(r["v_wins"] for r in glob.collect()) == round(
+        float(med), 6
+    )
