@@ -108,6 +108,7 @@ HEADLINE = [
     "cv_target_encode",
     "feat_resample_ffill",
     "pipe_winsorize",
+    "sim_pq_topk",
 ]
 
 

@@ -45,6 +45,9 @@ __all__ = [
     "pca_fit",
     "pca_from_moments",
     "pca_project",
+    "pq_fit",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -646,3 +649,211 @@ def pca_project(
         sql_dot(centered, sql_double_array(c)) for c in components
     )
     return df.withColumn(out_col, F.expr(f"array({projs})"))
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN
+# ----------------------------------------------------------------------
+#
+# Reference scope: the reference library has no vector search; this is
+# part of the mandated LLM-data-pipeline extension (ANN over an
+# embedding column). PQ is the standard memory-compression tier between
+# brute force and IVF: each vector is stored as m sub-space code ids
+# (m bytes instead of 4·dim), and query distance is a table lookup —
+# at 100 TB the encoded corpus is ~64× smaller than the raw floats, so
+# the scan that brute force cannot afford becomes a cheap codes-only
+# scan with no shuffle at all.
+
+
+def _argmin_code_sql(
+    vec_sql: str, centroids: List[List[float]], round_to: int = 6
+) -> str:
+    """SQL text: index (0-based) of the nearest centroid to ``vec_sql``
+    by 6dp-rounded squared L2, first index winning ties — the same
+    contract as :func:`kmeans_assign`, emitted as one JVM-parsed
+    expression."""
+    dists = "array(" + ", ".join(
+        "round(aggregate(zip_with(%s, %s, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, x) -> acc + x), %d)"
+        % (vec_sql, sql_double_array(c), round_to)
+        for c in centroids
+    ) + ")"
+    return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    sample_mod: int = 5,
+    scale: float = 1_000_000.0,
+    round_to: int = 6,
+    dim: Optional[int] = None,
+) -> List[List[List[float]]]:
+    """Train per-subspace PQ codebooks → ``m`` lists of ``k_codes``
+    centroids (each of length ``dim/m``).
+
+    Codebooks are always trained on a sample (their size is constant in
+    corpus scale); the sample here is the deterministic congruence class
+    ``id % sample_mod == 0`` so an independent SQL replay can reproduce
+    the fit exactly. All ``m`` subspaces advance through each Lloyd
+    round in ONE distributed pass — a single projection assigns every
+    subspace's code, one grouped aggregate returns the m·k·(dim/m)
+    exact integer-micro-unit component sums — so the whole fit costs
+    1 init job + ``n_iter`` aggregate jobs regardless of ``m`` (the
+    per-subspace-sequential alternative costs m× that in job launches).
+    Determinism contracts match :func:`kmeans_fit` exactly per
+    subspace: md5-sample init, 6dp-rounded assignment with lowest-code
+    ties, exact integer means, empty cells keep their centroid.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    sample = df.where(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+    )
+    sample = sample.localCheckpoint(eager=False)
+    # init: the k smallest-md5 sample rows, sliced into every subspace —
+    # identical to running kmeans_fit's init per subspace, in 1 job
+    init_rows = (
+        sample.withColumn("__h", F.md5(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(k_codes)
+        .collect()
+    )
+    books: List[List[List[float]]] = [
+        [list(r["__v"][j * sub:(j + 1) * sub]) for r in init_rows]
+        for j in range(m)
+    ]
+    vd = sql_as_double("__v")
+    for _ in range(n_iter):
+        codes = [
+            F.expr(
+                _argmin_code_sql(
+                    f"slice({vd}, {j * sub + 1}, {sub})", books[j], round_to
+                )
+            ).alias(f"__c{j}")
+            for j in range(m)
+        ]
+        assigned = sample.select("__v", *codes)
+        cells = F.array(*[F.col(f"__c{j}") for j in range(m)])
+        exploded = assigned.select(
+            cells.alias("__cells"), F.posexplode("__v").alias("pos", "val")
+        ).select(
+            (F.col("pos") / sub).cast("int").alias("subsp"),
+            (F.col("pos") % sub).alias("inner"),
+            F.element_at(
+                "__cells", (F.col("pos") / sub).cast("int") + 1
+            ).alias("cell"),
+            F.round(F.col("val") * F.lit(scale)).cast("long").alias("mu"),
+        )
+        stats = (
+            exploded.groupBy("subsp", "cell", "inner")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("mu").alias("s"))
+            .collect()
+        )
+        new = [[list(c) for c in b] for b in books]
+        for r in stats:
+            new[r["subsp"]][r["cell"]][r["inner"]] = (
+                r["s"] / scale / r["n"]
+            )
+        books = new
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: List[List[List[float]]],
+    vec_col: str = "embedding",
+    code_prefix: str = "code_",
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantize each vector to its per-subspace nearest-centroid codes →
+    adds ``code_0 .. code_{m-1}`` int columns. Pure codegen'd narrow
+    projection (codebooks are literals): the corpus is never shuffled
+    and nothing is collected. At scale, write the encoded table once and
+    drop the raw vectors from the search path — the codes are ~m bytes
+    per row."""
+    sub = len(codebooks[0][0])
+    vd = sql_as_double(vec_col)
+    cols = [
+        F.expr(
+            _argmin_code_sql(
+                f"slice({vd}, {j * sub + 1}, {sub})", cb, round_to
+            )
+        ).alias(f"{code_prefix}{j}")
+        for j, cb in enumerate(codebooks)
+    ]
+    return df.select("*", *cols)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k → (query_id, neighbor_id, adc,
+    rank): per query, rank the *encoded* corpus by the sum of
+    per-subspace lookup distances (ADC — the query stays exact, the
+    corpus is quantized).
+
+    Plan shape: encode is a narrow projection; each (small) query row
+    precomputes its m×k distance table as array literals in codegen;
+    the scored join is a broadcast of the query tables against the
+    encoded corpus with the distance a pure ``element_at`` chain — the
+    corpus is scanned once and shuffled never; the only shuffle is the
+    final per-query top-k window. Every lookup term is rounded to
+    ``round_to`` and summed in fixed subspace order, so an independent
+    SQL replay reproduces the ranking bit-for-bit.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    enc = pq_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        codebooks,
+        vec_col="cv",
+        round_to=round_to,
+    ).drop("cv")
+    qd = sql_as_double("qv")
+    tables = [
+        F.expr(
+            "array(" + ", ".join(
+                "round(aggregate(zip_with(slice(%s, %d, %d), %s, "
+                "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), %d)"
+                % (qd, j * sub + 1, sub, sql_double_array(c), round_to)
+                for c in cb
+            ) + ")"
+        ).alias(f"dt_{j}")
+        for j, cb in enumerate(codebooks)
+    ]
+    qt = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).select("query_id", *tables)
+    adc = F.expr(
+        "round(" + " + ".join(
+            f"element_at(dt_{j}, code_{j} + 1)" for j in range(m)
+        ) + f", {round_to})"
+    )
+    scored = (
+        enc.join(F.broadcast(qt), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

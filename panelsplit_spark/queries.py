@@ -399,3 +399,10 @@ from .queries_dss import QUERIES6, oracles6  # noqa: E402
 
 QUERIES.update(QUERIES6)
 ORACLES.update(oracles6())
+
+# round-3 scale additions: PQ ANN, span dedup, graph ranking, kNN
+# (part 7)
+from .queries_scale import QUERIES7, oracles7  # noqa: E402
+
+QUERIES.update(QUERIES7)
+ORACLES.update(oracles7())

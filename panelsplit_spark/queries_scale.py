@@ -1,0 +1,215 @@
+"""Query registry, part 7: round-3 scale additions — product-quantized
+ANN, exact duplicated-span detection, fixed-iteration graph ranking, and
+kNN label prediction.
+
+Same cross-engine determinism rules as queries.py: every float either an
+exact integer or a single rounded expression, identical aliases both
+sides, ranking keys always (rounded value, id) so row membership under
+LIMIT/row_number is engine-independent.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .sources.tables import load_table
+
+# PQ configuration shared by engine and oracle (dim=64 embeddings).
+PQ_M = 4            # subspaces
+PQ_SUB = 16         # dims per subspace (64 / 4)
+PQ_K = 8            # codes per subspace
+PQ_ITER = 2         # Lloyd rounds per codebook
+PQ_SAMPLE_MOD = 5   # codebooks train on ids ≡ 0 (mod 5)
+
+
+# ======================================================================
+# product-quantized ANN (sim_pq_topk)
+# ======================================================================
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k over the embeddings corpus: per-subspace
+    codebooks trained by distributed Lloyd on the deterministic
+    ``id % 5 == 0`` sample, corpus quantized to 4 code ids by a codegen
+    argmin projection, queries ranked by summed lookup distances.
+
+    Oracle-gated by full replay: the SQL twin re-runs all four
+    per-subspace Lloyd fits (md5-sample init, 6dp-quantized assignment,
+    exact integer-micro-unit means — the same contract proven by
+    ``sim_kmeans_ivf_topk``), re-encodes the corpus, and re-ranks, so a
+    regression anywhere in fit/encode/search breaks the hash."""
+    from .operators.similarity import pq_fit, pq_topk
+    from .queries_data import TOPK_K, TOPK_NQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(
+        emb,
+        m=PQ_M,
+        k_codes=PQ_K,
+        n_iter=PQ_ITER,
+        sample_mod=PQ_SAMPLE_MOD,
+        dim=PQ_M * PQ_SUB,
+    )
+    queries = emb.where(F.col("vec_id") < TOPK_NQ)
+    return pq_topk(emb, queries, books, k=TOPK_K).select(
+        "query_id",
+        "neighbor_id",
+        "adc",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _lloyd_ctes(prefix: str, src: str, k: int, n_iter: int) -> str:
+    """Chained-CTE SQL for ``n_iter`` Lloyd rounds over source CTE
+    ``src`` (columns id, x) — the replay contract of
+    ``operators/similarity.kmeans_fit`` (see _sql_kmeans_ivf in
+    queries_nlp.py, from which this is the prefix-parameterized form):
+    md5-ordered init, 6dp-rounded assignment with lowest-cell ties,
+    exact integer-micro-unit means, empty cells keep their centroid."""
+    parts = [
+        """
+%(P)scent0 AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cell, x AS c FROM (
+    SELECT id, x, md5(CAST(id AS VARCHAR)) AS h FROM %(S)s
+    ORDER BY h, id LIMIT %(k)d
+  )
+)""" % {"P": prefix, "S": src, "k": k}
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            """,
+%(P)sa%(i)d AS (
+  SELECT id, x, cell FROM (
+    SELECT s.id, s.x, p.cell,
+           row_number() OVER (
+             PARTITION BY s.id
+             ORDER BY round(list_sum(list_transform(
+                        range(1, len(s.x) + 1),
+                        j -> (s.x[j] - p.c[j]) * (s.x[j] - p.c[j]))), 6),
+                      p.cell
+           ) AS rn
+    FROM %(S)s s, %(P)scent%(p)d p
+  ) WHERE rn = 1
+),
+%(P)ss%(i)d AS (
+  SELECT cell, j, count(*) AS n, CAST(sum(q) AS BIGINT) AS s
+  FROM (
+    SELECT cell,
+           UNNEST(range(1, len(x) + 1)) AS j,
+           UNNEST(list_transform(
+             x, e -> CAST(round(e * 1000000.0) AS BIGINT))) AS q
+    FROM %(P)sa%(i)d
+  )
+  GROUP BY cell, j
+),
+%(P)scent%(i)d AS (
+  SELECT px.cell,
+         list(CASE WHEN st.n IS NULL THEN px.cj
+                   ELSE st.s / 1000000.0 / st.n END ORDER BY px.j) AS c
+  FROM (
+    SELECT cell,
+           UNNEST(range(1, len(c) + 1)) AS j,
+           UNNEST(c) AS cj
+    FROM %(P)scent%(p)d
+  ) px
+  LEFT JOIN %(P)ss%(i)d st ON st.cell = px.cell AND st.j = px.j
+  GROUP BY px.cell
+)""" % {"P": prefix, "S": src, "i": i, "p": i - 1}
+        )
+    return "".join(parts)
+
+
+def _sql_pq_topk() -> str:
+    from .queries_data import TOPK_K, TOPK_NQ
+
+    m, sub, kc, it = PQ_M, PQ_SUB, PQ_K, PQ_ITER
+    parts = [
+        """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+sv AS (SELECT id, x FROM v WHERE id %% %d = 0)""" % PQ_SAMPLE_MOD
+    ]
+    # per-subspace slice sources + Lloyd fits
+    for j in range(m):
+        a, b = j * sub + 1, (j + 1) * sub
+        parts.append(
+            ",\npj%dv AS (SELECT id, x[%d:%d] AS x FROM sv)" % (j, a, b)
+        )
+        parts.append(",")
+        parts.append(_lloyd_ctes("pj%d" % j, "pj%dv" % j, kc, it).lstrip())
+    # encode the full corpus: per-subspace argmin over replayed centroids
+    for j in range(m):
+        a, b = j * sub + 1, (j + 1) * sub
+        parts.append(
+            """,
+e%(j)d AS (
+  SELECT id, cell AS code_%(j)d FROM (
+    SELECT v.id, p.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_sum(list_transform(
+                        range(1, %(sub)d + 1),
+                        jj -> (v.x[%(off)d + jj] - p.c[jj])
+                            * (v.x[%(off)d + jj] - p.c[jj]))), 6),
+                      p.cell
+           ) AS rn
+    FROM v, pj%(j)dcent%(it)d p
+  ) WHERE rn = 1
+)""" % {"j": j, "sub": sub, "off": a - 1, "it": it}
+        )
+    parts.append(
+        """,
+enc AS (
+  SELECT e0.id, e0.code_0, e1.code_1, e2.code_2, e3.code_3
+  FROM e0 JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)
+)"""
+    )
+    # per-query per-subspace distance tables (list ordered by code id)
+    for j in range(m):
+        a = j * sub + 1
+        parts.append(
+            """,
+qt%(j)d AS (
+  SELECT v.id AS query_id,
+         list(round(list_sum(list_transform(
+             range(1, %(sub)d + 1),
+             jj -> (v.x[%(off)d + jj] - p.c[jj])
+                 * (v.x[%(off)d + jj] - p.c[jj]))), 6)
+              ORDER BY p.cell) AS dt
+  FROM v, pj%(j)dcent%(it)d p
+  WHERE v.id < %(nq)d
+  GROUP BY v.id
+)""" % {"j": j, "sub": sub, "off": a - 1, "it": it, "nq": TOPK_NQ}
+        )
+    parts.append(
+        """,
+s AS (
+  SELECT q0.query_id, e.id AS neighbor_id,
+         round(q0.dt[e.code_0 + 1] + q1.dt[e.code_1 + 1]
+             + q2.dt[e.code_2 + 1] + q3.dt[e.code_3 + 1], 6) AS adc
+  FROM enc e, qt0 q0, qt1 q1, qt2 q2, qt3 q3
+  WHERE q1.query_id = q0.query_id AND q2.query_id = q0.query_id
+    AND q3.query_id = q0.query_id AND q0.query_id <> e.id
+)
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc, neighbor_id
+  ) AS rank FROM s
+) WHERE rank <= %d
+""" % TOPK_K
+    )
+    return "".join(parts)
+
+
+QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_pq_topk": q_sim_pq_topk,
+}
+
+
+def oracles7() -> Dict[str, str]:
+    return {
+        "sim_pq_topk": _sql_pq_topk(),
+    }

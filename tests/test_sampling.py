@@ -376,3 +376,106 @@ def test_winsorize_clamps_to_group_quantiles(spark):
     assert max(r["v_wins"] for r in glob.collect()) == round(
         float(med), 6
     )
+
+
+def test_pq_matches_numpy_reference(spark):
+    """PQ fit/encode/search must equal a numpy reference running the
+    SAME deterministic recipe: per-subspace Lloyd on the id%mod sample
+    (md5-ordered init, 6dp-rounded first-index argmin, integer
+    micro-unit means), codegen encode, and ADC ranking with
+    (distance, id) tiebreaks."""
+    import hashlib
+
+    from panelsplit_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    m, kc, n_iter, mod, k = 4, 8, 2, 5, 5
+    books = pq_fit(
+        emb, m=m, k_codes=kc, n_iter=n_iter, sample_mod=mod, dim=64
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    sub = X.shape[1] // m
+
+    def half_away(x):
+        return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+    sel = ids % mod == 0
+    Xs, ids_s = X[sel], ids[sel]
+    order = sorted(
+        range(len(ids_s)),
+        key=lambda i: (
+            hashlib.md5(str(ids_s[i]).encode()).hexdigest(), ids_s[i]
+        ),
+    )
+    ref_books = []
+    for j in range(m):
+        S = Xs[:, j * sub:(j + 1) * sub]
+        cents = S[order[:kc]].copy()
+        for _ in range(n_iter):
+            d = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = np.argmin(np.round(d, 6), axis=1)
+            for c in range(kc):
+                members = S[cell == c]
+                if len(members):
+                    cents[c] = (
+                        half_away(members * 1e6).sum(axis=0) / 1e6
+                        / len(members)
+                    )
+        ref_books.append(cents)
+
+    got = np.array(books)
+    np.testing.assert_allclose(
+        got, np.array(ref_books), rtol=1e-9, atol=1e-12
+    )
+
+    # encode parity on the full corpus
+    enc = {
+        r["vec_id"]: [r[f"code_{j}"] for j in range(m)]
+        for r in pq_encode(emb, books).select(
+            "vec_id", *[f"code_{j}" for j in range(m)]
+        ).collect()
+    }
+    codes_ref = {}
+    for i, vid in enumerate(ids):
+        cs = []
+        for j in range(m):
+            d = (
+                (X[i, j * sub:(j + 1) * sub] - ref_books[j]) ** 2
+            ).sum(axis=1)
+            cs.append(int(np.argmin(np.round(d, 6))))
+        codes_ref[int(vid)] = cs
+    assert enc == codes_ref
+
+    # ADC ranking parity for the first few queries
+    out = pq_topk(
+        emb, emb.where(F.col("vec_id") < 3), books, k=k
+    ).collect()
+    got_ranks = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+        for r in out
+    }
+    for q in range(3):
+        qi = int(np.where(ids == q)[0][0])
+        scored = []
+        for i, vid in enumerate(ids):
+            if vid == q:
+                continue
+            adc = 0.0
+            for j in range(m):
+                c = codes_ref[int(vid)][j]
+                dj = (
+                    (X[qi, j * sub:(j + 1) * sub] - ref_books[j][c]) ** 2
+                ).sum()
+                adc += np.round(dj, 6)
+            scored.append((round(adc, 6), int(vid)))
+        scored.sort()
+        for rank in range(1, k + 1):
+            nb, adc = got_ranks[(q, rank)]
+            assert (adc, nb) == scored[rank - 1]
