@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import (
     MINHASH_P,
@@ -53,6 +53,8 @@ __all__ = [
     "embedding_near_duplicates",
     "connected_components",
     "ngram_contamination",
+    "duplicated_spans",
+    "span_dedup_stats",
 ]
 
 
@@ -780,4 +782,130 @@ def ngram_contamination(
         .groupBy("doc_id", bench_id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span detection: find every maximal token span
+    whose ``w``-token windows all occur ≥ ``min_count`` times in the
+    corpus → (id, span_start, span_end, n_windows), token offsets
+    0-based, end exclusive.
+
+    This is the window-granular form of exact substring deduplication
+    for training corpora (suffix-array ExactSubstr dedup quantized to
+    ``w``-token boundaries): a span is reported iff every length-``w``
+    window inside it is corpus-duplicated, and spans are maximal —
+    overlapping/adjacent duplicated windows are merged by a classic
+    gaps-and-islands pass.
+
+    Plan shape at 100 TB: windowing is a narrow higher-order projection
+    (``sequence`` → ``slice`` → ``array_join``; no shuffle); the global
+    window-frequency count is ONE shuffle of (shingle, partial-count)
+    pairs with map-side combine; survivors join back on the shingle key
+    (corpus text is scanned twice but NEVER shuffled — only derived
+    keys and (id, start) pairs move); island-merge shuffles just the
+    surviving window positions. Skewed hot shingles (boilerplate) are
+    bounded by the count aggregate's partial combine; the join side
+    receives only distinct duplicated shingles.
+    """
+    toks = word_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= w
+    )
+    windows = base.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {w}), "
+                f"s -> array_join(slice(_toks, s + 1, {w}), ' '))"
+            )
+        ).alias("start", "shingle"),
+    )
+    dup = (
+        windows.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("shingle")
+    )
+    hits = windows.join(dup, "shingle").select(
+        id_col, "start", (F.col("start") + w).alias("end")
+    )
+    prev_max_end = F.max("end").over(
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        id_col,
+        "start",
+        "end",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    ).select(
+        id_col,
+        "start",
+        "end",
+        F.sum("_new")
+        .over(
+            Window.partitionBy(id_col)
+            .orderBy("start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("_island"),
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("start").alias("span_start"),
+        F.max("end").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span summary → (id, n_tokens,
+    n_dup_spans, dup_tokens, dup_frac): how much of each document is
+    covered by corpus-duplicated spans (the drop/trim signal an
+    ExactSubstr-style cleaning pass acts on). Documents with no
+    duplicated span (or shorter than ``w`` tokens) report zeros."""
+    spans = duplicated_spans(
+        df, text_col=text_col, id_col=id_col, w=w, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    toks = word_tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
     )

@@ -204,12 +204,88 @@ SELECT query_id, neighbor_id, adc, rank FROM (
     return "".join(parts)
 
 
+# ======================================================================
+# exact duplicated-span detection (dedup_spans)
+# ======================================================================
+
+SPAN_W = 6          # tokens per window
+SPAN_MIN_COUNT = 2  # corpus occurrences for a window to count as dup
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage by corpus-duplicated token spans — the
+    ExactSubstr-dedup signal (maximal merged spans whose every
+    ``SPAN_W``-token window repeats in the corpus). One shuffle for the
+    global window counts, one key-join back, islands merge on the
+    surviving pairs only."""
+    from .operators.dedup import span_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_stats(
+        docs, w=SPAN_W, min_count=SPAN_MIN_COUNT
+    ).select(
+        "doc_id", "n_tokens", "n_dup_spans", "dup_tokens", "dup_frac"
+    )
+
+
+def _sql_dedup_spans() -> str:
+    w, mc = SPAN_W, SPAN_MIN_COUNT
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+dw AS (
+  SELECT doc_id, s AS start,
+         array_to_string(toks[s + 1 : s + {w}], ' ') AS shingle
+  FROM (SELECT doc_id, toks, UNNEST(range(0, len(toks) - {w} + 1)) AS s
+        FROM d WHERE len(toks) >= {w})
+),
+dup AS (
+  SELECT shingle FROM dw GROUP BY shingle HAVING count(*) >= {mc}
+),
+hits AS (
+  SELECT doc_id, start, start + {w} AS e FROM dw
+  WHERE shingle IN (SELECT shingle FROM dup)
+),
+isl AS (
+  SELECT doc_id, start, e,
+         CASE WHEN max(e) OVER prev IS NULL
+                OR start > max(e) OVER prev THEN 1 ELSE 0 END AS ni
+  FROM hits
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(start) AS s0, max(e) AS e1, count(*) AS nw
+  FROM isl2 GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e1 - s0) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(d.toks), 6)
+         AS dup_frac
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_topk": q_sim_pq_topk,
+    "dedup_spans": q_dedup_spans,
 }
 
 
 def oracles7() -> Dict[str, str]:
     return {
         "sim_pq_topk": _sql_pq_topk(),
+        "dedup_spans": _sql_dedup_spans(),
     }

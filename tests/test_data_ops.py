@@ -500,3 +500,50 @@ def test_repetition_signals_known_values(spark):
     assert got[1] == (round(2 / 6, 6), round(3 / 5, 6), round(2 / 4, 6))
     assert got[2] == (1.0, 0.0, 0.0)
     assert got[3] == (1.0, 0.0, 0.0)
+
+
+def test_duplicated_spans_islands_and_stats(spark):
+    """Hand-built corpus with a known shared 8-token run: windows must
+    merge into one maximal span per doc, stats must count coverage, and
+    a doc with no duplicated window (or too short) must report zeros."""
+    from panelsplit_spark.operators.dedup import (
+        duplicated_spans,
+        span_dedup_stats,
+    )
+
+    shared = "a b c d e f g h"          # 8 shared tokens
+    rows = [
+        (1, f"x1 x2 {shared} y1 y2"),    # span at tokens 2..10
+        (2, f"{shared} z1 z2 z3"),       # span at tokens 0..8
+        (3, "unique tokens only here"),  # no dup, len >= w
+        (4, "tiny"),                     # shorter than w
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = 4
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_spans(docs, w=w).collect()
+    }
+    # 8 shared tokens -> 5 windows of 4, merged into ONE maximal span
+    assert spans == {1: (2, 10, 5), 2: (0, 8, 5)}
+
+    stats = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_dup_spans"], r["dup_tokens"], r["dup_frac"]
+        )
+        for r in span_dedup_stats(docs, w=w).collect()
+    }
+    assert stats[1] == (12, 1, 8, round(8 / 12, 6))
+    assert stats[2] == (11, 1, 8, round(8 / 11, 6))
+    assert stats[3] == (4, 0, 0, 0.0)
+    assert stats[4] == (1, 0, 0, 0.0)
+
+    # intra-doc repetition also counts: one doc repeating its own phrase
+    solo = spark.createDataFrame(
+        [(9, "p q r s t p q r s t")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_spans(solo, w=5).collect()
+    }
+    assert got == {9: (0, 10)}
