@@ -1,0 +1,92 @@
+"""Iterative graph analytics over edge DataFrames.
+
+Complements the connected-components family in ``operators/dedup.py``
+(min-label propagation and star contraction): this module holds
+value-propagation algorithms, starting with fixed-iteration PageRank.
+
+Reference scope: the reference library has no graph operators; this is
+part of the relational/scale extension (iterative algorithms expressed
+as unrolled join+aggregate rounds — the plan shape GraphX/Pregel lowers
+to, but in pure DataFrame form so Catalyst/AQE handle the physical
+strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+    scale: float = 1_000_000_000.0,
+    round_to: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list →
+    (node, rank). Nodes are everything appearing as ``src`` or ``dst``;
+    a node with no out-edges contributes nothing (standard
+    dangling-mass-dropped variant — pass each undirected edge in both
+    directions to avoid dangling nodes entirely).
+
+    Determinism contract (what makes the fixpoint replayable by an
+    independent SQL engine): per round, each node's contribution
+    ``rank / out_degree`` is quantized to exact ``scale`` integer units
+    BEFORE the incoming-edge sum — long addition is order-independent,
+    so the result is identical under any partitioning — and the new
+    rank ``(1-d)/N + d·(sum/scale)`` is one fixed float expression
+    rounded to ``round_to``. Every float both engines compare is
+    therefore a single identical IEEE expression over identical inputs.
+
+    Plan shape at 100 TB: degrees are one aggregate over the edge list;
+    each round is one hash join (ranks ⋈ edges on the source key) plus
+    one grouped aggregate on the destination key — 2 shuffles per
+    round, both on node keys, so pre-partitioning edges by ``src``
+    lets every round reuse the same exchange layout. Ranks are a
+    node-sized frame (orders of magnitude smaller than edges); nothing
+    is ever collected to the driver except the node count.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_t").alias("node")))
+        .distinct()
+    )
+    nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()  # driver-small boundary: a single scalar
+    base = (1.0 - damping) / n
+    init = 1.0 / n
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "_s").localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(init).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["_s"] == ranks["node"])
+            .select(
+                F.col("_t").alias("node"),
+                F.round(
+                    F.col("rank") / F.col("_deg") * F.lit(scale)
+                ).cast("long").alias("_c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("_c").alias("_sum"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("_sum", F.lit(0)).cast("double")
+                        / F.lit(scale)
+                    ),
+                    round_to,
+                ).alias("rank"),
+            )
+        )
+    return ranks

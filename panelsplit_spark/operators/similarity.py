@@ -48,6 +48,7 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "pq_topk",
+    "knn_classify",
 ]
 
 
@@ -856,4 +857,55 @@ def pq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote label prediction →
+    (query_id, pred_label, votes): each query's label is the most
+    frequent label among its exact top-k cosine neighbors (ties break
+    to the smallest label — deterministic, like every ranking here).
+
+    Built on :func:`cosine_topk`, so the plan inherits its shape:
+    queries broadcast against the corpus, one per-query window for the
+    top-k, then a (query, label) count and an argmax window over the
+    k-row-per-query result — the post-ANN stages touch only k rows per
+    query. Swap in :func:`lsh_topk`/:func:`pq_topk` candidates for the
+    approximate tiers at scale; the vote logic is identical.
+    """
+    nb = cosine_topk(
+        corpus, queries, k=k, vec_col=vec_col, id_col=id_col,
+        round_to=round_to,
+    )
+    labeled = nb.join(
+        F.broadcast(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("_nl"),
+            )
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "_nl").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("_nl")
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("_nl").alias("pred_label"),
+            "votes",
+        )
     )

@@ -278,9 +278,176 @@ FROM d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ======================================================================
+# fixed-iteration PageRank over the supplier↔customer graph
+# ======================================================================
+
+PR_ITER = 3
+PR_DAMPING = 0.85
+
+
+def q_rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled rounds) on the undirected bipartite
+    supplier↔customer graph induced by lineitem⋈orders. The iterative
+    join+aggregate shape every Pregel-style computation lowers to; the
+    oracle replays all rounds as chained CTEs — integer-quantized
+    contributions make the per-round sums order-independent, so the
+    replay is exact (see operators/graph.pagerank)."""
+    from .operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), "l_suppkey").alias("a"),
+            F.concat(F.lit("c"), "o_custkey").alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(
+        edges, n_iter=PR_ITER, damping=PR_DAMPING
+    ).select("node", "rank")
+
+
+def _sql_pagerank() -> str:
+    d = PR_DAMPING
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT a AS s, b AS t FROM pairs
+  UNION ALL
+  SELECT b AS s, a AS t FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT t AS node FROM e
+  )
+),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes)"""
+    ]
+    for i in range(1, PR_ITER + 1):
+        parts.append(
+            """,
+c%(i)d AS (
+  SELECT e.t AS node,
+         CAST(round(r.rank / d.deg * 1000000000.0) AS BIGINT) AS c
+  FROM e
+  JOIN r%(p)d r ON e.s = r.node
+  JOIN deg d ON d.s = e.s
+),
+s%(i)d AS (SELECT node, sum(c) AS s FROM c%(i)d GROUP BY node),
+r%(i)d AS (
+  SELECT n.node,
+         round((1.0 - %(d)r) / (SELECT n FROM cnt)
+             + %(d)r * (CAST(coalesce(s.s, 0) AS DOUBLE)
+                        / 1000000000.0), 9) AS rank
+  FROM nodes n LEFT JOIN s%(i)d s USING (node)
+)""" % {"i": i, "p": i - 1, "d": d}
+        )
+    parts.append("\nSELECT node, rank FROM r%d" % PR_ITER)
+    return "".join(parts)
+
+
+# ======================================================================
+# kNN majority-vote label prediction (sim_knn_classify)
+# ======================================================================
+
+KNN_NQ = 20  # classify the first 20 vectors against the rest
+
+
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-kNN majority-vote label prediction for the first KNN_NQ
+    embedding rows (ties → smallest label), with the true label joined
+    back — the evaluation harness shape for any ANN tier (swap the
+    candidate generator, keep the vote)."""
+    from .operators.similarity import knn_classify
+    from .queries_data import TOPK_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < KNN_NQ)
+    pred = knn_classify(emb, queries, k=TOPK_K)
+    return pred.join(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+        ),
+        "query_id",
+    ).select(
+        "query_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        "votes",
+        (F.col("pred_label") == F.col("true_label"))
+        .cast("long")
+        .alias("correct"),
+    )
+
+
+def _sql_knn_classify() -> str:
+    from .queries_data import TOPK_K
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS true_label
+  FROM embeddings WHERE vec_id < {KNN_NQ}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label
+  FROM embeddings
+),
+nb AS (
+  SELECT query_id, neighbor_id, label FROM (
+    SELECT q.query_id, c.neighbor_id, c.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                      c.neighbor_id
+           ) AS rank
+    FROM q, c WHERE q.query_id <> c.neighbor_id
+  ) WHERE rank <= {TOPK_K}
+),
+votes AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM nb GROUP BY query_id, label
+),
+pred AS (
+  SELECT query_id, label AS pred_label, votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY votes DESC, label
+    ) AS rn FROM votes
+  ) WHERE rn = 1
+)
+SELECT p.query_id,
+       CAST(q.true_label AS BIGINT) AS true_label,
+       CAST(p.pred_label AS BIGINT) AS pred_label,
+       p.votes,
+       CAST(p.pred_label = q.true_label AS BIGINT) AS correct
+FROM pred p JOIN q USING (query_id)
+"""
+
+
 QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_topk": q_sim_pq_topk,
     "dedup_spans": q_dedup_spans,
+    "rel_pagerank": q_rel_pagerank,
+    "sim_knn_classify": q_sim_knn_classify,
 }
 
 
@@ -288,4 +455,6 @@ def oracles7() -> Dict[str, str]:
     return {
         "sim_pq_topk": _sql_pq_topk(),
         "dedup_spans": _sql_dedup_spans(),
+        "rel_pagerank": _sql_pagerank(),
+        "sim_knn_classify": _sql_knn_classify(),
     }

@@ -479,3 +479,50 @@ def test_pq_matches_numpy_reference(spark):
         for rank in range(1, k + 1):
             nb, adc = got_ranks[(q, rank)]
             assert (adc, nb) == scored[rank - 1]
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Fixed-iteration PageRank must equal a driver-side reference
+    running the SAME quantization recipe on a seeded random graph, and
+    ranks must sum to ~1 on a dangling-free (undirected) graph."""
+    from panelsplit_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    und = set()
+    for _ in range(60):
+        a, b = int(rng.integers(0, 12)), int(rng.integers(0, 12))
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    edges = [(f"n{a}", f"n{b}") for a, b in und]
+    edges = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    n_iter, d, scale = 3, 0.85, 1e9
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=n_iter, damping=d).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+
+    def half_away(x):
+        import math
+        return math.copysign(math.floor(abs(x) + 0.5), x)
+
+    for _ in range(n_iter):
+        sums = {v: 0 for v in nodes}
+        for s, t in edges:
+            sums[t] += int(half_away(ranks[s] / deg[s] * scale))
+        ranks = {
+            v: round((1.0 - d) / n + d * (float(sums[v]) / scale), 9)
+            for v in nodes
+        }
+
+    assert set(got) == set(ranks)
+    for v in nodes:
+        assert got[v] == ranks[v], (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
