@@ -43,25 +43,28 @@ def pagerank(
     therefore a single identical IEEE expression over identical inputs.
 
     Plan shape at 100 TB: degrees are one aggregate over the edge list;
-    each round is one hash join (ranks ⋈ edges on the source key) plus
-    one grouped aggregate on the destination key — 2 shuffles per
-    round, both on node keys, so pre-partitioning edges by ``src``
-    lets every round reuse the same exchange layout. Ranks are a
-    node-sized frame (orders of magnitude smaller than edges); nothing
-    is ever collected to the driver except the node count.
+    the degree-annotated edges and the node set are PERSISTED — their
+    plans end in a join/aggregate on the node key, and ``persist``
+    (unlike a checkpoint) keeps that ``outputPartitioning``, so the
+    edges are shuffled ONCE for the whole fixpoint instead of once per
+    round, and each round pays only its own small exchanges (ranks are
+    a node-sized frame, orders of magnitude smaller than edges).
+    Nothing is collected to the driver except the node count. The
+    persisted intermediates are exposed as
+    ``result.persisted_intermediates`` — unpersist when done.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_t").alias("node")))
         .distinct()
+        .persist()
     )
-    nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()  # driver-small boundary: a single scalar
     base = (1.0 - damping) / n
     init = 1.0 / n
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ed = e.join(deg, "_s").localCheckpoint(eager=False)
+    ed = e.join(deg, "_s").persist()
     ranks = nodes.select("node", F.lit(init).alias("rank"))
     for _ in range(n_iter):
         contrib = (
@@ -89,4 +92,5 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    ranks.persisted_intermediates = (nodes, ed)
     return ranks
