@@ -109,6 +109,41 @@ HEADLINE = [
     "feat_resample_ffill",
     "pipe_winsorize",
     "sim_pq_topk",
+    "dedup_spans",
+    "rel_pagerank",
+    "sim_knn_classify",
+]
+
+# One-order-of-magnitude-up witness set: at sf0.1 every query is
+# setup-dominated (~2 s JVM noise floor), so plan differences hide; the
+# sf1 pass (10× rows, synthesized by tools/make_sf.py) is where shuffle
+# and scan costs actually surface. One timed pass, heavy/representative
+# queries across the operator families.
+SF1_HEADLINE = [
+    "rel_pricing_summary",
+    "rel_tpch_q3",
+    "rel_tpch_q9",
+    "rel_tpch_q18",
+    "rel_tpch_q21",
+    "rel_top_orders_per_cust",
+    "rel_daily_revenue_ma7",
+    "rel_pagerank",
+    "cv_ols_oof",
+    "cv_li_ols_oof",
+    "search_ridge_grid",
+    "feat_row_key_dist",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_spans",
+    "text_stats",
+    "text_lm_score",
+    "text_contamination",
+    "sim_lsh_topk",
+    "sim_pq_topk",
+    "emb_gram",
+    "emb_near_dup",
+    "pipe_pack_sequences",
 ]
 
 
@@ -210,18 +245,62 @@ def main() -> None:
                     regressions[name] = {"prev": p, "now": dt}
     except Exception:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "regressions": regressions,
-            }
-        )
-    )
+    # sf1 section: 10× the bench scale, where shuffle/scan cost is real.
+    # Data is synthesized once into .benchdata/sf1 (structure-preserving
+    # replication, tools/make_sf.py); one timed pass under a budget so
+    # the driver's wall clock stays bounded. Disable: SPARK_GRAFT_SF1=off
+    sf1 = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "auto") != "off" and sf == 0.1:
+        sf1_dir = os.path.join(REPO, ".benchdata", "sf1")
+        try:
+            if not os.path.exists(
+                os.path.join(sf1_dir, "embeddings.parquet")
+            ):
+                import subprocess
+
+                subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(REPO, "tools", "make_sf.py"),
+                        sf_dir,
+                        sf1_dir,
+                        "10",
+                    ],
+                    check=True,
+                    capture_output=True,
+                    timeout=600,
+                )
+            budget = float(
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300")
+            )
+            t_start = time.time()
+            for name in SF1_HEADLINE:
+                if name not in qs:
+                    continue
+                if time.time() - t_start > budget:
+                    sf1["_truncated_after"] = name
+                    break
+                t0 = time.time()
+                qs[name](spark, sf1_dir).count()
+                sf1[name] = round(time.time() - t0, 3)
+        except Exception as e:  # sf1 is an extra witness, never fatal
+            sf1 = {"_error": str(e)[:200]}
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "regressions": regressions,
+    }
+    if sf1:
+        out["sf1"] = {
+            "total": round(
+                sum(v for v in sf1.values() if isinstance(v, float)), 3
+            ),
+            "queries": sf1,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

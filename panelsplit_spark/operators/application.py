@@ -157,8 +157,61 @@ def with_row_key_distributed(
     done. With ``eager=True`` the result is localCheckpoint-ed and
     ``ranged`` is unpersisted before returning: nothing leaks, at the
     cost of materializing the result now.
+
+    **Integer-key fast path**: when the FIRST order column is an
+    integral type, bucket boundaries are pure value arithmetic over its
+    (min, max) — deterministic with no sampling, so nothing needs to be
+    persisted or checkpointed at all (``eager`` is irrelevant): one
+    (min, max) aggregate, one bucket-count aggregate, one bucketed
+    window — three fully-parallel jobs, two scans, zero pinned memory.
+    Value-skewed keys degrade bucket balance (never correctness); the
+    sampled-range path below remains the general fallback.
     """
     cols = [F.col(c) for c in order_by]
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    if dict(df.dtypes).get(order_by[0]) in int_types:
+        first = F.col(order_by[0])
+        mn, mx = df.agg(
+            F.min(order_by[0]), F.max(order_by[0])
+        ).first()
+        if mn is not None and (mx - mn) < 2 ** 52:
+            span = mx - mn + 1
+            n_buckets = min(n_buckets, span)
+            # the long→double→long chain is monotone non-decreasing in
+            # the key (each step is), so buckets are contiguous ranges
+            # even when the division rounds — correctness never depends
+            # on the boundaries being exact. NULL keys sort first in
+            # Spark ASC windows, so they deterministically take bucket 0.
+            bucket = F.when(first.isNull(), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    ((first - F.lit(mn)) * F.lit(n_buckets) / F.lit(span))
+                    .cast("long"),
+                )
+            ).cast("int")
+            bucketed = df.withColumn("_bucket", bucket)
+            sizes = {
+                r["_bucket"]: r["cnt"]
+                for r in bucketed.groupBy("_bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            offsets, acc = [], 0
+            for b in sorted(sizes):
+                offsets.append((b, acc))
+                acc += sizes[b]
+            off_df = df.sparkSession.createDataFrame(
+                offsets, "_bucket int, _offset long"
+            )
+            w = Window.partitionBy("_bucket").orderBy(*cols)
+            return (
+                bucketed.join(F.broadcast(off_df), "_bucket")
+                .withColumn(
+                    key_col,
+                    F.col("_offset") + F.row_number().over(w) - F.lit(1),
+                )
+                .drop("_bucket", "_offset")
+            )
     ranged = (
         df.repartitionByRange(n_buckets, *cols)
         .sortWithinPartitions(*cols)

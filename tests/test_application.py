@@ -328,12 +328,28 @@ def test_with_row_key_auto_dispatches_to_distributed(spark):
     small = with_row_key(df, ["k"])  # under threshold: narrow window
     assert not hasattr(small, "persisted_intermediate")
     big = with_row_key(df, ["k"], auto_distributed_above=10)
-    assert hasattr(big, "persisted_intermediate")
+    # integral key -> deterministic value-range buckets: nothing needs
+    # persisting, so no handle is exposed
+    assert not hasattr(big, "persisted_intermediate")
+    got = {r["k"]: r["row_key"] for r in big.collect()}
+    assert got == {r["k"]: r["row_key"] for r in small.collect()}
+    # non-integral first key -> sampled-range path, persisted handle
+    sdf = spark.range(40).selectExpr("CAST(id AS STRING) AS k")
+    from panelsplit_spark.operators.application import (
+        with_row_key_distributed,
+    )
+    sbig = with_row_key_distributed(sdf, ["k"], n_buckets=4)
+    assert hasattr(sbig, "persisted_intermediate")
     try:
-        got = {r["k"]: r["row_key"] for r in big.collect()}
-        assert got == {r["k"]: r["row_key"] for r in small.collect()}
+        skeys = {r["k"]: r["row_key"] for r in sbig.collect()}
+        sexp = {
+            r["k"]: r["row_key"] for r in with_row_key(
+                sdf, ["k"], auto_distributed_above=None
+            ).collect()
+        }
+        assert skeys == sexp
     finally:
-        big.persisted_intermediate.unpersist()
+        sbig.persisted_intermediate.unpersist()
 
 
 def test_with_row_key_distributed_eager_releases_cache(spark):
@@ -344,7 +360,7 @@ def test_with_row_key_distributed_eager_releases_cache(spark):
         with_row_key_distributed,
     )
 
-    df = spark.range(100).selectExpr("id AS k")
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
     before = len(
         [
             r
