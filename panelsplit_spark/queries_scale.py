@@ -301,22 +301,46 @@ def q_rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
+    # distinct on a packed LONG key (suppkey→2k+1, custkey→2k), not on
+    # concatenated strings — the dedup shuffle moves 16 bytes/row
+    # instead of ~20-char strings, and the packing is bijective so the
+    # graph is identical; decode to the oracle's string ids only in the
+    # final node-sized projection. The pairs frame is persisted across
+    # the nodes/edges fan-out (pagerank derives BOTH from it).
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("s"), "l_suppkey").alias("a"),
-            F.concat(F.lit("c"), "o_custkey").alias("b"),
+            (F.col("l_suppkey") * 2 + 1).alias("a"),
+            (F.col("o_custkey") * 2).alias("b"),
         )
         .distinct()
+        .persist()
     )
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    return pagerank(
-        edges, n_iter=PR_ITER, damping=PR_DAMPING
-    ).select("node", "rank")
+    ranks = pagerank(edges, n_iter=PR_ITER, damping=PR_DAMPING)
+    decoded = ranks.select(
+        F.when(
+            F.col("node") % 2 == 1,
+            F.concat(F.lit("s"), F.shiftright("node", 1)),
+        )
+        .otherwise(F.concat(F.lit("c"), F.shiftright("node", 1)))
+        .alias("node"),
+        "rank",
+    )
+    # materialize the node-sized result (persist keeps AQE, unlike a
+    # checkpoint), then RELEASE the edge-sized persisted intermediates —
+    # a long-lived session running many queries must not leave an
+    # edge-list squatting in storage memory
+    out = decoded.persist()
+    out.count()
+    for h in getattr(ranks, "persisted_intermediates", ()):
+        h.unpersist()
+    pairs.unpersist()
+    return out
 
 
 def _sql_pagerank() -> str:
