@@ -55,6 +55,7 @@ __all__ = [
     "ngram_contamination",
     "duplicated_spans",
     "span_dedup_stats",
+    "remove_duplicated_spans",
 ]
 
 
@@ -907,5 +908,67 @@ def span_dedup_stats(
                 / F.col("n_tokens"),
                 6,
             ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut every corpus-duplicated span (see :func:`duplicated_spans`)
+    out of every document → (id, clean_text, kept_tokens,
+    removed_tokens). The remove-all-copies ExactSubstr cleaning policy:
+    text whose every ``w``-window repeats elsewhere disappears from the
+    corpus entirely; unique text is untouched.
+
+    Plan shape: spans are interval-exploded back to (id, pos) pairs
+    (bounded by the duplicated-token count, not the corpus), removed
+    from the token stream by a left-anti join on (id, pos), and the
+    surviving tokens re-assemble per doc via a sorted-struct
+    ``collect_list`` — one grouped aggregate whose payload is exactly
+    the kept tokens. Nothing driver-side; text never shuffles except as
+    the kept (id, pos, token) triples feeding the reassembly.
+    """
+    toks = word_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    positions = base.select(
+        id_col, F.posexplode("_toks").alias("pos", "tok")
+    )
+    spans = duplicated_spans(
+        df, text_col=text_col, id_col=id_col, w=w, min_count=min_count
+    )
+    dup_pos = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    )
+    kept = positions.join(dup_pos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    return (
+        base.select(id_col, F.size("_toks").cast("long").alias("_n"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            (
+                F.col("_n") - F.coalesce("kept_tokens", F.lit(0))
+            ).cast("long").alias("removed_tokens"),
         )
     )

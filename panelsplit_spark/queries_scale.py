@@ -228,7 +228,9 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dedup_spans() -> str:
+def _span_ctes() -> str:
+    """Shared CTE prefix (documents → maximal duplicated spans) for the
+    dedup_spans and pipe_span_trim oracles — ends at CTE ``spans``."""
     w, mc = SPAN_W, SPAN_MIN_COUNT
     return f"""
 WITH d AS (
@@ -263,7 +265,11 @@ isl2 AS (
 spans AS (
   SELECT doc_id, island, min(start) AS s0, max(e) AS e1, count(*) AS nw
   FROM isl2 GROUP BY doc_id, island
-),
+)"""
+
+
+def _sql_dedup_spans() -> str:
+    return _span_ctes() + """,
 agg AS (
   SELECT doc_id, count(*) AS n_dup_spans, sum(e1 - s0) AS dup_tokens
   FROM spans GROUP BY doc_id
@@ -275,6 +281,53 @@ SELECT d.doc_id,
        round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(d.toks), 6)
          AS dup_frac
 FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_pipe_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cleaning applied: every corpus-duplicated span is cut
+    from every document and the cleaned text reassembled (hash-compared
+    via md5 so the gate payload stays small). Completes the
+    detect→measure→clean span-dedup pipeline."""
+    from .operators.dedup import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(
+        docs, w=SPAN_W, min_count=SPAN_MIN_COUNT
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "kept_tokens",
+        "removed_tokens",
+    )
+
+
+def _sql_span_trim() -> str:
+    return _span_ctes() + """,
+dup_pos AS (
+  SELECT doc_id, UNNEST(range(s0, e1)) AS pos FROM spans
+),
+positions AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM (SELECT doc_id, toks, UNNEST(range(0, len(toks))) AS i FROM d)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM positions p
+  LEFT JOIN dup_pos dp ON dp.doc_id = p.doc_id AND dp.pos = p.pos
+  WHERE dp.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS kept_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(coalesce(r.clean_text, '')) AS clean_md5,
+       CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(d.toks) - coalesce(r.kept_tokens, 0) AS BIGINT)
+         AS removed_tokens
+FROM d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -472,6 +525,7 @@ QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": q_dedup_spans,
     "rel_pagerank": q_rel_pagerank,
     "sim_knn_classify": q_sim_knn_classify,
+    "pipe_span_trim": q_pipe_span_trim,
 }
 
 
@@ -481,4 +535,5 @@ def oracles7() -> Dict[str, str]:
         "dedup_spans": _sql_dedup_spans(),
         "rel_pagerank": _sql_pagerank(),
         "sim_knn_classify": _sql_knn_classify(),
+        "pipe_span_trim": _sql_span_trim(),
     }

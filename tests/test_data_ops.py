@@ -547,3 +547,26 @@ def test_duplicated_spans_islands_and_stats(spark):
         for r in duplicated_spans(solo, w=5).collect()
     }
     assert got == {9: (0, 10)}
+
+
+def test_remove_duplicated_spans_cleans_text(spark):
+    """Span trim must cut exactly the duplicated spans, keep unique
+    text verbatim, and empty out a fully-duplicated doc."""
+    from panelsplit_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "a b c d e f g h"
+    rows = [
+        (1, f"x1 x2 {shared} y1 y2"),
+        (2, f"{shared} z1 z2 z3"),
+        (3, "unique tokens only here"),
+        (4, shared),                     # fully duplicated -> empty
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["kept_tokens"], r["removed_tokens"])
+        for r in remove_duplicated_spans(docs, w=4).collect()
+    }
+    assert got[1] == ("x1 x2 y1 y2", 4, 8)
+    assert got[2] == ("z1 z2 z3", 3, 8)
+    assert got[3] == ("unique tokens only here", 4, 0)
+    assert got[4] == ("", 0, 8)
