@@ -112,6 +112,8 @@ HEADLINE = [
     "dedup_spans",
     "rel_pagerank",
     "sim_knn_classify",
+    "pipe_span_trim",
+    "stream_heavy_hitters",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

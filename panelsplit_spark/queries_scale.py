@@ -520,12 +520,91 @@ FROM pred p JOIN q USING (query_id)
 """
 
 
+# ======================================================================
+# streaming heavy hitters (stream_heavy_hitters)
+# ======================================================================
+
+HH_TOPK = 3
+
+
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming heavy hitters: readStream over events →
+    windowed per-user counts maintained as streaming state (exact
+    integer counters, JVM-only) → availableNow drain → per-window top-k
+    rank over the closed windows. The two-stage production shape
+    (streaming aggregation + serving-side rank); hash-checked against
+    the equivalent batch SQL on the same closed input."""
+    import os
+
+    from pyspark.sql import Window
+
+    from .sources.tables import configure, normalize_event_ts
+    from .streaming.rolling import (
+        stream_shuffle_partitions,
+        stream_window_counts,
+    )
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_event_ts(stream)
+    counts = stream_window_counts(stream, window="1 hour")
+    name = "stream_heavy_hitters_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HH_TOPK)
+        .select(
+            F.unix_micros("window_start").alias("win_start_us"),
+            "user_id",
+            "cnt",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _sql_heavy_hitters() -> str:
+    return f"""
+WITH c AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, user_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start_us, user_id, cnt, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY win_start_us ORDER BY cnt DESC, user_id
+  ) AS rank FROM c
+) WHERE rank <= {HH_TOPK}
+"""
+
+
 QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_topk": q_sim_pq_topk,
     "dedup_spans": q_dedup_spans,
     "rel_pagerank": q_rel_pagerank,
     "sim_knn_classify": q_sim_knn_classify,
     "pipe_span_trim": q_pipe_span_trim,
+    "stream_heavy_hitters": q_stream_heavy_hitters,
 }
 
 
@@ -536,4 +615,5 @@ def oracles7() -> Dict[str, str]:
         "rel_pagerank": _sql_pagerank(),
         "sim_knn_classify": _sql_knn_classify(),
         "pipe_span_trim": _sql_span_trim(),
+        "stream_heavy_hitters": _sql_heavy_hitters(),
     }

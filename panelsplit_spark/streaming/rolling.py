@@ -530,3 +530,38 @@ def stream_parquet_sink(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_window_counts(
+    stream_df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming windowed per-entity event counts → (window_start,
+    entity, cnt) — the state side of a heavy-hitters pipeline: the
+    stream maintains one counter per (window, entity) (exact integer,
+    order-independent), and the consumer ranks the closed windows.
+
+    With ``watermark`` set, pair with append output mode: state for a
+    window is dropped once the watermark passes it (bounded memory on an
+    infinite stream) and each window emits exactly once — the
+    production shape. Complete mode (no watermark) suits closed
+    availableNow drains. Scale: one keyed shuffle per micro-batch,
+    map-side partial counts before it, JVM-only state (no Python).
+    """
+    src = stream_df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(ts_col, window).alias("win"), F.col(entity_col)
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(entity_col),
+            F.col("cnt"),
+        )
+    )
