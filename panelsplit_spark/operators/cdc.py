@@ -1,0 +1,74 @@
+"""Change-data-capture application: MERGE-style upsert/delete over
+plain DataFrames.
+
+Reference scope: the reference library has no table maintenance; this is
+part of the relational/scale extension (the batch CDC-apply every
+lakehouse MERGE INTO lowers to, expressed as union + keyed latest-wins
+window so it runs on any DataFrame source, no transactional format
+required).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["apply_changes"]
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    version_col: str = "_version",
+    op_col: str = "_op",
+    delete_value: str = "D",
+) -> DataFrame:
+    """Apply a change set to a base table → the upserted table
+    (base columns only).
+
+    ``changes`` carries the base columns plus ``version_col`` (larger =
+    newer; must be > 0) and ``op_col`` (``delete_value`` marks a delete,
+    anything else is an upsert). Base rows rank as version 0. Per key,
+    the highest version wins (ties break toward the change side, then
+    are undefined — supply unique versions per key for deterministic
+    results); keys whose winning row is a delete disappear.
+
+    Plan shape at 100 TB: ONE shuffle on the key (the union is plan-
+    level, no materialization; the latest-wins ``row_number`` window and
+    any downstream keyed join share the same hash partitioning). Change
+    sets are usually tiny next to the base — at scale, partition/bucket
+    the base by key so the window's exchange prunes to dirty partitions,
+    or feed this operator per-partition (the logic is unchanged). This
+    is exactly the reconciliation MERGE INTO performs, minus the
+    transactional commit the storage format would add.
+    """
+    cols = base.columns
+    b = base.select(
+        *cols,
+        F.lit(0).cast("long").alias(version_col),
+        F.lit(None).cast("string").alias(op_col),
+        F.lit(0).alias("_src"),
+    )
+    c = changes.select(
+        *cols,
+        F.col(version_col).cast("long").alias(version_col),
+        F.col(op_col).cast("string").alias(op_col),
+        F.lit(1).alias("_src"),
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    return (
+        b.unionByName(c)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(
+            (F.col("_rn") == 1)
+            & (
+                F.col(op_col).isNull()
+                | (F.col(op_col) != delete_value)
+            )
+        )
+        .select(*cols)
+    )

@@ -598,6 +598,74 @@ SELECT win_start_us, user_id, cnt, rank FROM (
 """
 
 
+# ======================================================================
+# CDC upsert apply (rel_cdc_upsert)
+# ======================================================================
+
+
+def q_rel_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style change application on orders: a derived change set
+    (price updates for keys ≡ 0 mod 10 at version 1, deletes for keys
+    ≡ 0 mod 17 at version 2) applied latest-wins per key in ONE keyed
+    shuffle (operators/cdc.apply_changes). Overlapping keys prove the
+    version order: the delete outranks the update."""
+    from .operators.cdc import apply_changes
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderstatus").cast("string").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("price_cents", F.col("price_cents") + 500)
+        .withColumn("_version", F.lit(1).cast("long"))
+        .withColumn("_op", F.lit("U"))
+    )
+    deletes = (
+        base.where(F.col("o_orderkey") % 17 == 0)
+        .withColumn("_version", F.lit(2).cast("long"))
+        .withColumn("_op", F.lit("D"))
+    )
+    changes = updates.unionByName(deletes)
+    return apply_changes(base, changes, keys=["o_orderkey"])
+
+
+_SQL_CDC_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderstatus AS VARCHAR) AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         0 AS version, NULL AS op
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, status, price_cents + 500 AS price_cents,
+         1 AS version, 'U' AS op
+  FROM base WHERE o_orderkey % 10 = 0
+),
+del AS (
+  SELECT o_orderkey, o_custkey, status, price_cents,
+         2 AS version, 'D' AS op
+  FROM base WHERE o_orderkey % 17 = 0
+),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL
+  SELECT * FROM del
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY version DESC
+  ) AS rn FROM merged
+)
+SELECT o_orderkey, o_custkey, status, price_cents
+FROM ranked WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+"""
+
+
 QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_topk": q_sim_pq_topk,
     "dedup_spans": q_dedup_spans,
@@ -605,6 +673,7 @@ QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_classify": q_sim_knn_classify,
     "pipe_span_trim": q_pipe_span_trim,
     "stream_heavy_hitters": q_stream_heavy_hitters,
+    "rel_cdc_upsert": q_rel_cdc_upsert,
 }
 
 
@@ -616,4 +685,5 @@ def oracles7() -> Dict[str, str]:
         "sim_knn_classify": _sql_knn_classify(),
         "pipe_span_trim": _sql_span_trim(),
         "stream_heavy_hitters": _sql_heavy_hitters(),
+        "rel_cdc_upsert": _SQL_CDC_UPSERT,
     }

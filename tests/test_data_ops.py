@@ -570,3 +570,28 @@ def test_remove_duplicated_spans_cleans_text(spark):
     assert got[2] == ("z1 z2 z3", 3, 8)
     assert got[3] == ("unique tokens only here", 4, 0)
     assert got[4] == ("", 0, 8)
+
+
+def test_apply_changes_upsert_delete_semantics(spark):
+    """MERGE semantics: update replaces, delete removes, the highest
+    version wins on overlap, untouched keys pass through, and brand-new
+    keys insert."""
+    from panelsplit_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21, 1, "U"),   # update
+            (3, "c", 30, 1, "U"),    # update then ...
+            (3, "c", 30, 2, "D"),    # ... delete wins (higher version)
+            (4, "d", 40, 1, "U"),    # insert (new key)
+        ],
+        ["k", "s", "v", "_version", "_op"],
+    )
+    got = {
+        r["k"]: (r["s"], r["v"])
+        for r in apply_changes(base, changes, keys=["k"]).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("b2", 21), 4: ("d", 40)}
