@@ -39,6 +39,7 @@ __all__ = [
     "write_bucketed_table",
     "normalize_event_ts",
     "compact_parquet",
+    "enable_runtime_filters",
 ]
 
 
@@ -332,3 +333,31 @@ def compact_parquet(
         for f in os.listdir(dst_path)
         if f.endswith(".parquet")
     )
+
+
+def enable_runtime_filters(
+    spark: SparkSession, aggressive: bool = False
+) -> SparkSession:
+    """Turn on Spark's runtime bloom-filter join pruning (the
+    InjectRuntimeFilter rule): for a selective dim⋈fact shuffle join,
+    the dim side's join keys are aggregated into a bloom filter that is
+    pushed into the fact scan as a ``might_contain`` filter — rows that
+    cannot match never leave the scan, which at 100 TB is the
+    difference between shuffling the whole fact table and shuffling the
+    matching fraction.
+
+    ``aggressive=True`` zeroes the application-side size threshold so
+    the rule also fires on MB-scale local data (the default 10 GB
+    threshold is correct for production and means this helper is a
+    no-op there until tables are actually large).
+    """
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+    if aggressive:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+    return spark

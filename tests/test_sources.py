@@ -200,3 +200,42 @@ def test_ensure_splittable_layout_leaves_good_files_alone(spark, tmp_path):
         ensure_splittable_layout(spark, str(tmp_path / "missing.parquet"))
         == str(tmp_path / "missing.parquet")
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """enable_runtime_filters(aggressive=True) must inject a bloom
+    might_contain predicate on the fact side of a selective dim join
+    (the InjectRuntimeFilter shape that prunes the fact scan at scale),
+    and must not change the join result."""
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark.sources.tables import (
+        enable_runtime_filters,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(
+        F.col("p_retailprice") > 915
+    )
+    baseline = li.join(part, li["l_partkey"] == part["p_partkey"]).count()
+    assert baseline > 0  # the pruned join must still produce rows
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle join (bloom injection targets non-broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_filters(spark, aggressive=True)
+        j = li.join(part, li["l_partkey"] == part["p_partkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        assert j.count() == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "10GB",
+        )
