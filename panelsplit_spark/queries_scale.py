@@ -666,6 +666,50 @@ FROM ranked WHERE rn = 1 AND (op IS NULL OR op <> 'D')
 """
 
 
+# ======================================================================
+# ORC sink/source round-trip (src_orc_roundtrip)
+# ======================================================================
+
+
+def q_src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source gate for ORC (the second columnar format Spark ships
+    natively): events projected with exact-integer value cents and
+    micro timestamps → written ORC (zlib) → read back → per-entity
+    aggregate. Must equal computing directly on the parquet (the
+    oracle) — proving the ORC writer/reader round-trips longs,
+    timestamps, and strings losslessly."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    path = os.path.join(
+        os.getcwd(), "spark-warehouse", "roundtrip", "orc_events"
+    )
+    ev.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+_SQL_ORC_ROUNDTRIP = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents,
+       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+       max(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_topk": q_sim_pq_topk,
     "dedup_spans": q_dedup_spans,
@@ -674,6 +718,7 @@ QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_span_trim": q_pipe_span_trim,
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "rel_cdc_upsert": q_rel_cdc_upsert,
+    "src_orc_roundtrip": q_src_orc_roundtrip,
 }
 
 
@@ -686,4 +731,5 @@ def oracles7() -> Dict[str, str]:
         "pipe_span_trim": _sql_span_trim(),
         "stream_heavy_hitters": _sql_heavy_hitters(),
         "rel_cdc_upsert": _SQL_CDC_UPSERT,
+        "src_orc_roundtrip": _SQL_ORC_ROUNDTRIP,
     }
