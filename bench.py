@@ -114,6 +114,9 @@ HEADLINE = [
     "sim_knn_classify",
     "pipe_span_trim",
     "stream_heavy_hitters",
+    "rel_cdc_upsert",
+    "src_orc_roundtrip",
+    "sim_ivfpq_topk",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

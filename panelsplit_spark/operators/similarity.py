@@ -49,6 +49,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "knn_classify",
+    "ivfpq_topk",
 ]
 
 
@@ -908,4 +909,104 @@ def knn_classify(
             F.col("_nl").alias("pred_label"),
             "votes",
         )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF+PQ composite top-k (the FAISS-standard production shape):
+    the coarse quantizer prunes candidates to the ``n_probe`` nearest
+    Voronoi cells per query, and PQ/ADC ranks only those candidates →
+    (query_id, neighbor_id, adc, rank).
+
+    Plan shape at 100 TB — strictly better than either tier alone: the
+    corpus is annotated with (cell, codes) in one codegen projection
+    (persist it once as the "index"); candidate generation is a plain
+    HASH JOIN on the cell key against the broadcast exploded query
+    probes — no broadcast nested loop, no corpus shuffle — and the ADC
+    distance touches only the joined candidates. Everything inherits
+    the determinism contracts of :func:`kmeans_assign` (rounded
+    distances, lowest-cell ties) and :func:`pq_topk` (rounded fixed-
+    order lookup sums, id tiebreaks), so the full composite replays in
+    SQL.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    enc = kmeans_assign(
+        pq_encode(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+            ),
+            codebooks,
+            vec_col="cv",
+            round_to=round_to,
+        ),
+        coarse_centroids,
+        vec_col="cv",
+        cell_col="cell",
+        round_to=round_to,
+    ).drop("cv")
+    qd = sql_as_double("qv")
+    tables = [
+        F.expr(
+            "array(" + ", ".join(
+                "round(aggregate(zip_with(slice(%s, %d, %d), %s, "
+                "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), %d)"
+                % (qd, j * sub + 1, sub, sql_double_array(c), round_to)
+                for c in cb
+            ) + ")"
+        ).alias(f"dt_{j}")
+        for j, cb in enumerate(codebooks)
+    ]
+    cell_structs = "array(" + ", ".join(
+        "struct(round(aggregate(zip_with(%s, %s, "
+        "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), %d) "
+        "AS d, %d AS cell)" % (qd, sql_double_array(c), round_to, i)
+        for i, c in enumerate(coarse_centroids)
+    ) + ")"
+    probes = F.expr(
+        f"slice(sort_array({cell_structs}), 1, {n_probe})"
+    )
+    qt = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .select("query_id", probes.alias("_probes"), *tables)
+        .select(
+            "query_id",
+            F.explode("_probes").alias("_p"),
+            *[F.col(f"dt_{j}") for j in range(m)],
+        )
+        .select(
+            "query_id",
+            F.col("_p.cell").alias("cell"),
+            *[F.col(f"dt_{j}") for j in range(m)],
+        )
+    )
+    adc = F.expr(
+        "round(" + " + ".join(
+            f"element_at(dt_{j}, code_{j} + 1)" for j in range(m)
+        ) + f", {round_to})"
+    )
+    scored = (
+        enc.join(F.broadcast(qt), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

@@ -121,18 +121,12 @@ def _lloyd_ctes(prefix: str, src: str, k: int, n_iter: int) -> str:
     return "".join(parts)
 
 
-def _sql_pq_topk() -> str:
-    from .queries_data import TOPK_K, TOPK_NQ
-
+def _pq_fit_ctes() -> str:
+    """Sample CTE + per-subspace slice sources + Lloyd fits (pj0..pj3)."""
     m, sub, kc, it = PQ_M, PQ_SUB, PQ_K, PQ_ITER
     parts = [
-        """
-WITH v AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
-),
-sv AS (SELECT id, x FROM v WHERE id %% %d = 0)""" % PQ_SAMPLE_MOD
+        "sv AS (SELECT id, x FROM v WHERE id %% %d = 0)" % PQ_SAMPLE_MOD
     ]
-    # per-subspace slice sources + Lloyd fits
     for j in range(m):
         a, b = j * sub + 1, (j + 1) * sub
         parts.append(
@@ -140,9 +134,15 @@ sv AS (SELECT id, x FROM v WHERE id %% %d = 0)""" % PQ_SAMPLE_MOD
         )
         parts.append(",")
         parts.append(_lloyd_ctes("pj%d" % j, "pj%dv" % j, kc, it).lstrip())
-    # encode the full corpus: per-subspace argmin over replayed centroids
+    return "".join(parts)
+
+
+def _pq_enc_ctes() -> str:
+    """Corpus encode CTEs e0..e3 + the joined enc CTE."""
+    m, sub, it = PQ_M, PQ_SUB, PQ_ITER
+    parts = []
     for j in range(m):
-        a, b = j * sub + 1, (j + 1) * sub
+        a = j * sub + 1
         parts.append(
             """,
 e%(j)d AS (
@@ -167,7 +167,13 @@ enc AS (
   FROM e0 JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)
 )"""
     )
-    # per-query per-subspace distance tables (list ordered by code id)
+    return "".join(parts)
+
+
+def _pq_qt_ctes(nq: int) -> str:
+    """Per-query per-subspace distance-table CTEs qt0..qt3."""
+    m, sub, it = PQ_M, PQ_SUB, PQ_ITER
+    parts = []
     for j in range(m):
         a = j * sub + 1
         parts.append(
@@ -182,10 +188,24 @@ qt%(j)d AS (
   FROM v, pj%(j)dcent%(it)d p
   WHERE v.id < %(nq)d
   GROUP BY v.id
-)""" % {"j": j, "sub": sub, "off": a - 1, "it": it, "nq": TOPK_NQ}
+)""" % {"j": j, "sub": sub, "off": a - 1, "it": it, "nq": nq}
         )
-    parts.append(
-        """,
+    return "".join(parts)
+
+
+def _sql_pq_topk() -> str:
+    from .queries_data import TOPK_K, TOPK_NQ
+
+    return (
+        """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+"""
+        + _pq_fit_ctes()
+        + _pq_enc_ctes()
+        + _pq_qt_ctes(TOPK_NQ)
+        + """,
 s AS (
   SELECT q0.query_id, e.id AS neighbor_id,
          round(q0.dt[e.code_0 + 1] + q1.dt[e.code_1 + 1]
@@ -201,7 +221,114 @@ SELECT query_id, neighbor_id, adc, rank FROM (
 ) WHERE rank <= %d
 """ % TOPK_K
     )
-    return "".join(parts)
+
+
+# ======================================================================
+# IVF+PQ composite ANN (sim_ivfpq_topk)
+# ======================================================================
+
+IVFPQ_CELLS = 8
+IVFPQ_PROBE = 2
+
+
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite: coarse k-means cells prune candidates through a
+    HASH join on the cell key (no broadcast nested loop), PQ/ADC ranks
+    only the probed candidates — the FAISS production shape. Both
+    quantizers train on the deterministic id%5 sample; the oracle
+    replays coarse Lloyd, per-subspace Lloyd, encode, probe, and rank
+    end to end."""
+    from .operators.similarity import ivfpq_topk, kmeans_fit, pq_fit
+    from .queries_data import TOPK_K, TOPK_NQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.where(F.col("vec_id") % PQ_SAMPLE_MOD == 0)
+    coarse = kmeans_fit(sample, k=IVFPQ_CELLS, n_iter=PQ_ITER)
+    books = pq_fit(
+        emb,
+        m=PQ_M,
+        k_codes=PQ_K,
+        n_iter=PQ_ITER,
+        sample_mod=PQ_SAMPLE_MOD,
+        dim=PQ_M * PQ_SUB,
+    )
+    queries = emb.where(F.col("vec_id") < TOPK_NQ)
+    return ivfpq_topk(
+        emb, queries, coarse, books, k=TOPK_K, n_probe=IVFPQ_PROBE
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "adc",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ivfpq_topk() -> str:
+    from .queries_data import TOPK_K, TOPK_NQ
+
+    it = PQ_ITER
+    head = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+"""
+    coarse = "," + _lloyd_ctes("cq", "sv", IVFPQ_CELLS, it)
+    assign_probe = """,
+ca AS (
+  SELECT id, cell FROM (
+    SELECT v.id, p.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_sum(list_transform(
+                        range(1, len(v.x) + 1),
+                        j -> (v.x[j] - p.c[j]) * (v.x[j] - p.c[j]))), 6),
+                      p.cell
+           ) AS rn
+    FROM v, cqcent%(it)d p
+  ) WHERE rn = 1
+),
+encc AS (SELECT enc.*, ca.cell FROM enc JOIN ca USING (id)),
+qp AS (
+  SELECT query_id, cell FROM (
+    SELECT v.id AS query_id, p.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_sum(list_transform(
+                        range(1, len(v.x) + 1),
+                        j -> (v.x[j] - p.c[j]) * (v.x[j] - p.c[j]))), 6),
+                      p.cell
+           ) AS rn
+    FROM v, cqcent%(it)d p WHERE v.id < %(nq)d
+  ) WHERE rn <= %(probe)d
+)""" % {"it": it, "nq": TOPK_NQ, "probe": IVFPQ_PROBE}
+    tail = """,
+s AS (
+  SELECT q0.query_id, e.id AS neighbor_id,
+         round(q0.dt[e.code_0 + 1] + q1.dt[e.code_1 + 1]
+             + q2.dt[e.code_2 + 1] + q3.dt[e.code_3 + 1], 6) AS adc
+  FROM qp
+  JOIN encc e ON e.cell = qp.cell
+  JOIN qt0 q0 ON q0.query_id = qp.query_id
+  JOIN qt1 q1 ON q1.query_id = qp.query_id
+  JOIN qt2 q2 ON q2.query_id = qp.query_id
+  JOIN qt3 q3 ON q3.query_id = qp.query_id
+  WHERE qp.query_id <> e.id
+)
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc, neighbor_id
+  ) AS rank FROM s
+) WHERE rank <= %d
+""" % TOPK_K
+    return (
+        head
+        + _pq_fit_ctes()
+        + coarse
+        + _pq_enc_ctes()
+        + assign_probe
+        + _pq_qt_ctes(TOPK_NQ)
+        + tail
+    )
 
 
 # ======================================================================
@@ -719,6 +846,7 @@ QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "rel_cdc_upsert": q_rel_cdc_upsert,
     "src_orc_roundtrip": q_src_orc_roundtrip,
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
 }
 
 
@@ -732,4 +860,5 @@ def oracles7() -> Dict[str, str]:
         "stream_heavy_hitters": _sql_heavy_hitters(),
         "rel_cdc_upsert": _SQL_CDC_UPSERT,
         "src_orc_roundtrip": _SQL_ORC_ROUNDTRIP,
+        "sim_ivfpq_topk": _sql_ivfpq_topk(),
     }
