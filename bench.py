@@ -117,6 +117,8 @@ HEADLINE = [
     "rel_cdc_upsert",
     "src_orc_roundtrip",
     "sim_ivfpq_topk",
+    "text_bpe_merges",
+    "text_bpe_encode",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

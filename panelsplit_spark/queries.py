@@ -406,3 +406,9 @@ from .queries_scale import QUERIES7, oracles7  # noqa: E402
 
 QUERIES.update(QUERIES7)
 ORACLES.update(oracles7())
+
+# LLM-pipeline breadth: BPE tokenizer induction/encoding (part 8)
+from .queries_llm import QUERIES8, oracles8  # noqa: E402
+
+QUERIES.update(QUERIES8)
+ORACLES.update(oracles8())
