@@ -119,6 +119,9 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "text_bpe_merges",
     "text_bpe_encode",
+    "text_pii_scrub",
+    "mm_decode_stats",
+    "pipe_quality_buckets",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

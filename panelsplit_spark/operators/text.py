@@ -18,6 +18,8 @@ from ..functions.hashing import word_ngrams, word_tokens
 
 __all__ = [
     "STOPWORDS",
+    "PII_PATTERNS",
+    "pii_scrub",
     "text_stats",
     "quality_score",
     "language_id",
@@ -346,3 +348,45 @@ def repetition_signals(
         .withColumn("dup_2gram_ratio", dup_ratio(word_ngrams(toks, 2)))
         .withColumn("dup_3gram_ratio", dup_ratio(word_ngrams(toks, 3)))
     )
+
+
+#: PII patterns, ordered (earlier categories scrub first so later
+#: patterns can't re-match inside a placeholder). Every pattern is in
+#: the RE2 ∩ java.util.regex common subset — no lookarounds, no
+#: backreferences — so a SQL oracle using RE2 (DuckDB) applies the
+#: byte-identical scrub.
+PII_PATTERNS: List[tuple] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("phone", r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    patterns: Sequence[tuple] = tuple(PII_PATTERNS),
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, SSN-style ids, phone numbers,
+    IPv4 addresses) and count hits per category — the standard scrub
+    pass an LLM training pipeline runs before anything else sees the
+    text.
+
+    A chain of ``regexp_count`` + ``regexp_replace`` expressions — pure
+    whole-stage codegen, zero shuffles, one narrow pass over the corpus
+    at any scale. Categories apply in ``patterns`` order against the
+    progressively scrubbed text, so counts are non-overlapping (an email
+    is counted once, not again as a phone).
+
+    Adds ``n_<category>`` LONG columns and ``out_col``.
+    """
+    out = df
+    cur = F.col(text_col)
+    for name, pat, repl in patterns:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(cur, F.lit(pat)).cast("long")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(out_col, cur)

@@ -170,9 +170,279 @@ ORDER BY ws.source""" % {"n": n_merges}
     )
 
 
+# ======================================================================
+# PII scrubbing
+# ======================================================================
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate. The corpus itself is PII-free, so each doc is
+    first decorated with synthetic PII derived deterministically from
+    ``doc_id`` (email, phone, IPv4, SSN-style id) — the IDENTICAL
+    expression runs in the oracle — then scrubbed with
+    ``operators.text.pii_scrub`` and per-source accounting is compared:
+    category hit counts AND the scrubbed text length (which proves the
+    replacements happened byte-for-byte, not just the counts).
+
+    Scale shape: decorate + count + replace are all codegen string ops —
+    one narrow pass; the only shuffle is the final source-key rollup."""
+    from .operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    decorated = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), did,
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" id 123-45-6789"),
+        ),
+    )
+    return (
+        pii_scrub(decorated)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_ssn").alias("n_ssns"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("n_ipv4").alias("n_ips"),
+            F.sum(F.length("clean_text")).alias("clean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from .operators.text import PII_PATTERNS
+
+    sql = """
+WITH d AS (
+  SELECT source,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+              || '.org or +1 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' id 123-45-6789' AS t
+  FROM documents
+)"""
+    prev = "d"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        sql += """,
+s%(i)d AS (
+  SELECT source, %(carry)s
+         len(regexp_extract_all(t, '%(pat)s')) AS n_%(name)s,
+         regexp_replace(t, '%(pat)s', '%(repl)s', 'g') AS t
+  FROM %(prev)s
+)""" % {
+            "i": i,
+            "prev": prev,
+            "pat": pat,
+            "repl": repl,
+            "name": name,
+            "carry": " ".join(
+                f"n_{n}," for n, _, _ in PII_PATTERNS[: i - 1]
+            ),
+        }
+        prev = f"s{i}"
+    sql += f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_emails,
+       CAST(sum(n_ssn) AS BIGINT) AS n_ssns,
+       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ips,
+       CAST(sum(length(t)) AS BIGINT) AS clean_chars
+FROM {prev}
+GROUP BY source
+ORDER BY source"""
+    return sql
+
+
+# ======================================================================
+# multimodal decode gate
+# ======================================================================
+
+
+def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the ``decode_media`` Arrow-batched payload transform:
+    binary payloads (UTF-8 doc text) run through a deterministic fake
+    transcoder (md5 digest bytes as the "decoded features"), and the
+    decoded bytes are then aggregated JVM-side (hex-parse of the first
+    and last feature byte). Oracle derives the same bytes from
+    ``md5(text)`` hex.
+
+    Scale shape: payload bytes move executor-local through Arrow batches
+    only; the aggregation shuffles 3 small integer columns, never the
+    payload."""
+    import hashlib
+
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        "source",
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+    def md5_decoder(b: bytes) -> bytes:
+        return hashlib.md5(b).digest()
+
+    decoded = multimodal.decode_media(payload, decoder=md5_decoder)
+    hx = F.lower(F.hex(F.col("decoded")))
+    b0 = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    b15 = F.conv(F.substring(hx, 31, 2), 16, 10).cast("long")
+    return (
+        decoded.select(
+            (b0 % 8).alias("bucket"),
+            b0.alias("b0"),
+            b15.alias("b15"),
+            F.length(F.col("decoded")).alias("n_bytes"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("b0").alias("sum_b0"),
+            F.sum("b15").alias("sum_b15"),
+            F.sum("n_bytes").alias("sum_bytes"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_MM_DECODE = """
+WITH h AS (SELECT md5(text) AS m FROM documents),
+b AS (
+  SELECT CAST(concat('0x', substr(m, 1, 2)) AS BIGINT) AS b0,
+         CAST(concat('0x', substr(m, 31, 2)) AS BIGINT) AS b15
+  FROM h
+)
+SELECT b0 % 8 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b0) AS BIGINT) AS sum_b0,
+       CAST(sum(b15) AS BIGINT) AS sum_b15,
+       CAST(count(*) * 16 AS BIGINT) AS sum_bytes
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ======================================================================
+# quality-bucket mixture accounting
+# ======================================================================
+
+QB_SAMPLE_BP = 3750  # keep 37.5% of each bucket (basis points of 10000)
+
+
+def q_pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quartile mixture accounting — the "bucket by quality,
+    re-weight the mixture" step of a training-data pipeline. Quality is
+    the deterministic heuristic score quantized to exact micro-units;
+    quartile thresholds come from ONE global exact-percentile aggregate
+    (group-free winsorize pattern: the corpus never sorts globally, the
+    3 thresholds broadcast back); bucket assignment and the per-bucket
+    deterministic hash-sample are codegen expressions.
+
+    One shuffle (threshold aggregate) + one rollup shuffle; no global
+    window, no driver data."""
+    from .operators.sampling import hash_bucket
+    from .operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id",
+        "n_ws_tokens",
+        F.round(F.col("quality") * 1000000).cast("long").alias("q_micro"),
+    )
+    pct = F.expr("percentile(q_micro, array(0.25D, 0.5D, 0.75D))")
+    thresholds = scored.select(pct.alias("__t"))
+    t1 = F.round(F.col("__t")[0], 6)
+    t2 = F.round(F.col("__t")[1], 6)
+    t3 = F.round(F.col("__t")[2], 6)
+    bucket = (
+        F.lit(1)
+        + (F.col("q_micro") > t1).cast("int")
+        + (F.col("q_micro") > t2).cast("int")
+        + (F.col("q_micro") > t3).cast("int")
+    ).cast("long")
+    kept = (
+        hash_bucket(F.col("doc_id"), salt="qb") < F.lit(QB_SAMPLE_BP)
+    ).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .select(
+            bucket.alias("bucket"),
+            kept.alias("kept"),
+            "n_ws_tokens",
+            "q_micro",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum("n_ws_tokens").alias("n_tokens"),
+            F.sum("q_micro").alias("quality_sum_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_quality_buckets() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket("doc_id", salt="qb")
+    return f"""
+WITH stats AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_ws_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+           AS n_alpha_space,
+         length(regexp_replace(lower(text), '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_ws_tokens,
+         CAST(round(
+           least(1.0, ln(1.0 + n_ws_tokens) / 5.0)
+           * (1.0 - (n_chars - n_alpha_space - n_digit)
+                    / greatest(n_chars, 1))
+           * (1.0 - n_digit / greatest(n_chars, 1))
+           * 1000000) AS BIGINT) AS q_micro
+  FROM stats
+),
+t AS (
+  SELECT round(quantile_cont(q_micro, 0.25), 6) AS t1,
+         round(quantile_cont(q_micro, 0.5), 6) AS t2,
+         round(quantile_cont(q_micro, 0.75), 6) AS t3
+  FROM scored
+)
+SELECT CAST(1 + CAST(q_micro > t1 AS INT) + CAST(q_micro > t2 AS INT)
+            + CAST(q_micro > t3 AS INT) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST({hb} < {QB_SAMPLE_BP} AS INT)) AS BIGINT) AS n_kept,
+       CAST(sum(n_ws_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(q_micro) AS BIGINT) AS quality_sum_micro
+FROM scored, t
+GROUP BY 1
+ORDER BY bucket"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
+    "text_pii_scrub": q_text_pii_scrub,
+    "mm_decode_stats": q_mm_decode_stats,
+    "pipe_quality_buckets": q_pipe_quality_buckets,
 }
 
 
@@ -180,4 +450,7 @@ def oracles8() -> Dict[str, str]:
     return {
         "text_bpe_merges": _sql_bpe_merges(),
         "text_bpe_encode": _sql_bpe_encode(),
+        "text_pii_scrub": _sql_pii_scrub(),
+        "mm_decode_stats": _SQL_MM_DECODE,
+        "pipe_quality_buckets": _sql_quality_buckets(),
     }
