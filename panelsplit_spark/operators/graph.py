@@ -26,6 +26,7 @@ def pagerank(
     damping: float = 0.85,
     scale: float = 1_000_000_000.0,
     round_to: int = 9,
+    broadcast_ranks_below: int = 4_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list →
     (node, rank). Nodes are everything appearing as ``src`` or ``dst``;
@@ -52,6 +53,16 @@ def pagerank(
     Nothing is collected to the driver except the node count. The
     persisted intermediates are exposed as
     ``result.persisted_intermediates`` — unpersist when done.
+
+    The rank frame is node-sized — orders of magnitude smaller than the
+    edge list — and the node count ``n`` is already a driver scalar, so
+    when ``n < broadcast_ranks_below`` each round BROADCASTS the ranks
+    into the edge join instead of shuffling edges against them: the
+    edge list then never re-partitions after its one persisted layout,
+    and a round costs one broadcast (node-sized) plus one contribution
+    aggregation. Web-scale graphs (n above the threshold) keep the
+    shuffle join, which is the only shape that works when ranks don't
+    fit an executor.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
     nodes = (
@@ -66,9 +77,11 @@ def pagerank(
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ed = e.join(deg, "_s").persist()
     ranks = nodes.select("node", F.lit(init).alias("rank"))
+    bcast = n < broadcast_ranks_below
     for _ in range(n_iter):
+        rhs = F.broadcast(ranks) if bcast else ranks
         contrib = (
-            ed.join(ranks, ed["_s"] == ranks["node"])
+            ed.join(rhs, ed["_s"] == rhs["node"])
             .select(
                 F.col("_t").alias("node"),
                 F.round(
@@ -77,6 +90,8 @@ def pagerank(
             )
         )
         summed = contrib.groupBy("node").agg(F.sum("_c").alias("_sum"))
+        if bcast:
+            summed = F.broadcast(summed)
         ranks = (
             nodes.join(summed, "node", "left")
             .select(
