@@ -122,6 +122,11 @@ HEADLINE = [
     "text_pii_scrub",
     "mm_decode_stats",
     "pipe_quality_buckets",
+    "rel_sketch_distinct",
+    "rel_sketch_cmcount",
+    "rel_shj_join",
+    "rel_incremental_agg",
+    "stream_cdc_apply",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

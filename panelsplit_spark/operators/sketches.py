@@ -1,0 +1,150 @@
+"""Deterministic distributed sketches — fixed-size summaries whose
+whole point is 100 TB scale: the sketch state is O(buckets) regardless
+of input size, partial-aggregates map-side, and merges by addition /
+set-union, so a petabyte corpus reduces to kilobytes before the final
+exchange.
+
+Unlike the engine-native approximate aggregates (HyperLogLog++ in
+Spark, a different HLL in DuckDB — same *algorithm family*, different
+constants, so their outputs never hash-match), these sketches are built
+from md5, which both engines evaluate bit-identically — estimates are
+therefore cross-engine EXACT and oracle-gatable, while keeping the real
+asymptotics of the published algorithms:
+
+* ``linear_count`` — linear-time probabilistic counting
+  (Whang, Vander-Zanden, Taylor 1990): distinct estimate
+  ``-m·ln(empty/m)`` from an m-bit occupancy table;
+* ``cm_build`` / ``cm_point_estimates`` — count-min sketch
+  (Cormode & Muthukrishnan 2005): d×w counter grid, point frequency
+  estimate = min over the d rows (always ≥ the true count).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "md5_bucket",
+    "linear_count",
+    "cm_build",
+    "cm_point_estimates",
+]
+
+
+def md5_bucket(key: Column, m: int, salt: str = "") -> Column:
+    """Deterministic bucket in [0, m): first 8 md5 hex digits of
+    ``key || salt`` as an integer, mod m. The cross-engine-stable hash
+    primitive every sketch here hangs off."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+
+
+def linear_count(
+    df: DataFrame,
+    key_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    m: int = 4096,
+    salt: str = "lc",
+) -> DataFrame:
+    """Linear-counting distinct estimate per group →
+    ``(*group_by, n_rows, occupied, est_distinct)``.
+
+    Plan shape: ONE aggregation — ``count(DISTINCT bucket)`` over the
+    m-bounded bucket column (Spark expands it to the standard two-phase
+    distinct-agg; the per-group state is ≤ m longs however large the
+    input). ``est_distinct = -m·ln(empty/m)`` rounded to 6dp is a
+    single float expression over exact integers, so it compares
+    engine-exact. Accuracy follows the published load-factor analysis —
+    size m ≳ a few × expected distinct."""
+    gb = list(group_by or [])
+    b = md5_bucket(F.col(key_col), m, salt)
+    agg = (
+        df.select(*gb, b.alias("_b"))
+        .groupBy(*gb)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_b").alias("occupied"),
+        )
+    )
+    empty = (F.lit(m) - F.col("occupied")).cast("double")
+    est = F.when(
+        F.col("occupied") < F.lit(m),
+        F.round(-F.lit(float(m)) * F.log(empty / F.lit(float(m))), 6),
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.withColumn("est_distinct", est)
+
+
+def cm_build(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight: Optional[Column] = None,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies → the d×w counter
+    grid as rows ``(r, b, c)``.
+
+    One aggregation builds all d rows (the d hashes are a generated
+    column array, exploded before the group) — counter state is d·w
+    longs total, so the shuffle moves a fixed-size sketch no matter the
+    corpus. Merging sketches from different partitions/days is plain
+    ``sum`` on (r, b) — the property that makes count-min the standard
+    streaming/distributed frequency summary."""
+    wcol = weight if weight is not None else F.lit(1)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    md5_bucket(
+                        F.col(key_col), w, f"{salt}{r}"
+                    ).alias("b"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(rows, wcol.cast("long").alias("_w"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.sum("_w").alias("c"))
+    )
+
+
+def cm_point_estimates(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]`` against a
+    ``cm_build`` sketch → probes + ``cm_est`` (min over the d rows;
+    one-sided: ``cm_est ≥`` the true count, overshoot bounded by the
+    published ``εN`` analysis).
+
+    The sketch is d·w rows — broadcast; the probe side never
+    shuffles."""
+    est = None
+    s = sketch
+    for r in range(d):
+        sr = F.broadcast(
+            s.where(F.col("r") == r).select(
+                F.col("b").alias(f"_b{r}"), F.col("c").alias(f"_c{r}")
+            )
+        )
+        probes = probes.join(
+            sr,
+            md5_bucket(F.col(key_col), w, f"{salt}{r}")
+            == F.col(f"_b{r}"),
+            "left",
+        )
+        cr = F.coalesce(F.col(f"_c{r}"), F.lit(0))
+        est = cr if est is None else F.least(est, cr)
+    return probes.withColumn("cm_est", est.cast("long")).drop(
+        *[c for r in range(d) for c in (f"_b{r}", f"_c{r}")]
+    )

@@ -437,12 +437,296 @@ GROUP BY 1
 ORDER BY bucket"""
 
 
+# ======================================================================
+# deterministic sketches
+# ======================================================================
+
+LC_M = 4096
+CM_D, CM_W = 4, 1024
+CM_PROBE_MAX = 40
+
+
+def q_rel_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct sketch vs exact distinct, per event
+    type. The sketch state is m=4096 buckets however large the input —
+    the fixed-size-summary property that makes sketches the 100 TB
+    cardinality tool — and because it hangs off md5 the estimate is
+    cross-engine EXACT (unlike engine-native HLLs, which use different
+    constants and can never hash-match)."""
+    from .operators.sketches import linear_count, md5_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    lc = linear_count(ev, "user_id", group_by=["event_type"], m=LC_M)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        lc.join(exact, "event_type")
+        .select(
+            "event_type", "n_rows", "occupied", "est_distinct",
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _duck_bucket(key: str, m: int, salt: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), "
+        f"'{salt}')), 1, 8)) AS BIGINT) % {m}"
+    )
+
+
+def _sql_sketch_distinct() -> str:
+    b = _duck_bucket("user_id", LC_M, "lc")
+    return f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {b}) AS BIGINT) AS occupied,
+       round(-{LC_M}.0 * ln(({LC_M} - count(DISTINCT {b})) / {LC_M}.0), 6)
+         AS est_distinct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+
+def q_rel_sketch_cmcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates vs true frequencies for a probe
+    set of users. The d×w counter grid is the entire reduced state
+    (built by ONE aggregation with map-side combine, mergeable by
+    addition); probes join the broadcast grid, never the fact table.
+    cm_est ≥ true_n always — the one-sided error the oracle reproduces
+    exactly from the same md5 buckets."""
+    from .operators.sketches import cm_build, cm_point_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cm_build(ev, "user_id", d=CM_D, w=CM_W)
+    probes = (
+        ev.where(F.col("user_id") < CM_PROBE_MAX)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return (
+        cm_point_estimates(sketch, probes, "user_id", d=CM_D, w=CM_W)
+        .select("user_id", "true_n", "cm_est")
+        .orderBy("user_id")
+    )
+
+
+def _sql_sketch_cmcount() -> str:
+    rows = []
+    joins = []
+    for r in range(CM_D):
+        b = _duck_bucket("user_id", CM_W, f"cm{r}")
+        rows.append(
+            f"s{r} AS (SELECT {b} AS b, CAST(count(*) AS BIGINT) AS c "
+            f"FROM events GROUP BY 1)"
+        )
+        joins.append(
+            f"JOIN s{r} ON s{r}.b = "
+            + _duck_bucket("p.user_id", CM_W, f"cm{r}")
+        )
+    return f"""
+WITH {', '.join(rows)},
+p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+  FROM events WHERE user_id < {CM_PROBE_MAX} GROUP BY user_id
+)
+SELECT p.user_id, p.true_n,
+       least(s0.c, s1.c, s2.c, s3.c) AS cm_est
+FROM p {' '.join(joins)}
+ORDER BY p.user_id"""
+
+
+# ======================================================================
+# join-strategy breadth: shuffled hash join
+# ======================================================================
+
+
+def q_rel_shj_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-hash-join gate: the third join strategy next to the
+    broadcast and sort-merge evidence elsewhere in the registry. SHJ is
+    the right physical choice when both sides are too big to broadcast
+    but the build side fits per-partition memory — it skips SMJ's two
+    sorts. The hint pins the strategy (plan-asserted in
+    tests/test_llm_ops.py); results are strategy-invariant, which is
+    what the oracle checks."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        li.join(o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_SHJ_JOIN = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ======================================================================
+# incremental aggregate maintenance (IVM)
+# ======================================================================
+
+IVM_SPLIT = "2000-01-01"
+
+
+def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized monthly-revenue
+    aggregate is refreshed with a change batch — new arrivals PLUS
+    retractions as negative deltas — via ``cdc.incremental_agg_merge``,
+    WITHOUT rescanning base facts. The refresh touches
+    group-cardinality rows only (the 100 TB property: maintenance cost
+    scales with the view, not the warehouse). The oracle recomputes the
+    view from scratch over the logically-equivalent final fact set —
+    merged must equal recomputed exactly."""
+    from .operators.cdc import incremental_agg_merge
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    split = F.lit(IVM_SPLIT).cast("timestamp")
+    keys = ["o_orderpriority", "month"]
+
+    def agg(df, sign=1):
+        return df.groupBy(*keys).agg(
+            (F.count(F.lit(1)) * sign).alias("n_orders"),
+            (F.sum("cents") * sign).alias("revenue_cents"),
+        )
+
+    base_agg = agg(o.where(F.col("d") < split))
+    arrivals = agg(o.where(F.col("d") >= split))
+    retractions = agg(
+        o.where((F.col("d") < split) & (F.col("o_orderkey") % 100 == 0)),
+        sign=-1,
+    )
+    delta = (
+        arrivals.unionByName(retractions)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
+    return incremental_agg_merge(
+        base_agg, delta, keys, ["n_orders", "revenue_cents"]
+    ).orderBy(*keys)
+
+
+_SQL_INCREMENTAL_AGG = f"""
+SELECT o_orderpriority,
+       strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE NOT (o_orderdate < TIMESTAMP '{IVM_SPLIT}' AND o_orderkey % 100 = 0)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ======================================================================
+# streaming CDC apply
+# ======================================================================
+
+
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized MERGE: the events feed becomes a change
+    stream (upsert per event, periodic deletes; version = event_id),
+    folded into a live keyed table inside ``foreachBatch``
+    (streaming/rolling.stream_apply_changes — tombstone-retaining
+    latest-wins, ONE keyed shuffle per batch). On a closed availableNow
+    drain the table must equal the batch latest-wins query — the
+    oracle."""
+    import os
+
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_apply_changes,
+        stream_shuffle_partitions,
+    )
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    changes = stream.select(
+        F.col("user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.col("event_id").alias("_version"),
+        F.when(F.col("event_id") % 23 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("_op"),
+    )
+    name = "stream_cdc_state"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q, get_state = stream_apply_changes(
+            changes,
+            value_cols=["value_cents"],
+            keys=["user_id"],
+            query_name=name,
+        )
+        q.awaitTermination()
+    return get_state().orderBy("user_id")
+
+
+_SQL_STREAM_CDC = """
+WITH ranked AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         CASE WHEN event_id % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+           AS rn
+  FROM events
+)
+SELECT user_id, value_cents
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
     "text_pii_scrub": q_text_pii_scrub,
     "mm_decode_stats": q_mm_decode_stats,
     "pipe_quality_buckets": q_pipe_quality_buckets,
+    "rel_sketch_distinct": q_rel_sketch_distinct,
+    "rel_sketch_cmcount": q_rel_sketch_cmcount,
+    "rel_shj_join": q_rel_shj_join,
+    "rel_incremental_agg": q_rel_incremental_agg,
+    "stream_cdc_apply": q_stream_cdc_apply,
 }
 
 
@@ -453,4 +737,9 @@ def oracles8() -> Dict[str, str]:
         "text_pii_scrub": _sql_pii_scrub(),
         "mm_decode_stats": _SQL_MM_DECODE,
         "pipe_quality_buckets": _sql_quality_buckets(),
+        "rel_sketch_distinct": _sql_sketch_distinct(),
+        "rel_sketch_cmcount": _sql_sketch_cmcount(),
+        "rel_shj_join": _SQL_SHJ_JOIN,
+        "rel_incremental_agg": _SQL_INCREMENTAL_AGG,
+        "stream_cdc_apply": _SQL_STREAM_CDC,
     }

@@ -19,7 +19,7 @@ import pickle
 from contextlib import contextmanager
 from typing import Any, List, Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.cross_validation import PanelSplit
 
@@ -33,6 +33,8 @@ __all__ = [
     "stream_shuffle_partitions",
     "stream_online_linreg",
     "stream_parquet_sink",
+    "stream_window_counts",
+    "stream_apply_changes",
 ]
 
 
@@ -565,3 +567,76 @@ def stream_window_counts(
             F.col("cnt"),
         )
     )
+
+
+def stream_apply_changes(
+    change_stream: DataFrame,
+    value_cols: Sequence[str],
+    keys: Sequence[str],
+    version_col: str = "_version",
+    op_col: str = "_op",
+    delete_value: str = "D",
+    query_name: str = "cdc_state",
+):
+    """Maintain an upserted state table from a streaming change feed —
+    the streaming materialized MERGE: each micro-batch folds its
+    changes into the running table inside ``foreachBatch``.
+
+    Returns ``(query, get_state)``: await the query, then call
+    ``get_state()`` for the live table (key + value columns, deletes
+    filtered out).
+
+    Semantics: per key the highest ``version_col`` ever seen wins and
+    versions must be globally unique per key for determinism. The state
+    RETAINS each key's winning version AND delete tombstones — that is
+    what makes the result independent of how the feed is chopped into
+    micro-batches (an out-of-order upsert arriving after a
+    higher-versioned delete must lose, which requires remembering the
+    delete). Tombstones drop only at read time; a production deployment
+    compacts them once the feed's lateness bound passes (same contract
+    as a watermark).
+
+    Scale shape: per batch, ONE keyed shuffle (latest-wins window over
+    |state| + |batch| rows); the state is localCheckpoint-ed each batch
+    so lineage stays flat across an unbounded stream. At production
+    scale the state lives in a keyed/bucketed table and each batch
+    rewrites dirty partitions only.
+    """
+    cols = [*keys, *value_cols]
+    holder = {"state": None}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.select(
+            *cols,
+            F.col(version_col).cast("long").alias(version_col),
+            F.col(op_col).cast("string").alias(op_col),
+        )
+        state = holder["state"]
+        merged = b if state is None else state.unionByName(b)
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            F.desc(version_col)
+        )
+        new = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        holder["state"] = new.localCheckpoint(eager=True)
+
+    q = (
+        change_stream.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    def get_state() -> DataFrame:
+        state = holder["state"]
+        if state is None:
+            return None
+        return state.where(
+            F.col(op_col).isNull() | (F.col(op_col) != delete_value)
+        ).select(*cols)
+
+    return q, get_state

@@ -74,3 +74,95 @@ def test_quality_buckets_partition_invariant(spark):
     a = q_pipe_quality_buckets(spark, "/root/testdata/sf0.001").collect()
     assert [r.bucket for r in a] == [1, 2, 3, 4]
     assert sum(r.n_kept for r in a) <= sum(r.n_docs for r in a)
+
+
+def test_shj_plan_uses_shuffled_hash_join(spark):
+    from panelsplit_spark.queries_llm import q_rel_shj_join
+
+    df = q_rel_shj_join(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+
+def test_incremental_agg_merge_semantics(spark):
+    from panelsplit_spark.operators.cdc import incremental_agg_merge
+
+    base = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 50), ("c", 3, 30)],
+        "k string, n long, s long",
+    )
+    delta = spark.createDataFrame(
+        [("a", 1, 25), ("b", -1, -50), ("d", 4, 70)],
+        "k string, n long, s long",
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in incremental_agg_merge(base, delta, ["k"], ["n", "s"])
+        .collect()
+    }
+    # b fully retracted -> gone; d delta-only -> appears; c untouched
+    assert got == {"a": (3, 125), "c": (3, 30), "d": (4, 70)}
+
+
+def test_stream_cdc_chop_independent(spark, tmp_path):
+    """The same change feed chopped into different micro-batch splits
+    must converge to the same table — including an out-of-order upsert
+    arriving AFTER a higher-versioned delete (tombstone retention)."""
+    import os
+
+    from panelsplit_spark.streaming.rolling import stream_apply_changes
+
+    # file1 (batch 1): upsert k1=10 v1; DELETE k2 v=100
+    # file2 (batch 2): late upsert k2=99 v=50 (must lose to the delete);
+    #                  upsert k1=20 v2 (must win)
+    schema = "k long, val long, _version long, _op string"
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, 10, 1, "U"), (2, 7, 100, "D")], schema
+    ).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(
+        [(2, 99, 50, "U"), (1, 20, 2, "U")], schema
+    ).coalesce(1).write.parquet(d + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q, get_state = stream_apply_changes(
+        stream, value_cols=["val"], keys=["k"], query_name="cdc_chop_test"
+    )
+    q.awaitTermination()
+    got = {r.k: r.val for r in get_state().collect()}
+    assert got == {1: 20}  # k2 stays deleted despite the late upsert
+
+
+def test_cm_sketch_one_sided(spark):
+    from panelsplit_spark.operators.sketches import (
+        cm_build,
+        cm_point_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("key")
+    )
+    sketch = cm_build(df, "key", d=4, w=64)
+    probes = df.groupBy("key").agg(F.count(F.lit(1)).alias("true_n"))
+    rows = cm_point_estimates(sketch, probes, "key", d=4, w=64).collect()
+    assert rows and all(r.cm_est >= r.true_n for r in rows)
+
+
+def test_linear_count_accuracy(spark):
+    from panelsplit_spark.operators.sketches import linear_count
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50000).select(
+        (F.col("id") % 1000).alias("key"), F.lit("g").alias("g")
+    )
+    r = linear_count(df, "key", group_by=["g"], m=4096).collect()[0]
+    assert r.n_rows == 50000
+    assert abs(r.est_distinct - 1000) < 60  # ~load-factor-0.25 accuracy
