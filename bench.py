@@ -127,6 +127,8 @@ HEADLINE = [
     "rel_shj_join",
     "rel_incremental_agg",
     "stream_cdc_apply",
+    "rel_psi_drift",
+    "rel_dq_checks",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

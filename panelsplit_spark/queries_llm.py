@@ -716,6 +716,144 @@ ORDER BY user_id
 """
 
 
+# ======================================================================
+# data-quality guardrails: PSI drift + declarative checks
+# ======================================================================
+
+PSI_BINS = [5.0, 20.0, 50.0, 100.0, 200.0]
+PSI_BASE = "2024-01-01"
+PSI_EPS = 1e-6
+
+
+def q_rel_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of the events value
+    distribution, every day vs the first day — the per-batch
+    distribution monitor a production feature pipeline runs. Fixed bin
+    edges (comparability across runs), one counting aggregate, PSI
+    terms quantized to nano-units before the sum (partition-order
+    independent, engine-exact)."""
+    from .operators.quality import psi_drift
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return psi_drift(
+        ev, "value", "day", PSI_BASE, PSI_BINS
+    ).orderBy("period")
+
+
+def _sql_psi_drift() -> str:
+    k = len(PSI_BINS)
+    case = "CASE " + " ".join(
+        f"WHEN value <= {e} THEN {i}" for i, e in enumerate(PSI_BINS)
+    ) + f" ELSE {k} END"
+    return f"""
+WITH binned AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS period, {case} AS bin
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT period, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+),
+base AS (
+  SELECT bin, c AS c_base FROM counts WHERE period = '{PSI_BASE}'
+),
+tb AS (SELECT CAST(sum(c_base) AS BIGINT) AS n_base FROM base),
+tc AS (
+  SELECT period, CAST(sum(c) AS BIGINT) AS n_curr
+  FROM counts WHERE period <> '{PSI_BASE}' GROUP BY 1
+),
+grid AS (
+  SELECT period, n_curr, unnest(range(0, {k + 1})) AS bin FROM tc
+),
+t AS (
+  SELECT g.period, tb.n_base, g.n_curr,
+         CAST(round(
+           ((CAST(coalesce(c.c, 0) AS DOUBLE) / g.n_curr + {PSI_EPS})
+            - (CAST(coalesce(b.c_base, 0) AS DOUBLE) / tb.n_base
+               + {PSI_EPS}))
+           * ln((CAST(coalesce(c.c, 0) AS DOUBLE) / g.n_curr + {PSI_EPS})
+                / (CAST(coalesce(b.c_base, 0) AS DOUBLE) / tb.n_base
+                   + {PSI_EPS}))
+           * 1000000000.0) AS BIGINT) AS t_nano
+  FROM grid g
+  LEFT JOIN counts c ON c.period = g.period AND c.bin = g.bin
+  LEFT JOIN base b ON b.bin = g.bin, tb
+)
+SELECT period, n_base, n_curr,
+       round(sum(t_nano) / 1000000000.0, 6) AS psi
+FROM t GROUP BY 1, 2, 3
+ORDER BY period"""
+
+
+def q_rel_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over orders: all expectations
+    fold into ONE aggregation pass (a conditional sum per check — a
+    petabyte audit costs one scan), violations reported per check in
+    ppm. NULL predicate = violation, matching the oracle's CASE."""
+    from .operators.quality import DQCheck, dq_checks
+
+    o = load_table(spark, sf_dir, "orders")
+    checks = [
+        DQCheck("custkey_not_null", F.col("o_custkey").isNotNull()),
+        DQCheck("price_positive", F.col("o_totalprice") > 0),
+        DQCheck("price_below_cap", F.col("o_totalprice") <= 300000),
+        DQCheck(
+            "priority_is_top3", F.col("o_orderpriority").rlike("^[1-3]")
+        ),
+        DQCheck(
+            "date_in_range",
+            (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2005-01-01").cast("timestamp")),
+        ),
+    ]
+    return (
+        dq_checks(o, checks)
+        .select(
+            F.col("check").alias("check_name"),
+            "n_rows",
+            "n_violations",
+            "violation_ppm",
+        )
+        .orderBy("check_name")
+    )
+
+
+_SQL_DQ_CHECKS = """
+WITH w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)
+         AS BIGINT) AS v_custkey_not_null,
+    CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+         AS BIGINT) AS v_price_positive,
+    CAST(sum(CASE WHEN o_totalprice <= 300000 THEN 0 ELSE 1 END)
+         AS BIGINT) AS v_price_below_cap,
+    CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]')
+             THEN 0 ELSE 1 END) AS BIGINT) AS v_priority_is_top3,
+    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+                   AND o_orderdate < TIMESTAMP '2005-01-01'
+             THEN 0 ELSE 1 END) AS BIGINT) AS v_date_in_range
+  FROM orders
+)
+SELECT check_name, n_rows, n_violations,
+       round(n_violations * 1000000 / n_rows, 2) AS violation_ppm
+FROM (
+  SELECT 'custkey_not_null' AS check_name, n_rows,
+         v_custkey_not_null AS n_violations FROM w
+  UNION ALL
+  SELECT 'price_positive', n_rows, v_price_positive FROM w
+  UNION ALL
+  SELECT 'price_below_cap', n_rows, v_price_below_cap FROM w
+  UNION ALL
+  SELECT 'priority_is_top3', n_rows, v_priority_is_top3 FROM w
+  UNION ALL
+  SELECT 'date_in_range', n_rows, v_date_in_range FROM w
+)
+ORDER BY check_name
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -727,6 +865,8 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_shj_join": q_rel_shj_join,
     "rel_incremental_agg": q_rel_incremental_agg,
     "stream_cdc_apply": q_stream_cdc_apply,
+    "rel_psi_drift": q_rel_psi_drift,
+    "rel_dq_checks": q_rel_dq_checks,
 }
 
 
@@ -742,4 +882,6 @@ def oracles8() -> Dict[str, str]:
         "rel_shj_join": _SQL_SHJ_JOIN,
         "rel_incremental_agg": _SQL_INCREMENTAL_AGG,
         "stream_cdc_apply": _SQL_STREAM_CDC,
+        "rel_psi_drift": _sql_psi_drift(),
+        "rel_dq_checks": _SQL_DQ_CHECKS,
     }

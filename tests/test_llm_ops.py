@@ -166,3 +166,59 @@ def test_linear_count_accuracy(spark):
     r = linear_count(df, "key", group_by=["g"], m=4096).collect()[0]
     assert r.n_rows == 50000
     assert abs(r.est_distinct - 1000) < 60  # ~load-factor-0.25 accuracy
+
+
+def test_psi_zero_for_identical_distribution(spark):
+    from panelsplit_spark.operators.quality import psi_drift
+    from pyspark.sql import functions as F
+
+    # two periods with the exact same values -> PSI ~ 0
+    base = spark.range(0, 1000).select(
+        F.lit("p0").alias("period"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    same = base.select(F.lit("p1").alias("period"), "v")
+    df = base.union(same)
+    r = psi_drift(df, "v", "period", "p0", [1.0, 3.0, 5.0]).collect()
+    assert len(r) == 1 and abs(r[0].psi) < 1e-6
+
+
+def test_psi_flags_shifted_distribution(spark):
+    from panelsplit_spark.operators.quality import psi_drift
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 1000).select(
+        F.lit("p0").alias("period"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    shifted = spark.range(0, 1000).select(
+        F.lit("p1").alias("period"),
+        ((F.col("id") % 7) + 3).cast("double").alias("v"),
+    )
+    r = psi_drift(base.union(shifted), "v", "period", "p0",
+                  [1.0, 3.0, 5.0]).collect()
+    assert r[0].psi > 0.25  # the standard "significant shift" threshold
+
+
+def test_dq_checks_counts(spark):
+    from panelsplit_spark.operators.quality import DQCheck, dq_checks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 20.0)],
+        "id long, x double",
+    )
+    got = {
+        r.check: (r.n_rows, r.n_violations)
+        for r in dq_checks(
+            df,
+            [
+                DQCheck("x_positive", F.col("x") > 0),  # NULL -> violation
+                DQCheck("x_not_null", F.col("x").isNotNull()),
+                DQCheck("id_unique_range", F.col("id") <= 4),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "x_positive": (4, 2),
+        "x_not_null": (4, 1),
+        "id_unique_range": (4, 0),
+    }
