@@ -111,3 +111,42 @@ def test_word_frequency_table_filters_non_alpha(spark):
     }
     # '123' and 'a|b' are excluded; 'AB' lowercases into 'ab'.
     assert got == {"ab": 2, "cd": 1}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def word_counts(draw):
+    words = draw(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    return {
+        w: draw(st.integers(min_value=1, max_value=5)) for w in words
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wc=word_counts())
+def test_bpe_fit_matches_reference_property(spark, wc):
+    """For ANY word multiset over a tiny alphabet (where overlapping
+    runs like 'aaaa' are common — the hard case for the replace-based
+    merge application), the distributed fit must equal the independent
+    Python reference merge-for-merge."""
+    from pyspark.sql import functions as F
+
+    wt = spark.createDataFrame(
+        list(wc.items()), "word string, wt long"
+    ).select("word", "wt")
+    got = bpe_fit(None, words=wt, n_merges=5)
+    want, _ = _ref_bpe(wc, 5)
+    assert [(m["lhs"], m["rhs"], m["pair_count"]) for m in got] == want
