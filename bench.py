@@ -129,6 +129,9 @@ HEADLINE = [
     "stream_cdc_apply",
     "rel_psi_drift",
     "rel_dq_checks",
+    "rel_funnel",
+    "rel_retention_cohorts",
+    "rel_band_join",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

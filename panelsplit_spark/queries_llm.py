@@ -854,6 +854,193 @@ ORDER BY check_name
 """
 
 
+# ======================================================================
+# product analytics: funnel, retention cohorts, band join
+# ======================================================================
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel completion (view → click → purchase, each step
+    strictly after the previous): per-step distinct-user counts.
+
+    Shape: one conditional-min aggregate per step, each group-
+    cardinality sized and broadcast back for the next step's time
+    constraint — the fact table is scanned once per step with no
+    self-join blowup (the naive pairwise self-join is quadratic in
+    events-per-user; this is linear)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = ev.where(F.col("event_type") == FUNNEL_STEPS[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t1"))
+    t2 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(F.broadcast(t1), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(F.broadcast(t2), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        t1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_" + FUNNEL_STEPS[0]).alias("step"), "n_users"
+        ),
+        t2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_" + FUNNEL_STEPS[1]).alias("step"), "n_users"
+        ),
+        t3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_" + FUNNEL_STEPS[2]).alias("step"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+_SQL_FUNNEL = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT step, n_users FROM (
+  SELECT '1_{FUNNEL_STEPS[0]}' AS step,
+         CAST(count(*) AS BIGINT) AS n_users FROM t1
+  UNION ALL
+  SELECT '2_{FUNNEL_STEPS[1]}', CAST(count(*) AS BIGINT) FROM t2
+  UNION ALL
+  SELECT '3_{FUNNEL_STEPS[2]}', CAST(count(*) AS BIGINT) FROM t3
+) ORDER BY step
+"""
+
+RETENTION_MAX_OFFSET = 7
+
+
+def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct-user counts at each day offset ≤ 7. Two aggregates (cohort
+    assignment is group-cardinality, broadcast back onto activity
+    days); the classic warehouse triangle query."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(F.broadcast(cohort), "user_id")
+        .withColumn("offset", F.datediff("day", "cohort_day"))
+        .where(F.col("offset") <= RETENTION_MAX_OFFSET)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("offset").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_SQL_RETENTION = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN cohort c ON a.user_id = c.user_id
+WHERE datediff('day', c.cohort_day, a.day) <= {RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+BAND_CENTS = 50
+
+
+def q_rel_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded inequality join — pairs of same-type events whose values
+    differ by ≤ 0.50 — lowered to an EQUI-join by bucket expansion: one
+    side explodes to its bucket ± 1 (band width = bucket width, so
+    every qualifying pair shares exactly one candidate bucket), the
+    join runs as a plain hash join on (type, bucket), and the exact
+    band predicate re-verifies. This is the standard trick that keeps
+    range/band joins off BroadcastNestedLoop at any scale; per-pair
+    work is O(bucket occupancy), not O(n²)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).where(F.col("cents").isNotNull())
+    b = F.floor(F.col("cents") / BAND_CENTS).cast("long")
+    left = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type"),
+        F.col("cents").alias("ca"),
+        F.explode(
+            F.array(b - 1, b, b + 1)
+        ).alias("bk"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type"),
+        F.col("cents").alias("cb"),
+        b.alias("bk"),
+    )
+    return (
+        left.join(right, ["event_type", "bk"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("ca") - F.col("cb")) <= BAND_CENTS)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.abs(F.col("ca") - F.col("cb"))).alias("sum_gap_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_BAND_JOIN = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS sum_gap_cents
+FROM ev a JOIN ev b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(a.cents - b.cents) <= {BAND_CENTS}
+GROUP BY a.event_type
+ORDER BY a.event_type
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -867,6 +1054,9 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cdc_apply": q_stream_cdc_apply,
     "rel_psi_drift": q_rel_psi_drift,
     "rel_dq_checks": q_rel_dq_checks,
+    "rel_funnel": q_rel_funnel,
+    "rel_retention_cohorts": q_rel_retention_cohorts,
+    "rel_band_join": q_rel_band_join,
 }
 
 
@@ -884,4 +1074,7 @@ def oracles8() -> Dict[str, str]:
         "stream_cdc_apply": _SQL_STREAM_CDC,
         "rel_psi_drift": _sql_psi_drift(),
         "rel_dq_checks": _SQL_DQ_CHECKS,
+        "rel_funnel": _SQL_FUNNEL,
+        "rel_retention_cohorts": _SQL_RETENTION,
+        "rel_band_join": _SQL_BAND_JOIN,
     }

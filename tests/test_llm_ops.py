@@ -222,3 +222,13 @@ def test_dq_checks_counts(spark):
         "x_not_null": (4, 1),
         "id_unique_range": (4, 0),
     }
+
+
+def test_band_join_is_hash_join_not_bnlj(spark):
+    from panelsplit_spark.queries_llm import q_rel_band_join
+
+    df = q_rel_band_join(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
