@@ -132,6 +132,9 @@ HEADLINE = [
     "rel_funnel",
     "rel_retention_cohorts",
     "rel_band_join",
+    "stream_ivm_view",
+    "pipe_weighted_sample",
+    "rel_outlier_zscore",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -14,7 +14,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_topn",
+__all__ = ["hash_bucket", "hash_split", "hash_sample",
+    "weighted_hash_sample", "stratified_topn",
            "pack_sequences", "rebalance_sources", "winsorize"]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
@@ -252,3 +253,26 @@ def winsorize(
             6,
         ),
     ).drop("__b")
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    full_weight: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: row keep-probability is
+    ``min(1, weight/full_weight)`` — e.g. length-proportional document
+    sampling, the mixture-shaping step that keeps long documents while
+    thinning boilerplate-short ones.
+
+    Pure integer arithmetic on the md5 bucket (``bucket·full_weight <
+    weight·10000``) — engine-exact, stable across runs and partitioning,
+    and composable with incremental loads exactly like
+    :func:`hash_sample`. One codegen filter, zero shuffles."""
+    b = hash_bucket(F.col(id_col), salt)
+    return df.where(
+        b * F.lit(int(full_weight))
+        < F.col(weight_col).cast("long") * F.lit(_BP)
+    )

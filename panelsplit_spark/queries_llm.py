@@ -1041,6 +1041,181 @@ ORDER BY a.event_type
 """
 
 
+# ======================================================================
+# streaming IVM, weighted sampling, z-score outliers
+# ======================================================================
+
+
+def q_stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance: the events feed keeps a
+    per-(type, day) aggregate view fresh via per-batch delta merge
+    (streaming/rolling.stream_incremental_agg ∘ cdc.incremental_agg_
+    merge). Additive measures ⇒ the view is independent of micro-batch
+    chopping; on a closed drain it must equal the batch aggregate —
+    the oracle. Per-batch cost is group-cardinality, never history."""
+    import os
+
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_incremental_agg,
+        stream_shuffle_partitions,
+    )
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    changes = stream.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.round(F.col("value") * 100).cast("long"), F.lit(0))
+        .alias("cents"),
+    )
+    name = "stream_ivm_view"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q, get_view = stream_incremental_agg(
+            changes,
+            keys=["event_type", "day"],
+            sum_exprs={
+                "n_events": F.count(F.lit(1)),
+                "sum_cents": F.sum("cents"),
+            },
+            query_name=name,
+        )
+        q.awaitTermination()
+    return get_view().orderBy("event_type", "day")
+
+
+_SQL_STREAM_IVM = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0))
+            AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+WS_FULL_CHARS = 300
+
+
+def q_pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional weighted Bernoulli sampling of the corpus
+    (keep probability min(1, n_chars/300)) — integer-exact md5
+    thresholding, zero shuffles except the per-source audit rollup."""
+    from .operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = weighted_hash_sample(
+        docs, "doc_id", "n_chars", WS_FULL_CHARS, salt="ws"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_weighted_sample() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket("doc_id", salt="ws")
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM documents
+WHERE ({hb}) * {WS_FULL_CHARS} < n_chars * 10000
+GROUP BY source
+ORDER BY source"""
+
+
+ZS_THRESHOLD = 3.0
+
+
+def q_rel_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection on event values: ONE moment
+    aggregate (n, Σ, Σ²) per type broadcast back, outliers flagged by a
+    codegen filter. Every float is computed by the identical IEEE
+    +,-,*,/,sqrt expression over exact integer moments on both engines
+    (correctly-rounded ops ⇒ bit-identical), so even the boundary
+    comparisons are engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).where(F.col("cents").isNotNull())
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    std = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    flagged = (
+        ev.join(F.broadcast(mom), "event_type")
+        .withColumn(
+            "_is_out",
+            F.abs(F.col("cents").cast("double") - mean)
+            > F.lit(ZS_THRESHOLD) * std,
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_is_out").cast("long")).alias("n_outliers"),
+            F.max(F.when(F.col("_is_out"), F.col("cents"))).alias(
+                "max_outlier_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_OUTLIER_Z = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM ev GROUP BY event_type
+),
+f AS (
+  SELECT ev.event_type, ev.cents,
+         abs(CAST(ev.cents AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+           > {ZS_THRESHOLD} * sqrt(
+               (CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+               / (m.n - 1)) AS is_out
+  FROM ev JOIN mom m ON ev.event_type = m.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       max(CASE WHEN is_out THEN cents END) AS max_outlier_cents
+FROM f
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -1057,6 +1232,9 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_funnel": q_rel_funnel,
     "rel_retention_cohorts": q_rel_retention_cohorts,
     "rel_band_join": q_rel_band_join,
+    "stream_ivm_view": q_stream_ivm_view,
+    "pipe_weighted_sample": q_pipe_weighted_sample,
+    "rel_outlier_zscore": q_rel_outlier_zscore,
 }
 
 
@@ -1077,4 +1255,7 @@ def oracles8() -> Dict[str, str]:
         "rel_funnel": _SQL_FUNNEL,
         "rel_retention_cohorts": _SQL_RETENTION,
         "rel_band_join": _SQL_BAND_JOIN,
+        "stream_ivm_view": _SQL_STREAM_IVM,
+        "pipe_weighted_sample": _sql_weighted_sample(),
+        "rel_outlier_zscore": _SQL_OUTLIER_Z,
     }

@@ -35,6 +35,7 @@ __all__ = [
     "stream_parquet_sink",
     "stream_window_counts",
     "stream_apply_changes",
+    "stream_incremental_agg",
 ]
 
 
@@ -640,3 +641,51 @@ def stream_apply_changes(
         ).select(*cols)
 
     return q, get_state
+
+
+def stream_incremental_agg(
+    change_stream: DataFrame,
+    keys: Sequence[str],
+    sum_exprs: dict,
+    query_name: str = "ivm_state",
+):
+    """Streaming materialized VIEW maintenance: keep an additive
+    aggregate up to date from a change stream, refreshing
+    group-cardinality state per micro-batch (never rescanning history).
+
+    ``sum_exprs`` maps output column → a Column over the change rows
+    (deletes/corrections enter as negative values). Each batch
+    aggregates itself (map-side combine, one tiny shuffle) and merges
+    into the running view via ``cdc.incremental_agg_merge`` — additive
+    measures make the result independent of how the feed is chopped
+    into batches, which is what the batch oracle checks. Returns
+    ``(query, get_view)``.
+    """
+    from ..operators.cdc import incremental_agg_merge
+
+    holder = {"view": None}
+    cols = list(sum_exprs)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.groupBy(*keys).agg(
+            *[expr.alias(name) for name, expr in sum_exprs.items()]
+        )
+        view = holder["view"]
+        merged = (
+            delta
+            if view is None
+            else incremental_agg_merge(view, delta, keys, cols)
+        )
+        holder["view"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        change_stream.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    def get_view() -> DataFrame:
+        return holder["view"]
+
+    return q, get_view

@@ -232,3 +232,56 @@ def test_band_join_is_hash_join_not_bnlj(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_stream_ivm_chop_independent(spark, tmp_path):
+    """The maintained view equals the batch aggregate regardless of how
+    the feed splits into micro-batches (additivity)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark.streaming.rolling import stream_incremental_agg
+
+    schema = "k string, v long"
+    d = str(tmp_path / "ivm")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], schema
+    ).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(
+        [("a", 4), ("c", 5)], schema
+    ).coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q, get_view = stream_incremental_agg(
+        stream,
+        keys=["k"],
+        sum_exprs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        query_name="ivm_chop_test",
+    )
+    q.awaitTermination()
+    got = {r.k: (r.n, r.s) for r in get_view().collect()}
+    assert got == {"a": (3, 8), "b": (1, 2), "c": (1, 5)}
+
+
+def test_weighted_hash_sample_rates(spark):
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(50))
+        .otherwise(F.lit(400))
+        .alias("w"),
+    )
+    kept = weighted_hash_sample(df, "id", "w", 400)
+    light = kept.where(F.col("w") == 50).count()
+    heavy = kept.where(F.col("w") == 400).count()
+    assert heavy == 10000  # weight >= full_weight -> always kept
+    assert abs(light / 10000 - 50 / 400) < 0.02  # ~12.5% of light rows
