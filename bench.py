@@ -135,6 +135,9 @@ HEADLINE = [
     "stream_ivm_view",
     "pipe_weighted_sample",
     "rel_outlier_zscore",
+    "rel_concurrency_timeline",
+    "rel_graph_triangles",
+    "rel_bloom_membership",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

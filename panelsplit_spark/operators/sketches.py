@@ -30,6 +30,8 @@ __all__ = [
     "linear_count",
     "cm_build",
     "cm_point_estimates",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 
@@ -147,4 +149,65 @@ def cm_point_estimates(
         est = cr if est is None else F.least(est, cr)
     return probes.withColumn("cm_est", est.cast("long")).drop(
         *[c for r in range(d) for c in (f"_b{r}", f"_c{r}")]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """Build a Bloom filter of ``df[key_col]`` as its occupied-position
+    set ``(pos)`` — ≤ m rows however many keys went in (the fixed-size
+    property). One explode + distinct; positions come from k independent
+    md5 hashes, so the filter is engine-replayable (the SQL twin of the
+    runtime `InjectRuntimeFilter` blooms used for join pruning, exposed
+    as a first-class relational operator)."""
+    pos = F.explode(
+        F.array(
+            *[
+                md5_bucket(F.col(key_col), m, f"{salt}{i}")
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    return df.select(pos).distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    positions: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bf",
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe rows against a ``bloom_build`` position set: ``out_col`` is
+    true iff ALL k hash positions are occupied (no false negatives;
+    false positives at the published ``(1-e^{-kn/m})^k`` rate).
+
+    k broadcast left-joins of the ≤ m-row position set — the probe side
+    never shuffles, which is the point of shipping a bloom instead of
+    the key set."""
+    hit = None
+    for i in range(k):
+        p = F.broadcast(
+            positions.select(
+                F.col("pos").alias(f"_p{i}"),
+                F.lit(True).alias(f"_h{i}"),
+            )
+        )
+        df = df.join(
+            p,
+            md5_bucket(F.col(key_col), m, f"{salt}{i}")
+            == F.col(f"_p{i}"),
+            "left",
+        )
+        hi = F.coalesce(F.col(f"_h{i}"), F.lit(False))
+        hit = hi if hit is None else (hit & hi)
+    return df.withColumn(out_col, hit).drop(
+        *[c for i in range(k) for c in (f"_p{i}", f"_h{i}")]
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.bpe import (
     bpe_fit,
@@ -1216,6 +1216,244 @@ ORDER BY event_type
 """
 
 
+# ======================================================================
+# interval sweep-line, triangle counting, bloom membership
+# ======================================================================
+
+
+def q_rel_concurrency_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent intervals per event type via the sweep line:
+    each event opens an interval (ts, ts + 1..60 min); +1/−1 deltas
+    sorted per type with a running sum give the concurrency curve —
+    ONE keyed window (per-type partitions sort in parallel), no
+    self-join of intervals (the naive overlap join is quadratic). Ends
+    sort before starts at equal timestamps (half-open intervals), and
+    the max of the running sum is tie-order independent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts"),
+        (
+            F.col("ts")
+            + F.make_dt_interval(
+                mins=(F.floor("value").cast("int") % 60 + 1).cast("int")
+            )
+        ).alias("te"),
+    )
+    sweep = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type", F.col("te").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sweep.withColumn("running", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.max("running").cast("long").alias("max_concurrent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_CONCURRENCY = """
+WITH iv AS (
+  SELECT event_type, ts,
+         ts + to_minutes(CAST(floor(value) AS INT) % 60 + 1) AS te
+  FROM events
+),
+sweep AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, te AS t, -1 AS delta FROM iv
+),
+run AS (
+  SELECT event_type,
+         sum(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS running
+  FROM sweep
+)
+SELECT event_type,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(max(running) AS BIGINT) AS max_concurrent
+FROM run
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_rel_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the user co-occurrence graph
+    (edge = two users active in the same (day, hour, type) slot). The
+    canonical ordered-wedge algorithm: every edge stored once as
+    (a < b); wedges join edges on the middle vertex with a < b < c, and
+    a second equi-join closes them — all plain hash joins, no
+    enumeration of per-vertex neighborhoods on the driver. At scale the
+    standard degree-ordering refinement bounds wedge counts by
+    arboricity; the join SHAPE is identical."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.date_format("ts", "yyyy-MM-dd-HH").alias("slot"),
+        "event_type",
+    ).distinct()
+    a = ev.alias("x")
+    b = ev.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.slot") == F.col("y.slot"))
+            & (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(
+            F.col("x.user_id").alias("a"), F.col("y.user_id").alias("b")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.b") == F.col("e2.a")),
+    ).select(
+        F.col("e1.a").alias("wa"),
+        F.col("e1.b").alias("wb"),
+        F.col("e2.b").alias("wc"),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+    )
+    nodes = edges.select(F.col("a").alias("n")).unionByName(
+        edges.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(
+            F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        )
+        .crossJoin(
+            F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        )
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+_SQL_TRIANGLES = """
+WITH act AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d-%H') AS slot,
+         event_type
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM act x JOIN act y
+    ON x.slot = y.slot AND x.event_type = y.event_type
+   AND x.user_id < y.user_id
+),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+  )
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+BF_M, BF_K = 4096, 3
+
+
+def q_rel_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class Bloom-filter semi-join: a ≤ m-row filter built from
+    one side's keys (customers in nations ≡ 0 mod 5) probes the orders
+    fact — the probe side NEVER shuffles (k broadcast position joins),
+    which is why shipping a bloom beats shipping the key set at 100 TB.
+    Reports the false-positive accounting against the exact semi-join;
+    zero false negatives is structural."""
+    from .operators.sketches import bloom_build, bloom_probe
+
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.where(F.col("c_nationkey") % 5 == 0).select("c_custkey")
+    positions = bloom_build(keys, "c_custkey", m=BF_M, k=BF_K)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probed = bloom_probe(o, positions, "o_custkey", m=BF_M, k=BF_K)
+    truth = keys.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(True).alias("_true")
+    ).distinct()
+    return (
+        probed.join(F.broadcast(truth), "o_custkey", "left")
+        .select(
+            F.col("bloom_hit"),
+            F.coalesce("_true", F.lit(False)).alias("is_member"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_pos"),
+            F.sum(F.col("is_member").cast("long")).alias("n_true_pos"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("is_member")).cast("long")
+            ).alias("n_false_pos"),
+            F.sum(
+                (~F.col("bloom_hit") & F.col("is_member")).cast("long")
+            ).alias("n_false_neg"),
+        )
+    )
+
+
+def _sql_bloom_membership() -> str:
+    def bpos(expr: str, i: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat(CAST({expr} AS VARCHAR),"
+            f" 'bf{i}')), 1, 8)) AS BIGINT) % {BF_M}"
+        )
+
+    pos_union = "\n    UNION\n".join(
+        f"    SELECT {bpos('c_custkey', i)} AS pos FROM ks"
+        for i in range(BF_K)
+    )
+    hit = " AND ".join(
+        f"({bpos('o_custkey', i)}) IN (SELECT pos FROM posset)"
+        for i in range(BF_K)
+    )
+    return f"""
+WITH ks AS (
+  SELECT c_custkey FROM customer WHERE c_nationkey % 5 = 0
+),
+posset AS (
+{pos_union}
+),
+probed AS (
+  SELECT o_orderkey,
+         ({hit}) AS bloom_hit,
+         o_custkey IN (SELECT c_custkey FROM ks) AS is_member
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pos,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_pos,
+       CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN NOT bloom_hit AND is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM probed
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -1235,6 +1473,9 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ivm_view": q_stream_ivm_view,
     "pipe_weighted_sample": q_pipe_weighted_sample,
     "rel_outlier_zscore": q_rel_outlier_zscore,
+    "rel_concurrency_timeline": q_rel_concurrency_timeline,
+    "rel_graph_triangles": q_rel_graph_triangles,
+    "rel_bloom_membership": q_rel_bloom_membership,
 }
 
 
@@ -1258,4 +1499,7 @@ def oracles8() -> Dict[str, str]:
         "stream_ivm_view": _SQL_STREAM_IVM,
         "pipe_weighted_sample": _sql_weighted_sample(),
         "rel_outlier_zscore": _SQL_OUTLIER_Z,
+        "rel_concurrency_timeline": _SQL_CONCURRENCY,
+        "rel_graph_triangles": _SQL_TRIANGLES,
+        "rel_bloom_membership": _sql_bloom_membership(),
     }

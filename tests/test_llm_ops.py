@@ -285,3 +285,22 @@ def test_weighted_hash_sample_rates(spark):
     heavy = kept.where(F.col("w") == 400).count()
     assert heavy == 10000  # weight >= full_weight -> always kept
     assert abs(light / 10000 - 50 / 400) < 0.02  # ~12.5% of light rows
+
+
+def test_bloom_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    pos = bloom_build(keys, "k", m=2048, k=3)
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    out = bloom_probe(probe, pos, "k", m=2048, k=3)
+    # every true member must hit
+    missed = out.where(
+        (F.col("k") % 7 == 0) & (F.col("k") < 3500) & ~F.col("bloom_hit")
+    ).count()
+    assert missed == 0
+    # and the filter must actually reject most non-members
+    rejected = out.where(~F.col("bloom_hit")).count()
+    assert rejected > 2000
