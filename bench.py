@@ -138,6 +138,8 @@ HEADLINE = [
     "rel_concurrency_timeline",
     "rel_graph_triangles",
     "rel_bloom_membership",
+    "src_dynamic_overwrite",
+    "src_schema_evolution",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -1454,6 +1454,114 @@ FROM probed
 """
 
 
+# ======================================================================
+# sink behavior gates: dynamic partition overwrite, schema evolution
+# ======================================================================
+
+
+def _sink_dir(leaf: str) -> str:
+    import os
+
+    return os.path.join(os.getcwd(), "spark-warehouse", "sinks", leaf)
+
+
+def q_src_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill write
+    every partitioned warehouse relies on: rewriting ONE partition's
+    data must leave sibling partitions untouched (static overwrite
+    would truncate the whole table). The gate writes orders partitioned
+    by status, re-writes only 'F' with corrected prices, and the final
+    table must equal the oracle's CASE-corrected view — proving both
+    the selective overwrite AND the siblings' survival."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _sink_dir("dyn_overwrite")
+    o.write.mode("overwrite").partitionBy("status").parquet(path)
+    corrected = o.where(F.col("status") == "F").withColumn(
+        "cents", F.col("cents") + 111
+    )
+    with _dyn_overwrite(spark):
+        corrected.write.mode("overwrite").partitionBy("status").parquet(
+            path
+        )
+    back = spark.read.parquet(path)
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    ).orderBy("status")
+
+
+def _dyn_overwrite(spark: SparkSession):
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return cm()
+
+
+_SQL_DYN_OVERWRITE = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                + CASE WHEN o_orderstatus = 'F' THEN 111 ELSE 0 END)
+            AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two batches land with different schemas
+    (v2 adds a column), ``mergeSchema`` reconciles them and the missing
+    column reads as NULL for v1 rows — the append-only evolution
+    contract of a long-lived parquet dataset. (At 100 TB, pin the merged
+    schema explicitly instead of paying schema inference over every
+    footer; the per-file column-absence semantics are identical.)"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = _sink_dir("schema_evo")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "cents")
+    v2 = o.where(F.col("o_orderkey") % 2 == 1)
+    v1.write.mode("overwrite").parquet(path + "/v1")
+    v2.write.mode("overwrite").parquet(path + "/v2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        path + "/v1", path + "/v2"
+    )
+    return back.groupBy(
+        F.coalesce(F.col("prio"), F.lit("<v1>")).alias("prio")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    ).orderBy("prio")
+
+
+_SQL_SCHEMA_EVO = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<v1>' ELSE o_orderpriority END
+         AS prio,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -1476,6 +1584,8 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_concurrency_timeline": q_rel_concurrency_timeline,
     "rel_graph_triangles": q_rel_graph_triangles,
     "rel_bloom_membership": q_rel_bloom_membership,
+    "src_dynamic_overwrite": q_src_dynamic_overwrite,
+    "src_schema_evolution": q_src_schema_evolution,
 }
 
 
@@ -1502,4 +1612,6 @@ def oracles8() -> Dict[str, str]:
         "rel_concurrency_timeline": _SQL_CONCURRENCY,
         "rel_graph_triangles": _SQL_TRIANGLES,
         "rel_bloom_membership": _sql_bloom_membership(),
+        "src_dynamic_overwrite": _SQL_DYN_OVERWRITE,
+        "src_schema_evolution": _SQL_SCHEMA_EVO,
     }
