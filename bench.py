@@ -172,6 +172,12 @@ SF1_HEADLINE = [
     "emb_gram",
     "emb_near_dup",
     "pipe_pack_sequences",
+    "text_bpe_merges",
+    "rel_band_join",
+    "rel_graph_triangles",
+    "stream_ivm_view",
+    "rel_sketch_cmcount",
+    "rel_incremental_agg",
 ]
 
 
