@@ -140,6 +140,9 @@ HEADLINE = [
     "rel_bloom_membership",
     "src_dynamic_overwrite",
     "src_schema_evolution",
+    "rel_sequence_pattern",
+    "emb_quantize_int8",
+    "text_langid_confusion",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -1578,6 +1578,206 @@ ORDER BY 1
 """
 
 
+# ======================================================================
+# sequence patterns, int8 quantization, langid confusion
+# ======================================================================
+
+SEQ_PATTERN = ["view", "click", "purchase"]
+
+
+def q_rel_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style consecutive-pattern search: per user, the
+    time-ordered event-type sequence is scanned for the adjacent run
+    view→click→purchase. One keyed collect (sort inside the aggregate,
+    not a global sort) and a codegen array scan — per-user state is the
+    user's own history, embarrassingly parallel across users."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                )
+            ),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    k = len(SEQ_PATTERN)
+    match_at = lambda s, i: (
+        (F.element_at(s, i) == SEQ_PATTERN[0])
+        & (F.element_at(s, i + 1) == SEQ_PATTERN[1])
+        & (F.element_at(s, i + 2) == SEQ_PATTERN[2])
+    )
+    n_matches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size("types") - (k - 1), F.lit(0))),
+            lambda i: match_at(F.col("types"), i),
+        )
+    )
+    per_user = seqs.select(
+        "user_id", n_matches.cast("long").alias("n_matches")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("n_matches") > 0).cast("long")).alias(
+            "n_users_matched"
+        ),
+        F.sum("n_matches").alias("n_matches"),
+    )
+
+
+_SQL_SEQ_PATTERN = f"""
+WITH seqs AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id, event_type) AS types
+  FROM events GROUP BY user_id
+),
+per_user AS (
+  SELECT user_id,
+         CAST(len(list_filter(
+           range(1, greatest(len(types) - 2, 0) + 1),
+           i -> types[i] = '{SEQ_PATTERN[0]}'
+                AND types[i + 1] = '{SEQ_PATTERN[1]}'
+                AND types[i + 2] = '{SEQ_PATTERN[2]}')) AS BIGINT)
+           AS n_matches
+  FROM seqs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_users_matched,
+       CAST(sum(n_matches) AS BIGINT) AS n_matches
+FROM per_user
+"""
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus — the memory-
+    layout step a vector index applies before ANN serving (4× smaller
+    vectors, ADC-compatible codes). Per-dimension [min, max] comes from
+    ONE 64-row aggregate broadcast back; codes and reconstruction
+    error are identical IEEE expressions over the same floats on both
+    engines, with the error micro-quantized before summation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "j", "x"
+        ),
+    )
+    bounds = vals.groupBy("j").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    joined = vals.join(F.broadcast(bounds), "j")
+    span = F.col("hi") - F.col("lo")
+    code = F.when(span > 0,
+        F.round((F.col("x") - F.col("lo")) / span * 255)
+    ).otherwise(F.lit(0.0)).cast("long")
+    recon = F.col("lo") + code.cast("double") / 255 * span
+    err_micro = F.round(F.abs(F.col("x") - recon) * 1000000).cast("long")
+    return (
+        joined.select("vec_id", "label", code.alias("c"),
+                      err_micro.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.sum("c").alias("sum_codes"),
+            F.sum("e").alias("sum_abs_err_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_EMB_INT8 = """
+WITH vals AS (
+  SELECT vec_id, label,
+         UNNEST(range(1, len(embedding) + 1)) AS j,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+bounds AS (
+  SELECT j, min(x) AS lo, max(x) AS hi FROM vals GROUP BY j
+),
+coded AS (
+  SELECT v.vec_id, v.label,
+         CASE WHEN b.hi - b.lo > 0
+              THEN CAST(round((v.x - b.lo) / (b.hi - b.lo) * 255)
+                        AS BIGINT)
+              ELSE 0 END AS c,
+         v.x, b.lo, b.hi
+  FROM vals v JOIN bounds b ON v.j = b.j
+),
+errs AS (
+  SELECT vec_id, label, c,
+         CAST(round(abs(x - (lo + CAST(c AS DOUBLE) / 255
+                              * (hi - lo))) * 1000000) AS BIGINT) AS e
+  FROM coded
+)
+SELECT label,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(sum(c) AS BIGINT) AS sum_codes,
+       CAST(sum(e) AS BIGINT) AS sum_abs_err_micro
+FROM errs
+GROUP BY label
+ORDER BY label
+"""
+
+
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stopword-vote
+    heuristic against the gold ``lang`` labels — the audit loop any
+    production classifier runs. Narrow codegen scoring + one tiny
+    (gold, pred) rollup."""
+    from .operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs)
+    return (
+        pred.groupBy(
+            F.col("lang").alias("gold"),
+            F.col("pred_lang").alias("pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("gold", "pred")
+    )
+
+
+def _sql_langid_confusion() -> str:
+    from .operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score = {
+        lang: (
+            "len(list_filter(string_split(lower(text), ' '), "
+            "t -> t IN (%s)))"
+            % ", ".join("'%s'" % w for w in STOPWORDS[lang])
+        )
+        for lang in langs
+    }
+    scores_sql = ",\n         ".join(
+        f"{score[lang]} AS s_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+        )
+        + " END"
+    )
+    return f"""
+WITH scored AS (
+  SELECT lang,
+         {scores_sql}
+  FROM documents
+)
+SELECT lang AS gold, {case} AS pred, CAST(count(*) AS BIGINT) AS n
+FROM scored
+GROUP BY 1, 2
+ORDER BY gold, pred
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -1602,6 +1802,9 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_bloom_membership": q_rel_bloom_membership,
     "src_dynamic_overwrite": q_src_dynamic_overwrite,
     "src_schema_evolution": q_src_schema_evolution,
+    "rel_sequence_pattern": q_rel_sequence_pattern,
+    "emb_quantize_int8": q_emb_quantize_int8,
+    "text_langid_confusion": q_text_langid_confusion,
 }
 
 
@@ -1630,4 +1833,7 @@ def oracles8() -> Dict[str, str]:
         "rel_bloom_membership": _sql_bloom_membership(),
         "src_dynamic_overwrite": _SQL_DYN_OVERWRITE,
         "src_schema_evolution": _SQL_SCHEMA_EVO,
+        "rel_sequence_pattern": _SQL_SEQ_PATTERN,
+        "emb_quantize_int8": _SQL_EMB_INT8,
+        "text_langid_confusion": _sql_langid_confusion(),
     }
