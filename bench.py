@@ -143,6 +143,9 @@ HEADLINE = [
     "rel_sequence_pattern",
     "emb_quantize_int8",
     "text_langid_confusion",
+    "rel_asof_nearest",
+    "text_lm_bigram",
+    "emb_centroid_shift",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

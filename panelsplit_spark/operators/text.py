@@ -26,6 +26,7 @@ __all__ = [
     "fingerprint",
     "register_ngram_udtf",
     "lm_unigram_score",
+    "lm_bigram_score",
     "chunk_documents",
     "repetition_signals",
 ]
@@ -390,3 +391,95 @@ def pii_scrub(
         )
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(out_col, cur)
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    stronger form of the CCNet-style LM quality filter
+    (:func:`lm_unigram_score`): fluent word ORDER now matters, not just
+    word choice, so shuffled/templated text scores visibly worse.
+
+    ``p(w2|w1) = lam·c(w1,w2)/c(w1) + (1−lam)·(c(w2)+1)/(T+V)``
+    (denominator = w1's unigram count — the standard simplification) — the
+    classic Jelinek-Mercer interpolation with an add-one unigram
+    floor. Every probability is ONE float expression over exact integer
+    counts, and each bigram's log-prob is quantized to ``scale`` units
+    before the per-doc sum (partition-order independent, SQL-exact).
+
+    Scale shape: bigram explode is narrow; the model tables (bigram,
+    unigram, totals) are vocab-sized aggregates joined back onto the
+    bigram stream — one shuffle each, same cost class as tf-idf; at
+    100 TB the bigram join is the big one and shuffles the token
+    stream once.
+    """
+    toks = _tok(text_col)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    unigrams = df.select(
+        F.explode(toks).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    ctx = unigrams.select(
+        F.col("w").alias("w1c"), F.col("cu").alias("c1")
+    )
+    totals = unigrams.agg(
+        F.sum("cu").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    prob = (
+        F.lit(lam) * F.col("cb").cast("double") / F.col("c1")
+        + F.lit(1.0 - lam)
+        * (F.col("cu") + F.lit(1)).cast("double")
+        / (F.col("T") + F.col("V")).cast("double")
+    )
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(ctx, F.col("w1") == F.col("w1c"))
+        .join(
+            unigrams.select(F.col("w").alias("w2u"), "cu"),
+            F.col("w2") == F.col("w2u"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.round(F.log(prob) * F.lit(scale)).cast("long").alias("q"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("logprob_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "logprob_micro",
+            F.round(
+                F.col("logprob_micro") / F.lit(scale) / F.col("n_bigrams"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

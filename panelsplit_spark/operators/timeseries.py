@@ -82,7 +82,11 @@ def asof_join(
     at cross_validation.py:186 is the ``right_ts == snapshot`` special
     case). ``direction="forward"``: the right row with the SMALLEST
     ``right_ts`` ≥ ``left_ts`` (first tie wins) — the "next quote/
-    event" lookup.
+    event" lookup. ``direction="nearest"``: whichever of the two is
+    closer in time, ties to backward — composed from one backward and
+    one forward pass (two keyed window shuffles on the same key, so the
+    second exchange reuses the first's partitioning) with the gap
+    comparison in exact integer microseconds.
 
     Implementation: tag and union both sides, sort each key partition by
     time with right rows ordered before left rows at equal timestamps
@@ -91,6 +95,33 @@ def asof_join(
     ONE struct column, so right columns that are legitimately NULL in a
     matched row stay NULL instead of falling back to an older row.
     """
+    if direction == "nearest":
+        kw = dict(
+            on=on, left_ts=left_ts, right_ts=right_ts,
+            right_cols=right_cols, right_order=right_order,
+            tolerance_seconds=tolerance_seconds,
+        )
+        b = asof_join(left, right, prefix="__b_", direction="backward", **kw)
+        bf = asof_join(b, right, prefix="__f_", direction="forward", **kw)
+        lt = F.unix_micros(F.col(left_ts))
+        bgap = lt - F.unix_micros(F.col(f"__b_{right_ts}"))
+        fgap = F.unix_micros(F.col(f"__f_{right_ts}")) - lt
+        use_b = F.col(f"__b_{right_ts}").isNotNull() & (
+            F.col(f"__f_{right_ts}").isNull() | (bgap <= fgap)
+        )
+        out = bf
+        for c in [right_ts, *right_cols]:
+            out = out.withColumn(
+                f"{prefix}{c}",
+                F.when(use_b, F.col(f"__b_{c}")).otherwise(
+                    F.col(f"__f_{c}")
+                ),
+            )
+        return out.drop(
+            *[f"__b_{c}" for c in [right_ts, *right_cols]],
+            *[f"__f_{c}" for c in [right_ts, *right_cols]],
+        )
+
     payload = F.struct(
         F.col(right_ts).alias("__rts"),
         *[F.col(c).alias(c) for c in right_cols],

@@ -1778,6 +1778,270 @@ ORDER BY gold, pred
 """
 
 
+# ======================================================================
+# nearest as-of, bigram LM, embedding drift
+# ======================================================================
+
+ASOF_NEAR_TOL = 7200.0
+
+
+def q_rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (ties → backward) within a
+    tolerance: each click attaches its closest purchase by the same
+    user. Composed from one backward and one forward merge pass (the
+    union + ordered-window as-of, never a theta join); the gap compare
+    is exact integer microseconds. Per-user match accounting is the
+    hash-gated output."""
+    from .operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        F.col("ts").alias("bts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = asof_join(
+        clicks,
+        buys,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="bts",
+        right_cols=["cents"],
+        right_order=["rid"],
+        tolerance_seconds=ASOF_NEAR_TOL,
+        direction="nearest",
+    )
+    gap = F.abs(
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_bts"))
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("asof_bts").isNotNull().cast("long")).alias(
+                "n_matched"
+            ),
+            F.sum(gap).alias("sum_gap_us"),
+            F.sum("asof_cents").alias("matched_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _sql_asof_nearest() -> str:
+    tol_us = int(ASOF_NEAR_TOL * 1_000_000)
+    return f"""
+WITH l AS (
+  SELECT event_id AS lid, user_id, ts AS lts FROM events
+  WHERE event_type = 'click'
+),
+r AS (
+  SELECT event_id AS rid, user_id, ts AS rts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+bc AS (
+  SELECT lid, rts, cents FROM (
+    SELECT l.lid, r.rts, r.cents,
+           row_number() OVER (
+             PARTITION BY l.lid ORDER BY r.rts DESC, r.rid DESC
+           ) AS rn
+    FROM l JOIN r ON l.user_id = r.user_id AND r.rts <= l.lts
+     AND epoch_us(l.lts) - epoch_us(r.rts) <= {tol_us}
+  ) WHERE rn = 1
+),
+fc AS (
+  SELECT lid, rts, cents FROM (
+    SELECT l.lid, r.rts, r.cents,
+           row_number() OVER (
+             PARTITION BY l.lid ORDER BY r.rts ASC, r.rid ASC
+           ) AS rn
+    FROM l JOIN r ON l.user_id = r.user_id AND r.rts >= l.lts
+     AND epoch_us(r.rts) - epoch_us(l.lts) <= {tol_us}
+  ) WHERE rn = 1
+),
+n AS (
+  SELECT l.user_id, l.lts,
+         CASE WHEN bc.rts IS NOT NULL AND (fc.rts IS NULL
+                OR epoch_us(l.lts) - epoch_us(bc.rts)
+                   <= epoch_us(fc.rts) - epoch_us(l.lts))
+              THEN bc.rts ELSE fc.rts END AS mts,
+         CASE WHEN bc.rts IS NOT NULL AND (fc.rts IS NULL
+                OR epoch_us(l.lts) - epoch_us(bc.rts)
+                   <= epoch_us(fc.rts) - epoch_us(l.lts))
+              THEN bc.cents ELSE fc.cents END AS mcents
+  FROM l LEFT JOIN bc ON bc.lid = l.lid
+         LEFT JOIN fc ON fc.lid = l.lid
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN mts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(abs(epoch_us(lts) - epoch_us(mts))) AS BIGINT)
+         AS sum_gap_us,
+       CAST(sum(mcents) AS BIGINT) AS matched_cents
+FROM n
+GROUP BY user_id
+ORDER BY user_id"""
+
+
+def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality scores, rolled up per source —
+    fluency filtering where word ORDER matters (see
+    operators/text.lm_bigram_score for the exact-integer quantization
+    contract that makes the fixpoint-free model SQL-replayable)."""
+    from .operators.text import lm_bigram_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = lm_bigram_score(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.sum("logprob_micro").alias("logprob_micro_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_LM_BIGRAM = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+         UNNEST(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+  FROM toks
+),
+bigrams AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+  FROM pairs GROUP BY w1, w2
+),
+unigrams AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+    SELECT UNNEST(ts) AS w FROM toks
+  ) GROUP BY w
+),
+tot AS (
+  SELECT CAST(sum(cu) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS V
+  FROM unigrams
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(
+           (0.75 * CAST(b.cb AS DOUBLE)) / u1.cu
+           + (0.25 * CAST(u2.cu + 1 AS DOUBLE))
+             / CAST(tot.T + tot.V AS DOUBLE)
+         ) * 1000000.0) AS BIGINT) AS q
+  FROM pairs p
+  JOIN bigrams b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN unigrams u1 ON p.w1 = u1.w
+  JOIN unigrams u2 ON p.w2 = u2.w, tot
+)
+SELECT d.source,
+       CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s.q) AS BIGINT) AS logprob_micro_sum
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def q_emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: cosine similarity between per-label
+    centroids of two deterministic corpus halves — the vector-space
+    analog of the PSI gate (a drop below ~0.99 flags upstream encoder
+    or population drift). Per-dim sums are exact micro-unit integers;
+    the three dot products quantize each 64-term product to pico-units
+    before summation, so the cosine is a single identical float
+    expression on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "j", "x"
+        ),
+    )
+    sums = vals.groupBy("label", "half", "j").agg(
+        F.sum(F.round(F.col("x") * 1000000).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = sums.select(
+        "label", "half", "j",
+        (F.col("s") / F.lit(1000000.0) / F.col("n")).alias("c"),
+        "n",
+    )
+    c0 = cent.where(F.col("half") == 0).select(
+        "label", "j", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    c1 = cent.where(F.col("half") == 1).select(
+        "label", "j", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    both = c0.join(c1, ["label", "j"])
+    pico = lambda e: F.round(e * F.lit(1e12)).cast("long")
+    agg = both.groupBy("label").agg(
+        F.sum(pico(F.col("c0") * F.col("c1"))).alias("qd"),
+        F.sum(pico(F.col("c0") * F.col("c0"))).alias("q0"),
+        F.sum(pico(F.col("c1") * F.col("c1"))).alias("q1"),
+        F.max("n0").alias("n_half0"),
+        F.max("n1").alias("n_half1"),
+    )
+    cos = (F.col("qd") / F.lit(1e12)) / (
+        F.sqrt(F.col("q0") / F.lit(1e12)) * F.sqrt(F.col("q1") / F.lit(1e12))
+    )
+    return agg.select(
+        "label", "n_half0", "n_half1",
+        F.round(cos, 6).alias("centroid_cosine"),
+    ).orderBy("label")
+
+
+_SQL_EMB_SHIFT = """
+WITH vals AS (
+  SELECT label, vec_id % 2 AS half,
+         UNNEST(range(1, len(embedding) + 1)) AS j,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+sums AS (
+  SELECT label, half, j,
+         CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vals GROUP BY label, half, j
+),
+cent AS (
+  SELECT label, half, j, s / 1000000.0 / n AS c, n FROM sums
+),
+paired AS (
+  SELECT a.label, a.j, a.c AS c0, b.c AS c1, a.n AS n0, b.n AS n1
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.j = b.j AND a.half = 0 AND b.half = 1
+),
+agg AS (
+  SELECT label,
+         CAST(sum(CAST(round(c0 * c1 * 1e12) AS BIGINT)) AS BIGINT) AS qd,
+         CAST(sum(CAST(round(c0 * c0 * 1e12) AS BIGINT)) AS BIGINT) AS q0,
+         CAST(sum(CAST(round(c1 * c1 * 1e12) AS BIGINT)) AS BIGINT) AS q1,
+         CAST(max(n0) AS BIGINT) AS n_half0,
+         CAST(max(n1) AS BIGINT) AS n_half1
+  FROM paired GROUP BY label
+)
+SELECT label, n_half0, n_half1,
+       round((qd / 1e12) / (sqrt(q0 / 1e12) * sqrt(q1 / 1e12)), 6)
+         AS centroid_cosine
+FROM agg
+ORDER BY label
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -1805,6 +2069,9 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_sequence_pattern": q_rel_sequence_pattern,
     "emb_quantize_int8": q_emb_quantize_int8,
     "text_langid_confusion": q_text_langid_confusion,
+    "rel_asof_nearest": q_rel_asof_nearest,
+    "text_lm_bigram": q_text_lm_bigram,
+    "emb_centroid_shift": q_emb_centroid_shift,
 }
 
 
@@ -1836,4 +2103,7 @@ def oracles8() -> Dict[str, str]:
         "rel_sequence_pattern": _SQL_SEQ_PATTERN,
         "emb_quantize_int8": _SQL_EMB_INT8,
         "text_langid_confusion": _sql_langid_confusion(),
+        "rel_asof_nearest": _sql_asof_nearest(),
+        "text_lm_bigram": _SQL_LM_BIGRAM,
+        "emb_centroid_shift": _SQL_EMB_SHIFT,
     }

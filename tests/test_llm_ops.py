@@ -304,3 +304,33 @@ def test_bloom_no_false_negatives(spark):
     # and the filter must actually reject most non-members
     rejected = out.where(~F.col("bloom_hit")).count()
     assert rejected > 2000
+
+
+def test_asof_nearest_prefers_closer_and_ties_backward(spark):
+    from panelsplit_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "lid long, ts string",
+    ).selectExpr("lid", "CAST(ts AS TIMESTAMP) AS ts")
+    # for lid=1: backward @09:30 (30m), forward @10:20 (20m) -> forward
+    # for lid=2: backward @11:00 (60m), forward @13:00 (60m) -> tie -> backward
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 09:30:00", 1.0),
+            (11, "2024-01-01 10:20:00", 2.0),
+            (12, "2024-01-01 11:00:00", 3.0),
+            (13, "2024-01-01 13:00:00", 4.0),
+        ],
+        "rid long, rts string, v double",
+    ).selectExpr("rid", "CAST(rts AS TIMESTAMP) AS rts", "v")
+    left = left.withColumn("k", __import__("pyspark").sql.functions.lit(1))
+    right = right.withColumn("k", __import__("pyspark").sql.functions.lit(1))
+    out = {
+        r.lid: r.asof_v
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"], right_order=["rid"], direction="nearest",
+        ).collect()
+    }
+    assert out == {1: 2.0, 2: 3.0}
