@@ -146,6 +146,9 @@ HEADLINE = [
     "rel_asof_nearest",
     "text_lm_bigram",
     "emb_centroid_shift",
+    "rel_grouping_id",
+    "src_csv_malformed",
+    "rel_null_semantics",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -2042,6 +2042,163 @@ ORDER BY label
 """
 
 
+# ======================================================================
+# grouping metadata, malformed-input handling, NULL semantics
+# ======================================================================
+
+
+def q_rel_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() metadata parity: grouping-sets output where the
+    NULL-because-rolled-up rows are distinguished from genuine NULL
+    keys by the grouping indicator — the detail every BI layer on top
+    of CUBE/ROLLUP depends on."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gid")
+    return spark.sql(
+        """
+        SELECT grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               o_orderstatus AS status,
+               o_orderpriority AS prio,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM __orders_gid
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+        ORDER BY g_status, g_prio, status, prio
+        """
+    ).selectExpr(
+        "CAST(g_status AS BIGINT) AS g_status",
+        "CAST(g_prio AS BIGINT) AS g_prio",
+        "status", "prio", "n", "cents",
+    )
+
+
+_SQL_GROUPING_ID = """
+SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       o_orderstatus AS status,
+       o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+)
+ORDER BY g_status, g_prio, status, prio
+"""
+
+
+def q_src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling gate: a CSV lands with a corrupted
+    numeric field on a deterministic subset of rows; the PERMISSIVE
+    reader must null the broken field, capture the raw line in
+    ``_corrupt_record``, and keep every well-formed row intact — the
+    contract that lets a 100 TB ingest survive dirty files instead of
+    failing the job. Accounting (clean/corrupt counts + surviving sum)
+    is the oracle-checked output."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    broken = docs.select(
+        F.col("doc_id").cast("string"),
+        "source",
+        F.when(F.col("doc_id") % 97 == 0, F.lit("xx"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars"),
+    )
+    path = _sink_dir("csv_malformed")
+    broken.write.mode("overwrite").option("header", False).csv(path)
+    back = (
+        spark.read.schema(
+            "doc_id long, source string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
+            "n_corrupt"
+        ),
+        F.sum("n_chars").alias("clean_chars"),
+    ).orderBy("source")
+
+
+_SQL_CSV_MALFORMED = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END)
+            AS BIGINT) AS clean_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic gallery: NULLIF-injected nulls flow through
+    COALESCE, null-safe equality (<=> / IS NOT DISTINCT FROM),
+    count(*) vs count(col), and conditional aggregation — the NULL
+    contract every migrating SQL workload silently depends on."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.nullif(
+            F.round(F.col("value") * 100).cast("long"), F.lit(0)
+        ).alias("cents"),
+        F.nullif(F.col("user_id") % 10, F.lit(3)).alias("udig"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("cents").alias("n_cents_nonnull"),
+            F.sum(F.col("cents").isNull().cast("long")).alias(
+                "n_cents_null"
+            ),
+            F.sum(F.coalesce("cents", F.lit(-1))).alias("coalesced_sum"),
+            F.sum(
+                F.col("udig").eqNullSafe(F.col("cents") % 10).cast("long")
+            ).alias("n_nullsafe_eq"),
+            F.sum(
+                (F.col("udig") == (F.col("cents") % 10)).cast("long")
+            ).alias("n_plain_eq"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_NULL_SEMANTICS = """
+WITH base AS (
+  SELECT event_type,
+         nullif(CAST(round(value * 100) AS BIGINT), 0) AS cents,
+         nullif(user_id % 10, 3) AS udig
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(cents) AS BIGINT) AS n_cents_nonnull,
+       CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cents_null,
+       CAST(sum(coalesce(cents, -1)) AS BIGINT) AS coalesced_sum,
+       CAST(sum(CASE WHEN udig IS NOT DISTINCT FROM cents % 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+       CAST(sum(CASE WHEN udig = cents % 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_plain_eq
+FROM base
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -2072,6 +2229,9 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_asof_nearest": q_rel_asof_nearest,
     "text_lm_bigram": q_text_lm_bigram,
     "emb_centroid_shift": q_emb_centroid_shift,
+    "rel_grouping_id": q_rel_grouping_id,
+    "src_csv_malformed": q_src_csv_malformed,
+    "rel_null_semantics": q_rel_null_semantics,
 }
 
 
@@ -2106,4 +2266,7 @@ def oracles8() -> Dict[str, str]:
         "rel_asof_nearest": _sql_asof_nearest(),
         "text_lm_bigram": _SQL_LM_BIGRAM,
         "emb_centroid_shift": _SQL_EMB_SHIFT,
+        "rel_grouping_id": _SQL_GROUPING_ID,
+        "src_csv_malformed": _SQL_CSV_MALFORMED,
+        "rel_null_semantics": _SQL_NULL_SEMANTICS,
     }
