@@ -149,6 +149,8 @@ HEADLINE = [
     "rel_grouping_id",
     "src_csv_malformed",
     "rel_null_semantics",
+    "rel_explode_outer",
+    "rel_decimal_exact",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -2199,6 +2199,111 @@ ORDER BY event_type
 """
 
 
+# ======================================================================
+# outer-explode lateral semantics, exact decimal arithmetic
+# ======================================================================
+
+
+def q_rel_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER-explode (lateral) semantics: exploding a possibly-empty
+    token array must KEEP the empty-document row with a NULL position —
+    the outer-lateral contract that separates 'no elements' from 'row
+    vanished'. Per-source accounting distinguishes exploded token rows
+    from preserved empty rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda t: F.length(t) > 0,
+    )
+    rows = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode_outer(toks).alias("pos", "tok"),
+    )
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("tok").isNull().cast("long")).alias(
+                "n_empty_docs"
+            ),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.coalesce(F.col("pos"), F.lit(-1))).alias("pos_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_EXPLODE_OUTER = """
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     t -> length(t) > 0) AS ts
+  FROM documents
+),
+rows_ AS (
+  SELECT t.source, t.doc_id, u.pos, u.tok
+  FROM toks t
+  LEFT JOIN LATERAL (
+    SELECT UNNEST(range(1, len(t.ts) + 1)) - 1 AS pos,
+           UNNEST(t.ts) AS tok
+  ) u ON TRUE
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_docs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(pos, -1)) AS BIGINT) AS pos_sum
+FROM rows_
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_rel_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic gate: money flows through
+    DECIMAL(18,2) sums and scaled multiplication with NO float in the
+    path — the penny-exact accounting contract. The result converts to
+    integer cents only at the very end, so any engine that rounded
+    through binary floats would hash-mismatch."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    # multiplication only: decimal × decimal is EXACT (scale adds) on
+    # any conforming engine, whereas decimal division rounds at an
+    # engine-chosen scale — the one decimal op that is not portable
+    taxed = price * F.lit("1.07").cast("decimal(4,2)")
+    return (
+        o.select("o_orderstatus", price.alias("p"), taxed.alias("t"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("p") * 100).cast("long").alias("sum_cents"),
+            F.sum("t").cast("decimal(38,4)").cast("string")
+            .alias("taxed_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SQL_DECIMAL_EXACT = """
+WITH d AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         CAST(o_totalprice AS DECIMAL(18,2))
+           * CAST('1.07' AS DECIMAL(4,2)) AS t
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(p) * 100 AS BIGINT) AS sum_cents,
+       CAST(CAST(sum(t) AS DECIMAL(38,4)) AS VARCHAR) AS taxed_sum
+FROM d
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -2232,6 +2337,8 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_id": q_rel_grouping_id,
     "src_csv_malformed": q_src_csv_malformed,
     "rel_null_semantics": q_rel_null_semantics,
+    "rel_explode_outer": q_rel_explode_outer,
+    "rel_decimal_exact": q_rel_decimal_exact,
 }
 
 
@@ -2269,4 +2376,6 @@ def oracles8() -> Dict[str, str]:
         "rel_grouping_id": _SQL_GROUPING_ID,
         "src_csv_malformed": _SQL_CSV_MALFORMED,
         "rel_null_semantics": _SQL_NULL_SEMANTICS,
+        "rel_explode_outer": _SQL_EXPLODE_OUTER,
+        "rel_decimal_exact": _SQL_DECIMAL_EXACT,
     }
