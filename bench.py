@@ -151,6 +151,7 @@ HEADLINE = [
     "rel_null_semantics",
     "rel_explode_outer",
     "rel_decimal_exact",
+    "pipe_dataset_card",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -2304,6 +2304,109 @@ ORDER BY o_orderstatus
 """
 
 
+# ======================================================================
+# dataset card
+# ======================================================================
+
+
+def q_pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary — the one-row corpus audit a training-data
+    pipeline publishes with every release: volume, token counts,
+    exact-duplicate rate, language mix entropy, and exact length
+    quartiles. One scan + two group-sized aggregates; every number is
+    an exact integer or a single rounded expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        toks.alias("n_tokens"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    dups = base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    lang_n = base.groupBy("lang").agg(F.count(F.lit(1)).alias("ln"))
+    total = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.expr(
+            "percentile(n_tokens, array(0.25D, 0.5D, 0.75D))"
+        ).alias("__q"),
+    )
+    dup_rate = dups.agg(
+        (F.sum("c") - F.count(F.lit(1))).alias("n_dup_docs")
+    )
+    # language-mix entropy in exact nano-units: -Σ p·ln(p), each term
+    # quantized before the (tiny) sum
+    ent = (
+        lang_n.crossJoin(
+            F.broadcast(base.agg(F.count(F.lit(1)).alias("N")))
+        )
+        .select(
+            F.round(
+                -(F.col("ln").cast("double") / F.col("N"))
+                * F.log(F.col("ln").cast("double") / F.col("N"))
+                * F.lit(1e9)
+            ).cast("long").alias("t")
+        )
+        .agg(F.round(F.sum("t") / F.lit(1e9), 6).alias("lang_entropy"))
+    )
+    return (
+        total.crossJoin(F.broadcast(dup_rate))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_dup_docs",
+            F.round(F.col("__q")[0], 6).alias("tokens_p25"),
+            F.round(F.col("__q")[1], 6).alias("tokens_p50"),
+            F.round(F.col("__q")[2], 6).alias("tokens_p75"),
+            "lang_entropy",
+        )
+    )
+
+
+_SQL_DATASET_CARD = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> length(t) > 0)) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+),
+dup AS (
+  SELECT CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs
+  FROM base
+),
+ent AS (
+  SELECT round(sum(t) / 1e9, 6) AS lang_entropy FROM (
+    SELECT CAST(round(
+      -(CAST(ln AS DOUBLE) / N) * ln(CAST(ln AS DOUBLE) / N) * 1e9
+    ) AS BIGINT) AS t
+    FROM (SELECT lang, CAST(count(*) AS BIGINT) AS ln FROM base
+          GROUP BY lang),
+         (SELECT CAST(count(*) AS BIGINT) AS N FROM base)
+  )
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       (SELECT n_dup_docs FROM dup) AS n_dup_docs,
+       round(quantile_cont(n_tokens, 0.25), 6) AS tokens_p25,
+       round(quantile_cont(n_tokens, 0.5), 6) AS tokens_p50,
+       round(quantile_cont(n_tokens, 0.75), 6) AS tokens_p75,
+       (SELECT lang_entropy FROM ent) AS lang_entropy
+FROM base
+"""
+
+
 QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -2339,6 +2442,7 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_null_semantics": q_rel_null_semantics,
     "rel_explode_outer": q_rel_explode_outer,
     "rel_decimal_exact": q_rel_decimal_exact,
+    "pipe_dataset_card": q_pipe_dataset_card,
 }
 
 
@@ -2378,4 +2482,5 @@ def oracles8() -> Dict[str, str]:
         "rel_null_semantics": _SQL_NULL_SEMANTICS,
         "rel_explode_outer": _SQL_EXPLODE_OUTER,
         "rel_decimal_exact": _SQL_DECIMAL_EXACT,
+        "pipe_dataset_card": _SQL_DATASET_CARD,
     }
