@@ -14,7 +14,99 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["psi_drift", "dq_checks", "DQCheck"]
+__all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules", "GOPHER_STOPWORDS"]
+
+#: Small closed-class word set used by the "document contains at least
+#: two stopwords" heuristic (Rae et al. 2021, "Scaling Language Models"
+#: Gopher quality rules, Table A1 — public paper, rule set only).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality screen → per-row integer signals,
+    a rule-failure bitmask, and a keep/drop verdict.
+
+    Re-expression of the published Gopher heuristic filter (word-count
+    bounds, mean word length bounds, symbol-to-word ratio, bullet- and
+    ellipsis-line fractions, alphabetic-word fraction, stopword
+    presence) as ONE narrow whole-stage-codegen projection: no shuffle,
+    no Python, no UDFs — at 100 TB this runs at scan speed and the
+    verdict column predicate-pushes into downstream reads when the
+    output is written partitioned by ``passes``.
+
+    Cross-engine exactness: every emitted signal is an integer count
+    and every threshold is evaluated in cross-multiplied integer form
+    (``3·n_words ≤ n_word_chars`` instead of ``mean ≥ 3.0``), so the
+    DuckDB oracle replays the verdict bit-for-bit with no float
+    rounding contract.
+
+    Bitmask layout (bit set = rule FAILED):
+
+    * bit 0 — word count outside ``[min_words, max_words]``
+    * bit 1 — mean word length outside ``[min_mean_word_len, max_mean_word_len]``
+    * bit 2 — symbol-to-word ratio > 0.1  (``#`` and ``...`` hits)
+    * bit 3 — >90% of lines start with a bullet (``-`` or ``*``)
+    * bit 4 — >30% of lines end with an ellipsis
+    * bit 5 — <80% of words contain an alphabetic character
+    * bit 6 — fewer than ``min_stopword_hits`` stopword occurrences
+    """
+    t = F.col(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    toks = f"split({text_col}, ' ')"
+    lines = f"split({text_col}, '\\n')"
+    sig = df.select(
+        "*",
+        F.expr(f"size({toks})").cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate(transform({toks}, w -> length(w)), 0L, (a, x) -> a + x)"
+        ).alias("n_word_chars"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + F.floor(
+                (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+            )
+        ).cast("long").alias("n_symbol_hits"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(
+            f"size(filter({lines}, l -> startswith(ltrim(l), '-') "
+            f"or startswith(ltrim(l), '*')))"
+        ).cast("long").alias("n_bullet_lines"),
+        F.expr(f"size(filter({lines}, l -> endswith(rtrim(l), '...')))")
+        .cast("long")
+        .alias("n_ellipsis_lines"),
+        F.expr(f"size(filter({toks}, w -> w rlike '[a-zA-Z]'))")
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.expr(f"size(filter({toks}, w -> w in ({stop_list})))")
+        .cast("long")
+        .alias("n_stopword_hits"),
+    )
+    nw = F.col("n_words")
+    bits = [
+        (nw < min_words) | (nw > max_words),
+        (F.col("n_word_chars") < min_mean_word_len * nw)
+        | (F.col("n_word_chars") > max_mean_word_len * nw),
+        F.col("n_symbol_hits") * 10 > nw,
+        F.col("n_bullet_lines") * 10 > F.col("n_lines") * 9,
+        F.col("n_ellipsis_lines") * 10 > F.col("n_lines") * 3,
+        F.col("n_alpha_words") * 5 < nw * 4,
+        F.col("n_stopword_hits") < min_stopword_hits,
+    ]
+    mask = F.lit(0)
+    for i, b in enumerate(bits):
+        mask = mask + F.when(b, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig.withColumn("fail_mask", mask.cast("long")).withColumn(
+        "passes", (F.col("fail_mask") == 0).cast("int")
+    )
 
 
 def psi_drift(

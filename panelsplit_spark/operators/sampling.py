@@ -16,7 +16,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_bucket", "hash_split", "hash_sample",
     "weighted_hash_sample", "stratified_topn",
-           "pack_sequences", "rebalance_sources", "winsorize"]
+           "pack_sequences", "rebalance_sources", "winsorize",
+           "dsir_weights"]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
 # threshold comparisons are exact integer comparisons on both engines
@@ -275,4 +276,106 @@ def weighted_hash_sample(
     return df.where(
         b * F.lit(int(full_weight))
         < F.col(weight_col).cast("long") * F.lit(_BP)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """DSIR-style hashed-bigram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public paper; method only).
+
+    Rows where ``target`` is true define the target domain; every
+    document then gets a log importance weight
+
+        w(doc) = Σ_features  c(doc, b) · [ln p̂_target(b) − ln p̂_raw(b)]
+
+    over ``n_buckets`` hashed bigram features with add-one smoothing.
+    High-weight documents look like the target domain and are kept /
+    up-sampled by the caller (deterministic top-k or
+    ``weighted_hash_sample``).
+
+    100 TB shape: one explode + TWO keyed shuffles total — bigram
+    bucket counts per doc (keyed by (doc, bucket)) and the final
+    per-doc sum (keyed by doc). The bucket model is ``n_buckets`` rows
+    → broadcast; the corpus text itself is never shuffled, only
+    (id, bucket, count) triples.
+
+    Cross-engine exactness: bucket ids come from the md5 convention of
+    :func:`hash_bucket`; each bucket's log-ratio is quantized once to
+    integer micro-units (``round(ln(pt/pr)·scale)`` as LONG), so the
+    per-doc sum ``weight_micro = Σ c·lr_micro`` is exact integer
+    arithmetic — partition- and engine-independent (the same
+    quantized-log contract as ``text.lm_unigram_score``).
+    """
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    h = F.md5(F.col("bigram"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    ).alias("bucket")
+    db = (
+        df.select(F.col(id_col), target.alias("_is_t"),
+                  F.explode(bigrams).alias("bigram"))
+        .select(id_col, "_is_t", bucket)
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("_is_t").cast("int")).alias("_is_t"),
+        )
+    )
+    model = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_t") == 1, F.col("c")).otherwise(F.lit(0)))
+        .alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.col("ct") + 1).cast("double")
+                        / (F.col("tt") + n_buckets).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("tr") + n_buckets).cast("double")
+                    )
+                )
+                * F.lit(scale)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("weight_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "weight_micro",
+            F.round(
+                F.col("weight_micro") / F.lit(scale) / F.col("n_bigrams"), 6
+            ).alias("avg_log_ratio"),
+        )
     )

@@ -412,3 +412,10 @@ from .queries_llm import QUERIES8, oracles8  # noqa: E402
 
 QUERIES.update(QUERIES8)
 ORACLES.update(oracles8())
+
+# Round-3 curation breadth: Gopher rules, DSIR weighting, semantic
+# dedup, skyline/closure plan shapes (part 9)
+from .queries_curate import QUERIES9, oracles9  # noqa: E402
+
+QUERIES.update(QUERIES9)
+ORACLES.update(oracles9())
