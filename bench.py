@@ -152,6 +152,11 @@ HEADLINE = [
     "rel_explode_outer",
     "rel_decimal_exact",
     "pipe_dataset_card",
+    "pipe_gopher_rules",
+    "pipe_dsir_weights",
+    "dedup_semdedup",
+    "rel_skyline",
+    "rel_tree_rollup",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -39,7 +39,7 @@ from ..functions.hashing import (
     word_ngrams,
     word_tokens,
 )
-from ..functions.vector import cosine_similarity
+from ..functions.vector import as_double, cosine_similarity
 
 __all__ = [
     "exact_dedup_groups",
@@ -56,6 +56,7 @@ __all__ = [
     "duplicated_spans",
     "span_dedup_stats",
     "remove_duplicated_spans",
+    "semdedup",
 ]
 
 
@@ -970,5 +971,79 @@ def remove_duplicated_spans(
             (
                 F.col("_n") - F.coalesce("kept_tokens", F.lit(0))
             ).cast("long").alias("removed_tokens"),
+        )
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper; method only): cluster the embedding
+    space, then screen for near-duplicate pairs WITHIN each cluster
+    only, dropping all but one member of every near-dup star.
+
+    ``centroids`` is a fitted k-means model (``similarity.kmeans_fit``).
+    Verdict rule: a vector is dropped iff some LOWER-id vector in the
+    same cluster has cosine ≥ ``threshold`` with it (the paper keeps
+    one representative per duplicate group; we pick the smallest id —
+    deterministic, engine-independent, and a single join instead of an
+    iterative greedy).
+
+    100 TB shape: assignment is a zero-shuffle codegen projection
+    against centroid literals (``kmeans_assign``); the pair screen is a
+    self-equi-join keyed by cluster id — the corpus shuffles once on
+    ``cell`` and the quadratic term is bounded by cluster size, which
+    the caller controls via k (SemDeDup's own scalability argument).
+    Nothing is ever collected.
+
+    Returns one row per vector: ``(id, cell, n_dup_lower, max_cosine,
+    keep)`` with cosines rounded to ``round_to`` for cross-engine
+    hashing.
+    """
+    from .similarity import kmeans_assign
+
+    vecs = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    asg = kmeans_assign(vecs, centroids, "__v", "cell", round_to=round_to)
+    a = asg.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"), "cell"
+    )
+    b = asg.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "cell"
+    )
+    cos = F.round(
+        cosine_similarity(F.col("va"), F.col("vb")), round_to
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .groupBy("id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_lower"),
+            F.max("cos").alias("max_cosine"),
+        )
+    )
+    return (
+        asg.join(dups, asg["__id"] == dups["id_b"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_dup_lower", F.lit(0)).cast("long").alias(
+                "n_dup_lower"
+            ),
+            "max_cosine",
+            F.when(F.col("n_dup_lower").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
         )
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "ancestor_closure"]
 
 
 def pagerank(
@@ -109,3 +109,61 @@ def pagerank(
         )
     ranks.persisted_intermediates = (nodes, ed)
     return ranks
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Transitive closure of a parent-pointer forest → one row per
+    (node, ancestor) pair with the hop distance: the building block for
+    hierarchy rollups (BOM explosion, org charts, category trees)
+    that SQL engines express with ``WITH RECURSIVE``.
+
+    Algorithm: repeated relation squaring — round j holds all pairs
+    with distance < 2^j, and one self-join doubles the reach
+    (``R ← R ∪ R∘R``), so a depth-d hierarchy closes in ⌈log₂ d⌉
+    joins instead of d chained ones. On a parent-pointer tree the pair
+    count is exactly n·depth(n) — no quadratic blowup — and each round
+    is one shuffle keyed by the join column; the frame is persisted per
+    round and the fixpoint test is a cheap count comparison. Raises if
+    ``max_rounds`` (default 20 ⇒ depth 2^20) does not converge, rather
+    than silently returning a partial closure.
+    """
+    pairs = (
+        edges.select(
+            F.col(child_col).alias("node"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).cast("long").alias("dist"),
+        )
+        .where(F.col("node") != F.col("anc"))
+        .distinct()
+        .persist()
+    )
+    n_prev = pairs.count()
+    for _ in range(max_rounds):
+        hop = pairs.select(
+            F.col("node").alias("_m"), F.col("anc").alias("_a"),
+            F.col("dist").alias("_d"),
+        )
+        doubled = (
+            pairs.join(hop, pairs["anc"] == hop["_m"])
+            .select(
+                "node",
+                F.col("_a").alias("anc"),
+                (F.col("dist") + F.col("_d")).alias("dist"),
+            )
+        )
+        nxt = pairs.unionByName(doubled).distinct().persist()
+        n_now = nxt.count()
+        pairs.unpersist()
+        pairs = nxt
+        if n_now == n_prev:
+            return pairs
+        n_prev = n_now
+    raise RuntimeError(
+        f"ancestor_closure: no fixpoint after {max_rounds} squaring "
+        f"rounds (depth > 2^{max_rounds} or a cycle in the 'forest')"
+    )

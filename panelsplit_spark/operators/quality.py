@@ -61,7 +61,9 @@ def gopher_rules(
     """
     t = F.col(text_col)
     stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
-    toks = f"split({text_col}, ' ')"
+    # drop empty tokens (leading/trailing/double spaces) so whitespace
+    # noise doesn't distort the per-word means
+    toks = f"filter(split({text_col}, ' '), w -> w <> '')"
     lines = f"split({text_col}, '\\n')"
     sig = df.select(
         "*",

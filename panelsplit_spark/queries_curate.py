@@ -55,9 +55,10 @@ def _sql_gopher_rules() -> str:
     return f"""
 WITH sig AS (
   SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         CAST(list_sum(list_transform(string_split(text, ' '),
-                                      w -> length(w))) AS BIGINT)
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+                                      w -> length(w))), 0) AS BIGINT)
            AS n_word_chars,
          CAST((length(text) - length(replace(text, '#', '')))
               + (length(text) - length(replace(text, '...', ''))) // 3
@@ -166,12 +167,209 @@ GROUP BY 1
 
 
 # ======================================================================
+# SemDeDup semantic deduplication
+# ======================================================================
+
+SEMDEDUP_K = 8
+SEMDEDUP_ITER = 2
+SEMDEDUP_T = 0.35
+
+
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (operators/dedup.semdedup):
+    fixed-seed distributed Lloyd fits the clusters, assignment is a
+    zero-shuffle codegen projection, the near-dup screen self-joins on
+    the cluster id only. Oracle-gated by replaying the full Lloyd
+    fixpoint in SQL (shared CTE chain, queries_nlp.kmeans_lloyd_ctes)
+    plus the identical pair screen."""
+    from .operators.dedup import semdedup
+    from .operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=SEMDEDUP_K, n_iter=SEMDEDUP_ITER)
+    return semdedup(emb, cents, threshold=SEMDEDUP_T).select(
+        "vec_id", "cell", "n_dup_lower", "max_cosine", "keep"
+    )
+
+
+def _sql_semdedup() -> str:
+    from .queries_nlp import kmeans_lloyd_ctes
+
+    return kmeans_lloyd_ctes(SEMDEDUP_K, SEMDEDUP_ITER) + """,
+asg AS (
+  SELECT id, x, cell FROM (
+    SELECT v.id, v.x, p.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_sum(list_transform(
+                        range(1, len(v.x) + 1),
+                        j -> (v.x[j] - p.c[j]) * (v.x[j] - p.c[j]))), 6),
+                      p.cell
+           ) AS rn
+    FROM v, cent%(last)d p
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT id_b, count(*) AS n_dup_lower, max(cos) AS max_cosine FROM (
+    SELECT b.id AS id_b,
+           round(list_cosine_similarity(a.x, b.x), 6) AS cos
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+  ) WHERE cos >= %(t)s
+  GROUP BY id_b
+)
+SELECT asg.id AS vec_id,
+       CAST(asg.cell AS BIGINT) AS cell,
+       CAST(coalesce(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+       d.max_cosine AS max_cosine,
+       CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS keep
+FROM asg LEFT JOIN dups d ON d.id_b = asg.id
+""" % {"last": SEMDEDUP_ITER, "t": SEMDEDUP_T}
+
+
+# ======================================================================
+# Skyline (Pareto frontier)
+# ======================================================================
+
+
+def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: maximal size at minimal price (a part
+    is dominated if another has ≥ size and ≤ price with one strict).
+
+    Scale shape: the textbook skyline is a quadratic NOT-EXISTS
+    self-join — the oracle keeps that form as an INDEPENDENT witness.
+    The Spark plan instead reduces to the distinct-size axis first
+    (one groupBy), runs a cumulative-min window over sizes-descending
+    (domain-sized, not row-sized), and broadcast-joins the two
+    thresholds back: total cost one scan + one tiny shuffle, no
+    quadratic term at any scale. Prices compare in exact integer
+    cents."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    by_size = p.groupBy("p_size").agg(F.min("price_cents").alias("mp"))
+    w = (
+        Window.orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresholds = by_size.select(
+        "p_size", "mp", F.min("mp").over(w).alias("m_larger")
+    )
+    return (
+        p.join(F.broadcast(thresholds), "p_size")
+        .where(
+            (F.col("m_larger").isNull() | (F.col("m_larger") > F.col("price_cents")))
+            & (F.col("mp") >= F.col("price_cents"))
+        )
+        .select("p_partkey", "p_size", "price_cents")
+    )
+
+
+_SQL_SKYLINE = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT p_partkey, p_size, price_cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
+)
+"""
+
+
+# ======================================================================
+# Hierarchy closure + rollup (WITH RECURSIVE analog)
+# ======================================================================
+
+
+def q_rel_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over a derived part hierarchy (parent = key÷2, a
+    binary tree rooted at 1; keys 0 and 1 are roots): per part its
+    depth, subtree size, and subtree retail-price total in exact cents.
+
+    This is the ``WITH RECURSIVE`` workload class. The Spark plan uses
+    operators/graph.ancestor_closure — relation squaring, ⌈log₂ depth⌉
+    self-joins instead of depth chained ones — then two grouped
+    aggregates over the (node, ancestor) pairs. The oracle is an
+    INDEPENDENT linear-recursion CTE in DuckDB, so the gate also
+    cross-checks the squaring against textbook recursion."""
+    from .operators.graph import ancestor_closure
+
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+    )
+    edges = p.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 2").alias("parent"),
+    )
+    cl = ancestor_closure(edges)
+    depth = cl.groupBy("node").agg(F.max("dist").alias("depth"))
+    sub = (
+        cl.join(p, cl["node"] == p["p_partkey"])
+        .groupBy("anc")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("pc").alias("sc"))
+    )
+    return (
+        p.join(depth, p["p_partkey"] == depth["node"], "left")
+        .join(sub, p["p_partkey"] == sub["anc"], "left")
+        .select(
+            "p_partkey",
+            F.coalesce("depth", F.lit(0)).cast("long").alias("depth"),
+            (F.coalesce("nd", F.lit(0)) + 1).cast("long").alias("n_subtree"),
+            (F.coalesce("sc", F.lit(0)) + F.col("pc"))
+            .cast("long")
+            .alias("subtree_cents"),
+        )
+    )
+
+
+_SQL_TREE_ROLLUP = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey AS child, p_partkey // 2 AS anc
+  FROM part WHERE p_partkey >= 2
+), cl AS (
+  SELECT child AS node, anc, 1 AS dist FROM e
+  UNION ALL
+  SELECT cl.node, e.anc, cl.dist + 1 FROM cl JOIN e ON cl.anc = e.child
+), p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+  FROM part
+), d AS (
+  SELECT node, max(dist) AS depth FROM cl GROUP BY 1
+), s AS (
+  SELECT anc, count(*) AS nd, sum(p.pc) AS sc
+  FROM cl JOIN p ON p.p_partkey = cl.node GROUP BY 1
+)
+SELECT p.p_partkey,
+       CAST(coalesce(d.depth, 0) AS BIGINT) AS depth,
+       CAST(coalesce(s.nd, 0) + 1 AS BIGINT) AS n_subtree,
+       CAST(coalesce(s.sc, 0) + p.pc AS BIGINT) AS subtree_cents
+FROM p
+LEFT JOIN d ON d.node = p.p_partkey
+LEFT JOIN s ON s.anc = p.p_partkey
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
 QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_gopher_rules": q_pipe_gopher_rules,
     "pipe_dsir_weights": q_pipe_dsir_weights,
+    "dedup_semdedup": q_dedup_semdedup,
+    "rel_skyline": q_rel_skyline,
+    "rel_tree_rollup": q_rel_tree_rollup,
 }
 
 
@@ -179,4 +377,7 @@ def oracles9() -> Dict[str, str]:
     return {
         "pipe_gopher_rules": _sql_gopher_rules(),
         "pipe_dsir_weights": _sql_dsir_weights(),
+        "dedup_semdedup": _sql_semdedup(),
+        "rel_skyline": _SQL_SKYLINE,
+        "rel_tree_rollup": _SQL_TREE_ROLLUP,
     }

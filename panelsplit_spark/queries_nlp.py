@@ -702,9 +702,11 @@ def q_sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_ivf(n_iter: int = 3) -> str:
-    """DuckDB replay of q_sim_kmeans_ivf_topk: unrolls ``n_iter`` Lloyd
-    rounds as chained CTEs, then the IVF probe.
+def kmeans_lloyd_ctes(k: int, n_iter: int) -> str:
+    """Shared DuckDB CTE chain replaying ``operators/similarity.
+    kmeans_fit(k, n_iter)`` over the embeddings table: ``WITH v AS …,
+    cent0 …, cent{n_iter}``. Callers append their own consumer CTEs
+    (the IVF probe below; the SemDeDup pair screen in queries_curate).
 
     Exactness contract (mirrors operators/similarity.kmeans_fit):
 
@@ -718,8 +720,6 @@ def _sql_kmeans_ivf(n_iter: int = 3) -> str:
       bit-identical and every later float comparison is safe;
     * empty cells keep the previous centroid (LEFT JOIN + CASE).
     """
-    from .queries_data import IVF_CELLS, IVF_PROBE, TOPK_K, TOPK_NQ
-
     parts = [
         """
 WITH v AS (
@@ -730,7 +730,7 @@ cent0 AS (
     SELECT id, x, md5(CAST(id AS VARCHAR)) AS h FROM v
     ORDER BY h, id LIMIT %d
   )
-)""" % IVF_CELLS
+)""" % k
     ]
     for i in range(1, n_iter + 1):
         parts.append(
@@ -773,6 +773,15 @@ cent%(i)d AS (
   GROUP BY px.cell
 )""" % {"i": i, "p": i - 1}
         )
+    return "".join(parts)
+
+
+def _sql_kmeans_ivf(n_iter: int = 3) -> str:
+    """DuckDB replay of q_sim_kmeans_ivf_topk: the shared Lloyd chain
+    (:func:`kmeans_lloyd_ctes`) + the IVF probe."""
+    from .queries_data import IVF_CELLS, IVF_PROBE, TOPK_K, TOPK_NQ
+
+    parts = [kmeans_lloyd_ctes(IVF_CELLS, n_iter)]
     parts.append(
         """,
 ca AS (

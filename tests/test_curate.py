@@ -1,0 +1,203 @@
+"""Unit tests for the round-3 curation operators: Gopher quality rules,
+DSIR importance weights, SemDeDup, ancestor closure, skyline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------------
+# gopher_rules
+# ----------------------------------------------------------------------
+
+
+def test_gopher_rules_bitmask(spark):
+    from panelsplit_spark.operators.quality import gopher_rules
+
+    rows = [
+        # 1: clean doc, long enough, has stopwords -> passes
+        (1, "the cat sat on the mat and then the dog sat too " * 5),
+        # 2: too short -> bit 0
+        (2, "the and of"),
+        # 3: no stopwords, enough words -> bit 6
+        (3, "zebra quokka lemur " * 20),
+        # 4: symbol-heavy -> bit 2 (plus whatever else fails)
+        (4, "# # # # # word"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(df, min_words=10).collect()
+    }
+    assert out[1]["fail_mask"] == 0 and out[1]["passes"] == 1
+    assert out[2]["fail_mask"] & 1
+    assert out[3]["fail_mask"] & 64 and not out[3]["fail_mask"] & 1
+    assert out[4]["fail_mask"] & 4 and out[4]["passes"] == 0
+
+
+def test_gopher_rules_line_rules(spark):
+    from panelsplit_spark.operators.quality import gopher_rules
+
+    bullets = "\n".join("- item %d the a of and" % i for i in range(10))
+    ells = "\n".join("the a of and words here..." for _ in range(10))
+    df = spark.createDataFrame(
+        [(1, bullets), (2, ells)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=5).collect()}
+    assert out[1]["n_bullet_lines"] == 10 and out[1]["fail_mask"] & 8
+    assert out[2]["n_ellipsis_lines"] == 10 and out[2]["fail_mask"] & 16
+
+
+# ----------------------------------------------------------------------
+# dsir_weights
+# ----------------------------------------------------------------------
+
+
+def test_dsir_weights_separate_domains(spark):
+    from panelsplit_spark.operators.sampling import dsir_weights
+
+    # two disjoint vocabularies; target docs should get positive
+    # weights, off-target negative ones
+    t = "alpha beta gamma delta epsilon zeta " * 5
+    r = "one two three four five six " * 5
+    rows = [(i, t, 1) for i in range(10)] + [
+        (i, r, 0) for i in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = dsir_weights(df, target=F.col("is_t") == 1).collect()
+    by_id = {r["doc_id"]: r["weight_micro"] for r in out}
+    assert all(by_id[i] > 0 for i in range(10))
+    assert all(by_id[i] < 0 for i in range(10, 20))
+
+
+def test_dsir_weights_partition_invariant(spark):
+    from panelsplit_spark.operators.sampling import dsir_weights
+
+    rows = [
+        (i, "w%d x%d common words here" % (i % 3, i % 5), i % 2)
+        for i in range(40)
+    ]
+    df1 = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    df8 = df1.repartition(8)
+    a = sorted(
+        (r["doc_id"], r["weight_micro"])
+        for r in dsir_weights(df1, target=F.col("is_t") == 1).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["weight_micro"])
+        for r in dsir_weights(df8, target=F.col("is_t") == 1).collect()
+    )
+    assert a == b
+
+
+# ----------------------------------------------------------------------
+# semdedup
+# ----------------------------------------------------------------------
+
+
+def test_semdedup_keeps_lowest_id(spark):
+    from panelsplit_spark.operators.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0]),      # other direction, kept
+        (4, [0.0, 0.98, 0.02]),    # near-dup of 3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(df, cents, threshold=0.9).collect()
+    }
+    assert out[1]["keep"] == 1 and out[3]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["n_dup_lower"] == 1
+    assert out[4]["keep"] == 0
+    # different clusters never compare
+    assert out[3]["cell"] != out[1]["cell"]
+
+
+def test_semdedup_cross_cluster_blind(spark):
+    from panelsplit_spark.operators.dedup import semdedup
+
+    # identical vectors forced into different cells never pair; the
+    # clustering is the recall/cost dial, exactly as in the paper
+    rows = [(1, [1.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semdedup(df, [[1.0, 1.0], [-1.0, -1.0]], threshold=0.5).collect()
+    assert all(r["keep"] == (1 if r["vec_id"] == 1 else 0) for r in out)
+
+
+# ----------------------------------------------------------------------
+# ancestor_closure
+# ----------------------------------------------------------------------
+
+
+def _py_closure(edges):
+    parent = dict(edges)
+    out = set()
+    for n in parent:
+        d, a = 0, n
+        while a in parent:
+            a = parent[a]
+            d += 1
+            out.add((n, a, d))
+    return out
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(i, i - 1) for i in range(1, 12)],            # deep chain
+        [(i, 0) for i in range(1, 12)],                # flat star
+        [(i, i // 2) for i in range(2, 32)],           # binary tree
+    ],
+)
+def test_ancestor_closure_matches_python(spark, edges):
+    from panelsplit_spark.operators.graph import ancestor_closure
+
+    df = spark.createDataFrame(edges, ["child", "parent"])
+    got = {
+        (r["node"], r["anc"], r["dist"])
+        for r in ancestor_closure(df).collect()
+    }
+    assert got == _py_closure(edges)
+
+
+def test_ancestor_closure_cycle_raises(spark):
+    from panelsplit_spark.operators.graph import ancestor_closure
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], ["child", "parent"])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        ancestor_closure(df, max_rounds=3)
+
+
+# ----------------------------------------------------------------------
+# skyline
+# ----------------------------------------------------------------------
+
+
+def test_skyline_query_matches_bruteforce(spark):
+    from panelsplit_spark.queries_curate import q_rel_skyline
+
+    out = q_rel_skyline(spark, "/root/testdata/sf0.001").collect()
+    part = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select(
+            "p_partkey",
+            "p_size",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("pc"),
+        )
+        .collect()
+    )
+    pts = [(r["p_partkey"], r["p_size"], r["pc"]) for r in part]
+    expect = {
+        (k, s, c)
+        for (k, s, c) in pts
+        if not any(
+            s2 >= s and c2 <= c and (s2 > s or c2 < c)
+            for (_, s2, c2) in pts
+        )
+    }
+    assert {(r["p_partkey"], r["p_size"], r["price_cents"]) for r in out} == expect
