@@ -157,6 +157,8 @@ HEADLINE = [
     "dedup_semdedup",
     "rel_skyline",
     "rel_tree_rollup",
+    "feat_trend_ols",
+    "cv_logit_irls",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

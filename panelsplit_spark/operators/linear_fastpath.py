@@ -36,7 +36,7 @@ from ..estimators import (
     clone,
 )
 
-__all__ = ["suffstats_fit", "linear_predict_frame", "sweep_scores"]
+__all__ = ["suffstats_fit", "linear_predict_frame", "sweep_scores", "logistic_irls"]
 
 # Moment aggregates are a function of (data, folds, columns, null rule) —
 # NOT of the estimator's hyper-parameters. A hyper-parameter search over
@@ -511,3 +511,75 @@ def sweep_scores(
         for k, v in scores.items()
     }
     return models_per_cand, folded
+
+
+def logistic_irls(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_iter: int = 2,
+    scale: float = 1_000_000_000.0,
+) -> List[dict]:
+    """Distributed single-feature logistic regression via
+    Newton/IRLS — the classification sibling of the closed-form OLS
+    fast path, as ONE aggregation per Newton step.
+
+    Per step (β fixed): executors compute per-row η = β₀+β₁x,
+    μ = 1/(1+e^(−η)), and quantize the five Newton terms
+    (w, wx, wx², y−μ, (y−μ)x with w = μ(1−μ)) to integer nano-units;
+    the grouped sum of those LONGs is exact and order-independent, and
+    the driver applies the 2×2 Cramer solve
+    Δ = H⁻¹·g on plain IEEE doubles. So the whole fit is ``n_iter``
+    scans with map-side combine — no fold-sized task, no collect of
+    anything but ten integers per step.
+
+    Cross-engine contract: starting from β = (0,0), step 1 involves NO
+    transcendentals (μ = 0.5, w = 0.25 exactly); later steps quantize
+    AFTER the one exp() call per row, absorbing libm ulp differences,
+    and every β is derived from the integer sums by a fixed double
+    expression — the same replay-the-iteration pattern as kmeans_fit /
+    stream_online_linreg. Returns one dict per iteration:
+    ``{it, sw, swx, swxx, g0, g1, beta0, beta1}`` (sums = exact LONG
+    nano-units; betas = post-step doubles).
+    """
+    pts = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    b0, b1 = 0.0, 0.0
+    out: List[dict] = []
+    for it in range(1, n_iter + 1):
+        eta = F.lit(b0) + F.lit(b1) * F.col("x")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        r = F.col("y") - mu
+
+        def q(c: Column) -> Column:
+            return F.round(c * F.lit(scale)).cast("long")
+
+        row = pts.agg(
+            F.sum(q(w)).alias("sw"),
+            F.sum(q(w * F.col("x"))).alias("swx"),
+            F.sum(q(w * F.col("x") * F.col("x"))).alias("swxx"),
+            F.sum(q(r)).alias("g0"),
+            F.sum(q(r * F.col("x"))).alias("g1"),
+        ).collect()[0]
+        sw, swx, swxx = float(row["sw"]), float(row["swx"]), float(row["swxx"])
+        g0, g1 = float(row["g0"]), float(row["g1"])
+        det = sw * swxx - swx * swx
+        if det == 0.0:
+            raise RuntimeError("logistic_irls: singular Hessian")
+        # nano-unit scales cancel in H^-1 g, so the deltas are unitful
+        d0 = (swxx * g0 - swx * g1) / det
+        d1 = (sw * g1 - swx * g0) / det
+        b0, b1 = b0 + d0, b1 + d1
+        out.append(
+            {
+                "it": it,
+                "sw": int(row["sw"]), "swx": int(row["swx"]),
+                "swxx": int(row["swxx"]),
+                "g0": int(row["g0"]), "g1": int(row["g1"]),
+                "beta0": b0, "beta1": b1,
+            }
+        )
+    return out

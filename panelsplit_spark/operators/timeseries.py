@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "asof_join", "resample_daily_ffill"]
+__all__ = ["sessionize", "asof_join", "resample_daily_ffill", "group_trend_ols"]
 
 
 def sessionize(
@@ -244,4 +244,59 @@ def resample_daily_ffill(
         F.col("__d").alias(date_col),
         gap,
         *filled,
+    )
+
+
+def group_trend_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group simple linear trend (OLS slope + intercept of y on x)
+    from exact integer moments — the panel feature engineering staple
+    ("is this account's usage rising?") computed at any scale in ONE
+    grouped aggregate.
+
+    ``x_col`` and ``y_col`` must already be integer-quantized by the
+    caller (e.g. minutes-since-epoch, money in cents): the five moments
+    (n, Σx, Σy, Σxy, Σx²) then accumulate as exact LONGs —
+    partition-order-independent and engine-exact — and the closed-form
+    slope/intercept are single rounded double expressions over them.
+    Degenerate groups (one point, or zero x-variance) emit NULL slope/
+    intercept rather than dividing by zero.
+
+    100 TB shape: one shuffle keyed by ``group_cols`` with map-side
+    partial aggregation; no windows, no second pass, nothing driver-
+    side. Overflow bound: |Σx²| < 2^63 requires n·max(x)² < 9.2e18 —
+    quantize x coarsely enough (minutes, not micros) for the panel
+    length at hand; the caller owns that contract.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    det = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+    slope = (
+        (g["n"] * g["sxy"] - g["sx"] * g["sy"]).cast("double")
+        / det.cast("double")
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        F.when(det != 0, F.round(slope, round_to)).alias("slope"),
+        F.when(
+            det != 0,
+            F.round(
+                (g["sy"].cast("double") - slope * g["sx"].cast("double"))
+                / g["n"].cast("double"),
+                round_to,
+            ),
+        ).alias("intercept"),
     )

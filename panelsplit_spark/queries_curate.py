@@ -361,6 +361,165 @@ LEFT JOIN s ON s.anc = p.p_partkey
 
 
 # ======================================================================
+# Per-entity OLS trend features
+# ======================================================================
+
+#: minutes from unix epoch to 2024-01-01T00:00Z — keeps x² sums far
+#: inside LONG range (see group_trend_ols overflow contract)
+_MIN_2024 = 1_704_067_200 // 60
+
+
+def q_feat_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear usage trend (slope/intercept of event value over
+    time) from five exact integer moments in one grouped aggregate
+    (operators/timeseries.group_trend_ols). x = minutes since
+    2024-01-01, y = value in centi-units; the closed-form solution is
+    a single rounded double expression over exact LONG sums, so the
+    oracle replays it bit-for-bit."""
+    from .operators.timeseries import group_trend_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        (F.expr("unix_micros(ts) div 60000000") - F.lit(_MIN_2024)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return group_trend_ols(q, ["user_id"], "x", "y").select(
+        "user_id", "n", "slope", "intercept"
+    )
+
+
+def _sql_trend_ols() -> str:
+    return f"""
+WITH q AS (
+  SELECT user_id,
+         epoch_us(ts) // 60000000 - {_MIN_2024} AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM q GROUP BY 1
+)
+SELECT user_id, n,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round((sy::DOUBLE
+                - ((n * sxy - sx * sy)::DOUBLE
+                   / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+               / n::DOUBLE, 6)
+       END AS intercept
+FROM g
+"""
+
+
+# ======================================================================
+# Logistic regression via Newton/IRLS (full iteration replay)
+# ======================================================================
+
+LOGIT_ITER = 2
+
+
+def q_cv_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Newton steps of logistic regression (click ~ value) fit as
+    one exact-integer aggregation per step
+    (operators/linear_fastpath.logistic_irls); emits the per-step
+    moment sums and the post-step coefficients. The oracle replays
+    both steps: step 1 is transcendental-free (β=0 ⇒ μ=½ exactly),
+    step 2 quantizes after the single exp() per row."""
+    from pyspark.sql import types as T
+
+    from .operators.linear_fastpath import logistic_irls
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.round(F.col("value") * 100).cast("long").cast("double")
+         / F.lit(10_000.0)).alias("x"),
+        F.when(F.col("event_type") == "click", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    trace = logistic_irls(pts, "x", "y", n_iter=LOGIT_ITER)
+    schema = T.StructType(
+        [
+            T.StructField("it", T.LongType()),
+            T.StructField("sw", T.LongType()),
+            T.StructField("swx", T.LongType()),
+            T.StructField("swxx", T.LongType()),
+            T.StructField("g0", T.LongType()),
+            T.StructField("g1", T.LongType()),
+            T.StructField("beta0", T.DoubleType()),
+            T.StructField("beta1", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (t["it"], t["sw"], t["swx"], t["swxx"], t["g0"], t["g1"],
+         t["beta0"], t["beta1"])
+        for t in trace
+    ]
+    return spark.createDataFrame(rows, schema).select(
+        "it", "sw", "swx", "swxx", "g0", "g1",
+        F.round("beta0", 9).alias("beta0"),
+        F.round("beta1", 9).alias("beta1"),
+    )
+
+
+_SQL_LOGIT_IRLS = """
+WITH pts AS (
+  SELECT CAST(round(value * 100) AS BIGINT)::DOUBLE / 10000.0 AS x,
+         CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+), it1 AS (
+  SELECT sum(CAST(round(0.25 * 1000000000.0) AS BIGINT)) AS sw,
+         sum(CAST(round(0.25 * x * 1000000000.0) AS BIGINT)) AS swx,
+         sum(CAST(round(0.25 * x * x * 1000000000.0) AS BIGINT)) AS swxx,
+         sum(CAST(round((y - 0.5) * 1000000000.0) AS BIGINT)) AS g0,
+         sum(CAST(round((y - 0.5) * x * 1000000000.0) AS BIGINT)) AS g1
+  FROM pts
+), b1 AS (
+  SELECT sw, swx, swxx, g0, g1,
+         (swxx::DOUBLE * g0::DOUBLE - swx::DOUBLE * g1::DOUBLE)
+           / (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE)
+           AS beta0,
+         (sw::DOUBLE * g1::DOUBLE - swx::DOUBLE * g0::DOUBLE)
+           / (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE)
+           AS beta1
+  FROM it1
+), p2 AS (
+  SELECT y, x, mu, mu * (1.0 - mu) AS w FROM (
+    SELECT y, x, 1.0 / (1.0 + exp(-(beta0 + beta1 * x))) AS mu
+    FROM pts, b1
+  )
+), it2 AS (
+  SELECT sum(CAST(round(w * 1000000000.0) AS BIGINT)) AS sw,
+         sum(CAST(round(w * x * 1000000000.0) AS BIGINT)) AS swx,
+         sum(CAST(round(w * x * x * 1000000000.0) AS BIGINT)) AS swxx,
+         sum(CAST(round((y - mu) * 1000000000.0) AS BIGINT)) AS g0,
+         sum(CAST(round((y - mu) * x * 1000000000.0) AS BIGINT)) AS g1
+  FROM p2
+), b2 AS (
+  SELECT it2.sw, it2.swx, it2.swxx, it2.g0, it2.g1,
+         b1.beta0 + (it2.swxx::DOUBLE * it2.g0::DOUBLE
+                     - it2.swx::DOUBLE * it2.g1::DOUBLE)
+           / (it2.sw::DOUBLE * it2.swxx::DOUBLE
+              - it2.swx::DOUBLE * it2.swx::DOUBLE) AS beta0,
+         b1.beta1 + (it2.sw::DOUBLE * it2.g1::DOUBLE
+                     - it2.swx::DOUBLE * it2.g0::DOUBLE)
+           / (it2.sw::DOUBLE * it2.swxx::DOUBLE
+              - it2.swx::DOUBLE * it2.swx::DOUBLE) AS beta1
+  FROM it2, b1
+)
+SELECT 1::BIGINT AS it, sw, swx, swxx, g0, g1,
+       round(beta0, 9) AS beta0, round(beta1, 9) AS beta1 FROM b1
+UNION ALL
+SELECT 2::BIGINT, sw, swx, swxx, g0, g1,
+       round(beta0, 9), round(beta1, 9) FROM b2
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -370,6 +529,8 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semdedup": q_dedup_semdedup,
     "rel_skyline": q_rel_skyline,
     "rel_tree_rollup": q_rel_tree_rollup,
+    "feat_trend_ols": q_feat_trend_ols,
+    "cv_logit_irls": q_cv_logit_irls,
 }
 
 
@@ -380,4 +541,6 @@ def oracles9() -> Dict[str, str]:
         "dedup_semdedup": _sql_semdedup(),
         "rel_skyline": _SQL_SKYLINE,
         "rel_tree_rollup": _SQL_TREE_ROLLUP,
+        "feat_trend_ols": _sql_trend_ols(),
+        "cv_logit_irls": _SQL_LOGIT_IRLS,
     }

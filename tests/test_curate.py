@@ -201,3 +201,73 @@ def test_skyline_query_matches_bruteforce(spark):
         )
     }
     assert {(r["p_partkey"], r["p_size"], r["price_cents"]) for r in out} == expect
+
+
+# ----------------------------------------------------------------------
+# group_trend_ols / logistic_irls
+# ----------------------------------------------------------------------
+
+
+def test_group_trend_ols_matches_numpy(spark):
+    import numpy as np
+
+    from panelsplit_spark.operators.timeseries import group_trend_ols
+
+    rng = np.random.default_rng(7)
+    rows = []
+    expect = {}
+    for g in range(5):
+        x = rng.integers(0, 10_000, size=30)
+        y = rng.integers(-500, 500, size=30)
+        rows += [(g, int(a), int(b)) for a, b in zip(x, y)]
+        slope, intercept = np.polyfit(x, y, 1)
+        expect[g] = (slope, intercept)
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = group_trend_ols(df, ["g"], "x", "y").collect()
+    for r in out:
+        s, i = expect[r["g"]]
+        assert abs(r["slope"] - s) < 1e-4
+        assert abs(r["intercept"] - i) < 1e-2
+
+
+def test_group_trend_ols_degenerate_groups(spark):
+    from panelsplit_spark.operators.timeseries import group_trend_ols
+
+    df = spark.createDataFrame(
+        [(1, 5, 10), (2, 3, 1), (2, 3, 9)], ["g", "x", "y"]
+    )
+    out = {r["g"]: r for r in group_trend_ols(df, ["g"], "x", "y").collect()}
+    assert out[1]["slope"] is None          # single point
+    assert out[2]["slope"] is None          # zero x-variance
+    assert out[2]["n"] == 2
+
+
+def test_logistic_irls_matches_numpy_newton(spark):
+    import numpy as np
+
+    from panelsplit_spark.operators.linear_fastpath import logistic_irls
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-2, 2, size=400)
+    p = 1.0 / (1.0 + np.exp(-(0.5 + 1.5 * x)))
+    y = (rng.uniform(size=400) < p).astype(float)
+
+    # independent full-precision Newton reference
+    b = np.zeros(2)
+    X = np.column_stack([np.ones_like(x), x])
+    for _ in range(4):
+        mu = 1.0 / (1.0 + np.exp(-(X @ b)))
+        W = mu * (1 - mu)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (y - mu)
+        b = b + np.linalg.solve(H, g)
+
+    df = spark.createDataFrame(
+        [(float(a), float(t)) for a, t in zip(x, y)], ["x", "y"]
+    )
+    trace = logistic_irls(df, "x", "y", n_iter=4)
+    # quantization at 1e-9 over 400 rows -> agreement to ~1e-6
+    assert abs(trace[-1]["beta0"] - b[0]) < 1e-5
+    assert abs(trace[-1]["beta1"] - b[1]) < 1e-5
+    # step-1 moments are transcendental-free and exactly n/4 * 1e9
+    assert trace[0]["sw"] == 400 * 250_000_000
