@@ -116,6 +116,7 @@ def ancestor_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_rounds: int = 20,
+    known_max_depth: int = None,
 ) -> DataFrame:
     """Transitive closure of a parent-pointer forest → one row per
     (node, ancestor) pair with the hop distance: the building block for
@@ -131,6 +132,13 @@ def ancestor_closure(
     round and the fixpoint test is a cheap count comparison. Raises if
     ``max_rounds`` (default 20 ⇒ depth 2^20) does not converge, rather
     than silently returning a partial closure.
+
+    ``known_max_depth``: when the caller can bound the hierarchy depth
+    (category trees have catalog-known depth; a key-arithmetic tree has
+    depth ≤ log₂ max_key), the loop runs exactly ⌈log₂ depth⌉ rounds
+    with NO per-round fixpoint count — one action per round instead of
+    two, and no final no-progress confirmation round. The result is
+    identical because extra rounds past the true depth are no-ops.
     """
     pairs = (
         edges.select(
@@ -142,6 +150,25 @@ def ancestor_closure(
         .distinct()
         .persist()
     )
+    if known_max_depth is not None:
+        rounds = 0
+        while (1 << rounds) < max(known_max_depth, 1):
+            rounds += 1
+        for _ in range(rounds):
+            hop = pairs.select(
+                F.col("node").alias("_m"), F.col("anc").alias("_a"),
+                F.col("dist").alias("_d"),
+            )
+            doubled = pairs.join(hop, pairs["anc"] == hop["_m"]).select(
+                "node",
+                F.col("_a").alias("anc"),
+                (F.col("dist") + F.col("_d")).alias("dist"),
+            )
+            nxt = pairs.unionByName(doubled).distinct().persist()
+            nxt.count()  # materialize so the next round reads the cache
+            pairs.unpersist()
+            pairs = nxt
+        return pairs
     n_prev = pairs.count()
     for _ in range(max_rounds):
         hop = pairs.select(

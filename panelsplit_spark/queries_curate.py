@@ -312,7 +312,11 @@ def q_rel_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("child"),
         F.expr("p_partkey div 2").alias("parent"),
     )
-    cl = ancestor_closure(edges)
+    # parent = key÷2 ⇒ depth ≤ log₂(max key): bound the squaring rounds
+    # up front (one tiny agg) instead of paying a fixpoint count per
+    # round plus a no-progress confirmation round
+    max_key = part.agg(F.max("p_partkey")).first()[0] or 1
+    cl = ancestor_closure(edges, known_max_depth=max(max_key, 2).bit_length())
     depth = cl.groupBy("node").agg(F.max("dist").alias("depth"))
     sub = (
         cl.join(p, cl["node"] == p["p_partkey"])
