@@ -159,6 +159,8 @@ HEADLINE = [
     "rel_tree_rollup",
     "feat_trend_ols",
     "cv_logit_irls",
+    "text_fuzzy_pairs",
+    "pipe_temperature_mix",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is
@@ -197,6 +199,12 @@ SF1_HEADLINE = [
     "stream_ivm_view",
     "rel_sketch_cmcount",
     "rel_incremental_agg",
+    "pipe_gopher_rules",
+    "pipe_dsir_weights",
+    "dedup_semdedup",
+    "rel_tree_rollup",
+    "feat_trend_ols",
+    "cv_logit_irls",
 ]
 
 

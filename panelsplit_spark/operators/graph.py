@@ -136,61 +136,62 @@ def ancestor_closure(
     ``known_max_depth``: when the caller can bound the hierarchy depth
     (category trees have catalog-known depth; a key-arithmetic tree has
     depth ≤ log₂ max_key), the loop runs exactly ⌈log₂ depth⌉ rounds
-    with NO per-round fixpoint count — one action per round instead of
-    two, and no final no-progress confirmation round. The result is
-    identical because extra rounds past the true depth are no-ops.
+    with no end-of-jumps confirmation round.
+
+    Duplicate-free doubling: rather than the naive ``R ← R ∪ R∘R``
+    (whose compositions re-derive every distance many ways and force a
+    full DISTINCT shuffle of the growing pair set each round), maintain
+    the jump relation J_k = pairs at distance EXACTLY 2^k (unique per
+    node on a parent-pointer forest) and the accumulator A_k = pairs at
+    distance ∈ [1, 2^k]. Then ``A ← A ∪ A∘J`` reaches [1, 2^(k+1)] with
+    every distance derived exactly once (binary decomposition is
+    unique), so no deduplication is ever needed — each round is two
+    hash joins on persisted inputs, no distinct, no growing shuffle.
     """
-    pairs = (
+    base = (
         edges.select(
             F.col(child_col).alias("node"),
             F.col(parent_col).alias("anc"),
             F.lit(1).cast("long").alias("dist"),
         )
         .where(F.col("node") != F.col("anc"))
-        .distinct()
         .persist()
     )
     if known_max_depth is not None:
-        rounds = 0
-        while (1 << rounds) < max(known_max_depth, 1):
-            rounds += 1
-        for _ in range(rounds):
-            hop = pairs.select(
-                F.col("node").alias("_m"), F.col("anc").alias("_a"),
-                F.col("dist").alias("_d"),
-            )
-            doubled = pairs.join(hop, pairs["anc"] == hop["_m"]).select(
-                "node",
-                F.col("_a").alias("anc"),
-                (F.col("dist") + F.col("_d")).alias("dist"),
-            )
-            nxt = pairs.unionByName(doubled).distinct().persist()
-            nxt.count()  # materialize so the next round reads the cache
-            pairs.unpersist()
-            pairs = nxt
-        return pairs
-    n_prev = pairs.count()
-    for _ in range(max_rounds):
-        hop = pairs.select(
+        rounds = max(known_max_depth - 1, 0).bit_length()
+    else:
+        rounds = max_rounds
+    acc = base
+    jump = base
+    n_jump = jump.count()
+    for k in range(rounds):
+        if n_jump == 0:
+            return acc
+        j = jump.select(
             F.col("node").alias("_m"), F.col("anc").alias("_a"),
             F.col("dist").alias("_d"),
         )
-        doubled = (
-            pairs.join(hop, pairs["anc"] == hop["_m"])
-            .select(
-                "node",
-                F.col("_a").alias("anc"),
-                (F.col("dist") + F.col("_d")).alias("dist"),
-            )
+        ext = acc.join(j, acc["anc"] == j["_m"]).select(
+            "node",
+            F.col("_a").alias("anc"),
+            (F.col("dist") + F.col("_d")).alias("dist"),
         )
-        nxt = pairs.unionByName(doubled).distinct().persist()
-        n_now = nxt.count()
-        pairs.unpersist()
-        pairs = nxt
-        if n_now == n_prev:
-            return pairs
-        n_prev = n_now
-    raise RuntimeError(
-        f"ancestor_closure: no fixpoint after {max_rounds} squaring "
-        f"rounds (depth > 2^{max_rounds} or a cycle in the 'forest')"
-    )
+        nxt_acc = acc.unionByName(ext).persist()
+        nxt_jump = jump.join(j, jump["anc"] == j["_m"]).select(
+            "node",
+            F.col("_a").alias("anc"),
+            (F.col("dist") + F.col("_d")).alias("dist"),
+        ).persist()
+        n_jump = nxt_jump.count()  # tiny: ≤ one row per node
+        nxt_acc.count()            # materialize before the next round
+        if acc is not base:
+            acc.unpersist()
+        if jump is not base:
+            jump.unpersist()
+        acc, jump = nxt_acc, nxt_jump
+    if known_max_depth is None and n_jump != 0:
+        raise RuntimeError(
+            f"ancestor_closure: no fixpoint after {max_rounds} doubling "
+            f"rounds (depth > 2^{max_rounds} or a cycle in the 'forest')"
+        )
+    return acc

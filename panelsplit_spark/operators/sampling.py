@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["hash_bucket", "hash_split", "hash_sample",
     "weighted_hash_sample", "stratified_topn",
            "pack_sequences", "rebalance_sources", "winsorize",
-           "dsir_weights"]
+           "dsir_weights", "temperature_mix"]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
 # threshold comparisons are exact integer comparisons on both engines
@@ -377,5 +377,88 @@ def dsir_weights(
             F.round(
                 F.col("weight_micro") / F.lit(scale) / F.col("n_bigrams"), 6
             ).alias("avg_log_ratio"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled source mixing (τ = 0.5): sampling shares
+    p_i ∝ n_i^τ — the standard recipe for flattening a skewed domain /
+    language mix (dominant sources down-weighted, tails up-weighted)
+    published with multilingual-model training.
+
+    Exposes the whole decision as data: per source the raw count, the
+    τ-scaled weight, the share in basis points, the implied target
+    size, and the number of rows the deterministic md5 router actually
+    keeps (row kept iff ``bucket·n_i < target_i·10⁴`` — exact integer
+    comparison, so membership is content-addressed and engine-stable).
+
+    τ is fixed at ½ because ``sqrt`` is IEEE-correctly-rounded in every
+    engine while ``pow(x, τ)`` is not — the cross-engine determinism
+    contract would silently break for arbitrary τ. Weights are
+    quantized to integer micro-units before the share division.
+
+    100 TB shape: one keyed count shuffle (domain-sized result), a
+    domain-sized window for the total, a broadcast join of the
+    thresholds back onto the corpus, one more keyed count — the corpus
+    is scanned twice and shuffled never.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy()  # counts is domain-sized: 1 partition fine
+    plan = (
+        counts.withColumn(
+            "w_micro",
+            F.round(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000)
+            .cast("long"),
+        )
+        .withColumn("_s", F.sum("w_micro").over(w))
+        .withColumn("_n", F.sum("n_docs").over(w))
+        .withColumn(
+            "share_bp",
+            F.round(
+                (F.col("w_micro") * 10_000).cast("double")
+                / F.col("_s").cast("double")
+            ).cast("long"),
+        )
+        .withColumn(
+            "target_docs",
+            F.round(
+                (F.col("_n") * F.col("share_bp")).cast("double") / 10_000.0
+            ).cast("long"),
+        )
+    )
+    kept = (
+        df.select(source_col, hash_bucket(F.col(id_col), salt).alias("_b"))
+        .join(
+            F.broadcast(plan.select(source_col, "n_docs", "target_docs")),
+            source_col,
+        )
+        .where(
+            F.col("_b") * F.col("n_docs")
+            < F.col("target_docs") * F.lit(_BP)
+        )
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+    )
+    return (
+        plan.join(kept, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            "w_micro",
+            "share_bp",
+            "target_docs",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias(
+                "kept_docs"
+            ),
         )
     )

@@ -29,6 +29,7 @@ __all__ = [
     "lm_bigram_score",
     "chunk_documents",
     "repetition_signals",
+    "fuzzy_word_pairs",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -482,4 +483,76 @@ def lm_bigram_score(
                 6,
             ).alias("avg_logprob"),
         )
+    )
+
+
+def fuzzy_word_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 3,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Edit-distance word pairs from the corpus vocabulary — typo /
+    variant mining (rare token a small edit from a frequent token is a
+    likely misspelling; SymSpell blocking scheme, public algorithm).
+
+    Exact-recall blocking without the quadratic vocab self-join: two
+    words within Levenshtein distance k share a common string in their
+    depth-k deletion neighborhoods (delete the substituted/inserted/
+    deleted positions from each side — a theorem, not a heuristic). So
+    the plan is: distinct vocabulary (one shuffle, vocab-sized),
+    explode the ≤ O(len^k) deletion keys per word (codegen
+    ``transform``), self-equi-join on the key, verify with the built-in
+    ``levenshtein`` — never an all-pairs product. At 100 TB the
+    vocab table is the only thing shuffled, and the oracle keeps the
+    quadratic form as an independent completeness witness.
+
+    Emits ``(w1, w2, dist, df1, df2)`` with w1 < w2 and df = document
+    frequency, so downstream can rank "rare variant of common word".
+    Words shorter than ``min_len`` are excluded (at tiny lengths
+    everything is within 2 edits of everything). ``max_dist`` ∈ {1, 2}.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_word_pairs: max_dist must be 1 or 2")
+    toks = df.select(
+        F.col("doc_id"), F.explode(_tok(text_col)).alias("w")
+    )
+    vocab = (
+        toks.where(F.length("w") >= min_len)
+        .groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    d1 = (
+        "transform(sequence(1, length(w)), "
+        "i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))"
+    )
+    if max_dist == 1:
+        keyset = f"array_distinct(array_union(array(w), {d1}))"
+    else:
+        d2 = (
+            f"flatten(transform({d1}, v -> transform("
+            "sequence(1, length(v)), "
+            "j -> concat(substring(v, 1, j - 1), substring(v, j + 1)))))"
+        )
+        keyset = (
+            f"array_distinct(concat(array(w), {d1}, {d2}))"
+        )
+    keys = vocab.select(
+        "w", "df", F.explode(F.expr(keyset)).alias("k")
+    )
+    a = keys.select(
+        F.col("w").alias("w1"), F.col("df").alias("df1"), "k"
+    )
+    b = keys.select(
+        F.col("w").alias("w2"), F.col("df").alias("df2"), "k"
+    )
+    return (
+        a.join(b, "k")
+        .where(F.col("w1") < F.col("w2"))
+        .select("w1", "w2", "df1", "df2")
+        .distinct()
+        .withColumn("dist", F.levenshtein("w1", "w2"))
+        .where(F.col("dist") <= max_dist)
+        .select("w1", "w2", F.col("dist").cast("long").alias("dist"),
+                "df1", "df2")
     )

@@ -524,6 +524,95 @@ SELECT 2::BIGINT, sw, swx, swxx, g0, g1,
 
 
 # ======================================================================
+# Fuzzy vocabulary pairs (SymSpell deletion-neighborhood blocking)
+# ======================================================================
+
+
+def q_text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤ 2 vocabulary pairs via deletion-neighborhood
+    blocking (operators/text.fuzzy_word_pairs): vocab-sized join keys,
+    no all-pairs product. The oracle runs the textbook quadratic
+    levenshtein self-join, so the hash gate doubles as a completeness
+    proof of the blocking theorem on this corpus."""
+    from .operators.text import fuzzy_word_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_word_pairs(docs).select("w1", "w2", "dist", "df1", "df2")
+
+
+_SQL_FUZZY_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(DISTINCT doc_id) AS df
+  FROM toks WHERE length(w) >= 3 GROUP BY 1
+)
+SELECT a.w AS w1, b.w AS w2,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
+       a.df AS df1, b.df AS df2
+FROM vocab a JOIN vocab b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+"""
+
+
+# ======================================================================
+# Temperature-scaled source mixing
+# ======================================================================
+
+
+def q_pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.5 source-mixing plan + deterministic routing over documents
+    (operators/sampling.temperature_mix): corpus scanned twice,
+    shuffled never; the mixture table is domain-sized. sqrt is IEEE
+    correctly rounded in both engines, shares resolve in integer basis
+    points, and row routing is the md5 bucket convention — so kept
+    counts hash-match exactly."""
+    from .operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, "source", "doc_id").select(
+        "source", "n_docs", "w_micro", "share_bp", "target_docs",
+        "kept_docs",
+    )
+
+
+def _sql_temperature_mix() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    bucket = duckdb_hash_bucket("doc_id", "mix")
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), plan AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(n_docs::DOUBLE) * 1000000) AS BIGINT) AS w_micro
+  FROM counts
+), shares AS (
+  SELECT source, n_docs, w_micro,
+         CAST(round((w_micro * 10000)::DOUBLE
+                    / (sum(w_micro) OVER ())::DOUBLE) AS BIGINT)
+           AS share_bp,
+         sum(n_docs) OVER () AS _n
+  FROM plan
+), plan2 AS (
+  SELECT source, n_docs, w_micro, share_bp,
+         CAST(round((_n * share_bp)::DOUBLE / 10000.0) AS BIGINT)
+           AS target_docs
+  FROM shares
+), kept AS (
+  SELECT d.source, count(*) AS kept_docs
+  FROM documents d JOIN plan2 p ON d.source = p.source
+  WHERE ({bucket}) * p.n_docs < p.target_docs * 10000
+  GROUP BY 1
+)
+SELECT p.source, p.n_docs, p.w_micro, p.share_bp, p.target_docs,
+       CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs
+FROM plan2 p LEFT JOIN kept k ON k.source = p.source
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -535,6 +624,8 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_tree_rollup": q_rel_tree_rollup,
     "feat_trend_ols": q_feat_trend_ols,
     "cv_logit_irls": q_cv_logit_irls,
+    "text_fuzzy_pairs": q_text_fuzzy_pairs,
+    "pipe_temperature_mix": q_pipe_temperature_mix,
 }
 
 
@@ -547,4 +638,6 @@ def oracles9() -> Dict[str, str]:
         "rel_tree_rollup": _SQL_TREE_ROLLUP,
         "feat_trend_ols": _sql_trend_ols(),
         "cv_logit_irls": _SQL_LOGIT_IRLS,
+        "text_fuzzy_pairs": _SQL_FUZZY_PAIRS,
+        "pipe_temperature_mix": _sql_temperature_mix(),
     }

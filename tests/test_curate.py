@@ -271,3 +271,59 @@ def test_logistic_irls_matches_numpy_newton(spark):
     assert abs(trace[-1]["beta1"] - b[1]) < 1e-5
     # step-1 moments are transcendental-free and exactly n/4 * 1e9
     assert trace[0]["sw"] == 400 * 250_000_000
+
+
+# ----------------------------------------------------------------------
+# fuzzy_word_pairs / temperature_mix
+# ----------------------------------------------------------------------
+
+
+def test_fuzzy_word_pairs_blocking_complete(spark):
+    import itertools
+
+    from panelsplit_spark.operators.text import fuzzy_word_pairs
+
+    words = ["table", "tabla", "tabel", "chair", "chairs", "spark",
+             "shark", "spork", "zzzzz"]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"], r["dist"])
+        for r in fuzzy_word_pairs(df, max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        # textbook DP, independent implementation
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == expect
+
+
+def test_temperature_mix_flattens_skew(spark):
+    from panelsplit_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i, "small") for i in range(900, 1000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["source"]: r for r in temperature_mix(df, "source", "doc_id").collect()}
+    # raw shares 90/10; sqrt-temperature shares 3:1 -> 7500/2500 bp
+    assert out["big"]["share_bp"] == 7500
+    assert out["small"]["share_bp"] == 2500
+    # big gets cut hard, small is up-weighted to (near) full retention
+    assert out["big"]["kept_docs"] < 900
+    assert out["big"]["target_docs"] == 750
+    assert out["small"]["target_docs"] == 250  # capped routing keeps all
+    assert out["small"]["kept_docs"] == 100
