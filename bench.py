@@ -161,6 +161,7 @@ HEADLINE = [
     "cv_logit_irls",
     "text_fuzzy_pairs",
     "pipe_temperature_mix",
+    "stream_late_data",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

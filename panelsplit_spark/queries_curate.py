@@ -613,6 +613,97 @@ FROM plan2 p LEFT JOIN kept k ON k.source = p.source
 
 
 # ======================================================================
+# Streaming late-data / watermark-eviction gate
+# ======================================================================
+
+
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics end-to-end: three deterministic
+    micro-batches (on-time rows → an empty eviction batch → thousands
+    of late rows) through a watermarked windowed aggregation in append
+    mode. The gate pins the TWO contracts a 100× streaming user relies
+    on: every window below the watermark emits exactly once at
+    eviction, and late rows arriving after eviction change NOTHING —
+    no duplicate window emissions, no count corrections. The oracle
+    computes the same closed-window counts from the on-time batch
+    alone; if the engine ever re-emitted or merged late data the hash
+    would diverge. (Batch chops are pinned by streaming/rolling.
+    write_file_batches; the watermark lands mid-hour so the ≤-vs-<
+    eviction boundary cannot bite.)"""
+    import os
+
+    from .sources.tables import configure, normalize_event_ts
+    from .streaming.rolling import (
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events")
+    fh = ev.agg(F.date_trunc("hour", F.max("ts")).alias("h")).first()["h"]
+    on_time = ev.where(
+        (F.col("event_id") % 2 == 0) | (F.col("ts") >= F.lit(fh))
+    )
+    late = ev.where(
+        (F.col("event_id") % 2 == 1) & (F.col("ts") < F.lit(fh))
+    )
+    feed = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "late_data_feed"
+    )
+    write_file_batches(
+        [on_time, ev.where(F.lit(False)), late], feed
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = "stream_late_data_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("win.start")).alias("win_start_us"),
+        "event_type",
+        "cnt",
+    )
+
+
+_SQL_STREAM_LATE = """
+WITH fh AS (
+  SELECT date_trunc('hour', max(ts)) AS h FROM events
+), a AS (
+  SELECT e.* FROM events e, fh
+  WHERE e.event_id % 2 = 0 OR e.ts >= fh.h
+), wm AS (
+  SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM a
+), w AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+         event_type, count(*) AS cnt,
+         epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000
+           AS we_ms
+  FROM a GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT win_start_us, event_type, cnt FROM w, wm WHERE we_ms <= wm_ms
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -626,6 +717,7 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_logit_irls": q_cv_logit_irls,
     "text_fuzzy_pairs": q_text_fuzzy_pairs,
     "pipe_temperature_mix": q_pipe_temperature_mix,
+    "stream_late_data": q_stream_late_data,
 }
 
 
@@ -640,4 +732,5 @@ def oracles9() -> Dict[str, str]:
         "cv_logit_irls": _SQL_LOGIT_IRLS,
         "text_fuzzy_pairs": _SQL_FUZZY_PAIRS,
         "pipe_temperature_mix": _sql_temperature_mix(),
+        "stream_late_data": _SQL_STREAM_LATE,
     }

@@ -689,3 +689,29 @@ def stream_incremental_agg(
         return holder["view"]
 
     return q, get_view
+
+
+def write_file_batches(dfs, feed_dir: str) -> None:
+    """Materialize each frame as ONE parquet file in ``feed_dir`` with
+    strictly increasing mtimes, so a file-source stream with
+    ``maxFilesPerTrigger=1`` replays them as deterministic, ordered
+    micro-batches — the harness for semantics that depend on batch
+    boundaries (watermark eviction, late-data drops). An empty frame
+    becomes an empty file: a 0-row batch whose only effect is letting
+    the previous batch's watermark evict state."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.rmtree(feed_dir, ignore_errors=True)
+    _os.makedirs(feed_dir)
+    base = 1_700_000_000
+    for i, df in enumerate(dfs):
+        tmp = feed_dir + f".tmp{i}"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.parquet(tmp)
+        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(feed_dir, f"batch{i:03d}.parquet")
+        _shutil.copy(src, dst)
+        _os.utime(dst, (base + i * 1000, base + i * 1000))
+        _shutil.rmtree(tmp, ignore_errors=True)

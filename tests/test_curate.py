@@ -327,3 +327,69 @@ def test_temperature_mix_flattens_skew(spark):
     assert out["big"]["target_docs"] == 750
     assert out["small"]["target_docs"] == 250  # capped routing keeps all
     assert out["small"]["kept_docs"] == 100
+
+
+# ----------------------------------------------------------------------
+# streaming late-data drops
+# ----------------------------------------------------------------------
+
+
+def test_stream_late_data_drops_occur(spark):
+    """The oracle-gated sink content proves late rows change nothing;
+    this pins the other half: the engine actually DROPPED late rows
+    (watermark accounting), rather than silently keeping state for
+    them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark.sources.tables import load_table, configure
+    from panelsplit_spark.streaming.rolling import (
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    fh = ev.agg(F.date_trunc("hour", F.max("ts")).alias("h")).first()["h"]
+    on_time = ev.where(
+        (F.col("event_id") % 2 == 0) | (F.col("ts") >= F.lit(fh))
+    )
+    late = ev.where(
+        (F.col("event_id") % 2 == 1) & (F.col("ts") < F.lit(fh))
+    )
+    feed = os.path.join(os.getcwd(), "spark-warehouse", "sinks",
+                        "late_test_feed")
+    write_file_batches([on_time, ev.where(F.lit(False)), late], feed)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = "late_test_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    drops = sum(
+        int(so.get("numRowsDroppedByWatermark", 0) or 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert drops > 0
+    # and the sink never saw a window twice
+    t = spark.table(name)
+    assert t.groupBy("win", "event_type").count().where("count > 1").count() == 0
