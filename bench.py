@@ -162,6 +162,9 @@ HEADLINE = [
     "text_fuzzy_pairs",
     "pipe_temperature_mix",
     "stream_late_data",
+    "text_novelty",
+    "sim_recall_eval",
+    "pipe_curation_funnel",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -50,6 +50,7 @@ __all__ = [
     "pq_topk",
     "knn_classify",
     "ivfpq_topk",
+    "topk_recall",
 ]
 
 
@@ -1009,4 +1010,42 @@ def ivfpq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def topk_recall(
+    exact: DataFrame,
+    ann: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the index-quality eval every ANN deployment runs before trusting
+    the fast path. Per query: how many of the true top-k neighbors did
+    the index return?
+
+    One equi-join on (query, neighbor) + one keyed aggregate — both
+    frames are already k·n_queries-sized, so the eval costs less than
+    either search. Emits exact integer hit counts and one rounded
+    division per query; macro-average downstream however you like.
+    """
+    probe = ann.select(
+        F.col(query_col), F.col(neighbor_col), F.lit(1).alias("_hit")
+    )
+    return (
+        exact.select(query_col, neighbor_col)
+        .join(probe, [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            query_col,
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
     )

@@ -30,6 +30,7 @@ __all__ = [
     "chunk_documents",
     "repetition_signals",
     "fuzzy_word_pairs",
+    "ngram_novelty",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -555,4 +556,53 @@ def fuzzy_word_pairs(
         .where(F.col("dist") <= max_dist)
         .select("w1", "w2", F.col("dist").cast("long").alias("dist"),
                 "df1", "df2")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against everything that came before
+    it (ordered by ``id_col``): the fraction of a document's distinct
+    n-grams whose FIRST corpus occurrence is this document. The
+    "marginal contribution" curation signal — a document whose shingles
+    all appeared earlier adds little to a training set even when no
+    single pair crosses a near-dup threshold.
+
+    Plan: one explode to distinct (doc, shingle) pairs, one grouped
+    min() to find each shingle's first document, one join back, one
+    per-doc count — two keyed shuffles total, text never shuffled,
+    nothing quadratic (same cost class as the MinHash signature scan).
+    Ratios are exact integer numerators/denominators plus one rounded
+    division.
+    """
+    from ..functions.hashing import word_ngrams
+
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(_tok(text_col), n))
+        ).alias("g"),
+    )
+    first = pairs.groupBy("g").agg(F.min(id_col).alias("_first"))
+    per_doc = (
+        pairs.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("_first"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams"), 6
+        ).alias("novelty"),
     )

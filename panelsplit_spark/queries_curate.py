@@ -704,6 +704,167 @@ SELECT win_start_us, event_type, cnt FROM w, wm WHERE we_ms <= wm_ms
 
 
 # ======================================================================
+# n-gram novelty (marginal-contribution curation signal)
+# ======================================================================
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of trigram shingles first seen in that doc
+    (operators/text.ngram_novelty): two keyed shuffles of (doc,
+    shingle) pairs, nothing quadratic. Integer numerators, one rounded
+    division."""
+    from .operators.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3).select(
+        "doc_id", "n_grams", "n_novel", "novelty"
+    )
+
+
+_SQL_NOVELTY = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tk) >= 3
+                  THEN list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                  ELSE [] END) AS g
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+          FROM documents)
+  )
+), first AS (
+  SELECT g, min(doc_id) AS _first FROM pairs GROUP BY 1
+)
+SELECT p.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN p.doc_id = f._first THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN p.doc_id = f._first THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM pairs p JOIN first f USING (g)
+GROUP BY 1
+"""
+
+
+# ======================================================================
+# ANN recall@k evaluation
+# ======================================================================
+
+
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against exact cosine top-k
+    (operators/similarity.topk_recall): the eval joins the two already
+    k·n_queries-sized results, so it is cheaper than either search.
+    The oracle replays BOTH pipelines (reusing the declared gates'
+    SQL verbatim as nested CTEs) and the same join."""
+    from .operators.similarity import topk_recall
+    from .queries_data import q_sim_cosine_topk, q_sim_lsh_topk
+
+    exact = q_sim_cosine_topk(spark, sf_dir)
+    ann = q_sim_lsh_topk(spark, sf_dir)
+    return topk_recall(exact, ann).select(
+        "query_id", "n_exact", "n_hit", "recall"
+    )
+
+
+def _sql_recall_eval() -> str:
+    from .queries_data import _SQL_COSINE_TOPK, _sql_lsh_topk
+
+    return f"""
+WITH exact AS ({_SQL_COSINE_TOPK}),
+ann AS ({_sql_lsh_topk()})
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN ann a ON a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+GROUP BY 1
+"""
+
+
+# ======================================================================
+# End-to-end curation funnel
+# ======================================================================
+
+FUNNEL_REP_MAX = 0.2  # max dup-3gram ratio a surviving doc may have
+
+
+def q_pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed plan with per-stage
+    survivor accounting: Gopher quality screen → exact dedup (keep the
+    lowest doc id per md5(text)) → repetition filter. Each stage is the
+    already-gated operator; the funnel proves they COMPOSE — one scan
+    feeds three narrow/keyed stages and a final one-row audit, the
+    shape a production corpus build runs nightly. The oracle nests the
+    stages' own SQL verbatim."""
+    from pyspark.sql import Window
+
+    from .operators.quality import gopher_rules
+    from .operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs, "text", min_words=GOPHER_MIN_WORDS).select(
+        "doc_id", "text", "passes"
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    staged = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .withColumn("s1", F.col("passes"))
+        .withColumn(
+            "s2", (F.col("passes") == 1) & (F.col("_rn") == 1)
+        )
+        .join(
+            repetition_signals(docs).select("doc_id", "dup_3gram_ratio"),
+            "doc_id",
+        )
+        .withColumn(
+            "s3",
+            F.col("s2") & (F.col("dup_3gram_ratio") <= FUNNEL_REP_MAX),
+        )
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("s1").cast("long")).alias("n_quality"),
+        F.sum(F.col("s2").cast("long")).alias("n_deduped"),
+        F.sum(F.col("s3").cast("long")).alias("n_final"),
+    )
+
+
+def _sql_curation_funnel() -> str:
+    from .queries_nlp import _sql_text_repetition
+
+    return f"""
+WITH g AS ({_sql_gopher_rules()}),
+rep AS ({_sql_text_repetition()}),
+keymin AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper
+  FROM documents GROUP BY 1
+),
+staged AS (
+  SELECT g.doc_id, g.passes AS s1,
+         CASE WHEN g.passes = 1 AND k.keeper = g.doc_id
+              THEN 1 ELSE 0 END AS s2,
+         CASE WHEN g.passes = 1 AND k.keeper = g.doc_id
+               AND rep.dup_3gram_ratio <= {FUNNEL_REP_MAX}
+              THEN 1 ELSE 0 END AS s3
+  FROM g
+  JOIN documents d ON d.doc_id = g.doc_id
+  JOIN keymin k ON k.h = md5(d.text)
+  JOIN rep ON rep.doc_id = g.doc_id
+)
+SELECT count(*) AS n_total,
+       CAST(sum(s1) AS BIGINT) AS n_quality,
+       CAST(sum(s2) AS BIGINT) AS n_deduped,
+       CAST(sum(s3) AS BIGINT) AS n_final
+FROM staged
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -718,6 +879,9 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fuzzy_pairs": q_text_fuzzy_pairs,
     "pipe_temperature_mix": q_pipe_temperature_mix,
     "stream_late_data": q_stream_late_data,
+    "text_novelty": q_text_novelty,
+    "sim_recall_eval": q_sim_recall_eval,
+    "pipe_curation_funnel": q_pipe_curation_funnel,
 }
 
 
@@ -733,4 +897,7 @@ def oracles9() -> Dict[str, str]:
         "text_fuzzy_pairs": _SQL_FUZZY_PAIRS,
         "pipe_temperature_mix": _sql_temperature_mix(),
         "stream_late_data": _SQL_STREAM_LATE,
+        "text_novelty": _SQL_NOVELTY,
+        "sim_recall_eval": _sql_recall_eval(),
+        "pipe_curation_funnel": _sql_curation_funnel(),
     }

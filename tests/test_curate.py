@@ -393,3 +393,40 @@ def test_stream_late_data_drops_occur(spark):
     # and the sink never saw a window twice
     t = spark.table(name)
     assert t.groupBy("win", "event_type").count().where("count > 1").count() == 0
+
+
+# ----------------------------------------------------------------------
+# ngram_novelty / topk_recall
+# ----------------------------------------------------------------------
+
+
+def test_ngram_novelty_ordering(spark):
+    from panelsplit_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d e"),          # everything novel
+        (2, "a b c d e"),          # exact copy -> zero novelty
+        (3, "a b c x y z"),        # partial overlap
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    # doc3 trigrams: "a b c" seen, "b c x","c x y","x y z" novel
+    assert out[3]["n_grams"] == 4 and out[3]["n_novel"] == 3
+
+
+def test_topk_recall_counts(spark):
+    from panelsplit_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        ["query_id", "neighbor_id"],
+    )
+    ann = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 20), (2, 21), (2, 22)],
+        ["query_id", "neighbor_id"],
+    )
+    out = {r["query_id"]: r for r in topk_recall(exact, ann).collect()}
+    assert out[1]["n_hit"] == 2 and abs(out[1]["recall"] - 2 / 3) < 1e-6
+    assert out[2]["n_hit"] == 3 and out[2]["recall"] == 1.0
