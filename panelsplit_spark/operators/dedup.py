@@ -532,23 +532,38 @@ def embedding_near_duplicates(
     oracle twin replicates the same literal hyperplanes, so results are
     still deterministic and cross-engine checkable.
     """
+    from ..functions.vector import dot, l2_norm
+
     if candidates is None:
         candidates = embedding_lsh_candidate_pairs(
             df, vec_col, id_col, n_planes, n_tables, seed, dim
         )
+    # precompute each vector's norm ONCE (O(n·dim)) instead of per pair
+    # (O(pairs·dim)): cosine = dot/(na·nb) evaluates the same IEEE ops
+    # in the same order as functions.vector.cosine_similarity, so
+    # values stay bit-identical to the oracle's list_cosine_similarity
+    # while the per-pair array work drops to the dot product alone —
+    # the array HOFs are interpreted (outside whole-stage codegen), so
+    # at millions of candidates this third of the lambda ops is the
+    # whole verify cost
     va = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
+        F.col(id_col).alias("id_a"),
+        as_double(F.col(vec_col)).alias("va"),
+    ).withColumn("_na", l2_norm(F.col("va")))
     vb = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
+        F.col(id_col).alias("id_b"),
+        as_double(F.col(vec_col)).alias("vb"),
+    ).withColumn("_nb", l2_norm(F.col("vb")))
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"),
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
