@@ -165,6 +165,7 @@ HEADLINE = [
     "text_novelty",
     "sim_recall_eval",
     "pipe_curation_funnel",
+    "src_csv_quoted",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -865,6 +865,65 @@ FROM staged
 
 
 # ======================================================================
+# CSV quoting/escape/multiline round-trip
+# ======================================================================
+
+
+def q_src_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV contract everyone trips on: fields containing the
+    delimiter, embedded double quotes, AND embedded newlines must
+    round-trip byte-exactly through the writer's quoting/escaping and
+    the reader's multiLine mode. The gate synthesizes such a field from
+    every document, writes CSV, reads it back, and emits per-row md5
+    of the recovered text — the oracle computes the same md5 from the
+    same synthesized expression without any file in between, so ANY
+    quoting loss flips the hash."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tricky = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit(',"inner",\n'),
+            F.substring("text", 21, 10),
+        ).alias("txt"),
+    )
+    path = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "csv_quoted"
+    )
+    (
+        tricky.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        # the univocity writer/reader TRIM whitespace by default — a
+        # silent corruption this gate exists to catch; disable on both
+        # sides so the round trip is byte-exact
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .schema("doc_id long, txt string")
+        .csv(path)
+    )
+    return back.select("doc_id", F.md5("txt").alias("txt_md5"))
+
+
+_SQL_CSV_QUOTED = """
+SELECT doc_id,
+       md5(substr(text, 1, 20) || ',"inner",' || chr(10)
+           || substr(text, 21, 10)) AS txt_md5
+FROM documents
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -882,6 +941,7 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_novelty": q_text_novelty,
     "sim_recall_eval": q_sim_recall_eval,
     "pipe_curation_funnel": q_pipe_curation_funnel,
+    "src_csv_quoted": q_src_csv_quoted,
 }
 
 
@@ -900,4 +960,5 @@ def oracles9() -> Dict[str, str]:
         "text_novelty": _SQL_NOVELTY,
         "sim_recall_eval": _sql_recall_eval(),
         "pipe_curation_funnel": _sql_curation_funnel(),
+        "src_csv_quoted": _SQL_CSV_QUOTED,
     }
