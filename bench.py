@@ -166,6 +166,8 @@ HEADLINE = [
     "sim_recall_eval",
     "pipe_curation_funnel",
     "src_csv_quoted",
+    "rel_mode_per_group",
+    "stream_decay_counts",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

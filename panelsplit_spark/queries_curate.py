@@ -924,6 +924,107 @@ FROM documents
 
 
 # ======================================================================
+# Deterministic per-group mode
+# ======================================================================
+
+
+def q_rel_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent event_type per user with a pinned tie-break
+    (higher count wins, then lexicographically smallest type): the
+    argmax-of-count plan — count aggregate + one ranked window over
+    the group-sized (not row-sized) counts. Engine mode() functions
+    have unspecified tie behavior, which is exactly why the explicit
+    form is worth gating."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+_SQL_MODE_PER_GROUP = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type
+  ) AS rk FROM c
+) WHERE rk = 1
+"""
+
+
+# ======================================================================
+# Streaming decayed (trending) counters
+# ======================================================================
+
+
+def q_stream_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items state machine over three deterministic
+    micro-batches (events split by event_id mod 3): every batch decays
+    all per-user counters by ½ then adds its counts
+    (streaming/rolling.stream_decayed_counts). Because ½ is a negative
+    power of two the counters are exact dyadic doubles, so the oracle
+    replays them as batch-indexed weights (¼, ½, 1) with no float
+    tolerance."""
+    import os
+
+    from .sources.tables import configure, normalize_event_ts
+    from .streaming.rolling import (
+        stream_decayed_counts,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events")
+    feed = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "decay_feed"
+    )
+    write_file_batches(
+        [ev.where(F.col("event_id") % 3 == j) for j in range(3)], feed
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream = normalize_event_ts(stream)
+    name = "stream_decay_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q, get_state = stream_decayed_counts(
+            stream, "user_id", decay=0.5, query_name=name
+        )
+        q.awaitTermination()
+    return get_state().select("user_id", "c").orderBy("user_id")
+
+
+_SQL_STREAM_DECAY = """
+WITH c AS (
+  SELECT user_id, event_id % 3 AS bid, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       sum(n * (CASE bid WHEN 0 THEN 0.25 WHEN 1 THEN 0.5
+                ELSE 1.0 END)::DOUBLE) AS c
+FROM c GROUP BY 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -942,6 +1043,8 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_recall_eval": q_sim_recall_eval,
     "pipe_curation_funnel": q_pipe_curation_funnel,
     "src_csv_quoted": q_src_csv_quoted,
+    "rel_mode_per_group": q_rel_mode_per_group,
+    "stream_decay_counts": q_stream_decay_counts,
 }
 
 
@@ -961,4 +1064,6 @@ def oracles9() -> Dict[str, str]:
         "sim_recall_eval": _sql_recall_eval(),
         "pipe_curation_funnel": _sql_curation_funnel(),
         "src_csv_quoted": _SQL_CSV_QUOTED,
+        "rel_mode_per_group": _SQL_MODE_PER_GROUP,
+        "stream_decay_counts": _SQL_STREAM_DECAY,
     }

@@ -715,3 +715,58 @@ def write_file_batches(dfs, feed_dir: str) -> None:
         _shutil.copy(src, dst)
         _os.utime(dst, (base + i * 1000, base + i * 1000))
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_decayed_counts(
+    stream_df: DataFrame,
+    key_col: str,
+    decay: float = 0.5,
+    query_name: str = "decayed_counts",
+):
+    """Exponentially decayed per-key frequency state — the streaming
+    trending-items primitive: every (non-empty) micro-batch first
+    decays ALL existing counters by ``decay`` and then adds the batch's
+    counts, so old activity fades geometrically while state stays one
+    row per key.
+
+    foreachBatch implementation: the state table is a keyed Spark
+    frame, each round = one multiply + one unionByName + one keyed sum,
+    localCheckpoint'ed eagerly so lineage stays flat across batches.
+    Exactness: with decay a negative power of two, every counter is a
+    dyadic rational of bounded magnitude, so the doubles are EXACT and
+    an SQL replay (batch-indexed weight per count) hash-matches —
+    0-row batches are skipped so availableNow's trailing no-data batch
+    cannot decay the state an extra time.
+
+    Returns ``(query, get_state)``; call ``get_state()`` after the
+    drain for the final ``(key, c)`` frame.
+    """
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        counts = batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
+        prev = state["df"]
+        if prev is None:
+            cur = counts
+        else:
+            decayed = prev.select(
+                F.col(key_col), (F.col("c") * F.lit(decay)).alias("c")
+            )
+            cur = (
+                decayed.unionByName(counts)
+                .groupBy(key_col)
+                .agg(F.sum("c").alias("c"))
+            )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["df"]
