@@ -572,37 +572,52 @@ def ngram_novelty(
     all appeared earlier adds little to a training set even when no
     single pair crosses a near-dup threshold.
 
-    Plan: one explode to distinct (doc, shingle) pairs, one grouped
-    min() to find each shingle's first document, one join back, one
-    per-doc count — two keyed shuffles total, text never shuffled,
-    nothing quadratic (same cost class as the MinHash signature scan).
-    Ratios are exact integer numerators/denominators plus one rounded
-    division.
+    Plan: one explode to distinct (doc, shingle) pairs, then TWO
+    doc-keyed aggregates joined at doc granularity — per-doc shingle
+    counts, and first-occurrence counts via ``groupBy(shingle).min(doc)
+    → groupBy(first_doc).count()``. The shingle-level frame is never
+    joined back to the pair set, so the widest join in the plan is
+    doc-sized. Nothing quadratic; ratios are exact integer numerators/
+    denominators plus one rounded division.
+
+    The shingle HOFs are interpreted (outside whole-stage codegen) and
+    dominate the cost, so the doc frame is re-spread across the
+    session's default parallelism before the explode: when the source
+    has fewer splits than cores (small bench files; a production scan
+    always has plenty) the one doc-sized shuffle buys full-core shingle
+    generation.
     """
     from ..functions.hashing import word_ngrams
 
-    pairs = df.select(
+    sc = df.sparkSession.sparkContext
+    spread = df.repartition(sc.defaultParallelism, F.col(id_col))
+    pairs = spread.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(word_ngrams(_tok(text_col), n))
         ).alias("g"),
     )
-    first = pairs.groupBy("g").agg(F.min(id_col).alias("_first"))
-    per_doc = (
-        pairs.join(first, "g")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col(id_col) == F.col("_first"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    per_doc = pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
     )
-    return per_doc.select(
-        id_col,
-        "n_grams",
-        F.col("n_novel").cast("long").alias("n_novel"),
-        F.round(
-            F.col("n_novel").cast("double") / F.col("n_grams"), 6
-        ).alias("novelty"),
+    novel = (
+        pairs.groupBy("g")
+        .agg(F.min(id_col).alias("_first"))
+        .groupBy("_first")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        per_doc.join(
+            novel, per_doc[id_col] == novel["_first"], "left"
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty"),
+        )
     )
