@@ -168,6 +168,8 @@ HEADLINE = [
     "src_csv_quoted",
     "rel_mode_per_group",
     "stream_decay_counts",
+    "cv_poisson_irls",
+    "sim_mrl_recall",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

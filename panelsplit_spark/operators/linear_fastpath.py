@@ -36,7 +36,7 @@ from ..estimators import (
     clone,
 )
 
-__all__ = ["suffstats_fit", "linear_predict_frame", "sweep_scores", "logistic_irls"]
+__all__ = ["suffstats_fit", "linear_predict_frame", "sweep_scores", "logistic_irls", "glm_irls"]
 
 # Moment aggregates are a function of (data, folds, columns, null rule) —
 # NOT of the estimator's hyper-parameters. A hyper-parameter search over
@@ -542,6 +542,31 @@ def logistic_irls(
     ``{it, sw, swx, swxx, g0, g1, beta0, beta1}`` (sums = exact LONG
     nano-units; betas = post-step doubles).
     """
+    return glm_irls(df, x_col, y_col, family="binomial",
+                    n_iter=n_iter, scale=scale)
+
+
+def glm_irls(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    family: str = "binomial",
+    n_iter: int = 2,
+    scale: float = 1_000_000_000.0,
+) -> List[dict]:
+    """Single-feature GLM via Newton/IRLS with canonical links — the
+    engine behind :func:`logistic_irls`, also serving Poisson (count)
+    regression. One exact-integer aggregation per Newton step (see
+    logistic_irls for the full cross-engine contract); per family:
+
+    * ``binomial``: μ = 1/(1+e^(−η)), working weight w = μ(1−μ)
+    * ``poisson``:  μ = e^η,           working weight w = μ
+
+    Both start transcendental-free from β = (0,0) (μ = ½ resp. 1
+    exactly), so step 1's sums are libm-independent on every engine.
+    """
+    if family not in ("binomial", "poisson"):
+        raise ValueError(f"glm_irls: unknown family {family!r}")
     pts = df.select(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
@@ -550,8 +575,12 @@ def logistic_irls(
     out: List[dict] = []
     for it in range(1, n_iter + 1):
         eta = F.lit(b0) + F.lit(b1) * F.col("x")
-        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        w = mu * (F.lit(1.0) - mu)
+        if family == "binomial":
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = mu * (F.lit(1.0) - mu)
+        else:
+            mu = F.exp(eta)
+            w = mu
         r = F.col("y") - mu
 
         def q(c: Column) -> Column:
@@ -568,7 +597,7 @@ def logistic_irls(
         g0, g1 = float(row["g0"]), float(row["g1"])
         det = sw * swxx - swx * swx
         if det == 0.0:
-            raise RuntimeError("logistic_irls: singular Hessian")
+            raise RuntimeError(f"glm_irls[{family}]: singular Hessian")
         # nano-unit scales cancel in H^-1 g, so the deltas are unitful
         d0 = (swxx * g0 - swx * g1) / det
         d1 = (sw * g1 - swx * g0) / det

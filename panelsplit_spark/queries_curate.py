@@ -1025,6 +1025,178 @@ FROM c GROUP BY 1
 
 
 # ======================================================================
+# Poisson regression via Newton/IRLS
+# ======================================================================
+
+
+def q_cv_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Newton steps of Poisson regression — daily event count per
+    user ~ centered day-of-month (operators/linear_fastpath.glm_irls,
+    family='poisson'). Same one-scan-per-step / nano-quantized-moments
+    contract as the logistic gate; step 1 is transcendental-free
+    (β=0 ⇒ μ=1 exactly, working weight 1)."""
+    from pyspark.sql import types as T
+
+    from .operators.linear_fastpath import glm_irls
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            ((F.dayofmonth("d") - 15).cast("double") / F.lit(10.0))
+            .alias("x"),
+            F.col("y").cast("double").alias("y"),
+        )
+    )
+    trace = glm_irls(pts, "x", "y", family="poisson", n_iter=LOGIT_ITER)
+    schema = T.StructType(
+        [
+            T.StructField("it", T.LongType()),
+            T.StructField("sw", T.LongType()),
+            T.StructField("swx", T.LongType()),
+            T.StructField("swxx", T.LongType()),
+            T.StructField("g0", T.LongType()),
+            T.StructField("g1", T.LongType()),
+            T.StructField("beta0", T.DoubleType()),
+            T.StructField("beta1", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (t["it"], t["sw"], t["swx"], t["swxx"], t["g0"], t["g1"],
+         t["beta0"], t["beta1"])
+        for t in trace
+    ]
+    return spark.createDataFrame(rows, schema).select(
+        "it", "sw", "swx", "swxx", "g0", "g1",
+        F.round("beta0", 9).alias("beta0"),
+        F.round("beta1", 9).alias("beta1"),
+    )
+
+
+_SQL_POISSON_IRLS = """
+WITH pts AS (
+  SELECT (CAST(dayofmonth(d) - 15 AS DOUBLE) / 10.0) AS x,
+         CAST(y AS DOUBLE) AS y
+  FROM (
+    SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS y
+    FROM events GROUP BY 1, 2
+  )
+), it1 AS (
+  SELECT sum(CAST(round(1.0 * 1000000000.0) AS BIGINT)) AS sw,
+         sum(CAST(round(1.0 * x * 1000000000.0) AS BIGINT)) AS swx,
+         sum(CAST(round(1.0 * x * x * 1000000000.0) AS BIGINT)) AS swxx,
+         sum(CAST(round((y - 1.0) * 1000000000.0) AS BIGINT)) AS g0,
+         sum(CAST(round((y - 1.0) * x * 1000000000.0) AS BIGINT)) AS g1
+  FROM pts
+), b1 AS (
+  SELECT sw, swx, swxx, g0, g1,
+         (swxx::DOUBLE * g0::DOUBLE - swx::DOUBLE * g1::DOUBLE)
+           / (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE)
+           AS beta0,
+         (sw::DOUBLE * g1::DOUBLE - swx::DOUBLE * g0::DOUBLE)
+           / (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE)
+           AS beta1
+  FROM it1
+), p2 AS (
+  SELECT y, x, mu, mu AS w FROM (
+    SELECT y, x, exp(beta0 + beta1 * x) AS mu FROM pts, b1
+  )
+), it2 AS (
+  SELECT sum(CAST(round(w * 1000000000.0) AS BIGINT)) AS sw,
+         sum(CAST(round(w * x * 1000000000.0) AS BIGINT)) AS swx,
+         sum(CAST(round(w * x * x * 1000000000.0) AS BIGINT)) AS swxx,
+         sum(CAST(round((y - mu) * 1000000000.0) AS BIGINT)) AS g0,
+         sum(CAST(round((y - mu) * x * 1000000000.0) AS BIGINT)) AS g1
+  FROM p2
+), b2 AS (
+  SELECT it2.sw, it2.swx, it2.swxx, it2.g0, it2.g1,
+         b1.beta0 + (it2.swxx::DOUBLE * it2.g0::DOUBLE
+                     - it2.swx::DOUBLE * it2.g1::DOUBLE)
+           / (it2.sw::DOUBLE * it2.swxx::DOUBLE
+              - it2.swx::DOUBLE * it2.swx::DOUBLE) AS beta0,
+         b1.beta1 + (it2.sw::DOUBLE * it2.g1::DOUBLE
+                     - it2.swx::DOUBLE * it2.g0::DOUBLE)
+           / (it2.sw::DOUBLE * it2.swxx::DOUBLE
+              - it2.swx::DOUBLE * it2.swx::DOUBLE) AS beta1
+  FROM it2, b1
+)
+SELECT 1::BIGINT AS it, sw, swx, swxx, g0, g1,
+       round(beta0, 9) AS beta0, round(beta1, 9) AS beta1 FROM b1
+UNION ALL
+SELECT 2::BIGINT, sw, swx, swxx, g0, g1,
+       round(beta0, 9), round(beta1, 9) FROM b2
+"""
+
+
+# ======================================================================
+# Matryoshka-truncation recall (dimension-reduction quality eval)
+# ======================================================================
+
+MRL_DIM = 16
+
+
+def q_sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-truncation eval (Matryoshka-style, public method):
+    exact top-k on the first 16 dimensions vs exact top-k on the full
+    vector, per-query recall via operators/similarity.topk_recall. The
+    dimension cut is a pure codegen slice — the cheap retrieval tier's
+    quality is measured with two searches + one doc-sized join."""
+    from .operators.similarity import cosine_topk, topk_recall
+    from .queries_data import TOPK_K, TOPK_NQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < TOPK_NQ)
+    full = cosine_topk(emb, queries, k=TOPK_K)
+    t = emb.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding")
+    )
+    tq = t.where(F.col("vec_id") < TOPK_NQ)
+    trunc = cosine_topk(t, tq, k=TOPK_K)
+    return topk_recall(full, trunc).select(
+        "query_id", "n_exact", "n_hit", "recall"
+    )
+
+
+def _sql_mrl_recall() -> str:
+    from .queries_data import TOPK_K, TOPK_NQ
+
+    def topk(vec: str) -> str:
+        return f"""
+  WITH q AS (
+    SELECT vec_id AS query_id, {vec} AS qv
+    FROM embeddings WHERE vec_id < {TOPK_NQ}
+  ), c AS (
+    SELECT vec_id AS neighbor_id, {vec} AS cv FROM embeddings
+  ), s AS (
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(qv, cv), 6) AS cosine
+    FROM q, c WHERE query_id <> neighbor_id
+  )
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM s
+  ) WHERE rank <= {TOPK_K}
+"""
+
+    return f"""
+WITH fullk AS ({topk("CAST(embedding AS DOUBLE[])")}),
+trunc AS ({topk(f"CAST(embedding AS DOUBLE[])[1:{MRL_DIM}]")})
+SELECT f.query_id,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*), 6) AS recall
+FROM fullk f
+LEFT JOIN trunc t ON t.query_id = f.query_id
+                 AND t.neighbor_id = f.neighbor_id
+GROUP BY 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1045,6 +1217,8 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_csv_quoted": q_src_csv_quoted,
     "rel_mode_per_group": q_rel_mode_per_group,
     "stream_decay_counts": q_stream_decay_counts,
+    "cv_poisson_irls": q_cv_poisson_irls,
+    "sim_mrl_recall": q_sim_mrl_recall,
 }
 
 
@@ -1066,4 +1240,6 @@ def oracles9() -> Dict[str, str]:
         "src_csv_quoted": _SQL_CSV_QUOTED,
         "rel_mode_per_group": _SQL_MODE_PER_GROUP,
         "stream_decay_counts": _SQL_STREAM_DECAY,
+        "cv_poisson_irls": _SQL_POISSON_IRLS,
+        "sim_mrl_recall": _sql_mrl_recall(),
     }

@@ -430,3 +430,31 @@ def test_topk_recall_counts(spark):
     out = {r["query_id"]: r for r in topk_recall(exact, ann).collect()}
     assert out[1]["n_hit"] == 2 and abs(out[1]["recall"] - 2 / 3) < 1e-6
     assert out[2]["n_hit"] == 3 and out[2]["recall"] == 1.0
+
+
+def test_poisson_irls_matches_numpy_newton(spark):
+    import numpy as np
+
+    from panelsplit_spark.operators.linear_fastpath import glm_irls
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, size=300)
+    lam = np.exp(0.8 + 0.6 * x)
+    y = rng.poisson(lam).astype(float)
+
+    b = np.zeros(2)
+    X = np.column_stack([np.ones_like(x), x])
+    for _ in range(4):
+        mu = np.exp(X @ b)
+        H = X.T @ (X * mu[:, None])
+        g = X.T @ (y - mu)
+        b = b + np.linalg.solve(H, g)
+
+    df = spark.createDataFrame(
+        [(float(a), float(t)) for a, t in zip(x, y)], ["x", "y"]
+    )
+    trace = glm_irls(df, "x", "y", family="poisson", n_iter=4)
+    assert abs(trace[-1]["beta0"] - b[0]) < 1e-5
+    assert abs(trace[-1]["beta1"] - b[1]) < 1e-5
+    # step 1 from beta=0: mu=1 exactly, working weight 1
+    assert trace[0]["sw"] == 300 * 1_000_000_000
