@@ -170,6 +170,7 @@ HEADLINE = [
     "stream_decay_counts",
     "cv_poisson_irls",
     "sim_mrl_recall",
+    "text_entropy",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

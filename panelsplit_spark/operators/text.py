@@ -31,6 +31,7 @@ __all__ = [
     "repetition_signals",
     "fuzzy_word_pairs",
     "ngram_novelty",
+    "char_entropy",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -619,5 +620,55 @@ def ngram_novelty(
                 / F.col("n_grams"),
                 6,
             ).alias("novelty"),
+        )
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: float = 1_000_000_000.0,
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) —
+    the cheap junk detector: binary blobs masquerading as text score
+    anomalously high, repeated-character spam anomalously low, and
+    both get filtered before the expensive pipeline stages run.
+
+    One explode to (doc, char) counts (single keyed shuffle with
+    map-side combine), then −Σ p·ln p with each term quantized to
+    integer nano-units before the per-doc sum — the standard
+    cross-engine contract: ulp-level libm differences in ln() are
+    absorbed by the quantization and the sum itself is exact LONG
+    arithmetic.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(p * F.log(p) * F.lit(scale)).cast("long")
+    return (
+        counts.withColumn("n", n)
+        .select(F.col(id_col), "n", term.alias("t"))
+        .groupBy(id_col)
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            (-F.sum("t")).alias("entropy_nano"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            "n_distinct_chars",
+            "entropy_nano",
+            F.round(F.col("entropy_nano") / F.lit(scale), 6).alias(
+                "entropy"
+            ),
         )
     )

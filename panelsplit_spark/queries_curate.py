@@ -1197,6 +1197,45 @@ GROUP BY 1
 
 
 # ======================================================================
+# Character-distribution entropy
+# ======================================================================
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character Shannon entropy (operators/text.char_entropy):
+    one keyed count shuffle; −Σ p·ln p with nano-quantized terms so the
+    per-doc sums are exact integers cross-engine."""
+    from .operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs).select(
+        "doc_id", "n_chars", "n_distinct_chars", "entropy_nano", "entropy"
+    )
+
+
+_SQL_TEXT_ENTROPY = """
+WITH counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+  ) WHERE ch <> '' GROUP BY 1, 2
+), withn AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
+)
+SELECT doc_id,
+       max(n) AS n_chars,
+       count(*) AS n_distinct_chars,
+       -sum(CAST(round((c::DOUBLE / n::DOUBLE)
+                       * ln(c::DOUBLE / n::DOUBLE)
+                       * 1000000000.0) AS BIGINT)) AS entropy_nano,
+       round(-sum(CAST(round((c::DOUBLE / n::DOUBLE)
+                             * ln(c::DOUBLE / n::DOUBLE)
+                             * 1000000000.0) AS BIGINT))
+             / 1000000000.0, 6) AS entropy
+FROM withn GROUP BY 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1219,6 +1258,7 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_decay_counts": q_stream_decay_counts,
     "cv_poisson_irls": q_cv_poisson_irls,
     "sim_mrl_recall": q_sim_mrl_recall,
+    "text_entropy": q_text_entropy,
 }
 
 
@@ -1242,4 +1282,5 @@ def oracles9() -> Dict[str, str]:
         "stream_decay_counts": _SQL_STREAM_DECAY,
         "cv_poisson_irls": _SQL_POISSON_IRLS,
         "sim_mrl_recall": _sql_mrl_recall(),
+        "text_entropy": _SQL_TEXT_ENTROPY,
     }
