@@ -1024,18 +1024,27 @@ def semdedup(
     """
     from .similarity import kmeans_assign
 
+    from ..functions.vector import dot, l2_norm
+
     vecs = df.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )
     asg = kmeans_assign(vecs, centroids, "__v", "cell", round_to=round_to)
+    # norms once per vector, not per pair (same bit-exact rewrite as
+    # embedding_near_duplicates: the interpreted array HOFs are the
+    # whole cost of the quadratic within-cell screen)
+    asg = asg.withColumn("_nv", l2_norm(F.col("__v")))
     a = asg.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("va"), "cell"
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+        F.col("_nv").alias("_na"), "cell",
     )
     b = asg.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "cell"
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+        F.col("_nv").alias("_nb"), "cell",
     )
     cos = F.round(
-        cosine_similarity(F.col("va"), F.col("vb")), round_to
+        dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        round_to,
     )
     dups = (
         a.join(b, "cell")

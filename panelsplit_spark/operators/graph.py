@@ -166,7 +166,7 @@ def ancestor_closure(
     n_jump = jump.count()
     for k in range(rounds):
         if n_jump == 0:
-            return acc
+            break
         j = jump.select(
             F.col("node").alias("_m"), F.col("anc").alias("_a"),
             F.col("dist").alias("_d"),
@@ -189,9 +189,31 @@ def ancestor_closure(
         if jump is not base:
             jump.unpersist()
         acc, jump = nxt_acc, nxt_jump
-    if known_max_depth is None and n_jump != 0:
-        raise RuntimeError(
-            f"ancestor_closure: no fixpoint after {max_rounds} doubling "
-            f"rounds (depth > 2^{max_rounds} or a cycle in the 'forest')"
+    if n_jump != 0:
+        # jumps of exactly 2^rounds may coexist with a COMPLETE closure
+        # (depth == 2^rounds); incomplete iff some chain extends one hop
+        # further — probe jump∘base (tiny join) before deciding
+        b = base.select(
+            F.col("node").alias("_m"), F.col("anc").alias("_a")
         )
+        beyond = jump.join(b, jump["anc"] == b["_m"]).limit(1).count()
+        if beyond:
+            raise RuntimeError(
+                "ancestor_closure: pairs beyond distance "
+                f"2^{rounds} exist — "
+                + (
+                    f"known_max_depth={known_max_depth} underestimates "
+                    "the hierarchy"
+                    if known_max_depth is not None
+                    else f"no fixpoint after {max_rounds} doubling "
+                    f"rounds (cycle, or depth > 2^{max_rounds})"
+                )
+            )
+    if jump is not base:
+        jump.unpersist()
+    if acc is not base:
+        base.unpersist()
+    # the result itself stays persisted (callers typically consume it
+    # several times); expose the handle so they can release it
+    acc.persisted_intermediates = (acc,)
     return acc

@@ -323,7 +323,7 @@ def q_rel_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("anc")
         .agg(F.count(F.lit(1)).alias("nd"), F.sum("pc").alias("sc"))
     )
-    return (
+    out = (
         p.join(depth, p["p_partkey"] == depth["node"], "left")
         .join(sub, p["p_partkey"] == sub["anc"], "left")
         .select(
@@ -335,6 +335,13 @@ def q_rel_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("subtree_cents"),
         )
     )
+    # materialize the (part-sized) result, then release the closure's
+    # persisted pair set so repeated bench/oracle runs don't accumulate
+    # executor storage for the rest of the session
+    out = out.localCheckpoint(eager=True)
+    for h in getattr(cl, "persisted_intermediates", ()):
+        h.unpersist()
+    return out
 
 
 _SQL_TREE_ROLLUP = """
@@ -426,26 +433,12 @@ FROM g
 LOGIT_ITER = 2
 
 
-def q_cv_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Newton steps of logistic regression (click ~ value) fit as
-    one exact-integer aggregation per step
-    (operators/linear_fastpath.logistic_irls); emits the per-step
-    moment sums and the post-step coefficients. The oracle replays
-    both steps: step 1 is transcendental-free (β=0 ⇒ μ=½ exactly),
-    step 2 quantizes after the single exp() per row."""
+def _irls_trace_frame(spark: SparkSession, trace) -> DataFrame:
+    """Shared scaffolding for the GLM gates: package a glm_irls trace
+    (driver-small by construction) as the gate's output frame with
+    coefficients rounded for hashing."""
     from pyspark.sql import types as T
 
-    from .operators.linear_fastpath import logistic_irls
-
-    ev = load_table(spark, sf_dir, "events")
-    pts = ev.select(
-        (F.round(F.col("value") * 100).cast("long").cast("double")
-         / F.lit(10_000.0)).alias("x"),
-        F.when(F.col("event_type") == "click", F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("y"),
-    )
-    trace = logistic_irls(pts, "x", "y", n_iter=LOGIT_ITER)
     schema = T.StructType(
         [
             T.StructField("it", T.LongType()),
@@ -467,6 +460,30 @@ def q_cv_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "it", "sw", "swx", "swxx", "g0", "g1",
         F.round("beta0", 9).alias("beta0"),
         F.round("beta1", 9).alias("beta1"),
+    )
+
+
+
+
+def q_cv_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Newton steps of logistic regression (click ~ value) fit as
+    one exact-integer aggregation per step
+    (operators/linear_fastpath.logistic_irls); emits the per-step
+    moment sums and the post-step coefficients. The oracle replays
+    both steps: step 1 is transcendental-free (β=0 ⇒ μ=½ exactly),
+    step 2 quantizes after the single exp() per row."""
+    from .operators.linear_fastpath import logistic_irls
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.round(F.col("value") * 100).cast("long").cast("double")
+         / F.lit(10_000.0)).alias("x"),
+        F.when(F.col("event_type") == "click", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    return _irls_trace_frame(
+        spark, logistic_irls(pts, "x", "y", n_iter=LOGIT_ITER)
     )
 
 
@@ -1035,8 +1052,6 @@ def q_cv_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     family='poisson'). Same one-scan-per-step / nano-quantized-moments
     contract as the logistic gate; step 1 is transcendental-free
     (β=0 ⇒ μ=1 exactly, working weight 1)."""
-    from pyspark.sql import types as T
-
     from .operators.linear_fastpath import glm_irls
 
     ev = load_table(spark, sf_dir, "events")
@@ -1049,28 +1064,9 @@ def q_cv_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("double").alias("y"),
         )
     )
-    trace = glm_irls(pts, "x", "y", family="poisson", n_iter=LOGIT_ITER)
-    schema = T.StructType(
-        [
-            T.StructField("it", T.LongType()),
-            T.StructField("sw", T.LongType()),
-            T.StructField("swx", T.LongType()),
-            T.StructField("swxx", T.LongType()),
-            T.StructField("g0", T.LongType()),
-            T.StructField("g1", T.LongType()),
-            T.StructField("beta0", T.DoubleType()),
-            T.StructField("beta1", T.DoubleType()),
-        ]
-    )
-    rows = [
-        (t["it"], t["sw"], t["swx"], t["swxx"], t["g0"], t["g1"],
-         t["beta0"], t["beta1"])
-        for t in trace
-    ]
-    return spark.createDataFrame(rows, schema).select(
-        "it", "sw", "swx", "swxx", "g0", "g1",
-        F.round("beta0", 9).alias("beta0"),
-        F.round("beta1", 9).alias("beta1"),
+    return _irls_trace_frame(
+        spark,
+        glm_irls(pts, "x", "y", family="poisson", n_iter=LOGIT_ITER),
     )
 
 
