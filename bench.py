@@ -171,6 +171,9 @@ HEADLINE = [
     "cv_poisson_irls",
     "sim_mrl_recall",
     "text_entropy",
+    "rel_attribution",
+    "emb_cluster_purity",
+    "text_source_overlap",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -1232,6 +1232,216 @@ FROM withn GROUP BY 1
 
 
 # ======================================================================
+# Last-touch attribution (as-of self-join on one table)
+# ======================================================================
+
+
+def q_rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase event is
+    credited to the user's most recent strictly-earlier click (ties on
+    identical timestamps break by event_id). One union + one ordered
+    window per user — the as-of merge pattern (operators/timeseries.
+    asof_join specialized to a self-join), no inequality join anywhere.
+    Purchases with no preceding click stay NULL-attributed (kept)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("_side"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("buy_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lit(1).alias("_side"),
+    )
+    m = clicks.select(
+        "user_id", "t", "click_id",
+        F.lit(None).cast("long").alias("buy_id"),
+        F.lit(None).cast("long").alias("cents"),
+        "_side",
+        F.col("click_id").alias("_eid"),
+    ).unionByName(
+        buys.select(
+            "user_id", "t",
+            F.lit(None).cast("long").alias("click_id"),
+            "buy_id", "cents", "_side",
+            F.col("buy_id").alias("_eid"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "_side", "_eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = m.withColumn(
+        "attr_click", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return (
+        attributed.where(F.col("_side") == 1)
+        .select("user_id", "buy_id", "cents", "attr_click")
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH m AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id AS click_id,
+         NULL::BIGINT AS buy_id, NULL::BIGINT AS cents,
+         0 AS _side, event_id AS _eid
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), NULL, event_id,
+         CAST(round(value * 100) AS BIGINT), 1, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, buy_id, cents, attr_click FROM (
+  SELECT *, last_value(click_id IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY t, _side, _eid
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS attr_click
+  FROM m
+) WHERE _side = 1
+"""
+
+
+# ======================================================================
+# Clustering-vs-labels purity eval
+# ======================================================================
+
+
+def q_emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised-clustering quality against the labeled ground
+    truth: per k-means cell, the dominant label, its share in basis
+    points, and the cell size. Reuses the SemDeDup Lloyd fit (same
+    constants → same oracle CTE chain), so the eval costs one
+    assignment projection + one count aggregate + one argmax window
+    over cell-sized counts."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=SEMDEDUP_K, n_iter=SEMDEDUP_ITER)
+    asg = kmeans_assign(emb, cents, round_to=6)
+    counts = asg.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("label"))
+    tot = Window.partitionBy("cell")
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .withColumn("cell_n", F.sum("n").over(tot))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_n"),
+            F.col("cell_n"),
+            F.expr("(n * 10000) div cell_n").alias("purity_bp"),
+        )
+    )
+
+
+def _sql_cluster_purity() -> str:
+    from .queries_nlp import kmeans_lloyd_ctes
+
+    return kmeans_lloyd_ctes(SEMDEDUP_K, SEMDEDUP_ITER) + """,
+asg AS (
+  SELECT id, cell FROM (
+    SELECT v.id, p.cell,
+           row_number() OVER (
+             PARTITION BY v.id
+             ORDER BY round(list_sum(list_transform(
+                        range(1, len(v.x) + 1),
+                        j -> (v.x[j] - p.c[j]) * (v.x[j] - p.c[j]))), 6),
+                      p.cell
+           ) AS rn
+    FROM v, cent%(last)d p
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT asg.cell, e.label, count(*) AS n
+  FROM asg JOIN embeddings e ON e.vec_id = asg.id
+  GROUP BY 1, 2
+)
+SELECT CAST(cell AS BIGINT) AS cell, label AS top_label, n AS top_n,
+       cell_n,
+       CAST(n * 10000 // cell_n AS BIGINT) AS purity_bp
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY cell ORDER BY n DESC, label
+         ) AS rk,
+         sum(n) OVER (PARTITION BY cell) AS cell_n
+  FROM counts
+) WHERE rk = 1
+""" % {"last": SEMDEDUP_ITER}
+
+
+# ======================================================================
+# Cross-source vocabulary overlap (Jaccard matrix)
+# ======================================================================
+
+
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    diagnostic ("are src3 and src9 the same crawl?"). Distinct
+    (source, term) pairs once (vocab-sized), self-join on term for
+    intersections, broadcast per-source totals for the union — never a
+    doc-level product. Basis-point Jaccard keeps it integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "").distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = st.select(F.col("source").alias("sa"), "term")
+    b = st.select(F.col("source").alias("sb"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("sa"), F.col("nv").alias("na"))
+    sb = sizes.select(F.col("source").alias("sb"), F.col("nv").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "sa")
+        .join(F.broadcast(sb), "sb")
+        .select(
+            "sa", "sb", "n_inter", "na", "nb",
+            F.expr("(n_inter * 10000) div (na + nb - n_inter)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )
+
+
+_SQL_SOURCE_OVERLAP = """
+WITH st AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), sizes AS (
+  SELECT source, count(*) AS nv FROM st GROUP BY 1
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, n_inter, x.nv AS na, y.nv AS nb,
+       CAST(n_inter * 10000 // (x.nv + y.nv - n_inter) AS BIGINT)
+         AS jaccard_bp
+FROM inter
+JOIN sizes x ON x.source = sa
+JOIN sizes y ON y.source = sb
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1255,6 +1465,9 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_poisson_irls": q_cv_poisson_irls,
     "sim_mrl_recall": q_sim_mrl_recall,
     "text_entropy": q_text_entropy,
+    "rel_attribution": q_rel_attribution,
+    "emb_cluster_purity": q_emb_cluster_purity,
+    "text_source_overlap": q_text_source_overlap,
 }
 
 
@@ -1279,4 +1492,7 @@ def oracles9() -> Dict[str, str]:
         "cv_poisson_irls": _SQL_POISSON_IRLS,
         "sim_mrl_recall": _sql_mrl_recall(),
         "text_entropy": _SQL_TEXT_ENTROPY,
+        "rel_attribution": _SQL_ATTRIBUTION,
+        "emb_cluster_purity": _sql_cluster_purity(),
+        "text_source_overlap": _SQL_SOURCE_OVERLAP,
     }
