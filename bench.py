@@ -174,6 +174,8 @@ HEADLINE = [
     "rel_attribution",
     "emb_cluster_purity",
     "text_source_overlap",
+    "rel_not_in_null",
+    "pipe_pack_efficiency",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -1442,6 +1442,165 @@ JOIN sizes y ON y.source = sb
 
 
 # ======================================================================
+# NOT IN vs NOT EXISTS vs ANTI JOIN (the NULL trap gallery)
+# ======================================================================
+
+
+def q_rel_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic three-valued-logic migration trap, pinned: with one
+    NULL in the subquery (NULLIF(c_nationkey, 0)), ``NOT IN`` returns
+    ZERO rows (x <> NULL is UNKNOWN for every x), while ``NOT EXISTS``
+    and a left-anti join return the real answer. One row per variant
+    with its count — an engine that "fixes" NOT IN silently would
+    hash-mismatch. Expressed through the SQL gateway so the plan is
+    the engine's own null-aware anti join."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "v_supplier"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    return spark.sql(
+        """
+        SELECT 'not_in' AS variant, (
+          SELECT count(*) FROM v_supplier
+          WHERE s_nationkey NOT IN
+            (SELECT nullif(c_nationkey, 0) FROM v_customer)
+        ) AS n
+        UNION ALL
+        SELECT 'not_exists', (
+          SELECT count(*) FROM v_supplier s
+          WHERE NOT EXISTS (
+            SELECT 1 FROM v_customer c
+            WHERE nullif(c.c_nationkey, 0) = s.s_nationkey
+          )
+        )
+        UNION ALL
+        SELECT 'anti_join', (
+          SELECT count(*) FROM (
+            SELECT s.s_suppkey FROM v_supplier s
+            LEFT JOIN (SELECT DISTINCT nullif(c_nationkey, 0) AS k
+                       FROM v_customer) c
+              ON c.k = s.s_nationkey
+            WHERE c.k IS NULL
+          )
+        )
+        """
+    )
+
+
+_SQL_NOT_IN_NULL = """
+SELECT 'not_in' AS variant, (
+  SELECT count(*) FROM supplier
+  WHERE s_nationkey NOT IN
+    (SELECT nullif(c_nationkey, 0) FROM customer)
+) AS n
+UNION ALL
+SELECT 'not_exists', (
+  SELECT count(*) FROM supplier s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM customer c
+    WHERE nullif(c.c_nationkey, 0) = s.s_nationkey
+  )
+)
+UNION ALL
+SELECT 'anti_join', (
+  SELECT count(*) FROM (
+    SELECT s.s_suppkey FROM supplier s
+    LEFT JOIN (SELECT DISTINCT nullif(c_nationkey, 0) AS k
+               FROM customer) c
+      ON c.k = s.s_nationkey
+    WHERE c.k IS NULL
+  )
+)
+"""
+
+
+# ======================================================================
+# Sequence-packing efficiency audit
+# ======================================================================
+
+
+def q_pipe_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-facing audit of the packing layout: per shard the doc and
+    token totals, the number of emitted sequences, how many documents
+    straddle a chunk boundary, and the tail padding waste — the numbers
+    that decide whether the packing budget/shard count is right before
+    a training run. Pure aggregation over the already-gated
+    pack_sequences layout (integer arithmetic only)."""
+    from .operators.sampling import pack_sequences
+    from .operators.text import text_stats
+    from .queries_dss import PACK_BUDGET, PACK_SHARDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_stats(docs, "text").select(
+        "doc_id", F.col("n_ws_tokens").cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(
+        toks, "n_tokens", PACK_BUDGET, id_col="doc_id",
+        n_shards=PACK_SHARDS,
+    )
+    b = PACK_BUDGET
+    return (
+        out.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max(
+                F.col("seq") * b + F.col("offset") + F.col("n_tokens")
+            ).alias("_end"),
+            F.sum(
+                F.when(
+                    F.col("offset") + F.col("n_tokens") > b, 1
+                ).otherwise(0)
+            ).cast("long").alias("n_straddlers"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"(_end + {b} - 1) div {b}").alias("n_seqs"),
+            (
+                F.expr(f"((_end + {b} - 1) div {b}) * {b}")
+                - F.col("total_tokens")
+            ).alias("waste_tokens"),
+            "n_straddlers",
+        )
+    )
+
+
+def _sql_pack_efficiency() -> str:
+    from .queries_dss import PACK_BUDGET, PACK_SHARDS
+
+    b = PACK_BUDGET
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+           AS n_tokens,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {PACK_SHARDS} AS INTEGER) AS shard
+  FROM documents
+),
+runs AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - n_tokens AS start
+  FROM toks
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       (max(start + n_tokens) + {b} - 1) // {b} AS n_seqs,
+       ((max(start + n_tokens) + {b} - 1) // {b}) * {b}
+         - sum(n_tokens) AS waste_tokens,
+       CAST(sum(CASE WHEN start % {b} + n_tokens > {b}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM runs GROUP BY 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1468,6 +1627,8 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_attribution": q_rel_attribution,
     "emb_cluster_purity": q_emb_cluster_purity,
     "text_source_overlap": q_text_source_overlap,
+    "rel_not_in_null": q_rel_not_in_null,
+    "pipe_pack_efficiency": q_pipe_pack_efficiency,
 }
 
 
@@ -1495,4 +1656,6 @@ def oracles9() -> Dict[str, str]:
         "rel_attribution": _SQL_ATTRIBUTION,
         "emb_cluster_purity": _sql_cluster_purity(),
         "text_source_overlap": _SQL_SOURCE_OVERLAP,
+        "rel_not_in_null": _SQL_NOT_IN_NULL,
+        "pipe_pack_efficiency": _sql_pack_efficiency(),
     }
