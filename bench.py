@@ -176,6 +176,7 @@ HEADLINE = [
     "text_source_overlap",
     "rel_not_in_null",
     "pipe_pack_efficiency",
+    "stream_sink_roundtrip",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

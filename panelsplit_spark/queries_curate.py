@@ -1601,6 +1601,66 @@ FROM runs GROUP BY 1
 
 
 # ======================================================================
+# Exactly-once streaming parquet sink round-trip
+# ======================================================================
+
+
+def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable landing path end-to-end as a declared gate: stream
+    the events feed through a projection into the transactional
+    parquet file sink (offset log + _spark_metadata commit log), run
+    the SAME drain a second time against the SAME checkpoint (the
+    restart must be a no-op — offsets already committed), then read the
+    sink back and aggregate. Any duplicate or lost batch flips the
+    hash against the batch oracle."""
+    import os
+    import shutil
+
+    from .sources.tables import configure, normalize_event_ts
+    from .streaming.rolling import stream_parquet_sink
+
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    base = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "stream_sink_rt"
+    )
+    out_dir, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    for _ in range(2):  # second drain = restart, must commit nothing new
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        stream = normalize_event_ts(stream).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        q = stream_parquet_sink(
+            stream, out_dir, ckpt, query_name="stream_sink_rt"
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+_SQL_STREAM_SINK_RT = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1629,6 +1689,7 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_source_overlap": q_text_source_overlap,
     "rel_not_in_null": q_rel_not_in_null,
     "pipe_pack_efficiency": q_pipe_pack_efficiency,
+    "stream_sink_roundtrip": q_stream_sink_roundtrip,
 }
 
 
@@ -1658,4 +1719,5 @@ def oracles9() -> Dict[str, str]:
         "text_source_overlap": _SQL_SOURCE_OVERLAP,
         "rel_not_in_null": _SQL_NOT_IN_NULL,
         "pipe_pack_efficiency": _sql_pack_efficiency(),
+        "stream_sink_roundtrip": _SQL_STREAM_SINK_RT,
     }
