@@ -458,3 +458,30 @@ def test_poisson_irls_matches_numpy_newton(spark):
     assert abs(trace[-1]["beta1"] - b[1]) < 1e-5
     # step 1 from beta=0: mu=1 exactly, working weight 1
     assert trace[0]["sw"] == 300 * 1_000_000_000
+
+
+def test_char_entropy_uniform_and_degenerate(spark):
+    import math
+
+    from panelsplit_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    # 4 distinct chars, uniform -> ln(4); constant char -> 0
+    assert abs(out[1]["entropy"] - math.log(4)) < 1e-6
+    assert out[2]["entropy"] == 0.0
+    assert out[1]["n_distinct_chars"] == 4
+
+
+def test_ancestor_closure_underestimated_bound_raises(spark):
+    from panelsplit_spark.operators.graph import ancestor_closure
+
+    edges = [(i, i - 1) for i in range(1, 12)]  # depth 11 chain
+    df = spark.createDataFrame(edges, ["child", "parent"])
+    with pytest.raises(RuntimeError, match="underestimates"):
+        ancestor_closure(df, known_max_depth=4)
+    # an exact bound is fine (depth == 2^rounds edge case included)
+    got = ancestor_closure(df, known_max_depth=11)
+    assert got.count() == sum(range(1, 12))
