@@ -177,6 +177,9 @@ HEADLINE = [
     "rel_not_in_null",
     "pipe_pack_efficiency",
     "stream_sink_roundtrip",
+    "text_pmi_collocations",
+    "rel_bfs_reach",
+    "src_binary_files",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -15,7 +15,73 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "ancestor_closure"]
+__all__ = ["pagerank", "ancestor_closure", "bfs_levels"]
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 4,
+    broadcast_frontier_below: int = 4_000_000,
+) -> DataFrame:
+    """Multi-source breadth-first search → (node, dist) for every node
+    reachable from ``sources`` within ``max_hops`` hops (dist = exact
+    minimum hop count, an integer — no float anywhere, so the result is
+    trivially deterministic under any partitioning and an independent
+    SQL engine can replay the rounds as chained CTEs).
+
+    Frontier form: round k joins only the nodes first reached at round
+    k-1 against the edge list — a node's distance is final the first
+    time it is reached (hop counts only grow along a path), so
+    re-propagating settled nodes is pure waste. This is the classic
+    level-synchronous BFS every Pregel system runs, expressed as
+    join+aggregate so Catalyst/AQE choose the physical strategy.
+
+    Plan shape at 100 TB: the edge list is persisted once, keyed by
+    ``src``; each round's frontier is node-sized (≪ edges) and is
+    BROADCAST into the join while it stays under
+    ``broadcast_frontier_below`` rows, so the edges never re-shuffle
+    after their initial layout. The settled-distance frame grows to at
+    most node-size. The per-round anti-join (drop already-settled
+    nodes) keys on the node id. Nothing is collected to the driver.
+    The persisted edge frame is exposed as
+    ``result.persisted_intermediates`` — unpersist when done.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).persist()
+    settled = sources.select(
+        F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct().persist()
+    frontier = settled
+    persisted = [e, settled]
+    for hop in range(1, max_hops + 1):
+        # the count doubles as the persist materialization; it is the
+        # same driver-scalar boundary pagerank pays for its node count
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+        f = frontier.select(F.col("node").alias("_f"))
+        if n_front < broadcast_frontier_below:
+            f = F.broadcast(f)
+        reached = (
+            e.join(f, e["_s"] == f["_f"])
+            .select(F.col("_t").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(settled, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"))
+            .persist()
+        )
+        persisted.append(frontier)
+        # settled is a plain union of ALREADY-PERSISTED frontiers:
+        # persisting it too would re-materialize node-sized data every
+        # round for no reuse win — the union re-reads cached blocks
+        settled = settled.unionByName(frontier)
+    settled.persisted_intermediates = persisted
+    return settled
 
 
 def pagerank(

@@ -32,6 +32,7 @@ __all__ = [
     "fuzzy_word_pairs",
     "ngram_novelty",
     "char_entropy",
+    "pmi_collocations",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -672,3 +673,87 @@ def char_entropy(
             ),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 100,
+    scale: float = 1_000_000_000.0,
+) -> DataFrame:
+    """Top-N adjacent-bigram collocations ranked by pointwise mutual
+    information → (w1, w2, n_pair, n_w1, n_w2, pmi_nano, pmi).
+
+    PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p(w1,w2) over the bigram
+    total and p(w) over the unigram total. The ratio is computed as ONE
+    float expression with a fixed association order —
+    ``((pair·U)·U) / ((B·w1)·w2)`` all in DOUBLE — then ln + nano
+    quantization, so an independent engine replaying the identical
+    expression gets the identical integer (products in double avoid
+    the int64 overflow that ``pair·U²`` would hit on a web corpus).
+
+    Plan shape at 100 TB: tokenization and bigram assembly are narrow
+    (higher-order array functions in codegen, no Python); unigram and
+    bigram counts are each ONE partially-aggregated shuffle on the
+    term key; the two unigram joins onto the (min_count-pruned) bigram
+    table key on the word; the two corpus totals are single-row
+    broadcast scalars; top-N is TakeOrderedAndProject with a full
+    deterministic tie-break (pmi desc, w1, w2), never a global sort.
+    """
+    # token filtering and bigram assembly are interpreted HOFs (outside
+    # whole-stage codegen): re-spread the doc frame across the session's
+    # default parallelism first, same rationale as ngram_novelty above
+    sc = df.sparkSession.sparkContext
+    # the token-array frame feeds BOTH count tables; the repartition is
+    # one identical exchange subplan in both branches, so ReuseExchange
+    # pays the scan+shuffle once (persisting the wide token arrays was
+    # measurably slower than recomputing the interpreted filter)
+    toks = df.repartition(sc.defaultParallelism).select(
+        F.filter(word_tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+        .alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_uni = uni.agg(F.sum("n_w").alias("n_uni"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    n_big = pair.agg(F.sum("n_pair").alias("n_big"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    ratio = (
+        (F.col("n_pair").cast("double") * F.col("n_uni")) * F.col("n_uni")
+    ) / (
+        (F.col("n_big").cast("double") * F.col("n_w1")) * F.col("n_w2")
+    )
+    pmi_nano = F.round(F.log(ratio) * F.lit(scale)).cast("long")
+    out = (
+        pair.where(F.col("n_pair") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            pmi_nano.alias("pmi_nano"),
+        )
+        .withColumn(
+            "pmi", F.round(F.col("pmi_nano") / F.lit(scale), 6)
+        )
+        .orderBy(F.col("pmi_nano").desc(), "w1", "w2")
+        .limit(top_n)
+    )
+    return out

@@ -1664,6 +1664,221 @@ FROM events GROUP BY 1
 # registry
 # ======================================================================
 
+# ======================================================================
+# PMI collocations
+# ======================================================================
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 100
+
+
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-word collocations by pointwise mutual
+    information (operators/text.pmi_collocations): bigram assembly in
+    codegen array functions, one keyed shuffle per count table,
+    broadcast corpus totals, nano-quantized ln ratio with a pinned
+    association order, deterministic tie-break on the LIMIT."""
+    from .operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(
+        docs, "text", min_count=PMI_MIN_COUNT, top_n=PMI_TOP_N
+    )
+
+
+_SQL_PMI = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+tot_u AS (SELECT sum(n_w) AS n_uni FROM uni),
+pair AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_pair FROM (
+    SELECT unnest(list_transform(range(2, len(t) + 1),
+                  i -> struct_pack(w1 := t[i - 1], w2 := t[i]))) AS b
+    FROM toks
+  ) GROUP BY b.w1, b.w2
+),
+tot_b AS (SELECT sum(n_pair) AS n_big FROM pair),
+j AS (
+  SELECT p.w1, p.w2, p.n_pair,
+         u1.n_w AS n_w1, u2.n_w AS n_w2,
+         CAST(round(ln(
+           ((CAST(p.n_pair AS DOUBLE) * t1.n_uni) * t1.n_uni)
+           / ((CAST(t2.n_big AS DOUBLE) * u1.n_w) * u2.n_w)
+         ) * 1e9) AS BIGINT) AS pmi_nano
+  FROM pair p
+  JOIN uni u1 ON p.w1 = u1.w
+  JOIN uni u2 ON p.w2 = u2.w, tot_u t1, tot_b t2
+  WHERE p.n_pair >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, n_pair, n_w1, n_w2, pmi_nano,
+       round(pmi_nano / 1e9, 6) AS pmi
+FROM j
+ORDER BY pmi_nano DESC, w1, w2
+LIMIT {PMI_TOP_N}
+"""
+
+
+# ======================================================================
+# multi-source BFS reachability
+# ======================================================================
+
+BFS_NATION = 3
+BFS_HOPS = 4
+
+
+def q_rel_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous multi-source BFS (operators/graph.bfs_levels)
+    on the undirected supplier↔customer graph of lineitem⋈orders,
+    seeded from one nation's suppliers: exact integer hop distances,
+    frontier-broadcast rounds over a once-persisted edge list. The
+    oracle replays the rounds as chained CTEs — min-of-integers per
+    round is order-independent, so the replay is exact."""
+    from .operators.graph import bfs_levels
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    # same packed-LONG node encoding as rel_pagerank (suppkey→2k+1,
+    # custkey→2k): the dedup/join shuffles move 8-byte keys, and the
+    # bijection is decoded to the oracle's string ids only at the end.
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("a"),
+            (F.col("o_custkey") * 2).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sources = su.where(F.col("s_nationkey") == BFS_NATION).select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    dist = bfs_levels(edges, sources, max_hops=BFS_HOPS)
+    # materialize the node-sized result, then RELEASE the edge-sized
+    # persisted intermediates (same discipline as rel_pagerank — a
+    # long-lived session must not leave an edge list in storage memory)
+    out = dist.select(
+        F.when(
+            F.col("node") % 2 == 1,
+            F.concat(F.lit("s"), F.shiftright("node", 1)),
+        )
+        .otherwise(F.concat(F.lit("c"), F.shiftright("node", 1)))
+        .alias("node"),
+        "dist",
+    ).persist()
+    out.count()
+    for frame in dist.persisted_intermediates:
+        frame.unpersist()
+    return out
+
+
+def _sql_bfs() -> str:
+    step = """
+d{k} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM d{p} d JOIN edges e ON d.node = e.src
+    WHERE d.dist = {p}
+  ) GROUP BY node
+)"""
+    chain = ",".join(
+        step.format(k=k, p=k - 1) for k in range(1, BFS_HOPS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+d0 AS (
+  SELECT DISTINCT 's' || s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM supplier WHERE s_nationkey = {BFS_NATION}
+),
+{chain}
+SELECT node, dist FROM d{BFS_HOPS}
+"""
+
+
+# ======================================================================
+# binaryFile source over a byte-deterministic text sink
+# ======================================================================
+
+
+def q_src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion gate: documents are projected to
+    ``doc_id|n_chars`` lines, written as a lang-partitioned TEXT sink
+    with a pinned file layout (one task per lang via repartition, rows
+    sorted by doc_id within the task), then read back RAW through the
+    ``binaryFile`` source — the multimodal ingestion path, where
+    payloads are opaque bytes plus partition metadata. The gate hashes
+    every file's exact bytes; the oracle reconstructs the byte stream
+    per lang with an ordered string_agg and never touches a file, so
+    any drift in sink bytes (row order, separators, trailing newline)
+    or in the binary source's content/length columns flips the hash.
+    """
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "binary_docs"
+    )
+    (
+        docs.repartition("lang")
+        .sortWithinPartitions("lang", "doc_id")
+        .select(
+            "lang",
+            F.concat_ws("|", "doc_id", "n_chars").alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .text(path)
+    )
+    back = spark.read.format("binaryFile").load(path)
+    return back.select(
+        F.col("lang").cast("string").alias("lang"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+_SQL_BINARY_FILES = """
+SELECT lang,
+       CAST(strlen(blob) AS BIGINT) AS n_bytes,
+       md5(blob) AS content_md5
+FROM (
+  SELECT lang,
+         string_agg(doc_id || '|' || n_chars || chr(10), ''
+                    ORDER BY doc_id) AS blob
+  FROM documents GROUP BY lang
+)
+"""
+
+
 QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_gopher_rules": q_pipe_gopher_rules,
     "pipe_dsir_weights": q_pipe_dsir_weights,
@@ -1690,6 +1905,9 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_not_in_null": q_rel_not_in_null,
     "pipe_pack_efficiency": q_pipe_pack_efficiency,
     "stream_sink_roundtrip": q_stream_sink_roundtrip,
+    "text_pmi_collocations": q_text_pmi_collocations,
+    "rel_bfs_reach": q_rel_bfs_reach,
+    "src_binary_files": q_src_binary_files,
 }
 
 
@@ -1720,4 +1938,7 @@ def oracles9() -> Dict[str, str]:
         "rel_not_in_null": _SQL_NOT_IN_NULL,
         "pipe_pack_efficiency": _sql_pack_efficiency(),
         "stream_sink_roundtrip": _SQL_STREAM_SINK_RT,
+        "text_pmi_collocations": _SQL_PMI,
+        "rel_bfs_reach": _sql_bfs(),
+        "src_binary_files": _SQL_BINARY_FILES,
     }

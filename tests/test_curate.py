@@ -485,3 +485,55 @@ def test_ancestor_closure_underestimated_bound_raises(spark):
     # an exact bound is fine (depth == 2^rounds edge case included)
     got = ancestor_closure(df, known_max_depth=11)
     assert got.count() == sum(range(1, 12))
+
+
+def test_bfs_levels_chain_and_unreachable(spark):
+    from panelsplit_spark.operators.graph import bfs_levels
+
+    # undirected chain 1-2-3-4-5 plus isolated pair 8-9
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(1,)], ["node"])
+    out = bfs_levels(edges, sources, max_hops=3)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    for frame in out.persisted_intermediates:
+        frame.unpersist()
+    # node 5 is 4 hops away -> excluded at max_hops=3; 8/9 unreachable
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_multi_source_min(spark):
+    from panelsplit_spark.operators.graph import bfs_levels
+
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(1,), (4,)], ["node"])
+    out = bfs_levels(edges, sources, max_hops=4)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    for frame in out.persisted_intermediates:
+        frame.unpersist()
+    # distances are min over BOTH seeds
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_pmi_collocations_known_corpus(spark):
+    import math
+
+    from panelsplit_spark.operators.text import pmi_collocations
+
+    # "a b" always adjacent; "c" independent filler
+    rows = [(i, "a b c c a b") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_collocations(df, "text", min_count=2, top_n=10)
+    got = {(r["w1"], r["w2"]): r for r in out.collect()}
+    r = got[("a", "b")]
+    # unigrams: a=10, b=10, c=10 (U=30); bigrams: 25 total, ab=10
+    assert r["n_pair"] == 10 and r["n_w1"] == 10 and r["n_w2"] == 10
+    expect = math.log((10 * 30 * 30) / (25 * 10 * 10))
+    assert abs(r["pmi"] - expect) < 1e-6
+    # every emitted pair meets the min_count floor
+    assert all(v["n_pair"] >= 2 for v in got.values())

@@ -77,6 +77,7 @@ BNLJ_WHITELIST = {
     "pipe_dsir_weights",     # single-row target/raw-totals scalar
     "sim_recall_eval",       # inherits sim_cosine_topk's tiny-query broadcast
     "sim_mrl_recall",        # same: two brute-force tiny-query broadcasts
+    "text_pmi_collocations",  # two single-row corpus-total scalars
 }
 
 
