@@ -180,6 +180,8 @@ HEADLINE = [
     "text_pmi_collocations",
     "rel_bfs_reach",
     "src_binary_files",
+    "ps_purged_folds",
+    "mm_chunk_manifest",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -24,9 +24,19 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.fold_spec import FoldSpec, build_fold_spec
+from ..plans.fold_spec import (
+    FoldSpec,
+    build_fold_spec,
+    purged_kfold_bounds,
+)
 
-__all__ = ["PanelSplit", "fold_stats", "drop_splits", "date_period_bounds"]
+__all__ = [
+    "PanelSplit",
+    "fold_stats",
+    "drop_splits",
+    "date_period_bounds",
+    "purged_panel_assign",
+]
 
 
 class _DatePeriodBounds:
@@ -463,3 +473,53 @@ def _print_drop(i: int) -> None:
         f"Dropping split {i} as either the test or train set is either "
         "empty or contains only one unique value."
     )
+
+
+def purged_panel_assign(
+    df,
+    period_col: str,
+    n_splits: int,
+    purge: int = 0,
+    embargo: int = 0,
+) -> "DataFrame":
+    """Purged K-fold assignment with embargo over a panel's period axis
+    (plans/fold_spec.purged_kfold_bounds): fan-out one row per
+    (data row, fold membership) with ``fold_id`` + ``role`` columns,
+    where each fold's train set excludes the periods inside
+    ``[test_lo - purge, test_hi + embargo)``.
+
+    Extends the reference's walk-forward-only surface
+    (cross_validation.py:56-127 delegates to TimeSeriesSplit) with the
+    de Prado scheme serially-correlated panels need when folds may
+    train on post-test data.
+
+    Plan shape at 100 TB: identical to ``PanelSplit.assign`` — the
+    distinct-period collect is the same driver-small boundary every
+    splitter pays (periods ≪ rows), the (fold, role, period) spec is
+    folds×periods rows, and the fan-out is a single BROADCAST hash
+    join: one pass over the data, no shuffle of the big side.
+    """
+    periods = [
+        r[0]
+        for r in df.select(period_col)
+        .where(F.col(period_col).isNotNull())
+        .distinct()
+        .orderBy(period_col)
+        .collect()
+    ]
+    bounds = purged_kfold_bounds(len(periods), n_splits, purge, embargo)
+    rows = []
+    for i, (tlo, thi, xlo, xhi) in enumerate(bounds):
+        for rk, p in enumerate(periods):
+            if tlo <= rk < thi:
+                rows.append((i, "test", p))
+            elif rk < xlo or rk >= xhi:
+                rows.append((i, "train", p))
+    spec = df.sparkSession.createDataFrame(
+        rows, ["fold_id", "role", "__fold_period"]
+    )
+    return df.join(
+        F.broadcast(spec),
+        df[period_col] == spec["__fold_period"],
+        "inner",
+    ).drop("__fold_period")

@@ -31,6 +31,7 @@ __all__ = [
     "fake_decoder",
     "decode_media",
     "frame_sample",
+    "chunk_manifest",
 ]
 
 #: Canonical metadata struct for a decoded media column.
@@ -137,3 +138,54 @@ def frame_sample(
         F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n)
     )
     return df.withColumn(frame_idx_col, F.explode(idx))
+
+
+def chunk_manifest(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    chunk_bytes: int = 64,
+) -> DataFrame:
+    """Byte-range shard manifest for opaque payloads: one row per
+    fixed-size chunk → (id, chunk_idx, byte_off, n_bytes, chunk_md5).
+    This is the addressing layer a media lake needs for lazy range
+    reads (fetch chunk 17 of a 4 GB video without touching the rest)
+    and for chunk-level dedup/integrity checks.
+
+    Pure Catalyst — ``sequence``/``explode`` for the index fan-out and
+    byte-wise ``substring`` on the BinaryType column; no Python touches
+    the payloads. ``chunk_md5`` hashes the chunk's HEX rendering rather
+    than the raw bytes so an independent engine without blob slicing
+    (DuckDB) can replay the manifest by slicing the hex string at
+    ``2·chunk_bytes``-character boundaries.
+
+    Empty/NULL payloads emit zero chunk rows (an explode over an empty
+    index array), mirroring "no content, no shards".
+    """
+    if chunk_bytes < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
+    n = F.length(F.col(content_col)).cast("long")
+    # exact integer ceil-div (project convention: never truncate a
+    # double division — boundary rounding flips cross-engine)
+    n_chunks = F.expr(
+        f"(length({content_col}) + {chunk_bytes - 1}) div {chunk_bytes}"
+    ).cast("long")
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    ).otherwise(F.array())
+    chunk = F.expr(
+        f"substring({content_col}, __ci * {chunk_bytes} + 1,"
+        f" {chunk_bytes})"
+    )
+    return (
+        df.select(
+            F.col(id_col), F.col(content_col), F.explode(idx).alias("__ci")
+        )
+        .select(
+            id_col,
+            F.col("__ci").cast("long").alias("chunk_idx"),
+            (F.col("__ci") * chunk_bytes).cast("long").alias("byte_off"),
+            F.length(chunk).cast("long").alias("n_bytes"),
+            F.md5(F.hex(chunk)).alias("chunk_md5"),
+        )
+    )

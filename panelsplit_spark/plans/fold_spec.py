@@ -76,6 +76,60 @@ def time_series_fold_bounds(
     return bounds
 
 
+def purged_kfold_bounds(
+    n_periods: int,
+    n_splits: int,
+    purge: int = 0,
+    embargo: int = 0,
+) -> List[Tuple[int, int, int, int]]:
+    """Purged K-fold bounds with embargo over ``range(n_periods)``:
+    K contiguous test blocks covering the axis (numpy ``array_split``
+    convention — the first ``n_periods % n_splits`` blocks get the extra
+    period), train = every period OUTSIDE the exclusion window
+    ``[test_lo - purge, test_hi + embargo)``.
+
+    This is the de Prado purged cross-validation scheme for serially
+    correlated panels (Advances in Financial Machine Learning, ch. 7):
+    ``purge`` drops the training periods immediately BEFORE the test
+    block whose labels overlap it, ``embargo`` drops the periods
+    immediately AFTER, where leakage flows backward through
+    forward-looking labels. Beyond the reference library's
+    TimeSeriesSplit delegation — its walk-forward folds never train on
+    the future at all; purged K-fold does, which is exactly why it
+    needs the two-sided exclusion.
+
+    Returns, per fold, ``(test_lo, test_hi, excl_lo, excl_hi)`` as
+    half-open index ranges: train spans ``[0, excl_lo) ∪ [excl_hi, n)``.
+    Pure driver-side arithmetic, O(n_splits).
+    """
+    if n_splits < 2:
+        raise ValueError(f"n_splits must be >= 2, got {n_splits}")
+    if purge < 0 or embargo < 0:
+        raise ValueError(
+            f"purge/embargo must be >= 0, got {purge}/{embargo}"
+        )
+    if n_splits > n_periods:
+        raise ValueError(
+            f"n_splits={n_splits} > n_periods={n_periods}"
+        )
+    base, extra = divmod(n_periods, n_splits)
+    bounds = []
+    lo = 0
+    for i in range(n_splits):
+        size = base + (1 if i < extra else 0)
+        hi = lo + size
+        excl_lo = max(0, lo - purge)
+        excl_hi = min(n_periods, hi + embargo)
+        if excl_lo == 0 and excl_hi == n_periods:
+            raise ValueError(
+                f"fold {i}: purge={purge}/embargo={embargo} leave no "
+                f"training periods (exclusion covers all {n_periods})"
+            )
+        bounds.append((lo, hi, excl_lo, excl_hi))
+        lo = hi
+    return bounds
+
+
 @dataclass
 class Fold:
     """One fold: period *values* for train and test membership.

@@ -1879,6 +1879,123 @@ FROM (
 """
 
 
+# ======================================================================
+# purged K-fold with embargo (de Prado CV for serially correlated panels)
+# ======================================================================
+
+PURGED_K, PURGED_PURGE, PURGED_EMBARGO = 5, 1, 2
+
+
+def q_ps_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold + embargo assignment over the events panel
+    (operators/cross_validation.purged_panel_assign): contiguous test
+    blocks, train excluding [test_lo−purge, test_hi+embargo) — the
+    leakage guard walk-forward splits don't need but any K-fold on a
+    serially correlated panel does. One broadcast fan-out join; the
+    oracle replays the array_split block arithmetic in SQL."""
+    from .operators.cross_validation import purged_panel_assign
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("period", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    return (
+        purged_panel_assign(
+            ev, "period", PURGED_K,
+            purge=PURGED_PURGE, embargo=PURGED_EMBARGO,
+        )
+        .groupBy(
+            F.col("fold_id").cast("long").alias("fold_id"), F.col("role")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("period").alias("n_periods"),
+            F.min("period").alias("min_period"),
+            F.max("period").alias("max_period"),
+        )
+    )
+
+
+_SQL_PURGED_FOLDS = f"""
+WITH up AS (
+  SELECT period,
+         CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT) AS rk
+  FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS period FROM events) t
+),
+np AS (SELECT count(*) AS n FROM up),
+b AS (
+  SELECT CAST(f.i AS BIGINT) AS fold_id,
+         f.i * (np.n // {PURGED_K}) + LEAST(f.i, np.n % {PURGED_K})
+           AS test_lo,
+         (f.i + 1) * (np.n // {PURGED_K})
+           + LEAST(f.i + 1, np.n % {PURGED_K}) AS test_hi,
+         np.n AS n
+  FROM (SELECT unnest(generate_series(0, {PURGED_K - 1})) AS i) f, np
+),
+assign AS (
+  SELECT b.fold_id, 'test' AS role, u.period
+  FROM b JOIN up u ON u.rk >= b.test_lo AND u.rk < b.test_hi
+  UNION ALL
+  SELECT b.fold_id, 'train' AS role, u.period
+  FROM b JOIN up u
+    ON u.rk < GREATEST(0, b.test_lo - {PURGED_PURGE})
+    OR u.rk >= LEAST(b.n, b.test_hi + {PURGED_EMBARGO})
+),
+ev AS (SELECT strftime(ts, '%Y-%m-%d') AS period FROM events)
+SELECT a.fold_id, a.role, count(*) AS n_rows,
+       count(DISTINCT a.period) AS n_periods,
+       min(a.period) AS min_period, max(a.period) AS max_period
+FROM assign a JOIN ev ON ev.period = a.period
+GROUP BY a.fold_id, a.role
+"""
+
+
+# ======================================================================
+# multimodal chunk manifest (byte-range shard addressing)
+# ======================================================================
+
+MM_CHUNK_BYTES = 96
+
+
+def q_mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range shard manifest over binary payloads
+    (operators/multimodal.chunk_manifest): fixed-size chunk rows with
+    offsets, exact byte counts, and per-chunk hashes — all Catalyst
+    (sequence/explode + byte-wise substring on BinaryType), payloads
+    never touch Python. The oracle replays the chunking by slicing the
+    hex rendering at 2·chunk_bytes-character boundaries."""
+    from .operators.multimodal import chunk_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return chunk_manifest(payload, chunk_bytes=MM_CHUNK_BYTES)
+
+
+_SQL_MM_CHUNKS = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, hx, n,
+         unnest(range(0, (n + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}))
+           AS i
+  FROM h
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {MM_CHUNK_BYTES} AS BIGINT) AS byte_off,
+       CAST(LEAST({MM_CHUNK_BYTES}, n - i * {MM_CHUNK_BYTES}) AS BIGINT)
+         AS n_bytes,
+       md5(substring(hx, CAST(i * {2 * MM_CHUNK_BYTES} + 1 AS BIGINT),
+                     {2 * MM_CHUNK_BYTES})) AS chunk_md5
+FROM idx
+"""
+
+
 QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_gopher_rules": q_pipe_gopher_rules,
     "pipe_dsir_weights": q_pipe_dsir_weights,
@@ -1908,6 +2025,8 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pmi_collocations": q_text_pmi_collocations,
     "rel_bfs_reach": q_rel_bfs_reach,
     "src_binary_files": q_src_binary_files,
+    "ps_purged_folds": q_ps_purged_folds,
+    "mm_chunk_manifest": q_mm_chunk_manifest,
 }
 
 
@@ -1941,4 +2060,6 @@ def oracles9() -> Dict[str, str]:
         "text_pmi_collocations": _SQL_PMI,
         "rel_bfs_reach": _sql_bfs(),
         "src_binary_files": _SQL_BINARY_FILES,
+        "ps_purged_folds": _SQL_PURGED_FOLDS,
+        "mm_chunk_manifest": _SQL_MM_CHUNKS,
     }

@@ -537,3 +537,60 @@ def test_pmi_collocations_known_corpus(spark):
     assert abs(r["pmi"] - expect) < 1e-6
     # every emitted pair meets the min_count floor
     assert all(v["n_pair"] >= 2 for v in got.values())
+
+
+def test_purged_kfold_bounds_arithmetic():
+    from panelsplit_spark.plans.fold_spec import purged_kfold_bounds
+
+    # 10 periods, 3 folds -> block sizes 4,3,3 (array_split convention)
+    b = purged_kfold_bounds(10, 3, purge=1, embargo=2)
+    assert [(lo, hi) for lo, hi, _, _ in b] == [(0, 4), (4, 7), (7, 10)]
+    # exclusion clamps at the axis ends
+    assert b[0][2:] == (0, 6)    # no periods before 0; embargo eats 4,5
+    assert b[1][2:] == (3, 9)
+    assert b[2][2:] == (6, 10)   # embargo clamps at n
+    with pytest.raises(ValueError, match="no training periods"):
+        purged_kfold_bounds(4, 2, purge=2, embargo=2)
+    with pytest.raises(ValueError):
+        purged_kfold_bounds(3, 1)
+
+
+def test_purged_panel_assign_membership(spark):
+    from panelsplit_spark.operators.cross_validation import (
+        purged_panel_assign,
+    )
+
+    rows = [(p, i) for p in "abcdefghij" for i in range(2)]
+    df = spark.createDataFrame(rows, ["period", "x"])
+    out = purged_panel_assign(df, "period", 3, purge=1, embargo=2)
+    got = {
+        (r["fold_id"], r["role"], r["period"]) for r in out.collect()
+    }
+    # fold 0: test a-d, embargo kills e,f -> train g-j
+    assert {(0, "train", p) for p in "ghij"} <= got
+    assert not any(k == (0, "train", "e") for k in got)
+    assert not any(k == (0, "train", "f") for k in got)
+    # fold 1: test e-g, purge kills d, embargo kills h,i -> train a-c + j
+    f1_train = {p for (f, r, p) in got if f == 1 and r == "train"}
+    assert f1_train == set("abcj")
+    # every row fans out twice per fold membership (2 rows per period)
+    assert out.count() == len({k for k in got}) * 2
+
+
+def test_chunk_manifest_boundaries(spark):
+    from panelsplit_spark.operators.multimodal import chunk_manifest
+
+    df = spark.createDataFrame(
+        [(1, "x" * 10), (2, "y" * 8), (3, "")], ["doc_id", "text"]
+    ).select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    out = chunk_manifest(df, chunk_bytes=4)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["byte_off"], r["n_bytes"])
+        for r in out.collect()
+    )
+    # 10 bytes -> 4+4+2; 8 bytes -> 4+4 (exact multiple, no empty tail);
+    # empty payload -> no rows
+    assert rows == [
+        (1, 0, 0, 4), (1, 1, 4, 4), (1, 2, 8, 2),
+        (2, 0, 0, 4), (2, 1, 4, 4),
+    ]
