@@ -182,6 +182,31 @@ HEADLINE = [
     "src_binary_files",
     "ps_purged_folds",
     "mm_chunk_manifest",
+    # every remaining declared query — the bench set IS the registry,
+    # so the per-round artifact covers 100% of what queries() declares
+    "cv_cls_prior_acc",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "emb_label_centroids",
+    "pipe_corpus_clean",
+    "pipe_hash_split",
+    "ps_fold_stats",
+    "ps_test_labels",
+    "ps_train_labels",
+    "rel_date_gallery",
+    "rel_grouping_sets",
+    "rel_percentiles",
+    "rel_pivot_priority",
+    "rel_range_window",
+    "rel_salted_join",
+    "rel_window_gallery",
+    "src_bucketed_join",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "stream_dedup",
+    "stream_score",
+    "text_tfidf",
+    "text_topterms",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is
@@ -226,6 +251,8 @@ SF1_HEADLINE = [
     "rel_tree_rollup",
     "feat_trend_ols",
     "cv_logit_irls",
+    "rel_bfs_reach",
+    "text_pmi_collocations",
 ]
 
 
