@@ -45,6 +45,7 @@ __all__ = [
     "exact_dedup_groups",
     "dedup_exact",
     "minhash_signatures",
+    "explode_bands",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
@@ -148,24 +149,17 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def explode_bands(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 12,
     band_size: int = 3,
 ) -> DataFrame:
-    """LSH banding: docs sharing ALL hashes within any band become a
-    candidate pair → (id_a, id_b) distinct, id_a < id_b.
-
-    Per band: an equi-join on the concatenated band signature — a hash
-    join on a short string key. Bands union at the plan level; dedup is
-    one distinct on the (small) pair set.
-    """
+    """Signature columns → one (id, band_id, band_sig) row per LSH band
+    (band_sig = the band's hashes pipe-concatenated). Narrow (array
+    literal + explode, no shuffle); shared by the batch candidate-pair
+    join and the streaming admission filter."""
     n_bands = n_hashes // band_size
-    # Explode to one (doc, band_id, band_sig) row per band, then a single
-    # self-equi-join on (band_id, band_sig). One pass over the signatures
-    # and one hash join total — vs. one join per band, which recomputes
-    # the (aggregation-backed) signature frame 2×n_bands times.
     band_structs = F.array(
         *[
             F.struct(
@@ -181,13 +175,33 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(band_structs).alias("band")
     ).select(
         F.col(id_col),
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_sig").alias("band_sig"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    band_size: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing ALL hashes within any band become a
+    candidate pair → (id_a, id_b) distinct, id_a < id_b.
+
+    Per band: an equi-join on the concatenated band signature — a hash
+    join on a short string key. Bands union at the plan level; dedup is
+    one distinct on the (small) pair set.
+    """
+    # Explode to one (doc, band_id, band_sig) row per band, then a single
+    # self-equi-join on (band_id, band_sig). One pass over the signatures
+    # and one hash join total — vs. one join per band, which recomputes
+    # the (aggregation-backed) signature frame 2×n_bands times.
+    banded = explode_bands(signatures, id_col, n_hashes, band_size)
     # The self-join would otherwise recompute the (aggregation-backed)
     # signature pipeline once per side — Spark does not share common
     # subplans across join inputs. Cache the small banded frame

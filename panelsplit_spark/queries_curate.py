@@ -1996,6 +1996,135 @@ FROM idx
 """
 
 
+# ======================================================================
+# streaming near-duplicate admission (ingest-time MinHash/LSH dedup)
+# ======================================================================
+
+
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup suppression over three deterministic
+    micro-batches (documents split by doc_id mod 3): a doc is admitted
+    iff no LSH band collides with an earlier batch's admitted docs nor
+    with a lower-id doc of its own batch
+    (streaming/rolling.stream_near_dup_admit). State is the distinct
+    band-key index of admitted docs. The oracle replays the batch
+    chain as CTEs over the same md5 universal-hash signatures."""
+    import os
+
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_near_dup_admit,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "near_dup_feed"
+    )
+    write_file_batches(
+        [docs.where(F.col("doc_id") % 3 == j) for j in range(3)], feed
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    name = "stream_near_dup_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q, get_admitted = stream_near_dup_admit(stream, query_name=name)
+        q.awaitTermination()
+    return get_admitted().orderBy("doc_id")
+
+
+def _sql_stream_near_dup() -> str:
+    from .functions.hashing import MINHASH_P, minhash_params
+    from .queries_data import (
+        _DUCK_TOKS,
+        MH_BAND,
+        MH_HASHES,
+        MH_SHINGLE,
+        _duck_shingles,
+    )
+
+    params = minhash_params(MH_HASHES)
+    h = (
+        "(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) "
+        f"% {MINHASH_P})"
+    )
+    sig_aggs = ",\n    ".join(
+        f"min(({a} * {h} + {b}) % {MINHASH_P}) AS sig_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    n_bands = MH_HASHES // MH_BAND
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '|' || ".join(
+            f"sig_{j}" for j in range(b * MH_BAND, (b + 1) * MH_BAND)
+        )
+        + " AS band_sig FROM sigs"
+        for b in range(n_bands)
+    )
+    # one admitted/state step per micro-batch: reject on a lower-id
+    # same-batch band collision OR any collision with the accumulated
+    # admitted-band index of the PREVIOUS batches
+    steps = []
+    for k in range(3):
+        prev = (
+            f"""OR EXISTS (SELECT 1 FROM st{k - 1} s
+             WHERE s.band_id = x.band_id AND s.band_sig = x.band_sig)"""
+            if k > 0 else ""
+        )
+        st_src = (
+            f"SELECT band_id, band_sig FROM st{k - 1} UNION "
+            if k > 0 else ""
+        )
+        steps.append(f"""
+b{k} AS (SELECT * FROM bands WHERE doc_id % 3 = {k}),
+rej{k} AS (
+  SELECT DISTINCT x.doc_id FROM b{k} x
+  WHERE EXISTS (SELECT 1 FROM b{k} y
+                WHERE y.band_id = x.band_id
+                  AND y.band_sig = x.band_sig
+                  AND y.doc_id < x.doc_id)
+     {prev}
+),
+adm{k} AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 3 = {k}
+    AND doc_id NOT IN (SELECT doc_id FROM rej{k})
+),
+st{k} AS (
+  {st_src}SELECT DISTINCT b.band_id, b.band_sig
+  FROM b{k} b JOIN adm{k} a ON b.doc_id = a.doc_id
+)""")
+        chain = ",".join(steps)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(MH_SHINGLE)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+),
+{chain}
+SELECT doc_id, CAST(bid AS BIGINT) AS batch_id FROM (
+  SELECT doc_id, 0 AS bid FROM adm0
+  UNION ALL SELECT doc_id, 1 AS bid FROM adm1
+  UNION ALL SELECT doc_id, 2 AS bid FROM adm2
+)
+"""
+
+
 QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_gopher_rules": q_pipe_gopher_rules,
     "pipe_dsir_weights": q_pipe_dsir_weights,
@@ -2027,6 +2156,7 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_binary_files": q_src_binary_files,
     "ps_purged_folds": q_ps_purged_folds,
     "mm_chunk_manifest": q_mm_chunk_manifest,
+    "stream_near_dup": q_stream_near_dup,
 }
 
 
@@ -2062,4 +2192,5 @@ def oracles9() -> Dict[str, str]:
         "src_binary_files": _SQL_BINARY_FILES,
         "ps_purged_folds": _SQL_PURGED_FOLDS,
         "mm_chunk_manifest": _SQL_MM_CHUNKS,
+        "stream_near_dup": _sql_stream_near_dup(),
     }

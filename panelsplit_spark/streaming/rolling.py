@@ -770,3 +770,95 @@ def stream_decayed_counts(
         .start()
     )
     return q, lambda: state["df"]
+
+
+def stream_near_dup_admit(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+    query_name: str = "near_dup_admit",
+):
+    """Streaming near-duplicate suppression — the ingest-time form of
+    MinHash/LSH dedup an LLM corpus pipeline runs on arriving crawl
+    shards: a document is ADMITTED iff none of its LSH bands collides
+    with (a) an admitted document from an EARLIER batch or (b) ANY
+    lower-id document of its OWN batch. (b) is the set-based,
+    order-free statement of first-come-wins — it never depends on the
+    admission outcome of the colliding sibling, so the per-batch
+    decision is one window + one semi-join, deterministic under any
+    partitioning, and an independent SQL engine can replay the batch
+    chain exactly.
+
+    foreachBatch state = the DISTINCT (band_id, band_sig) keys of all
+    admitted documents — bounded by admitted-docs × n_bands short
+    rows, the minimal collision index (per-doc signatures are not
+    kept). Each batch costs: one signature aggregate (single shuffle),
+    one band window, one semi-join against the state index, and one
+    state union+distinct; everything is ``localCheckpoint``'ed eagerly
+    so lineage stays flat across batches. 0-row batches are skipped so
+    availableNow's trailing empty batch cannot mutate state.
+
+    Returns ``(query, get_admitted)``; after the drain,
+    ``get_admitted()`` → (id, batch_id) of every admitted document.
+    """
+    from ..operators.dedup import explode_bands, minhash_signatures
+
+    state = {"bands": None, "admitted": None}
+
+    def apply_batch(batch_df: DataFrame, bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        sigs = minhash_signatures(
+            batch_df, text_col, id_col,
+            n_hashes=n_hashes, shingle_n=shingle_n,
+        )
+        bands = explode_bands(
+            sigs, id_col, n_hashes, band_size
+        ).localCheckpoint(eager=True)
+        w = Window.partitionBy("band_id", "band_sig")
+        rej_batch = (
+            bands.withColumn("__mn", F.min(id_col).over(w))
+            .where(F.col(id_col) > F.col("__mn"))
+            .select(id_col)
+        )
+        if state["bands"] is not None:
+            rej_prev = (
+                bands.join(
+                    state["bands"], ["band_id", "band_sig"], "semi"
+                ).select(id_col)
+            )
+            rejected = rej_batch.unionByName(rej_prev)
+        else:
+            rejected = rej_batch
+        admitted = (
+            batch_df.select(id_col)
+            .distinct()
+            .join(rejected.distinct(), id_col, "left_anti")
+            .withColumn("batch_id", F.lit(bid).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        adm_bands = bands.join(admitted, id_col, "semi").select(
+            "band_id", "band_sig"
+        )
+        prev_bands = state["bands"]
+        new_bands = (
+            adm_bands if prev_bands is None
+            else prev_bands.unionByName(adm_bands)
+        )
+        state["bands"] = new_bands.distinct().localCheckpoint(eager=True)
+        prev_adm = state["admitted"]
+        state["admitted"] = (
+            admitted if prev_adm is None
+            else prev_adm.unionByName(admitted)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["admitted"]

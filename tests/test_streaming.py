@@ -466,3 +466,36 @@ def test_stream_sink_restart_exactly_once(spark):
         assert got.select("id").distinct().count() == 150
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_near_dup_admit_chain(spark, tmp_path):
+    from panelsplit_spark.streaming.rolling import (
+        stream_near_dup_admit,
+        write_file_batches,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog"
+    rows = {
+        0: [(3, dup), (6, dup), (9, "completely different text here now")],
+        1: [(4, dup), (7, "another unique document body of words")],
+        2: [(5, "short"), (8, "short")],  # < shingle_n tokens: no bands
+    }
+    feed = str(tmp_path / "feed")
+    dfs = [
+        spark.createDataFrame(rows[j], ["doc_id", "text"])
+        for j in range(3)
+    ]
+    write_file_batches(dfs, feed)
+    stream = (
+        spark.readStream.schema(dfs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q, get_admitted = stream_near_dup_admit(
+        stream, query_name="t_near_dup"
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r["batch_id"] for r in get_admitted().collect()}
+    # 6 loses to 3 in-batch; 4 collides with admitted state in batch 1;
+    # shingle-less docs (5, 8) can never collide and are both admitted
+    assert got == {3: 0, 9: 0, 7: 1, 5: 2, 8: 2}
