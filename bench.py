@@ -204,6 +204,7 @@ HEADLINE = [
     "src_csv_roundtrip",
     "src_json_roundtrip",
     "stream_dedup",
+    "stream_near_dup",
     "stream_score",
     "text_tfidf",
     "text_topterms",
