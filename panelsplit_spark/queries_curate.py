@@ -157,8 +157,8 @@ WITH toks AS (
   FROM model, tot
 )
 SELECT db.doc_id,
-       sum(c) AS n_bigrams,
-       sum(c * lr_micro) AS weight_micro,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(sum(c * lr_micro) AS BIGINT) AS weight_micro,
        round(sum(c * lr_micro)::DOUBLE / 1000000 / sum(c), 6)
          AS avg_log_ratio
 FROM db JOIN lr USING (bucket)
@@ -493,11 +493,11 @@ WITH pts AS (
          CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y
   FROM events
 ), it1 AS (
-  SELECT sum(CAST(round(0.25 * 1000000000.0) AS BIGINT)) AS sw,
-         sum(CAST(round(0.25 * x * 1000000000.0) AS BIGINT)) AS swx,
-         sum(CAST(round(0.25 * x * x * 1000000000.0) AS BIGINT)) AS swxx,
-         sum(CAST(round((y - 0.5) * 1000000000.0) AS BIGINT)) AS g0,
-         sum(CAST(round((y - 0.5) * x * 1000000000.0) AS BIGINT)) AS g1
+  SELECT CAST(sum(CAST(round(0.25 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sw,
+         CAST(sum(CAST(round(0.25 * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swx,
+         CAST(sum(CAST(round(0.25 * x * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swxx,
+         CAST(sum(CAST(round((y - 0.5) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(sum(CAST(round((y - 0.5) * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
   FROM pts
 ), b1 AS (
   SELECT sw, swx, swxx, g0, g1,
@@ -514,11 +514,11 @@ WITH pts AS (
     FROM pts, b1
   )
 ), it2 AS (
-  SELECT sum(CAST(round(w * 1000000000.0) AS BIGINT)) AS sw,
-         sum(CAST(round(w * x * 1000000000.0) AS BIGINT)) AS swx,
-         sum(CAST(round(w * x * x * 1000000000.0) AS BIGINT)) AS swxx,
-         sum(CAST(round((y - mu) * 1000000000.0) AS BIGINT)) AS g0,
-         sum(CAST(round((y - mu) * x * 1000000000.0) AS BIGINT)) AS g1
+  SELECT CAST(sum(CAST(round(w * 1000000000.0) AS BIGINT)) AS BIGINT) AS sw,
+         CAST(sum(CAST(round(w * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swx,
+         CAST(sum(CAST(round(w * x * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swxx,
+         CAST(sum(CAST(round((y - mu) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(sum(CAST(round((y - mu) * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
   FROM p2
 ), b2 AS (
   SELECT it2.sw, it2.swx, it2.swxx, it2.g0, it2.g1,
@@ -1079,11 +1079,11 @@ WITH pts AS (
     FROM events GROUP BY 1, 2
   )
 ), it1 AS (
-  SELECT sum(CAST(round(1.0 * 1000000000.0) AS BIGINT)) AS sw,
-         sum(CAST(round(1.0 * x * 1000000000.0) AS BIGINT)) AS swx,
-         sum(CAST(round(1.0 * x * x * 1000000000.0) AS BIGINT)) AS swxx,
-         sum(CAST(round((y - 1.0) * 1000000000.0) AS BIGINT)) AS g0,
-         sum(CAST(round((y - 1.0) * x * 1000000000.0) AS BIGINT)) AS g1
+  SELECT CAST(sum(CAST(round(1.0 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sw,
+         CAST(sum(CAST(round(1.0 * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swx,
+         CAST(sum(CAST(round(1.0 * x * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swxx,
+         CAST(sum(CAST(round((y - 1.0) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(sum(CAST(round((y - 1.0) * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
   FROM pts
 ), b1 AS (
   SELECT sw, swx, swxx, g0, g1,
@@ -1099,11 +1099,11 @@ WITH pts AS (
     SELECT y, x, exp(beta0 + beta1 * x) AS mu FROM pts, b1
   )
 ), it2 AS (
-  SELECT sum(CAST(round(w * 1000000000.0) AS BIGINT)) AS sw,
-         sum(CAST(round(w * x * 1000000000.0) AS BIGINT)) AS swx,
-         sum(CAST(round(w * x * x * 1000000000.0) AS BIGINT)) AS swxx,
-         sum(CAST(round((y - mu) * 1000000000.0) AS BIGINT)) AS g0,
-         sum(CAST(round((y - mu) * x * 1000000000.0) AS BIGINT)) AS g1
+  SELECT CAST(sum(CAST(round(w * 1000000000.0) AS BIGINT)) AS BIGINT) AS sw,
+         CAST(sum(CAST(round(w * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swx,
+         CAST(sum(CAST(round(w * x * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swxx,
+         CAST(sum(CAST(round((y - mu) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(sum(CAST(round((y - mu) * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
   FROM p2
 ), b2 AS (
   SELECT it2.sw, it2.swx, it2.swxx, it2.g0, it2.g1,
@@ -1218,11 +1218,11 @@ WITH counts AS (
   SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
 )
 SELECT doc_id,
-       max(n) AS n_chars,
+       CAST(max(n) AS BIGINT) AS n_chars,
        count(*) AS n_distinct_chars,
-       -sum(CAST(round((c::DOUBLE / n::DOUBLE)
+       -CAST(sum(CAST(round((c::DOUBLE / n::DOUBLE)
                        * ln(c::DOUBLE / n::DOUBLE)
-                       * 1000000000.0) AS BIGINT)) AS entropy_nano,
+                       * 1000000000.0) AS BIGINT)) AS BIGINT) AS entropy_nano,
        round(-sum(CAST(round((c::DOUBLE / n::DOUBLE)
                              * ln(c::DOUBLE / n::DOUBLE)
                              * 1000000000.0) AS BIGINT))
@@ -1375,7 +1375,7 @@ FROM (
   SELECT *, row_number() OVER (
            PARTITION BY cell ORDER BY n DESC, label
          ) AS rk,
-         sum(n) OVER (PARTITION BY cell) AS cell_n
+         CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
   FROM counts
 ) WHERE rk = 1
 """ % {"last": SEMDEDUP_ITER}
@@ -1590,10 +1590,10 @@ runs AS (
 )
 SELECT CAST(shard AS BIGINT) AS shard,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       (max(start + n_tokens) + {b} - 1) // {b} AS n_seqs,
-       ((max(start + n_tokens) + {b} - 1) // {b}) * {b}
-         - sum(n_tokens) AS waste_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((max(start + n_tokens) + {b} - 1) // {b} AS BIGINT) AS n_seqs,
+       CAST(((max(start + n_tokens) + {b} - 1) // {b}) * {b}
+         - CAST(sum(n_tokens) AS BIGINT) AS BIGINT) AS waste_tokens,
        CAST(sum(CASE WHEN start % {b} + n_tokens > {b}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
 FROM runs GROUP BY 1
@@ -1654,7 +1654,7 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_STREAM_SINK_RT = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        min(event_id) AS min_id, max(event_id) AS max_id
 FROM events GROUP BY 1
 """

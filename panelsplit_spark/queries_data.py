@@ -562,10 +562,10 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
          AS sum_disc_price_cents,
        avg(CAST(round(l_quantity * 100) AS BIGINT)) AS avg_qty_cents,
        avg(CAST(round(l_discount * 10000) AS BIGINT)) AS avg_disc_bp,
@@ -602,7 +602,7 @@ def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_REGION_REVENUE = """
 SELECT r_name,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_orders, count(DISTINCT c_custkey) AS n_customers
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -967,14 +967,14 @@ m AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ),
 s AS (
-  SELECT *, sum(is_new) OVER (
+  SELECT *, CAST(sum(is_new) OVER (
     PARTITION BY user_id ORDER BY t, event_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS session_id FROM m
+  ) AS BIGINT) AS session_id FROM m
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(t) AS start_us, max(t) AS end_us,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM s GROUP BY user_id, session_id
 """
 
@@ -1063,7 +1063,7 @@ def q_rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ROLLUP = """
 SELECT r_name, n_name,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey

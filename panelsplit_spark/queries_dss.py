@@ -129,10 +129,10 @@ def q_rel_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q12 = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1998-01-01'
   AND l_shipdate < TIMESTAMP '1999-01-01'
@@ -183,11 +183,11 @@ SELECT promo_cents, total_cents,
        round(100.0 * promo_cents / total_cents, 6) AS promo_pct
 FROM (
   SELECT
-    sum(CASE WHEN p_type = 'PROMO'
+    CAST(sum(CASE WHEN p_type = 'PROMO'
              THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                       AS BIGINT) ELSE 0 END) AS promo_cents,
-    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-             AS BIGINT)) AS total_cents
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS total_cents
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1998-03-01'
     AND l_shipdate < TIMESTAMP '1998-04-01'
@@ -241,7 +241,7 @@ SELECT c_custkey, c_name, o_orderkey,
 FROM orders
 JOIN (
   SELECT l_orderkey,
-         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {Q18_QTY_CENTS}
 ) big ON o_orderkey = big.l_orderkey
@@ -290,7 +290,7 @@ def q_rel_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q22 = f"""
 SELECT c_nationkey, count(*) AS numcust,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
 FROM customer
 WHERE CAST(round(c_acctbal * 100) AS BIGINT)
       * (SELECT count(*) FROM customer
@@ -605,13 +605,13 @@ m AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
 ),
 s AS (
-  SELECT *, sum(is_new) OVER (
+  SELECT *, CAST(sum(is_new) OVER (
     PARTITION BY user_id ORDER BY t
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS session_id FROM m
+  ) AS BIGINT) AS session_id FROM m
 )
 SELECT user_id, min(t) AS start_us, count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM s GROUP BY user_id, session_id
 """
 
@@ -828,7 +828,7 @@ FROM m
 # codegen-executes the identical text a warehouse engine runs.
 _SQL_GATEWAY = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
        min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
        max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_price_cents
 FROM lineitem
@@ -957,7 +957,7 @@ def q_rel_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_FULL_OUTER_RECON = """
 WITH p AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day,
-         sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 v AS (
@@ -1172,10 +1172,10 @@ def _sql_cv_weighted_ols() -> str:
 WITH {_FOLD_CTE},
 wfit AS (
   SELECT a.fold_id,
-         sum(1.0 + e.event_id % 5) AS sw,
-         sum((1.0 + e.event_id % 5) * e.hod) AS swx,
+         CAST(sum(1.0 + e.event_id % 5) AS BIGINT) AS sw,
+         CAST(sum((1.0 + e.event_id % 5) * e.hod) AS BIGINT) AS swx,
          sum((1.0 + e.event_id % 5) * e.value) AS swy,
-         sum((1.0 + e.event_id % 5) * e.hod * e.hod) AS swxx,
+         CAST(sum((1.0 + e.event_id % 5) * e.hod * e.hod) AS BIGINT) AS swxx,
          sum((1.0 + e.event_id % 5) * e.hod * e.value) AS swxy
   FROM assign a JOIN ev e ON e.period = a.period
   WHERE a.role = 'train' GROUP BY a.fold_id
@@ -1225,7 +1225,7 @@ scored AS (
                     * 1000000.0) AS BIGINT) AS q
   FROM toks t JOIN vocab v USING (tok), tot
 )
-SELECT doc_id, count(*) AS n_tokens, sum(q) AS logprob_micro,
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(q) AS BIGINT) AS logprob_micro,
        round(sum(q) / 1000000.0 / count(*), 6) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
@@ -1354,7 +1354,7 @@ def q_rel_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TPCH_Q6 = """
-SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        count(*) AS n_lines
 FROM lineitem
@@ -1390,7 +1390,7 @@ def q_rel_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TPCH_Q17 = """
-SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
        count(*) AS n_lines
 FROM lineitem l
 WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5
@@ -1438,8 +1438,8 @@ def q_rel_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TPCH_Q19 = """
-SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-               AS BIGINT)) AS revenue_cents,
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -1587,8 +1587,8 @@ def q_rel_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TPCH_Q11 = """
 WITH pp AS (
   SELECT l_partkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) AS part_cents
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS part_cents
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, part_cents
@@ -1626,8 +1626,8 @@ def q_rel_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TPCH_Q15 = """
 WITH r AS (
   SELECT l_suppkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) AS total_cents
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS total_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1998-01-01'
     AND l_shipdate < TIMESTAMP '1998-04-01'
@@ -1686,8 +1686,8 @@ b AS (
   FROM c GROUP BY 1
 )
 SELECT c.l_returnflag, count(*) AS n,
-       sum(CAST(round(round(least(greatest(CAST(cents AS DOUBLE), lo),
-                                  hi), 6) * 1000000) AS BIGINT))
+       CAST(sum(CAST(round(round(least(greatest(CAST(cents AS DOUBLE), lo),
+                                  hi), 6) * 1000000) AS BIGINT)) AS BIGINT)
          AS wins_micro
 FROM c JOIN b USING (l_returnflag)
 GROUP BY c.l_returnflag

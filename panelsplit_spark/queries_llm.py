@@ -2061,7 +2061,7 @@ def q_rel_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderstatus AS status,
                o_orderpriority AS prio,
                count(*) AS n,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM __orders_gid
         GROUP BY GROUPING SETS (
           (o_orderstatus, o_orderpriority), (o_orderstatus), ()

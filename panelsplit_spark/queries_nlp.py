@@ -174,8 +174,8 @@ def _sql_pivot() -> str:
             f" AS {short}_n"
         )
         parts.append(
-            f"coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
-            f" FILTER (WHERE o_orderpriority = '{p}'), 0)"
+            f"CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            f" FILTER (WHERE o_orderpriority = '{p}'), 0) AS BIGINT)"
             f" AS {short}_cents"
         )
     return (
@@ -294,7 +294,7 @@ def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
                  AS gid,
                count(*) AS n,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders_gs
         GROUP BY GROUPING SETS (
           (o_orderstatus, o_orderpriority),
@@ -311,7 +311,7 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
        count(*) AS n,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM orders
 GROUP BY GROUPING SETS (
   (o_orderstatus, o_orderpriority),
@@ -554,7 +554,7 @@ def q_src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BUCKETED_JOIN = """
 SELECT o_orderstatus, l_returnflag, count(*) AS n,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
        count(DISTINCT o_orderkey) AS n_orders
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus, l_returnflag
@@ -616,7 +616,7 @@ SELECT month, dow, count(*) AS n,
        min(next_week) AS first_next_week,
        min(month_start) AS month_start,
        max(month_end) AS month_end,
-       sum(days_since_epoch_2024) AS day_offset_sum
+       CAST(sum(days_since_epoch_2024) AS BIGINT) AS day_offset_sum
 FROM proj GROUP BY month, dow
 """
 
@@ -652,8 +652,8 @@ _SQL_RANGE_WINDOW = """
 SELECT l_orderkey, l_linenumber, l_returnflag,
        round(l_quantity, 6) AS qty,
        count(*) OVER w AS band_n,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER w
-         AS band_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS band_cents
 FROM lineitem
 WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
@@ -906,8 +906,8 @@ routed AS (
   FROM deduped
 )
 SELECT split, count(*) AS n_docs,
-       sum(n_ws_tokens) AS n_tokens,
-       sum(CAST(round(quality * 1000000) AS BIGINT))
+       CAST(sum(n_ws_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
          AS quality_sum_micro,
        min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM routed GROUP BY split
@@ -1070,7 +1070,7 @@ def q_src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CSV_ROUNDTRIP = """
-SELECT lang, count(*) AS n, sum(n_chars) AS chars,
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
        min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY lang
 """
@@ -1104,7 +1104,7 @@ def q_src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_ROUNDTRIP = """
 SELECT o_orderstatus, o_orderpriority AS prio, count(*) AS n,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
        min(o_orderkey) AS min_key
 FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
@@ -1165,9 +1165,9 @@ w AS (
 )
 SELECT doc_id,
        count(*) AS n_chunks,
-       sum(CAST(len(win) AS BIGINT)) AS total_tokens,
-       sum(CAST(concat('0x', substr(md5(array_to_string(win, ' ')),
-                       1, 15)) AS BIGINT) % 1000000000000)
+       CAST(sum(CAST(len(win) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(concat('0x', substr(md5(array_to_string(win, ' ')),
+                       1, 15)) AS BIGINT) % 1000000000000) AS BIGINT)
          AS chunk_checksum
 FROM w
 GROUP BY doc_id

@@ -56,8 +56,8 @@ def _rev_cents() -> F.Column:
     ).alias("revenue_cents")
 
 _SQL_REV_CENTS = (
-    "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))"
-    " AS revenue_cents"
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+    " AS BIGINT)) AS BIGINT) AS revenue_cents"
 )
 
 
@@ -264,7 +264,7 @@ def q_src_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PARTITIONED_PRUNE = """
 SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        min(event_id) AS min_event
 FROM events WHERE event_type = 'purchase'
 GROUP BY strftime(ts, '%Y-%m-%d')
@@ -609,12 +609,12 @@ def q_rel_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q8 = f"""
 SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
-       sum(CASE WHEN ns.n_name = '{Q8_SHARE_NATION}'
+       CAST(sum(CASE WHEN ns.n_name = '{Q8_SHARE_NATION}'
                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
                           AS BIGINT)
-                ELSE 0 END) AS nation_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                AS BIGINT)) AS total_cents,
+                ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS total_cents,
        round(sum(CASE WHEN ns.n_name = '{Q8_SHARE_NATION}'
                       THEN CAST(round(l_extendedprice * (1 - l_discount)
                                       * 100) AS BIGINT)
@@ -688,9 +688,9 @@ def q_rel_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TPCH_Q9 = """
 SELECT n_name AS supp_nation,
        CAST(date_part('year', o_orderdate) AS INT) AS order_year,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                 AS BIGINT)
-           - CAST(round(p_retailprice * l_quantity * 10) AS BIGINT))
+           - CAST(round(p_retailprice * l_quantity * 10) AS BIGINT)) AS BIGINT)
          AS profit_cents,
        count(*) AS n_lines
 FROM lineitem

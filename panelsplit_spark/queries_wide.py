@@ -276,7 +276,7 @@ def q_rel_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CUBE = """
 SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
        o_orderpriority,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_orders
 FROM orders
 GROUP BY CUBE (order_year, o_orderpriority)
@@ -311,7 +311,7 @@ def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CUST_NO_ORDERS = """
 SELECT n_name, count(*) AS n_inactive,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS idle_balance_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS idle_balance_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -389,7 +389,7 @@ def q_rel_daily_revenue_ma7(
 _SQL_MA7 = """
 WITH daily AS (
   SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM orders GROUP BY day
 )
 SELECT day, revenue_cents,
@@ -698,14 +698,14 @@ m AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
 ),
 s AS (
-  SELECT *, sum(is_new) OVER (
+  SELECT *, CAST(sum(is_new) OVER (
     PARTITION BY user_id ORDER BY t
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS session_id FROM m
+  ) AS BIGINT) AS session_id FROM m
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(t) AS start_us, max(t) AS end_us,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM s GROUP BY user_id, session_id
 """
 
@@ -820,7 +820,7 @@ def q_feat_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_RESAMPLE_FFILL = """
 WITH d AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
-         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ),
 spans AS (

@@ -201,3 +201,52 @@ def test_float_render_matches_duckdb_formatting():
     assert norm_cell(2 / 3) == "0.666667"
     assert norm_cell(None) == "NULL"
     assert norm_cell(True) == "1"
+
+
+def test_oracle_result_types_are_driver_safe():
+    """Every oracle's result columns must bind to driver-safe DuckDB
+    types.  DuckDB widens ``sum(BIGINT)`` to HUGEINT (int128); the
+    driver's arrow/pandas fetch renders HUGEINT as Decimal/float64 and
+    the value hash breaks even when values are bit-identical — the
+    exact class behind all 9 CORRECTNESS_r03 hash-fails.  Oracles must
+    outer-cast every aggregate (``CAST(sum(...) AS BIGINT)``).  Binding
+    only (LIMIT-0-style): no data is scanned, so this lints all 188
+    oracles in seconds and fails the moment a new uncast sum is added.
+    """
+    from tests.conftest import SF_DIR
+    import importlib.util as _ilu
+
+    os.environ.setdefault("PANELSPLIT_ORACLE_SF_DIR", SF_DIR)
+    spec = _ilu.spec_from_file_location(
+        "oracle_type_scan", os.path.join(_REPO, "tools", "oracle_type_scan.py")
+    )
+    scan = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(scan)
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for name in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        path = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    offenders = []
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        rel = con.sql(sql)
+        bad = [
+            f"{c}={t}"
+            for c, t in zip(rel.columns, [str(t) for t in rel.types])
+            if not scan.type_ok(t)
+        ]
+        if bad:
+            offenders.append(f"{name}: {', '.join(bad)}")
+    assert not offenders, (
+        "oracle result columns outside the driver-safe type set "
+        "(wrap aggregates in CAST(... AS BIGINT)):\n"
+        + "\n".join(offenders)
+    )

@@ -40,6 +40,32 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+def arrow_type_ok(t) -> bool:
+    """Driver-safe arrow result types.
+
+    DuckDB widens sum(BIGINT) to HUGEINT which arrives as decimal128 on
+    the arrow path (and float64 on the pandas path) — the driver's fetch
+    then renders values non-integerly and the cross-engine hash breaks
+    even when values are bit-identical.  Oracles must outer-cast
+    aggregates so results stay in this set.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return arrow_type_ok(t.value_type)
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
 def value_hash(cols, rows) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -114,9 +140,27 @@ def main() -> int:
             )
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            # driver-faithful fetch: materialize through arrow, NOT
+            # fetchall() — fetchall yields Python ints that mask the
+            # HUGEINT/decimal128 rendering divergence the driver sees
+            # (root cause of the 9 CORRECTNESS_r03 hash-fails)
+            tbl = con.execute(oracles[name]).arrow()
+            d_cols = list(tbl.column_names)
+            bad_types = [
+                f"{f.name}={f.type}"
+                for f in tbl.schema
+                if not arrow_type_ok(f.type)
+            ]
+            if bad_types:
+                print(
+                    f"FAIL {name}: oracle result type not driver-safe: "
+                    + ", ".join(bad_types)
+                )
+                failures += 1
+                continue
+            d_rows = [
+                tuple(row[c] for c in d_cols) for row in tbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
