@@ -335,15 +335,16 @@ def main() -> None:
             rec = json.load(open(hist[-1]))
             parsed = rec.get("parsed")
             if not isinstance(parsed, dict):
-                # driver artifacts sometimes truncate the parsed blob;
-                # recover per-query numbers from the raw tail fragment
-                pairs = re.findall(
-                    r'"([a-z0-9_]+)": ([0-9.]+)', rec.get("tail", "")
-                )
-                parsed = {
-                    "sf": float(rec.get("sf", "nan")),
-                    "queries": {k: float(v) for k, v in pairs},
-                }
+                parsed = {"sf": float(rec.get("sf", "nan")), "queries": {}}
+            # the parsed blob may be the compact tail summary (slowest-10
+            # only) or missing entirely; recover additional per-query
+            # numbers from the raw tail fragment of the full first line
+            pairs = re.findall(
+                r'"([a-z0-9_]+)": ([0-9.]+)', rec.get("tail", "")
+            )
+            merged = {k: float(v) for k, v in pairs}
+            merged.update(parsed.get("queries") or {})
+            parsed["queries"] = merged
             # only compare like-for-like scale factors (manual runs at
             # other SFs would flag everything)
             prev = (
@@ -429,6 +430,29 @@ def main() -> None:
             "queries": sf1,
         }
     print(json.dumps(out))
+    # The driver records only the TAIL of stdout, so the full per-query
+    # blob above (≈8 KB for 188 queries) gets truncated into an
+    # unparseable fragment (BENCH_r03.json "parsed": null). Emit a
+    # compact, self-contained summary as the LAST line — complete JSON
+    # ≤ ~1.5 KB — so whatever tail the driver keeps always round-trips
+    # json.loads. Full detail stays in the first line for local use.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "regressions": regressions,
+    }
+    if sf1:
+        summary["sf1_total"] = round(
+            sum(v for v in sf1.values() if isinstance(v, float)), 3
+        )
+    print(json.dumps(summary))
     spark.stop()
 
 

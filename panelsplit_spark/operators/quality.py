@@ -73,8 +73,14 @@ def gopher_rules(
         ).alias("n_word_chars"),
         (
             (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
-            + F.floor(
-                (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+            # integer `div`, not floor(double /): the length diff is
+            # always a multiple of 3 so both are exact today, but the
+            # project convention forbids truncating a double division
+            # (boundary rounding flips cross-engine); DuckDB twin uses
+            # `// 3` — keep both engines on the integer path
+            + F.expr(
+                f"(length({text_col}) - "
+                f"length(replace({text_col}, '...', ''))) div 3"
             )
         ).cast("long").alias("n_symbol_hits"),
         F.expr(f"size({lines})").cast("long").alias("n_lines"),

@@ -1029,11 +1029,15 @@ def topk_recall(
     either search. Emits exact integer hit counts and one rounded
     division per query; macro-average downstream however you like.
     """
+    # distinct() bounds recall at 1 for ANY input: duplicate
+    # (query, neighbor) rows in `ann` would otherwise fan out the join
+    # and inflate both n_exact and n_hit (latent today — callers emit
+    # row_number-deduped top-k — but cheap to make unconditional)
     probe = ann.select(
-        F.col(query_col), F.col(neighbor_col), F.lit(1).alias("_hit")
-    )
+        F.col(query_col), F.col(neighbor_col)
+    ).distinct().withColumn("_hit", F.lit(1))
     return (
-        exact.select(query_col, neighbor_col)
+        exact.select(query_col, neighbor_col).distinct()
         .join(probe, [query_col, neighbor_col], "left")
         .groupBy(query_col)
         .agg(

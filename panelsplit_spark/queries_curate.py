@@ -1920,7 +1920,8 @@ _SQL_PURGED_FOLDS = f"""
 WITH up AS (
   SELECT period,
          CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT) AS rk
-  FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS period FROM events) t
+  FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS period FROM events
+        WHERE ts IS NOT NULL) t
 ),
 np AS (SELECT count(*) AS n FROM up),
 b AS (

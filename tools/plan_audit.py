@@ -24,12 +24,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# streaming queries execute a full availableNow drain inside the query
-# function and return a memory-sink table — their interesting plan is the
-# streaming one, audited by the streaming tests instead.
-SKIP = {"stream_hourly_features", "stream_sessionize", "stream_dedup",
-        "stream_score", "stream_interval_join", "stream_session_window",
-        "stream_online_linreg"}
+# Streaming queries execute a full availableNow / micro-batch drain
+# inside the query function and return a memory-sink or batch-assembled
+# table — their interesting plan is the streaming one, audited by the
+# streaming tests instead. ALL 14 stream gates are named here
+# deliberately (an unnamed new stream_* query gets audited as a batch
+# drain and will fail --check if it misbehaves, which is the safe
+# default for a non-drain query but noise for a drain — add it here
+# once reviewed).
+SKIP = {
+    "stream_hourly_features", "stream_sessionize", "stream_dedup",
+    "stream_score", "stream_interval_join", "stream_session_window",
+    "stream_online_linreg", "stream_heavy_hitters", "stream_cdc_apply",
+    "stream_ivm_view", "stream_late_data", "stream_decay_counts",
+    "stream_sink_roundtrip", "stream_near_dup",
+}
 
 COUNTERS = {
     "exchanges": r"Exchange ",
@@ -82,10 +91,34 @@ BNLJ_WHITELIST = {
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--check"]
-    check = "--check" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    only = set(args[1:])
+    # strict flag handling: round 3 shipped a destroyed PLAN_AUDIT.md
+    # because `--help` was silently taken as the sf_dir and every query
+    # errored with PATH_NOT_FOUND into the committed report
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
+    )
+    ap.add_argument(
+        "--check", action="store_true",
+        help="CI-gate mode: exit 1 on row-Python / unlisted BNLJ / "
+        "build errors instead of just reporting",
+    )
+    ap.add_argument(
+        "sf_dir", nargs="?", default="/root/testdata/sf0.001",
+        help="testdata scale-factor directory (default sf0.001)",
+    )
+    ap.add_argument(
+        "query", nargs="*",
+        help="optional query-name subset (scoped runs never overwrite "
+        "the committed report)",
+    )
+    ns = ap.parse_args()
+    check = ns.check
+    sf_dir = ns.sf_dir
+    only = set(ns.query)
+    if not os.path.isdir(sf_dir):
+        ap.error(f"sf_dir does not exist: {sf_dir!r}")
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -147,8 +180,22 @@ def main() -> int:
             f"{counts['arrow_py']} | {counts['row_py']} | {note} |"
         )
     text = "\n".join(out) + "\n"
-    if not (check and only):
-        # a scoped --check run must not clobber the full-registry report
+    n_err = sum(
+        1 for _, c, note in rows
+        if c is None and str(note).startswith("error:")
+    )
+    if only:
+        # a scoped run must not clobber the full-registry report
+        pass
+    elif rows and n_err > len(rows) // 4:
+        # refuse to overwrite the committed report with an all-error
+        # table (the round-3 `--help` incident): a mostly-red audit is
+        # an environment problem, not plan evidence
+        print(
+            f"REFUSING to write report: {n_err}/{len(rows)} queries "
+            "errored — fix the environment/sf_dir first", end="; "
+        )
+    else:
         dest = os.path.join(REPO, "docs", "PLAN_AUDIT.md")
         with open(dest, "w") as f:
             f.write(text)
