@@ -117,6 +117,8 @@ def main() -> int:
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
 
+    from panelsplit_spark.utils.storage import release_all_pinned
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
@@ -132,6 +134,9 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # storage hygiene between queries (result already collected)
+            release_all_pinned(spark)
         t1 = time.time()
         if name not in oracles:
             print(
