@@ -194,7 +194,9 @@ def psi_drift(
     return (
         joined.select("period", *gb, "n_base", "n_curr", term.alias("_t"))
         .groupBy("period", *gb, "n_base", "n_curr")
-        .agg(F.round(F.sum("_t") / F.lit(1e9), 6).alias("psi"))
+        # unrounded: exact long sum / literal is bit-identical on both
+        # engines; round(x,6) itself tie-flips on exact decimals
+        .agg((F.sum("_t") / F.lit(1e9)).alias("psi"))
     )
 
 

@@ -374,8 +374,11 @@ def dsir_weights(
             id_col,
             "n_bigrams",
             "weight_micro",
-            F.round(
-                F.col("weight_micro") / F.lit(scale) / F.col("n_bigrams"), 6
+            # unrounded: integer inputs ⇒ bit-identical division on both
+            # engines; round(x,6) tie-flips at scale (7895/1e6/10 is
+            # exactly .0007895 — observed cross-engine flip at sf0.1)
+            (
+                F.col("weight_micro") / F.lit(scale) / F.col("n_bigrams")
             ).alias("avg_log_ratio"),
         )
     )

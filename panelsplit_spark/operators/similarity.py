@@ -319,9 +319,9 @@ def label_centroids(
             "label",
             "pos",
             "n",
-            F.round(F.col("s") / F.lit(scale) / F.col("n"), 6).alias(
-                "centroid"
-            ),
+            # unrounded integer-micro mean: bit-identical division of
+            # exact integers on both engines (round(x,6) tie-flips)
+            (F.col("s") / F.lit(scale) / F.col("n")).alias("centroid"),
         )
     )
 

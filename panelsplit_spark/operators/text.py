@@ -244,11 +244,16 @@ def lm_unigram_score(
             id_col,
             "n_tokens",
             "logprob_micro",
-            F.round(
+            # NO final round: the inputs are identical integers on both
+            # engines, so the raw (lp/scale)/n division is bit-identical
+            # IEEE — while round(x, 6) itself is the cross-engine hazard
+            # (Spark rounds via BigDecimal of the repr, DuckDB rounds
+            # x·1e6 in binary; a tie at the 7th decimal flips, observed
+            # at sf0.1). Round only when inputs can differ in ulps.
+            (
                 F.col("logprob_micro")
                 / F.lit(scale)
-                / F.col("n_tokens"),
-                6,
+                / F.col("n_tokens")
             ).alias("avg_logprob"),
         )
     )
@@ -481,9 +486,10 @@ def lm_bigram_score(
             id_col,
             "n_bigrams",
             "logprob_micro",
-            F.round(
-                F.col("logprob_micro") / F.lit(scale) / F.col("n_bigrams"),
-                6,
+            # unrounded for the same reason as lm_unigram_score: integer
+            # inputs ⇒ bit-identical division; round(x,6) tie-flips
+            (
+                F.col("logprob_micro") / F.lit(scale) / F.col("n_bigrams")
             ).alias("avg_logprob"),
         )
     )
@@ -668,9 +674,9 @@ def char_entropy(
             "n_chars",
             "n_distinct_chars",
             "entropy_nano",
-            F.round(F.col("entropy_nano") / F.lit(scale), 6).alias(
-                "entropy"
-            ),
+            # unrounded: exact-integer nano units / literal is
+            # bit-identical IEEE on both engines; round(x,6) tie-flips
+            (F.col("entropy_nano") / F.lit(scale)).alias("entropy"),
         )
     )
 
@@ -751,7 +757,8 @@ def pmi_collocations(
             pmi_nano.alias("pmi_nano"),
         )
         .withColumn(
-            "pmi", F.round(F.col("pmi_nano") / F.lit(scale), 6)
+            # unrounded integer-nano ratio (see entropy): tie-safe
+            "pmi", F.col("pmi_nano") / F.lit(scale)
         )
         .orderBy(F.col("pmi_nano").desc(), "w1", "w2")
         .limit(top_n)

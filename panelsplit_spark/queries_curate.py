@@ -159,8 +159,8 @@ WITH toks AS (
 SELECT db.doc_id,
        CAST(sum(c) AS BIGINT) AS n_bigrams,
        CAST(sum(c * lr_micro) AS BIGINT) AS weight_micro,
-       round(sum(c * lr_micro)::DOUBLE / 1000000 / sum(c), 6)
-         AS avg_log_ratio
+       CAST(sum(c * lr_micro) AS BIGINT) / 1000000.0
+         / CAST(sum(c) AS BIGINT) AS avg_log_ratio
 FROM db JOIN lr USING (bucket)
 GROUP BY 1
 """
@@ -1223,10 +1223,10 @@ SELECT doc_id,
        -CAST(sum(CAST(round((c::DOUBLE / n::DOUBLE)
                        * ln(c::DOUBLE / n::DOUBLE)
                        * 1000000000.0) AS BIGINT)) AS BIGINT) AS entropy_nano,
-       round(-sum(CAST(round((c::DOUBLE / n::DOUBLE)
-                             * ln(c::DOUBLE / n::DOUBLE)
-                             * 1000000000.0) AS BIGINT))
-             / 1000000000.0, 6) AS entropy
+       (-CAST(sum(CAST(round((c::DOUBLE / n::DOUBLE)
+                              * ln(c::DOUBLE / n::DOUBLE)
+                              * 1000000000.0) AS BIGINT)) AS BIGINT))
+         / 1000000000.0 AS entropy
 FROM withn GROUP BY 1
 """
 
@@ -1718,7 +1718,7 @@ j AS (
   WHERE p.n_pair >= {PMI_MIN_COUNT}
 )
 SELECT w1, w2, n_pair, n_w1, n_w2, pmi_nano,
-       round(pmi_nano / 1e9, 6) AS pmi
+       pmi_nano / 1000000000.0 AS pmi
 FROM j
 ORDER BY pmi_nano DESC, w1, w2
 LIMIT {PMI_TOP_N}

@@ -127,9 +127,10 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.ngram_jaccard_pairs(
         docs, shingle_n=JACCARD_N, threshold=JACCARD_T
     )
-    return out.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    # unrounded: long/long division is bit-identical IEEE on both
+    # engines; round(x,6) tie-flips on exact decimals (e.g. union=128,
+    # odd intersection => quotient exactly k+0.5 at the 6th decimal)
+    return out.select("id_a", "id_b", "jaccard")
 
 
 _SQL_DEDUP_JACCARD = f"""
@@ -144,7 +145,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+       ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -165,9 +166,10 @@ def q_dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.ngram_jaccard_pairs(
         docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
     )
-    return out.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    # unrounded: long/long division is bit-identical IEEE on both
+    # engines; round(x,6) tie-flips on exact decimals (e.g. union=128,
+    # odd intersection => quotient exactly k+0.5 at the 6th decimal)
+    return out.select("id_a", "id_b", "jaccard")
 
 
 def _sql_jaccard_lsh() -> str:
@@ -189,7 +191,7 @@ inter2 AS (
   GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b,
-       round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+       ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
 FROM inter2
 JOIN sizes2 sa ON sa.doc_id = id_a
 JOIN sizes2 sb ON sb.doc_id = id_b

@@ -1226,7 +1226,7 @@ scored AS (
   FROM toks t JOIN vocab v USING (tok), tot
 )
 SELECT doc_id, count(*) AS n_tokens, CAST(sum(q) AS BIGINT) AS logprob_micro,
-       round(sum(q) / 1000000.0 / count(*), 6) AS avg_logprob
+       CAST(sum(q) AS BIGINT) / 1000000.0 / count(*) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
 

@@ -782,7 +782,7 @@ t AS (
   LEFT JOIN base b ON b.bin = g.bin, tb
 )
 SELECT period, n_base, n_curr,
-       round(sum(t_nano) / 1000000000.0, 6) AS psi
+       CAST(sum(t_nano) AS BIGINT) / 1000000000.0 AS psi
 FROM t GROUP BY 1, 2, 3
 ORDER BY period"""
 
@@ -2355,7 +2355,8 @@ def q_pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.lit(1e9)
             ).cast("long").alias("t")
         )
-        .agg(F.round(F.sum("t") / F.lit(1e9), 6).alias("lang_entropy"))
+        # unrounded integer-nano ratio: tie-safe (see SCALE_NOTES)
+        .agg((F.sum("t") / F.lit(1e9)).alias("lang_entropy"))
     )
     return (
         total.crossJoin(F.broadcast(dup_rate))
@@ -2386,7 +2387,7 @@ dup AS (
   FROM base
 ),
 ent AS (
-  SELECT round(sum(t) / 1e9, 6) AS lang_entropy FROM (
+  SELECT CAST(sum(t) AS BIGINT) / 1000000000.0 AS lang_entropy FROM (
     SELECT CAST(round(
       -(CAST(ln AS DOUBLE) / N) * ln(CAST(ln AS DOUBLE) / N) * 1e9
     ) AS BIGINT) AS t

@@ -461,9 +461,9 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark applies, so per-element rounding is bit-identical.
 _SQL_LABEL_CENTROIDS = """
 SELECT label, i AS pos, count(*) AS n,
-       round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                      AS BIGINT))
-             / 1000000.0 / count(*), 6) AS centroid
+       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                     AS BIGINT)) AS BIGINT)
+         / 1000000.0 / count(*) AS centroid
 FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 GROUP BY label, i
 """
