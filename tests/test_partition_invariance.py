@@ -1,0 +1,64 @@
+"""Partition-count invariance of declared queries.
+
+The 100 TB claim rests on every result being independent of physical
+parallelism: a 1000-executor cluster shuffles into different partition
+counts and aggregates in different orders than local[4], so any
+order-dependent float sum, unstable rank, or partition-keyed hash would
+produce different bytes there. The engine's conventions (exact-integer
+quantization before sums, id tiebreaks on every window rank, seeded
+hashes) exist precisely to kill that class — this test checks the
+property directly by running representative queries under different
+``spark.sql.shuffle.partitions`` (runtime-settable) and comparing the
+driver-style order-insensitive value hash.
+
+Representatives cover the shapes where partition order could plausibly
+leak: multi-join agg (TPC-H), window ranks, LSH banding + self-join,
+iterative fixpoint (pagerank), streaming drain (sessionize), and the
+quantized-float scoring family (lm score).
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", os.path.join(_REPO, "tools", "check_oracle.py")
+)
+_co = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_co)
+
+QUERIES = [
+    "rel_tpch_q3",
+    "rel_top_orders_per_cust",
+    "dedup_minhash_lsh",
+    "rel_pagerank",
+    "rel_sessionize",
+    "text_lm_score",
+]
+
+
+@pytest.mark.parametrize("qname", QUERIES)
+def test_query_hash_is_shuffle_partition_invariant(spark, qname):
+    import __spark_entry__ as entrymod
+
+    from panelsplit_spark.utils.storage import release_all_pinned
+
+    fn = entrymod.queries()[qname]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            df = fn(spark, SF_DIR)
+            rows = [tuple(r) for r in df.collect()]
+            hashes[n] = (len(rows), _co.value_hash(df.columns, rows))
+            release_all_pinned(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert hashes["3"] == hashes["17"], (
+        f"{qname} result depends on shuffle partition count: {hashes}"
+    )
