@@ -208,6 +208,9 @@ HEADLINE = [
     "stream_score",
     "text_tfidf",
     "text_topterms",
+    # round 4
+    "pipe_quality_model",
+    "dedup_containment",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is
@@ -293,6 +296,7 @@ SF1_HEADLINE = [
     "text_fingerprint",
     "rel_salted_join",
     "rel_window_gallery",
+    "pipe_quality_model",
 ]
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "explode_bands",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "simhash",
     "simhash_near_pairs",
     "embedding_lsh_candidate_pairs",
@@ -328,6 +329,101 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.where(F.col("jaccard") >= F.lit(threshold))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs → (id_a, id_b, n_a, n_b,
+    n_inter, containment) with containment = |A∩B| / min(|A|, |B|) ≥
+    threshold.
+
+    The measure symmetric Jaccard misses: a short document quoted
+    inside one 10× longer (boilerplate wrapper, syndicated article,
+    licence block) has Jaccard ≈ 0.1 but containment ≈ 1 — the standard
+    Broder containment used to catch doc-in-doc duplication in crawl
+    curation.
+
+    Same plan machinery as :func:`ngram_jaccard_pairs` (distinct
+    shingles, one self-equi-join or a candidate-pruned double join —
+    pass LSH ``candidates`` for the 100 TB path); only the final scalar
+    differs, and it is a raw division of exact integers —
+    bit-identical IEEE on every engine, replayable in plain SQL.
+    """
+    toks = word_tokens(F.col(text_col))
+    sh = _ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    if candidates is not None:
+        candidates = candidates.select("id_a", "id_b").localCheckpoint(
+            eager=True
+        )
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(ids), id_col, "left_semi")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"),
+                         F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"),
+                         F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+    )
+    return out.where(F.col("containment") >= F.lit(threshold))
 
 
 def simhash(

@@ -2126,6 +2126,128 @@ SELECT doc_id, CAST(bid AS BIGINT) AS batch_id FROM (
 """
 
 
+def q_pipe_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained quality classifier — the fastText/CCNet-style
+    filter every LLM curation pipeline distills: take a cheap rule
+    screen as WEAK LABELS (here the Gopher verdict), fit a logistic
+    model on a text feature (mean word length), score every document,
+    and report the score-decile composition so a curator can pick a
+    keep threshold.
+
+    Spark plan: the gopher signals are one codegen projection
+    (no shuffle); the 2-step Newton/IRLS fit is ONE exact-integer
+    aggregation per step (operators/linear_fastpath.logistic_irls —
+    scan-speed at 100 TB, no fold-sized task); scoring broadcasts the
+    two driver floats back as literals into a second codegen
+    projection; the decile report is one grouped aggregate. Total: 3
+    scans + 1 tiny shuffle.
+
+    Cross-engine contract: x = n_word_chars/n_words is a raw division
+    of exact integers (bit-identical IEEE); step 1 of IRLS is
+    transcendental-free (β=0 ⇒ μ=½ exactly); step 2 and the final
+    scores quantize AFTER the one exp() per row; the bucket key is
+    integer `div` on the quantized score. The oracle replays the whole
+    chain — gopher CTE → two Newton CTEs → scoring — in pure SQL.
+    """
+    from .operators.linear_fastpath import logistic_irls
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs, "text", min_words=GOPHER_MIN_WORDS)
+    pts = g.select(
+        "doc_id",
+        (
+            F.col("n_word_chars") / F.greatest(F.col("n_words"), F.lit(1))
+        ).alias("x"),
+        F.when(F.col("passes") == 1, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    trace = logistic_irls(pts, "x", "y", n_iter=2)
+    b0, b1 = trace[-1]["beta0"], trace[-1]["beta1"]
+    scored = pts.select(
+        "y",
+        F.round(
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return (
+        scored.groupBy(
+            F.expr("score_micro div 100000").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("y").cast("long")).alias("n_pass"),
+            F.sum("score_micro").alias("sum_score_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_quality_model() -> str:
+    return f"""
+WITH g AS ({_sql_gopher_rules()}),
+pts AS (
+  SELECT doc_id,
+         n_word_chars / greatest(n_words, 1) AS x,
+         CASE WHEN passes = 1 THEN 1.0 ELSE 0.0 END AS y
+  FROM g
+), it1 AS (
+  SELECT CAST(sum(CAST(round(0.25 * 1000000000.0) AS BIGINT)) AS BIGINT) AS sw,
+         CAST(sum(CAST(round(0.25 * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swx,
+         CAST(sum(CAST(round(0.25 * x * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swxx,
+         CAST(sum(CAST(round((y - 0.5) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(sum(CAST(round((y - 0.5) * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
+  FROM pts
+), b1 AS (
+  SELECT (swxx::DOUBLE * g0::DOUBLE - swx::DOUBLE * g1::DOUBLE)
+           / (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE)
+           AS beta0,
+         (sw::DOUBLE * g1::DOUBLE - swx::DOUBLE * g0::DOUBLE)
+           / (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE)
+           AS beta1
+  FROM it1
+), p2 AS (
+  SELECT y, x, mu, mu * (1.0 - mu) AS w FROM (
+    SELECT y, x, 1.0 / (1.0 + exp(-(beta0 + beta1 * x))) AS mu
+    FROM pts, b1
+  )
+), it2 AS (
+  SELECT CAST(sum(CAST(round(w * 1000000000.0) AS BIGINT)) AS BIGINT) AS sw,
+         CAST(sum(CAST(round(w * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swx,
+         CAST(sum(CAST(round(w * x * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS swxx,
+         CAST(sum(CAST(round((y - mu) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(sum(CAST(round((y - mu) * x * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
+  FROM p2
+), b2 AS (
+  SELECT b1.beta0 + (it2.swxx::DOUBLE * it2.g0::DOUBLE
+                     - it2.swx::DOUBLE * it2.g1::DOUBLE)
+           / (it2.sw::DOUBLE * it2.swxx::DOUBLE
+              - it2.swx::DOUBLE * it2.swx::DOUBLE) AS beta0,
+         b1.beta1 + (it2.sw::DOUBLE * it2.g1::DOUBLE
+                     - it2.swx::DOUBLE * it2.g0::DOUBLE)
+           / (it2.sw::DOUBLE * it2.swxx::DOUBLE
+              - it2.swx::DOUBLE * it2.swx::DOUBLE) AS beta1
+  FROM it2, b1
+), scored AS (
+  SELECT y,
+         CAST(round(1.0 / (1.0 + exp(-(beta0 + beta1 * x)))
+                    * 1000000.0) AS BIGINT) AS score_micro
+  FROM pts, b2
+)
+SELECT score_micro // 100000 AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pass,
+       CAST(sum(score_micro) AS BIGINT) AS sum_score_micro
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_gopher_rules": q_pipe_gopher_rules,
     "pipe_dsir_weights": q_pipe_dsir_weights,
@@ -2158,12 +2280,14 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ps_purged_folds": q_ps_purged_folds,
     "mm_chunk_manifest": q_mm_chunk_manifest,
     "stream_near_dup": q_stream_near_dup,
+    "pipe_quality_model": q_pipe_quality_model,
 }
 
 
 def oracles9() -> Dict[str, str]:
     return {
         "pipe_gopher_rules": _sql_gopher_rules(),
+        "pipe_quality_model": _sql_quality_model(),
         "pipe_dsir_weights": _sql_dsir_weights(),
         "dedup_semdedup": _sql_semdedup(),
         "rel_skyline": _SQL_SKYLINE,

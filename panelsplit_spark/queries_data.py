@@ -25,6 +25,7 @@ from .sources.tables import configure, load_table
 # ----------------------------------------------------------------------
 MH_HASHES, MH_BAND, MH_SHINGLE = 12, 3, 3
 JACCARD_N, JACCARD_T = 3, 0.3
+CONTAIN_T = 0.6
 SIMHASH_BITS = 24
 TOPK_K, TOPK_NQ = 10, 5
 # 8 planes / 2 tables: measured sweet spot for the gate corpus — vs the
@@ -119,6 +120,43 @@ sigs AS (
 SELECT DISTINCT id_a, id_b FROM (
   {unions}
 )
+"""
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (operators/dedup.
+    ngram_containment_pairs): |A∩B|/min(|A|,|B|) — catches the short
+    document quoted inside a 10× longer one, which symmetric Jaccard
+    scores near zero. Same shingle/self-join machinery as
+    q_dedup_jaccard (LSH-prunable via candidates=); the scalar is a raw
+    division of exact integers, so the SQL replay is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, shingle_n=JACCARD_N, threshold=CONTAIN_T
+    ).select("id_a", "id_b", "n_a", "n_b", "n_inter", "containment")
+
+
+def _sql_containment() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(JACCARD_N)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(ni AS BIGINT) AS n_inter,
+       ni * 1.0 / least(sa.n, sb.n) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / least(sa.n, sb.n) >= {CONTAIN_T}
 """
 
 
@@ -1186,6 +1224,7 @@ QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
+    "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_near_dup": q_emb_near_dup,
@@ -1215,6 +1254,7 @@ ORACLES2: Dict[str, str] = {
     "dedup_minhash_lsh": _sql_minhash_lsh(),
     "dedup_jaccard": _SQL_DEDUP_JACCARD,
     "dedup_jaccard_lsh": _sql_jaccard_lsh(),
+    "dedup_containment": _sql_containment(),
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "emb_near_dup": _sql_emb_near_dup(),

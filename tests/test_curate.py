@@ -594,3 +594,82 @@ def test_chunk_manifest_boundaries(spark):
         (1, 0, 0, 4), (1, 1, 4, 4), (1, 2, 8, 2),
         (2, 0, 0, 4), (2, 1, 4, 4),
     ]
+
+
+def test_containment_catches_doc_in_doc(spark):
+    from panelsplit_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    longdoc = quote + " " + " ".join(f"filler{i} pad{i} word{i}"
+                                     for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, longdoc), (3, "totally unrelated text here")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    # the quote's shingles are all inside the long doc -> containment 1.0
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["containment"] == 1.0 and r["n_inter"] == r["n_a"]
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # symmetric Jaccard misses the same pair at any threshold above
+    # n_a/n_b — the reason containment exists
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.15
+
+
+def test_containment_candidates_path_matches_allpairs(spark):
+    from panelsplit_spark.operators.dedup import ngram_containment_pairs
+
+    docs = [(i, f"shared core text block number {i % 2} "
+             + " ".join(f"w{i}x{j}" for j in range(i))) for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.3).collect()
+    }
+    cands = spark.createDataFrame(
+        sorted(full), ["id_a", "id_b"]
+    )
+    pruned = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, threshold=0.3, candidates=cands
+        ).collect()
+    }
+    assert pruned == full
+
+
+def test_quality_model_buckets_partition_corpus(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    out = entrymod.queries()["pipe_quality_model"](spark, SF_DIR)
+    rows = out.collect()
+    import duckdb
+
+    n_docs_total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert 0 <= r["bucket"] <= 10
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        # bucket k holds scores in [k*1e5, (k+1)*1e5): the mean score
+        # must sit inside the bucket's range
+        mean = r["sum_score_micro"] / r["n_docs"]
+        assert r["bucket"] * 100000 <= mean < (r["bucket"] + 1) * 100000
+    # weak labels must concentrate in high buckets: pass-rate in the top
+    # occupied bucket >= pass-rate in the bottom occupied bucket
+    rows = sorted(rows, key=lambda r: r["bucket"])
+    lo, hi = rows[0], rows[-1]
+    assert (hi["n_pass"] / hi["n_docs"]) >= (lo["n_pass"] / lo["n_docs"])
