@@ -211,6 +211,7 @@ HEADLINE = [
     # round 4
     "pipe_quality_model",
     "dedup_containment",
+    "mm_chunk_dedup",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -32,6 +32,7 @@ __all__ = [
     "decode_media",
     "frame_sample",
     "chunk_manifest",
+    "chunk_dedup_pairs",
 ]
 
 #: Canonical metadata struct for a decoded media column.
@@ -189,3 +190,73 @@ def chunk_manifest(
             F.md5(F.hex(chunk)).alias("chunk_md5"),
         )
     )
+
+
+def chunk_dedup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    chunk_bytes: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Chunk-hash near-duplicate pairs over opaque binary payloads →
+    (id_a, id_b, n_a, n_b, n_inter, containment) with containment =
+    |shared distinct chunk hashes| / min(chunks_a, chunks_b) ≥
+    threshold.
+
+    This is content-addressed-storage dedup (the backup/blob-store
+    technique) applied to a media lake: two payloads sharing most of
+    their fixed-offset chunk hashes are the same object modulo a small
+    edit — catches re-uploads, truncated copies, and
+    metadata-stripped re-encodes WITHOUT any codec, since only the
+    :func:`chunk_manifest` hashes (pure Catalyst, no Python) are
+    compared. The text-side sibling is
+    ``dedup.ngram_containment_pairs``; here the "shingle" is a byte
+    range, so the measure is exact containment of binary content.
+
+    Scale: the equi-join keys on ``chunk_md5``; ubiquitous chunks
+    (all-zero blocks) fan out exactly like popular shingles — at
+    production scale prune with a document-frequency cap on the chunk
+    hash (one grouped count + semi-join) before pairing, the same
+    discipline as the LSH ``candidates=`` path of the n-gram family.
+    """
+    man = chunk_manifest(
+        df, content_col=content_col, id_col=id_col,
+        chunk_bytes=chunk_bytes,
+    )
+    ch = man.select(F.col(id_col), F.col("chunk_md5")).distinct()
+    sizes = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ch"))
+    a, b = ch.alias("a"), ch.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.chunk_md5") == F.col("b.chunk_md5"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"),
+                         F.col("n_ch").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"),
+                         F.col("n_ch").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "n_a", "n_b", "n_inter",
+            # raw division of exact integers: bit-identical IEEE on any
+            # engine (round(x,6) would tie-flip on exact decimals)
+            (
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+    )
+    return out.where(F.col("containment") >= F.lit(threshold))

@@ -1956,6 +1956,7 @@ GROUP BY a.fold_id, a.role
 # ======================================================================
 
 MM_CHUNK_BYTES = 96
+MM_CONTAIN_T = 0.5
 
 
 def q_mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1994,6 +1995,62 @@ SELECT doc_id,
        md5(substring(hx, CAST(i * {2 * MM_CHUNK_BYTES} + 1 AS BIGINT),
                      {2 * MM_CHUNK_BYTES})) AS chunk_md5
 FROM idx
+"""
+
+
+def q_mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk-hash near-dup pairs over binary payloads
+    (operators/multimodal.chunk_dedup_pairs): containment of shared
+    fixed-offset chunk hashes — blob-store dedup with no codec, built
+    on the all-Catalyst chunk manifest. The oracle replays the chunking
+    by hex-slicing (same contract as mm_chunk_manifest) and the
+    containment as a raw division of exact integers."""
+    from .operators.multimodal import chunk_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return chunk_dedup_pairs(
+        payload, chunk_bytes=MM_CHUNK_BYTES, threshold=MM_CONTAIN_T
+    )
+
+
+def _sql_mm_chunk_dedup() -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, hx,
+         unnest(range(0, (n + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES}))
+           AS i
+  FROM h
+),
+ch AS (
+  SELECT DISTINCT doc_id,
+         md5(substring(hx, CAST(i * {2 * MM_CHUNK_BYTES} + 1 AS BIGINT),
+                       {2 * MM_CHUNK_BYTES})) AS chunk_md5
+  FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_ch FROM ch GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM ch a JOIN ch b
+    ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(sa.n_ch AS BIGINT) AS n_a,
+       CAST(sb.n_ch AS BIGINT) AS n_b,
+       CAST(ni AS BIGINT) AS n_inter,
+       ni * 1.0 / least(sa.n_ch, sb.n_ch) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / least(sa.n_ch, sb.n_ch) >= {MM_CONTAIN_T}
 """
 
 
@@ -2281,6 +2338,7 @@ QUERIES9: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_chunk_manifest": q_mm_chunk_manifest,
     "stream_near_dup": q_stream_near_dup,
     "pipe_quality_model": q_pipe_quality_model,
+    "mm_chunk_dedup": q_mm_chunk_dedup,
 }
 
 
@@ -2288,6 +2346,7 @@ def oracles9() -> Dict[str, str]:
     return {
         "pipe_gopher_rules": _sql_gopher_rules(),
         "pipe_quality_model": _sql_quality_model(),
+        "mm_chunk_dedup": _sql_mm_chunk_dedup(),
         "pipe_dsir_weights": _sql_dsir_weights(),
         "dedup_semdedup": _sql_semdedup(),
         "rel_skyline": _SQL_SKYLINE,

@@ -673,3 +673,24 @@ def test_quality_model_buckets_partition_corpus(spark):
     rows = sorted(rows, key=lambda r: r["bucket"])
     lo, hi = rows[0], rows[-1]
     assert (hi["n_pass"] / hi["n_docs"]) >= (lo["n_pass"] / lo["n_docs"])
+
+
+def test_chunk_dedup_pairs_binary_containment(spark):
+    from panelsplit_spark.operators.multimodal import chunk_dedup_pairs
+
+    base = bytes(range(256)) * 2  # 512 bytes = 8 chunks of 64
+    trunc = base[:256]            # first 4 chunks of base
+    other = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, base), (2, trunc), (3, other)], "doc_id long, content binary"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in chunk_dedup_pairs(df, chunk_bytes=64, threshold=0.5)
+        .collect()
+    }
+    # truncated copy: all 2 distinct chunk hashes of trunc (256 repeats
+    # pattern) appear in base -> containment 1.0
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["containment"] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
