@@ -236,18 +236,29 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     candidates: Optional[DataFrame] = None,
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity pairs ≥ threshold →
     (id_a, id_b, jaccard).
 
     Without ``candidates``: |A∩B| via self-equi-join on shingle — exact
     all-pairs, quadratic in document frequency of popular shingles; fine
-    for verification scale, NOT for 100 TB.
+    for verification scale, NOT for 100 TB (a corpus where one shingle
+    appears in f documents contributes f² join rows — measured: the
+    exact form OOMs a 16 GB driver at ~500k docs with 10× duplicate
+    replication).
 
     With ``candidates`` (e.g. LSH output): intersections are computed
     ONLY for the candidate pairs — candidates ⋈ shingles(id_a) ⋈
     shingles(id_b on shingle). Work is O(|candidates| × shingles/doc),
     independent of shingle popularity; this is the scale path.
+
+    ``max_shingle_df``: optional document-frequency cap — shingles in
+    more than this many documents are DROPPED before pairing (the
+    CCNet-style stopword-shingle drop), bounding the self-join fan-out
+    at df²·n_shingles while keeping rare-shingle evidence. Sizes and
+    intersections are then measured over the pruned shingle universe
+    (both engines/paths must apply the same cap to compare).
     """
     toks = word_tokens(F.col(text_col))
     sh = _ensure_parallelism(
@@ -276,6 +287,14 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         sh = sh.join(F.broadcast(ids), id_col, "left_semi")
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= F.lit(max_shingle_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     # consumed three times (both join sides + sizes); materialize so the
     # tokenize/shingle chain runs once and the three consumers reference
     # a leaf, not three copies of the chain — at production scale write
@@ -338,10 +357,13 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs → (id_a, id_b, n_a, n_b,
     n_inter, containment) with containment = |A∩B| / min(|A|, |B|) ≥
-    threshold.
+    threshold.  ``max_shingle_df`` caps shingle document frequency
+    before pairing (see :func:`ngram_jaccard_pairs` — same fan-out
+    bound, same pruned-universe semantics).
 
     The measure symmetric Jaccard misses: a short document quoted
     inside one 10× longer (boilerplate wrapper, syndicated article,
@@ -374,6 +396,14 @@ def ngram_containment_pairs(
             .distinct()
         )
         sh = sh.join(F.broadcast(ids), id_col, "left_semi")
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= F.lit(max_shingle_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:

@@ -694,3 +694,33 @@ def test_chunk_dedup_pairs_binary_containment(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)]["containment"] == 1.0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_shingle_df_cap_prunes_popular_shingles(spark):
+    from panelsplit_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = "alpha beta gamma delta"  # shared 3-grams in EVERY doc
+    docs = [
+        (1, common + " one two three four"),
+        (2, common + " one two three five"),
+        (3, common + " six seven eight nine"),
+        (4, common + " ten eleven twelve thirteen"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # uncapped: every pair shares the common shingles
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.01).collect()
+    }
+    assert len(full) == 6
+    # df cap 2 drops the ubiquitous shingles (df=4) but keeps the rare
+    # overlap between docs 1 and 2 ("one two three" family, df=2)
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.01, max_shingle_df=2
+        ).collect()
+    }
+    assert set(capped) == {(1, 2)}
+    # measured over the pruned universe: sizes shrink with the drop
+    assert capped[(1, 2)] > 0.3

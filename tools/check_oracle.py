@@ -98,6 +98,10 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "2097152")
         .config("spark.sql.files.openCostInBytes", "262144")
+        # sf1-scale sweeps collect row sets in the hundreds of MB; the
+        # 1g local default dies mid-collect and takes the gate with it
+        .config("spark.driver.memory", "16g")
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         # progress bars share the line with PASS/FAIL output via \r and
         # break anchored grep over the log — keep stdout line-clean
