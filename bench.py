@@ -211,6 +211,7 @@ HEADLINE = [
     # round 4
     "pipe_quality_model",
     "dedup_containment",
+    "dedup_containment_lsh",
     "mm_chunk_dedup",
 ]
 

@@ -160,6 +160,54 @@ WHERE ni * 1.0 / least(sa.n, sb.n) >= {CONTAIN_T}
 """
 
 
+def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB containment path: MinHash → LSH candidate pairs →
+    exact containment verified ONLY on candidates (work is
+    O(|candidates| × shingles/doc), independent of shingle popularity —
+    the all-pairs q_dedup_containment form is quadratic in shingle
+    document frequency and is the verification-scale twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    return dedup.ngram_containment_pairs(
+        docs, shingle_n=JACCARD_N, threshold=CONTAIN_T, candidates=cands
+    ).select("id_a", "id_b", "n_a", "n_b", "n_inter", "containment")
+
+
+def _sql_containment_lsh() -> str:
+    lsh = _sql_minhash_lsh().strip()
+    return f"""
+WITH cands AS (
+  {lsh}
+),
+sh2 AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(JACCARD_N)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter2 AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cands c
+  JOIN sh2 a ON a.doc_id = c.id_a
+  JOIN sh2 b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(ni AS BIGINT) AS n_inter,
+       ni * 1.0 / least(sa.n, sb.n) AS containment
+FROM inter2
+JOIN sizes2 sa ON sa.doc_id = id_a
+JOIN sizes2 sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / least(sa.n, sb.n) >= {CONTAIN_T}
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(
@@ -1225,6 +1273,7 @@ QUERIES2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
     "dedup_containment": q_dedup_containment,
+    "dedup_containment_lsh": q_dedup_containment_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_near_dup": q_emb_near_dup,
@@ -1255,6 +1304,7 @@ ORACLES2: Dict[str, str] = {
     "dedup_jaccard": _SQL_DEDUP_JACCARD,
     "dedup_jaccard_lsh": _sql_jaccard_lsh(),
     "dedup_containment": _sql_containment(),
+    "dedup_containment_lsh": _sql_containment_lsh(),
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "emb_near_dup": _sql_emb_near_dup(),
