@@ -1649,10 +1649,18 @@ WINS_LO, WINS_HI = 0.05, 0.95
 
 def q_pipe_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag winsorized price mass: line prices clamped to the
-    group's exact [5th, 95th] percentile band, then summed as exact
-    integer micro-cents (operators/sampling.winsorize). One bounds
-    aggregate (group-cardinality sized, broadcast back) + one clamp in
-    codegen — the fact table never shuffles."""
+    group's exact [5th, 95th] percentile band
+    (operators/sampling.winsorize). One bounds aggregate
+    (group-cardinality sized, broadcast back) + one clamp in codegen —
+    the fact table never shuffles.
+
+    Overflow discipline (found at the sf1 sweep): Σ(cents·1e6) is
+    ~2·10¹⁹ on 10× data — past int64, so a micro-unit total CANNOT be a
+    BIGINT output at scale. The mass is emitted as TWO exact integer
+    sums instead: the floor-cents sum (≤ 2·10¹³) and the fractional
+    micro-remainder sum (non-zero only on clamped boundary rows,
+    ≤ 2·10¹²). floor() and the subtraction are exact IEEE on the same
+    doubles in both engines."""
     from .operators.sampling import winsorize
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1665,11 +1673,13 @@ def q_pipe_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "cents", group_by="l_returnflag",
         lower=WINS_LO, upper=WINS_HI,
     )
+    fw = F.floor(F.col("cents_wins"))
     return w.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(fw.cast("long")).alias("wins_cents_floor"),
         F.sum(
-            F.round(F.col("cents_wins") * 1_000_000).cast("long")
-        ).alias("wins_micro"),
+            F.round((F.col("cents_wins") - fw) * 1_000_000).cast("long")
+        ).alias("wins_frac_micro"),
     )
 
 
@@ -1684,13 +1694,18 @@ b AS (
          round(quantile_cont(cents, {WINS_LO}), 6) AS lo,
          round(quantile_cont(cents, {WINS_HI}), 6) AS hi
   FROM c GROUP BY 1
+),
+w AS (
+  SELECT c.l_returnflag,
+         round(least(greatest(CAST(cents AS DOUBLE), lo), hi), 6) AS x
+  FROM c JOIN b USING (l_returnflag)
 )
-SELECT c.l_returnflag, count(*) AS n,
-       CAST(sum(CAST(round(round(least(greatest(CAST(cents AS DOUBLE), lo),
-                                  hi), 6) * 1000000) AS BIGINT)) AS BIGINT)
-         AS wins_micro
-FROM c JOIN b USING (l_returnflag)
-GROUP BY c.l_returnflag
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(floor(x) AS BIGINT)) AS BIGINT) AS wins_cents_floor,
+       CAST(sum(CAST(round((x - floor(x)) * 1000000) AS BIGINT)) AS BIGINT)
+         AS wins_frac_micro
+FROM w
+GROUP BY l_returnflag
 """
 
 
