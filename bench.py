@@ -213,6 +213,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_containment_lsh",
     "mm_chunk_dedup",
+    "rel_zorder_layout",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -48,3 +48,53 @@ def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
             F.shiftleft(bit_b, 2 * i + 1)
         )
     return out
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Bit-interleaved Z-order (Morton) key of two non-negative integer
+    dimensions — the multi-dimensional clustering key lakehouse layouts
+    (Delta OPTIMIZE ZORDER, Iceberg sort orders) use for data skipping:
+    range-partitioning by the interleaved key bounds EVERY interleaved
+    dimension's min/max per file, so scans filtering on either column
+    prune, where a single-column sort bounds only its own column.
+
+    Pure integer shift/mask arithmetic (``bits`` terms per dimension,
+    whole-stage codegen, no shuffle, no Python) and exactly replayable
+    in any SQL engine with ``>> << & |``. Callers must pre-reduce each
+    dimension into [0, 2^bits): ``col % 65536``, a day index, a
+    quantile bucket, etc.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(a.cast("long"), i)
+                .bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(b.cast("long"), i)
+                .bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    return z
+
+
+def duckdb_zorder_key(a_expr: str, b_expr: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key`: the same shift/mask terms as
+    one SQL expression, so oracles replay the interleave bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        # BIGINT casts: DuckDB's << on INT32 literals overflows past
+        # bit 30; Spark shifts longs
+        terms.append(
+            f"(((CAST({a_expr} AS BIGINT) >> {i}) & 1) << {2 * i})"
+        )
+        terms.append(
+            f"(((CAST({b_expr} AS BIGINT) >> {i}) & 1) << {2 * i + 1})"
+        )
+    return "(" + " | ".join(terms) + ")"

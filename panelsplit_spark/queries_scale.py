@@ -837,7 +837,72 @@ FROM events GROUP BY event_type
 """
 
 
+def q_rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout audit — the lakehouse
+    data-skipping technique (Delta OPTIMIZE ZORDER BY, Iceberg sort
+    orders): interleave the bits of two filter columns into one sort
+    key, range-bucket by it, and every bucket's min/max stays bounded
+    in BOTH dimensions — so scans filtering on EITHER column prune
+    files, where a single-column sort bounds only its own column.
+
+    Plan: one narrow codegen projection (functions/exact.zorder_key —
+    32 shift/mask terms, no shuffle, no Python) + one grouped aggregate
+    over the bucket key. At rest you'd write
+    ``repartitionByRange(z).sortWithinPartitions(z)`` and let parquet
+    min/max stats do the pruning; this query emits the per-bucket
+    extents that make the claim checkable — and the oracle replays the
+    interleave bit-for-bit in SQL."""
+    from .functions.exact import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    # 8-bit dims: both columns spread the full [0,256) range at every
+    # SF (custkey/day residues are uniform), so the 64 z-buckets are
+    # populated and the per-bucket extents actually witness the layout
+    dims = o.select(
+        (F.col("o_custkey") % 256).alias("ck"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256
+        ).cast("long").alias("dd"),
+    )
+    z = zorder_key(F.col("ck"), F.col("dd"), bits=8)
+    return (
+        dims.select("ck", "dd", z.alias("z"))
+        .groupBy(F.shiftrightunsigned(F.col("z"), 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ck").alias("ck_min"),
+            F.max("ck").alias("ck_max"),
+            F.min("dd").alias("dd_min"),
+            F.max("dd").alias("dd_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_zorder_layout() -> str:
+    from .functions.exact import duckdb_zorder_key
+
+    zexpr = duckdb_zorder_key("ck", "dd", bits=8)
+    return f"""
+WITH dims AS (
+  SELECT o_custkey % 256 AS ck,
+         CAST(date_diff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) % 256 AS BIGINT)
+           AS dd
+  FROM orders
+),
+zz AS (SELECT ck, dd, {zexpr} AS z FROM dims)
+SELECT z >> 10 AS bucket, count(*) AS n,
+       CAST(min(ck) AS BIGINT) AS ck_min,
+       CAST(max(ck) AS BIGINT) AS ck_max,
+       CAST(min(dd) AS BIGINT) AS dd_min,
+       CAST(max(dd) AS BIGINT) AS dd_max
+FROM zz GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_zorder_layout": q_rel_zorder_layout,
     "sim_pq_topk": q_sim_pq_topk,
     "dedup_spans": q_dedup_spans,
     "rel_pagerank": q_rel_pagerank,
@@ -852,6 +917,7 @@ QUERIES7: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def oracles7() -> Dict[str, str]:
     return {
+        "rel_zorder_layout": _sql_zorder_layout(),
         "sim_pq_topk": _sql_pq_topk(),
         "dedup_spans": _sql_dedup_spans(),
         "rel_pagerank": _sql_pagerank(),

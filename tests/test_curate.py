@@ -724,3 +724,29 @@ def test_shingle_df_cap_prunes_popular_shingles(spark):
     assert set(capped) == {(1, 2)}
     # measured over the pruned universe: sizes shrink with the drop
     assert capped[(1, 2)] > 0.3
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["rel_zorder_layout"](spark, SF_DIR).collect()
+    # sf0.001's date span doesn't populate every residue; larger SFs
+    # fill all 64 (oracle-checked there)
+    assert 16 <= len(rows) <= 64
+    # bucket = top 6 bits of the 16-bit z key = top 3 bits of EACH dim
+    # fixed -> every bucket's extent is < 2^5 in BOTH dimensions (a
+    # single-column sort would bound only one)
+    for r in rows:
+        assert r["ck_max"] - r["ck_min"] <= 31
+        assert r["dd_max"] - r["dd_min"] <= 31
+
+
+def test_zorder_key_interleave_parity():
+    from panelsplit_spark.functions.exact import duckdb_zorder_key
+    import duckdb
+
+    # z(3, 5): a bits at even positions, b at odd -> 0b100111 = 39
+    assert duckdb.sql(
+        f"SELECT {duckdb_zorder_key('3', '5')} AS z"
+    ).fetchone()[0] == 39
