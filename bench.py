@@ -214,6 +214,7 @@ HEADLINE = [
     "dedup_containment_lsh",
     "mm_chunk_dedup",
     "rel_zorder_layout",
+    "rel_sketch_cm_error",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -539,6 +539,73 @@ FROM p {' '.join(joins)}
 ORDER BY p.user_id"""
 
 
+def q_rel_sketch_cm_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch ERROR AUDIT over the full key universe — the
+    acceptance test a sketch deployment runs before trusting estimates:
+    join every key's true frequency against its estimate and aggregate
+    the error profile. Checks the one-sided guarantee structurally
+    (``n_underest`` must be 0 — an estimate below truth would mean the
+    sketch is broken) and quantifies collision cost (max / total
+    overestimate), all as exact integers.
+
+    Plan: the d×w grid is one aggregation (see cm_build); the audit is
+    the per-key estimate join (broadcast grid) + ONE global aggregate —
+    fact-table work is O(distinct keys) beyond the original count."""
+    from .operators.sketches import cm_build, cm_point_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cm_build(ev, "user_id", d=CM_D, w=CM_W)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    est = cm_point_estimates(sketch, truth, "user_id", d=CM_D, w=CM_W)
+    return est.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.when(F.col("cm_est") == F.col("true_n"), 1).otherwise(0)
+            .cast("long")
+        ).alias("n_exact"),
+        F.sum(
+            F.when(F.col("cm_est") < F.col("true_n"), 1).otherwise(0)
+            .cast("long")
+        ).alias("n_underest"),
+        F.max(F.col("cm_est") - F.col("true_n")).alias("max_overest"),
+        F.sum(F.col("cm_est") - F.col("true_n")).alias("total_overest"),
+    )
+
+
+def _sql_sketch_cm_error() -> str:
+    rows = []
+    joins = []
+    for r in range(CM_D):
+        b = _duck_bucket("user_id", CM_W, f"cm{r}")
+        rows.append(
+            f"s{r} AS (SELECT {b} AS b, CAST(count(*) AS BIGINT) AS c "
+            f"FROM events GROUP BY 1)"
+        )
+        joins.append(
+            f"JOIN s{r} ON s{r}.b = "
+            + _duck_bucket("p.user_id", CM_W, f"cm{r}")
+        )
+    return f"""
+WITH {', '.join(rows)},
+p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+),
+est AS (
+  SELECT p.user_id, p.true_n,
+         least(s0.c, s1.c, s2.c, s3.c) AS cm_est
+  FROM p {' '.join(joins)}
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(CASE WHEN cm_est = true_n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(sum(CASE WHEN cm_est < true_n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_underest,
+       CAST(max(cm_est - true_n) AS BIGINT) AS max_overest,
+       CAST(sum(cm_est - true_n) AS BIGINT) AS total_overest
+FROM est"""
+
+
 # ======================================================================
 # join-strategy breadth: shuffled hash join
 # ======================================================================
@@ -2416,6 +2483,7 @@ QUERIES8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_quality_buckets": q_pipe_quality_buckets,
     "rel_sketch_distinct": q_rel_sketch_distinct,
     "rel_sketch_cmcount": q_rel_sketch_cmcount,
+    "rel_sketch_cm_error": q_rel_sketch_cm_error,
     "rel_shj_join": q_rel_shj_join,
     "rel_incremental_agg": q_rel_incremental_agg,
     "stream_cdc_apply": q_stream_cdc_apply,
@@ -2456,6 +2524,7 @@ def oracles8() -> Dict[str, str]:
         "pipe_quality_buckets": _sql_quality_buckets(),
         "rel_sketch_distinct": _sql_sketch_distinct(),
         "rel_sketch_cmcount": _sql_sketch_cmcount(),
+        "rel_sketch_cm_error": _sql_sketch_cm_error(),
         "rel_shj_join": _SQL_SHJ_JOIN,
         "rel_incremental_agg": _SQL_INCREMENTAL_AGG,
         "stream_cdc_apply": _SQL_STREAM_CDC,

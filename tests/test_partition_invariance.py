@@ -62,3 +62,31 @@ def test_query_hash_is_shuffle_partition_invariant(spark, qname):
     assert hashes["3"] == hashes["17"], (
         f"{qname} result depends on shuffle partition count: {hashes}"
     )
+
+
+@pytest.mark.parametrize(
+    "qname", ["rel_tpch_q3", "dedup_minhash_lsh", "rel_sessionize"]
+)
+def test_query_hash_is_aqe_invariant(spark, qname):
+    """Adaptive query execution re-plans at runtime (coalesced
+    partitions, skew splits, demoted joins) — the physical plan changes,
+    the result bytes must not."""
+    import __spark_entry__ as entrymod
+
+    from panelsplit_spark.utils.storage import release_all_pinned
+
+    fn = entrymod.queries()[qname]
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    hashes = {}
+    try:
+        for v in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", v)
+            df = fn(spark, SF_DIR)
+            rows = [tuple(r) for r in df.collect()]
+            hashes[v] = (len(rows), _co.value_hash(df.columns, rows))
+            release_all_pinned(spark)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert hashes["true"] == hashes["false"], (
+        f"{qname} result depends on AQE: {hashes}"
+    )
