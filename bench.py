@@ -215,6 +215,10 @@ HEADLINE = [
     "mm_chunk_dedup",
     "rel_zorder_layout",
     "rel_sketch_cm_error",
+    "rel_quantile_sketch",
+    "src_compaction",
+    "pipe_url_canonical",
+    "pipe_negative_sample",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

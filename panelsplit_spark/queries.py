@@ -419,3 +419,11 @@ from .queries_curate import QUERIES9, oracles9  # noqa: E402
 
 QUERIES.update(QUERIES9)
 ORACLES.update(oracles9())
+
+# Round-4 breadth: histogram quantiles w/ two-phase exact selection,
+# compaction content gate, URL canonicalization, negative sampling
+# (part 10)
+from .queries_round4 import QUERIES10, oracles10  # noqa: E402
+
+QUERIES.update(QUERIES10)
+ORACLES.update(oracles10())

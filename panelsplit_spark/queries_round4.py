@@ -1,0 +1,435 @@
+"""Round-4 breadth (part 10): distributed selection / histogram
+quantiles, small-files compaction gate, URL canonicalization, and
+deterministic negative sampling.
+
+Same contract as every other part: each query is a Spark DataFrame
+program paired with an ANSI-SQL oracle DuckDB runs over the same
+parquet; aliases match on both sides; every numeric output is an exact
+integer (or a pinned string/boolean) so the cross-engine value hash is
+bit-stable. Conventions: see ``queries.py`` module docstring.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .sources.tables import load_table
+
+# ----------------------------------------------------------------------
+# Distributed quantiles: mergeable histogram + two-phase exact selection
+# ----------------------------------------------------------------------
+
+QS_BIN_W = 100_000  # histogram bin width in cents ($1,000)
+QS_QBPS = [2500, 5000, 9000, 9900]  # quantiles in basis points
+
+
+def q_rel_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed order statistics over ``lineitem.l_extendedprice``:
+    a mergeable equi-width histogram answers each quantile to within one
+    bin width, then ONE more narrow pass resolves the exact k-th value —
+    the classic two-phase selection that replaces a full global sort.
+
+    Output per requested quantile (basis points): the rank ``k_rank``,
+    the histogram estimate (``est_cents`` = lower edge of the bin
+    containing the k-th value, so ``0 <= err_cents < bin width`` is the
+    sketch's a-priori guarantee), and the exact k-th smallest value.
+
+    Plan shape at 100 TB: phase 1 is one map-side-combinable groupBy on
+    ``bin`` (state = #bins, fixed by the value domain, NOT the row
+    count); the cumulative window runs over that bin-sized table. Phase
+    2 re-scans with a broadcast 4-row bin filter — only rows in the 4
+    target bins survive the scan (predicate pushdown on the binned
+    column's source range), and the per-value aggregation state is
+    bounded by distinct values within one bin. No global sort anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    binned = li.withColumn("bin", F.expr(f"cents div {QS_BIN_W}"))
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # bin count is domain-sized (~100), so the unpartitioned cumulative
+    # window is a single tiny task by construction
+    h2 = hist.withColumn("cum", F.sum("cnt").over(wb))
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    qf = spark.createDataFrame([(q,) for q in QS_QBPS], "q_bp long")
+    qk = qf.crossJoin(F.broadcast(tot)).select(
+        "q_bp",
+        F.expr("(q_bp * n + 9999) div 10000").alias("k_rank"),
+    )
+    # locate the bin whose cumulative count first reaches k: a 4-row x
+    # #bins broadcast range join (BNLJ by design — both sides are
+    # driver-tiny, see plan-audit whitelist)
+    target = qk.join(
+        F.broadcast(h2),
+        (F.col("cum") >= F.col("k_rank"))
+        & (F.col("cum") - F.col("cnt") < F.col("k_rank")),
+    ).select(
+        "q_bp",
+        "k_rank",
+        (F.col("bin") * QS_BIN_W).alias("est_cents"),
+        F.col("bin").alias("tbin"),
+        (F.col("k_rank") - (F.col("cum") - F.col("cnt"))).alias("off"),
+    )
+    in_bin = binned.join(F.broadcast(target), binned["bin"] == target["tbin"])
+    pv = in_bin.groupBy("q_bp", "k_rank", "est_cents", "off", "cents").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    wv = (
+        Window.partitionBy("q_bp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pc = pv.withColumn("cum2", F.sum("c2").over(wv))
+    return (
+        pc.where(F.col("cum2") >= F.col("off"))
+        .groupBy("q_bp", "k_rank", "est_cents")
+        .agg(F.min("cents").alias("exact_cents"))
+        .select(
+            "q_bp",
+            "k_rank",
+            "est_cents",
+            "exact_cents",
+            (F.col("exact_cents") - F.col("est_cents")).alias("err_cents"),
+        )
+        .orderBy("q_bp")
+    )
+
+
+def _sql_quantile_sketch() -> str:
+    qvals = ",".join(f"({q})" for q in QS_QBPS)
+    return f"""
+WITH li AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+),
+b AS (SELECT cents, cents // {QS_BIN_W} AS bin FROM li),
+hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+h2 AS (
+  SELECT bin, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+q AS (SELECT CAST(q_bp AS BIGINT) AS q_bp
+      FROM (VALUES {qvals}) AS t(q_bp)),
+qk AS (SELECT q_bp, (q_bp * n + 9999) // 10000 AS k_rank FROM q, tot),
+target AS (
+  SELECT qk.q_bp, qk.k_rank, h2.bin * {QS_BIN_W} AS est_cents,
+         h2.bin AS tbin, qk.k_rank - (h2.cum - h2.cnt) AS off
+  FROM qk JOIN h2
+    ON h2.cum >= qk.k_rank AND h2.cum - h2.cnt < qk.k_rank
+),
+pv AS (
+  SELECT t.q_bp, t.k_rank, t.est_cents, t.off, b.cents,
+         CAST(count(*) AS BIGINT) AS c2
+  FROM b JOIN target t ON b.bin = t.tbin
+  GROUP BY 1, 2, 3, 4, 5
+),
+pc AS (
+  SELECT q_bp, k_rank, est_cents, off, cents,
+         CAST(sum(c2) OVER (PARTITION BY q_bp ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+  FROM pv
+)
+SELECT q_bp, k_rank, est_cents,
+       min(cents) AS exact_cents,
+       CAST(min(cents) - est_cents AS BIGINT) AS err_cents
+FROM pc
+WHERE cum2 >= off
+GROUP BY q_bp, k_rank, est_cents
+ORDER BY q_bp"""
+
+
+# ----------------------------------------------------------------------
+# Small-files compaction: content-fidelity gate
+# ----------------------------------------------------------------------
+
+
+def _rt_dir(leaf: str) -> str:
+    import os
+
+    return os.path.join(os.getcwd(), "spark-warehouse", "roundtrip", leaf)
+
+
+def q_src_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance-op gate: simulate a tiny-files ingest (64-way
+    fragmented parquet write of ``events``), run
+    :func:`~panelsplit_spark.sources.tables.compact_parquet` into
+    size-targeted files, read the compacted copy back, and prove the
+    bytes moved losslessly: per-event-type row count, exact cents sum,
+    id extrema, and an order-independent content fingerprint (sum of a
+    32-bit md5 prefix per rendered row — mergeable, no giant
+    driver-side string) must equal the same aggregates computed by the
+    oracle on the ORIGINAL table. ``compacted`` pins the file-count
+    reduction Spark-side.
+
+    At 100 TB compaction is the op that keeps streaming sinks scannable
+    (one file per micro-batch per partition otherwise); the fingerprint
+    is how you verify it without comparing files row-by-row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = _rt_dir("compact_src")
+    dst = _rt_dir("compact_dst")
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+    from .sources.tables import compact_parquet
+
+    n_files = compact_parquet(spark, src, dst, target_file_mb=64)
+    back = spark.read.parquet(dst)
+    render = F.concat(
+        F.col("event_id").cast("string"),
+        F.lit(":"),
+        F.unix_micros("ts").cast("string"),
+        F.lit(":"),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+    )
+    fp = F.conv(F.substring(F.md5(render), 1, 8), 16, 10).cast("long")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum(fp).alias("content_fp"),
+        )
+        .withColumn("compacted", F.lit(bool(n_files <= 64)))
+        .orderBy("event_type")
+    )
+
+
+_SQL_COMPACTION = """
+WITH r AS (
+  SELECT event_type,
+         concat(CAST(event_id AS VARCHAR), ':',
+                CAST(epoch_us(ts) AS VARCHAR), ':',
+                CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS render,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id,
+       CAST(sum(CAST(concat('0x', substr(md5(render), 1, 8)) AS BIGINT))
+            AS BIGINT) AS content_fp,
+       true AS compacted
+FROM r
+GROUP BY event_type
+ORDER BY event_type"""
+
+
+# ----------------------------------------------------------------------
+# URL canonicalization: variant collapse over a synthesized crawl column
+# ----------------------------------------------------------------------
+
+
+def _synth_url(doc_id: F.Column) -> F.Column:
+    """Deterministic crawl-style URL with variant noise: mixed-case
+    host (id%3), explicit default port (id%5), trailing slash (id%4),
+    tracking params + shuffled param order (id%2), fragment (id%7).
+    ``id % 200`` keys the canonical page, so every canonical URL has
+    multiple raw variants."""
+    key = (doc_id % 200).cast("string")
+    host = F.when(doc_id % 3 == 0, F.lit("Data.Example.COM")).otherwise(
+        F.lit("data.example.com")
+    )
+    port = F.when(doc_id % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    slash = F.when(doc_id % 4 == 0, F.lit("/")).otherwise(F.lit(""))
+    params = F.when(
+        doc_id % 2 == 0,
+        F.concat(F.lit("utm_source=feed&id="), key, F.lit("&v=2")),
+    ).otherwise(F.concat(F.lit("v=2&id="), key))
+    frag = F.when(doc_id % 7 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("https://"),
+        host,
+        port,
+        F.lit("/corpus/"),
+        key,
+        slash,
+        F.lit("?"),
+        params,
+        frag,
+    )
+
+
+def _sql_synth_url() -> str:
+    key = "CAST(doc_id % 200 AS VARCHAR)"
+    return (
+        "concat('https://', "
+        "CASE WHEN doc_id % 3 = 0 THEN 'Data.Example.COM' ELSE 'data.example.com' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END, "
+        f"'/corpus/', {key}, "
+        "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+        "'?', "
+        "CASE WHEN doc_id % 2 = 0 "
+        f"THEN concat('utm_source=feed&id=', {key}, '&v=2') "
+        f"ELSE concat('v=2&id=', {key}) END, "
+        "CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)"
+    )
+
+
+def q_pipe_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization: collapse case / default
+    port / tracking-param / param-order / trailing-slash / fragment
+    variants onto one canonical key and count variants per page.
+
+    The canonicalizer (:mod:`operators.web`) is a pure Catalyst
+    projection (regexp + array HOFs, no UDF, no shuffle); the only
+    shuffle here is the final canonical-key groupBy — exactly the
+    shape URL dedup keeps at crawl scale, where raw-string dedup
+    misses most duplicates. The oracle re-implements the same RFC 3986
+    normalization rules independently in DuckDB list lambdas.
+    """
+    from .operators.web import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id", _synth_url(F.col("doc_id")).alias("url")
+    )
+    return (
+        urls.select(canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+        .orderBy("canonical_url")
+    )
+
+
+def _sql_url_canonical() -> str:
+    from .operators.web import duckdb_canonicalize_url
+
+    return f"""
+WITH u AS (SELECT {_sql_synth_url()} AS url FROM documents),
+c AS (SELECT {duckdb_canonicalize_url('url')} AS canonical_url FROM u)
+SELECT canonical_url, count(*) AS n_variants
+FROM c GROUP BY canonical_url ORDER BY canonical_url"""
+
+
+# ----------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training pairs
+# ----------------------------------------------------------------------
+
+NS_K = 4  # negatives per anchor
+NS_ANCHOR_MAX = 100
+
+
+def q_pipe_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for every anchor document, draw
+    ``NS_K`` pseudo-random negatives from the full pool by hashing
+    ``(anchor, j)`` onto the dense doc-id space — content-addressed, so
+    the draw is reproducible across runs, partitionings, and engines
+    (no RNG state). A collision with the anchor itself advances to the
+    next id (mod pool size).
+
+    Plan: anchors fan out K-fold via ``sequence``/``explode`` (narrow),
+    the pool size arrives as a broadcast single-row aggregate, and the
+    payload lookup is ONE equi-join keyed on the sampled id — the join
+    shuffles the pool once regardless of K. At 100 TB the pool side is
+    the big relation and this is a plain shuffled hash/SMJ; nothing is
+    collected.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = docs.where(F.col("doc_id") < NS_ANCHOR_MAX).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    fan = anchors.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(NS_K - 1)))
+    ).crossJoin(F.broadcast(tot))
+    raw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("#"),
+                    F.col("j").cast("string"),
+                    F.lit("ns"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    fan = fan.withColumn("neg0", raw % F.col("n_docs"))
+    fan = fan.withColumn(
+        "neg_id",
+        F.when(
+            F.col("neg0") == F.col("anchor_id"),
+            (F.col("neg0") + 1) % F.col("n_docs"),
+        ).otherwise(F.col("neg0")),
+    )
+    pool = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return (
+        fan.join(pool, "neg_id")
+        .select(
+            "anchor_id",
+            F.col("j").cast("long").alias("j"),
+            "neg_id",
+            "neg_source",
+            "neg_lang",
+        )
+        .orderBy("anchor_id", "j")
+    )
+
+
+def _sql_negative_sample() -> str:
+    return f"""
+WITH tot AS (SELECT count(*) AS n_docs FROM documents),
+a AS (SELECT doc_id AS anchor_id FROM documents
+      WHERE doc_id < {NS_ANCHOR_MAX}),
+j AS (SELECT unnest(generate_series(0, {NS_K - 1})) AS j),
+f AS (
+  SELECT anchor_id, j,
+         CAST(concat('0x', substr(md5(concat(CAST(anchor_id AS VARCHAR), '#',
+              CAST(j AS VARCHAR), 'ns')), 1, 8)) AS BIGINT) % n_docs AS neg0,
+         n_docs
+  FROM a, j, tot
+),
+g AS (
+  SELECT anchor_id, CAST(j AS BIGINT) AS j,
+         CASE WHEN neg0 = anchor_id THEN (neg0 + 1) % n_docs
+              ELSE neg0 END AS neg_id
+  FROM f
+)
+SELECT g.anchor_id, g.j, g.neg_id,
+       d.source AS neg_source, d.lang AS neg_lang
+FROM g JOIN documents d ON d.doc_id = g.neg_id
+ORDER BY anchor_id, j"""
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
+
+QUERIES10: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rel_quantile_sketch": q_rel_quantile_sketch,
+    "src_compaction": q_src_compaction,
+    "pipe_url_canonical": q_pipe_url_canonical,
+    "pipe_negative_sample": q_pipe_negative_sample,
+}
+
+
+def oracles10() -> Dict[str, str]:
+    return {
+        "rel_quantile_sketch": _sql_quantile_sketch(),
+        "src_compaction": _SQL_COMPACTION,
+        "pipe_url_canonical": _sql_url_canonical(),
+        "pipe_negative_sample": _sql_negative_sample(),
+    }

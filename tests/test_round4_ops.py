@@ -1,0 +1,173 @@
+"""Unit tests for the round-4 operators: URL canonicalization,
+histogram-quantile two-phase selection, compaction content gate, and
+deterministic negative sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return SF_DIR
+
+
+# ----------------------------------------------------------------------
+# canonicalize_url
+# ----------------------------------------------------------------------
+
+
+CANON_CASES = [
+    # case + default port + fragment + tracking params + param order
+    (
+        "https://Data.Example.COM:443/a/b?utm_source=x&b=2&a=1#frag",
+        "https://data.example.com/a/b?a=1&b=2",
+    ),
+    # http default port; `ref` stripped but `reference` kept
+    (
+        "http://Host.io:80/p?reference=ok&ref=spam",
+        "http://host.io/p?reference=ok",
+    ),
+    # trailing slashes collapse; empty query -> no '?'
+    ("https://h.io/x///?utm_a=1", "https://h.io/x"),
+    # root path collapses to bare authority
+    ("https://h.io/?a=1", "https://h.io?a=1"),
+    # non-default port survives
+    ("https://h.io:8443/x", "https://h.io:8443/x"),
+    # empty param segments dropped, rest sorted bytewise
+    ("https://h.io/x?b=2&&a=10", "https://h.io/x?a=10&b=2"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    from panelsplit_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)], ["i", "url"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_duckdb_parity(spark):
+    """The DuckDB twin must agree with the Catalyst form on every
+    case — it is an independent implementation of the same rules."""
+    import duckdb
+
+    from panelsplit_spark.operators.web import duckdb_canonicalize_url
+
+    con = duckdb.connect()
+    expr = duckdb_canonicalize_url("url")
+    for raw, want in CANON_CASES:
+        got = con.execute(
+            f"WITH u AS (SELECT ? AS url) SELECT {expr} FROM u", [raw]
+        ).fetchone()[0]
+        assert got == want, f"{raw}: duckdb {got!r} != {want!r}"
+
+
+# ----------------------------------------------------------------------
+# rel_quantile_sketch: estimate within one bin of exact, exact is true
+# ----------------------------------------------------------------------
+
+
+def test_quantile_sketch_exact_and_bounded(spark, sf_dir):
+    from panelsplit_spark.queries_round4 import (
+        QS_BIN_W,
+        QS_QBPS,
+        q_rel_quantile_sketch,
+    )
+
+    rows = {r["q_bp"]: r for r in q_rel_quantile_sketch(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(QS_QBPS)
+
+    # independent truth: sort the cents column and index it
+    cents = sorted(
+        r["cents"]
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .collect()
+    )
+    n = len(cents)
+    for q_bp, r in rows.items():
+        k = -(-q_bp * n // 10000)  # ceil
+        assert r["k_rank"] == k
+        assert r["exact_cents"] == cents[k - 1]
+        assert 0 <= r["err_cents"] < QS_BIN_W
+        assert r["est_cents"] == (cents[k - 1] // QS_BIN_W) * QS_BIN_W
+
+
+# ----------------------------------------------------------------------
+# compaction: file count actually drops, content fingerprint is stable
+# ----------------------------------------------------------------------
+
+
+def test_compaction_reduces_files_and_roundtrips(spark, sf_dir, tmp_path):
+    import os
+
+    from panelsplit_spark.sources.tables import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "packed")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(src)
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    n_dst = compact_parquet(spark, src, dst, target_file_mb=64)
+    assert n_src == 32 and n_dst < n_src
+    a = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+    ).collect()[0]
+    b = (
+        spark.read.parquet(dst)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        )
+        .collect()[0]
+    )
+    assert (a["n"], a["s"]) == (b["n"], b["s"])
+
+
+def test_compaction_refuses_in_place(spark, tmp_path):
+    from panelsplit_spark.sources.tables import compact_parquet
+
+    p = str(tmp_path / "d")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError, match="in place|differ"):
+        compact_parquet(spark, p, p)
+
+
+# ----------------------------------------------------------------------
+# negative sampling: deterministic, collision-free, within pool
+# ----------------------------------------------------------------------
+
+
+def test_negative_sample_contract(spark, sf_dir):
+    from panelsplit_spark.queries_round4 import (
+        NS_ANCHOR_MAX,
+        NS_K,
+        q_pipe_negative_sample,
+    )
+
+    out = q_pipe_negative_sample(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == NS_ANCHOR_MAX * NS_K
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]  # collision rule applied
+        assert 0 <= r["neg_id"] < n_docs
+    # reproducible: a second run yields the identical draw
+    again = q_pipe_negative_sample(spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -87,6 +87,8 @@ BNLJ_WHITELIST = {
     "sim_recall_eval",       # inherits sim_cosine_topk's tiny-query broadcast
     "sim_mrl_recall",        # same: two brute-force tiny-query broadcasts
     "text_pmi_collocations",  # two single-row corpus-total scalars
+    "rel_quantile_sketch",   # 4-row quantile x bin-histogram range join
+    "pipe_negative_sample",  # single-row pool-size scalar (n_docs)
 }
 
 
