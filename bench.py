@@ -305,6 +305,8 @@ SF1_HEADLINE = [
     "rel_salted_join",
     "rel_window_gallery",
     "pipe_quality_model",
+    "rel_quantile_sketch",
+    "pipe_negative_sample",
 ]
 
 

@@ -73,7 +73,40 @@ def q_rel_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").alias("tbin"),
         (F.col("k_rank") - (F.col("cum") - F.col("cnt"))).alias("off"),
     )
-    in_bin = binned.join(F.broadcast(target), binned["bin"] == target["tbin"])
+    # the target set is quantile-count-sized (4 rows) — collect it and
+    # re-enter the plan as literals, so phase 2's bin restriction turns
+    # into a SARGable `cents` range predicate that reaches the parquet
+    # scan (PushedFilters), instead of filtering post-scan through a
+    # broadcast join. Same driver-small-collect class as the centroid
+    # and dim-sniff literals used elsewhere.
+    trows = target.collect()
+    tlit = spark.createDataFrame(
+        [
+            (r["q_bp"], r["k_rank"], r["est_cents"], r["tbin"], r["off"])
+            for r in trows
+        ],
+        "q_bp long, k_rank long, est_cents long, tbin long, off long",
+    )
+    lo = min(r["tbin"] for r in trows) * QS_BIN_W
+    hi = (max(r["tbin"] for r in trows) + 1) * QS_BIN_W
+    # phase-2 scan: the range lands on the SOURCE column (slightly
+    # widened for the cents rounding), so it pushes into the parquet
+    # reader and prunes row groups; the exact bin equality still
+    # applies post-scan via the 4-row broadcast
+    rescan = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_extendedprice") >= (lo - 1) / 100.0)
+            & (F.col("l_extendedprice") < (hi + 1) / 100.0)
+        )
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("bin", F.expr(f"cents div {QS_BIN_W}"))
+    )
+    in_bin = rescan.join(F.broadcast(tlit), rescan["bin"] == tlit["tbin"])
     pv = in_bin.groupBy("q_bp", "k_rank", "est_cents", "off", "cents").agg(
         F.count(F.lit(1)).alias("c2")
     )
