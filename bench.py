@@ -219,6 +219,9 @@ HEADLINE = [
     "src_compaction",
     "pipe_url_canonical",
     "pipe_negative_sample",
+    "stream_quantile",
+    "emb_threshold_sweep",
+    "pipe_host_stats",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

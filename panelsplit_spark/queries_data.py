@@ -364,9 +364,14 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_emb_near_dup() -> str:
+def _sql_emb_near_dup(thr: float = 0.2, raw: bool = False) -> str:
     """Oracle twin of the LSH-candidate near-dup: identical literal
-    hyperplanes, per-table bucket equi-joins, exact cosine verify."""
+    hyperplanes, per-table bucket equi-joins, exact cosine verify.
+
+    ``thr`` = verify threshold (mirrors the Spark call site); ``raw``
+    additionally emits the UNROUNDED cosine as ``cos_raw`` for
+    downstream oracles that bucket the raw double (rounding first
+    would flip bucket edges)."""
     bucket_exprs = []
     for t in range(LSH_TABLES):
         planes = similarity.random_hyperplanes(
@@ -386,6 +391,11 @@ def _sql_emb_near_dup() -> str:
         f"AND a.vec_id < b2.vec_id"
         for t in range(LSH_TABLES)
     )
+    raw_col = (
+        ",\n       list_cosine_similarity(va.v, vb.v) AS cos_raw"
+        if raw
+        else ""
+    )
     return f"""
 WITH b AS (
   SELECT vec_id, v, {", ".join(bucket_exprs)}
@@ -397,11 +407,11 @@ cand AS (
   )
 )
 SELECT id_a, id_b,
-       round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+       round(list_cosine_similarity(va.v, vb.v), 6) AS cosine{raw_col}
 FROM cand
 JOIN b va ON va.vec_id = id_a
 JOIN b vb ON vb.vec_id = id_b
-WHERE list_cosine_similarity(va.v, vb.v) >= 0.2
+WHERE list_cosine_similarity(va.v, vb.v) >= {thr}
 """
 
 

@@ -448,6 +448,276 @@ ORDER BY anchor_id, j"""
 
 
 # ----------------------------------------------------------------------
+# Streaming mergeable-histogram quantiles
+# ----------------------------------------------------------------------
+
+SQ_BIN_W = 1_000  # cents per bin ($10) over events.value
+SQ_BATCHES = 4
+
+
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online quantiles from a streaming mergeable histogram: the
+    events feed arrives as four deterministic micro-batches (event_id
+    mod 4); each batch folds its bin counts additively into the running
+    state (streaming/rolling.stream_histogram_quantiles), and after a
+    closed availableNow drain the state answers the same basis-point
+    quantiles as the batch sketch. Because bin counts are additive, the
+    answer is provably independent of the batch chopping — which is
+    exactly what the batch oracle (full-table histogram in SQL) checks.
+
+    Output: ``(q_bp, k_rank, est_cents)`` — the histogram estimate
+    (lower bin edge); exact within-bin resolution is the batch
+    operator's job (rel_quantile_sketch)."""
+    import os
+
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_histogram_quantiles,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    feed = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "quantile_feed"
+    )
+    write_file_batches(
+        [
+            ev.where(F.col("event_id") % SQ_BATCHES == j)
+            for j in range(SQ_BATCHES)
+        ],
+        feed,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    name = "stream_quantile_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q, get_hist = stream_histogram_quantiles(
+            stream, "cents", SQ_BIN_W, query_name=name
+        )
+        q.awaitTermination()
+    hist = get_hist()
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    h2 = hist.withColumn("cum", F.sum("cnt").over(wb))
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    qf = spark.createDataFrame([(q,) for q in QS_QBPS], "q_bp long")
+    qk = qf.crossJoin(F.broadcast(tot)).select(
+        "q_bp", F.expr("(q_bp * n + 9999) div 10000").alias("k_rank")
+    )
+    return (
+        qk.join(
+            F.broadcast(h2),
+            (F.col("cum") >= F.col("k_rank"))
+            & (F.col("cum") - F.col("cnt") < F.col("k_rank")),
+        )
+        .select(
+            "q_bp", "k_rank", (F.col("bin") * SQ_BIN_W).alias("est_cents")
+        )
+        .orderBy("q_bp")
+    )
+
+
+def _sql_stream_quantile() -> str:
+    qvals = ",".join(f"({q})" for q in QS_QBPS)
+    return f"""
+WITH b AS (
+  SELECT CAST(round(value * 100) AS BIGINT) // {SQ_BIN_W} AS bin FROM events
+),
+hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+h2 AS (
+  SELECT bin, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+q AS (SELECT CAST(q_bp AS BIGINT) AS q_bp FROM (VALUES {qvals}) AS t(q_bp)),
+qk AS (SELECT q_bp, (q_bp * n + 9999) // 10000 AS k_rank FROM q, tot)
+SELECT qk.q_bp, qk.k_rank, h2.bin * {SQ_BIN_W} AS est_cents
+FROM qk JOIN h2
+  ON h2.cum >= qk.k_rank AND h2.cum - h2.cnt < qk.k_rank
+ORDER BY qk.q_bp"""
+
+
+# ----------------------------------------------------------------------
+# Near-dup threshold calibration sweep
+# ----------------------------------------------------------------------
+
+TS_BUCKET_BP = 500  # 0.05-wide cosine buckets, reported in basis points
+
+
+def q_emb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration: the pair-count-vs-cosine curve an
+    operator reads before picking the near-dup cutoff. LSH candidate
+    pairs are exact-verified once, then bucketed by raw cosine into
+    0.05 bands; ``n_ge`` (pairs at or above each band) is the running
+    answer to "how many pairs would a threshold here merge".
+
+    One extra aggregation + one ~20-row cumulative window beyond the
+    candidate verify — the sweep costs nothing over a single-threshold
+    run, which is the point: choose the threshold from data, not by
+    rerunning the pipeline per guess. Buckets floor the RAW cosine
+    (bit-identical cross-engine); rounding first would flip edges."""
+    from .operators import dedup
+    from .queries_data import EMB_DIM, LSH_PLANES, LSH_SEED, LSH_TABLES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_duplicates(
+        emb,
+        threshold=0.0,
+        n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES,
+        seed=LSH_SEED,
+        dim=EMB_DIM,
+    )
+    bucketed = pairs.select(
+        (F.floor(F.col("cosine") * 20) * TS_BUCKET_BP)
+        .cast("long")
+        .alias("bucket_bp")
+    ).groupBy("bucket_bp").agg(F.count(F.lit(1)).alias("n_pairs"))
+    wrev = (
+        Window.orderBy(F.col("bucket_bp").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.withColumn("n_ge", F.sum("n_pairs").over(wrev))
+        .orderBy("bucket_bp")
+    )
+
+
+def _sql_threshold_sweep() -> str:
+    from .queries_data import _sql_emb_near_dup
+
+    pairs = _sql_emb_near_dup(thr=0.0, raw=True).strip()
+    return f"""
+WITH pairs AS ({pairs}),
+b AS (
+  SELECT CAST(floor(cos_raw * 20) * {TS_BUCKET_BP} AS BIGINT) AS bucket_bp
+  FROM pairs
+),
+g AS (SELECT bucket_bp, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM b GROUP BY bucket_bp)
+SELECT bucket_bp, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY bucket_bp DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge
+FROM g
+ORDER BY bucket_bp"""
+
+
+# ----------------------------------------------------------------------
+# Host-level corpus rollup over canonical URLs
+# ----------------------------------------------------------------------
+
+
+def _synth_host_url(doc_id: F.Column, source: F.Column) -> F.Column:
+    """Crawl-style URL whose host derives from the document source
+    (20 hosts), with the same variant noise classes as ``_synth_url``:
+    case (id%3), default port (id%5), tracking params (id%2),
+    trailing slash (id%4). ``id % 40`` keys the page within a host."""
+    key = (doc_id % 40).cast("string")
+    host = F.concat(
+        F.when(doc_id % 3 == 0, F.upper(source)).otherwise(F.lower(source)),
+        F.lit(".example.com"),
+    )
+    port = F.when(doc_id % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    slash = F.when(doc_id % 4 == 0, F.lit("/")).otherwise(F.lit(""))
+    params = F.when(
+        doc_id % 2 == 0,
+        F.concat(F.lit("utm_medium=crawl&p="), key),
+    ).otherwise(F.concat(F.lit("p="), key))
+    return F.concat(
+        F.lit("https://"), host, port, F.lit("/page/"), key, slash,
+        F.lit("?"), params,
+    )
+
+
+def _sql_synth_host_url() -> str:
+    key = "CAST(doc_id % 40 AS VARCHAR)"
+    return (
+        "concat('https://', "
+        "CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE lower(source) END, "
+        "'.example.com', "
+        "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END, "
+        f"'/page/', {key}, "
+        "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+        "'?', "
+        "CASE WHEN doc_id % 2 = 0 "
+        f"THEN concat('utm_medium=crawl&p=', {key}) "
+        f"ELSE concat('p=', {key}) END)"
+    )
+
+
+def q_pipe_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl hygiene rollup: canonicalize every URL, then
+    per host report raw URL count, distinct canonical pages, and the
+    duplication ratio (basis points, integer ``div``) — the table a
+    crawl operator reads to find mirror-heavy or parameter-spamming
+    hosts worth special-casing.
+
+    Two keyed aggregations (canonical page, then host), both map-side
+    combinable; the canonicalizer itself is a narrow codegen
+    projection. At crawl scale the host rollup is catalog-sized."""
+    from .operators.web import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    urls = docs.select(
+        _synth_host_url(F.col("doc_id"), F.col("source")).alias("url")
+    )
+    pages = (
+        urls.select(canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "host",
+            F.regexp_extract(F.col("canonical_url"), r"://([^/?#]+)", 1),
+        )
+    )
+    return (
+        pages.groupBy("host")
+        .agg(
+            F.sum("n").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+        .withColumn(
+            "dup_ratio_bp",
+            F.expr("((n_urls - n_pages) * 10000) div n_urls"),
+        )
+        .orderBy("host")
+    )
+
+
+def _sql_host_stats() -> str:
+    from .operators.web import duckdb_canonicalize_url
+
+    return f"""
+WITH u AS (SELECT {_sql_synth_host_url()} AS url FROM documents),
+c AS (SELECT {duckdb_canonicalize_url('url')} AS canonical_url FROM u),
+pages AS (
+  SELECT canonical_url, CAST(count(*) AS BIGINT) AS n,
+         regexp_extract(canonical_url, '://([^/?#]+)', 1) AS host
+  FROM c GROUP BY canonical_url
+)
+SELECT host,
+       CAST(sum(n) AS BIGINT) AS n_urls,
+       count(*) AS n_pages,
+       ((CAST(sum(n) AS BIGINT) - count(*)) * 10000)
+         // CAST(sum(n) AS BIGINT) AS dup_ratio_bp
+FROM pages
+GROUP BY host
+ORDER BY host"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -456,6 +726,9 @@ QUERIES10: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_compaction": q_src_compaction,
     "pipe_url_canonical": q_pipe_url_canonical,
     "pipe_negative_sample": q_pipe_negative_sample,
+    "stream_quantile": q_stream_quantile,
+    "emb_threshold_sweep": q_emb_threshold_sweep,
+    "pipe_host_stats": q_pipe_host_stats,
 }
 
 
@@ -465,4 +738,7 @@ def oracles10() -> Dict[str, str]:
         "src_compaction": _SQL_COMPACTION,
         "pipe_url_canonical": _sql_url_canonical(),
         "pipe_negative_sample": _sql_negative_sample(),
+        "stream_quantile": _sql_stream_quantile(),
+        "emb_threshold_sweep": _sql_threshold_sweep(),
+        "pipe_host_stats": _sql_host_stats(),
     }

@@ -772,6 +772,54 @@ def stream_decayed_counts(
     return q, lambda: state["df"]
 
 
+def stream_histogram_quantiles(
+    stream_df: DataFrame,
+    cents_col: str,
+    bin_w: int,
+    query_name: str = "hist_quantiles",
+):
+    """Streaming mergeable-histogram state — the online form of the
+    two-phase quantile sketch (queries_round4.rel_quantile_sketch):
+    per-key bin counts are ADDITIVE, so each micro-batch folds into the
+    running histogram with one keyed sum and the final state is
+    *independent of how the feed was chopped into batches* — the
+    mergeability property that lets the same sketch run per-executor,
+    per-batch, or per-day and still combine exactly.
+
+    State is one row per occupied bin (bounded by the value domain /
+    ``bin_w``, NOT by row count). Each batch: one bin-keyed aggregate +
+    one unionByName + one keyed sum, localCheckpoint'ed eagerly so
+    lineage stays flat. 0-row batches are skipped. Returns
+    ``(query, get_hist)``; answer quantiles from the returned ``(bin,
+    cnt)`` frame exactly as the batch operator does.
+    """
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        counts = batch_df.select(
+            F.expr(f"{cents_col} div {bin_w}").alias("bin")
+        ).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+        prev = state["df"]
+        cur = (
+            counts
+            if prev is None
+            else prev.unionByName(counts)
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["df"]
+
+
 def stream_near_dup_admit(
     stream_df: DataFrame,
     text_col: str = "text",

@@ -155,6 +155,73 @@ def test_compaction_refuses_in_place(spark, tmp_path):
 # ----------------------------------------------------------------------
 
 
+def test_stream_quantile_batch_chopping_invariance(spark, sf_dir):
+    """The streaming histogram must be independent of how the feed is
+    chopped — fold the same rows as 2 batches and as 5 batches and the
+    final state (and thus every quantile) must be identical."""
+    import os
+    import tempfile
+
+    from panelsplit_spark.sources.tables import load_table
+    from panelsplit_spark.streaming.rolling import (
+        stream_histogram_quantiles,
+        write_file_batches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def drain(n_batches: int, leaf: str):
+        feed = os.path.join(tempfile.gettempdir(), f"sq_feed_{leaf}")
+        write_file_batches(
+            [
+                ev.where(F.col("event_id") % n_batches == j)
+                for j in range(n_batches)
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q, get_hist = stream_histogram_quantiles(
+            stream, "cents", 1000, query_name=f"sq_{leaf}"
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["bin"], r["cnt"]) for r in get_hist().collect()
+        )
+
+    assert drain(2, "a") == drain(5, "b")
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    from panelsplit_spark.queries_round4 import q_emb_threshold_sweep
+
+    rows = q_emb_threshold_sweep(spark, sf_dir).collect()
+    assert rows, "sweep should produce at least one bucket"
+    total = sum(r["n_pairs"] for r in rows)
+    # n_ge is a reverse cumulative: lowest bucket sees every pair, and
+    # it decreases (weakly) as the threshold rises
+    assert rows[0]["n_ge"] == total
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_ge"] >= b["n_ge"]
+        assert a["bucket_bp"] < b["bucket_bp"]
+
+
+def test_host_stats_bounds(spark, sf_dir):
+    from panelsplit_spark.queries_round4 import q_pipe_host_stats
+
+    rows = q_pipe_host_stats(spark, sf_dir).collect()
+    assert len(rows) == 20  # one per source-derived host
+    for r in rows:
+        assert r["n_pages"] <= r["n_urls"]
+        assert 0 <= r["dup_ratio_bp"] <= 10000
+
+
 def test_negative_sample_contract(spark, sf_dir):
     from panelsplit_spark.queries_round4 import (
         NS_ANCHOR_MAX,

@@ -37,7 +37,7 @@ SKIP = {
     "stream_score", "stream_interval_join", "stream_session_window",
     "stream_online_linreg", "stream_heavy_hitters", "stream_cdc_apply",
     "stream_ivm_view", "stream_late_data", "stream_decay_counts",
-    "stream_sink_roundtrip", "stream_near_dup",
+    "stream_sink_roundtrip", "stream_near_dup", "stream_quantile",
 }
 
 COUNTERS = {
