@@ -222,6 +222,7 @@ HEADLINE = [
     "stream_quantile",
     "emb_threshold_sweep",
     "pipe_host_stats",
+    "src_dpp_prune",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

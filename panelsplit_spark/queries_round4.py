@@ -718,6 +718,78 @@ ORDER BY host"""
 
 
 # ----------------------------------------------------------------------
+# Dynamic partition pruning witness
+# ----------------------------------------------------------------------
+
+
+def q_src_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition-pruning gate: the fact table is written
+    hive-partitioned by day, and the day filter arrives only at RUNTIME
+    through a join against a derived dim (days whose day-of-month ends
+    in 3) — no static predicate exists for the planner to push. Spark
+    must still prune: the executed plan carries
+    ``dynamicpruningexpression(day IN dynamicpruning#N)`` in the fact
+    scan's PartitionFilters (asserted by the plan test), reusing the
+    dim's broadcast as the pruning subquery.
+
+    This is the 100 TB access pattern for date-partitioned facts joined
+    to filtered calendars/campaign dims: without DPP the scan reads
+    every partition and the join discards 90% of it after I/O."""
+    import os
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    path = _rt_dir("events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    # partition-column type inference parses the day directory back as
+    # DATE — join on it AS the partition column (deriving a string
+    # first would hide the key from the pruning rule); render to the
+    # oracle's string form only after the aggregate
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.dayofmonth("ts").alias("dom"),
+        )
+        .where((F.col("dom") % 10) == 3)
+        .select("day")
+        .distinct()
+    )
+    return (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+            F.min("event_id").alias("min_event"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "value_cents",
+            "min_event",
+        )
+        .orderBy("day")
+    )
+
+
+_SQL_DPP_PRUNE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       min(event_id) AS min_event
+FROM events
+WHERE CAST(strftime(ts, '%d') AS BIGINT) % 10 = 3
+GROUP BY strftime(ts, '%Y-%m-%d')
+ORDER BY day"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -729,6 +801,7 @@ QUERIES10: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_quantile": q_stream_quantile,
     "emb_threshold_sweep": q_emb_threshold_sweep,
     "pipe_host_stats": q_pipe_host_stats,
+    "src_dpp_prune": q_src_dpp_prune,
 }
 
 
@@ -741,4 +814,5 @@ def oracles10() -> Dict[str, str]:
         "stream_quantile": _sql_stream_quantile(),
         "emb_threshold_sweep": _sql_threshold_sweep(),
         "pipe_host_stats": _sql_host_stats(),
+        "src_dpp_prune": _SQL_DPP_PRUNE,
     }

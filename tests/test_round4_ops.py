@@ -222,6 +222,20 @@ def test_host_stats_bounds(spark, sf_dir):
         assert 0 <= r["dup_ratio_bp"] <= 10000
 
 
+def test_dpp_prune_plan_has_dynamic_pruning(spark, sf_dir):
+    """The join-derived day filter must reach the partitioned fact scan
+    as a dynamicpruningexpression in PartitionFilters — runtime pruning,
+    since no static predicate exists on the fact side."""
+    from panelsplit_spark.queries_round4 import q_src_dpp_prune
+
+    out = q_src_dpp_prune(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result itself: three matching days at any SF (dom 3/13/23)
+    days = [r["day"] for r in out.collect()]
+    assert days and all(d[-2:] in ("03", "13", "23") for d in days)
+
+
 def test_negative_sample_contract(spark, sf_dir):
     from panelsplit_spark.queries_round4 import (
         NS_ANCHOR_MAX,
