@@ -422,10 +422,15 @@ def lm_bigram_score(
     before the per-doc sum (partition-order independent, SQL-exact).
 
     Scale shape: bigram explode is narrow; the model tables (bigram,
-    unigram, totals) are vocab-sized aggregates joined back onto the
-    bigram stream — one shuffle each, same cost class as tf-idf; at
-    100 TB the bigram join is the big one and shuffles the token
-    stream once.
+    unigram, totals) are vocab-sized aggregates that join each OTHER,
+    not the stream — per-bigram scores are computed once on the
+    distinct-bigram table (``score_tbl``) and the occurrence stream
+    joins that ONE table (broadcast while the model fits, a single SMJ
+    when it doesn't), instead of one model join per table. Per-doc
+    bigrams are mostly unique (occurrence counts ≈ 1), so pre-reducing
+    the stream to ``(doc, w1, w2)`` counts buys nothing and was
+    measured slower — the stream exchanges are the bigram-count
+    aggregate and (at most) the score join.
     """
     toks = _tok(text_col)
     pairs = df.select(
@@ -463,19 +468,23 @@ def lm_bigram_score(
         * (F.col("cu") + F.lit(1)).cast("double")
         / (F.col("T") + F.col("V")).cast("double")
     )
-    scored = (
-        pairs.join(bigrams, ["w1", "w2"])
-        .join(ctx, F.col("w1") == F.col("w1c"))
+    # score each DISTINCT bigram once (vocab²-bounded model join —
+    # never touches the stream), identical float expression order as
+    # scoring per occurrence, so q is bit-identical per (w1, w2)
+    score_tbl = (
+        bigrams.join(ctx, F.col("w1") == F.col("w1c"))
         .join(
             unigrams.select(F.col("w").alias("w2u"), "cu"),
             F.col("w2") == F.col("w2u"),
         )
         .crossJoin(F.broadcast(totals))
         .select(
-            id_col,
+            "w1",
+            "w2",
             F.round(F.log(prob) * F.lit(scale)).cast("long").alias("q"),
         )
     )
+    scored = pairs.join(score_tbl, ["w1", "w2"])
     return (
         scored.groupBy(id_col)
         .agg(
