@@ -223,6 +223,7 @@ HEADLINE = [
     "emb_threshold_sweep",
     "pipe_host_stats",
     "src_dpp_prune",
+    "rel_skew_audit",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is
@@ -311,6 +312,26 @@ SF1_HEADLINE = [
     "pipe_quality_model",
     "rel_quantile_sketch",
     "pipe_negative_sample",
+    # round-4 second growth: every remaining >1.2 s sf0.1 query
+    "sim_ivfpq_topk",
+    "cv_pipe_scaled_ols",
+    "text_bpe_encode",
+    "stream_interval_join",
+    "stream_late_data",
+    "stream_sessionize",
+    "dedup_keep_best",
+    "stream_online_linreg",
+    "stream_decay_counts",
+    "dedup_containment_lsh",
+    "cv_weighted_ols_oof",
+    "dedup_jaccard",
+    "stream_hourly_features",
+    "dedup_containment",
+    "stream_session_window",
+    "search_random_ridge",
+    "stream_score",
+    "rel_tpch_q2",
+    "src_compaction",
 ]
 
 
@@ -465,7 +486,7 @@ def main() -> None:
                 except Exception:
                     pass
             budget = float(
-                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300")
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420")
             )
             t_start = time.time()
             for name in SF1_HEADLINE:

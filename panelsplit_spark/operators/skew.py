@@ -17,7 +17,7 @@ from typing import List, Sequence, Union
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "key_skew_profile"]
 
 
 def salted_join(
@@ -57,3 +57,51 @@ def salted_join(
         ),
     )
     return lhs.join(rhs, keys + ["__salt"], how).drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+) -> DataFrame:
+    """Key-skew histogram — the measurement BEHIND the salting/AQE
+    decision: per-key row counts bucketed by bit-length (the count's
+    power-of-two magnitude class), with each bucket's key count, row
+    mass, and share of total rows in integer basis points.
+
+    Reading it: a healthy key distribution concentrates rows in the
+    low-blen buckets; a long tail into high blen marks heavy hitters —
+    the keys AQE skew-split or :func:`salted_join` exists for. At
+    100 TB this is two map-side-combinable aggregations (per-key, then
+    per-bucket — the second input is #keys, the output ≤ 64 rows) plus
+    one broadcast single-row total; run it BEFORE choosing a join
+    strategy, not after the straggler appears.
+
+    ``length(bin(cnt))`` = floor(log2(cnt)) + 1 computed exactly on
+    integers (never floor a floating log — boundary powers of two
+    would be engine-dependent).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = (
+        per_key.withColumn(
+            "blen", F.length(F.expr("bin(cnt)")).cast("long")
+        )
+        .groupBy("blen")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
+    tot = per_key.agg(F.sum("cnt").alias("total_rows"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "blen",
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            F.expr("(n_rows * 10000) div total_rows").alias("share_bp"),
+        )
+        .orderBy("blen")
+    )

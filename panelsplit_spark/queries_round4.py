@@ -718,6 +718,52 @@ ORDER BY host"""
 
 
 # ----------------------------------------------------------------------
+# Key-skew audit
+# ----------------------------------------------------------------------
+
+
+def q_rel_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of ``lineitem.l_orderkey`` UNIONED with the
+    synthetic hot-key column used by the salted-join gate — the
+    measurement a pipeline runs BEFORE picking a join strategy
+    (operators/skew.key_skew_profile): per-key counts bucketed by
+    power-of-two magnitude, with key counts, row mass, max count, and
+    integer-basis-point share per bucket. A long tail into high
+    buckets = heavy hitters = salt or let AQE skew-split."""
+    from .operators.skew import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        # fold ~5% of rows onto one hot key so the profile shows a
+        # heavy-hitter bucket at every SF (mirrors rel_salted_join's
+        # skew construction), deterministically
+        F.when(F.col("l_orderkey") % 20 == 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k")
+    )
+    return key_skew_profile(li, "k")
+
+
+_SQL_SKEW_AUDIT = """
+WITH per_key AS (
+  SELECT CASE WHEN l_orderkey % 20 = 0 THEN 1 ELSE l_orderkey END AS k,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+hist AS (
+  SELECT CAST(length(bin(cnt)) AS BIGINT) AS blen,
+         count(*) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         max(cnt) AS max_cnt
+  FROM per_key GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows FROM per_key)
+SELECT blen, n_keys, n_rows, max_cnt,
+       (n_rows * 10000) // total_rows AS share_bp
+FROM hist, tot
+ORDER BY blen"""
+
+
+# ----------------------------------------------------------------------
 # Dynamic partition pruning witness
 # ----------------------------------------------------------------------
 
@@ -802,6 +848,7 @@ QUERIES10: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_threshold_sweep": q_emb_threshold_sweep,
     "pipe_host_stats": q_pipe_host_stats,
     "src_dpp_prune": q_src_dpp_prune,
+    "rel_skew_audit": q_rel_skew_audit,
 }
 
 
@@ -815,4 +862,5 @@ def oracles10() -> Dict[str, str]:
         "emb_threshold_sweep": _sql_threshold_sweep(),
         "pipe_host_stats": _sql_host_stats(),
         "src_dpp_prune": _SQL_DPP_PRUNE,
+        "rel_skew_audit": _SQL_SKEW_AUDIT,
     }

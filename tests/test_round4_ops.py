@@ -56,6 +56,22 @@ def test_canonicalize_url_cases(spark):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
 
 
+def test_canonicalize_url_idempotent(spark, sf_dir):
+    """canon(canon(u)) == canon(u) over the synthesized crawl corpus —
+    canonical forms must be fixed points, or chained pipeline stages
+    would keep rewriting keys."""
+    from panelsplit_spark.operators.web import canonicalize_url
+    from panelsplit_spark.queries_round4 import _synth_url
+
+    urls = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(_synth_url(F.col("doc_id")).alias("url"))
+        .select(canonicalize_url(F.col("url")).alias("c1"))
+        .select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    )
+    assert urls.where(F.col("c1") != F.col("c2")).count() == 0
+
+
 def test_canonicalize_url_duckdb_parity(spark):
     """The DuckDB twin must agree with the Catalyst form on every
     case — it is an independent implementation of the same rules."""

@@ -89,6 +89,7 @@ BNLJ_WHITELIST = {
     "text_pmi_collocations",  # two single-row corpus-total scalars
     "rel_quantile_sketch",   # 4-row quantile x bin-histogram range join
     "pipe_negative_sample",  # single-row pool-size scalar (n_docs)
+    "rel_skew_audit",        # single-row total-rows scalar over ≤64 buckets
 }
 
 
