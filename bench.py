@@ -224,6 +224,9 @@ HEADLINE = [
     "pipe_host_stats",
     "src_dpp_prune",
     "rel_skew_audit",
+    "rel_join_estimate",
+    "pipe_item_pairs",
+    "dq_k_anonymity",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

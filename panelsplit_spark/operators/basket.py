@@ -1,0 +1,99 @@
+"""Market-basket co-occurrence mining: within-group item pairs with
+support counts and lift.
+
+Reference parity note: the reference library (4Freye/panelsplit) has no
+association mining; this is part of the mandated large-scale
+training-data-pipeline extension (co-occurrence statistics over
+grouped records — the same shape serves token co-occurrence, product
+affinity, and citation coupling).
+
+Scale design (100 TB): the pair explode is bounded per group — groups
+are first reduced to their DISTINCT items, deterministically capped at
+``max_items_per_group`` (rank by item id), so a group of k items emits
+at most min(k, cap)·(min(k, cap)−1)/2 pairs regardless of raw row
+count. The self-join runs on the group key (one shuffle, both sides
+identically partitioned), pair support is a map-side-combinable
+groupBy, and the two item-frequency joins are item-keyed equi-joins
+(never broadcast: the item dimension is unbounded). The only broadcast
+is the single-row group-count total. Lift is ONE unrounded double
+division of two exact BIGINT products — both factors stay below 2^53
+(support ≤ n_groups; per-item counts are corpus frequencies), so the
+IEEE result is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["co_occurrence_pairs"]
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    max_items_per_group: int = 64,
+) -> DataFrame:
+    """Within-group item-pair support and lift.
+
+    Output columns: ``i1 i2`` (item pair, i1 < i2), ``pair_cnt``
+    (groups containing both), ``cnt1 cnt2`` (groups containing each),
+    ``lift`` = pair_cnt·n_groups / (cnt1·cnt2) as one exact-integer
+    double division.
+    """
+    items = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("i")
+    items = (
+        items.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_items_per_group)
+        .drop("__rk")
+    )
+    # item frequency AFTER the cap so lift's marginals and the pair
+    # support are drawn from the same (capped) universe — keeps
+    # lift ≤ n_groups/den exact and the audit internally consistent
+    item_cnt = items.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    n_groups = items.select("g").distinct().agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    a = items
+    b = items.select(F.col("g"), F.col("i").alias("i2"))
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("i") < F.col("i2"))
+        .groupBy(F.col("i").alias("i1"), "i2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pair_count)
+    )
+    out = (
+        pairs.join(
+            item_cnt.select(
+                F.col("i").alias("i1"), F.col("cnt").alias("cnt1")
+            ),
+            "i1",
+        )
+        .join(
+            item_cnt.select(
+                F.col("i").alias("i2"), F.col("cnt").alias("cnt2")
+            ),
+            "i2",
+        )
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "i1",
+            "i2",
+            "pair_cnt",
+            "cnt1",
+            "cnt2",
+            (
+                (F.col("pair_cnt") * F.col("n_groups"))
+                / (F.col("cnt1") * F.col("cnt2"))
+            ).alias("lift"),
+        )
+    )
+    return out

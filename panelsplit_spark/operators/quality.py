@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules", "GOPHER_STOPWORDS"]
+__all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules", "GOPHER_STOPWORDS", "k_anonymity_audit"]
 
 #: Small closed-class word set used by the "document contains at least
 #: two stopwords" heuristic (Rae et al. 2021, "Scaling Language Models"
@@ -248,4 +248,67 @@ def dq_checks(
         F.round(
             F.col("s.n_violations") * 1_000_000 / F.col("n_rows"), 2
         ).alias("violation_ppm"),
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    ks: Sequence[int] = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: for each
+    threshold k, how many equivalence classes (distinct quasi-identifier
+    combinations) have fewer than k members, and how many ROWS sit in
+    those classes — the re-identification exposure a release gate
+    checks before publishing a training shard.
+
+    Reference parity note: the reference library (4Freye/panelsplit) has
+    no privacy auditing; this is part of the mandated training-data
+    curation extension.
+
+    Output per threshold: ``k n_classes n_rows classes_below rows_below
+    exposed_bp`` (rows_below as integer basis points of all rows).
+
+    Scale design (100 TB): one map-side-combinable groupBy on the
+    quasi-identifier columns reduces the input to its class-size table;
+    that table is immediately re-reduced to a class-SIZE histogram
+    (rows = distinct class sizes, typically a few hundred), and the
+    per-threshold sweep is a broadcast crossJoin of the threshold list
+    against that tiny histogram. Nothing after the first shuffle scales
+    with input rows, and the first shuffle carries only (quasi-cols,
+    partial count) pairs.
+    """
+    sizes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("cls_n")
+    )
+    hist = sizes.groupBy("cls_n").agg(F.count(F.lit(1)).alias("n_cls"))
+    spark = df.sparkSession
+    kf = spark.createDataFrame([(int(k),) for k in ks], "k long")
+    return (
+        hist.crossJoin(F.broadcast(kf))
+        .groupBy("k")
+        .agg(
+            F.sum("n_cls").alias("n_classes"),
+            F.sum(F.col("cls_n") * F.col("n_cls")).alias("n_rows"),
+            F.sum(
+                F.when(F.col("cls_n") < F.col("k"), F.col("n_cls")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("classes_below"),
+            F.sum(
+                F.when(
+                    F.col("cls_n") < F.col("k"),
+                    F.col("cls_n") * F.col("n_cls"),
+                ).otherwise(F.lit(0))
+            ).alias("rows_below"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_rows",
+            "classes_below",
+            "rows_below",
+            F.expr("(rows_below * 10000) div n_rows").alias("exposed_bp"),
+        )
+        .orderBy("k")
     )

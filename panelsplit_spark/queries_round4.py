@@ -836,6 +836,164 @@ ORDER BY day"""
 
 
 # ----------------------------------------------------------------------
+# Join-size estimation (planner arithmetic as a first-class audit)
+# ----------------------------------------------------------------------
+
+
+def q_rel_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram join-cardinality prediction for the skewed
+    lineitem⋈orders join: per-key counts on each side, predicted output
+    rows Σ cnt_l·cnt_r, the largest single key's contribution, and its
+    integer-basis-point share (operators/skew.join_size_estimate). The
+    same 5%-of-rows hot-key fold as ``rel_skew_audit`` is applied to
+    the fact side, so the estimate exhibits the heavy-hitter signature
+    (top_share_bp ≫ 0) a pipeline uses to choose salting/AQE BEFORE
+    paying for the join. For an equi-join the prediction is exact —
+    ``tests/test_round4.py`` gates predicted_pairs against the real
+    join count as an identity witness."""
+    from .operators.skew import join_size_estimate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 20 == 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit(1))
+        .otherwise(F.col("o_orderkey"))
+        .alias("k")
+    )
+    return join_size_estimate(li, od, "k")
+
+
+_SQL_JOIN_ESTIMATE = """
+WITH lc AS (
+  SELECT CASE WHEN l_orderkey % 20 = 0 THEN 1 ELSE l_orderkey END AS k,
+         CAST(count(*) AS BIGINT) AS cnt_l
+  FROM lineitem GROUP BY 1
+),
+rc AS (
+  SELECT CASE WHEN o_orderkey % 20 = 0 THEN 1 ELSE o_orderkey END AS k,
+         CAST(count(*) AS BIGINT) AS cnt_r
+  FROM orders GROUP BY 1
+),
+ls AS (SELECT CAST(sum(cnt_l) AS BIGINT) AS left_rows,
+              count(*) AS left_keys FROM lc),
+rs AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS right_rows,
+              count(*) AS right_keys FROM rc),
+m AS (
+  SELECT count(*) AS matched_keys,
+         CAST(sum(cnt_l * cnt_r) AS BIGINT) AS predicted_pairs,
+         max(cnt_l * cnt_r) AS max_key_pairs
+  FROM lc JOIN rc USING (k)
+)
+SELECT left_rows, right_rows, left_keys, right_keys, matched_keys,
+       predicted_pairs, max_key_pairs,
+       (max_key_pairs * 10000) // predicted_pairs AS top_share_bp
+FROM m, ls, rs"""
+
+
+# ----------------------------------------------------------------------
+# Market-basket co-occurrence (within-order item pairs, support + lift)
+# ----------------------------------------------------------------------
+
+
+def q_pipe_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-order part-pair support and lift over lineitem
+    (operators/basket.co_occurrence_pairs): orders reduced to their
+    distinct parts (capped per group), pairs from a group-keyed
+    self-join, lift = pair_cnt·n_groups / (cnt1·cnt2) as ONE unrounded
+    double division of exact BIGINTs — the token/product co-occurrence
+    statistic of a curation pipeline, bounded-explode by construction."""
+    from .operators.basket import co_occurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_pair_count=3, max_items_per_group=16
+    ).orderBy("i1", "i2")
+
+
+_SQL_ITEM_PAIRS = """
+WITH items0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+items AS (
+  SELECT g, i FROM (
+    SELECT g, i, row_number() OVER (PARTITION BY g ORDER BY i) AS rk
+    FROM items0
+  ) WHERE rk <= 16
+),
+cnts AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY i),
+ng AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_groups FROM items),
+pairs AS (
+  SELECT a.i AS i1, b.i AS i2, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+  GROUP BY a.i, b.i
+  HAVING count(*) >= 3
+)
+SELECT p.i1, p.i2, p.pair_cnt,
+       c1.cnt AS cnt1, c2.cnt AS cnt2,
+       (p.pair_cnt * n_groups) / (c1.cnt * c2.cnt) AS lift
+FROM pairs p
+JOIN cnts c1 ON c1.i = p.i1
+JOIN cnts c2 ON c2.i = p.i2
+CROSS JOIN ng
+ORDER BY p.i1, p.i2"""
+
+
+# ----------------------------------------------------------------------
+# k-anonymity release gate
+# ----------------------------------------------------------------------
+
+
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity exposure audit over customer quasi-identifiers
+    (nation, market segment, $1000 account-balance band): per
+    threshold k, equivalence classes and rows in classes smaller than
+    k (operators/quality.k_anonymity_audit) — the privacy gate a
+    release pipeline runs before publishing a shard."""
+    from .operators.quality import k_anonymity_audit
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) div 100000"
+        ).alias("bal_band"),
+    )
+    return k_anonymity_audit(
+        cu, ["c_nationkey", "c_mktsegment", "bal_band"], ks=(2, 5, 10)
+    )
+
+
+_SQL_K_ANON = """
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+  FROM customer
+),
+sizes AS (
+  SELECT CAST(count(*) AS BIGINT) AS cls_n
+  FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+),
+hist AS (
+  SELECT cls_n, CAST(count(*) AS BIGINT) AS n_cls FROM sizes GROUP BY cls_n
+),
+ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+SELECT k,
+       CAST(sum(n_cls) AS BIGINT) AS n_classes,
+       CAST(sum(cls_n * n_cls) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN cls_n < k THEN n_cls ELSE 0 END) AS BIGINT)
+         AS classes_below,
+       CAST(sum(CASE WHEN cls_n < k THEN cls_n * n_cls ELSE 0 END) AS BIGINT)
+         AS rows_below,
+       (CAST(sum(CASE WHEN cls_n < k THEN cls_n * n_cls ELSE 0 END) AS BIGINT)
+         * 10000)
+         // CAST(sum(cls_n * n_cls) AS BIGINT) AS exposed_bp
+FROM hist CROSS JOIN ks
+GROUP BY k
+ORDER BY k"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -849,6 +1007,9 @@ QUERIES10: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_host_stats": q_pipe_host_stats,
     "src_dpp_prune": q_src_dpp_prune,
     "rel_skew_audit": q_rel_skew_audit,
+    "rel_join_estimate": q_rel_join_estimate,
+    "pipe_item_pairs": q_pipe_item_pairs,
+    "dq_k_anonymity": q_dq_k_anonymity,
 }
 
 
@@ -863,4 +1024,7 @@ def oracles10() -> Dict[str, str]:
         "pipe_host_stats": _sql_host_stats(),
         "src_dpp_prune": _SQL_DPP_PRUNE,
         "rel_skew_audit": _SQL_SKEW_AUDIT,
+        "rel_join_estimate": _SQL_JOIN_ESTIMATE,
+        "pipe_item_pairs": _SQL_ITEM_PAIRS,
+        "dq_k_anonymity": _SQL_K_ANON,
     }

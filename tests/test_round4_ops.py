@@ -268,3 +268,91 @@ def test_negative_sample_contract(spark, sf_dir):
     # reproducible: a second run yields the identical draw
     again = q_pipe_negative_sample(spark, sf_dir).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+# ----------------------------------------------------------------------
+# join_size_estimate / co_occurrence_pairs / k_anonymity_audit
+# ----------------------------------------------------------------------
+
+
+def test_join_estimate_is_exact(spark, sf_dir):
+    """For an equi-join the histogram prediction is an identity:
+    predicted_pairs must equal the real join's row count, and the
+    side/key tallies must match directly-computed values."""
+    from panelsplit_spark.operators.skew import join_size_estimate
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.when(F.col("l_orderkey") % 20 == 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k")
+        )
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k")
+    )
+    est = join_size_estimate(li, od, "k").collect()[0]
+    actual = li.join(od, "k").count()
+    assert est["predicted_pairs"] == actual
+    assert est["left_rows"] == li.count()
+    assert est["right_rows"] == od.count()
+    assert 0 <= est["top_share_bp"] <= 10_000
+    # the hot-key fold puts ~5% of fact rows on key 1 -> heavy hitter
+    assert est["top_share_bp"] >= 200
+
+
+def test_co_occurrence_bounded_and_symmetric(spark):
+    from panelsplit_spark.operators.basket import co_occurrence_pairs
+
+    rows = [
+        # group 1: items a,b,c  -> pairs ab ac bc
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),  # dup row must not double-count
+        # group 2: items a,b    -> pair ab
+        (2, "a"), (2, "b"),
+        # group 3: items a,b,c,d with cap 2 -> only a,b survive -> pair ab
+        (3, "a"), (3, "b"), (3, "c"), (3, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    out = co_occurrence_pairs(
+        df, "g", "i", min_pair_count=1, max_items_per_group=2
+    ).collect()
+    got = {(r["i1"], r["i2"]): r for r in out}
+    # with cap 2 every group reduces to {a,b}
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert r["pair_cnt"] == 3 and r["cnt1"] == 3 and r["cnt2"] == 3
+    # lift = 3*3/(3*3) = 1.0 exactly
+    assert r["lift"] == 1.0
+    # i1 < i2 everywhere (no mirrored or self pairs)
+    assert all(a < b for (a, b) in got)
+
+
+def test_co_occurrence_cap_bounds_pairs(spark):
+    from panelsplit_spark.operators.basket import co_occurrence_pairs
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(100)], ["g", "i"]
+    )
+    out = co_occurrence_pairs(
+        df, "g", "i", min_pair_count=1, max_items_per_group=5
+    )
+    # one group of 100 items capped at 5 -> C(5,2)=10 pairs, not C(100,2)
+    assert out.count() == 10
+
+
+def test_k_anonymity_audit_exact(spark):
+    from panelsplit_spark.operators.quality import k_anonymity_audit
+
+    rows = (
+        [("x", 1)] * 1      # class size 1
+        + [("y", 1)] * 3    # class size 3
+        + [("z", 2)] * 6    # class size 6
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = {r["k"]: r for r in k_anonymity_audit(df, ["a", "b"], ks=(2, 5)).collect()}
+    assert out[2]["n_classes"] == 3 and out[2]["n_rows"] == 10
+    assert out[2]["classes_below"] == 1 and out[2]["rows_below"] == 1
+    assert out[2]["exposed_bp"] == 1000
+    assert out[5]["classes_below"] == 2 and out[5]["rows_below"] == 4
+    assert out[5]["exposed_bp"] == 4000

@@ -79,7 +79,21 @@ def value_hash(cols, rows) -> str:
 
 
 def main() -> int:
+    # same CLI-hygiene rule as tools/plan_audit.py: a flag-like first
+    # arg must NOT be treated as the data dir (a stray --help once
+    # destroyed a committed artifact that way)
+    if any(a.startswith("-") for a in sys.argv[1:]):
+        print(
+            "usage: check_oracle.py [sf_dir] [query_name ...]\n"
+            "  sf_dir defaults to /root/testdata/sf0.01; query names "
+            "restrict the run.",
+            file=sys.stderr,
+        )
+        return 2
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if len(sys.argv) > 1 and not os.path.isdir(sf_dir):
+        print(f"error: sf_dir {sf_dir!r} is not a directory", file=sys.stderr)
+        return 2
     only = set(sys.argv[2:])
     # data-dependent oracle builders (emb_pca_project) fit literals on
     # the compared sf dir; must be set before the registry import below
