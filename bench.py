@@ -227,6 +227,10 @@ HEADLINE = [
     "rel_join_estimate",
     "pipe_item_pairs",
     "dq_k_anonymity",
+    "cv_auc_price",
+    "feat_gap_detect",
+    "dq_benford",
+    "text_inverted_index",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

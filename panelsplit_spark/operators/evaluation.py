@@ -1,0 +1,133 @@
+"""Distributed, exact-arithmetic model-evaluation statistics.
+
+Reference parity note: the reference library (4Freye/panelsplit) scores
+folds through sklearn metric callables on driver-side arrays
+(`panelsplit/cross_validation.py` fold loops); this module provides the
+statistics that CANNOT be computed by handing each executor a metric
+callable — global rank statistics — as pure DataFrame plans.
+
+Scale design (100 TB): ROC-AUC is the Mann-Whitney U statistic, a
+function of the SUM OF RANKS of the positive class. Ranks over 10^12
+rows cannot come from a global sort; instead the input is first reduced
+to its distinct-score table (one map-side-combinable groupBy), and the
+cumulative rank prefix is computed hierarchically: per-bin offsets from
+a domain-sized window, intra-bin prefixes from a window PARTITIONED BY
+bin — no unpartitioned window ever sees more than the bin count or one
+bin's distinct scores. Tie handling is exact: with ties the average
+rank is (rank_min + rank_max)/2, so 2·Σranks = Σ pos·(rank_min +
+rank_max) stays an exact integer; the AUC is ONE unrounded double
+division of exact integers (bit-identical IEEE across engines).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["auc_ranksum"]
+
+
+def auc_ranksum(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: Optional[int] = None,
+) -> DataFrame:
+    """Exact ROC-AUC of an integer score against a 0/1 label via the
+    rank-sum (Mann-Whitney) identity — no sort, no sklearn, no driver
+    arrays.
+
+    AUC = (2·R⁺ − n₊(n₊+1)) / (2·n₊·n₋) where R⁺ is the sum of
+    (average, tie-adjusted) ranks of positives under ascending score.
+    With ties avg_rank = (rank_min + rank_max)/2, so the numerator
+    ``u2 = Σ pos·(rank_min + rank_max) − n₊(n₊+1)`` is an exact BIGINT
+    (decimal(38,0)-accumulated, guard-cast: u2 ≤ 2·n₊·n₋ overflows
+    int64 only past ~4.3e9 rows of each class — then the raise tells
+    you to sample).
+
+    ``score_col`` must be integral (quantize doubles to cents/nanos
+    first — the project-wide convention). ``bin_width`` turns the rank
+    prefix hierarchical: per-``score div bin_width`` offsets from a
+    bin-count-sized window plus intra-bin partitioned windows. Omit it
+    only when the distinct-score domain is known small.
+
+    Single-row output: ``n n_pos n_neg u2 auc``.
+    """
+    s = df.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    g = s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    if bin_width is not None:
+        g = g.withColumn("b", F.expr(f"s div {bin_width}"))
+        bins = g.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+        wb = Window.orderBy("b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = bins.withColumn(
+            "off", F.coalesce(F.sum("bcnt").over(wb), F.lit(0))
+        ).select("b", "off")
+        wi = Window.partitionBy("b").orderBy("s").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        g = g.join(offs, "b").withColumn(
+            "cum", F.col("off") + F.sum("cnt").over(wi)
+        )
+    else:
+        w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+        g = g.withColumn("cum", F.sum("cnt").over(w))
+    # rank_min + rank_max over the tie group = (cum-cnt+1) + cum
+    agg = g.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        # cast a factor to decimal BEFORE the multiply: pos·2·cum can
+        # exceed int64 for a hot tie group long before the sum does
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cum") - F.col("cnt") + 1).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_r2"),
+    )
+    i64max = F.lit(str(2**63 - 1)).cast("decimal(38,0)")
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.when(
+            F.abs(
+                F.col("_r2")
+                - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            <= i64max,
+            (
+                F.col("_r2")
+                - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "auc_ranksum: u2 overflows BIGINT — more than ~4.3e9 "
+                    "rows per class; evaluate on a hash sample"
+                )
+            )
+        )
+        .alias("u2"),
+    ).select(
+        "n",
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )

@@ -14,7 +14,9 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules", "GOPHER_STOPWORDS", "k_anonymity_audit"]
+__all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules",
+           "GOPHER_STOPWORDS", "k_anonymity_audit", "benford_audit",
+           "BENFORD_PPM"]
 
 #: Small closed-class word set used by the "document contains at least
 #: two stopwords" heuristic (Rae et al. 2021, "Scaling Language Models"
@@ -311,4 +313,70 @@ def k_anonymity_audit(
             F.expr("(rows_below * 10000) div n_rows").alias("exposed_bp"),
         )
         .orderBy("k")
+    )
+
+
+#: Benford's-law expected first-digit frequencies, parts-per-million:
+#: round(log10(1 + 1/d) · 1e6) for d = 1..9 — a mathematical constant,
+#: inlined identically in the Spark plan and the SQL oracle so no
+#: engine evaluates a transcendental at query time.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over a POSITIVE
+    integer column — the fraud/synthetic-data smell test a curation
+    pipeline runs over monetary or count columns (fabricated data
+    over-uses mid digits; naturally-grown magnitudes follow
+    log10(1+1/d)).
+
+    Reference parity note: the reference library has no data-quality
+    auditing; part of the mandated training-data curation extension.
+
+    Output per digit 1..9: ``digit n_values observed_ppm expected_ppm
+    dev_ppm`` — all exact integers (observed_ppm by integer division,
+    expected from the inlined constant table), so the audit is
+    hash-stable cross-engine with no rounding hazard.
+
+    Scale: one map-side-combinable 9-group aggregate over the scan; the
+    expected table is a 9-row broadcast. Nothing downstream of the
+    first shuffle scales with input rows.
+    """
+    d = (
+        # exclude non-positives BEFORE the substring: the leading '-'
+        # of a negative would fail the ANSI string->long cast
+        df.where(F.col(value_col) > 0)
+        .select(
+            F.substring(F.col(value_col).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .where(F.col("digit").between(1, 9))
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(k, v) for k, v in sorted(BENFORD_PPM.items())],
+        "digit long, expected_ppm long",
+    )
+    tot = counts.agg(F.sum("cnt").alias("n_values"))
+    return (
+        exp.join(counts, "digit", "left")
+        .select("digit", F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                "expected_ppm")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_values",
+            F.expr("(cnt * 1000000) div n_values").alias("observed_ppm"),
+            "expected_ppm",
+            (
+                F.expr("(cnt * 1000000) div n_values")
+                - F.col("expected_ppm")
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.hashing import word_ngrams, word_tokens
 
@@ -33,6 +33,7 @@ __all__ = [
     "ngram_novelty",
     "char_entropy",
     "pmi_collocations",
+    "inverted_index",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -773,3 +774,55 @@ def pmi_collocations(
         .limit(top_n)
     )
     return out
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_cap: int = 20,
+    min_df: int = 2,
+) -> DataFrame:
+    """Build a term → postings inverted index over a document corpus:
+    per term, its document frequency and the first ``postings_cap``
+    doc ids (ascending) rendered as one comma-joined string — the
+    retrieval-side artifact a contamination screen or BM25 index build
+    starts from.
+
+    Reference parity note: the reference library has no text indexing;
+    part of the mandated training-data curation extension.
+
+    Scale design (100 TB): tokenization explodes narrowly (no shuffle),
+    the (term, doc) pairs are reduced to DISTINCT once (the only
+    corpus-sized shuffle), df comes from a map-side-combinable count on
+    the term key, and the postings string is built from rows that
+    survive a per-term ``row_number ≤ cap`` window — so the aggregation
+    state per term is bounded by the cap, never by a hot term's true
+    document frequency (the stopword problem). ``sort_array`` before
+    ``array_join`` pins the rendering regardless of collection order.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(word_tokens(F.col(text_col))).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("__doc")
+    capped = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("__doc")), ","
+            ).alias("postings")
+        )
+    )
+    return (
+        dfreq.where(F.col("df") >= min_df)
+        .join(capped, "term")
+        .select("term", "df", "postings")
+    )

@@ -25,7 +25,13 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "asof_join", "resample_daily_ffill", "group_trend_ols"]
+__all__ = [
+    "sessionize",
+    "asof_join",
+    "resample_daily_ffill",
+    "group_trend_ols",
+    "gap_detect",
+]
 
 
 def sessionize(
@@ -299,4 +305,59 @@ def group_trend_ols(
                 round_to,
             ),
         ).alias("intercept"),
+    )
+
+
+def gap_detect(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    min_gap_days: int = 1,
+) -> DataFrame:
+    """Per-entity calendar-gap inventory: every maximal run of missing
+    days strictly inside an entity's [min, max] observation span —
+    the panel-completeness audit a CV pipeline runs BEFORE trusting
+    lag features (the reference's pandas users eyeball
+    ``asfreq('D').isna()``; this is the distributed form, and it
+    reports runs, not a row per missing day).
+
+    Output: one row per gap — ``entity gap_start gap_end gap_days``
+    (dates rendered as strings, run length an exact integer).
+
+    Scale shape: observed days are reduced to a distinct (entity, day)
+    set (one map-side-combinable shuffle); runs come from the classic
+    islands trick — ``epoch_day − row_number`` is constant within a
+    consecutive run of OBSERVED days, so a gap is the space between
+    one observed day and the entity's next observed day, read off a
+    single ``lead`` window partitioned by entity. No calendar grid is
+    ever materialized: cost scales with observed rows, not with span
+    length × entities (a 10-year-span entity with 3 observations costs
+    3 rows, unlike the explode-the-grid approach).
+    """
+    obs = (
+        df.select(
+            F.col(entity_col).alias("__e"),
+            F.to_date(F.col(date_col)).alias("__d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__e").orderBy("__d")
+    nxt = obs.withColumn("__next", F.lead("__d").over(w))
+    return (
+        nxt.where(
+            F.col("__next").isNotNull()
+            & (F.datediff("__next", "__d") > F.lit(min_gap_days))
+        )
+        .select(
+            F.col("__e").alias(entity_col),
+            F.date_format(F.date_add("__d", 1), "yyyy-MM-dd").alias(
+                "gap_start"
+            ),
+            F.date_format(
+                F.date_sub("__next", 1), "yyyy-MM-dd"
+            ).alias("gap_end"),
+            (F.datediff("__next", "__d") - F.lit(1)).cast("long").alias(
+                "gap_days"
+            ),
+        )
     )

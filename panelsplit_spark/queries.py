@@ -427,3 +427,10 @@ from .queries_round4 import QUERIES10, oracles10  # noqa: E402
 
 QUERIES.update(QUERIES10)
 ORACLES.update(oracles10())
+
+# Round-4 breadth: rank-sum AUC, calendar gap inventory, Benford audit,
+# inverted index (part 11)
+from .queries_round4b import QUERIES11, oracles11  # noqa: E402
+
+QUERIES.update(QUERIES11)
+ORACLES.update(oracles11())

@@ -356,3 +356,125 @@ def test_k_anonymity_audit_exact(spark):
     assert out[2]["exposed_bp"] == 1000
     assert out[5]["classes_below"] == 2 and out[5]["rows_below"] == 4
     assert out[5]["exposed_bp"] == 4000
+
+
+# ----------------------------------------------------------------------
+# auc_ranksum / gap_detect / benford_audit / inverted_index
+# ----------------------------------------------------------------------
+
+
+def test_auc_ranksum_closed_form(spark):
+    from panelsplit_spark.operators.evaluation import auc_ranksum
+
+    # perfectly separating score -> AUC 1.0
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], ["s", "y"]
+    )
+    r = auc_ranksum(df, "s", "y").collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (4, 2, 2)
+    assert r["auc"] == 1.0
+
+    # fully tied scores -> AUC exactly 0.5 (average-rank tie handling)
+    df = spark.createDataFrame(
+        [(7, 0), (7, 1), (7, 0), (7, 1)], ["s", "y"]
+    )
+    r = auc_ranksum(df, "s", "y").collect()[0]
+    assert r["auc"] == 0.5
+
+    # hand-computed mixed case: scores 1-,1+,2-,3+ (y in name)
+    # ranks: score1 -> avg 1.5 (min1,max2), score2 -> 3, score3 -> 4
+    # R+ = 1.5 + 4 = 5.5 ; U = 5.5 - 2*3/2 = 2.5 ; AUC = 2.5/4 = 0.625
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (3, 1)], ["s", "y"]
+    )
+    r = auc_ranksum(df, "s", "y").collect()[0]
+    assert r["u2"] == 5  # 2*U
+    assert r["auc"] == 0.625
+
+
+def test_auc_ranksum_binned_matches_unbinned(spark, sf_dir):
+    """The hierarchical (binned) rank prefix is an exact refactoring of
+    the global window — identical output for any bin width."""
+    from panelsplit_spark.operators.evaluation import auc_ranksum
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("s"),
+        F.col("o_orderpriority").isin("1-URGENT").cast("long").alias("y"),
+    )
+    flat = auc_ranksum(od, "s", "y").collect()[0]
+    for w in (1_000, 1_000_000, 10_000_000_000):
+        binned = auc_ranksum(od, "s", "y", bin_width=w).collect()[0]
+        assert tuple(binned) == tuple(flat), f"bin_width={w}"
+
+
+def test_gap_detect_closed_form(spark):
+    from datetime import datetime
+    from panelsplit_spark.operators.timeseries import gap_detect
+
+    d = lambda s: datetime.fromisoformat(s)
+    rows = [
+        # entity a: 1,2,5,6,9 -> gaps [3..4] (2d) and [7..8] (2d)
+        ("a", d("2024-01-01")), ("a", d("2024-01-02")),
+        ("a", d("2024-01-05")), ("a", d("2024-01-06")),
+        ("a", d("2024-01-09")),
+        # duplicate observations on a day must not matter
+        ("a", d("2024-01-05")),
+        # entity b: contiguous -> no gaps
+        ("b", d("2024-01-01")), ("b", d("2024-01-02")),
+    ]
+    df = spark.createDataFrame(rows, ["e", "ts"])
+    out = gap_detect(df, "e", "ts").orderBy("gap_start").collect()
+    assert [tuple(r) for r in out] == [
+        ("a", "2024-01-03", "2024-01-04", 2),
+        ("a", "2024-01-07", "2024-01-08", 2),
+    ]
+    # threshold semantics: gaps with gap_days >= min_gap_days survive
+    assert gap_detect(df, "e", "ts", min_gap_days=2).count() == 2
+    assert gap_detect(df, "e", "ts", min_gap_days=3).count() == 0
+
+
+def test_benford_audit_exact(spark):
+    from panelsplit_spark.operators.quality import (
+        BENFORD_PPM, benford_audit,
+    )
+    import math
+
+    # the inlined constant table IS round(log10(1+1/d)*1e6)
+    for dgt, ppm in BENFORD_PPM.items():
+        assert ppm == round(math.log10(1 + 1 / dgt) * 1e6)
+    assert sum(BENFORD_PPM.values()) == 1_000_000  # sanity: totals 1.0
+
+    # 10 values: first digits 1x5, 2x3, 9x2 (zero/negative excluded)
+    vals = [1, 19, 150, 1999, 123456, 2, 25, 299, 9, 98, 0, -5]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert len(out) == 9  # absent digits still reported (ppm 0)
+    assert out[1]["n_values"] == 10
+    assert out[1]["observed_ppm"] == 500_000
+    assert out[2]["observed_ppm"] == 300_000
+    assert out[9]["observed_ppm"] == 200_000
+    assert out[5]["observed_ppm"] == 0
+    assert out[1]["dev_ppm"] == 500_000 - 301_030
+
+
+def test_inverted_index_closed_form(spark):
+    from panelsplit_spark.operators.text import inverted_index
+
+    docs = [
+        (3, "the cat sat"),
+        (1, "the dog the dog"),   # dup term in one doc counts once
+        (2, "a cat ran"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["term"]: r
+        for r in inverted_index(
+            df, "doc_id", "text", postings_cap=1, min_df=2
+        ).collect()
+    }
+    # min_df=2 keeps only terms in >=2 docs: the(1,3), cat(2,3)
+    assert set(out) == {"the", "cat"}
+    assert out["the"]["df"] == 2 and out["cat"]["df"] == 2
+    # cap=1 keeps the smallest doc id only
+    assert out["the"]["postings"] == "1"
+    assert out["cat"]["postings"] == "2"

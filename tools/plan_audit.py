@@ -90,6 +90,10 @@ BNLJ_WHITELIST = {
     "rel_quantile_sketch",   # 4-row quantile x bin-histogram range join
     "pipe_negative_sample",  # single-row pool-size scalar (n_docs)
     "rel_skew_audit",        # single-row total-rows scalar over ≤64 buckets
+    "rel_join_estimate",     # two single-row side-stat scalars crossed in
+    "pipe_item_pairs",       # single-row n_groups scalar
+    "dq_k_anonymity",        # ≤3-row threshold list x class-size histogram
+    "dq_benford",            # single-row n_values scalar over 9 digits
 }
 
 
