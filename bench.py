@@ -231,6 +231,10 @@ HEADLINE = [
     "feat_gap_detect",
     "dq_benford",
     "text_inverted_index",
+    "rel_table_fingerprint",
+    "rel_snapshot_diff",
+    "cv_calibration_bins",
+    "feat_mutual_info",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -25,7 +25,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["auc_ranksum"]
+__all__ = ["auc_ranksum", "calibration_bins", "mutual_info_cells"]
 
 
 def auc_ranksum(
@@ -130,4 +130,98 @@ def auc_ranksum(
             F.col("u2")
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
         ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    pred_bp_col: str,
+    label_col: str,
+    bin_width_bp: int = 500,
+) -> DataFrame:
+    """Reliability-diagram bins for a predicted probability expressed
+    in integer BASIS POINTS (0..10000): per bin, row count, positive
+    count, the exact integer sum of predictions, and the two rates a
+    calibration plot draws — each ONE unrounded double division of
+    exact integers (mean predicted = sum_bp/(n·10000), empirical =
+    n_pos/n), so the output is hash-stable cross-engine.
+
+    The integer-bp contract is the point: averaging float probabilities
+    is partial-order dependent; averaging their exact bp quantizations
+    is not. Quantize upstream (the project-wide convention).
+
+    Scale: one map-side-combinable groupBy on ``pred_bp div width`` —
+    ≤ 10000/width groups regardless of input size.
+    """
+    b = F.expr(f"{pred_bp_col} div {bin_width_bp}").alias("bin")
+    return (
+        df.groupBy(b)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+            F.sum(F.col(pred_bp_col).cast("long")).alias("sum_pred_bp"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "sum_pred_bp",
+            (F.col("sum_pred_bp") / (F.col("n") * F.lit(10_000))).alias(
+                "pred_rate"
+            ),
+            (F.col("n_pos") / F.col("n")).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def mutual_info_cells(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-cell mutual-information contributions between two
+    categorical columns: for each (x, y) cell, the exact joint and
+    marginal counts plus ``term_nano`` = round(c_xy·ln(c_xy·n/(c_x·c_y))
+    ·1e9) — an exact integer whose sum over cells is n·MI(x;y)·1e9.
+    The feature-screening statistic (information gain) with the
+    project's transcendental discipline: the ln argument is ONE double
+    division of exact integer products, and the result is quantized to
+    nano units BEFORE any summation so ulp noise cannot reorder a sum.
+
+    Scale: three map-side-combinable aggregates (joint, two marginals)
+    + two equi-joins of cell-sized tables against marginal-sized
+    tables; the single-row total is the only broadcast. State scales
+    with distinct cells, never rows. Integer-overflow bound: c_xy·n and
+    c_x·c_y must stay below 2^63 (n < ~3e9 — screen on a hash sample
+    beyond).
+    """
+    s = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    joint = s.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    mx = s.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
+    my = s.groupBy("y").agg(F.count(F.lit(1)).alias("c_y"))
+    tot = s.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            "n",
+            F.round(
+                F.col("c_xy")
+                * F.log(
+                    (F.col("c_xy") * F.col("n"))
+                    / (F.col("c_x") * F.col("c_y"))
+                )
+                * F.lit(1_000_000_000)
+            )
+            .cast("long")
+            .alias("term_nano"),
+        )
+        .orderBy("x", "y")
     )

@@ -205,6 +205,255 @@ ORDER BY d.term"""
 
 
 # ----------------------------------------------------------------------
+# Table fingerprint (order/partitioning-invariant content signature)
+# ----------------------------------------------------------------------
+
+FP_BUCKETS = 64
+
+
+def q_rel_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of lineitem reduced to 64 bucket signatures
+    (operators/reconcile.table_fingerprint): each row rendered to the
+    pinned cross-engine form (ints, cents, strftime date), md5-hashed
+    to a 60-bit integer, and modular-summed per ``hash % 64`` bucket —
+    commutative, so the result is independent of partitioning and row
+    order by construction. The query REPARTITIONS the scan first to
+    witness exactly that invariance; comparing two 100 TB snapshots
+    costs two scans and a 64-row diff."""
+    from .operators.reconcile import table_fingerprint
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("r1"),
+        F.col("l_partkey").cast("string").alias("r2"),
+        F.col("l_linenumber").cast("string").alias("r3"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .cast("string")
+        .alias("r4"),
+        F.col("l_returnflag").alias("r5"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("r6"),
+    )
+    # deliberately scramble the layout: the fingerprint must not care
+    return table_fingerprint(
+        li.repartition(13), ["r1", "r2", "r3", "r4", "r5", "r6"],
+        n_buckets=FP_BUCKETS,
+    )
+
+
+_SQL_TABLE_FINGERPRINT = f"""
+WITH r AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS r1,
+         CAST(l_partkey AS VARCHAR) AS r2,
+         CAST(l_linenumber AS VARCHAR) AS r3,
+         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+           AS r4,
+         l_returnflag AS r5,
+         strftime(l_shipdate, '%Y-%m-%d') AS r6
+  FROM lineitem
+),
+h AS (
+  SELECT CAST(concat('0x', substr(md5(
+           concat_ws(chr(31), r1, r2, r3, r4, r5, r6)), 1, 15))
+         AS BIGINT) AS h
+  FROM r
+)
+SELECT h % {FP_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sig
+FROM h GROUP BY 1 ORDER BY 1"""
+
+
+# ----------------------------------------------------------------------
+# Snapshot diff (added / removed / changed / unchanged key census)
+# ----------------------------------------------------------------------
+
+DIFF_KEY_OFFSET = 1_000_000_000_000
+
+
+def q_rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level census of what changed between two snapshots
+    (operators/reconcile.snapshot_diff): the new snapshot is a
+    deterministic mutation of orders — keys %97 dropped, %101 get one
+    cent added, %103 re-inserted under an offset key — and the diff
+    must classify every key into the 4-row summary with a modular
+    key-sum signature per class. One full-outer sort-merge join on the
+    key is the only row-scaled cost."""
+    from .operators.reconcile import snapshot_diff
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    changed = od.where(F.col("k") % 97 != 0).withColumn(
+        "cents",
+        F.when(F.col("k") % 101 == 0, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    )
+    added = od.where(F.col("k") % 103 == 0).withColumn(
+        "k", F.col("k") + F.lit(DIFF_KEY_OFFSET)
+    )
+    new = changed.unionByName(added)
+    return snapshot_diff(
+        od, new, ["k"], ["st", "cents", "pr"]
+    )
+
+
+_SQL_SNAPSHOT_DIFF = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS pr
+  FROM orders
+),
+n AS (
+  SELECT k, st,
+         CASE WHEN k % 101 = 0 THEN cents + 1 ELSE cents END AS cents,
+         pr
+  FROM o WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + {DIFF_KEY_OFFSET}, st, cents, pr FROM o WHERE k % 103 = 0
+),
+ho AS (
+  SELECT k, CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           st, CAST(cents AS VARCHAR), pr)), 1, 15)) AS BIGINT) AS a
+  FROM o
+),
+hn AS (
+  SELECT k, CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           st, CAST(cents AS VARCHAR), pr)), 1, 15)) AS BIGINT) AS b
+  FROM n
+),
+j AS (
+  SELECT coalesce(ho.k, hn.k) AS k, a, b
+  FROM ho FULL OUTER JOIN hn ON ho.k = hn.k
+)
+SELECT CASE WHEN a IS NULL THEN 'added'
+            WHEN b IS NULL THEN 'removed'
+            WHEN a = b THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(k) % 2305843009213693951 AS BIGINT) AS key_sig
+FROM j GROUP BY 1 ORDER BY 1"""
+
+
+# ----------------------------------------------------------------------
+# Calibration bins of a per-group prior predictor
+# ----------------------------------------------------------------------
+
+CALIB_TRAIN_BP = 8000
+CALIB_BIN_BP = 250
+
+
+def q_cv_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram audit of the canonical baseline predictor —
+    the per-(segment, nation) training prior — on held-out orders
+    (operators/evaluation.calibration_bins): train/test by the md5
+    hash split, prior as exact integer basis points, bins as
+    ``pred_bp div 250``, and the two plotted rates each ONE unrounded
+    double division of exact integers."""
+    from .operators.evaluation import calibration_bins
+    from .operators.sampling import hash_bucket
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("long")
+            .alias("y"),
+            (hash_bucket(F.col("o_orderkey"), "calib") < CALIB_TRAIN_BP)
+            .alias("is_train"),
+        )
+    )
+    prior = (
+        od.where("is_train")
+        .groupBy("seg", "nat")
+        .agg(
+            F.expr("(sum(y) * 10000) div count(1)").alias("pred_bp")
+        )
+    )
+    test = od.where(~F.col("is_train")).join(prior, ["seg", "nat"])
+    return calibration_bins(test, "pred_bp", "y", bin_width_bp=CALIB_BIN_BP)
+
+
+def _sql_calibration_bins() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket("o_orderkey", "calib")
+    return f"""
+WITH od AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         ({hb}) < {CALIB_TRAIN_BP} AS is_train
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+prior AS (
+  SELECT seg, nat,
+         (CAST(sum(y) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT)
+           AS pred_bp
+  FROM od WHERE is_train GROUP BY seg, nat
+),
+test AS (
+  SELECT od.y, prior.pred_bp
+  FROM od JOIN prior USING (seg, nat)
+  WHERE NOT od.is_train
+)
+SELECT pred_bp // {CALIB_BIN_BP} AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(pred_bp) AS BIGINT) AS sum_pred_bp,
+       CAST(sum(pred_bp) AS BIGINT)
+         / (CAST(count(*) AS BIGINT) * 10000) AS pred_rate,
+       CAST(sum(y) AS BIGINT) / CAST(count(*) AS BIGINT) AS pos_rate
+FROM test GROUP BY 1 ORDER BY 1"""
+
+
+# ----------------------------------------------------------------------
+# Mutual-information contingency cells
+# ----------------------------------------------------------------------
+
+
+def q_feat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mutual-information contributions between order status
+    and order priority (operators/evaluation.mutual_info_cells): exact
+    joint/marginal counts plus the nano-quantized c·ln(cn/(c_x·c_y))
+    term — the information-gain feature screen with the project's
+    transcendental discipline (quantize AFTER the one ln call, sum
+    integers only)."""
+    from .operators.evaluation import mutual_info_cells
+
+    od = load_table(spark, sf_dir, "orders")
+    return mutual_info_cells(od, "o_orderstatus", "o_orderpriority")
+
+
+_SQL_MUTUAL_INFO = """
+WITH s AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y FROM orders
+),
+j AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM s GROUP BY x, y
+),
+mx AS (SELECT x, CAST(count(*) AS BIGINT) AS c_x FROM s GROUP BY x),
+my AS (SELECT y, CAST(count(*) AS BIGINT) AS c_y FROM s GROUP BY y),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+SELECT x, y, c_xy, c_x, c_y, n,
+       CAST(round(c_xy * ln((c_xy * n) / (c_x * c_y)) * 1000000000)
+         AS BIGINT) AS term_nano
+FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+ORDER BY x, y"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -213,6 +462,10 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_gap_detect": q_feat_gap_detect,
     "dq_benford": q_dq_benford,
     "text_inverted_index": q_text_inverted_index,
+    "rel_table_fingerprint": q_rel_table_fingerprint,
+    "rel_snapshot_diff": q_rel_snapshot_diff,
+    "cv_calibration_bins": q_cv_calibration_bins,
+    "feat_mutual_info": q_feat_mutual_info,
 }
 
 
@@ -222,4 +475,8 @@ def oracles11() -> Dict[str, str]:
         "feat_gap_detect": _SQL_GAP_DETECT,
         "dq_benford": _SQL_BENFORD,
         "text_inverted_index": _SQL_INVERTED_INDEX,
+        "rel_table_fingerprint": _SQL_TABLE_FINGERPRINT,
+        "rel_snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "cv_calibration_bins": _sql_calibration_bins(),
+        "feat_mutual_info": _SQL_MUTUAL_INFO,
     }

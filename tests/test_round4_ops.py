@@ -478,3 +478,90 @@ def test_inverted_index_closed_form(spark):
     # cap=1 keeps the smallest doc id only
     assert out["the"]["postings"] == "1"
     assert out["cat"]["postings"] == "2"
+
+
+# ----------------------------------------------------------------------
+# table_fingerprint / snapshot_diff / calibration_bins / mutual_info
+# ----------------------------------------------------------------------
+
+
+def test_table_fingerprint_layout_invariant_and_sensitive(spark):
+    from panelsplit_spark.operators.reconcile import table_fingerprint
+
+    rows = [(i, f"v{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    a = [tuple(r) for r in table_fingerprint(df, ["k", "v"], 8).collect()]
+    # layout invariance: repartition + reversed input order, same prints
+    df2 = spark.createDataFrame(list(reversed(rows)), ["k", "v"]).repartition(17)
+    b = [tuple(r) for r in table_fingerprint(df2, ["k", "v"], 8).collect()]
+    assert a == b
+    # sensitivity: one changed row flips at least one bucket signature
+    df3 = spark.createDataFrame(
+        [(k, "CHANGED" if k == 123 else v) for k, v in rows], ["k", "v"]
+    )
+    c = [tuple(r) for r in table_fingerprint(df3, ["k", "v"], 8).collect()]
+    assert a != c
+
+
+def test_table_fingerprint_null_sentinel(spark):
+    """(a, NULL) and (NULL, a) must not collide (concat_ws would
+    otherwise silently drop the NULL)."""
+    from panelsplit_spark.operators.reconcile import table_fingerprint
+
+    d1 = spark.createDataFrame([("a", None)], "x string, y string")
+    d2 = spark.createDataFrame([(None, "a")], "x string, y string")
+    s1 = table_fingerprint(d1, ["x", "y"], 1).collect()[0]["sig"]
+    s2 = table_fingerprint(d2, ["x", "y"], 1).collect()[0]["sig"]
+    assert s1 != s2
+
+
+def test_snapshot_diff_closed_form(spark):
+    from panelsplit_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["k", "v"]
+    )
+    out = {r["status"]: r for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out["unchanged"]["n_keys"] == 1 and out["unchanged"]["key_sig"] == 1
+    assert out["changed"]["n_keys"] == 1 and out["changed"]["key_sig"] == 2
+    assert out["removed"]["n_keys"] == 1 and out["removed"]["key_sig"] == 3
+    assert out["added"]["n_keys"] == 1 and out["added"]["key_sig"] == 4
+
+
+def test_calibration_bins_perfect_predictor(spark):
+    from panelsplit_spark.operators.evaluation import calibration_bins
+
+    # predictor says 2500bp for group A (1/4 positive), 7500bp for B (3/4)
+    rows = [(2500, 1)] + [(2500, 0)] * 3 + [(7500, 1)] * 3 + [(7500, 0)]
+    df = spark.createDataFrame(rows, ["pred_bp", "y"])
+    out = {r["bin"]: r for r in calibration_bins(df, "pred_bp", "y", 500).collect()}
+    assert set(out) == {5, 15}
+    assert out[5]["pred_rate"] == 0.25 and out[5]["pos_rate"] == 0.25
+    assert out[15]["pred_rate"] == 0.75 and out[15]["pos_rate"] == 0.75
+
+
+def test_mutual_info_cells_closed_form(spark):
+    import math
+    from panelsplit_spark.operators.evaluation import mutual_info_cells
+
+    # perfectly dependent, two uniform classes: MI = ln 2
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")], ["x", "y"]
+    )
+    out = mutual_info_cells(df, "x", "y").collect()
+    assert len(out) == 2
+    expect = round(2 * math.log(2 * 4 / (2 * 2)) * 1e9)
+    for r in out:
+        assert r["c_xy"] == 2 and r["c_x"] == 2 and r["c_y"] == 2
+        assert r["term_nano"] == expect
+    # independent: every cell term is ln(1) = 0
+    df = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd"], ["x", "y"]
+    )
+    assert all(
+        r["term_nano"] == 0
+        for r in mutual_info_cells(df, "x", "y").collect()
+    )

@@ -94,6 +94,7 @@ BNLJ_WHITELIST = {
     "pipe_item_pairs",       # single-row n_groups scalar
     "dq_k_anonymity",        # ≤3-row threshold list x class-size histogram
     "dq_benford",            # single-row n_values scalar over 9 digits
+    "feat_mutual_info",      # single-row corpus-total scalar over cells
 }
 
 
