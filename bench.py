@@ -235,6 +235,10 @@ HEADLINE = [
     "rel_snapshot_diff",
     "cv_calibration_bins",
     "feat_mutual_info",
+    "rel_rolling_distinct",
+    "dq_ab_chi2",
+    "rel_markov_transitions",
+    "stream_fingerprint",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

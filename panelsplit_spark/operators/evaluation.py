@@ -25,7 +25,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["auc_ranksum", "calibration_bins", "mutual_info_cells"]
+__all__ = ["auc_ranksum", "calibration_bins", "mutual_info_cells",
+           "chi2_2x2"]
 
 
 def auc_ranksum(
@@ -225,3 +226,51 @@ def mutual_info_cells(
         )
         .orderBy("x", "y")
     )
+
+
+def chi2_2x2(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Pearson chi-square for a 2×2 A/B contingency table (identical to
+    the two-proportion z² test): exact integer cell counts from one
+    map-side-combinable aggregate, then
+    ``chi2 = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`` evaluated in
+    DOUBLE with a PINNED operation order — every operand is an exact
+    integer below 2^53 at any realistic experiment size, and because
+    IEEE arithmetic is deterministic given identical operand order, the
+    double result is bit-identical across engines (the SQL oracle
+    spells the same expression tree).
+
+    ``arm_col`` boolean/0-1 (False/0 = arm A), ``success_col``
+    boolean/0-1. Single-row output:
+    ``n_a x_a n_b x_b chi2`` (counts BIGINT, chi2 DOUBLE).
+    """
+    t = df.select(
+        F.col(arm_col).cast("long").alias("g"),
+        F.col(success_col).cast("long").alias("s"),
+    ).agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("g") == 0, F.col("s")).otherwise(0)).alias(
+            "x_a"
+        ),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("g") == 1, F.col("s")).otherwise(0)).alias(
+            "x_b"
+        ),
+    )
+    # a=x_a b=n_a-x_a c=x_b d=n_b-x_b; all casts to double BEFORE any
+    # multiply so no intermediate ever exceeds int64 — the expression
+    # tree below is mirrored token-for-token in the SQL oracle
+    det = (
+        "(CAST(x_a AS DOUBLE) * CAST(n_b - x_b AS DOUBLE)"
+        " - CAST(x_b AS DOUBLE) * CAST(n_a - x_a AS DOUBLE))"
+    )
+    chi2 = F.expr(
+        f"(CAST(n_a + n_b AS DOUBLE) * {det} * {det})"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        " * CAST(x_a + x_b AS DOUBLE)"
+        " * CAST(n_a + n_b - x_a - x_b AS DOUBLE))"
+    )
+    return t.select("n_a", "x_a", "n_b", "x_b", chi2.alias("chi2"))

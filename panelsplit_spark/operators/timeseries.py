@@ -31,6 +31,8 @@ __all__ = [
     "resample_daily_ffill",
     "group_trend_ols",
     "gap_detect",
+    "rolling_distinct",
+    "markov_transitions",
 ]
 
 
@@ -360,4 +362,111 @@ def gap_detect(
                 "gap_days"
             ),
         )
+    )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing ``window_days``-day DISTINCT-entity count per calendar
+    day — the "7-day active users" metric, which no window function can
+    express (COUNT(DISTINCT) OVER a range frame is unsupported
+    everywhere) and the naive per-day self-join makes quadratic.
+
+    Formulation: each distinct (entity, day) observation CONTRIBUTES to
+    the ``window_days`` target days [day, day + w); a second distinct
+    collapses multi-day actives within one window; one count per target
+    day finishes. The explode factor is the window length — bounded and
+    tiny — so cost is O(w · distinct observations), never O(days ×
+    rows). Target days are clipped to the observed [min, max] span (a
+    trailing window that starts before the data would undercount).
+
+    Output: ``day n_active`` (day as yyyy-MM-dd string), one row per
+    day in the span.
+
+    Scale: two map-side-combinable distincts + one count, all keyed;
+    the single-row span bound is the only broadcast.
+    """
+    pairs = df.select(
+        F.col(entity_col).alias("__e"),
+        F.to_date(F.col(date_col)).alias("__d"),
+    ).distinct()
+    bounds = pairs.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    contrib = (
+        pairs.select(
+            "__e",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+            ).alias("__off"),
+            "__d",
+        )
+        .select("__e", F.date_add("__d", F.col("__off")).alias("__td"))
+        .distinct()
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("__td").between(F.col("__lo"), F.col("__hi")))
+        .groupBy("__td")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.date_format("__td", "yyyy-MM-dd").alias("day"), "n_active"
+        )
+        .orderBy("day")
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    gap_seconds: float = 1800.0,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition census over per-entity event
+    sequences: sessionize (same gap rule as :func:`sessionize`), pair
+    each event with its predecessor WITHIN the session via one lag
+    window, and count (src → dst) transitions; ``p`` is the row
+    probability as ONE unrounded double division of exact counts.
+
+    Output: ``src dst cnt src_total p`` ordered by (src, dst).
+
+    Scale: the session + lag windows share one entity-keyed shuffle
+    (same partitioning, Catalyst reuses the exchange); the transition
+    count is a map-side-combinable groupBy over the tiny state×state
+    domain, and the src-marginal join is domain-sized. Nothing after
+    the first shuffle scales with rows.
+    """
+    sess = sessionize(
+        df, key_cols, ts_col, gap_seconds, order_cols=order_cols
+    )
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys, F.col("session_id")).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    trans = (
+        sess.withColumn("__src", F.lag(F.col(state_col), 1).over(w))
+        .where(F.col("__src").isNotNull())
+        .groupBy(
+            F.col("__src").alias("src"),
+            F.col(state_col).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = trans.groupBy("src").agg(F.sum("cnt").alias("src_total"))
+    return (
+        trans.join(totals, "src")
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            "src_total",
+            (F.col("cnt") / F.col("src_total")).alias("p"),
+        )
+        .orderBy("src", "dst")
     )

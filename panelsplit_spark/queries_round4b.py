@@ -454,6 +454,240 @@ ORDER BY x, y"""
 
 
 # ----------------------------------------------------------------------
+# Trailing 7-day distinct active users
+# ----------------------------------------------------------------------
+
+
+def q_rel_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per calendar day
+    (operators/timeseries.rolling_distinct): COUNT(DISTINCT) OVER a
+    range frame is unsupported in every engine, and the per-day
+    self-join is quadratic — this contributes each distinct (user, day)
+    to its 7 target days (bounded explode), re-distincts, and counts.
+    O(7·observations), keyed end to end."""
+    from .operators.timeseries import rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_distinct(ev, "user_id", "ts", window_days=7)
+
+
+_SQL_ROLLING_DISTINCT = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM pairs),
+contrib AS (
+  SELECT DISTINCT user_id, d + CAST(t.off AS INTEGER) AS td
+  FROM pairs, unnest(generate_series(0, 6)) AS t(off)
+)
+SELECT strftime(td, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM contrib, bounds
+WHERE td BETWEEN lo AND hi
+GROUP BY td ORDER BY day"""
+
+
+# ----------------------------------------------------------------------
+# A/B gate: 2x2 chi-square with pinned double expression tree
+# ----------------------------------------------------------------------
+
+AB_SPLIT_BP = 5000
+
+
+def q_dq_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance gate over a deterministic
+    md5-hash split of orders (operators/evaluation.chi2_2x2): exact
+    integer cell counts, chi-square evaluated in double with the
+    operation order pinned token-for-token against the SQL oracle —
+    the release gate an experimentation pipeline runs before shipping
+    an arm."""
+    from .operators.evaluation import chi2_2x2
+    from .operators.sampling import hash_bucket
+
+    od = load_table(spark, sf_dir, "orders").select(
+        (hash_bucket(F.col("o_orderkey"), "ab") >= AB_SPLIT_BP)
+        .cast("long")
+        .alias("arm"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("won"),
+    )
+    return chi2_2x2(od, "arm", "won")
+
+
+def _sql_ab_chi2() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket("o_orderkey", "ab")
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN ({hb}) >= {AB_SPLIT_BP} THEN 1 ELSE 0 END AS g,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS s
+  FROM orders
+),
+t AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN g = 0 THEN s ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN g = 1 THEN s ELSE 0 END) AS BIGINT) AS x_b
+  FROM s
+)
+SELECT n_a, x_a, n_b, x_b,
+       (CAST(n_a + n_b AS DOUBLE)
+        * (CAST(x_a AS DOUBLE) * CAST(n_b - x_b AS DOUBLE)
+           - CAST(x_b AS DOUBLE) * CAST(n_a - x_a AS DOUBLE))
+        * (CAST(x_a AS DOUBLE) * CAST(n_b - x_b AS DOUBLE)
+           - CAST(x_b AS DOUBLE) * CAST(n_a - x_a AS DOUBLE)))
+       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+          * CAST(x_a + x_b AS DOUBLE)
+          * CAST(n_a + n_b - x_a - x_b AS DOUBLE)) AS chi2
+FROM t"""
+
+
+# ----------------------------------------------------------------------
+# First-order Markov transition census over sessionized event streams
+# ----------------------------------------------------------------------
+
+MK_GAP_S = 1800.0
+
+
+def q_rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix over the events
+    stream (operators/timeseries.markov_transitions): sessionize at a
+    30-minute gap, lag within (user, session), count (src → dst) over
+    the tiny type×type domain, attach src marginals; ``p`` is one
+    unrounded double division of exact counts. The session and lag
+    windows share one user-keyed exchange."""
+    from .operators.timeseries import markov_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transitions(
+        ev,
+        ["user_id"],
+        "ts",
+        "event_type",
+        gap_seconds=MK_GAP_S,
+        order_cols=["event_id"],
+    )
+
+
+_SQL_MARKOV = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, event_type, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e
+),
+sess AS (
+  SELECT user_id, event_id, event_type, t,
+         CAST(sum(CASE WHEN pt IS NULL OR t - pt > 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM lagged
+),
+trans AS (
+  SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id, sid
+                                 ORDER BY t, event_id) AS src
+    FROM sess
+  )
+  WHERE src IS NOT NULL
+  GROUP BY src, event_type
+),
+tot AS (
+  SELECT src, CAST(sum(cnt) AS BIGINT) AS src_total
+  FROM trans GROUP BY src
+)
+SELECT t.src, t.dst, t.cnt, tot.src_total,
+       t.cnt / tot.src_total AS p
+FROM trans t JOIN tot USING (src)
+ORDER BY t.src, t.dst"""
+
+
+# ----------------------------------------------------------------------
+# Streaming incremental table fingerprint
+# ----------------------------------------------------------------------
+
+SFP_BATCHES = 4
+SFP_BUCKETS = 32
+
+
+def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental content fingerprint: the events feed
+    arrives as four deterministic micro-batches and each folds into the
+    running per-bucket modular-sum state
+    (streaming/rolling.stream_table_fingerprint). Because modular sums
+    are commutative and associative, the drained state must equal the
+    batch fingerprint of the whole table — which is exactly what the
+    SQL oracle computes. The online form of 'keep a continuously-true
+    table signature without rescanning'."""
+    import os
+
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_shuffle_partitions,
+        stream_table_fingerprint,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("r1"),
+        F.col("event_type").alias("r2"),
+        F.round(F.col("value") * 100).cast("long").cast("string").alias("r3"),
+    )
+    key = F.col("r1").cast("long")
+    feed = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "fingerprint_feed"
+    )
+    write_file_batches(
+        [ev.where(key % SFP_BATCHES == j) for j in range(SFP_BATCHES)],
+        feed,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    name = "stream_fingerprint_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q, get_fp = stream_table_fingerprint(
+            stream, ["r1", "r2", "r3"], n_buckets=SFP_BUCKETS,
+            query_name=name,
+        )
+        q.awaitTermination()
+    return get_fp().orderBy("bucket")
+
+
+_SQL_STREAM_FINGERPRINT = f"""
+WITH r AS (
+  SELECT CAST(event_id AS VARCHAR) AS r1,
+         event_type AS r2,
+         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS r3
+  FROM events
+),
+h AS (
+  SELECT CAST(concat('0x', substr(md5(
+           concat_ws(chr(31), r1, r2, r3)), 1, 15)) AS BIGINT) AS h
+  FROM r
+)
+SELECT h % {SFP_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sig
+FROM h GROUP BY 1 ORDER BY 1"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -466,6 +700,10 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_snapshot_diff": q_rel_snapshot_diff,
     "cv_calibration_bins": q_cv_calibration_bins,
     "feat_mutual_info": q_feat_mutual_info,
+    "rel_rolling_distinct": q_rel_rolling_distinct,
+    "dq_ab_chi2": q_dq_ab_chi2,
+    "rel_markov_transitions": q_rel_markov_transitions,
+    "stream_fingerprint": q_stream_fingerprint,
 }
 
 
@@ -479,4 +717,8 @@ def oracles11() -> Dict[str, str]:
         "rel_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "cv_calibration_bins": _sql_calibration_bins(),
         "feat_mutual_info": _SQL_MUTUAL_INFO,
+        "rel_rolling_distinct": _SQL_ROLLING_DISTINCT,
+        "dq_ab_chi2": _sql_ab_chi2(),
+        "rel_markov_transitions": _SQL_MARKOV,
+        "stream_fingerprint": _SQL_STREAM_FINGERPRINT,
     }

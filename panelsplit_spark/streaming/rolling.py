@@ -36,6 +36,7 @@ __all__ = [
     "stream_window_counts",
     "stream_apply_changes",
     "stream_incremental_agg",
+    "stream_table_fingerprint",
 ]
 
 
@@ -910,3 +911,68 @@ def stream_near_dup_admit(
         .start()
     )
     return q, lambda: state["admitted"]
+
+
+def stream_table_fingerprint(
+    stream_df: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int = 64,
+    query_name: str = "stream_fingerprint",
+):
+    """Streaming incremental content fingerprint — the online form of
+    ``operators/reconcile.table_fingerprint``. Bucket signatures are
+    MODULAR SUMS of row hashes, i.e. commutative and associative, so
+    each micro-batch folds into the running state with one keyed
+    modular add and the final fingerprint is provably independent of
+    how the feed was chopped into batches (and equal to the batch
+    operator over the full feed — which is exactly what the SQL oracle
+    checks). This is how a 100 TB ingest keeps a continuously-true
+    table signature without ever rescanning: per-batch cost is one
+    bucket-keyed aggregate over the batch plus one ``n_buckets``-row
+    merge.
+
+    State: ``n_buckets`` rows of (bucket, n_rows, sig),
+    localCheckpoint'ed eagerly so lineage stays flat; 0-row batches
+    are skipped. Returns ``(query, get_fingerprint)``.
+    """
+    from ..operators.reconcile import SIG_MOD, row_signature
+
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = (
+            batch_df.select(row_signature(cols).alias("__h"))
+            .groupBy((F.col("__h") % n_buckets).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr(
+                    f"CAST(sum(CAST(__h AS DECIMAL(38,0))) % {SIG_MOD}"
+                    " AS BIGINT)"
+                ).alias("sig"),
+            )
+        )
+        prev = state["df"]
+        cur = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                # modular addition: (a mod M + b mod M) mod M = (a+b) mod M
+                F.expr(f"CAST(sum(sig) % {SIG_MOD} AS BIGINT)").alias(
+                    "sig"
+                ),
+            )
+        )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["df"]

@@ -565,3 +565,121 @@ def test_mutual_info_cells_closed_form(spark):
         r["term_nano"] == 0
         for r in mutual_info_cells(df, "x", "y").collect()
     )
+
+
+# ----------------------------------------------------------------------
+# rolling_distinct / chi2_2x2 / markov_transitions / stream fingerprint
+# ----------------------------------------------------------------------
+
+
+def test_rolling_distinct_closed_form(spark):
+    from datetime import datetime
+
+    from panelsplit_spark.operators.timeseries import rolling_distinct
+
+    d = lambda s: datetime.fromisoformat(s)
+    rows = [
+        ("u1", d("2024-01-01")),
+        ("u1", d("2024-01-01")),  # same user+day dedups
+        ("u2", d("2024-01-01")),
+        ("u1", d("2024-01-03")),  # u1 twice inside one window counts once
+        ("u3", d("2024-01-05")),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = {r["day"]: r["n_active"] for r in rolling_distinct(df, "u", "ts", 3).collect()}
+    # span clipped to [01-01, 01-05]; window = trailing 3 days
+    assert out["2024-01-01"] == 2  # u1, u2
+    assert out["2024-01-02"] == 2  # u1, u2
+    assert out["2024-01-03"] == 2  # u1 (both obs count once), u2
+    assert out["2024-01-04"] == 1  # u1 (01-03)
+    assert out["2024-01-05"] == 2  # u1 (01-03), u3
+
+
+def test_chi2_closed_form(spark):
+    from panelsplit_spark.operators.evaluation import chi2_2x2
+
+    # textbook 2x2: a=10 b=10 c=5 d=15 -> chi2 = 40*(150-50)^2/(20*20*15*25)
+    rows = (
+        [(0, 1)] * 10 + [(0, 0)] * 10 + [(1, 1)] * 5 + [(1, 0)] * 15
+    )
+    df = spark.createDataFrame(rows, ["arm", "won"])
+    r = chi2_2x2(df, "arm", "won").collect()[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (20, 10, 20, 5)
+    expect = 40 * (10 * 15 - 5 * 10) ** 2 / (20 * 20 * 15 * 25)
+    assert r["chi2"] == expect
+
+    # independence -> chi2 == 0 exactly
+    rows = [(0, 1), (0, 0), (1, 1), (1, 0)]
+    df = spark.createDataFrame(rows, ["arm", "won"])
+    assert chi2_2x2(df, "arm", "won").collect()[0]["chi2"] == 0.0
+
+
+def test_markov_transitions_closed_form(spark):
+    from datetime import datetime
+
+    from panelsplit_spark.operators.timeseries import markov_transitions
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda m: datetime(2024, 1, 1, 12, m, 0)
+    rows = [
+        # u1 session 1: a -> b -> a  (gap 60s)
+        (1, 1, mk(0), "a"), (1, 2, mk(1), "b"), (1, 3, mk(2), "a"),
+        # u1 session 2 (2h later): b alone -> no transition
+        (1, 4, datetime(2024, 1, 1, 14, 30), "b"),
+        # u2: a -> b
+        (2, 5, mk(0), "a"), (2, 6, mk(3), "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "et"])
+    out = {
+        (r["src"], r["dst"]): r
+        for r in markov_transitions(
+            df, ["user_id"], "ts", "et", gap_seconds=1800,
+            order_cols=["event_id"],
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert out[("a", "b")]["cnt"] == 2 and out[("a", "b")]["src_total"] == 2
+    assert out[("a", "b")]["p"] == 1.0
+    assert out[("b", "a")]["cnt"] == 1 and out[("b", "a")]["p"] == 1.0
+
+
+def test_stream_fingerprint_chop_invariant(spark, sf_dir):
+    """Folding the feed as 2 batches and as 5 batches must yield the
+    identical fingerprint (modular sums are associative+commutative),
+    and both must equal the batch operator over the full table."""
+    import os
+    import tempfile
+
+    from panelsplit_spark.operators.reconcile import table_fingerprint
+    from panelsplit_spark.streaming.rolling import (
+        stream_table_fingerprint,
+        write_file_batches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("string").alias("r1"),
+        F.col("event_type").alias("r2"),
+    )
+    key = F.col("r1").cast("long")
+
+    def drain(n_batches: int, leaf: str):
+        feed = os.path.join(tempfile.gettempdir(), f"sfp_feed_{leaf}")
+        write_file_batches(
+            [ev.where(key % n_batches == j) for j in range(n_batches)],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q, get_fp = stream_table_fingerprint(
+            stream, ["r1", "r2"], n_buckets=8, query_name=f"sfp_{leaf}"
+        )
+        q.awaitTermination()
+        return sorted(tuple(r) for r in get_fp().collect())
+
+    batch = sorted(
+        tuple(r) for r in table_fingerprint(ev, ["r1", "r2"], 8).collect()
+    )
+    assert drain(2, "a") == drain(5, "b") == batch

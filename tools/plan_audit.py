@@ -95,6 +95,7 @@ BNLJ_WHITELIST = {
     "dq_k_anonymity",        # ≤3-row threshold list x class-size histogram
     "dq_benford",            # single-row n_values scalar over 9 digits
     "feat_mutual_info",      # single-row corpus-total scalar over cells
+    "rel_rolling_distinct",  # single-row span-bounds scalar clip
 }
 
 
