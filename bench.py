@@ -239,6 +239,8 @@ HEADLINE = [
     "dq_ab_chi2",
     "rel_markov_transitions",
     "stream_fingerprint",
+    "stream_auc",
+    "feat_weighted_median",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -26,7 +26,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["auc_ranksum", "calibration_bins", "mutual_info_cells",
-           "chi2_2x2"]
+           "chi2_2x2", "weighted_median"]
 
 
 def auc_ranksum(
@@ -274,3 +274,52 @@ def chi2_2x2(
         " * CAST(n_a + n_b - x_a - x_b AS DOUBLE))"
     )
     return t.select("n_a", "x_a", "n_b", "x_b", chi2.alias("chi2"))
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact per-group weighted (lower) median of an integer value
+    column under integer weights: the smallest value whose cumulative
+    weight reaches half the group total (2·cum ≥ total — the
+    deterministic lower-median rule, pinned because engines disagree on
+    interpolation). Robust location estimate for skewed/heavy-tailed
+    features where the weighted mean is hostage to outliers.
+
+    Output: one row per group — ``<group_cols> median total_weight``.
+
+    Scale: ties fuse in a map-side-combinable (group, value) aggregate
+    first, so the windows run over the DISTINCT-value table (bounded by
+    the value domain per group, not row count); cumulative and total
+    windows share one group-keyed exchange.
+    """
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    gcols = [F.col(c) for c in groups]
+    fused = df.groupBy(*gcols, F.col(value_col).alias("__v")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    wc = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*gcols)
+    c = fused.withColumn("__cum", F.sum("__w").over(wc)).withColumn(
+        "__tot", F.sum("__w").over(wt)
+    )
+    wr = Window.partitionBy(*gcols).orderBy("__v")
+    return (
+        c.where(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+        .withColumn("__rk", F.row_number().over(wr))
+        .where(F.col("__rk") == 1)
+        .select(
+            *gcols,
+            F.col("__v").alias("median"),
+            F.col("__tot").alias("total_weight"),
+        )
+    )

@@ -688,6 +688,120 @@ FROM h GROUP BY 1 ORDER BY 1"""
 
 
 # ----------------------------------------------------------------------
+# Streaming exact AUC (additive score-histogram state)
+# ----------------------------------------------------------------------
+
+SAUC_BATCHES = 3
+
+
+def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact ROC-AUC: orders arrive as three deterministic
+    micro-batches; each folds its (score, cnt, pos) histogram into the
+    running state with one keyed sum (streaming/rolling.stream_auc) and
+    the drained state feeds the identical rank-sum arithmetic as the
+    batch operator — so the streaming AUC provably equals the batch AUC
+    over the full feed, which is exactly what the batch SQL oracle
+    checks. A global rank statistic kept online by making its
+    sufficient state additive."""
+    import os
+
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_auc,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("y"),
+    )
+    feed = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "auc_feed"
+    )
+    write_file_batches(
+        [
+            od.where(F.col("k") % SAUC_BATCHES == j).drop("k")
+            for j in range(SAUC_BATCHES)
+        ],
+        feed,
+    )
+    stream = (
+        spark.readStream.schema(od.drop("k").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    name = "stream_auc_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with stream_shuffle_partitions(spark):
+        q, get_auc = stream_auc(stream, "cents", "y", query_name=name)
+        q.awaitTermination()
+    return get_auc()
+
+
+# the batch oracle: identical to _SQL_AUC_PRICE — the streaming drain
+# must reproduce the batch statistic exactly
+def _sql_stream_auc() -> str:
+    return _SQL_AUC_PRICE
+
+
+# ----------------------------------------------------------------------
+# Exact per-group weighted median
+# ----------------------------------------------------------------------
+
+
+def q_feat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median of lineitem extended price in
+    cents per return flag (operators/evaluation.weighted_median): ties
+    fuse in a (group, value) aggregate first so the cumulative/total
+    windows run over the distinct-value table; the lower-median rule
+    (2·cum ≥ total) is pinned because engines disagree on median
+    interpolation."""
+    from .operators.evaluation import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    return weighted_median(li, "l_returnflag", "cents", "qty").orderBy(
+        "l_returnflag"
+    )
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH fused AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM fused
+),
+r AS (
+  SELECT l_returnflag, v, tot,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rk
+  FROM c WHERE 2 * cum >= tot
+)
+SELECT l_returnflag, v AS median, tot AS total_weight
+FROM r WHERE rk = 1
+ORDER BY l_returnflag"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -704,6 +818,8 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_ab_chi2": q_dq_ab_chi2,
     "rel_markov_transitions": q_rel_markov_transitions,
     "stream_fingerprint": q_stream_fingerprint,
+    "stream_auc": q_stream_auc,
+    "feat_weighted_median": q_feat_weighted_median,
 }
 
 
@@ -721,4 +837,6 @@ def oracles11() -> Dict[str, str]:
         "dq_ab_chi2": _sql_ab_chi2(),
         "rel_markov_transitions": _SQL_MARKOV,
         "stream_fingerprint": _SQL_STREAM_FINGERPRINT,
+        "stream_auc": _sql_stream_auc(),
+        "feat_weighted_median": _SQL_WEIGHTED_MEDIAN,
     }

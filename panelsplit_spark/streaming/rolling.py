@@ -37,6 +37,7 @@ __all__ = [
     "stream_apply_changes",
     "stream_incremental_agg",
     "stream_table_fingerprint",
+    "stream_auc",
 ]
 
 
@@ -976,3 +977,100 @@ def stream_table_fingerprint(
         .start()
     )
     return q, lambda: state["df"]
+
+
+def stream_auc(
+    stream_df: DataFrame,
+    score_col: str,
+    label_col: str,
+    query_name: str = "stream_auc",
+):
+    """Streaming exact ROC-AUC — a global RANK statistic kept online by
+    reducing it to ADDITIVE state: the per-distinct-score (cnt, pos)
+    histogram folds across micro-batches with one keyed sum, and the
+    drained state feeds the same rank-sum identity as the batch
+    operator (operators/evaluation.auc_ranksum), so the streaming AUC
+    is provably equal to the batch AUC over the full feed and
+    independent of batch chopping. State is bounded by the distinct
+    score domain (quantize scores upstream — the project convention),
+    NOT by row count.
+
+    Returns ``(query, get_auc)`` where ``get_auc()`` yields the
+    single-row ``n n_pos n_neg u2 auc`` frame.
+    """
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = (
+            batch_df.select(
+                F.col(score_col).cast("long").alias("s"),
+                F.col(label_col).cast("long").alias("y"),
+            )
+            .groupBy("s")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("y").alias("pos"),
+            )
+        )
+        prev = state["df"]
+        cur = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy("s")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("pos").alias("pos"),
+            )
+        )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    def get_auc() -> DataFrame:
+        # identical rank arithmetic to operators/evaluation.auc_ranksum,
+        # applied to the fused (score, cnt, pos) state directly
+        hist = state["df"]
+        from pyspark.sql import Window
+
+        w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+        g = hist.withColumn("cum", F.sum("cnt").over(w))
+        agg = g.agg(
+            F.sum("cnt").alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.sum(
+                F.col("pos").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("cum") - F.col("cnt") + 1).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_r2"),
+        )
+        return agg.select(
+            "n",
+            "n_pos",
+            (F.col("n") - F.col("n_pos")).alias("n_neg"),
+            (
+                F.col("_r2")
+                - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("u2"),
+        ).select(
+            "n",
+            "n_pos",
+            "n_neg",
+            "u2",
+            (
+                F.col("u2") / (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+            ).alias("auc"),
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, get_auc

@@ -683,3 +683,67 @@ def test_stream_fingerprint_chop_invariant(spark, sf_dir):
         tuple(r) for r in table_fingerprint(ev, ["r1", "r2"], 8).collect()
     )
     assert drain(2, "a") == drain(5, "b") == batch
+
+
+# ----------------------------------------------------------------------
+# stream_auc / weighted_median
+# ----------------------------------------------------------------------
+
+
+def test_stream_auc_equals_batch(spark, sf_dir):
+    """The drained streaming AUC must equal the batch rank-sum AUC over
+    the full feed, for any batch chopping."""
+    import os
+    import tempfile
+
+    from panelsplit_spark.operators.evaluation import auc_ranksum
+    from panelsplit_spark.streaming.rolling import (
+        stream_auc,
+        write_file_batches,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("s"),
+        F.col("o_orderpriority").isin("1-URGENT").cast("long").alias("y"),
+    )
+    batch = tuple(auc_ranksum(od, "s", "y").collect()[0])
+
+    def drain(n_batches: int, leaf: str):
+        feed = os.path.join(tempfile.gettempdir(), f"sauc_feed_{leaf}")
+        write_file_batches(
+            [
+                od.where(F.col("k") % n_batches == j).drop("k")
+                for j in range(n_batches)
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(od.drop("k").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q, get_auc = stream_auc(stream, "s", "y", query_name=f"sauc_{leaf}")
+        q.awaitTermination()
+        return tuple(get_auc().collect()[0])
+
+    assert drain(2, "a") == drain(4, "b") == batch
+
+
+def test_weighted_median_closed_form(spark):
+    from panelsplit_spark.operators.evaluation import weighted_median
+
+    rows = [
+        # group g1: values 1(w3), 5(w1), 9(w2): tot=6, half=3 -> cum(1)=3
+        # 2*3 >= 6 -> median 1 (lower-median rule bites exactly here)
+        ("g1", 1, 2), ("g1", 1, 1), ("g1", 5, 1), ("g1", 9, 2),
+        # group g2: 10(w1), 20(w1), 30(w1): median 20
+        ("g2", 10, 1), ("g2", 20, 1), ("g2", 30, 1),
+        # group g3: single heavy value
+        ("g3", 7, 100),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    out = {r["g"]: r for r in weighted_median(df, "g", "v", "w").collect()}
+    assert out["g1"]["median"] == 1 and out["g1"]["total_weight"] == 6
+    assert out["g2"]["median"] == 20
+    assert out["g3"]["median"] == 7 and out["g3"]["total_weight"] == 100
