@@ -241,6 +241,9 @@ HEADLINE = [
     "stream_fingerprint",
     "stream_auc",
     "feat_weighted_median",
+    "rel_repair_plan",
+    "feat_interpolate",
+    "dq_sample_error",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

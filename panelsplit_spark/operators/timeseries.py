@@ -33,6 +33,7 @@ __all__ = [
     "gap_detect",
     "rolling_distinct",
     "markov_transitions",
+    "interpolate_linear",
 ]
 
 
@@ -469,4 +470,90 @@ def markov_transitions(
             (F.col("cnt") / F.col("src_total")).alias("p"),
         )
         .orderBy("src", "dst")
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify a per-entity daily panel and LINEARLY interpolate an
+    integer value column across gaps — the step up from
+    :func:`resample_daily_ffill` when the quantity is a level (price,
+    balance) rather than a state. Endpoints carry the nearest observed
+    value (no extrapolation beyond the span by construction).
+
+    Interpolation arithmetic is pinned for cross-engine replay:
+    ``v = prev + (next − prev)·(d − d0) / (d1 − d0)`` where every
+    operand left of the division is an exact integer, the division is
+    the ONE double division, and the trailing addition of an exact
+    integer is deterministic IEEE. Observed days emit their exact value
+    (the formula degenerates to prev, but observed rows bypass it
+    entirely so no float ever touches them).
+
+    Output: ``entity day value is_interp`` (day yyyy-MM-dd, value
+    DOUBLE — exact-integer-valued on observed days).
+
+    Scale: per-entity spans from one aggregate; the grid explodes
+    narrowly; ONE entity-keyed window pass computes both bracketing
+    observations (last/first ignorenulls); everything stays keyed by
+    entity.
+    """
+    day = F.to_date(F.col(date_col))
+    obs = df.select(
+        F.col(entity_col).alias("__e"),
+        day.alias("__d"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    spans = obs.groupBy("__e").agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    grid = spans.select(
+        "__e",
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("interval 1 day")
+            )
+        ).alias("__d"),
+    )
+    j = grid.join(obs, ["__e", "__d"], "left")
+    wb = (
+        Window.partitionBy("__e")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__e")
+        .orderBy("__d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("__v", ignorenulls=True).over(wb)
+    prev_d = F.last(
+        F.when(F.col("__v").isNotNull(), F.col("__d")), ignorenulls=True
+    ).over(wb)
+    next_v = F.first("__v", ignorenulls=True).over(wf)
+    next_d = F.first(
+        F.when(F.col("__v").isNotNull(), F.col("__d")), ignorenulls=True
+    ).over(wf)
+    interp = (
+        F.when(F.col("__v").isNotNull(), F.col("__v").cast("double"))
+        .when(next_v.isNull(), prev_v.cast("double"))
+        .when(prev_v.isNull(), next_v.cast("double"))
+        .otherwise(
+            prev_v
+            + (
+                (next_v - prev_v) * F.datediff(F.col("__d"), prev_d)
+            ).cast("double")
+            / F.datediff(next_d, prev_d).cast("double")
+        )
+    )
+    return j.select(
+        F.col("__e").alias(entity_col),
+        F.date_format("__d", "yyyy-MM-dd").alias("day"),
+        interp.alias("value"),
+        F.when(F.col("__v").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_interp"),
     )

@@ -802,6 +802,265 @@ ORDER BY l_returnflag"""
 
 
 # ----------------------------------------------------------------------
+# Two-phase repair plan (fingerprint -> bucket-scoped key diff)
+# ----------------------------------------------------------------------
+
+RP_BUCKETS = 64
+
+
+def q_rel_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase reconciliation composed end-to-end
+    (operators/reconcile.repair_plan): fingerprint old and mutated
+    orders snapshots into 64-bucket signatures, flag disagreeing
+    buckets, and run the key-level diff ONLY over rows hashing into a
+    flagged bucket — the pruning evidence (n_scanned vs table size)
+    rides along in the output. Same deterministic mutation as
+    ``rel_snapshot_diff`` (keys %97 dropped, %101 one cent added,
+    %103 re-inserted offset)."""
+    from .operators.reconcile import repair_plan
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    changed = od.where(F.col("k") % 97 != 0).withColumn(
+        "cents",
+        F.when(F.col("k") % 101 == 0, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    )
+    added = od.where(F.col("k") % 103 == 0).withColumn(
+        "k", F.col("k") + F.lit(DIFF_KEY_OFFSET)
+    )
+    new = changed.unionByName(added)
+    return repair_plan(
+        od, new, ["k"], ["st", "cents", "pr"], n_buckets=RP_BUCKETS
+    )
+
+
+def _sql_repair_plan() -> str:
+    row_h = (
+        "CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+        "CAST(k AS VARCHAR), st, CAST(cents AS VARCHAR), pr)), 1, 15)) "
+        "AS BIGINT)"
+    )
+    val_h = (
+        "CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+        "st, CAST(cents AS VARCHAR), pr)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS pr
+  FROM orders
+),
+n AS (
+  SELECT k, st,
+         CASE WHEN k % 101 = 0 THEN cents + 1 ELSE cents END AS cents,
+         pr
+  FROM o WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + {DIFF_KEY_OFFSET}, st, cents, pr FROM o WHERE k % 103 = 0
+),
+ob AS (SELECT o.*, ({row_h}) % {RP_BUCKETS} AS b FROM o),
+nb AS (SELECT n.*, ({row_h}) % {RP_BUCKETS} AS b FROM n),
+fpo AS (SELECT b, CAST(count(*) AS BIGINT) AS no,
+               CAST(sum({row_h}) % 2305843009213693951 AS BIGINT) AS so
+        FROM ob GROUP BY b),
+fpn AS (SELECT b, CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum({row_h}) % 2305843009213693951 AS BIGINT) AS sn
+        FROM nb GROUP BY b),
+flagged AS (
+  SELECT coalesce(fpo.b, fpn.b) AS b
+  FROM fpo FULL OUTER JOIN fpn ON fpo.b = fpn.b
+  WHERE no IS NULL OR nn IS NULL OR no <> nn OR so <> sn
+),
+ofl AS (SELECT * FROM ob WHERE b IN (SELECT b FROM flagged)),
+nfl AS (SELECT * FROM nb WHERE b IN (SELECT b FROM flagged)),
+ho AS (SELECT k, ({val_h}) AS a FROM ofl),
+hn AS (SELECT k, ({val_h}) AS v FROM nfl),
+j AS (
+  SELECT coalesce(ho.k, hn.k) AS k, a, v
+  FROM ho FULL OUTER JOIN hn ON ho.k = hn.k
+),
+census AS (
+  SELECT CASE WHEN a IS NULL THEN 'added'
+              WHEN v IS NULL THEN 'removed'
+              WHEN a = v THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(k) % 2305843009213693951 AS BIGINT) AS key_sig
+  FROM j GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM flagged)
+           AS n_flagged_buckets,
+         (SELECT CAST(count(*) AS BIGINT) FROM ofl) AS n_scanned_old,
+         (SELECT CAST(count(*) AS BIGINT) FROM nfl) AS n_scanned_new
+)
+SELECT census.*, stats.* FROM census CROSS JOIN stats
+ORDER BY status"""
+
+
+# ----------------------------------------------------------------------
+# Linear interpolation across per-entity daily gaps
+# ----------------------------------------------------------------------
+
+
+def q_feat_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily grid with LINEAR interpolation of the day's total
+    event value in cents (operators/timeseries.interpolate_linear):
+    observed days emit the exact integer total; synthesized days emit
+    prev + (next−prev)·(d−d0)/(d1−d0) with everything left of the ONE
+    double division an exact integer. To keep the grid small the users
+    are folded mod 11 (the panel shape, not the user cardinality, is
+    what the gate checks)."""
+    from .operators.timeseries import interpolate_linear
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 11).alias("entity"),
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("entity", "d")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    return interpolate_linear(ev, "entity", "d", "day_cents").orderBy(
+        "entity", "day"
+    )
+
+
+_SQL_INTERPOLATE = """
+WITH obs AS (
+  SELECT user_id % 11 AS entity, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT entity, min(d) AS lo, max(d) AS hi FROM obs GROUP BY entity
+),
+grid AS (
+  SELECT entity, CAST(g.d AS DATE) AS d
+  FROM spans, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g(d)
+),
+j AS (
+  SELECT grid.entity, grid.d, obs.day_cents AS v FROM grid
+  LEFT JOIN obs ON obs.entity = grid.entity AND obs.d = grid.d
+),
+w AS (
+  SELECT entity, d, v,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY entity ORDER BY d
+            ROWS UNBOUNDED PRECEDING) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (PARTITION BY entity ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS pd,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY entity ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (PARTITION BY entity ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT entity, strftime(d, '%Y-%m-%d') AS day,
+       CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+            WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+            WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+            ELSE pv + CAST((nv - pv) * datediff('day', pd, d) AS DOUBLE)
+                      / CAST(datediff('day', pd, nd) AS DOUBLE)
+       END AS value,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_interp
+FROM w
+ORDER BY entity, day"""
+
+
+# ----------------------------------------------------------------------
+# Hash-sample estimation error audit
+# ----------------------------------------------------------------------
+
+SE_SAMPLE_BP = 1000  # 10% sample
+
+
+def q_dq_sample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-error audit in ONE scan: estimate total lineitem
+    revenue (cents) from the deterministic 10% md5-hash sample,
+    scale by the inverse sampling rate, and report the signed error
+    vs the exact total in ppm — the accuracy evidence a pipeline
+    needs before trusting sampled dashboards. Conditional aggregation
+    computes sample and exact totals together (no second scan)."""
+    from .operators.sampling import hash_bucket
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (
+            hash_bucket(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                "se",
+            )
+            < SE_SAMPLE_BP
+        ).alias("in_sample"),
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias(
+            "n_sampled"
+        ),
+        F.sum("cents").alias("exact_cents"),
+        (
+            F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
+            * F.lit(10_000 // SE_SAMPLE_BP)
+        ).alias("est_cents"),
+    ).select(
+        "n_total",
+        "n_sampled",
+        "exact_cents",
+        "est_cents",
+        F.expr(
+            "(abs(est_cents - exact_cents) * 1000000) div exact_cents"
+        ).alias("err_ppm"),
+    )
+
+
+def _sql_sample_error() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket(
+        "concat_ws(':', CAST(l_orderkey AS VARCHAR), "
+        "CAST(l_linenumber AS VARCHAR))",
+        "se",
+    )
+    return f"""
+WITH s AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         ({hb}) < {SE_SAMPLE_BP} AS in_sample
+  FROM lineitem
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+         CAST(sum(cents) AS BIGINT) AS exact_cents,
+         CAST(sum(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT)
+           * {10_000 // SE_SAMPLE_BP} AS est_cents
+  FROM s
+)
+SELECT n_total, n_sampled, exact_cents, est_cents,
+       (abs(est_cents - exact_cents) * 1000000) // exact_cents AS err_ppm
+FROM t"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -820,6 +1079,9 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_fingerprint": q_stream_fingerprint,
     "stream_auc": q_stream_auc,
     "feat_weighted_median": q_feat_weighted_median,
+    "rel_repair_plan": q_rel_repair_plan,
+    "feat_interpolate": q_feat_interpolate,
+    "dq_sample_error": q_dq_sample_error,
 }
 
 
@@ -839,4 +1101,7 @@ def oracles11() -> Dict[str, str]:
         "stream_fingerprint": _SQL_STREAM_FINGERPRINT,
         "stream_auc": _sql_stream_auc(),
         "feat_weighted_median": _SQL_WEIGHTED_MEDIAN,
+        "rel_repair_plan": _sql_repair_plan(),
+        "feat_interpolate": _SQL_INTERPOLATE,
+        "dq_sample_error": _sql_sample_error(),
     }

@@ -747,3 +747,81 @@ def test_weighted_median_closed_form(spark):
     assert out["g1"]["median"] == 1 and out["g1"]["total_weight"] == 6
     assert out["g2"]["median"] == 20
     assert out["g3"]["median"] == 7 and out["g3"]["total_weight"] == 100
+
+
+# ----------------------------------------------------------------------
+# repair_plan / interpolate_linear / sample-error audit
+# ----------------------------------------------------------------------
+
+
+def test_repair_plan_census_matches_full_diff(spark, sf_dir):
+    """The bucket-pruned phase-2 census must classify exactly the same
+    added/removed/changed keys as the unpruned full diff (unchanged
+    keys may be excluded by pruning — that is the point)."""
+    from panelsplit_spark.operators.reconcile import (
+        repair_plan,
+        snapshot_diff,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    new = od.where(F.col("k") % 50 != 0).withColumn(
+        "st", F.when(F.col("k") % 7 == 0, F.lit("ZZ")).otherwise(F.col("st"))
+    )
+    full = {
+        r["status"]: r
+        for r in snapshot_diff(od, new, ["k"], ["st"]).collect()
+    }
+    plan = {
+        r["status"]: r
+        for r in repair_plan(od, new, ["k"], ["st"], n_buckets=16).collect()
+    }
+    for status in ("removed", "changed"):
+        assert plan[status]["n_keys"] == full[status]["n_keys"]
+        assert plan[status]["key_sig"] == full[status]["key_sig"]
+    # this mutation only removes/changes: neither census sees additions
+    assert "added" not in full and "added" not in plan
+    # pruning evidence: phase 2 saw fewer rows than the table
+    anyrow = next(iter(plan.values()))
+    assert anyrow["n_scanned_old"] <= od.count()
+    assert anyrow["n_flagged_buckets"] <= 16
+
+
+def test_interpolate_linear_closed_form(spark):
+    from datetime import datetime
+
+    from panelsplit_spark.operators.timeseries import interpolate_linear
+
+    d = lambda s: datetime.fromisoformat(s)
+    rows = [
+        # e1: 10 on day1, 40 on day4 -> day2=20, day3=30 exactly
+        ("e1", d("2024-01-01"), 10), ("e1", d("2024-01-04"), 40),
+        # e2: single observation -> single exact row
+        ("e2", d("2024-01-02"), 7),
+    ]
+    df = spark.createDataFrame(rows, ["e", "ts", "v"])
+    out = {
+        (r["e"], r["day"]): r
+        for r in interpolate_linear(df, "e", "ts", "v").collect()
+    }
+    assert out[("e1", "2024-01-01")]["value"] == 10.0
+    assert out[("e1", "2024-01-02")]["value"] == 20.0
+    assert out[("e1", "2024-01-03")]["value"] == 30.0
+    assert out[("e1", "2024-01-04")]["value"] == 40.0
+    assert out[("e1", "2024-01-02")]["is_interp"] == 1
+    assert out[("e1", "2024-01-01")]["is_interp"] == 0
+    assert out[("e2", "2024-01-02")]["value"] == 7.0
+    assert len(out) == 5
+
+
+def test_sample_error_identity(spark, sf_dir):
+    """At a 100% sampling rate the estimate IS the exact total."""
+    from panelsplit_spark.queries_round4b import q_dq_sample_error
+
+    r = q_dq_sample_error(spark, sf_dir).collect()[0]
+    assert r["n_sampled"] < r["n_total"]
+    # 10% md5 sample of a uniform column: estimate within 10% of exact
+    assert r["err_ppm"] < 100_000
+    assert r["est_cents"] % 10 == 0  # scaled by exactly 10

@@ -96,6 +96,7 @@ BNLJ_WHITELIST = {
     "dq_benford",            # single-row n_values scalar over 9 digits
     "feat_mutual_info",      # single-row corpus-total scalar over cells
     "rel_rolling_distinct",  # single-row span-bounds scalar clip
+    "rel_repair_plan",       # ≤64-row flagged-bucket list + 1-row stats
 }
 
 
