@@ -244,6 +244,8 @@ HEADLINE = [
     "rel_repair_plan",
     "feat_interpolate",
     "dq_sample_error",
+    "rel_shortest_path",
+    "dq_ndv_profile",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "ancestor_closure", "bfs_levels"]
+__all__ = ["pagerank", "ancestor_closure", "bfs_levels", "shortest_paths"]
 
 
 def bfs_levels(
@@ -283,3 +283,61 @@ def ancestor_closure(
     # several times); expose the handle so they can release it
     acc.persisted_intermediates = (acc,)
     return acc
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source single-source-shortest-path over POSITIVE integer
+    edge weights: ``n_rounds`` synchronous Bellman-Ford relaxations →
+    (node, dist) with dist = exact integer cost of the cheapest
+    ≤ n_rounds-hop path from any source. Fixed round count (the
+    project's iterative-operator contract) so an independent SQL engine
+    replays each relaxation as a chained CTE; min-of-integers per round
+    is order-independent, hence deterministic under any partitioning.
+
+    Unlike BFS, a settled node can improve later (a longer-hop cheaper
+    path), so every round relaxes the FULL distance frame — but the
+    frame is node-sized and the per-round cost is one dist⋈edges
+    equi-join + one min aggregate, both keyed. The edge list (src, dst,
+    w) is persisted once; `AQE` handles skewed hubs. Distances are
+    exact integers: no float creeps in, u2-style overflow is impossible
+    for weights·hops < 2^63. Persisted frames are exposed via
+    ``result.persisted_intermediates`` — unpersist when done.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_t"),
+        F.col(weight).cast("long").alias("_w"),
+    ).persist()
+    dist = (
+        sources.select(
+            F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
+        )
+        .distinct()
+        .persist()
+    )
+    persisted = [e, dist]
+    for _ in range(n_rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["_s"])
+            .select(
+                F.col("_t").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+            .unionByName(dist.select("node", "dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        relaxed.count()  # materialize before dropping the parent
+        persisted.append(relaxed)
+        dist = relaxed
+    dist.persisted_intermediates = persisted
+    return dist

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules",
            "GOPHER_STOPWORDS", "k_anonymity_audit", "benford_audit",
-           "BENFORD_PPM"]
+           "BENFORD_PPM", "ndv_profile"]
 
 #: Small closed-class word set used by the "document contains at least
 #: two stopwords" heuristic (Rae et al. 2021, "Scaling Language Models"
@@ -379,4 +379,43 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
         .orderBy("digit")
+    )
+
+
+def ndv_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact per-column cardinality profile in ONE scan: for each
+    candidate column, its distinct-value count and the reduction ratio
+    n_rows/ndv — the numbers that decide whether a pre-aggregation (or
+    a partial/map-side combine) on that key pays for itself, and which
+    join side is dictionary-encodable. Multiple COUNT(DISTINCT)s in one
+    aggregate compile to Spark's Expand operator: one pass over the
+    data, rows multiplied by the (small) number of profiled columns —
+    never one scan per column.
+
+    Output: one row per profiled column — ``col_name ndv n_rows
+    reduction`` (reduction = ONE unrounded double division of the two
+    exact counts).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.count_distinct(F.col(c)).alias(f"__ndv_{i}")
+        for i, c in enumerate(cols)
+    ]
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', __ndv_{i}" for i, c in enumerate(cols)
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(cols)}, {pairs}) AS (col_name, ndv)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "col_name",
+            "ndv",
+            "n_rows",
+            (F.col("n_rows") / F.col("ndv")).alias("reduction"),
+        )
+        .orderBy("col_name")
     )

@@ -1061,6 +1061,141 @@ FROM t"""
 
 
 # ----------------------------------------------------------------------
+# Weighted shortest paths (bounded synchronous Bellman-Ford)
+# ----------------------------------------------------------------------
+
+SP_NATION = 0
+SP_ROUNDS = 3
+
+
+def q_rel_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths on the supplier↔customer
+    graph (operators/graph.shortest_paths): edge weight = cheapest
+    lineitem between the pair in $100 units + 1, sources = one
+    nation's suppliers, 3 synchronous Bellman-Ford relaxations (fixed
+    round count — the iterative-operator contract). Exact integer
+    costs; the oracle replays each relaxation as a chained CTE.
+    Unlike BFS the full node-sized distance frame relaxes each round
+    (a cheaper longer-hop path can supersede), persisted edges shuffle
+    once."""
+    from .operators.graph import shortest_paths
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            (F.col("l_suppkey") * 2 + 1).alias("a"),
+            (F.col("o_custkey") * 2).alias("b"),
+        )
+        .agg((F.min(F.expr("cents div 10000")) + 1).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    # key-mod source set: non-empty at every scale factor (a nation
+    # filter is empty at sf0.001 where only a handful of suppliers exist)
+    sources = su.where(F.col("s_suppkey") % 5 == SP_NATION).select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    dist = shortest_paths(edges, sources, n_rounds=SP_ROUNDS)
+    out = dist.select(
+        F.when(
+            F.col("node") % 2 == 1,
+            F.concat(F.lit("s"), F.shiftright("node", 1)),
+        )
+        .otherwise(F.concat(F.lit("c"), F.shiftright("node", 1)))
+        .alias("node"),
+        "dist",
+    ).orderBy("node").persist()
+    out.count()
+    for frame in dist.persisted_intermediates:
+        frame.unpersist()
+    return out
+
+
+def _sql_shortest_path() -> str:
+    steps = []
+    for k in range(1, SP_ROUNDS + 1):
+        steps.append(f"""
+d{k} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{k - 1} d JOIN edges e ON d.node = e.src
+    UNION ALL
+    SELECT node, dist FROM d{k - 1}
+  ) GROUP BY node
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT l_suppkey * 2 + 1 AS a, o_custkey * 2 AS b,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT) // 10000) + 1
+           AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+d0 AS (
+  SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+  FROM supplier WHERE s_suppkey % 5 = {SP_NATION}
+),{",".join(steps)}
+SELECT CASE WHEN node % 2 = 1 THEN 's' || CAST(node // 2 AS VARCHAR)
+            ELSE 'c' || CAST(node // 2 AS VARCHAR) END AS node,
+       dist
+FROM d{SP_ROUNDS} ORDER BY node"""
+
+
+# ----------------------------------------------------------------------
+# One-scan exact NDV / reduction-ratio profile
+# ----------------------------------------------------------------------
+
+NDV_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_dq_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cardinality profile of candidate aggregation keys in ONE
+    scan (operators/quality.ndv_profile): multiple COUNT(DISTINCT)s
+    compile to one Expand pass; per column the profile emits ndv and
+    n_rows/ndv — the reduction ratio that decides whether map-side
+    combine on that key pays for itself."""
+    from .operators.quality import ndv_profile
+
+    od = load_table(spark, sf_dir, "orders")
+    return ndv_profile(od, NDV_COLS)
+
+
+_SQL_NDV_PROFILE = """
+WITH t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n0,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n1,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n2
+  FROM orders
+)
+SELECT col_name, ndv, n_rows, n_rows / ndv AS reduction FROM (
+  SELECT 'o_custkey' AS col_name, n0 AS ndv, n_rows FROM t
+  UNION ALL SELECT 'o_orderstatus', n1, n_rows FROM t
+  UNION ALL SELECT 'o_orderpriority', n2, n_rows FROM t
+)
+ORDER BY col_name"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1082,6 +1217,8 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_repair_plan": q_rel_repair_plan,
     "feat_interpolate": q_feat_interpolate,
     "dq_sample_error": q_dq_sample_error,
+    "rel_shortest_path": q_rel_shortest_path,
+    "dq_ndv_profile": q_dq_ndv_profile,
 }
 
 
@@ -1104,4 +1241,6 @@ def oracles11() -> Dict[str, str]:
         "rel_repair_plan": _sql_repair_plan(),
         "feat_interpolate": _SQL_INTERPOLATE,
         "dq_sample_error": _sql_sample_error(),
+        "rel_shortest_path": _sql_shortest_path(),
+        "dq_ndv_profile": _SQL_NDV_PROFILE,
     }

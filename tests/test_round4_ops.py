@@ -825,3 +825,48 @@ def test_sample_error_identity(spark, sf_dir):
     # 10% md5 sample of a uniform column: estimate within 10% of exact
     assert r["err_ppm"] < 100_000
     assert r["est_cents"] % 10 == 0  # scaled by exactly 10
+
+
+# ----------------------------------------------------------------------
+# shortest_paths / ndv_profile
+# ----------------------------------------------------------------------
+
+
+def test_shortest_paths_closed_form(spark):
+    from panelsplit_spark.operators.graph import shortest_paths
+
+    # diamond: s->a (10), s->b (1), b->a (2), a->t (1), b->t (100)
+    # best to a = 3 (via b), to t = 4 (s-b-a-t) needs 3 rounds
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 10), ("s", "b", 1), ("b", "a", 2),
+            ("a", "t", 1), ("b", "t", 100),
+        ],
+        ["src", "dst", "w"],
+    )
+    srcs = spark.createDataFrame([("s",)], ["node"])
+    d3 = shortest_paths(edges, srcs, n_rounds=3)
+    got = {r["node"]: r["dist"] for r in d3.collect()}
+    for f in d3.persisted_intermediates:
+        f.unpersist()
+    assert got == {"s": 0, "a": 3, "b": 1, "t": 4}
+
+    # with only 2 rounds the 3-hop path to t is not yet found
+    d2 = shortest_paths(edges, srcs, n_rounds=2)
+    got2 = {r["node"]: r["dist"] for r in d2.collect()}
+    for f in d2.persisted_intermediates:
+        f.unpersist()
+    # best ≤2-edge path to t: s-a-t = 11 (the cheap s-b-a-t needs 3)
+    assert got2["t"] == 11 and got2["a"] == 3
+
+
+def test_ndv_profile_exact(spark):
+    from panelsplit_spark.operators.quality import ndv_profile
+
+    rows = [(i % 3, i % 5, "x") for i in range(30)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    out = {r["col_name"]: r for r in ndv_profile(df, ["a", "b", "c"]).collect()}
+    assert out["a"]["ndv"] == 3 and out["a"]["n_rows"] == 30
+    assert out["a"]["reduction"] == 10.0
+    assert out["b"]["ndv"] == 5 and out["b"]["reduction"] == 6.0
+    assert out["c"]["ndv"] == 1 and out["c"]["reduction"] == 30.0
