@@ -354,6 +354,18 @@ SF1_HEADLINE = [
     "stream_score",
     "rel_tpch_q2",
     "src_compaction",
+    "rel_table_fingerprint",
+    "rel_repair_plan",
+    "rel_snapshot_diff",
+    "cv_auc_price",
+    "rel_rolling_distinct",
+    "rel_shortest_path",
+    "pipe_item_pairs",
+    "rel_join_estimate",
+    "text_inverted_index",
+    "feat_weighted_median",
+    "dq_sample_error",
+    "dq_k_anonymity",
 ]
 
 
