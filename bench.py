@@ -246,6 +246,8 @@ HEADLINE = [
     "dq_sample_error",
     "rel_shortest_path",
     "dq_ndv_profile",
+    "dedup_lsh_recall",
+    "pipe_quota_sample",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -17,7 +17,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["hash_bucket", "hash_split", "hash_sample",
     "weighted_hash_sample", "stratified_topn",
            "pack_sequences", "rebalance_sources", "winsorize",
-           "dsir_weights", "temperature_mix"]
+           "dsir_weights", "temperature_mix"           "stratified_quota_sample",
+]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
 # threshold comparisons are exact integer comparisons on both engines
@@ -465,3 +466,41 @@ def temperature_mix(
             ),
         )
     )
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_cols,
+    id_col: str,
+    frac_bp: int,
+    salt: str = "",
+) -> DataFrame:
+    """Proportional-allocation stratified sample with EXACT integer
+    quotas: every stratum contributes ceil(n_s · frac_bp / 10000) rows
+    (never zero for a non-empty stratum — small strata are preserved,
+    which is the reason to stratify at all), chosen as the first
+    ``quota`` rows under the md5-hash order (id tiebreak) — so the
+    sample is deterministic under reruns, repartitioning, and engine
+    swaps, unlike rate-based Bernoulli sampling whose per-stratum count
+    fluctuates.
+
+    Scale: one window over the stratum key computes rank and stratum
+    size in the SAME pass (count over the unbounded frame shares the
+    partition sort); the quota comparison is per-row arithmetic. One
+    shuffle total.
+    """
+    from pyspark.sql import Window
+
+    strata = (
+        [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    )
+    scols = [F.col(c) for c in strata]
+    wr = Window.partitionBy(*scols).orderBy(
+        hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    wn = Window.partitionBy(*scols)
+    ranked = df.withColumn("__rk", F.row_number().over(wr)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    quota = F.expr(f"(__n * {int(frac_bp)} + 9999) div 10000")
+    return ranked.where(F.col("__rk") <= quota).drop("__rk", "__n")

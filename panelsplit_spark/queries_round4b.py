@@ -611,6 +611,36 @@ FROM trans t JOIN tot USING (src)
 ORDER BY t.src, t.dst"""
 
 
+
+# Per-invocation feed-dir counter for the streaming gates below: a
+# FRESH directory per drain removes every possible interaction between
+# consecutive invocations of the same gate inside one long session
+# (bench warm pass + two timed passes) — the file-stream source never
+# sees a directory it has listed before. Contents are deterministic;
+# only the path varies.
+_FEED_SEQ = [0]
+
+
+def _fresh_feed(leaf: str) -> str:
+    import os
+    import shutil
+
+    _FEED_SEQ[0] += 1
+    d = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks",
+        f"{leaf}_{os.getpid()}_{_FEED_SEQ[0]}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    # clean up feeds from PREVIOUS invocations of this gate (bounded
+    # garbage: at most one dir per drain per session otherwise)
+    parent = os.path.dirname(d)
+    if os.path.isdir(parent):
+        for old in os.listdir(parent):
+            if old.startswith(leaf + "_") and old != os.path.basename(d):
+                shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
+    return d
+
+
 # ----------------------------------------------------------------------
 # Streaming incremental table fingerprint
 # ----------------------------------------------------------------------
@@ -644,29 +674,33 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").cast("string").alias("r3"),
     )
     key = F.col("r1").cast("long")
-    feed = os.path.join(
-        os.getcwd(), "spark-warehouse", "sinks", "fingerprint_feed"
-    )
-    write_file_batches(
-        [ev.where(key % SFP_BATCHES == j) for j in range(SFP_BATCHES)],
-        feed,
-    )
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
     name = "stream_fingerprint_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    with stream_shuffle_partitions(spark):
-        q, get_fp = stream_table_fingerprint(
-            stream, ["r1", "r2", "r3"], n_buckets=SFP_BUCKETS,
-            query_name=name,
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("fingerprint_feed")
+        write_file_batches(
+            [ev.where(key % SFP_BATCHES == j) for j in range(SFP_BATCHES)],
+            feed,
         )
-        q.awaitTermination()
-    return get_fp().orderBy("bucket")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_fp = stream_table_fingerprint(
+                stream, ["r1", "r2", "r3"], n_buckets=SFP_BUCKETS,
+                query_name=name,
+            )
+            q.awaitTermination()
+        state = get_fp()
+        if state is not None:
+            return state.orderBy("bucket")
+    raise RuntimeError(
+        "stream_fingerprint: drain processed zero non-empty batches twice"
+    )
 
 
 _SQL_STREAM_FINGERPRINT = f"""
@@ -721,29 +755,33 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    feed = os.path.join(
-        os.getcwd(), "spark-warehouse", "sinks", "auc_feed"
-    )
-    write_file_batches(
-        [
-            od.where(F.col("k") % SAUC_BATCHES == j).drop("k")
-            for j in range(SAUC_BATCHES)
-        ],
-        feed,
-    )
-    stream = (
-        spark.readStream.schema(od.drop("k").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
     name = "stream_auc_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    with stream_shuffle_partitions(spark):
-        q, get_auc = stream_auc(stream, "cents", "y", query_name=name)
-        q.awaitTermination()
-    return get_auc()
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("auc_feed")
+        write_file_batches(
+            [
+                od.where(F.col("k") % SAUC_BATCHES == j).drop("k")
+                for j in range(SAUC_BATCHES)
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(od.drop("k").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_auc = stream_auc(stream, "cents", "y", query_name=name)
+            q.awaitTermination()
+        try:
+            return get_auc()
+        except Exception:
+            if attempt == 1:
+                raise
+    raise RuntimeError("stream_auc: drain failed twice")
 
 
 # the batch oracle: identical to _SQL_AUC_PRICE — the streaming drain
@@ -1196,6 +1234,175 @@ ORDER BY col_name"""
 
 
 # ----------------------------------------------------------------------
+# LSH recall/efficiency eval against the exact all-pairs truth
+# ----------------------------------------------------------------------
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality eval for the MinHash/LSH dedup path: exact
+    above-threshold Jaccard pairs (the all-pairs truth the scale path
+    exists to avoid) vs the LSH-candidate→verify pipeline, reduced to
+    the numbers that justify the banding config — truth count,
+    candidate count, verified hits, recall and candidate efficiency in
+    integer basis points. Same constants as dedup_jaccard /
+    dedup_minhash_lsh so this grades exactly the shipped config."""
+    from .operators import dedup
+    from .queries_data import (
+        JACCARD_N,
+        JACCARD_T,
+        MH_BAND,
+        MH_HASHES,
+        MH_SHINGLE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T
+    ).select("id_a", "id_b")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
+    ).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = exact.join(verified, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            F.expr("(n_hits * 10000) div n_exact").alias("recall_bp"),
+            F.expr("(n_hits * 10000) div n_candidates").alias(
+                "efficiency_bp"
+            ),
+        )
+    )
+
+
+def _sql_lsh_recall() -> str:
+    from .queries_data import (
+        _SQL_DEDUP_JACCARD,
+        _sql_jaccard_lsh,
+    )
+
+    exact = _SQL_DEDUP_JACCARD.strip()
+    ver = _sql_jaccard_lsh().strip()
+    # candidate count: the verified CTE's cands subquery — rebuild from
+    # the shared banding SQL to count PRE-verification pairs
+    from .queries_data import _sql_minhash_lsh
+
+    cands = _sql_minhash_lsh().strip()
+    return f"""
+WITH exact_pairs AS (
+  {exact}
+),
+cand_pairs AS (
+  {cands}
+),
+ver_pairs AS (
+  {ver}
+),
+t AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM exact_pairs) AS n_exact,
+    (SELECT CAST(count(*) AS BIGINT) FROM cand_pairs) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM exact_pairs e
+      WHERE EXISTS (SELECT 1 FROM ver_pairs v
+                    WHERE v.id_a = e.id_a AND v.id_b = e.id_b)) AS n_hits
+)
+SELECT n_exact, n_candidates, n_hits,
+       (n_hits * 10000) // n_exact AS recall_bp,
+       (n_hits * 10000) // n_candidates AS efficiency_bp
+FROM t"""
+
+
+# ----------------------------------------------------------------------
+# Proportional-quota stratified sample audit
+# ----------------------------------------------------------------------
+
+QSAMP_BP = 2000  # 20%
+QSAMP_SALT = "quota"
+
+
+def q_pipe_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional-allocation stratified sampling audit over documents
+    by language (operators/sampling.stratified_quota_sample): every
+    stratum contributes EXACTLY ceil(n·20%) rows under the md5-hash
+    order — the audit emits per-stratum population, quota, achieved
+    count (an identity when the operator is correct), and a modular sum
+    of sampled doc ids so the gate pins WHICH rows, not just how
+    many."""
+    from .operators.sampling import stratified_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    samp = stratified_quota_sample(
+        docs, "lang", "doc_id", frac_bp=QSAMP_BP, salt=QSAMP_SALT
+    )
+    pop = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_rows"))
+    got = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.expr(
+            "CAST(sum(CAST(doc_id AS DECIMAL(38,0)))"
+            " % 2305843009213693951 AS BIGINT)"
+        ).alias("id_sig"),
+    )
+    return (
+        pop.join(got, "lang")
+        .select(
+            "lang",
+            "n_rows",
+            F.expr(f"(n_rows * {QSAMP_BP} + 9999) div 10000").alias(
+                "quota"
+            ),
+            "n_sampled",
+            "id_sig",
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_quota_sample() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket("doc_id", QSAMP_SALT)
+    return f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ({hb}), doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+samp AS (
+  SELECT lang, doc_id FROM ranked
+  WHERE rk <= (n * {QSAMP_BP} + 9999) // 10000
+),
+pop AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY lang
+),
+got AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(doc_id) % 2305843009213693951 AS BIGINT) AS id_sig
+  FROM samp GROUP BY lang
+)
+SELECT pop.lang, n_rows,
+       (n_rows * {QSAMP_BP} + 9999) // 10000 AS quota,
+       n_sampled, id_sig
+FROM pop JOIN got USING (lang)
+ORDER BY lang"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1219,6 +1426,8 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_sample_error": q_dq_sample_error,
     "rel_shortest_path": q_rel_shortest_path,
     "dq_ndv_profile": q_dq_ndv_profile,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
+    "pipe_quota_sample": q_pipe_quota_sample,
 }
 
 
@@ -1243,4 +1452,6 @@ def oracles11() -> Dict[str, str]:
         "dq_sample_error": _sql_sample_error(),
         "rel_shortest_path": _sql_shortest_path(),
         "dq_ndv_profile": _SQL_NDV_PROFILE,
+        "dedup_lsh_recall": _sql_lsh_recall(),
+        "pipe_quota_sample": _sql_quota_sample(),
     }

@@ -870,3 +870,39 @@ def test_ndv_profile_exact(spark):
     assert out["a"]["reduction"] == 10.0
     assert out["b"]["ndv"] == 5 and out["b"]["reduction"] == 6.0
     assert out["c"]["ndv"] == 1 and out["c"]["reduction"] == 30.0
+
+
+# ----------------------------------------------------------------------
+# stratified_quota_sample / lsh recall eval
+# ----------------------------------------------------------------------
+
+
+def test_quota_sample_exact_quotas_and_determinism(spark):
+    from panelsplit_spark.operators.sampling import stratified_quota_sample
+
+    rows = [(i, "big" if i < 100 else "small") for i in range(103)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    samp = stratified_quota_sample(df, "s", "id", frac_bp=2500)
+    got = {r["s"]: r["n"] for r in samp.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # ceil(100*0.25)=25, ceil(3*0.25)=1 — the tiny stratum is preserved
+    assert got == {"big": 25, "small": 1}
+    # deterministic: identical id set on a second run
+    a = sorted(r["id"] for r in samp.collect())
+    b = sorted(
+        r["id"]
+        for r in stratified_quota_sample(
+            df, "s", "id", frac_bp=2500
+        ).collect()
+    )
+    assert a == b
+
+
+def test_lsh_recall_bounds(spark, sf_dir):
+    from panelsplit_spark.queries_round4b import q_dedup_lsh_recall
+
+    r = q_dedup_lsh_recall(spark, sf_dir).collect()[0]
+    assert 0 < r["n_hits"] <= r["n_exact"]
+    assert 0 <= r["recall_bp"] <= 10_000
+    assert 0 <= r["efficiency_bp"] <= 10_000
+    # the shipped banding config must actually be a usable index
+    assert r["recall_bp"] >= 5_000

@@ -97,6 +97,7 @@ BNLJ_WHITELIST = {
     "feat_mutual_info",      # single-row corpus-total scalar over cells
     "rel_rolling_distinct",  # single-row span-bounds scalar clip
     "rel_repair_plan",       # ≤64-row flagged-bucket list + 1-row stats
+    "dedup_lsh_recall",      # three single-row eval counters crossed in
 }
 
 
