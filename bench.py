@@ -248,6 +248,7 @@ HEADLINE = [
     "dq_ndv_profile",
     "dedup_lsh_recall",
     "pipe_quota_sample",
+    "rel_top_paths",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -34,6 +34,7 @@ __all__ = [
     "rolling_distinct",
     "markov_transitions",
     "interpolate_linear",
+    "session_paths",
 ]
 
 
@@ -556,4 +557,62 @@ def interpolate_linear(
         F.when(F.col("__v").isNull(), F.lit(1))
         .otherwise(F.lit(0))
         .alias("is_interp"),
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    gap_seconds: float = 1800.0,
+    order_cols: Sequence[str] = (),
+    max_steps: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most common session paths: sessionize, render each
+    session's first ``max_steps`` events as one ``a>b>c`` string, count
+    paths, keep the k most frequent (ties broken by path string — the
+    deterministic-rank discipline every top-k in this repo follows).
+
+    The path rendering is collection-order-proof: events collect as
+    (ts, order_cols…, state) structs and ``array_sort`` orders them by
+    the struct's natural (ts-first) order before the slice+join — so
+    the same string emerges under any partitioning.
+
+    Scale: one entity-keyed shuffle for the session window, one
+    (entity, session)-keyed aggregate whose state is capped by
+    ``max_steps`` only after sort (cap the input first if sessions are
+    unbounded), one path-keyed count, one tiny top-k sort.
+
+    Output: ``path n_sessions rnk`` (rnk 1..top_k).
+    """
+    from pyspark.sql import Window as W
+
+    sess = sessionize(
+        df, key_cols, ts_col, gap_seconds, order_cols=order_cols
+    )
+    keys = [F.col(k) for k in key_cols]
+    ev = F.struct(
+        F.col(ts_col).alias("t"),
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(state_col).alias("s"),
+    )
+    paths = (
+        sess.groupBy(*keys, F.col("session_id"))
+        .agg(F.array_sort(F.collect_list(ev)).alias("evs"))
+        .select(
+            F.array_join(
+                F.slice(F.expr("transform(evs, e -> e.s)"), 1, max_steps),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    w = W.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        paths.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .orderBy("rnk")
     )

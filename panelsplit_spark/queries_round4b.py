@@ -1403,6 +1403,76 @@ ORDER BY lang"""
 
 
 # ----------------------------------------------------------------------
+# Top session paths
+# ----------------------------------------------------------------------
+
+TP_STEPS = 8
+TP_K = 20
+
+
+def q_rel_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common session journeys over the events stream
+    (operators/timeseries.session_paths): sessionize at 30 minutes,
+    render each session's first 8 event types as an ``a>b>c`` string
+    via an array_sort'ed collect (collection-order-proof), count paths,
+    deterministic top-k (count desc, path asc). The product-analytics
+    "what do users actually do" query."""
+    from .operators.timeseries import session_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_paths(
+        ev,
+        ["user_id"],
+        "ts",
+        "event_type",
+        gap_seconds=MK_GAP_S,
+        order_cols=["event_id"],
+        max_steps=TP_STEPS,
+        top_k=TP_K,
+    )
+
+
+_SQL_TOP_PATHS = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, event_type, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e
+),
+sess AS (
+  SELECT user_id, event_id, event_type, t,
+         CAST(sum(CASE WHEN pt IS NULL OR t - pt > 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM lagged
+),
+stepped AS (
+  SELECT user_id, sid, event_type, t, event_id,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY t, event_id) AS rk
+  FROM sess
+),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY t, event_id) AS path
+  FROM stepped WHERE rk <= {TP_STEPS}
+  GROUP BY user_id, sid
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths
+  GROUP BY path
+)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+            AS BIGINT) AS rnk
+FROM counted
+QUALIFY rnk <= {TP_K}
+ORDER BY rnk"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1428,6 +1498,7 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_ndv_profile": q_dq_ndv_profile,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "pipe_quota_sample": q_pipe_quota_sample,
+    "rel_top_paths": q_rel_top_paths,
 }
 
 
@@ -1454,4 +1525,5 @@ def oracles11() -> Dict[str, str]:
         "dq_ndv_profile": _SQL_NDV_PROFILE,
         "dedup_lsh_recall": _sql_lsh_recall(),
         "pipe_quota_sample": _sql_quota_sample(),
+        "rel_top_paths": _SQL_TOP_PATHS,
     }

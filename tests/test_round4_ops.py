@@ -906,3 +906,34 @@ def test_lsh_recall_bounds(spark, sf_dir):
     assert 0 <= r["efficiency_bp"] <= 10_000
     # the shipped banding config must actually be a usable index
     assert r["recall_bp"] >= 5_000
+
+
+def test_session_paths_closed_form(spark):
+    from datetime import datetime
+
+    from panelsplit_spark.operators.timeseries import session_paths
+
+    mk = lambda m: datetime(2024, 1, 1, 12, m)
+    rows = [
+        # u1 session: a>b>c ; u2 session: a>b>c ; u3 session: b alone
+        (1, 1, mk(0), "a"), (1, 2, mk(1), "b"), (1, 3, mk(2), "c"),
+        (2, 4, mk(0), "a"), (2, 5, mk(1), "b"), (2, 6, mk(2), "c"),
+        (3, 7, mk(0), "b"),
+        # u1 second session (2h later): a alone
+        (1, 8, datetime(2024, 1, 1, 15), "a"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "et"])
+    out = [
+        tuple(r)
+        for r in session_paths(
+            df, ["user_id"], "ts", "et", gap_seconds=1800,
+            order_cols=["event_id"], max_steps=8, top_k=10,
+        ).collect()
+    ]
+    assert out == [("a>b>c", 2, 1), ("a", 1, 2), ("b", 1, 3)]
+    # max_steps cap truncates the rendering
+    capped = session_paths(
+        df, ["user_id"], "ts", "et", gap_seconds=1800,
+        order_cols=["event_id"], max_steps=2, top_k=10,
+    ).collect()
+    assert {r["path"] for r in capped} == {"a>b", "a", "b"}
