@@ -249,6 +249,8 @@ HEADLINE = [
     "dedup_lsh_recall",
     "pipe_quota_sample",
     "rel_top_paths",
+    "feat_cusum",
+    "feat_collapse_rare",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

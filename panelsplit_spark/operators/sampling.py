@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["hash_bucket", "hash_split", "hash_sample",
     "weighted_hash_sample", "stratified_topn",
            "pack_sequences", "rebalance_sources", "winsorize",
-           "dsir_weights", "temperature_mix"           "stratified_quota_sample",
+           "dsir_weights", "temperature_mix"           "stratified_quota_sample", "collapse_rare",
 ]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
@@ -504,3 +504,35 @@ def stratified_quota_sample(
     )
     quota = F.expr(f"(__n * {int(frac_bp)} + 9999) div 10000")
     return ranked.where(F.col("__rk") <= quota).drop("__rk", "__n")
+
+
+def collapse_rare(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int,
+    other_label: str = "__OTHER__",
+) -> DataFrame:
+    """Long-tail category collapsing: any category seen fewer than
+    ``min_count`` times is replaced by ``other_label`` — the standard
+    pre-encoding step that keeps a one-hot/target-encoded feature
+    matrix bounded when the raw category dimension is unbounded
+    (user agents, SKUs, hosts).
+
+    Scale: one map-side-combinable category count, then one
+    category-keyed equi-join back (NOT a broadcast — the category
+    dimension is unbounded by assumption; AQE will broadcast it anyway
+    when it turns out small). The rewrite is a projection.
+    """
+    counts = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        df.join(counts, F.col(cat_col) == F.col("__cat"), "left")
+        .withColumn(
+            cat_col,
+            F.when(
+                F.col("__cnt") >= min_count, F.col(cat_col)
+            ).otherwise(F.lit(other_label)),
+        )
+        .drop("__cat", "__cnt")
+    )

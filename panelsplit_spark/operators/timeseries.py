@@ -35,6 +35,7 @@ __all__ = [
     "markov_transitions",
     "interpolate_linear",
     "session_paths",
+    "cusum_detect",
 ]
 
 
@@ -615,4 +616,42 @@ def session_paths(
         paths.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top_k)
         .orderBy("rnk")
+    )
+
+
+def cusum_detect(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    drift_k: int,
+    threshold_h: int,
+) -> DataFrame:
+    """One-sided CUSUM change-point signal per entity over an integer
+    value series: ``S_t = max(0, S_{t-1} + (x_t − k))`` flags a
+    sustained upward shift when ``S_t > h``. The sequential recurrence
+    LOOKS unparallelizable, but the classic prefix identity
+    ``S_t = C_t − min_{j ≤ t} C_j`` (C = running sum of x − k) turns it
+    into two stacked windows over the same entity-keyed sort — pure
+    whole-stage-codegen window algebra, exact integers end to end, one
+    shuffle.
+
+    Output: per (entity, order) row — ``cusum`` (exact BIGINT) and
+    ``alarm`` (0/1 for cusum > h).
+    """
+    w = Window.partitionBy(F.col(entity_col)).orderBy(F.col(order_col))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = F.sum(F.col(value_col).cast("long") - F.lit(int(drift_k))).over(wc)
+    out = df.withColumn("__c", c)
+    run_min = F.min(F.col("__c")).over(wc)
+    return (
+        out.withColumn(
+            "cusum",
+            F.greatest(F.col("__c") - run_min, F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "alarm",
+            (F.col("cusum") > F.lit(int(threshold_h))).cast("int"),
+        )
+        .drop("__c")
     )

@@ -1473,6 +1473,116 @@ ORDER BY rnk"""
 
 
 # ----------------------------------------------------------------------
+# CUSUM change detection
+# ----------------------------------------------------------------------
+
+CU_K = 60_000_000  # drift allowance: $600k/day in cents
+CU_H = 100_000_000  # alarm threshold: $1m cumulated excess
+
+
+def q_feat_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over daily order revenue per priority class
+    (operators/timeseries.cusum_detect): the sequential
+    ``S_t = max(0, S_{t-1} + x_t − k)`` recurrence parallelized via the
+    prefix identity S_t = C_t − min_{j≤t} C_j — two stacked windows on
+    one entity-keyed sort, exact integer cents end to end."""
+    from .operators.timeseries import cusum_detect
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    return cusum_detect(
+        daily, "prio", "day", "cents", drift_k=CU_K, threshold_h=CU_H
+    ).select("prio", "day", "cents", "cusum", "alarm").orderBy(
+        "prio", "day"
+    )
+
+
+_SQL_CUSUM = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+c AS (
+  SELECT prio, day, cents,
+         CAST(sum(cents - {CU_K}) OVER
+           (PARTITION BY prio ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+  FROM daily
+),
+m AS (
+  SELECT prio, day, cents, cc,
+         CAST(min(cc) OVER (PARTITION BY prio ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn
+  FROM c
+)
+SELECT prio, day, cents,
+       greatest(cc - mn, 0) AS cusum,
+       CASE WHEN greatest(cc - mn, 0) > {CU_H} THEN 1 ELSE 0 END AS alarm
+FROM m ORDER BY prio, day"""
+
+
+# ----------------------------------------------------------------------
+# Rare-category collapsing audit
+# ----------------------------------------------------------------------
+
+RARE_MIN = 50
+
+
+def q_feat_collapse_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail collapsing of the per-customer category (nation ×
+    segment) on orders (operators/sampling.collapse_rare): categories
+    under 50 occurrences fold into __OTHER__; the audit emits the final
+    category census — the pre-encoding step that bounds a feature
+    matrix when the raw dimension is unbounded."""
+    from .operators.sampling import collapse_rare
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws(
+            "/", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+        ).alias("cat"),
+    )
+    od = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        collapse_rare(od, "cat", min_count=RARE_MIN)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cat")
+    )
+
+
+_SQL_COLLAPSE_RARE = f"""
+WITH od AS (
+  SELECT concat_ws('/', CAST(c_nationkey AS VARCHAR), c_mktsegment)
+           AS cat
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+counts AS (
+  SELECT cat, CAST(count(*) AS BIGINT) AS cnt FROM od GROUP BY cat
+)
+SELECT CASE WHEN cnt >= {RARE_MIN} THEN od.cat
+            ELSE '__OTHER__' END AS cat,
+       CAST(count(*) AS BIGINT) AS n
+FROM od JOIN counts USING (cat)
+GROUP BY 1 ORDER BY cat"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1499,6 +1609,8 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "pipe_quota_sample": q_pipe_quota_sample,
     "rel_top_paths": q_rel_top_paths,
+    "feat_cusum": q_feat_cusum,
+    "feat_collapse_rare": q_feat_collapse_rare,
 }
 
 
@@ -1526,4 +1638,6 @@ def oracles11() -> Dict[str, str]:
         "dedup_lsh_recall": _sql_lsh_recall(),
         "pipe_quota_sample": _sql_quota_sample(),
         "rel_top_paths": _SQL_TOP_PATHS,
+        "feat_cusum": _SQL_CUSUM,
+        "feat_collapse_rare": _SQL_COLLAPSE_RARE,
     }

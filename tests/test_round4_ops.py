@@ -937,3 +937,35 @@ def test_session_paths_closed_form(spark):
         order_cols=["event_id"], max_steps=2, top_k=10,
     ).collect()
     assert {r["path"] for r in capped} == {"a>b", "a", "b"}
+
+
+def test_cusum_closed_form(spark):
+    from panelsplit_spark.operators.timeseries import cusum_detect
+
+    # x = [5, 5, 20, 20, 0], k=10:
+    # increments x-k = [-5, -5, 10, 10, -10]
+    # S (max(0, S+inc)) = [0, 0, 10, 20, 10]
+    rows = [("e", i, v) for i, v in enumerate([5, 5, 20, 20, 0])]
+    df = spark.createDataFrame(rows, ["e", "t", "x"])
+    out = {
+        r["t"]: r
+        for r in cusum_detect(df, "e", "t", "x", drift_k=10,
+                              threshold_h=15).collect()
+    }
+    assert [out[i]["cusum"] for i in range(5)] == [0, 0, 10, 20, 10]
+    assert [out[i]["alarm"] for i in range(5)] == [0, 0, 0, 1, 0]
+
+
+def test_collapse_rare_closed_form(spark):
+    from panelsplit_spark.operators.sampling import collapse_rare
+
+    rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["cat"])
+    out = {
+        r["cat"]: r["n"]
+        for r in collapse_rare(df, "cat", min_count=3)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == {"a": 5, "__OTHER__": 3}
