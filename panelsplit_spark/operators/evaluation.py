@@ -98,19 +98,20 @@ def auc_ranksum(
         "n",
         "n_pos",
         (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        # n_pos cast to decimal BEFORE the multiply: the int64 product
+        # wraps at n_pos ~ 3e9, corrupting the very guard meant to
+        # catch that scale
         F.when(
             F.abs(
                 F.col("_r2")
-                - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
-                    "decimal(38,0)"
-                )
+                - F.col("n_pos").cast("decimal(38,0)")
+                * (F.col("n_pos") + 1).cast("decimal(38,0)")
             )
             <= i64max,
             (
                 F.col("_r2")
-                - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
-                    "decimal(38,0)"
-                )
+                - F.col("n_pos").cast("decimal(38,0)")
+                * (F.col("n_pos") + 1).cast("decimal(38,0)")
             ).cast("long"),
         )
         .otherwise(

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["hash_bucket", "hash_split", "hash_sample",
     "weighted_hash_sample", "stratified_topn",
            "pack_sequences", "rebalance_sources", "winsorize",
-           "dsir_weights", "temperature_mix"           "stratified_quota_sample", "collapse_rare",
+           "dsir_weights", "temperature_mix", "stratified_quota_sample", "collapse_rare",
 ]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
@@ -527,7 +527,10 @@ def collapse_rare(
         F.count(F.lit(1)).alias("__cnt")
     )
     return (
-        df.join(counts, F.col(cat_col) == F.col("__cat"), "left")
+        # eqNullSafe: a NULL category is a category too — plain equality
+        # would never match it against its own count row and silently
+        # fold frequent NULLs into other_label
+        df.join(counts, F.col(cat_col).eqNullSafe(F.col("__cat")), "left")
         .withColumn(
             cat_col,
             F.when(

@@ -387,8 +387,11 @@ def rolling_distinct(
     rows). Target days are clipped to the observed [min, max] span (a
     trailing window that starts before the data would undercount).
 
-    Output: ``day n_active`` (day as yyyy-MM-dd string), one row per
-    day in the span.
+    Output: ``day n_active`` (day as yyyy-MM-dd string). SPARSE: a
+    day inside the span with zero active entities in its trailing
+    window emits NO row (join a calendar grid downstream if a dense
+    axis is needed) — with window ≥ the longest per-entity gap this
+    never happens.
 
     Scale: two map-side-combinable distincts + one count, all keyed;
     the single-row span bound is the only broadcast.
@@ -643,7 +646,11 @@ def cusum_detect(
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     c = F.sum(F.col(value_col).cast("long") - F.lit(int(drift_k))).over(wc)
     out = df.withColumn("__c", c)
-    run_min = F.min(F.col("__c")).over(wc)
+    # the identity needs the virtual C_0 = 0 term: S_t = C_t - min(0,
+    # min_{j<=t} C_j). Without the 0, a series that starts ABOVE the
+    # drift (prefix sums never dip <= 0) has its first excursion
+    # silently zeroed and early alarms are missed.
+    run_min = F.least(F.min(F.col("__c")).over(wc), F.lit(0).cast("long"))
     return (
         out.withColumn(
             "cusum",

@@ -1029,8 +1029,8 @@ SE_SAMPLE_BP = 1000  # 10% sample
 def q_dq_sample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-error audit in ONE scan: estimate total lineitem
     revenue (cents) from the deterministic 10% md5-hash sample,
-    scale by the inverse sampling rate, and report the signed error
-    vs the exact total in ppm — the accuracy evidence a pipeline
+    scale by the inverse sampling rate, and report the ABSOLUTE error
+    vs the exact total in ppm (magnitude only; drop the abs for bias) — the accuracy evidence a pipeline
     needs before trusting sampled dashboards. Conditional aggregation
     computes sample and exact totals together (no second scan)."""
     from .operators.sampling import hash_bucket
@@ -1524,8 +1524,9 @@ c AS (
 ),
 m AS (
   SELECT prio, day, cents, cc,
-         CAST(min(cc) OVER (PARTITION BY prio ORDER BY day
-                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn
+         least(CAST(min(cc) OVER (PARTITION BY prio ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT),
+               CAST(0 AS BIGINT)) AS mn
   FROM c
 )
 SELECT prio, day, cents,

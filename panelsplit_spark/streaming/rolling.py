@@ -1045,17 +1045,26 @@ def stream_auc(
                 )
             ).alias("_r2"),
         )
+        i64max = F.lit(str(2**63 - 1)).cast("decimal(38,0)")
+        u2_dec = F.col("_r2") - F.col("n_pos").cast(
+            "decimal(38,0)"
+        ) * (F.col("n_pos") + 1).cast("decimal(38,0)")
         return agg.select(
             "n",
             "n_pos",
             (F.col("n") - F.col("n_pos")).alias("n_neg"),
-            (
-                F.col("_r2")
-                - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
-                    "decimal(38,0)"
+            # same guarded cast as the batch operator: the documented
+            # streaming == batch identity must not silently wrap where
+            # the batch side raises
+            F.when(F.abs(u2_dec) <= i64max, u2_dec.cast("long"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "stream_auc: u2 overflows BIGINT — evaluate on "
+                        "a hash sample"
+                    )
                 )
             )
-            .cast("long")
             .alias("u2"),
         ).select(
             "n",

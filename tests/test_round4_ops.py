@@ -955,6 +955,19 @@ def test_cusum_closed_form(spark):
     assert [out[i]["cusum"] for i in range(5)] == [0, 0, 10, 20, 10]
     assert [out[i]["alarm"] for i in range(5)] == [0, 0, 0, 1, 0]
 
+    # series that starts ABOVE drift: the C_0 = 0 term of the prefix
+    # identity is load-bearing (x=[20,20], k=10 -> S=[10,20], and the
+    # first excursion must not be zeroed)
+    df = spark.createDataFrame([("e", 0, 20), ("e", 1, 20)], ["e", "t", "x"])
+    out = {
+        r["t"]: r["cusum"]
+        for r in cusum_detect(df, "e", "t", "x", drift_k=10,
+                              threshold_h=15).collect()
+    }
+    assert out == {0: 10, 1: 20}
+
+    # NULL-category regression for collapse_rare lives in its own test
+
 
 def test_collapse_rare_closed_form(spark):
     from panelsplit_spark.operators.sampling import collapse_rare
@@ -969,3 +982,16 @@ def test_collapse_rare_closed_form(spark):
         .collect()
     }
     assert out == {"a": 5, "__OTHER__": 3}
+
+    # a FREQUENT NULL category survives as NULL (eqNullSafe join);
+    # a rare one folds like any other
+    rows = [(None,)] * 4 + [("x",)] * 1
+    df = spark.createDataFrame(rows, "cat string")
+    out = {
+        r["cat"]: r["n"]
+        for r in collapse_rare(df, "cat", min_count=3)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == {None: 4, "__OTHER__": 1}
