@@ -1,6 +1,13 @@
-"""Round-4 breadth (part 11): exact distributed ROC-AUC (rank-sum),
-per-entity calendar gap inventory, Benford first-digit audit, and an
-inverted-index build.
+"""Round-4 breadth (part 11): evaluation statistics (rank-sum ROC-AUC
+batch + streaming, calibration bins, mutual information, chi-square A/B,
+weighted median), table reconciliation (fingerprint, snapshot diff,
+two-phase repair plan, streaming incremental fingerprint), panel
+time-series tooling (calendar gap inventory, linear interpolation,
+rolling 7-day distinct actives, CUSUM change detection, Markov
+transitions, top session paths), curation/profiling audits (Benford,
+NDV/reduction profile, sampling error, k-anonymity-adjacent quota
+sampling, rare-category collapsing, LSH recall eval, inverted index),
+and weighted shortest paths.
 
 Same contract as every other part: each query is a Spark DataFrame
 program paired with an ANSI-SQL oracle DuckDB runs over the same
