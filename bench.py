@@ -251,6 +251,7 @@ HEADLINE = [
     "rel_top_paths",
     "feat_cusum",
     "feat_collapse_rare",
+    "src_file_audit",
 ]
 
 # One-order-of-magnitude-up witness set: at sf0.1 every query is

@@ -1591,6 +1591,68 @@ GROUP BY 1 ORDER BY cat"""
 
 
 # ----------------------------------------------------------------------
+# File-level source audit (input_file_name introspection)
+# ----------------------------------------------------------------------
+
+
+FA_BUCKETS = 6
+
+
+def q_src_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write→introspect round trip: lineitem is written as one parquet
+    file per ``l_orderkey % 6`` bucket, read back, and audited at FILE
+    granularity via ``input_file_name()`` — per file: rows, key range,
+    exact revenue cents (the census a compaction/clustering planner
+    reads before deciding layout work). The bucket index is recovered
+    from the filename, so the gate proves BOTH that the writer put
+    exactly the right rows in each file and that file-level
+    introspection works; the oracle derives the same stats from the
+    source view and never touches a file."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    from .streaming.rolling import write_file_batches
+
+    feed = _fresh_feed("file_audit")
+    write_file_batches(
+        [
+            li.where(F.col("l_orderkey") % FA_BUCKETS == j)
+            for j in range(FA_BUCKETS)
+        ],
+        feed,
+    )
+    back = spark.read.parquet(feed).select(
+        F.regexp_extract(F.input_file_name(), r"batch(\d+)", 1)
+        .cast("long")
+        .alias("bucket"),
+        "l_orderkey",
+        "cents",
+    )
+    return (
+        back.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_FILE_AUDIT = f"""
+SELECT l_orderkey % {FA_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem
+GROUP BY 1 ORDER BY 1"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1619,6 +1681,7 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_top_paths": q_rel_top_paths,
     "feat_cusum": q_feat_cusum,
     "feat_collapse_rare": q_feat_collapse_rare,
+    "src_file_audit": q_src_file_audit,
 }
 
 
@@ -1648,4 +1711,5 @@ def oracles11() -> Dict[str, str]:
         "rel_top_paths": _SQL_TOP_PATHS,
         "feat_cusum": _SQL_CUSUM,
         "feat_collapse_rare": _SQL_COLLAPSE_RARE,
+        "src_file_audit": _SQL_FILE_AUDIT,
     }
