@@ -38,6 +38,13 @@ QUERIES = [
     "rel_pagerank",
     "rel_sessionize",
     "text_lm_score",
+    # round-4 session shapes: modular-sum fingerprint (hash+sum),
+    # hierarchical rank prefix (distributed window algebra), bounded
+    # Bellman-Ford (iterative min fixpoint), order-proof path strings
+    "rel_table_fingerprint",
+    "cv_auc_price",
+    "rel_shortest_path",
+    "rel_top_paths",
 ]
 
 
