@@ -252,9 +252,11 @@ HEADLINE = [
     "feat_cusum",
     "feat_collapse_rare",
     "src_file_audit",
+    "feat_cogroup_recon",
 ]
 
-# One-order-of-magnitude-up witness set: at sf0.1 every query is
+# One-order-of-magnitude-up witness set (now the FULL registry,
+# budget-truncated): at sf0.1 every query is
 # setup-dominated (~2 s JVM noise floor), so plan differences hide; the
 # sf1 pass (10× rows, synthesized by tools/make_sf.py) is where shuffle
 # and scan costs actually surface. One timed pass, heavy/representative
@@ -371,7 +373,132 @@ SF1_HEADLINE = [
     "text_inverted_index",
     "feat_weighted_median",
     "dq_sample_error",
-    "dq_k_anonymity",
+    "dq_k_anonymity",    "ps_fold_assignment",
+    "ps_gen_snapshots",
+    "cv_mean_oof",
+    "cv_fold_mse",
+    "cv_li_fold_mse",
+    "text_langid",
+    "rel_region_revenue",
+    "rel_last_ship_per_supplier",
+    "rel_json_props",
+    "rel_hourly_activity",
+    "rel_sessionize",
+    "rel_rollup_revenue",
+    "feat_user_lag",
+    "mm_media_meta",
+    "rel_cust_no_orders",
+    "rel_nation_setops",
+    "rel_scalar_gallery",
+    "rel_value_deciles",
+    "rel_tpch_q10",
+    "src_partitioned_prune",
+    "rel_tpch_q4",
+    "rel_tpch_q12",
+    "rel_tpch_q14",
+    "rel_tpch_q22",
+    "rel_orders_above_cust_avg",
+    "rel_unpivot_customer",
+    "rel_price_histogram",
+    "rel_sql_gateway",
+    "rel_asof_join_fwd",
+    "rel_full_outer_recon",
+    "rel_morton_layout",
+    "pipe_rebalance_mix",
+    "rel_tpch_q6",
+    "rel_tpch_q19",
+    "rel_tpch_q13",
+    "rel_tpch_q11",
+    "rel_tpch_q15",
+    "rel_tpch_q7",
+    "rel_tpch_q20",
+    "rel_tpch_q16",
+    "text_chunks",
+    "text_repetition",
+    "cv_target_encode",
+    "feat_resample_ffill",
+    "pipe_span_trim",
+    "rel_cdc_upsert",
+    "src_orc_roundtrip",
+    "text_pii_scrub",
+    "mm_decode_stats",
+    "rel_sketch_distinct",
+    "rel_shj_join",
+    "rel_psi_drift",
+    "rel_dq_checks",
+    "rel_funnel",
+    "rel_retention_cohorts",
+    "pipe_weighted_sample",
+    "rel_outlier_zscore",
+    "rel_concurrency_timeline",
+    "rel_bloom_membership",
+    "src_dynamic_overwrite",
+    "src_schema_evolution",
+    "rel_sequence_pattern",
+    "emb_quantize_int8",
+    "text_langid_confusion",
+    "rel_asof_nearest",
+    "emb_centroid_shift",
+    "rel_grouping_id",
+    "src_csv_malformed",
+    "rel_null_semantics",
+    "rel_explode_outer",
+    "rel_decimal_exact",
+    "pipe_dataset_card",
+    "rel_skyline",
+    "text_fuzzy_pairs",
+    "pipe_temperature_mix",
+    "sim_recall_eval",
+    "pipe_curation_funnel",
+    "src_csv_quoted",
+    "rel_mode_per_group",
+    "sim_mrl_recall",
+    "rel_attribution",
+    "text_source_overlap",
+    "rel_not_in_null",
+    "stream_sink_roundtrip",
+    "src_binary_files",
+    "mm_chunk_manifest",
+    "emb_label_centroids",
+    "pipe_hash_split",
+    "ps_fold_stats",
+    "ps_test_labels",
+    "ps_train_labels",
+    "rel_date_gallery",
+    "rel_grouping_sets",
+    "rel_percentiles",
+    "rel_pivot_priority",
+    "rel_range_window",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "stream_dedup",
+    "text_topterms",
+    "mm_chunk_dedup",
+    "rel_zorder_layout",
+    "rel_sketch_cm_error",
+    "pipe_url_canonical",
+    "stream_quantile",
+    "emb_threshold_sweep",
+    "pipe_host_stats",
+    "src_dpp_prune",
+    "rel_skew_audit",
+    "feat_gap_detect",
+    "dq_benford",
+    "cv_calibration_bins",
+    "feat_mutual_info",
+    "dq_ab_chi2",
+    "rel_markov_transitions",
+    "stream_fingerprint",
+    "stream_auc",
+    "feat_interpolate",
+    "dq_ndv_profile",
+    "dedup_lsh_recall",
+    "pipe_quota_sample",
+    "rel_top_paths",
+    "feat_cusum",
+    "feat_collapse_rare",
+    "src_file_audit",
+    "feat_cogroup_recon",
 ]
 
 
@@ -526,7 +653,7 @@ def main() -> None:
                 except Exception:
                     pass
             budget = float(
-                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420")
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "540")
             )
             t_start = time.time()
             for name in SF1_HEADLINE:

@@ -1653,6 +1653,59 @@ GROUP BY 1 ORDER BY 1"""
 
 
 # ----------------------------------------------------------------------
+# Co-grouped pandas reconciliation (cogroup API surface)
+# ----------------------------------------------------------------------
+
+CG_K = 100
+
+
+def q_feat_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-account two-ledger reconciliation through the cogroup API
+    (operators/cogroup.cogroup_reconcile): events (value cents keyed by
+    user_id mod 100) against orders (price cents keyed by o_custkey
+    mod 100) — each key's rows from BOTH sources meet in one pandas
+    function emitting an exact integer summary row. Arrow-batched
+    Python on the input side, key-sized output; the integer arithmetic
+    keeps it SQL-replayable end to end despite the Python boundary."""
+    from .operators.cogroup import cogroup_reconcile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % CG_K).alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % CG_K).alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    return cogroup_reconcile(ev, od, "k", "vc", "pc").orderBy("key")
+
+
+_SQL_COGROUP_RECON = f"""
+WITH l AS (
+  SELECT user_id % {CG_K} AS key,
+         CAST(count(*) AS BIGINT) AS n_left,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_left
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT o_custkey % {CG_K} AS key,
+         CAST(count(*) AS BIGINT) AS n_right,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_right
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(l.key, r.key) AS key,
+       coalesce(n_left, 0) AS n_left,
+       coalesce(sum_left, 0) AS sum_left,
+       coalesce(n_right, 0) AS n_right,
+       coalesce(sum_right, 0) AS sum_right,
+       coalesce(sum_left, 0) - coalesce(sum_right, 0) AS diff
+FROM l FULL OUTER JOIN r ON l.key = r.key
+ORDER BY key"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1682,6 +1735,7 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_cusum": q_feat_cusum,
     "feat_collapse_rare": q_feat_collapse_rare,
     "src_file_audit": q_src_file_audit,
+    "feat_cogroup_recon": q_feat_cogroup_recon,
 }
 
 
@@ -1712,4 +1766,5 @@ def oracles11() -> Dict[str, str]:
         "feat_cusum": _SQL_CUSUM,
         "feat_collapse_rare": _SQL_COLLAPSE_RARE,
         "src_file_audit": _SQL_FILE_AUDIT,
+        "feat_cogroup_recon": _SQL_COGROUP_RECON,
     }

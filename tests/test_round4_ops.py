@@ -995,3 +995,22 @@ def test_collapse_rare_closed_form(spark):
         .collect()
     }
     assert out == {None: 4, "__OTHER__": 1}
+
+
+def test_cogroup_reconcile_closed_form(spark):
+    from panelsplit_spark.operators.cogroup import cogroup_reconcile
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], ["k", "v"]
+    )
+    right = spark.createDataFrame(
+        [(1, 25), (3, 7)], ["k", "w"]
+    )
+    out = {r["key"]: r for r in cogroup_reconcile(left, right, "k", "v", "w").collect()}
+    assert out[1]["n_left"] == 2 and out[1]["sum_left"] == 30
+    assert out[1]["n_right"] == 1 and out[1]["sum_right"] == 25
+    assert out[1]["diff"] == 5
+    # one-sided keys appear with zeros on the absent side
+    assert out[2]["n_right"] == 0 and out[2]["diff"] == 5
+    assert out[3]["n_left"] == 0 and out[3]["diff"] == -7
+    assert set(out) == {1, 2, 3}
