@@ -253,6 +253,7 @@ HEADLINE = [
     "feat_collapse_rare",
     "src_file_audit",
     "feat_cogroup_recon",
+    "dedup_prefix_join",
 ]
 
 # One-order-of-magnitude-up witness set (now the FULL registry,
@@ -499,6 +500,7 @@ SF1_HEADLINE = [
     "feat_collapse_rare",
     "src_file_audit",
     "feat_cogroup_recon",
+    "dedup_prefix_join",
 ]
 
 

@@ -59,6 +59,7 @@ __all__ = [
     "span_dedup_stats",
     "remove_duplicated_spans",
     "semdedup",
+    "prefix_filter_candidates",
 ]
 
 
@@ -1210,4 +1211,81 @@ def semdedup(
             .otherwise(F.lit(0))
             .alias("keep"),
         )
+    )
+
+
+def prefix_filter_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_bp: int = 3000,
+) -> DataFrame:
+    """EXACT set-similarity join candidates via prefix filtering (the
+    ppjoin/AllPairs family, public algorithm): two shingle sets with
+    Jaccard ≥ t MUST share a token inside their prefixes of length
+    ``|S| − ⌈t·|S|⌉ + 1`` when every set is ordered by ascending global
+    document frequency (rarest first) — a theorem, not a probabilistic
+    bound, so unlike MinHash/LSH banding the candidate set has
+    **guaranteed 100% recall**. The complementary size filter
+    (t·|A| ≤ |B| ≤ |A|/t) prunes cross-size pairs inside the join
+    condition.
+
+    100 TB shape: one distinct-shingle shuffle, one shingle-keyed df
+    count, one per-doc window rank (rarest-first order, tie-broken by
+    the shingle string so both engines rank identically), and ONE
+    equi-join of the PREFIX tables — which are a small slice of the
+    full posting lists, and the frequency ordering puts precisely the
+    rarest (lowest fan-out) tokens in them. Integer arithmetic
+    throughout: the prefix length uses ceil in basis points.
+
+    Returns DISTINCT (id_a, id_b) with id_a < id_b — feed to
+    ``ngram_jaccard_pairs(candidates=...)`` for verification.
+    """
+    toks = word_tokens(F.col(text_col))
+    sh = _ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, "__id")
+    )
+    # prefix length = n - ceil(t*n) + 1, all integer basis points
+    prefix = ranked.where(
+        F.col("__rk")
+        <= F.col("__n")
+        - F.expr(f"(__n * {int(threshold_bp)} + 9999) div 10000")
+        + 1
+    ).select("__id", "shingle", "__n")
+    a = prefix.select(
+        F.col("__id").alias("id_a"),
+        F.col("shingle"),
+        F.col("__n").alias("__na"),
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"),
+        F.col("shingle"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: t·|A| ≤ |B| and t·|B| ≤ |A|
+            & (F.col("__nb") * 10000 >= F.col("__na") * threshold_bp)
+            & (F.col("__na") * 10000 >= F.col("__nb") * threshold_bp)
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )

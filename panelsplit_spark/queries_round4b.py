@@ -1706,6 +1706,108 @@ ORDER BY key"""
 
 
 # ----------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (guaranteed recall)
+# ----------------------------------------------------------------------
+
+
+def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact similarity join audited for its theorem:
+    candidates from rarest-first prefixes + size filter
+    (operators/dedup.prefix_filter_candidates), verified with exact
+    Jaccard, compared against the all-pairs truth — ``exact_bp`` MUST
+    be 10000 (100% recall is a theorem here, unlike LSH where
+    dedup_lsh_recall measures a probabilistic trade-off). Also emits
+    the pruning evidence: candidate count vs the truth path's quadratic
+    pair space."""
+    from .operators import dedup
+    from .queries_data import JACCARD_N, JACCARD_T
+
+    t_bp = int(round(JACCARD_T * 10000))
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T
+    ).select("id_a", "id_b")
+    cands = dedup.prefix_filter_candidates(
+        docs, shingle_n=JACCARD_N, threshold_bp=t_bp
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
+    ).select("id_a", "id_b")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = truth.join(verified, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_verified")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_verified",
+            F.expr("(n_verified * 10000) div n_truth").alias("exact_bp"),
+        )
+    )
+
+
+def _sql_prefix_join() -> str:
+    from .queries_data import (
+        _DUCK_TOKS,
+        _SQL_DEDUP_JACCARD,
+        JACCARD_N,
+        JACCARD_T,
+        _duck_shingles,
+    )
+
+    t_bp = int(round(JACCARD_T * 10000))
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct({_duck_shingles(JACCARD_N)}))
+           AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+dfreq AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS dfx FROM sh GROUP BY shingle
+),
+ranked AS (
+  SELECT sh.id, sh.shingle, sizes.n,
+         row_number() OVER (PARTITION BY sh.id
+                            ORDER BY dfreq.dfx ASC, sh.shingle ASC)
+           AS rk
+  FROM sh JOIN dfreq USING (shingle) JOIN sizes ON sizes.id = sh.id
+),
+prefix AS (
+  SELECT id, shingle, n FROM ranked
+  WHERE rk <= n - ((n * {t_bp} + 9999) // 10000) + 1
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+  WHERE a.id < b.id
+    AND b.n * 10000 >= a.n * {t_bp}
+    AND a.n * 10000 >= b.n * {t_bp}
+),
+truth AS (
+  SELECT id_a, id_b FROM (
+    {_SQL_DEDUP_JACCARD.strip()}
+  )
+),
+t AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth tr
+      WHERE EXISTS (SELECT 1 FROM cands c
+                    WHERE c.id_a = tr.id_a AND c.id_b = tr.id_b))
+      AS n_verified
+)
+SELECT n_truth, n_candidates, n_verified,
+       (n_verified * 10000) // n_truth AS exact_bp
+FROM t"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1736,6 +1838,7 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_collapse_rare": q_feat_collapse_rare,
     "src_file_audit": q_src_file_audit,
     "feat_cogroup_recon": q_feat_cogroup_recon,
+    "dedup_prefix_join": q_dedup_prefix_join,
 }
 
 
@@ -1767,4 +1870,5 @@ def oracles11() -> Dict[str, str]:
         "feat_collapse_rare": _SQL_COLLAPSE_RARE,
         "src_file_audit": _SQL_FILE_AUDIT,
         "feat_cogroup_recon": _SQL_COGROUP_RECON,
+        "dedup_prefix_join": _sql_prefix_join(),
     }

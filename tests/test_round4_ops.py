@@ -1014,3 +1014,36 @@ def test_cogroup_reconcile_closed_form(spark):
     assert out[2]["n_right"] == 0 and out[2]["diff"] == 5
     assert out[3]["n_left"] == 0 and out[3]["diff"] == -7
     assert set(out) == {1, 2, 3}
+
+
+def test_prefix_filter_guaranteed_recall(spark, sf_dir):
+    """Prefix filtering is a theorem, not a heuristic: every true
+    above-threshold pair must appear among the candidates."""
+    from panelsplit_spark.operators import dedup
+    from panelsplit_spark.queries_round4b import q_dedup_prefix_join
+
+    r = q_dedup_prefix_join(spark, sf_dir).collect()[0]
+    assert r["exact_bp"] == 10_000
+    assert r["n_verified"] == r["n_truth"] > 0
+    assert r["n_candidates"] >= r["n_truth"]
+
+
+def test_prefix_filter_closed_form(spark):
+    from panelsplit_spark.operators.dedup import prefix_filter_candidates
+
+    docs = [
+        (1, "a b c d e f"),     # shingles (3-grams of words)
+        (2, "a b c d e g"),     # high overlap with 1
+        (3, "x y z w v u"),     # disjoint
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_candidates(
+            df, shingle_n=3, threshold_bp=3000
+        ).collect()
+    }
+    # the overlapping pair must be a candidate; the disjoint doc pairs
+    # must be pruned (no shared prefix token is possible)
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands

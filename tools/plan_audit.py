@@ -98,6 +98,7 @@ BNLJ_WHITELIST = {
     "rel_rolling_distinct",  # single-row span-bounds scalar clip
     "rel_repair_plan",       # ≤64-row flagged-bucket list + 1-row stats
     "dedup_lsh_recall",      # three single-row eval counters crossed in
+    "dedup_prefix_join",     # three single-row eval counters crossed in
 }
 
 
