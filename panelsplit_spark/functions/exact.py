@@ -51,37 +51,17 @@ def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
 
 
 def zorder_key(a, b, bits: int = 16):
-    """Bit-interleaved Z-order (Morton) key of two non-negative integer
-    dimensions — the multi-dimensional clustering key lakehouse layouts
-    (Delta OPTIMIZE ZORDER, Iceberg sort orders) use for data skipping:
-    range-partitioning by the interleaved key bounds EVERY interleaved
-    dimension's min/max per file, so scans filtering on either column
-    prune, where a single-column sort bounds only its own column.
-
-    Pure integer shift/mask arithmetic (``bits`` terms per dimension,
-    whole-stage codegen, no shuffle, no Python) and exactly replayable
-    in any SQL engine with ``>> << & |``. Callers must pre-reduce each
-    dimension into [0, 2^bits): ``col % 65536``, a day index, a
-    quantile bucket, etc.
+    """Bit-interleaved Z-order key of two non-negative integer
+    dimensions — the name the z-order layout queries pair with
+    ``duckdb_zorder_key``. Delegates to :func:`morton_code` (the
+    interleave is identical; keeping two hand-rolled copies in one
+    module invited drift — review finding, round 4). ``morton_code``
+    masks each input to ``bits`` low bits, which is a no-op for the
+    documented pre-reduced inputs and a safety net otherwise.
     """
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F  # noqa: F401 (API parity)
 
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(
-                F.shiftrightunsigned(a.cast("long"), i)
-                .bitwiseAND(F.lit(1)),
-                2 * i,
-            )
-        ).bitwiseOR(
-            F.shiftleft(
-                F.shiftrightunsigned(b.cast("long"), i)
-                .bitwiseAND(F.lit(1)),
-                2 * i + 1,
-            )
-        )
-    return z
+    return morton_code(a, b, bits)
 
 
 def duckdb_zorder_key(a_expr: str, b_expr: str, bits: int = 16) -> str:

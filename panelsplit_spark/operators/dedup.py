@@ -230,6 +230,92 @@ def lsh_candidate_pairs(
     )
 
 
+def _shingle_pair_core(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    candidates: Optional[DataFrame],
+    max_shingle_df: Optional[int],
+):
+    """Shared machinery of the n-gram pair family: distinct shingles,
+    corpus-level document-frequency cap, optional candidate pruning,
+    and the intersection counts. Returns ``(inter, sizes, candidates)``
+    where ``inter`` is (id_a, id_b, n_inter) and ``sizes`` is
+    (id_col, n_sh) over the SAME (capped) shingle universe.
+
+    Ordering contract: the ``max_shingle_df`` cap measures document
+    frequency over the WHOLE corpus BEFORE any candidate pruning — a
+    cap measured after the semi-join would depend on which pairs were
+    proposed, silently diverging from the all-pairs path and any
+    corpus-level SQL replay (found by review, round 4).
+    """
+    toks = word_tokens(F.col(text_col))
+    sh = _ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= F.lit(max_shingle_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    if candidates is not None:
+        # Candidate pairs are sparse: prune the shingle table to docs
+        # that appear in some pair BEFORE any further shuffle. The
+        # candidate-id set is small (it's a near-dup list) → broadcast
+        # semi-join. localCheckpoint cuts the lineage: each downstream
+        # reference would otherwise inline the whole upstream LSH plan
+        # — at production scale write the pair set to a table instead.
+        candidates = candidates.select("id_a", "id_b").localCheckpoint(
+            eager=True
+        )
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(ids), id_col, "left_semi")
+    # consumed three times (both join sides + sizes); materialize so the
+    # tokenize/shingle chain runs once — at production scale write the
+    # shingle table out instead
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    return inter, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -257,79 +343,14 @@ def ngram_jaccard_pairs(
     ``max_shingle_df``: optional document-frequency cap — shingles in
     more than this many documents are DROPPED before pairing (the
     CCNet-style stopword-shingle drop), bounding the self-join fan-out
-    at df²·n_shingles while keeping rare-shingle evidence. Sizes and
-    intersections are then measured over the pruned shingle universe
-    (both engines/paths must apply the same cap to compare).
+    at df²·n_shingles while keeping rare-shingle evidence. The cap is
+    measured over the WHOLE corpus, before any candidate pruning, so
+    the candidate path and the all-pairs path score identically.
+    Shared machinery: :func:`_shingle_pair_core`.
     """
-    toks = word_tokens(F.col(text_col))
-    sh = _ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
-            "shingle"
-        ),
+    inter, sizes = _shingle_pair_core(
+        df, text_col, id_col, shingle_n, candidates, max_shingle_df
     )
-    if candidates is not None:
-        # Candidate pairs are sparse: prune the shingle table to docs
-        # that appear in some pair BEFORE any shuffle. The candidate-id
-        # set is small (it's a near-dup list) → broadcast semi-join,
-        # then everything downstream operates on a tiny frame.
-        # localCheckpoint (one eager job, like cache+count) ALSO cuts
-        # the lineage: each downstream reference would otherwise inline
-        # the whole upstream LSH plan, exploding the plan tree — at
-        # production scale write the pair set to a table instead.
-        candidates = candidates.select("id_a", "id_b").localCheckpoint(
-            eager=True
-        )
-        ids = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        sh = sh.join(F.broadcast(ids), id_col, "left_semi")
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= F.lit(max_shingle_df))
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle", "left_semi")
-    # consumed three times (both join sides + sizes); materialize so the
-    # tokenize/shingle chain runs once and the three consumers reference
-    # a leaf, not three copies of the chain — at production scale write
-    # the shingle table out instead
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    if candidates is None:
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-    else:
-        sh_a = sh.select(
-            F.col(id_col).alias("id_a"), F.col("shingle")
-        )
-        sh_b = sh.select(
-            F.col(id_col).alias("id_b"), F.col("shingle")
-        )
-        inter = (
-            candidates.select("id_a", "id_b")
-            .join(sh_a, "id_a")
-            .join(sh_b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
     sa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
     )
@@ -363,8 +384,7 @@ def ngram_containment_pairs(
     """Asymmetric n-gram CONTAINMENT pairs → (id_a, id_b, n_a, n_b,
     n_inter, containment) with containment = |A∩B| / min(|A|, |B|) ≥
     threshold.  ``max_shingle_df`` caps shingle document frequency
-    before pairing (see :func:`ngram_jaccard_pairs` — same fan-out
-    bound, same pruned-universe semantics).
+    before pairing (corpus-level, see :func:`_shingle_pair_core`).
 
     The measure symmetric Jaccard misses: a short document quoted
     inside one 10× longer (boilerplate wrapper, syndicated article,
@@ -372,66 +392,15 @@ def ngram_containment_pairs(
     Broder containment used to catch doc-in-doc duplication in crawl
     curation.
 
-    Same plan machinery as :func:`ngram_jaccard_pairs` (distinct
-    shingles, one self-equi-join or a candidate-pruned double join —
-    pass LSH ``candidates`` for the 100 TB path); only the final scalar
-    differs, and it is a raw division of exact integers —
-    bit-identical IEEE on every engine, replayable in plain SQL.
+    Same plan machinery as :func:`ngram_jaccard_pairs`
+    (:func:`_shingle_pair_core` — distinct shingles, one self-equi-join
+    or a candidate-pruned double join); only the final scalar differs,
+    and it is a raw division of exact integers — bit-identical IEEE on
+    every engine, replayable in plain SQL.
     """
-    toks = word_tokens(F.col(text_col))
-    sh = _ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
-            "shingle"
-        ),
+    inter, sizes = _shingle_pair_core(
+        df, text_col, id_col, shingle_n, candidates, max_shingle_df
     )
-    if candidates is not None:
-        candidates = candidates.select("id_a", "id_b").localCheckpoint(
-            eager=True
-        )
-        ids = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        sh = sh.join(F.broadcast(ids), id_col, "left_semi")
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= F.lit(max_shingle_df))
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle", "left_semi")
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    if candidates is None:
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-    else:
-        inter = (
-            candidates.select("id_a", "id_b")
-            .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-            .join(
-                sh.select(F.col(id_col).alias("id_b"), "shingle"),
-                ["id_b", "shingle"],
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
     out = (
         inter.join(
             sizes.select(F.col(id_col).alias("id_a"),

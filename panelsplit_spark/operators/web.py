@@ -16,9 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 # Tracking parameters stripped during canonicalization. Anchored
-# prefix-match against `name=` so e.g. `reference=` is NOT stripped by
-# the `ref` rule.
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+# match against `name=` OR bare `name` (real crawls carry valueless
+# `?fbclid` / `?utm_source` segments — review finding, round 4), while
+# `reference=` is still NOT stripped by the `ref` rule: the name must
+# end at `=` or end-of-segment.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
 
 def canonicalize_url(url: Column) -> Column:

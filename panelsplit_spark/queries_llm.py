@@ -534,7 +534,7 @@ p AS (
   FROM events WHERE user_id < {CM_PROBE_MAX} GROUP BY user_id
 )
 SELECT p.user_id, p.true_n,
-       least(s0.c, s1.c, s2.c, s3.c) AS cm_est
+       least({', '.join(f"s{r}.c" for r in range(CM_D))}) AS cm_est
 FROM p {' '.join(joins)}
 ORDER BY p.user_id"""
 
@@ -593,7 +593,7 @@ p AS (
 ),
 est AS (
   SELECT p.user_id, p.true_n,
-         least(s0.c, s1.c, s2.c, s3.c) AS cm_est
+         least({', '.join(f"s{r}.c" for r in range(CM_D))}) AS cm_est
   FROM p {' '.join(joins)}
 )
 SELECT count(*) AS n_keys,

@@ -80,6 +80,14 @@ def q_rel_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast join. Same driver-small-collect class as the centroid
     # and dim-sniff literals used elsewhere.
     trows = target.collect()
+    if not trows:
+        # empty source: mirror the SQL oracle's 0-row result instead of
+        # crashing on min()/max() of an empty target set
+        return spark.createDataFrame(
+            [],
+            "q_bp long, k_rank long, est_cents long, exact_cents long, "
+            "err_cents long",
+        )
     tlit = spark.createDataFrame(
         [
             (r["q_bp"], r["k_rank"], r["est_cents"], r["tbin"], r["off"])
@@ -232,7 +240,11 @@ def q_src_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
             F.sum(fp).alias("content_fp"),
         )
-        .withColumn("compacted", F.lit(bool(n_files <= 64)))
+        # STRICT: the source is 64 fragments, so a no-op "compaction"
+        # that returns 64 files must flip the flag false and go red
+        # against the oracle's constant true — <= 64 would let a
+        # zero-reduction rewrite pass (review finding, round 4)
+        .withColumn("compacted", F.lit(bool(n_files < 64)))
         .orderBy("event_type")
     )
 
@@ -482,31 +494,42 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    feed = os.path.join(
-        os.getcwd(), "spark-warehouse", "sinks", "quantile_feed"
-    )
-    write_file_batches(
-        [
-            ev.where(F.col("event_id") % SQ_BATCHES == j)
-            for j in range(SQ_BATCHES)
-        ],
-        feed,
-    )
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
+    from .queries_round4b import _fresh_feed
+
     name = "stream_quantile_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    with stream_shuffle_partitions(spark):
-        q, get_hist = stream_histogram_quantiles(
-            stream, "cents", SQ_BIN_W, query_name=name
+    hist = None
+    for _attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        # fresh dir per invocation: a fixed feed path intermittently
+        # drained zero batches when a long bench session re-invoked the
+        # gate (same hardening as stream_fingerprint / stream_auc)
+        feed = _fresh_feed("quantile_feed")
+        write_file_batches(
+            [
+                ev.where(F.col("event_id") % SQ_BATCHES == j)
+                for j in range(SQ_BATCHES)
+            ],
+            feed,
         )
-        q.awaitTermination()
-    hist = get_hist()
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_hist = stream_histogram_quantiles(
+                stream, "cents", SQ_BIN_W, query_name=name
+            )
+            q.awaitTermination()
+        hist = get_hist()
+        if hist is not None:
+            break
+    if hist is None:
+        raise RuntimeError(
+            "stream_quantile: drain processed zero non-empty batches twice"
+        )
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     h2 = hist.withColumn("cum", F.sum("cnt").over(wb))
     tot = hist.agg(F.sum("cnt").alias("n"))

@@ -37,6 +37,10 @@ CANON_CASES = [
     ("https://h.io:8443/x", "https://h.io:8443/x"),
     # empty param segments dropped, rest sorted bytewise
     ("https://h.io/x?b=2&&a=10", "https://h.io/x?a=10&b=2"),
+    # valueless tracking params stripped; `refx` is not `ref`
+    ("https://h.io/x?fbclid&a=1", "https://h.io/x?a=1"),
+    ("https://h.io/x?utm_source", "https://h.io/x"),
+    ("https://h.io/x?refx=1", "https://h.io/x?refx=1"),
 ]
 
 
