@@ -655,7 +655,7 @@ def main() -> None:
                 except Exception:
                     pass
             budget = float(
-                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "540")
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "600")
             )
             t_start = time.time()
             for name in SF1_HEADLINE:
