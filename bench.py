@@ -254,6 +254,7 @@ HEADLINE = [
     "src_file_audit",
     "feat_cogroup_recon",
     "dedup_prefix_join",
+    "rel_sketch_setops",
 ]
 
 # One-order-of-magnitude-up witness set (now the FULL registry,
@@ -501,6 +502,7 @@ SF1_HEADLINE = [
     "src_file_audit",
     "feat_cogroup_recon",
     "dedup_prefix_join",
+    "rel_sketch_setops",
 ]
 
 

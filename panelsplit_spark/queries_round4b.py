@@ -1808,6 +1808,153 @@ FROM t"""
 
 
 # ----------------------------------------------------------------------
+# Mergeable-sketch SET ALGEBRA: union/intersection cardinality estimates
+# ----------------------------------------------------------------------
+
+SO_M = 4096
+SO_SALT = "lc"
+
+
+def q_rel_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on MERGED linear-counting sketches: per event-type
+    pair, estimate |A∪B| from the union of the two occupied-bucket sets
+    (sketch merge = set union of buckets — the mergeability that lets
+    per-day/per-executor sketches combine exactly) and |A∩B| by
+    inclusion–exclusion, side by side with the exact distinct-user
+    counts. At 100 TB the exact columns are the expensive path this
+    sketch replaces: audiences' overlaps from m-bounded state instead
+    of a users×types distinct shuffle per pair. Estimate columns follow
+    the established linear-count idiom (round(-m·ln(empty/m), 6));
+    inclusion–exclusion is additions of those identical doubles, so it
+    is engine-exact."""
+    from .operators.sketches import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.col("user_id").alias("u"),
+        md5_bucket(F.col("user_id"), SO_M, SO_SALT).alias("b"),
+    )
+    occ = ev.select("t", "b").distinct()
+    users = ev.select("t", "u").distinct()
+
+    def est(col):
+        empty = (F.lit(SO_M) - col).cast("double")
+        return F.round(
+            -F.lit(float(SO_M)) * F.log(empty / F.lit(float(SO_M))), 6
+        )
+
+    occ_n = occ.groupBy("t").agg(F.count(F.lit(1)).alias("occ"))
+    ex_n = users.groupBy("t").agg(F.count(F.lit(1)).alias("exact"))
+    # pairwise shared buckets / shared users via label self-joins
+    oa = occ.select(F.col("t").alias("a"), "b")
+    ob = occ.select(F.col("t").alias("b_t"), "b")
+    shared_b = (
+        oa.join(ob, "b")
+        .where(F.col("a") < F.col("b_t"))
+        .groupBy("a", F.col("b_t").alias("bt"))
+        .agg(F.count(F.lit(1)).alias("shared_occ"))
+    )
+    ua = users.select(F.col("t").alias("a"), "u")
+    ub = users.select(F.col("t").alias("b_t"), "u")
+    shared_u = (
+        ua.join(ub, "u")
+        .where(F.col("a") < F.col("b_t"))
+        .groupBy("a", F.col("b_t").alias("bt"))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    j = (
+        shared_b.join(shared_u, ["a", "bt"], "full_outer")
+        .na.fill({"shared_occ": 0, "exact_inter": 0})
+        .join(
+            occ_n.select(F.col("t").alias("a"), F.col("occ").alias("occ_a")),
+            "a",
+        )
+        .join(
+            occ_n.select(
+                F.col("t").alias("bt"), F.col("occ").alias("occ_b")
+            ),
+            "bt",
+        )
+        .join(
+            ex_n.select(F.col("t").alias("a"), F.col("exact").alias("exact_a")),
+            "a",
+        )
+        .join(
+            ex_n.select(
+                F.col("t").alias("bt"), F.col("exact").alias("exact_b")
+            ),
+            "bt",
+        )
+    )
+    union_occ = F.col("occ_a") + F.col("occ_b") - F.col("shared_occ")
+    return j.select(
+        F.col("a").alias("type_a"),
+        F.col("bt").alias("type_b"),
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        est(F.col("occ_a")).alias("est_a"),
+        est(F.col("occ_b")).alias("est_b"),
+        est(union_occ).alias("est_union"),
+        (
+            est(F.col("occ_a")) + est(F.col("occ_b")) - est(union_occ)
+        ).alias("est_inter"),
+    ).orderBy("type_a", "type_b")
+
+
+def _sql_sketch_setops() -> str:
+    b = (
+        f"CAST(concat('0x', substr(md5(concat(CAST(u AS VARCHAR), "
+        f"'{SO_SALT}')), 1, 8)) AS BIGINT) % {SO_M}"
+    )
+
+    def est(expr: str) -> str:
+        return (
+            f"round(-{SO_M}.0 * ln(({SO_M} - ({expr})) / {SO_M}.0), 6)"
+        )
+
+    return f"""
+WITH ev AS (
+  SELECT event_type AS t, user_id AS u, {b} AS bkt
+  FROM (SELECT event_type, user_id FROM events)
+),
+occ AS (SELECT DISTINCT t, bkt FROM ev),
+users AS (SELECT DISTINCT t, u FROM ev),
+occ_n AS (SELECT t, CAST(count(*) AS BIGINT) AS occ FROM occ GROUP BY t),
+ex_n AS (SELECT t, CAST(count(*) AS BIGINT) AS exact FROM users GROUP BY t),
+shared_b AS (
+  SELECT a.t AS ta, c.t AS tb, CAST(count(*) AS BIGINT) AS shared_occ
+  FROM occ a JOIN occ c ON a.bkt = c.bkt AND a.t < c.t
+  GROUP BY 1, 2
+),
+shared_u AS (
+  SELECT a.t AS ta, c.t AS tb, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM users a JOIN users c ON a.u = c.u AND a.t < c.t
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT coalesce(sb.ta, su.ta) AS ta, coalesce(sb.tb, su.tb) AS tb,
+         coalesce(shared_occ, 0) AS shared_occ,
+         coalesce(exact_inter, 0) AS exact_inter
+  FROM shared_b sb FULL OUTER JOIN shared_u su
+    ON sb.ta = su.ta AND sb.tb = su.tb
+)
+SELECT j.ta AS type_a, j.tb AS type_b,
+       ea.exact AS exact_a, eb.exact AS exact_b, j.exact_inter,
+       {est('oa.occ')} AS est_a,
+       {est('ob.occ')} AS est_b,
+       {est('oa.occ + ob.occ - j.shared_occ')} AS est_union,
+       {est('oa.occ')} + {est('ob.occ')}
+         - {est('oa.occ + ob.occ - j.shared_occ')} AS est_inter
+FROM j
+JOIN occ_n oa ON oa.t = j.ta
+JOIN occ_n ob ON ob.t = j.tb
+JOIN ex_n ea ON ea.t = j.ta
+JOIN ex_n eb ON eb.t = j.tb
+ORDER BY type_a, type_b"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1839,6 +1986,7 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_file_audit": q_src_file_audit,
     "feat_cogroup_recon": q_feat_cogroup_recon,
     "dedup_prefix_join": q_dedup_prefix_join,
+    "rel_sketch_setops": q_rel_sketch_setops,
 }
 
 
@@ -1871,4 +2019,5 @@ def oracles11() -> Dict[str, str]:
         "src_file_audit": _SQL_FILE_AUDIT,
         "feat_cogroup_recon": _SQL_COGROUP_RECON,
         "dedup_prefix_join": _sql_prefix_join(),
+        "rel_sketch_setops": _sql_sketch_setops(),
     }

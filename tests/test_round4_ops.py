@@ -1051,3 +1051,20 @@ def test_prefix_filter_closed_form(spark):
     # must be pruned (no shared prefix token is possible)
     assert (1, 2) in cands
     assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_sketch_setops_estimates_reasonable(spark, sf_dir):
+    """Inclusion-exclusion on merged linear counters: the union
+    estimate must be within the published load-factor error of exact,
+    and estimated intersection within a loose band of the exact one."""
+    from panelsplit_spark.queries_round4b import q_rel_sketch_setops
+
+    rows = q_rel_sketch_setops(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        exact_union = r["exact_a"] + r["exact_b"] - r["exact_inter"]
+        assert abs(r["est_union"] - exact_union) / exact_union < 0.05
+        # intersection differences amplify sketch noise; loose bound
+        assert abs(r["est_inter"] - r["exact_inter"]) <= max(
+            60, 0.2 * r["exact_inter"]
+        )
