@@ -255,6 +255,7 @@ HEADLINE = [
     "feat_cogroup_recon",
     "dedup_prefix_join",
     "rel_sketch_setops",
+    "rel_attribution_linear",
 ]
 
 # One-order-of-magnitude-up witness set (now the FULL registry,
@@ -503,6 +504,7 @@ SF1_HEADLINE = [
     "feat_cogroup_recon",
     "dedup_prefix_join",
     "rel_sketch_setops",
+    "rel_attribution_linear",
 ]
 
 

@@ -1955,6 +1955,116 @@ ORDER BY type_a, type_b"""
 
 
 # ----------------------------------------------------------------------
+# Linear (equal-credit) multi-touch attribution
+# ----------------------------------------------------------------------
+
+
+def q_rel_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the other canonical model next
+    to ``rel_attribution``'s last-touch: every click belongs to the
+    user's NEXT purchase (one forward ignore-nulls window over the same
+    union layout; no inequality join), each purchase splits 1e6 ppm of
+    credit EQUALLY over its touches by integer division, and the
+    truncation remainder is reported as ``residual_ppm`` (exact
+    bookkeeping: n_touch·credit_ppm + residual_ppm = 1e6 always —
+    integer credit is how the sum stays partition-order-proof where
+    float 1/n credits would not). Purchases with no preceding click
+    carry the full residual."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(None).cast("long").alias("buy_id"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(0).alias("_side"),
+        F.col("event_id").alias("_eid"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("buy_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lit(1).alias("_side"),
+        F.col("event_id").alias("_eid"),
+    )
+    m = clicks.unionByName(buys)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "_side", "_eid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nb = m.withColumn(
+        "next_buy", F.first("buy_id", ignorenulls=True).over(wf)
+    )
+    touches = (
+        nb.where((F.col("_side") == 0) & F.col("next_buy").isNotNull())
+        .groupBy(F.col("next_buy").alias("buy_id"))
+        .agg(F.count(F.lit(1)).alias("n_touch"))
+    )
+    out = (
+        buys.select("user_id", "buy_id", "cents")
+        .join(touches, "buy_id", "left")
+        .na.fill({"n_touch": 0})
+        .select(
+            "user_id",
+            "buy_id",
+            "cents",
+            "n_touch",
+            F.expr(
+                "CASE WHEN n_touch > 0 THEN 1000000 div n_touch"
+                " ELSE 0 END"
+            ).alias("credit_ppm"),
+            F.expr(
+                "1000000 - n_touch * (CASE WHEN n_touch > 0"
+                " THEN 1000000 div n_touch ELSE 0 END)"
+            ).alias("residual_ppm"),
+        )
+        .orderBy("buy_id")
+    )
+    return out
+
+
+_SQL_ATTRIBUTION_LINEAR = """
+WITH m AS (
+  SELECT user_id, epoch_us(ts) AS t, NULL::BIGINT AS buy_id,
+         NULL::BIGINT AS cents, 0 AS _side, event_id AS _eid
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), event_id,
+         CAST(round(value * 100) AS BIGINT), 1, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+nb AS (
+  SELECT *, first_value(buy_id IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY t, _side, _eid
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+  ) AS next_buy
+  FROM m
+),
+touches AS (
+  SELECT next_buy AS buy_id, CAST(count(*) AS BIGINT) AS n_touch
+  FROM nb WHERE _side = 0 AND next_buy IS NOT NULL
+  GROUP BY next_buy
+),
+buys AS (
+  SELECT user_id, event_id AS buy_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT b.user_id, b.buy_id, b.cents,
+       coalesce(t.n_touch, 0) AS n_touch,
+       CASE WHEN coalesce(t.n_touch, 0) > 0
+            THEN 1000000 // t.n_touch ELSE 0 END AS credit_ppm,
+       1000000 - coalesce(t.n_touch, 0)
+         * (CASE WHEN coalesce(t.n_touch, 0) > 0
+                 THEN 1000000 // t.n_touch ELSE 0 END) AS residual_ppm
+FROM buys b LEFT JOIN touches t USING (buy_id)
+ORDER BY buy_id"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -1987,6 +2097,7 @@ QUERIES11: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_cogroup_recon": q_feat_cogroup_recon,
     "dedup_prefix_join": q_dedup_prefix_join,
     "rel_sketch_setops": q_rel_sketch_setops,
+    "rel_attribution_linear": q_rel_attribution_linear,
 }
 
 
@@ -2020,4 +2131,5 @@ def oracles11() -> Dict[str, str]:
         "feat_cogroup_recon": _SQL_COGROUP_RECON,
         "dedup_prefix_join": _sql_prefix_join(),
         "rel_sketch_setops": _sql_sketch_setops(),
+        "rel_attribution_linear": _SQL_ATTRIBUTION_LINEAR,
     }

