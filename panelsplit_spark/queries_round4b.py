@@ -1,13 +1,15 @@
 """Round-4 breadth (part 11): evaluation statistics (rank-sum ROC-AUC
 batch + streaming, calibration bins, mutual information, chi-square A/B,
 weighted median), table reconciliation (fingerprint, snapshot diff,
-two-phase repair plan, streaming incremental fingerprint), panel
-time-series tooling (calendar gap inventory, linear interpolation,
-rolling 7-day distinct actives, CUSUM change detection, Markov
-transitions, top session paths), curation/profiling audits (Benford,
-NDV/reduction profile, sampling error, k-anonymity-adjacent quota
-sampling, rare-category collapsing, LSH recall eval, inverted index),
-and weighted shortest paths.
+two-phase repair plan, streaming incremental fingerprint, write-then-
+introspect file audit), panel time-series tooling (calendar gap
+inventory, linear interpolation, rolling 7-day distinct actives, CUSUM
+change detection, Markov transitions, top session paths, linear
+multi-touch attribution), curation/profiling audits (Benford,
+NDV/reduction profile, sampling error, quota sampling, rare-category
+collapsing, LSH recall eval, prefix-filtered exact similarity join,
+inverted index, sketch set algebra), weighted shortest paths, and the
+cogroup pandas API surface.
 
 Same contract as every other part: each query is a Spark DataFrame
 program paired with an ANSI-SQL oracle DuckDB runs over the same
