@@ -258,254 +258,11 @@ HEADLINE = [
     "rel_attribution_linear",
 ]
 
-# One-order-of-magnitude-up witness set (now the FULL registry,
-# budget-truncated): at sf0.1 every query is
-# setup-dominated (~2 s JVM noise floor), so plan differences hide; the
-# sf1 pass (10× rows, synthesized by tools/make_sf.py) is where shuffle
-# and scan costs actually surface. One timed pass, heavy/representative
-# queries across the operator families.
-SF1_HEADLINE = [
-    "rel_pricing_summary",
-    "rel_tpch_q3",
-    "rel_tpch_q9",
-    "rel_tpch_q18",
-    "rel_tpch_q21",
-    "rel_top_orders_per_cust",
-    "rel_daily_revenue_ma7",
-    "rel_pagerank",
-    "cv_ols_oof",
-    "cv_li_ols_oof",
-    "search_ridge_grid",
-    "feat_row_key_dist",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_spans",
-    "text_stats",
-    "text_lm_score",
-    "text_contamination",
-    "sim_lsh_topk",
-    "sim_pq_topk",
-    "emb_gram",
-    "emb_near_dup",
-    "pipe_pack_sequences",
-    "text_bpe_merges",
-    "rel_band_join",
-    "rel_graph_triangles",
-    "stream_ivm_view",
-    "rel_sketch_cmcount",
-    "rel_incremental_agg",
-    "pipe_gopher_rules",
-    "pipe_dsir_weights",
-    "dedup_semdedup",
-    "rel_tree_rollup",
-    "feat_trend_ols",
-    "cv_logit_irls",
-    "rel_bfs_reach",
-    "text_pmi_collocations",
-    # round-4 growth: the heavy half of the registry beyond the original
-    # 38 — every remaining query >1 s at sf0.1 plus one representative
-    # per still-uncovered family (ANN variants, SCD2/as-of, skew join,
-    # window gallery, streaming stateful gates), under the same 600 s
-    # budget logic
-    "stream_near_dup",
-    "cv_cls_prior_acc",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_simhash_pairs",
-    "dedup_jaccard_lsh",
-    "emb_cluster_purity",
-    "pipe_corpus_clean",
-    "text_tfidf",
-    "ps_purged_folds",
-    "src_bucketed_join",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_kmeans_ivf_topk",
-    "sim_knn_classify",
-    "text_lm_bigram",
-    "text_entropy",
-    "text_novelty",
-    "pipe_winsorize",
-    "pipe_pack_efficiency",
-    "rel_tpch_q5",
-    "rel_tpch_q8",
-    "rel_tpch_q17",
-    "rel_asof_join",
-    "rel_scd2_intervals",
-    "rel_cube_revenue",
-    "stream_cdc_apply",
-    "stream_heavy_hitters",
-    "pipe_quality_buckets",
-    "cv_poisson_irls",
-    "emb_pca_project",
-    "text_fingerprint",
-    "rel_salted_join",
-    "rel_window_gallery",
-    "pipe_quality_model",
-    "rel_quantile_sketch",
-    "pipe_negative_sample",
-    # round-4 second growth: every remaining >1.2 s sf0.1 query
-    "sim_ivfpq_topk",
-    "cv_pipe_scaled_ols",
-    "text_bpe_encode",
-    "stream_interval_join",
-    "stream_late_data",
-    "stream_sessionize",
-    "dedup_keep_best",
-    "stream_online_linreg",
-    "stream_decay_counts",
-    "dedup_containment_lsh",
-    "cv_weighted_ols_oof",
-    "dedup_jaccard",
-    "stream_hourly_features",
-    "dedup_containment",
-    "stream_session_window",
-    "search_random_ridge",
-    "stream_score",
-    "rel_tpch_q2",
-    "src_compaction",
-    "rel_table_fingerprint",
-    "rel_repair_plan",
-    "rel_snapshot_diff",
-    "cv_auc_price",
-    "rel_rolling_distinct",
-    "rel_shortest_path",
-    "pipe_item_pairs",
-    "rel_join_estimate",
-    "text_inverted_index",
-    "feat_weighted_median",
-    "dq_sample_error",
-    "dq_k_anonymity",    "ps_fold_assignment",
-    "ps_gen_snapshots",
-    "cv_mean_oof",
-    "cv_fold_mse",
-    "cv_li_fold_mse",
-    "text_langid",
-    "rel_region_revenue",
-    "rel_last_ship_per_supplier",
-    "rel_json_props",
-    "rel_hourly_activity",
-    "rel_sessionize",
-    "rel_rollup_revenue",
-    "feat_user_lag",
-    "mm_media_meta",
-    "rel_cust_no_orders",
-    "rel_nation_setops",
-    "rel_scalar_gallery",
-    "rel_value_deciles",
-    "rel_tpch_q10",
-    "src_partitioned_prune",
-    "rel_tpch_q4",
-    "rel_tpch_q12",
-    "rel_tpch_q14",
-    "rel_tpch_q22",
-    "rel_orders_above_cust_avg",
-    "rel_unpivot_customer",
-    "rel_price_histogram",
-    "rel_sql_gateway",
-    "rel_asof_join_fwd",
-    "rel_full_outer_recon",
-    "rel_morton_layout",
-    "pipe_rebalance_mix",
-    "rel_tpch_q6",
-    "rel_tpch_q19",
-    "rel_tpch_q13",
-    "rel_tpch_q11",
-    "rel_tpch_q15",
-    "rel_tpch_q7",
-    "rel_tpch_q20",
-    "rel_tpch_q16",
-    "text_chunks",
-    "text_repetition",
-    "cv_target_encode",
-    "feat_resample_ffill",
-    "pipe_span_trim",
-    "rel_cdc_upsert",
-    "src_orc_roundtrip",
-    "text_pii_scrub",
-    "mm_decode_stats",
-    "rel_sketch_distinct",
-    "rel_shj_join",
-    "rel_psi_drift",
-    "rel_dq_checks",
-    "rel_funnel",
-    "rel_retention_cohorts",
-    "pipe_weighted_sample",
-    "rel_outlier_zscore",
-    "rel_concurrency_timeline",
-    "rel_bloom_membership",
-    "src_dynamic_overwrite",
-    "src_schema_evolution",
-    "rel_sequence_pattern",
-    "emb_quantize_int8",
-    "text_langid_confusion",
-    "rel_asof_nearest",
-    "emb_centroid_shift",
-    "rel_grouping_id",
-    "src_csv_malformed",
-    "rel_null_semantics",
-    "rel_explode_outer",
-    "rel_decimal_exact",
-    "pipe_dataset_card",
-    "rel_skyline",
-    "text_fuzzy_pairs",
-    "pipe_temperature_mix",
-    "sim_recall_eval",
-    "pipe_curation_funnel",
-    "src_csv_quoted",
-    "rel_mode_per_group",
-    "sim_mrl_recall",
-    "rel_attribution",
-    "text_source_overlap",
-    "rel_not_in_null",
-    "stream_sink_roundtrip",
-    "src_binary_files",
-    "mm_chunk_manifest",
-    "emb_label_centroids",
-    "pipe_hash_split",
-    "ps_fold_stats",
-    "ps_test_labels",
-    "ps_train_labels",
-    "rel_date_gallery",
-    "rel_grouping_sets",
-    "rel_percentiles",
-    "rel_pivot_priority",
-    "rel_range_window",
-    "src_csv_roundtrip",
-    "src_json_roundtrip",
-    "stream_dedup",
-    "text_topterms",
-    "mm_chunk_dedup",
-    "rel_zorder_layout",
-    "rel_sketch_cm_error",
-    "pipe_url_canonical",
-    "stream_quantile",
-    "emb_threshold_sweep",
-    "pipe_host_stats",
-    "src_dpp_prune",
-    "rel_skew_audit",
-    "feat_gap_detect",
-    "dq_benford",
-    "cv_calibration_bins",
-    "feat_mutual_info",
-    "dq_ab_chi2",
-    "rel_markov_transitions",
-    "stream_fingerprint",
-    "stream_auc",
-    "feat_interpolate",
-    "dq_ndv_profile",
-    "dedup_lsh_recall",
-    "pipe_quota_sample",
-    "rel_top_paths",
-    "feat_cusum",
-    "feat_collapse_rare",
-    "src_file_audit",
-    "feat_cogroup_recon",
-    "dedup_prefix_join",
-    "rel_sketch_setops",
-    "rel_attribution_linear",
-]
+# One-order-of-magnitude-up witness set: the FULL registry, derived
+# from HEADLINE so a new query can never silently miss sf1 coverage
+# (the two lists drifted by hand before — review finding, round 4).
+# Order = HEADLINE order; the sf1 budget truncates the tail gracefully.
+SF1_HEADLINE = list(HEADLINE)
 
 
 def main() -> None:

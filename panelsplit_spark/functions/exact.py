@@ -59,8 +59,6 @@ def zorder_key(a, b, bits: int = 16):
     masks each input to ``bits`` low bits, which is a no-op for the
     documented pre-reduced inputs and a safety net otherwise.
     """
-    from pyspark.sql import functions as F  # noqa: F401 (API parity)
-
     return morton_code(a, b, bits)
 
 

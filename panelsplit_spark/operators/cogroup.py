@@ -41,8 +41,11 @@ def cogroup_reconcile(
     per account" audit, expressed through the cogroup API so each key's
     rows from both sources meet in one Python function.
 
-    ``left_val`` / ``right_val`` must be integral columns (quantize
-    upstream). Output: ``key n_left sum_left n_right sum_right diff``.
+    Contract: ``key_col`` must be a NON-NULL integral column and
+    ``left_val`` / ``right_val`` integral values (quantize/encode
+    upstream — the fixed ``key long`` output schema is what keeps the
+    Python boundary SQL-replayable). Output: ``key n_left sum_left
+    n_right sum_right diff``.
     """
     import pandas as pd
 

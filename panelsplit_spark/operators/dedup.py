@@ -240,7 +240,7 @@ def _shingle_pair_core(
 ):
     """Shared machinery of the n-gram pair family: distinct shingles,
     corpus-level document-frequency cap, optional candidate pruning,
-    and the intersection counts. Returns ``(inter, sizes, candidates)``
+    and the intersection counts. Returns ``(inter, sizes)``
     where ``inter`` is (id_a, id_b, n_inter) and ``sizes`` is
     (id_col, n_sh) over the SAME (capped) shingle universe.
 

@@ -1601,31 +1601,33 @@ FA_BUCKETS = 6
 
 
 def q_src_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write→introspect round trip: lineitem is written as one parquet
-    file per ``l_orderkey % 6`` bucket, read back, and audited at FILE
-    granularity via ``input_file_name()`` — per file: rows, key range,
-    exact revenue cents (the census a compaction/clustering planner
-    reads before deciding layout work). The bucket index is recovered
-    from the filename, so the gate proves BOTH that the writer put
-    exactly the right rows in each file and that file-level
-    introspection works; the oracle derives the same stats from the
-    source view and never touches a file."""
+    """Write→introspect round trip: lineitem is written ONCE as a
+    bucket-partitioned parquet layout (``l_orderkey % 6`` directories),
+    read back, and audited at FILE granularity via
+    ``input_file_name()`` — per bucket: rows, key range, exact revenue
+    cents (the census a compaction/clustering planner reads before
+    deciding layout work). The bucket index is recovered from the FILE
+    PATH, so the gate proves BOTH that the partitioned writer routed
+    exactly the right rows and that file-level introspection works;
+    the oracle derives the same stats from the source view and never
+    touches a file."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.expr(f"l_orderkey % {FA_BUCKETS}").alias("bucket"),
     )
-    from .streaming.rolling import write_file_batches
-
     feed = _fresh_feed("file_audit")
-    write_file_batches(
-        [
-            li.where(F.col("l_orderkey") % FA_BUCKETS == j)
-            for j in range(FA_BUCKETS)
-        ],
-        feed,
+    # ONE scan: bucket-pure shuffle + partitioned write (one directory
+    # per bucket), instead of one filtered re-scan per bucket — the
+    # review flagged the 6-scan form as pure wall-clock at sf1
+    (
+        li.repartition(FA_BUCKETS, F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(feed)
     )
     back = spark.read.parquet(feed).select(
-        F.regexp_extract(F.input_file_name(), r"batch(\d+)", 1)
+        F.regexp_extract(F.input_file_name(), r"bucket=(\d+)", 1)
         .cast("long")
         .alias("bucket"),
         "l_orderkey",
@@ -1840,14 +1842,31 @@ def q_rel_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.select("t", "u").distinct()
 
     def est(col):
+        # saturation guard (same rule as sketches.linear_count): a full
+        # counter estimates NULL on BOTH engines — Spark's log(0) is a
+        # silent NULL but DuckDB's ln(0) is a hard error, so the guard
+        # is what keeps the two engines aligned at high cardinality
         empty = (F.lit(SO_M) - col).cast("double")
-        return F.round(
-            -F.lit(float(SO_M)) * F.log(empty / F.lit(float(SO_M))), 6
-        )
+        return F.when(
+            col < F.lit(SO_M),
+            F.round(
+                -F.lit(float(SO_M)) * F.log(empty / F.lit(float(SO_M))),
+                6,
+            ),
+        ).otherwise(F.lit(None).cast("double"))
 
     occ_n = occ.groupBy("t").agg(F.count(F.lit(1)).alias("occ"))
     ex_n = users.groupBy("t").agg(F.count(F.lit(1)).alias("exact"))
-    # pairwise shared buckets / shared users via label self-joins
+    # DENSE pair axis from the label set itself: a fully disjoint pair
+    # (zero shared buckets AND zero shared users) must still emit a row
+    # with exact_inter = 0 — deriving pairs from the shared-join output
+    # would silently drop it (review finding, round 4)
+    labels = occ.select(F.col("t")).distinct()
+    pairs = (
+        labels.select(F.col("t").alias("a"))
+        .crossJoin(labels.select(F.col("t").alias("bt")))
+        .where(F.col("a") < F.col("bt"))
+    )
     oa = occ.select(F.col("t").alias("a"), "b")
     ob = occ.select(F.col("t").alias("b_t"), "b")
     shared_b = (
@@ -1865,7 +1884,8 @@ def q_rel_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
     j = (
-        shared_b.join(shared_u, ["a", "bt"], "full_outer")
+        pairs.join(shared_b, ["a", "bt"], "left")
+        .join(shared_u, ["a", "bt"], "left")
         .na.fill({"shared_occ": 0, "exact_inter": 0})
         .join(
             occ_n.select(F.col("t").alias("a"), F.col("occ").alias("occ_a")),
@@ -1912,7 +1932,9 @@ def _sql_sketch_setops() -> str:
 
     def est(expr: str) -> str:
         return (
-            f"round(-{SO_M}.0 * ln(({SO_M} - ({expr})) / {SO_M}.0), 6)"
+            f"CASE WHEN ({expr}) < {SO_M} THEN "
+            f"round(-{SO_M}.0 * ln(({SO_M} - ({expr})) / {SO_M}.0), 6) "
+            f"ELSE NULL END"
         )
 
     return f"""
@@ -1934,12 +1956,18 @@ shared_u AS (
   FROM users a JOIN users c ON a.u = c.u AND a.t < c.t
   GROUP BY 1, 2
 ),
+labels AS (SELECT DISTINCT t FROM occ),
+pairs AS (
+  SELECT a.t AS ta, c.t AS tb
+  FROM labels a JOIN labels c ON a.t < c.t
+),
 j AS (
-  SELECT coalesce(sb.ta, su.ta) AS ta, coalesce(sb.tb, su.tb) AS tb,
-         coalesce(shared_occ, 0) AS shared_occ,
-         coalesce(exact_inter, 0) AS exact_inter
-  FROM shared_b sb FULL OUTER JOIN shared_u su
-    ON sb.ta = su.ta AND sb.tb = su.tb
+  SELECT p.ta, p.tb,
+         coalesce(sb.shared_occ, 0) AS shared_occ,
+         coalesce(su.exact_inter, 0) AS exact_inter
+  FROM pairs p
+  LEFT JOIN shared_b sb ON sb.ta = p.ta AND sb.tb = p.tb
+  LEFT JOIN shared_u su ON su.ta = p.ta AND su.tb = p.tb
 )
 SELECT j.ta AS type_a, j.tb AS type_b,
        ea.exact AS exact_a, eb.exact AS exact_b, j.exact_inter,

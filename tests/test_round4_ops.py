@@ -1023,7 +1023,6 @@ def test_cogroup_reconcile_closed_form(spark):
 def test_prefix_filter_guaranteed_recall(spark, sf_dir):
     """Prefix filtering is a theorem, not a heuristic: every true
     above-threshold pair must appear among the candidates."""
-    from panelsplit_spark.operators import dedup
     from panelsplit_spark.queries_round4b import q_dedup_prefix_join
 
     r = q_dedup_prefix_join(spark, sf_dir).collect()[0]

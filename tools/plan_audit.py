@@ -99,6 +99,7 @@ BNLJ_WHITELIST = {
     "rel_repair_plan",       # ≤64-row flagged-bucket list + 1-row stats
     "dedup_lsh_recall",      # three single-row eval counters crossed in
     "dedup_prefix_join",     # three single-row eval counters crossed in
+    "rel_sketch_setops",     # ≤5-label dense pair axis (labels × labels)
 }
 
 
