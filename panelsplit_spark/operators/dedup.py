@@ -435,25 +435,33 @@ def simhash(
     """SimHash fingerprint: bit i set iff the token-count-weighted sum of
     (±1 per token's hash bit i) is positive → (id, simhash bigint).
 
-    Token hashes are md5-derived 60-bit ints; one explode + one grouped
+    Token hashes are md5-derived 60-bit ints; one explode + ONE grouped
     aggregate with ``n_bits`` conditional sums (all codegen'd — the
     per-bit expressions are cheap integer ops on an already-computed
     hash column).
+
+    Single-shuffle shape: summing ±1 per token OCCURRENCE is identical
+    to the classic count-weighted ±w per DISTINCT token (w occurrences
+    of one token contribute w equal ±1 terms), so the (id, token)
+    pre-aggregation an earlier version shuffled through is pure
+    overhead — exploded occurrences partial-aggregate map-side straight
+    to one row per document (a document's tokens are co-located with
+    it), and only ~n_docs rows reach the exchange.  At 100 TB that
+    turns a token-cardinality shuffle into a doc-cardinality one.
     """
     toks = word_tokens(F.col(text_col))
     t = (
         _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(toks).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", md5_long(F.col("tok")))
     )
+    one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(
             F.when(
                 F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                F.col("w"),
-            ).otherwise(-F.col("w"))
+                one,
+            ).otherwise(-one)
         ).alias(f"s{i}")
         for i in range(n_bits)
     ]
