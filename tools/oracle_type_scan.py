@@ -46,6 +46,7 @@ def type_ok(t: str) -> bool:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name subset (gate.py)
     os.environ["PANELSPLIT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
@@ -64,6 +65,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     bad = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         try:
             rel = con.sql(sql)
             cols = rel.columns

@@ -174,9 +174,12 @@ def main() -> int:
         "Counts from `executedPlan` strings of every declared query. "
         "`row_py` (row-at-a-time Python, the slow path) must stay 0 "
         "everywhere; Python appears only as Arrow-batched operators "
-        "(`arrow_py`). `bnlj` > 0 flags a cross join — the ONLY "
-        "intended one is sim_cosine_topk's broadcast of the (tiny) "
-        "query set, the documented brute-force ANN baseline.",
+        "(`arrow_py`). `bnlj` > 0 flags a nested-loop/cross join — "
+        f"the ONLY intended ones are the {len(BNLJ_WHITELIST)} "
+        "whitelisted queries in `tools/plan_audit.py:BNLJ_WHITELIST` "
+        "(each a documented broadcast of a single-row global-aggregate "
+        "scalar or an explicitly tiny query/centroid/threshold set); "
+        "`--check` fails on any bnlj outside that list.",
         "",
         "| query | exchanges | broadcast joins | sort-merge joins | "
         "nested-loop joins | codegen spans | arrow-python ops | "
