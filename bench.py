@@ -258,10 +258,55 @@ HEADLINE = [
     "rel_attribution_linear",
 ]
 
+# Eval-truth gates whose cost is the deliberately-quadratic truth path
+# (all-pairs Jaccard join) or a micro-batch drain, NOT the production
+# operator: at sf1 they burned 114 s of the 600 s budget (r4: 63.5 +
+# 40.5 + 9.7 s) proving theorems the sf0.1 HEADLINE and the sf0.01
+# correctness gate already prove.  At sf1, bench the PRODUCTION path
+# only; None means the production constituents are already independent
+# sf1 entries (minhash signatures + banding = dedup_minhash_lsh,
+# candidate-pruned verify = dedup_jaccard_lsh), so the query is simply
+# excluded rather than double-counted.  Correctness gating is
+# unchanged: all three stay in HEADLINE (sf0.1) and in queries().
+SF1_EVAL_TRUTH_SPLIT = {
+    # prefix-filter candidates + verify, WITHOUT the all-pairs truth
+    # join (the only sf1 witness of the ppjoin production path)
+    "dedup_prefix_join": "_sf1_prefix_join_production",
+    # truth = all-pairs Jaccard; production = dedup_minhash_lsh +
+    # dedup_jaccard_lsh, both already in the sf1 set
+    "dedup_lsh_recall": None,
+    # cost is micro-batch-drain harness overhead; the per-batch plan
+    # (signatures + band self-join) is dedup_minhash_lsh's, already
+    # sf1-benched; stream semantics stay gated at sf0.1/sf0.01
+    "stream_near_dup": None,
+}
+
+
+def _sf1_prefix_join_production(spark, sf_dir):
+    """Production half of dedup_prefix_join: rarest-first prefix
+    candidates + candidate-pruned exact-Jaccard verify — the 100 TB
+    shape (one distinct-shingle shuffle + one prefix equi-join), minus
+    the quadratic exact_bp==10000 theorem check."""
+    from panelsplit_spark.operators import dedup
+    from panelsplit_spark.queries_data import JACCARD_N, JACCARD_T
+    from panelsplit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.prefix_filter_candidates(
+        docs, shingle_n=JACCARD_N,
+        threshold_bp=int(round(JACCARD_T * 10000)),
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
+    )
+
+
 # One-order-of-magnitude-up witness set: the FULL registry, derived
 # from HEADLINE so a new query can never silently miss sf1 coverage
 # (the two lists drifted by hand before — review finding, round 4).
 # Order = HEADLINE order; the sf1 budget truncates the tail gracefully.
+# Eval-truth gates are swapped for their production paths (see
+# SF1_EVAL_TRUTH_SPLIT above).
 SF1_HEADLINE = list(HEADLINE)
 
 
@@ -422,12 +467,18 @@ def main() -> None:
             for name in SF1_HEADLINE:
                 if name not in qs:
                     continue
+                fn, label = qs[name], name
+                if name in SF1_EVAL_TRUTH_SPLIT:
+                    sub = SF1_EVAL_TRUTH_SPLIT[name]
+                    if sub is None:
+                        continue  # production constituents benched
+                    fn, label = globals()[sub], f"{name}@production"
                 if time.time() - t_start > budget:
-                    sf1["_truncated_after"] = name
+                    sf1["_truncated_after"] = label
                     break
                 t0 = time.time()
-                qs[name](spark, sf1_dir).count()
-                sf1[name] = round(time.time() - t0, 3)
+                fn(spark, sf1_dir).count()
+                sf1[label] = round(time.time() - t0, 3)
                 release_all_pinned(spark)
         except Exception as e:  # sf1 is an extra witness, never fatal
             sf1 = {"_error": str(e)[:200]}

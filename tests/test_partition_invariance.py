@@ -71,6 +71,46 @@ def test_query_hash_is_shuffle_partition_invariant(spark, qname):
     )
 
 
+ROUND4B_HEAVIES = [
+    # the round-4b shapes the earlier list predates (judge task, r5):
+    # two-phase flagged-bucket repair, prefix-filter candidate join +
+    # exact verify, mergeable-sketch set algebra with saturation guard
+    "rel_repair_plan",
+    "dedup_prefix_join",
+    "rel_sketch_setops",
+    # bounded Bellman-Ford re-checked at the wider spread too
+    "rel_shortest_path",
+]
+
+
+@pytest.mark.parametrize("qname", ROUND4B_HEAVIES)
+def test_round4b_hash_invariant_wide_spread(spark, qname):
+    """Same property at the {4, 64} spread: 64 > distinct-key counts of
+    several grouping columns at sf0.001, so many post-shuffle partitions
+    are EMPTY — an aggregation or window that (incorrectly) folded
+    partition identity into the result would diverge here even if the
+    {3, 17} spread happened to agree."""
+    import __spark_entry__ as entrymod
+
+    from panelsplit_spark.utils.storage import release_all_pinned
+
+    fn = entrymod.queries()[qname]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for n in ("4", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            df = fn(spark, SF_DIR)
+            rows = [tuple(r) for r in df.collect()]
+            hashes[n] = (len(rows), _co.value_hash(df.columns, rows))
+            release_all_pinned(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert hashes["4"] == hashes["64"], (
+        f"{qname} result depends on shuffle partition count: {hashes}"
+    )
+
+
 @pytest.mark.parametrize(
     "qname", ["rel_tpch_q3", "dedup_minhash_lsh", "rel_sessionize"]
 )
