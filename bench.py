@@ -292,12 +292,16 @@ def _sf1_prefix_join_production(spark, sf_dir):
     from panelsplit_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs, shingle_n=JACCARD_N).localCheckpoint(
+        eager=True
+    )
     cands = dedup.prefix_filter_candidates(
         docs, shingle_n=JACCARD_N,
-        threshold_bp=int(round(JACCARD_T * 10000)),
+        threshold_bp=int(round(JACCARD_T * 10000)), shingles=sh,
     )
     return dedup.ngram_jaccard_pairs(
-        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands,
+        shingles=sh,
     )
 
 

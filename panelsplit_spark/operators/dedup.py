@@ -230,6 +230,34 @@ def lsh_candidate_pairs(
     )
 
 
+def doc_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct word-n-gram shingles per document → (id_col, shingle).
+
+    The shared input of the whole n-gram similarity family
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`,
+    :func:`prefix_filter_candidates`).  Callers composing several of
+    those over the SAME corpus should compute this once, materialize it
+    (``localCheckpoint`` locally; write a table at production scale),
+    and pass it via each operator's ``shingles=`` parameter — the
+    tokenize+explode pass over the raw text is the single most
+    expensive scan of the family and there is no reason to pay it per
+    stage."""
+    toks = word_tokens(F.col(text_col))
+    return _ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+
+
 def _shingle_pair_core(
     df: DataFrame,
     text_col: str,
@@ -237,6 +265,7 @@ def _shingle_pair_core(
     shingle_n: int,
     candidates: Optional[DataFrame],
     max_shingle_df: Optional[int],
+    shingles: Optional[DataFrame] = None,
 ):
     """Shared machinery of the n-gram pair family: distinct shingles,
     corpus-level document-frequency cap, optional candidate pruning,
@@ -249,15 +278,15 @@ def _shingle_pair_core(
     cap measured after the semi-join would depend on which pairs were
     proposed, silently diverging from the all-pairs path and any
     corpus-level SQL replay (found by review, round 4).
+
+    ``shingles``: optional precomputed :func:`doc_shingles` output
+    (must cover the same ``df``/``shingle_n``) so composed pipelines
+    scan the raw text once.
     """
-    toks = word_tokens(F.col(text_col))
-    sh = _ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
-            "shingle"
-        ),
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, text_col, id_col, shingle_n)
     )
     if max_shingle_df is not None:
         keep = (
@@ -285,8 +314,15 @@ def _shingle_pair_core(
         sh = sh.join(F.broadcast(ids), id_col, "left_semi")
     # consumed three times (both join sides + sizes); materialize so the
     # tokenize/shingle chain runs once — at production scale write the
-    # shingle table out instead
-    sh = sh.localCheckpoint(eager=True)
+    # shingle table out instead. Skip when the caller already handed us
+    # a materialized frame and no pruning narrowed it (checkpointing a
+    # checkpoint would copy the blocks for nothing).
+    if not (
+        shingles is not None
+        and candidates is None
+        and max_shingle_df is None
+    ):
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")
@@ -324,6 +360,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: Optional[DataFrame] = None,
     max_shingle_df: Optional[int] = None,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity pairs ≥ threshold →
     (id_a, id_b, jaccard).
@@ -349,7 +386,8 @@ def ngram_jaccard_pairs(
     Shared machinery: :func:`_shingle_pair_core`.
     """
     inter, sizes = _shingle_pair_core(
-        df, text_col, id_col, shingle_n, candidates, max_shingle_df
+        df, text_col, id_col, shingle_n, candidates, max_shingle_df,
+        shingles=shingles,
     )
     sa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
@@ -380,6 +418,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
     max_shingle_df: Optional[int] = None,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs → (id_a, id_b, n_a, n_b,
     n_inter, containment) with containment = |A∩B| / min(|A|, |B|) ≥
@@ -399,7 +438,8 @@ def ngram_containment_pairs(
     every engine, replayable in plain SQL.
     """
     inter, sizes = _shingle_pair_core(
-        df, text_col, id_col, shingle_n, candidates, max_shingle_df
+        df, text_col, id_col, shingle_n, candidates, max_shingle_df,
+        shingles=shingles,
     )
     out = (
         inter.join(
@@ -1197,6 +1237,7 @@ def prefix_filter_candidates(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold_bp: int = 3000,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """EXACT set-similarity join candidates via prefix filtering (the
     ppjoin/AllPairs family, public algorithm): two shingle sets with
@@ -1208,26 +1249,45 @@ def prefix_filter_candidates(
     (t·|A| ≤ |B| ≤ |A|/t) prunes cross-size pairs inside the join
     condition.
 
+    PPJoin positional filter (also exact): let P be the set of shingles
+    the two PREFIXES share, and w* its globally most frequent member.
+    Any x ∈ A∩B outside P must rank after w* in both documents — if x
+    ranked before a token that sits inside both prefixes, x would sit
+    inside both prefixes too (ranks below a prefix member's are prefix
+    positions) and hence inside P.  So:
+
+        |A∩B| ≤ |P| + min(|A| − rk_A(w*), |B| − rk_B(w*))
+
+    while Jaccard ≥ t forces |A∩B| ≥ t/(1+t)·(|A|+|B|).  Pairs whose
+    positional bound can't reach that floor are dropped BEFORE the
+    verify stage ever sees them — on templated corpora (the 100 TB
+    reality: boilerplate headers, licence blocks) this is the
+    difference between millions of candidates and the near-dup count
+    (measured at sf1: 5.97 M raw prefix pairs).  |P| and the max ranks
+    fall out of the same per-pair aggregation that deduplicates the
+    join, so the filter costs nothing beyond the groupBy the old
+    ``.distinct()`` already paid.  Integer basis points throughout; the
+    bound check multiplies instead of dividing.
+
     100 TB shape: one distinct-shingle shuffle, one shingle-keyed df
     count, one per-doc window rank (rarest-first order, tie-broken by
     the shingle string so both engines rank identically), and ONE
     equi-join of the PREFIX tables — which are a small slice of the
     full posting lists, and the frequency ordering puts precisely the
-    rarest (lowest fan-out) tokens in them. Integer arithmetic
-    throughout: the prefix length uses ceil in basis points.
+    rarest (lowest fan-out) tokens in them.  The pair aggregation takes
+    count + max ranks per side; both maxes land on w* because document
+    rank order restricted to shared tokens is the global rarity order.
 
     Returns DISTINCT (id_a, id_b) with id_a < id_b — feed to
     ``ngram_jaccard_pairs(candidates=...)`` for verification.
+    ``shingles``: optional precomputed :func:`doc_shingles` output —
+    pass the SAME frame to the verify call so the text is scanned once.
     """
-    toks = word_tokens(F.col(text_col))
-    sh = _ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_ngrams(toks, shingle_n))).alias(
-            "shingle"
-        ),
-    )
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, text_col, id_col, shingle_n)
+    ).select(F.col(id_col).alias("__id"), "shingle")
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__id").orderBy(
@@ -1244,25 +1304,51 @@ def prefix_filter_candidates(
         <= F.col("__n")
         - F.expr(f"(__n * {int(threshold_bp)} + 9999) div 10000")
         + 1
-    ).select("__id", "shingle", "__n")
+    ).select("__id", "shingle", "__n", "__rk")
     a = prefix.select(
         F.col("__id").alias("id_a"),
         F.col("shingle"),
         F.col("__n").alias("__na"),
+        F.col("__rk").alias("__rka"),
     )
     b = prefix.select(
         F.col("__id").alias("id_b"),
         F.col("shingle"),
         F.col("__n").alias("__nb"),
+        F.col("__rk").alias("__rkb"),
     )
+    t_bp = int(threshold_bp)
     return (
         a.join(b, "shingle")
         .where(
             (F.col("id_a") < F.col("id_b"))
             # size filter: t·|A| ≤ |B| and t·|B| ≤ |A|
-            & (F.col("__nb") * 10000 >= F.col("__na") * threshold_bp)
-            & (F.col("__na") * 10000 >= F.col("__nb") * threshold_bp)
+            & (F.col("__nb") * 10000 >= F.col("__na") * t_bp)
+            & (F.col("__na") * 10000 >= F.col("__nb") * t_bp)
+        )
+        # per-pair |P| + max rank on each side (both maxes land on w*,
+        # the most frequent shared prefix token) — the groupBy replaces
+        # the old .distinct() at the same shuffle cost and feeds the
+        # positional filter
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(
+            F.count(F.lit(1)).alias("__p"),
+            F.max("__rka").alias("__ra"),
+            F.max("__rkb").alias("__rb"),
+        )
+        # positional filter: (|P| + min(|A|-rk_A(w*), |B|-rk_B(w*)))
+        # ·(1+t) ≥ t·(|A|+|B|), in basis points (× instead of ÷:
+        # exact integers)
+        .where(
+            (
+                F.col("__p")
+                + F.least(
+                    F.col("__na") - F.col("__ra"),
+                    F.col("__nb") - F.col("__rb"),
+                )
+            )
+            * (10000 + t_bp)
+            >= (F.col("__na") + F.col("__nb")) * t_bp
         )
         .select("id_a", "id_b")
-        .distinct()
     )

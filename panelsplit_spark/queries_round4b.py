@@ -1728,14 +1728,21 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t_bp = int(round(JACCARD_T * 10000))
     docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenize+shingle scan feeds the truth path, the candidate
+    # generator, and the verify — materialized here, consumed by all
+    # three via the shingles= parameter (at production scale: a table)
+    sh = dedup.doc_shingles(docs, shingle_n=JACCARD_N).localCheckpoint(
+        eager=True
+    )
     truth = dedup.ngram_jaccard_pairs(
-        docs, shingle_n=JACCARD_N, threshold=JACCARD_T
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, shingles=sh
     ).select("id_a", "id_b")
     cands = dedup.prefix_filter_candidates(
-        docs, shingle_n=JACCARD_N, threshold_bp=t_bp
+        docs, shingle_n=JACCARD_N, threshold_bp=t_bp, shingles=sh
     )
     verified = dedup.ngram_jaccard_pairs(
-        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands,
+        shingles=sh,
     ).select("id_a", "id_b")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -1782,15 +1789,26 @@ ranked AS (
   FROM sh JOIN dfreq USING (shingle) JOIN sizes ON sizes.id = sh.id
 ),
 prefix AS (
-  SELECT id, shingle, n FROM ranked
+  SELECT id, shingle, n, rk FROM ranked
   WHERE rk <= n - ((n * {t_bp} + 9999) // 10000) + 1
 ),
+-- ppjoin positional filter twin: |P| shared prefix tokens plus the
+-- suffix after w* (the most frequent one, = max rank both sides);
+-- |A∩B| <= |P| + min(n_a-rk_a(w*), n_b-rk_b(w*)) must reach the
+-- Jaccard floor t/(1+t)*(n_a+n_b)
 cands AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM prefix a JOIN prefix b ON a.shingle = b.shingle
-  WHERE a.id < b.id
-    AND b.n * 10000 >= a.n * {t_bp}
-    AND a.n * 10000 >= b.n * {t_bp}
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb,
+           CAST(count(*) AS BIGINT) AS p,
+           max(a.rk) AS ra, max(b.rk) AS rb
+    FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+    WHERE a.id < b.id
+      AND b.n * 10000 >= a.n * {t_bp}
+      AND a.n * 10000 >= b.n * {t_bp}
+    GROUP BY a.id, b.id, a.n, b.n
+  )
+  WHERE (p + least(na - ra, nb - rb)) * (10000 + {t_bp})
+        >= (na + nb) * {t_bp}
 ),
 truth AS (
   SELECT id_a, id_b FROM (

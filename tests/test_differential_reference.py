@@ -241,3 +241,70 @@ def test_grid_search_cv_results_match_reference_loop(spark, tiny_panel):
                                    rtol=1e-8)
     assert list(res["rank_test_score"]) == list(ranks)
     assert gs.best_index_ == int(order[0])
+
+
+def test_pipeline_chaining_matches_reference_loop(spark, tiny_panel):
+    """Differential §2.3 check: two-CV-step SequentialCVPipeline
+    (per-fold StandardScaler whose OUT-OF-FOLD transform feeds a
+    per-fold OLS under a second splitter) equals the reference _fit
+    chaining loop (pipeline.py:686-719: X_current = _sort_and_combine
+    of per-fold test-group transforms, next step fit on X_current)
+    replicated positionally in numpy."""
+    from panelsplit_spark import StandardScaler
+    from panelsplit_spark.operators.pipeline import SequentialCVPipeline
+
+    pdf = tiny_panel.sort_values(["period", "entity"]).reset_index(
+        drop=True
+    )
+    periods = pdf["period"].to_numpy()
+    X = pdf[["x"]].to_numpy(float)
+    y = pdf["y"].to_numpy(float)
+
+    # --- reference-style chaining (positional) ---
+    rep1 = _ReferenceReplica(periods, n_splits=3)
+    scaled = {}
+    for tr, te in rep1.split():
+        mu = X[tr].mean(axis=0)
+        s = X[tr].std(axis=0)
+        s[s == 0.0] = 1.0
+        for i in te:
+            scaled[int(i)] = (X[i] - mu) / s
+    covered = sorted(scaled)  # _sort_and_combine: ascending row index
+    Xc = np.vstack([scaled[i] for i in covered])
+    yc = y[covered]
+    rep2 = _ReferenceReplica(periods[covered], n_splits=2)
+    expected = {}
+    for fid, (tr2, te2) in enumerate(rep2.split()):
+        w, b = _ridge_closed_form(Xc[tr2], yc[tr2], 0.0)
+        pred = Xc[te2] @ w + b
+        for j, p in zip(te2, pred):
+            expected[(int(covered[int(j)]), fid)] = float(p)
+
+    # --- engine ---
+    sdf = spark.createDataFrame(pdf.reset_index(names="row_id"))
+    ps1 = PanelSplit(sdf, "period", n_splits=3)
+    test_periods = sorted(
+        {p for f in ps1.spec.folds for p in f.test_periods}
+    )
+    from panelsplit_spark.operators.cross_validation import (
+        PanelSplit as PS,
+    )
+
+    ps2 = PS(period_col="period", unique_periods=test_periods,
+             n_splits=2)
+    pipe = SequentialCVPipeline(
+        [("sc", StandardScaler()), ("reg", LinearRegression())],
+        [ps1, ps2],
+        ["x"],
+        y_col="y",
+    )
+    pipe.fit(sdf)
+    got = {
+        (r["row_id"], r["fold_id"]): r["prediction"]
+        for r in pipe.predict_df(sdf)
+        .select("row_id", "fold_id", "prediction")
+        .collect()
+    }
+    assert sorted(got) == sorted(expected)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12)
