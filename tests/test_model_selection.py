@@ -357,3 +357,46 @@ def test_randomized_matches_grid_on_sampled_subset(spark, panel):
     ]
     gs_order = np.argsort(gs_rank_of_sampled, kind="stable")
     assert list(rs_order) == list(gs_order)
+
+
+def test_n_jobs_concurrent_candidates_deterministic(spark, panel):
+    """SURVEY §2.5 idiom parity: the reference runs candidates through
+    joblib.Parallel (model_selection.py:636-638); here ``n_jobs`` maps
+    to driver threads issuing concurrent Spark jobs. cv_results_ must
+    be IDENTICAL (exact floats, same candidate order) at n_jobs=1 vs 4
+    — the thread pool preserves candidate order via pool.map and each
+    candidate clones its own pipeline, so concurrency must never leak
+    into results. Two steps force the generic per-candidate path (the
+    closed-form sweep would bypass the pool)."""
+    from panelsplit_spark import StandardScaler
+
+    def pipe2():
+        ps1 = PanelSplit(panel, "period", n_splits=3,
+                         include_first_train_in_test=True)
+        ps2 = PanelSplit(panel, "period", n_splits=3)
+        return SequentialCVPipeline(
+            [("sc", StandardScaler()), ("reg", Ridge(alpha=1.0))],
+            [ps1, ps2],
+            ["x1", "x2"],
+            y_col="y",
+        )
+
+    grid = {"reg__alpha": [1e-6, 0.1, 1.0, 10.0]}
+    results = {}
+    for nj in (1, 4):
+        gs = GridSearch(
+            pipe2(), grid, scoring="neg_mean_squared_error",
+            refit=False, n_jobs=nj,
+        )
+        gs.fit(panel)
+        results[nj] = gs.cv_results_
+    r1, r4 = results[1], results[4]
+    assert [p["reg__alpha"] for p in r1["params"]] == [
+        p["reg__alpha"] for p in r4["params"]
+    ]
+    for j in range(3):
+        assert list(r1[f"split{j}_test_score"]) == list(
+            r4[f"split{j}_test_score"]
+        )
+    assert list(r1["mean_test_score"]) == list(r4["mean_test_score"])
+    assert list(r1["rank_test_score"]) == list(r4["rank_test_score"])
