@@ -256,6 +256,10 @@ HEADLINE = [
     "dedup_prefix_join",
     "rel_sketch_setops",
     "rel_attribution_linear",
+    # round 5
+    "rel_sketch_hll",
+    "text_tfidf_topk",
+    "feat_seasonal_decompose",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

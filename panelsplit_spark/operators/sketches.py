@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "md5_bucket",
@@ -32,6 +32,8 @@ __all__ = [
     "cm_point_estimates",
     "bloom_build",
     "bloom_probe",
+    "hll_register_maxes",
+    "hll_estimate",
 ]
 
 
@@ -219,4 +221,112 @@ def bloom_probe(
         hit = hi if hit is None else (hit & hi)
     return df.withColumn(out_col, hit).drop(
         *[c for i in range(k) for c in (f"_p{i}", f"_h{i}")]
+    )
+
+
+def hll_register_maxes(
+    df: DataFrame,
+    key_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog register table per group → (*group_by, reg, M).
+
+    (Flajolet, Fusy, Gandouet, Meunier 2007.) The md5-derived 60-bit
+    hash splits into a ``p``-bit register index and a 54-bit pattern
+    ``w``; ``M = max ρ(w)`` per register, where ρ = 1 + leading zeros
+    of ``w`` in its 54-bit field.  ρ is computed EXACTLY as
+    ``55 − length(bin(w))`` — both engines' ``bin()`` strips leading
+    zeros, so the string length IS ⌊log2 w⌋+1 with zero float involved
+    (``ρ = 55`` for the 2⁻⁵⁴-probability ``w = 0``).
+
+    State is ≤ 2^p longs per group no matter the input size and merges
+    by MAX — the mergeability that lets per-day/per-executor registers
+    combine exactly at 100 TB.  One grouped aggregation; map-side
+    partials collapse each partition to ≤ 2^p rows per group first.
+    """
+    m = 1 << p
+    gb = list(group_by or [])
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = df.select(*gb, h.alias("__h")).select(
+        *gb,
+        (F.col("__h") % m).alias("reg"),
+        (F.col("__h") / m).cast("long").alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(F.col("__w")))
+    )
+    return (
+        t.withColumn("__rho", rho)
+        .groupBy(*gb, "reg")
+        .agg(F.max("__rho").cast("long").alias("M"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+    p: int = 6,
+) -> DataFrame:
+    """Distinct estimate from an HLL register table →
+    (*group_by, occupied, max_m, s_int, hll_est).
+
+    Exact-integer register algebra (the cross-engine trick): with
+    ``maxM`` the group's largest register, ``Σ 2^(−M_j) = S_int /
+    2^maxM`` where ``S_int = Σ 2^(maxM − M_j)`` is a BIGINT shift-sum
+    (empty registers contribute ``2^maxM`` each; ≤ 2^61 at p=6), so the
+    raw estimate ``α·m²·2^maxM / S_int`` is ONE double multiply+divide
+    over exact integers — bit-identical on any engine, no float sum
+    ever ordered differently.  Small-range branch (E ≤ 2.5m with empty
+    registers): linear counting ``m·ln(m/V)`` — transcendental, so
+    quantized to 6 dp after the call per the engine's conventions.  The
+    branch condition compares bit-identical doubles, so both engines
+    take the same branch.
+    """
+    m = 1 << p
+    alpha = 0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m)
+    gb = list(group_by or [])
+    w = Window.partitionBy(*gb) if gb else Window.partitionBy(F.lit(1))
+    regs = registers.withColumn("__maxm", F.max("M").over(w))
+    agg = regs.groupBy(*gb).agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.max("M").alias("max_m"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(__maxm - M AS INT))")
+        ).alias("__s_occ"),
+    )
+    s_int = (
+        F.col("__s_occ")
+        + (F.lit(m) - F.col("occupied"))
+        * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(max_m AS INT))")
+    )
+    raw = (
+        F.lit(alpha * m * m)
+        * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), "
+                 "CAST(max_m AS INT)) AS DOUBLE)")
+        / F.col("s_int").cast("double")
+    )
+    v = F.lit(m) - F.col("occupied")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / v.cast("double")),
+            6,
+        ),
+    ).otherwise(raw)
+    return (
+        agg.withColumn("s_int", s_int)
+        .withColumn("hll_est", est)
+        .select(*gb, "occupied", "max_m", "s_int", "hll_est")
     )

@@ -434,3 +434,11 @@ from .queries_round4b import QUERIES11, oracles11  # noqa: E402
 
 QUERIES.update(QUERIES11)
 ORACLES.update(oracles11())
+
+
+# round-5 additions: HLL registers, sparse tfidf cosine top-k,
+# detrended seasonal profile
+from .queries_round5 import QUERIES12, oracles12  # noqa: E402
+
+QUERIES.update(QUERIES12)
+ORACLES.update(oracles12())

@@ -100,6 +100,7 @@ BNLJ_WHITELIST = {
     "dedup_lsh_recall",      # three single-row eval counters crossed in
     "dedup_prefix_join",     # three single-row eval counters crossed in
     "rel_sketch_setops",     # ≤5-label dense pair axis (labels × labels)
+    "text_tfidf_topk",       # single-row corpus doc-count scalar (nd)
 }
 
 
