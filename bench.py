@@ -260,6 +260,10 @@ HEADLINE = [
     "rel_sketch_hll",
     "text_tfidf_topk",
     "feat_seasonal_decompose",
+    "feat_ema_decay",
+    "dedup_sorted_neighborhood",
+    "dq_mad_outliers",
+    "feat_changepoint",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

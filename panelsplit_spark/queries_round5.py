@@ -405,10 +405,482 @@ FROM h JOIN tr USING (event_type)
 """
 
 
+
+
+# ======================================================================
+# exact half-life EMA (power-of-two decay)
+# ======================================================================
+
+EMA_SPAN_DAYS = 62  # 2^-62 tail is beyond double resolution anyway
+
+
+def q_feat_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-decayed mean of event value with a ONE-DAY
+    half-life — computed EXACTLY, no sequential recurrence and no
+    float powers: with day offsets e_i = d_i − d_min inside the
+    ``EMA_SPAN_DAYS`` window, 2^(d_i − d_last) decay weights reduce to
+    integer shifts, so
+
+        ema = Σ y_i·2^{e_i} / Σ 2^{e_i}
+
+    is ONE division of two exact 128-bit integer sums (the classic
+    "EMA needs a scan" objection dissolved by power-of-two half-life).
+    Rows older than ``EMA_SPAN_DAYS`` before the user's last day are
+    dropped EXPLICITLY (their weight < 2⁻⁶² is below double resolution;
+    the filter makes the truncation exact and engine-identical instead
+    of an implicit float underflow).  Products are cast to
+    DECIMAL(38,0) BEFORE multiplying (y·2⁶² overflows int64); the final
+    decimal→double conversions of exact integers round identically on
+    both engines.  100 TB shape: two partitioned windows + one grouped
+    aggregate, all on the user key — a single logical shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    w_u = Window.partitionBy("user_id")
+    t = (
+        ev.withColumn("dmax", F.max("d").over(w_u))
+        .where(F.col("d") >= F.col("dmax") - EMA_SPAN_DAYS)
+        .withColumn("dmin", F.min("d").over(w_u))
+        .withColumn(
+            "shift",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(d - dmin AS INT))"
+            ),
+        )
+    )
+    g = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("d").alias("d_last"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("shift").cast("decimal(38,0)")
+        ).alias("__num"),
+        F.sum(F.col("shift").cast("decimal(38,0)")).alias("__den"),
+    )
+    return g.select(
+        "user_id",
+        "n",
+        "d_last",
+        (
+            F.col("__num").cast("double")
+            / F.col("__den").cast("double")
+            / F.lit(100.0)
+        ).alias("ema"),
+    )
+
+
+def _sql_ema_decay() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+t1 AS (
+  SELECT *, max(d) OVER (PARTITION BY user_id) AS dmax FROM ev
+),
+t2 AS (SELECT * FROM t1 WHERE d >= dmax - {EMA_SPAN_DAYS}),
+t3 AS (
+  SELECT *, min(d) OVER (PARTITION BY user_id) AS dmin FROM t2
+),
+t4 AS (
+  SELECT user_id, d, y,
+         (CAST(1 AS BIGINT) << CAST(d - dmin AS INTEGER)) AS shift
+  FROM t3
+),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(d) AS BIGINT) AS d_last,
+         sum(CAST(y AS HUGEINT) * CAST(shift AS HUGEINT)) AS num,
+         sum(CAST(shift AS HUGEINT)) AS den
+  FROM t4 GROUP BY user_id
+)
+SELECT user_id, n, d_last,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ema
+FROM g
+"""
+
+
+# ======================================================================
+# sorted-neighborhood blocking (third classic blocking family)
+# ======================================================================
+
+SN_WINDOW = 4  # candidate pairs within ±W positions of the sorted key
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernández–Stolfo): sort
+    the corpus by a similarity-preserving key (the 24-bit SimHash —
+    near-dups hash near each other), take every pair within
+    ``SN_WINDOW`` positions as a candidate, verify with exact n-gram
+    Jaccard.  Complements the two other blocking families already in
+    the engine (LSH banding: probabilistic recall; prefix filtering:
+    exact but content-keyed) with the classic RANK-keyed one whose
+    candidate count is exactly n·W by construction — the tightest
+    possible bound, at the price of recall limited by the key's
+    locality.
+
+    100 TB shape: the global sort rank comes from
+    ``with_row_key_distributed`` (integer-key fast path: bucket
+    boundaries by value arithmetic, per-bucket windows, NO
+    single-partition sort, nothing pinned); neighbour pairs are W
+    shifted equi-joins on the dense rank; verification reuses the
+    shared candidate-pruned shingle machinery."""
+    from .operators import dedup
+    from .operators.application import with_row_key_distributed
+    from .queries_data import JACCARD_N, JACCARD_T, SIMHASH_BITS
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash(docs, n_bits=SIMHASH_BITS)
+    ranked = with_row_key_distributed(
+        fps, ["simhash", "doc_id"], key_col="rnk"
+    ).select("doc_id", "rnk")
+    offs = F.explode(
+        F.array(*[F.lit(o) for o in range(1, SN_WINDOW + 1)])
+    ).alias("off")
+    probes = ranked.select("doc_id", "rnk", offs).select(
+        F.col("doc_id").alias("__d1"),
+        (F.col("rnk") + F.col("off")).alias("rnk"),
+    )
+    cands = (
+        probes.join(
+            ranked.select(F.col("doc_id").alias("__d2"), "rnk"), "rnk"
+        )
+        .select(
+            F.least("__d1", "__d2").alias("id_a"),
+            F.greatest("__d1", "__d2").alias("id_b"),
+        )
+        .distinct()
+    )
+    out = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def _sql_sorted_neighborhood() -> str:
+    from .queries_data import (
+        _DUCK_TOKS,
+        JACCARD_N,
+        JACCARD_T,
+        _duck_shingles,
+        _sql_simhash,
+    )
+
+    fp = _sql_simhash().strip()
+    return f"""
+WITH fp AS ({fp}),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY simhash, doc_id) - 1 AS rnk
+  FROM fp
+),
+cands AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM ranked a JOIN ranked b
+    ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SN_WINDOW}
+),
+sh2 AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(JACCARD_N)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter2 AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cands c
+  JOIN sh2 a ON a.doc_id = c.id_a
+  JOIN sh2 b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
+FROM inter2
+JOIN sizes2 sa ON sa.doc_id = id_a
+JOIN sizes2 sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}
+"""
+
+
+# ======================================================================
+# MAD outlier audit (robust z-score)
+# ======================================================================
+
+MAD_K_BP = 44478  # 3 · 1.4826 in basis points: |x−med| > 4.4478·MAD
+
+
+def q_dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: lower median, median
+    absolute deviation, and the count of values beyond 3 robust sigmas
+    (MAD·1.4826 estimates σ under normality) — the z-score audit's
+    robust twin (a single wild value shifts mean/std but not med/MAD).
+
+    Everything is exact integers: values in centi-units, the LOWER
+    median (k-th smallest, k = (n+1) div 2 — a deterministic VALUE even
+    when row_number breaks ties arbitrarily, because sorting by value
+    makes position k's value unique), MAD the same selection over
+    |x − med|, and the 3σ test multiplies in basis points instead of
+    dividing.  Two partitioned window sorts + one grouped count — all
+    on the event-type key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        "event_id",
+    )
+    w1 = Window.partitionBy("event_type").orderBy("y", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    med = (
+        t.where(
+            F.col("rn") == F.expr("CAST((n + 1) AS BIGINT) div 2")
+        )
+        .groupBy("event_type")
+        .agg(F.min("y").alias("med"), F.max("n").alias("n"))
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "n",
+        "med",
+        F.abs(F.col("y") - F.col("med")).alias("ad"),
+        "event_id",
+        "y",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    mad = (
+        dev.withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") == F.expr("CAST((n + 1) AS BIGINT) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("ad").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("med_centi"),
+            F.max("mad").alias("mad_centi"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("y") - F.col("med")) * 10000
+                    > F.lit(MAD_K_BP) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def _sql_mad_outliers() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y, event_id
+  FROM events
+),
+t AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type ORDER BY y, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type, min(y) AS med, CAST(max(n) AS BIGINT) AS n
+  FROM t WHERE rn = (n + 1) // 2 GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type, med.n, med.med, abs(ev.y - med.med) AS ad,
+         ev.event_id, ev.y
+  FROM ev JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, min(ad) AS mad FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY event_type ORDER BY ad, event_id) AS rn2
+    FROM dev
+  ) WHERE rn2 = (n + 1) // 2 GROUP BY event_type
+)
+SELECT dev.event_type, CAST(max(dev.n) AS BIGINT) AS n,
+       max(dev.med) AS med_centi, max(mad.mad) AS mad_centi,
+       CAST(sum(CASE WHEN abs(dev.y - dev.med) * 10000
+                          > {MAD_K_BP} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+# ======================================================================
+# two-segment changepoint (best single split by OLS SSE)
+# ======================================================================
+
+CP_MIN_SEG = 2  # points per segment
+
+
+def q_feat_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint of the daily-revenue series per event
+    type: the split day minimizing SSE(left OLS) + SSE(right OLS),
+    evaluated for EVERY admissible split in ONE pass — prefix
+    cumulative moments (n, Σx, Σy, Σxy, Σx², Σy²) via an ordered
+    window, right-segment moments by subtraction from the totals, each
+    candidate's two SSEs in closed form from the moment identities
+    Syy_c − Sxy_c²/Sxx_c.  No per-candidate scan, no iteration: the
+    window computes all O(days) candidates simultaneously, which is
+    the 100 TB shape (days per group is small; groups are many).
+
+    Determinism: moments are exact integers (y² via DECIMAL(38,0)
+    before the multiply — daily centi-sums square past int64); every
+    SSE is the same fixed sequence of double ops on both engines, so
+    the argmin row (ties broken by day) is identical.  The winning
+    row's SSE is emitted unrounded (bit-identical by construction)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    daily = ev.groupBy("event_type", "x").agg(
+        F.sum("yc").alias("y")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    y2 = F.col("y").cast("decimal(38,0)") * F.col("y")
+    t = (
+        daily.withColumn("cn", F.count(F.lit(1)).over(wo))
+        .withColumn("csx", F.sum("x").over(wo))
+        .withColumn("csy", F.sum("y").over(wo))
+        .withColumn("csxy", F.sum(F.col("x") * F.col("y")).over(wo))
+        .withColumn("csxx", F.sum(F.col("x") * F.col("x")).over(wo))
+        .withColumn("csyy", F.sum(y2).over(wo))
+        .withColumn("tn", F.count(F.lit(1)).over(wt))
+        .withColumn("tsx", F.sum("x").over(wt))
+        .withColumn("tsy", F.sum("y").over(wt))
+        .withColumn("tsxy", F.sum(F.col("x") * F.col("y")).over(wt))
+        .withColumn("tsxx", F.sum(F.col("x") * F.col("x")).over(wt))
+        .withColumn("tsyy", F.sum(y2).over(wt))
+    )
+
+    def _sse(n, sx, sy, sxy, sxx, syy):
+        nd = F.col(n).cast("double")
+        sxd = F.col(sx).cast("double")
+        syd = F.col(sy).cast("double")
+        sxyd = F.col(sxy).cast("double")
+        sxxd = F.col(sxx).cast("double")
+        syyd = F.col(syy).cast("double")
+        sxx_c = sxxd - sxd * sxd / nd
+        sxy_c = sxyd - sxd * syd / nd
+        syy_c = syyd - syd * syd / nd
+        return syy_c - sxy_c * sxy_c / sxx_c
+
+    cand = (
+        t.withColumn("rn_", F.col("tn") - F.col("cn"))
+        .withColumn("rsx", F.col("tsx") - F.col("csx"))
+        .withColumn("rsy", F.col("tsy") - F.col("csy"))
+        .withColumn("rsxy", F.col("tsxy") - F.col("csxy"))
+        .withColumn("rsxx", F.col("tsxx") - F.col("csxx"))
+        .withColumn("rsyy", F.col("tsyy") - F.col("csyy"))
+        .where(
+            (F.col("cn") >= CP_MIN_SEG) & (F.col("rn_") >= CP_MIN_SEG)
+        )
+        .withColumn(
+            "sse",
+            _sse("cn", "csx", "csy", "csxy", "csxx", "csyy")
+            + _sse("rn_", "rsx", "rsy", "rsxy", "rsxx", "rsyy"),
+        )
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("sse").asc(), F.col("x").asc()
+    )
+    return (
+        cand.withColumn("pick", F.row_number().over(wbest))
+        .where(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("x").alias("split_day"),
+            F.col("tn").alias("n_days"),
+            "sse",
+        )
+    )
+
+
+def _sql_changepoint() -> str:
+    sse_l = (
+        "((CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE)*CAST(csy AS DOUBLE)"
+        "/CAST(cn AS DOUBLE)) - (CAST(csxy AS DOUBLE) - CAST(csx AS "
+        "DOUBLE)*CAST(csy AS DOUBLE)/CAST(cn AS DOUBLE)) * (CAST(csxy AS "
+        "DOUBLE) - CAST(csx AS DOUBLE)*CAST(csy AS DOUBLE)/CAST(cn AS "
+        "DOUBLE)) / (CAST(csxx AS DOUBLE) - CAST(csx AS DOUBLE)*CAST(csx "
+        "AS DOUBLE)/CAST(cn AS DOUBLE)))"
+    )
+    sse_r = sse_l.replace("csyy", "rsyy").replace("csy", "rsy").replace(
+        "csxy", "rsxy"
+    ).replace("csxx", "rsxx").replace("csx", "rsx").replace("cn", "rn_")
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events
+),
+daily AS (
+  SELECT event_type, x, CAST(sum(yc) AS BIGINT) AS y
+  FROM ev GROUP BY event_type, x
+),
+t AS (
+  SELECT event_type, x, y,
+    count(*) OVER w AS cn,
+    sum(x) OVER w AS csx,
+    sum(y) OVER w AS csy,
+    sum(x * y) OVER w AS csxy,
+    sum(x * x) OVER w AS csxx,
+    sum(CAST(y AS HUGEINT) * y) OVER w AS csyy,
+    count(*) OVER wt AS tn,
+    sum(x) OVER wt AS tsx,
+    sum(y) OVER wt AS tsy,
+    sum(x * y) OVER wt AS tsxy,
+    sum(x * x) OVER wt AS tsxx,
+    sum(CAST(y AS HUGEINT) * y) OVER wt AS tsyy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY event_type)
+),
+cand AS (
+  SELECT *, tn - cn AS rn_, tsx - csx AS rsx, tsy - csy AS rsy,
+         tsxy - csxy AS rsxy, tsxx - csxx AS rsxx, tsyy - csyy AS rsyy
+  FROM t
+),
+scored AS (
+  SELECT event_type, x, tn,
+         {sse_l} + {sse_r} AS sse
+  FROM cand
+  WHERE cn >= {CP_MIN_SEG} AND rn_ >= {CP_MIN_SEG}
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY sse ASC, x ASC) AS pick
+  FROM scored
+)
+SELECT event_type, CAST(x AS BIGINT) AS split_day,
+       CAST(tn AS BIGINT) AS n_days, sse
+FROM best WHERE pick = 1
+"""
+
+
 QUERIES12: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_sketch_hll": q_rel_sketch_hll,
     "text_tfidf_topk": q_text_tfidf_topk,
     "feat_seasonal_decompose": q_feat_seasonal_decompose,
+    "feat_ema_decay": q_feat_ema_decay,
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+    "dq_mad_outliers": q_dq_mad_outliers,
+    "feat_changepoint": q_feat_changepoint,
 }
 
 
@@ -417,4 +889,8 @@ def oracles12() -> Dict[str, str]:
         "rel_sketch_hll": _sql_sketch_hll(),
         "text_tfidf_topk": _sql_tfidf_topk(),
         "feat_seasonal_decompose": _sql_seasonal_decompose(),
+        "feat_ema_decay": _sql_ema_decay(),
+        "dedup_sorted_neighborhood": _sql_sorted_neighborhood(),
+        "dq_mad_outliers": _sql_mad_outliers(),
+        "feat_changepoint": _sql_changepoint(),
     }

@@ -153,3 +153,147 @@ def test_seasonal_decompose_recovers_planted_signal(spark, tmp_path):
         planted = 5.0 if hour < 12 else -5.0
         assert r["seasonal"] == pytest.approx(planted, abs=1e-6)
         assert r["slope_centi_per_day"] == pytest.approx(200.0, rel=1e-9)
+
+
+# ----------------------------------------------------------------------
+# exact EMA
+# ----------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_ema_decay_known_answer(spark, tmp_path):
+    """Three days of one user's values: weights 1, 2, 4 (one-day
+    half-life) give ema = (10·1 + 20·2 + 40·4)/(1+2+4) = 210/7 = 30
+    EXACTLY — no float tolerance needed."""
+    import datetime
+
+    import panelsplit_spark.queries_round5 as r5
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 12), 7, "click", 10.0, "{}"),
+        (2, datetime.datetime(2024, 1, 2, 12), 7, "click", 20.0, "{}"),
+        (3, datetime.datetime(2024, 1, 3, 12), 7, "click", 40.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = r5.q_feat_ema_decay(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 3
+    assert r["ema"] == 30.0  # exact: integer sums, one division
+
+
+def test_ema_decay_truncates_ancient_rows(spark, tmp_path):
+    """A row older than EMA_SPAN_DAYS before the last event must be
+    excluded (explicit truncation, not float underflow): n drops and
+    the ema equals the recent row's value."""
+    import datetime
+
+    import panelsplit_spark.queries_round5 as r5
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0), 7, "click", 99.0, "{}"),
+        (2, datetime.datetime(2024, 3, 15, 0), 7, "click", 5.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = r5.q_feat_ema_decay(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 1
+    assert r["ema"] == 5.0
+
+
+# ----------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ----------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_finds_exact_duplicates(spark, tmp_path):
+    """Exact duplicates share a simhash, so they sort adjacent and fall
+    inside any window: every duplicated pair must be verified with
+    jaccard 1.0."""
+    import panelsplit_spark.queries_round5 as r5
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red green blue yellow purple orange pink black",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t))  # exact duplicate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = r5.q_dedup_sorted_neighborhood(spark, str(tmp_path)).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    for i in range(len(base)):
+        assert got.get((2 * i, 2 * i + 1)) == pytest.approx(1.0)
+
+
+# ----------------------------------------------------------------------
+# MAD outliers
+# ----------------------------------------------------------------------
+
+
+def test_mad_outliers_known_answer(spark, tmp_path):
+    """Values 1..9 plus one wild 1000: lower median 5 (n=10 → k=5),
+    deviations sorted give MAD 2, and only the wild point exceeds
+    4.4478·MAD."""
+    import datetime
+
+    import panelsplit_spark.queries_round5 as r5
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, i), 1, "click",
+         float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = r5.q_dq_mad_outliers(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 10
+    assert r["med_centi"] == 500
+    # deviations: 400,300,200,100,0,100,200,300,400,99500 sorted →
+    # 0,100,100,200,200,300,300,400,400,99500; k=5 → 200
+    assert r["mad_centi"] == 200
+    assert r["n_outliers"] == 1  # 99500·1e4 > 44478·200
+
+
+# ----------------------------------------------------------------------
+# changepoint
+# ----------------------------------------------------------------------
+
+
+def test_changepoint_recovers_planted_break(spark, tmp_path):
+    """Daily series flat at 10 for 6 days then slope +5.  Day 5 lies on
+    BOTH lines (10 + 5·(5−5) = 10), so splits after day 4 and after
+    day 5 both reach SSE 0 — the deterministic day-ascending tie-break
+    must pick the earlier one, with sse ≈ 0."""
+    import datetime
+
+    import panelsplit_spark.queries_round5 as r5
+
+    rows = []
+    eid = 0
+    for day in range(12):
+        v = 10.0 if day < 6 else 10.0 + 5.0 * (day - 5)
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1 + day, 12), 1, "click",
+             v, "{}")
+        )
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = r5.q_feat_changepoint(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 12
+    # epoch day of 2024-01-05 = 19723 + 4 (earliest of the two
+    # zero-SSE splits under the day-ascending tie-break)
+    assert r["split_day"] == 19723 + 4
+    assert abs(r["sse"]) < 1e-6
