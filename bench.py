@@ -264,6 +264,9 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "dq_mad_outliers",
     "feat_changepoint",
+    "rel_sketch_kmv",
+    "cv_bootstrap_ci",
+    "stream_hll",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

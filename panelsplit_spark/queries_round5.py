@@ -873,6 +873,382 @@ FROM best WHERE pick = 1
 """
 
 
+# ======================================================================
+# KMV (k-minimum-values) distinct + intersection sketch
+# ======================================================================
+
+KMV_K = 256
+KMV_SALT = "kmv"
+# (k-1)·2^60 as an exact double: 255 < 2^53 scaled by a power of two
+_KMV_NUM = float(KMV_K - 1) * float(1 << 60)
+
+
+def q_rel_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch set algebra per event-type pair: distinct
+    estimates from the k-th smallest md5 hash, intersection estimates
+    from the Jaccard of the union's bottom-k sample (Beyer et al. 2007,
+    Cohen–Kaplan bottom-k) — side by side with the exact counts.
+
+    Complements the engine's other distinct sketches: linear counting
+    (occupancy), HLL (register maxima) — KMV is the one whose samples
+    support UNRESTRICTED set operations (the union's bottom-k is
+    computable from the two bottom-k lists alone, and any h in it can
+    be membership-tested against each side's list), which is why
+    audience-overlap systems ship it.  State is ≤ k hashes per group,
+    mergeable by "union then keep k smallest".
+
+    Determinism: hashes are exact 60-bit md5 integers; every estimate
+    is ONE double division — (k−1)·2⁶⁰ / h_k, with the (k−1)·2⁶⁰
+    numerator exact in double (integer scaled by a power of two) — or
+    the exact list size when the set is smaller than k (the sketch then
+    holds every value).  jaccard = matches/k and inter = jaccard·union
+    are fixed-order double ops over exact integers: bit-identical."""
+    from .functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    )
+    H = ev.select(
+        "t",
+        md5_long(
+            F.concat(F.col("u").cast("string"), F.lit(KMV_SALT))
+        ).alias("h"),
+    ).distinct()
+    wk = Window.partitionBy("t").orderBy("h")
+    kmv = (
+        H.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= KMV_K)
+        .select("t", "h")
+    )
+    types = H.select("t").distinct()
+    pairs = (
+        types.select(F.col("t").alias("t1"))
+        .crossJoin(types.select(F.col("t").alias("t2")))
+        .where(F.col("t1") < F.col("t2"))
+    )
+    ab = (
+        pairs.join(kmv.select(F.col("t").alias("t1"), "h"), "t1")
+        .select("t1", "t2", "h", F.lit(1).alias("src"))
+        .unionByName(
+            pairs.join(kmv.select(F.col("t").alias("t2"), "h"), "t2")
+            .select("t1", "t2", "h", F.lit(2).alias("src"))
+        )
+    )
+    g = ab.groupBy("t1", "t2", "h").agg(
+        F.max(F.when(F.col("src") == 1, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("src") == 2, 1).otherwise(0)).alias("in_b"),
+    )
+    wu = Window.partitionBy("t1", "t2").orderBy("h")
+    topk = g.withColumn("rn", F.row_number().over(wu)).where(
+        F.col("rn") <= KMV_K
+    )
+    res = topk.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("k_u"),
+        F.max("h").alias("h_ku"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("matches"),
+    )
+    union_est = F.when(
+        F.col("k_u") < KMV_K, F.col("k_u").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("h_ku").cast("double"))
+    inter_est = (
+        F.col("matches").cast("double") / F.col("k_u").cast("double")
+    ) * union_est
+    users = ev.distinct()
+    ua = users.select(F.col("t").alias("t1"), "u")
+    ub = users.select(F.col("t").alias("t2"), "u")
+    ex_i = (
+        ua.join(ub, "u")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    sizes = users.groupBy("t").agg(F.count(F.lit(1)).alias("nd"))
+    out = (
+        res.join(ex_i, ["t1", "t2"], "left")
+        .join(sizes.select(F.col("t").alias("t1"),
+                           F.col("nd").alias("na")), "t1")
+        .join(sizes.select(F.col("t").alias("t2"),
+                           F.col("nd").alias("nb")), "t2")
+        .select(
+            "t1",
+            "t2",
+            "k_u",
+            "matches",
+            union_est.alias("kmv_union_est"),
+            inter_est.alias("kmv_inter_est"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).alias(
+                "exact_inter"
+            ),
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            ).alias("exact_union"),
+        )
+    )
+    return out
+
+
+def _sql_sketch_kmv() -> str:
+    k = KMV_K
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+),
+H AS (
+  SELECT DISTINCT t,
+    CAST(concat('0x', substr(md5(concat(CAST(u AS VARCHAR),
+         '{KMV_SALT}')), 1, 15)) AS BIGINT) AS h
+  FROM ev
+),
+kmv AS (
+  SELECT t, h FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+    FROM H
+  ) WHERE rn <= {k}
+),
+types AS (SELECT DISTINCT t FROM H),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2 FROM types a JOIN types b ON a.t < b.t
+),
+ab AS (
+  SELECT p.t1, p.t2, kmv.h, 1 AS src
+  FROM pairs p JOIN kmv ON kmv.t = p.t1
+  UNION ALL
+  SELECT p.t1, p.t2, kmv.h, 2 AS src
+  FROM pairs p JOIN kmv ON kmv.t = p.t2
+),
+g AS (
+  SELECT t1, t2, h,
+         max(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS in_b
+  FROM ab GROUP BY t1, t2, h
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY t1, t2 ORDER BY h) AS rn FROM g
+  ) WHERE rn <= {k}
+),
+res AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS k_u,
+         max(h) AS h_ku,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS matches
+  FROM topk GROUP BY t1, t2
+),
+ex AS (
+  SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM ev a JOIN ev b ON a.u = b.u AND a.t < b.t
+  GROUP BY a.t, b.t
+),
+sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS nd FROM ev GROUP BY t)
+SELECT res.t1, res.t2, res.k_u, res.matches,
+  CASE WHEN res.k_u < {k} THEN CAST(res.k_u AS DOUBLE)
+       ELSE {_KMV_NUM!r} / CAST(res.h_ku AS DOUBLE) END AS kmv_union_est,
+  (CAST(res.matches AS DOUBLE) / CAST(res.k_u AS DOUBLE))
+    * (CASE WHEN res.k_u < {k} THEN CAST(res.k_u AS DOUBLE)
+            ELSE {_KMV_NUM!r} / CAST(res.h_ku AS DOUBLE) END)
+    AS kmv_inter_est,
+  coalesce(ex.exact_inter, 0) AS exact_inter,
+  sa.nd + sb.nd - coalesce(ex.exact_inter, 0) AS exact_union
+FROM res
+LEFT JOIN ex ON ex.t1 = res.t1 AND ex.t2 = res.t2
+JOIN sizes sa ON sa.t = res.t1
+JOIN sizes sb ON sb.t = res.t2
+"""
+
+
+# ======================================================================
+# deterministic hash-bootstrap confidence interval
+# ======================================================================
+
+BS_B = 32          # replicates
+BS_KEEP_BP = 5000  # half-sample per replicate (basis points of 10000)
+
+
+def q_cv_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-style confidence interval for the per-type mean event
+    value from ``BS_B`` DETERMINISTIC half-sample replicates: replicate
+    b keeps the rows whose md5(event_id||'bs'||b) bucket < 5000 — an
+    m-out-of-n bootstrap whose resamples are pure hash predicates, so
+    the whole thing is reproducible, engine-exact, and embarrassingly
+    parallel (explode ×B, then ONE grouped aggregation with map-side
+    partials; the shuffle carries B·n_groups rows, not B·n_rows).
+    The CI is the 2nd/31st order statistic of the 32 replicate means —
+    exact selection over bit-identical doubles (each mean is one
+    division of exact integer sums), no float quantile interpolation
+    anywhere."""
+    from .operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 1e6).cast("long").alias("ymu"),
+    )
+    full = ev.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("ymu").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_full"),
+    )
+    reps = ev.select(
+        "t",
+        "event_id",
+        "ymu",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(BS_B)])
+        ).alias("b"),
+    ).where(
+        hash_bucket(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("bs"),
+                F.col("b").cast("string"),
+            )
+        )
+        < BS_KEEP_BP
+    )
+    means = reps.groupBy("t", "b").agg(
+        (
+            F.sum("ymu").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("m")
+    )
+    wm = Window.partitionBy("t").orderBy(F.col("m").asc(),
+                                         F.col("b").asc())
+    ranked = means.withColumn("rn", F.row_number().over(wm))
+    lo = ranked.where(F.col("rn") == 2).select(
+        "t", F.col("m").alias("ci_lo")
+    )
+    hi = ranked.where(F.col("rn") == BS_B - 1).select(
+        "t", F.col("m").alias("ci_hi")
+    )
+    return (
+        full.join(lo, "t").join(hi, "t")
+        .select(
+            F.col("t").alias("event_type"), "n", "mean_full",
+            "ci_lo", "ci_hi",
+        )
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    bucket = duckdb_hash_bucket(
+        "concat(CAST(event_id AS VARCHAR), 'bs', CAST(b AS VARCHAR))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type AS t, event_id,
+         CAST(round(value * 1e6) AS BIGINT) AS ymu
+  FROM events
+),
+full_m AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ymu) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+           AS mean_full
+  FROM ev GROUP BY t
+),
+reps AS (
+  SELECT ev.t, ev.event_id, ev.ymu, b.b
+  FROM ev, (SELECT unnest(generate_series(0, {BS_B - 1})) AS b) b
+  WHERE {bucket} < {BS_KEEP_BP}
+),
+means AS (
+  SELECT t, b,
+         CAST(sum(ymu) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 AS m
+  FROM reps GROUP BY t, b
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY t ORDER BY m ASC, b ASC) AS rn
+  FROM means
+)
+SELECT f.t AS event_type, f.n, f.mean_full,
+       lo.m AS ci_lo, hi.m AS ci_hi
+FROM full_m f
+JOIN ranked lo ON lo.t = f.t AND lo.rn = 2
+JOIN ranked hi ON hi.t = f.t AND hi.rn = {BS_B - 1}
+"""
+
+
+# ======================================================================
+# streaming HLL (register-max state)
+# ======================================================================
+
+SHLL_BATCHES = 3
+
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: the events feed arrives as three
+    deterministic micro-batches; each folds its per-type registers into
+    the running state with one keyed MAX
+    (streaming/rolling.stream_hll_registers).  Register maxima are
+    idempotent + commutative + associative, so the drained state equals
+    the batch registers over the whole feed — the estimate computed
+    from it must therefore hash-match the BATCH oracle exactly
+    (the same SQL as rel_sketch_hll).  The 18th streaming gate: a
+    distinct-cardinality monitor a 100 TB ingest keeps continuously
+    true in ≤ groups·2^p rows of state."""
+    from .operators.sketches import hll_estimate
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_hll_registers,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    name = "stream_hll_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("hll_feed")
+        write_file_batches(
+            [
+                ev.where(F.col("event_id") % SHLL_BATCHES == j)
+                for j in range(SHLL_BATCHES)
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_regs = stream_hll_registers(
+                stream, "user_id", ["event_type"], p=HLL_P,
+                salt=HLL_SALT, query_name=name,
+            )
+            q.awaitTermination()
+        regs = get_regs()
+        if regs is not None:
+            est = hll_estimate(regs, group_by=["event_type"], p=HLL_P)
+            exact = ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_distinct")
+            )
+            return est.join(exact, "event_type").select(
+                "event_type", "exact_distinct", "occupied", "max_m",
+                "s_int", "hll_est",
+            )
+    raise RuntimeError(
+        "stream_hll: drain processed zero non-empty batches twice"
+    )
+
+
 QUERIES12: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_sketch_hll": q_rel_sketch_hll,
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -881,6 +1257,9 @@ QUERIES12: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dq_mad_outliers": q_dq_mad_outliers,
     "feat_changepoint": q_feat_changepoint,
+    "rel_sketch_kmv": q_rel_sketch_kmv,
+    "cv_bootstrap_ci": q_cv_bootstrap_ci,
+    "stream_hll": q_stream_hll,
 }
 
 
@@ -893,4 +1272,9 @@ def oracles12() -> Dict[str, str]:
         "dedup_sorted_neighborhood": _sql_sorted_neighborhood(),
         "dq_mad_outliers": _sql_mad_outliers(),
         "feat_changepoint": _sql_changepoint(),
+        "rel_sketch_kmv": _sql_sketch_kmv(),
+        "cv_bootstrap_ci": _sql_bootstrap_ci(),
+        # drained register state == batch registers (max is
+        # order-insensitive), so the batch HLL oracle applies verbatim
+        "stream_hll": _sql_sketch_hll(),
     }

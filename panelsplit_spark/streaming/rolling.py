@@ -1083,3 +1083,52 @@ def stream_auc(
         .start()
     )
     return q, get_auc
+
+
+def stream_hll_registers(
+    stream_df: DataFrame,
+    key_col: str,
+    group_by: Sequence[str],
+    p: int = 6,
+    salt: str = "hll",
+    query_name: str = "stream_hll",
+):
+    """Streaming HyperLogLog registers — the online form of
+    ``operators/sketches.hll_register_maxes``. Register maxima are
+    idempotent, commutative and associative, so each micro-batch's
+    registers fold into the running state with one keyed MAX and the
+    drained state is provably independent of how the feed was chopped
+    — equal to the batch registers over the full feed, which is what
+    the SQL oracle checks (through the identical estimate algebra).
+    The 100 TB ingest shape: per-batch cost is one grouped aggregate
+    over the batch plus a ≤ groups·2^p-row merge; state never grows
+    past groups·2^p rows no matter how long the stream runs.
+
+    Returns ``(query, get_registers)``.
+    """
+    from ..operators.sketches import hll_register_maxes
+
+    gb = list(group_by)
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = hll_register_maxes(batch_df, key_col, gb, p=p, salt=salt)
+        prev = state["df"]
+        cur = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy(*gb, "reg")
+            .agg(F.max("M").alias("M"))
+        )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["df"]

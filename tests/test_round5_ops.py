@@ -297,3 +297,107 @@ def test_changepoint_recovers_planted_break(spark, tmp_path):
     # zero-SSE splits under the day-ascending tie-break)
     assert r["split_day"] == 19723 + 4
     assert abs(r["sse"]) < 1e-6
+
+
+# ----------------------------------------------------------------------
+# KMV sketch
+# ----------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_close_above(spark, tmp_path):
+    """Sets smaller than k are held verbatim (estimate == exact);
+    larger sets estimate within ~4/sqrt(k) ≈ 25%."""
+    import datetime
+
+    import panelsplit_spark.queries_round5 as r5
+
+    rows = []
+    eid = 0
+    # type 'small': 100 users (< k=256); type 'big': 5000 users with
+    # the first 100 shared (known intersection)
+    for u in range(100):
+        rows.append((eid, datetime.datetime(2024, 1, 1), u, "small",
+                     1.0, "{}"))
+        eid += 1
+    for u in range(5000):
+        rows.append((eid, datetime.datetime(2024, 1, 1), u, "big",
+                     1.0, "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = r5.q_rel_sketch_kmv(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["t1"], row["t2"]) == ("big", "small")
+    assert row["exact_inter"] == 100
+    assert row["exact_union"] == 5000
+    assert abs(row["kmv_union_est"] - 5000) / 5000 < 0.25
+    # intersection estimate: within 3 "jaccard-sampling" sigmas of 100
+    assert 0 < row["kmv_inter_est"] < 400
+
+
+def test_bootstrap_ci_brackets_true_mean(spark, tmp_path):
+    """Symmetric values around 50: the 32-replicate CI must bracket the
+    true mean, be ordered, and be reproducible bit-for-bit."""
+    import datetime
+
+    import panelsplit_spark.queries_round5 as r5
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, 0), i, "click",
+         float(50 + (i % 21) - 10), "{}")
+        for i in range(2000)
+    ]
+    _write_events(spark, tmp_path, rows)
+    a = r5.q_cv_bootstrap_ci(spark, str(tmp_path)).collect()[0]
+    b = r5.q_cv_bootstrap_ci(spark, str(tmp_path)).collect()[0]
+    assert a["ci_lo"] <= a["mean_full"] <= a["ci_hi"]
+    assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+
+
+# ----------------------------------------------------------------------
+# streaming HLL
+# ----------------------------------------------------------------------
+
+
+def test_stream_hll_chop_invariant(spark, tmp_path):
+    """Drained register state must equal the one-pass batch registers
+    regardless of how the feed is chopped (register max is idempotent/
+    commutative/associative) — 2-batch and 5-batch drains both match."""
+    import panelsplit_spark.queries_round5 as r5
+    from panelsplit_spark.operators.sketches import hll_register_maxes
+    from panelsplit_spark.sources.tables import load_table
+    from panelsplit_spark.streaming.rolling import (
+        stream_hll_registers,
+        write_file_batches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    batch = {
+        (r["event_type"], r["reg"], r["M"])
+        for r in hll_register_maxes(
+            ev, "user_id", ["event_type"], p=r5.HLL_P, salt=r5.HLL_SALT
+        ).collect()
+    }
+    for nb in (2, 5):
+        feed = str(tmp_path / f"feed{nb}")
+        write_file_batches(
+            [ev.where(ev.event_id % nb == j) for j in range(nb)], feed
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q, get_regs = stream_hll_registers(
+            stream, "user_id", ["event_type"], p=r5.HLL_P,
+            salt=r5.HLL_SALT, query_name=f"t_stream_hll_{nb}",
+        )
+        q.awaitTermination()
+        got = {
+            (r["event_type"], r["reg"], r["M"])
+            for r in get_regs().collect()
+        }
+        assert got == batch, f"chop into {nb} batches diverged"

@@ -38,6 +38,7 @@ SKIP = {
     "stream_online_linreg", "stream_heavy_hitters", "stream_cdc_apply",
     "stream_ivm_view", "stream_late_data", "stream_decay_counts",
     "stream_sink_roundtrip", "stream_near_dup", "stream_quantile",
+    "stream_hll",
 }
 
 COUNTERS = {
@@ -101,6 +102,7 @@ BNLJ_WHITELIST = {
     "dedup_prefix_join",     # three single-row eval counters crossed in
     "rel_sketch_setops",     # ≤5-label dense pair axis (labels × labels)
     "text_tfidf_topk",       # single-row corpus doc-count scalar (nd)
+    "rel_sketch_kmv",        # ≤5-label dense pair axis (labels × labels)
 }
 
 
