@@ -267,6 +267,8 @@ HEADLINE = [
     "rel_sketch_kmv",
     "cv_bootstrap_ci",
     "stream_hll",
+    "src_rowgroup_stats",
+    "feat_rolling_corr",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

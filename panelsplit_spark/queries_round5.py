@@ -1249,6 +1249,169 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# parquet row-group statistics audit (data-skipping evidence)
+# ======================================================================
+
+RG_TABLES = [
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("customer", "c_custkey"),
+    ("documents", "doc_id"),
+]
+
+
+def q_src_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER census: per table / row group, the row count and
+    the id column's min/max — the statistics every data-skipping scan
+    planner (Spark's parquet filter pushdown, DuckDB zone maps, Iceberg
+    manifests) reads INSTEAD of the data.  The gate proves the engine's
+    view of storage metadata matches an independent reader's
+    (pyarrow footers here vs DuckDB ``parquet_metadata()`` in the
+    oracle) — the precondition for trusting min/max pruning at 100 TB,
+    where the planner's skip decisions are only as good as the footer
+    stats.  Driver-side manifest pattern (footers are KBs; same shape
+    as the file-audit/source-manifest queries): the frame is built from
+    footer metadata, never from scanning data."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for tbl, col in RG_TABLES:
+        path = f"{sf_dir}/{tbl}.parquet"
+        md = pq.ParquetFile(path).metadata
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        j = names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(j).statistics
+            rows.append(
+                (tbl, rg, md.row_group(rg).num_rows,
+                 int(st.min), int(st.max))
+            )
+    return spark.createDataFrame(
+        rows,
+        "tbl string, rg long, n_rows long, min_key long, max_key long",
+    )
+
+
+def _sql_rowgroup_stats() -> str:
+    import os
+
+    sf_dir = os.environ.get(
+        "PANELSPLIT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    parts = []
+    for tbl, col in RG_TABLES:
+        parts.append(f"""
+  SELECT '{tbl}' AS tbl, CAST(row_group_id AS BIGINT) AS rg,
+         CAST(row_group_num_rows AS BIGINT) AS n_rows,
+         CAST(stats_min_value AS BIGINT) AS min_key,
+         CAST(stats_max_value AS BIGINT) AS max_key
+  FROM parquet_metadata('{sf_dir}/{tbl}.parquet')
+  WHERE path_in_schema = '{col}'""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# ======================================================================
+# rolling Pearson correlation between two daily series
+# ======================================================================
+
+RC_WIN = 7
+RC_T1, RC_T2 = "click", "purchase"
+
+
+def q_feat_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {RC_WIN}-day Pearson correlation between the daily
+    click-revenue and purchase-revenue series — entirely from exact
+    integer moments: the ordered window accumulates (n, Σa, Σb, Σab,
+    Σa², Σb²) with every cross product cast to DECIMAL(38,0) BEFORE
+    multiplying (daily centi-sums square past int64 at sf1), and
+
+        r = (n·Σab − Σa·Σb) / (√(n·Σa² − Σa²) · √(n·Σb² − Σb²))
+
+    is a fixed sequence of double ops over those exact integers — sqrt
+    is exact cross-engine per the conventions, so r is bit-identical
+    unrounded.  One grouped day aggregate, one join, one ordered
+    window: the 100 TB shape for correlating metric streams."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    daily = ev.groupBy("event_type", "x").agg(F.sum("yc").alias("y"))
+    a = daily.where(F.col("event_type") == RC_T1).select(
+        "x", F.col("y").alias("a")
+    )
+    b = daily.where(F.col("event_type") == RC_T2).select(
+        "x", F.col("y").alias("b")
+    )
+    j = a.join(b, "x")
+    w = (
+        Window.orderBy("x")
+        .rowsBetween(-(RC_WIN - 1), Window.currentRow)
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    t = (
+        j.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sa", F.sum("a").over(w))
+        .withColumn("sb", F.sum("b").over(w))
+        .withColumn("sab", F.sum(dec("a") * F.col("b")).over(w))
+        .withColumn("saa", F.sum(dec("a") * F.col("a")).over(w))
+        .withColumn("sbb", F.sum(dec("b") * F.col("b")).over(w))
+        .where(F.col("n") == RC_WIN)
+    )
+    nd = F.col("n").cast("double")
+    sad = F.col("sa").cast("double")
+    sbd = F.col("sb").cast("double")
+    num = F.col("sab").cast("double") * nd - sad * sbd
+    dena = F.sqrt(F.col("saa").cast("double") * nd - sad * sad)
+    denb = F.sqrt(F.col("sbb").cast("double") * nd - sbd * sbd)
+    return t.select(
+        F.col("x").alias("day"),
+        F.col("n").alias("n_win"),
+        (num / (dena * denb)).alias("corr"),
+    )
+
+
+def _sql_rolling_corr() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events
+),
+daily AS (
+  SELECT event_type, x, CAST(sum(yc) AS BIGINT) AS y
+  FROM ev GROUP BY event_type, x
+),
+j AS (
+  SELECT a.x, a.y AS a, b.y AS b
+  FROM (SELECT x, y FROM daily WHERE event_type = '{RC_T1}') a
+  JOIN (SELECT x, y FROM daily WHERE event_type = '{RC_T2}') b
+    USING (x)
+),
+t AS (
+  SELECT x,
+    count(*) OVER w AS n,
+    sum(a) OVER w AS sa,
+    sum(b) OVER w AS sb,
+    sum(CAST(a AS HUGEINT) * b) OVER w AS sab,
+    sum(CAST(a AS HUGEINT) * a) OVER w AS saa,
+    sum(CAST(b AS HUGEINT) * b) OVER w AS sbb
+  FROM j
+  WINDOW w AS (ORDER BY x
+               ROWS BETWEEN {RC_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(x AS BIGINT) AS day, CAST(n AS BIGINT) AS n_win,
+  (CAST(sab AS DOUBLE) * CAST(n AS DOUBLE)
+   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+  / (sqrt(CAST(saa AS DOUBLE) * CAST(n AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+     * sqrt(CAST(sbb AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS corr
+FROM t WHERE n = {RC_WIN}
+"""
+
+
 QUERIES12: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_sketch_hll": q_rel_sketch_hll,
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -1260,6 +1423,8 @@ QUERIES12: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_sketch_kmv": q_rel_sketch_kmv,
     "cv_bootstrap_ci": q_cv_bootstrap_ci,
     "stream_hll": q_stream_hll,
+    "src_rowgroup_stats": q_src_rowgroup_stats,
+    "feat_rolling_corr": q_feat_rolling_corr,
 }
 
 
@@ -1277,4 +1442,6 @@ def oracles12() -> Dict[str, str]:
         # drained register state == batch registers (max is
         # order-insensitive), so the batch HLL oracle applies verbatim
         "stream_hll": _sql_sketch_hll(),
+        "src_rowgroup_stats": _sql_rowgroup_stats(),
+        "feat_rolling_corr": _sql_rolling_corr(),
     }

@@ -401,3 +401,55 @@ def test_stream_hll_chop_invariant(spark, tmp_path):
             for r in get_regs().collect()
         }
         assert got == batch, f"chop into {nb} batches diverged"
+
+
+# ----------------------------------------------------------------------
+# row-group stats + rolling correlation
+# ----------------------------------------------------------------------
+
+
+def test_rowgroup_stats_cover_whole_table(spark):
+    """Footer stats must reconcile with the data: per table the
+    row-group n_rows sum equals the table count and min/max bracket the
+    id column exactly (the invariant a skip-planner relies on)."""
+    import panelsplit_spark.queries_round5 as r5
+    from panelsplit_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = r5.q_src_rowgroup_stats(spark, sf).collect()
+    by_tbl = {}
+    for r in out:
+        by_tbl.setdefault(r["tbl"], []).append(r)
+    for tbl, col in r5.RG_TABLES:
+        t = load_table(spark, sf, tbl)
+        n = t.count()
+        mn, mx = t.agg(F.min(col), F.max(col)).collect()[0]
+        rgs = by_tbl[tbl]
+        assert sum(r["n_rows"] for r in rgs) == n
+        assert min(r["min_key"] for r in rgs) == mn
+        assert max(r["max_key"] for r in rgs) == mx
+
+
+def test_rolling_corr_perfect_on_proportional_series(spark, tmp_path):
+    """b = 3·a daily ⇒ every full window has correlation exactly 1
+    (the moment identity cancels algebraically; sqrt of a perfect
+    square keeps it exact in practice to 1e-12)."""
+    import datetime
+
+    import panelsplit_spark.queries_round5 as r5
+
+    rows = []
+    eid = 0
+    for day in range(12):
+        va = float(10 + 7 * (day % 5))
+        for t, v in (("click", va), ("purchase", 3.0 * va)):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + day, 12), 1, t,
+                 v, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = r5.q_feat_rolling_corr(spark, str(tmp_path)).collect()
+    assert len(out) == 12 - r5.RC_WIN + 1
+    for r in out:
+        assert r["corr"] == pytest.approx(1.0, abs=1e-12)
