@@ -58,7 +58,9 @@ from .operators.sampling import winsorize
 from .operators.dedup import (
     connected_components,
     connected_components_star,
+    doc_shingles,
     ngram_contamination,
+    prefix_filter_candidates,
 )
 from .operators.sampling import (
     hash_sample,
@@ -72,6 +74,11 @@ from .operators.similarity import (
     gram_matrix,
     pca_fit,
     pca_project,
+)
+from .operators.sketches import (
+    hll_estimate,
+    hll_register_maxes,
+    linear_count,
 )
 from .operators.skew import salted_join
 from .operators.text import (
@@ -132,6 +139,11 @@ __all__ = [
     "FirstColumnRegressor",
     "connected_components",
     "connected_components_star",
+    "doc_shingles",
+    "prefix_filter_candidates",
+    "hll_register_maxes",
+    "hll_estimate",
+    "linear_count",
     "oof_target_encode",
     "winsorize",
     "ngram_contamination",
