@@ -269,6 +269,7 @@ HEADLINE = [
     "stream_hll",
     "src_rowgroup_stats",
     "feat_rolling_corr",
+    "feat_woe_iv",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

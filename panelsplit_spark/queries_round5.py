@@ -1,6 +1,20 @@
-"""Query registry, part 12 (round 5): mergeable HyperLogLog with
-exact-integer register algebra, sparse TF-IDF cosine top-k over an
-inverted shingle index, and detrended hour-of-day seasonal profiles.
+"""Query registry, part 12 (round 5), twelve queries:
+
+* sketches — ``rel_sketch_hll`` (mergeable HyperLogLog, exact-integer
+  register algebra), ``rel_sketch_kmv`` (bottom-k with set operations),
+  ``stream_hll`` (the streaming register-max gate);
+* similarity — ``text_tfidf_topk`` (sparse TF-IDF cosine top-k over an
+  inverted shingle index), ``dedup_sorted_neighborhood`` (rank-keyed
+  blocking over the simhash sort order);
+* moment-algebra features — ``feat_seasonal_decompose`` (detrended
+  hour-of-day profile), ``feat_changepoint`` (best two-segment OLS
+  split), ``feat_rolling_corr`` (windowed Pearson),
+  ``feat_ema_decay`` (exact power-of-two half-life EMA);
+* quality/eval — ``dq_mad_outliers`` (robust MAD audit),
+  ``cv_bootstrap_ci`` (deterministic hash-bootstrap CI),
+  ``feat_woe_iv`` (weight-of-evidence bins + exact-integer IV);
+* storage — ``src_rowgroup_stats`` (parquet footer census vs
+  ``parquet_metadata``).
 
 Same cross-engine determinism rules as queries.py (see the conventions
 in docs/ and tests/test_oracle_conventions.py): exact-integer moments
@@ -1412,6 +1426,135 @@ FROM t WHERE n = {RC_WIN}
 """
 
 
+# ======================================================================
+# weight-of-evidence / information-value feature binning
+# ======================================================================
+
+WOE_BINS = 10
+
+
+def q_feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence profile of order value against the
+    fulfilled-status label, plus the feature's information value — the
+    classic credit-scoring feature screen, in the engine's exact
+    idiom: fixed-width integer bins over (min, max) cents (two cheap
+    aggregates, NO global sort — the 100 TB binning shape, same as the
+    PSI monitor), per-bin good/bad counts, woe = ln(good share / bad
+    share) quantized to micro AFTER the transcendental, and
+
+        IV = Σ_b (g_b/G − b_b/B) · woe_b
+
+    computed as ONE division of an exact 128-bit integer sum:
+    each term's numerator (g_b·B − b_b·G)·woe_micro is exact, so the
+    10-term float-sum ordering hazard never exists.  Bins missing a
+    class get NULL woe and contribute zero to IV on BOTH engines
+    (DuckDB's ln(0) is a hard error where Spark's is a silent NULL —
+    the CASE guard is what keeps the engines aligned)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .alias("good"),
+    )
+    mm = od.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    binned = od.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(WOE_BINS - 1),
+            F.expr(
+                f"((cents - mn) * {WOE_BINS}) div (mx - mn + 1)"
+            ),
+        ).alias("bin"),
+        "good",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("good").alias("n_good"),
+    ).withColumn("n_bad", F.col("n") - F.col("n_good"))
+    wall = Window.partitionBy(F.lit(1))
+    t = (
+        g.withColumn("gt", F.sum("n_good").over(wall))
+        .withColumn("bt", F.sum("n_bad").over(wall))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    valid = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    woe_micro = F.when(
+        valid,
+        F.round(
+            F.log(
+                (dec("n_good") * F.col("bt")).cast("double")
+                / (dec("n_bad") * F.col("gt")).cast("double")
+            )
+            * 1e6
+        ).cast("long"),
+    )
+    t = t.withColumn("woe_micro", woe_micro).withColumn(
+        "__term",
+        F.when(
+            valid,
+            (dec("n_good") * F.col("bt") - dec("n_bad") * F.col("gt"))
+            * F.col("woe_micro"),
+        ).otherwise(F.lit(0).cast("decimal(38,0)")),
+    )
+    iv = (
+        F.sum("__term").over(wall).cast("double")
+        / (dec("gt") * F.col("bt")).cast("double")
+        / F.lit(1e6)
+    )
+    return t.select(
+        "bin", "n", "n_good", "n_bad", "woe_micro", iv.alias("iv")
+    )
+
+
+def _sql_woe_iv() -> str:
+    b = WOE_BINS
+    return f"""
+WITH od AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+  FROM orders
+),
+mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM od),
+binned AS (
+  SELECT least({b - 1}, ((cents - mn) * {b}) // (mx - mn + 1)) AS bin,
+         good
+  FROM od, mm
+),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(good) AS BIGINT) AS n_good,
+         CAST(count(*) - sum(good) AS BIGINT) AS n_bad
+  FROM binned GROUP BY bin
+),
+t AS (
+  SELECT *, sum(n_good) OVER () AS gt, sum(n_bad) OVER () AS bt
+  FROM g
+),
+w AS (
+  SELECT *,
+    CASE WHEN n_good > 0 AND n_bad > 0 THEN
+      CAST(round(ln((CAST(n_good AS HUGEINT) * bt)::DOUBLE
+                    / (CAST(n_bad AS HUGEINT) * gt)::DOUBLE) * 1e6)
+           AS BIGINT)
+    END AS woe_micro
+  FROM t
+),
+terms AS (
+  SELECT *,
+    CASE WHEN n_good > 0 AND n_bad > 0 THEN
+      (CAST(n_good AS HUGEINT) * bt - CAST(n_bad AS HUGEINT) * gt)
+        * woe_micro
+    ELSE CAST(0 AS HUGEINT) END AS term
+  FROM w
+)
+SELECT CAST(bin AS BIGINT) AS bin, n, n_good, n_bad, woe_micro,
+       CAST(sum(term) OVER () AS DOUBLE)
+         / (CAST(gt AS HUGEINT) * bt)::DOUBLE / 1e6 AS iv
+FROM terms
+"""
+
+
 QUERIES12: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_sketch_hll": q_rel_sketch_hll,
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -1425,6 +1568,7 @@ QUERIES12: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hll": q_stream_hll,
     "src_rowgroup_stats": q_src_rowgroup_stats,
     "feat_rolling_corr": q_feat_rolling_corr,
+    "feat_woe_iv": q_feat_woe_iv,
 }
 
 
@@ -1444,4 +1588,5 @@ def oracles12() -> Dict[str, str]:
         "stream_hll": _sql_sketch_hll(),
         "src_rowgroup_stats": _sql_rowgroup_stats(),
         "feat_rolling_corr": _sql_rolling_corr(),
+        "feat_woe_iv": _sql_woe_iv(),
     }

@@ -453,3 +453,39 @@ def test_rolling_corr_perfect_on_proportional_series(spark, tmp_path):
     assert len(out) == 12 - r5.RC_WIN + 1
     for r in out:
         assert r["corr"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_woe_iv_known_answer(spark, tmp_path):
+    """Hand-computable WoE fixture: two value clusters, good
+    concentrated low. bins split the clusters; woe/IV match the
+    textbook formula computed in Python."""
+    import math
+
+    rows = []
+    # low cluster (cents 1000-1090): 8 good, 2 bad
+    for i in range(10):
+        rows.append((i, float(10 + i * 0.1), "F" if i < 8 else "O"))
+    # high cluster (cents 9000-9090): 2 good, 8 bad
+    for i in range(10):
+        rows.append((10 + i, float(90 + i * 0.1),
+                     "F" if i < 2 else "O"))
+    od = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderstatus string"
+    )
+    od.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    import panelsplit_spark.queries_round5 as r5
+
+    out = {r["bin"]: r for r in
+           r5.q_feat_woe_iv(spark, str(tmp_path)).collect()}
+    lo = out[min(out)]
+    hi = out[max(out)]
+    assert (lo["n_good"], lo["n_bad"]) == (8, 2)
+    assert (hi["n_good"], hi["n_bad"]) == (2, 8)
+    woe_lo = math.log((8 / 10) / (2 / 10))
+    woe_hi = math.log((2 / 10) / (8 / 10))
+    assert lo["woe_micro"] == round(woe_lo * 1e6)
+    assert hi["woe_micro"] == round(woe_hi * 1e6)
+    iv_expected = (8 / 10 - 2 / 10) * (lo["woe_micro"] / 1e6) + (
+        2 / 10 - 8 / 10
+    ) * (hi["woe_micro"] / 1e6)
+    assert lo["iv"] == pytest.approx(iv_expected, rel=1e-9)

@@ -103,6 +103,7 @@ BNLJ_WHITELIST = {
     "rel_sketch_setops",     # ≤5-label dense pair axis (labels × labels)
     "text_tfidf_topk",       # single-row corpus doc-count scalar (nd)
     "rel_sketch_kmv",        # ≤5-label dense pair axis (labels × labels)
+    "feat_woe_iv",           # single-row (min,max) bin-bounds scalar
 }
 
 
