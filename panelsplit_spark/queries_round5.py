@@ -181,6 +181,12 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    # the weighted index is consumed THREE times (norms + both join
+    # sides): materialize it once, or the tokenize→tf→df→idf chain —
+    # including the scalar broadcast — is replicated per consumer
+    # (plan audit caught 35 exchanges / 4 bnlj in the naive form; at
+    # production scale write the index out as a table instead)
+    w = w.localCheckpoint(eager=True)
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("norm2")
     )
@@ -929,12 +935,16 @@ def q_rel_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     ).distinct()
     wk = Window.partitionBy("t").orderBy("h")
+    # ≤ k rows per group; consumed by both pair sides and the type
+    # axis — materialize so the distinct-hash shuffle runs once (plan
+    # audit caught the replicated-subplan form at 23 exchanges)
     kmv = (
         H.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= KMV_K)
         .select("t", "h")
+        .localCheckpoint(eager=True)
     )
-    types = H.select("t").distinct()
+    types = kmv.select("t").distinct()
     pairs = (
         types.select(F.col("t").alias("t1"))
         .crossJoin(types.select(F.col("t").alias("t2")))
@@ -970,7 +980,8 @@ def q_rel_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter_est = (
         F.col("matches").cast("double") / F.col("k_u").cast("double")
     ) * union_est
-    users = ev.distinct()
+    # exact-evidence side: one distinct shuffle consumed three times
+    users = ev.distinct().localCheckpoint(eager=True)
     ua = users.select(F.col("t").alias("t1"), "u")
     ub = users.select(F.col("t").alias("t2"), "u")
     ex_i = (
