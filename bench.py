@@ -293,6 +293,12 @@ SF1_EVAL_TRUTH_SPLIT = {
     # (signatures + band self-join) is dedup_minhash_lsh's, already
     # sf1-benched; stream semantics stay gated at sf0.1/sf0.01
     "stream_near_dup": None,
+    # all-pairs EXACT witnesses (quadratic in shingle df by design,
+    # documented as verification-scale only in operators/dedup.py);
+    # their production paths are dedup_jaccard_lsh /
+    # dedup_containment_lsh, both independent sf1 entries
+    "dedup_jaccard": None,
+    "dedup_containment": None,
 }
 
 
