@@ -80,6 +80,13 @@ ROUND4B_HEAVIES = [
     "rel_sketch_setops",
     # bounded Bellman-Ford re-checked at the wider spread too
     "rel_shortest_path",
+    # round-5 shapes where partition order could plausibly leak:
+    # HLL register max + shift-sum algebra, tfidf cosine row_number
+    # ties, changepoint SSE argmin ties, KMV bottom-k selection
+    "rel_sketch_hll",
+    "text_tfidf_topk",
+    "feat_changepoint",
+    "rel_sketch_kmv",
 ]
 
 
