@@ -270,6 +270,14 @@ HEADLINE = [
     "src_rowgroup_stats",
     "feat_rolling_corr",
     "feat_woe_iv",
+    "dq_gini",
+    "dq_ks_test",
+    "feat_group_ols2",
+    "cv_cuped",
+    "pipe_weighted_reservoir",
+    "cv_conformal_interval",
+    "cv_learning_curve",
+    "dedup_incremental",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

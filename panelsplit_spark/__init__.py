@@ -59,6 +59,7 @@ from .operators.dedup import (
     connected_components,
     connected_components_star,
     doc_shingles,
+    incremental_band_dedup,
     ngram_contamination,
     prefix_filter_candidates,
 )
@@ -68,6 +69,7 @@ from .operators.sampling import (
     pack_sequences,
     rebalance_sources,
     stratified_topn,
+    weighted_reservoir_topk,
 )
 from .operators.similarity import (
     cosine_topk,
@@ -87,7 +89,18 @@ from .operators.text import (
     register_ngram_udtf,
     repetition_signals,
 )
-from .operators.timeseries import asof_join, resample_daily_ffill, sessionize
+from .operators.evaluation import (
+    cuped_adjust,
+    learning_curve_ols,
+    split_conformal_ols,
+)
+from .operators.quality import gini_by_group, ks_one_vs_rest
+from .operators.timeseries import (
+    asof_join,
+    group_ols2,
+    resample_daily_ffill,
+    sessionize,
+)
 from .functions.exact import cents, micro_units, morton_code
 from .plot import plot_splits
 from .sources import tables as sources_tables  # noqa: F401
@@ -166,8 +179,16 @@ __all__ = [
     "micro_units",
     "morton_code",
     "asof_join",
+    "group_ols2",
     "resample_daily_ffill",
     "sessionize",
+    "incremental_band_dedup",
+    "weighted_reservoir_topk",
+    "cuped_adjust",
+    "split_conformal_ols",
+    "learning_curve_ols",
+    "gini_by_group",
+    "ks_one_vs_rest",
     "compact_parquet",
     "load_table",
     "read_source",

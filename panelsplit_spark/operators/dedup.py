@@ -60,6 +60,7 @@ __all__ = [
     "remove_duplicated_spans",
     "semdedup",
     "prefix_filter_candidates",
+    "incremental_band_dedup",
 ]
 
 
@@ -1351,4 +1352,85 @@ def prefix_filter_candidates(
             >= (F.col("__na") + F.col("__nb")) * t_bp
         )
         .select("id_a", "id_b")
+    )
+
+
+def incremental_band_dedup(
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental-ingest dedup: admit a NEW batch of documents against
+    an EXISTING corpus without ever re-pairing the corpus with itself —
+    the shape a 100 TB training-data pipeline actually runs daily
+    (the all-pairs LSH of :func:`lsh_candidate_pairs` is the
+    bootstrap; this is steady state).
+
+    Decision per batch document, in order:
+
+    1. ``dup_corpus`` — any of its MinHash LSH bands (band_id,
+       band_sig) already appears in the corpus band index. The index
+       is ``n_bands`` short strings per corpus doc, DISTINCT-ed — a
+       compact, mergeable structure that in production persists
+       between runs and only ever grows by the admitted docs' bands,
+       so each ingest costs one equi-join of batch bands against it:
+       O(|batch|·n_bands) probe rows, ZERO corpus re-scans of text.
+    2. ``dup_batch`` — survives the corpus check but another surviving
+       batch doc with the SAME text (md5) and a smaller id exists
+       (within-batch exact collapse; near-dup collapse within the
+       batch is the bootstrap operator applied to the batch alone).
+    3. ``admitted`` — everything else; these docs' bands are what the
+       production run would append to the index.
+
+    Returns (id, content_hash, status) for every batch document —
+    deterministic, order-independent, SQL-replayable end to end.
+    """
+    corpus_index = (
+        explode_bands(
+            minhash_signatures(
+                corpus_docs, text_col=text_col, id_col=id_col,
+                n_hashes=n_hashes, shingle_n=shingle_n,
+            ),
+            id_col=id_col, n_hashes=n_hashes, band_size=band_size,
+        )
+        .select("band_id", "band_sig")
+        .distinct()
+    )
+    batch_bands = explode_bands(
+        minhash_signatures(
+            batch_docs, text_col=text_col, id_col=id_col,
+            n_hashes=n_hashes, shingle_n=shingle_n,
+        ),
+        id_col=id_col, n_hashes=n_hashes, band_size=band_size,
+    )
+    dup_corpus = (
+        batch_bands.join(corpus_index, ["band_id", "band_sig"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__dupc", F.lit(1))
+    )
+    flagged = (
+        batch_docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        .join(dup_corpus, id_col, "left")
+    )
+    # min surviving id per content hash decides dup_batch vs admitted;
+    # docs already dup_corpus are excluded from the min (a text whose
+    # only earlier twin was itself corpus-duplicated must NOT shadow).
+    w = Window.partitionBy("content_hash")
+    surv_min = F.min(
+        F.when(F.col("__dupc").isNull(), F.col(id_col))
+    ).over(w)
+    return flagged.select(
+        F.col(id_col),
+        "content_hash",
+        F.when(F.col("__dupc").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col(id_col) == surv_min, F.lit("admitted"))
+        .otherwise(F.lit("dup_batch"))
+        .alias("status"),
     )

@@ -21,12 +21,13 @@ division of exact integers (bit-identical IEEE across engines).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["auc_ranksum", "calibration_bins", "mutual_info_cells",
-           "chi2_2x2", "weighted_median"]
+           "chi2_2x2", "weighted_median", "cuped_adjust",
+           "split_conformal_ols", "learning_curve_ols"]
 
 
 def auc_ranksum(
@@ -323,4 +324,301 @@ def weighted_median(
             F.col("__v").alias("median"),
             F.col("__tot").alias("total_weight"),
         )
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    treated_col: str,
+) -> DataFrame:
+    """CUPED-adjusted treatment-effect estimate (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments" —
+    public paper, method only): shrink the A/B metric difference with a
+    pre-experiment covariate,
+
+        θ = cov(x, y) / var(x)
+        Δ_cuped = (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c)
+
+    with the variance-reduction factor ρ² = corr(x, y)² reported
+    alongside (the fraction of metric variance the covariate removes).
+
+    ``x_col``/``y_col`` must be integer-quantized (e.g. per-user cents)
+    and ``treated_col`` a 0/1 integer. Everything reduces to ONE
+    aggregate row of exact integer moments — overall n/Σx/Σy and
+    decimal(38,0) Σx²/Σxy/Σy², plus per-arm filtered n/Σx/Σy — and the
+    outputs are fixed-order double algebra over them, bit-identical
+    cross-engine. No joins, no windows, no second scan: the whole
+    estimator is one map-side-combinable aggregation, the cheapest
+    possible 100 TB shape.
+
+    Output: one row ``n_t n_c theta diff_raw diff_cuped rho2``
+    (θ and ρ² NULL when var(x) = 0).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    t = F.col(treated_col).cast("int") == F.lit(1)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(d(x) * x).alias("sxx"),
+        F.sum(d(x) * y).alias("sxy"),
+        F.sum(d(y) * y).alias("syy"),
+        F.count(F.when(t, F.lit(1))).alias("n_t"),
+        F.sum(F.when(t, x).otherwise(F.lit(0))).alias("sx_t"),
+        F.sum(F.when(t, y).otherwise(F.lit(0))).alias("sy_t"),
+    )
+    n = d(F.col("n"))
+    cxy = n * F.col("sxy") - d(F.col("sx")) * F.col("sy")
+    vx = n * F.col("sxx") - d(F.col("sx")) * F.col("sx")
+    vy = n * F.col("syy") - d(F.col("sy")) * F.col("sy")
+    theta = cxy.cast("double") / vx.cast("double")
+    n_c = F.col("n") - F.col("n_t")
+    mean = lambda s, cnt: s.cast("double") / cnt.cast("double")  # noqa: E731
+    ybar_t = mean(F.col("sy_t"), F.col("n_t"))
+    ybar_c = mean(F.col("sy") - F.col("sy_t"), n_c)
+    xbar_t = mean(F.col("sx_t"), F.col("n_t"))
+    xbar_c = mean(F.col("sx") - F.col("sx_t"), n_c)
+    diff_raw = ybar_t - ybar_c
+    rho2 = (
+        cxy.cast("double")
+        * cxy.cast("double")
+        / (vx.cast("double") * vy.cast("double"))
+    )
+    nz = vx != F.lit(0).cast("decimal(38,0)")
+    return g.select(
+        F.col("n_t"),
+        n_c.alias("n_c"),
+        F.when(nz, theta).alias("theta"),
+        diff_raw.alias("diff_raw"),
+        F.when(nz, diff_raw - theta * (xbar_t - xbar_c)).alias(
+            "diff_cuped"
+        ),
+        F.when(nz, rho2).alias("rho2"),
+    )
+
+
+def split_conformal_ols(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    alpha_bp: int = 1000,
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split-conformal prediction intervals around a closed-form OLS fit
+    (Papadopoulos et al. 2002 / Lei et al. 2018 inductive conformal —
+    public papers, method only), with the finite-sample coverage
+    guarantee VERIFIED on a held-out test split in the same plan.
+
+    Content-hash splits (train < 50%, calibration < 75%, test rest —
+    stable under reruns/appends like every split in sampling.py). The
+    OLS fit is five exact integer moments + Cramer algebra; calibration
+    nonconformity scores |y − ŷ| quantize to MILLI-units after the
+    (engine-identical) double prediction, so the conformal quantile
+
+        q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest score
+
+    is an exact order statistic of integers (row_number with id
+    tiebreak — no interpolation ambiguity), and test coverage is an
+    exact integer comparison ``score ≤ q̂`` counted and divided ONCE.
+
+    100 TB shape: the only sort is the calibration split's single
+    integer column (a hash-chosen fraction of the data); the fit and
+    the coverage check are one aggregate each; the 1-row fit and q̂
+    frames broadcast into the scans (whitelisted single-row
+    broadcasts). Output: one row ``n_train n_cal n_test k qhat_mu
+    n_covered coverage``.
+    """
+    from .sampling import _BP, hash_bucket
+
+    b = hash_bucket(F.col(id_col), salt)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+        b.alias("__b"),
+    )
+    train = base.where(F.col("__b") < _BP // 2)
+    cal = base.where(
+        (F.col("__b") >= _BP // 2) & (F.col("__b") < 3 * _BP // 4)
+    )
+    test = base.where(F.col("__b") >= 3 * _BP // 4)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("__x"), F.col("__y")
+    fit = train.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(d(x) * x).alias("sxx"),
+        F.sum(d(x) * y).alias("sxy"),
+    )
+    num = d(F.col("n_train")) * F.col("sxy") - d(F.col("sx")) * F.col("sy")
+    den = d(F.col("n_train")) * F.col("sxx") - d(F.col("sx")) * F.col("sx")
+    b1 = num.cast("double") / den.cast("double")
+    b0 = (
+        F.col("sy").cast("double") - b1 * F.col("sx").cast("double")
+    ) / F.col("n_train").cast("double")
+    fit = fit.select("n_train", b1.alias("b1"), b0.alias("b0"))
+
+    def scored(split: DataFrame) -> DataFrame:
+        sc = F.round(
+            F.abs(
+                F.col("__y").cast("double")
+                - (F.col("b0") + F.col("b1") * F.col("__x").cast("double"))
+            )
+            * F.lit(1000.0)
+        ).cast("long")
+        return split.crossJoin(F.broadcast(fit)).select(
+            "__id", sc.alias("score_mu")
+        )
+
+    cal_sc = scored(cal)
+    ncal = cal_sc.agg(F.count(F.lit(1)).alias("n_cal"))
+    keep_bp = _BP - int(alpha_bp)
+    k_expr = F.floor(
+        ((F.col("n_cal") + F.lit(1)) * F.lit(keep_bp) + F.lit(_BP - 1))
+        / F.lit(_BP)
+    ).cast("long")
+    # integer ceil((n_cal+1)·(1-α)); clamped so tiny calibration sets
+    # degrade to the max score instead of an out-of-range rank
+    ncal = ncal.select(
+        "n_cal", F.least(k_expr, F.col("n_cal")).alias("k")
+    )
+    rk = Window.orderBy(F.col("score_mu").asc(), F.col("__id").asc())
+    qhat = (
+        cal_sc.withColumn("__rk", F.row_number().over(rk).cast("long"))
+        .crossJoin(F.broadcast(ncal))
+        .where(F.col("__rk") == F.col("k"))
+        .select("n_cal", "k", F.col("score_mu").alias("qhat_mu"))
+    )
+    cov = (
+        scored(test)
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.first("n_cal").alias("n_cal"),
+            F.first("k").alias("k"),
+            F.first("qhat_mu").alias("qhat_mu"),
+            F.sum(
+                (F.col("score_mu") <= F.col("qhat_mu")).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return cov.crossJoin(F.broadcast(fit.select("n_train"))).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        "k",
+        "qhat_mu",
+        "n_covered",
+        (
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def learning_curve_ols(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    cuts_bp: Sequence[int] = (1000, 2000, 4000, 8000),
+    test_lo_bp: int = 9000,
+    salt: str = "lcurve",
+) -> DataFrame:
+    """Learning curve of a closed-form OLS fit — held-out MSE at nested
+    training fractions — from ONE scan, because sufficient statistics
+    make the whole curve algebra: per hash-band integer moments roll up
+    cumulatively (band k's train set = bands 1..k, nested by
+    construction), and the test MSE expands in the TEST split's own
+    moments,
+
+        SSE = Σy² − 2b₀Σy − 2b₁Σxy + n·b₀² + 2b₀b₁Σx + b₁²Σx²
+
+    so no per-row residual pass exists for ANY fraction. This is the
+    pattern that makes "how much data do we need?" a free by-product of
+    one aggregation at 100 TB instead of len(cuts) model refits.
+
+    Moments Σx², Σxy, Σy² accumulate as decimal(38,0); every β and the
+    MSE are fixed-order double algebra over exact integers, so the
+    DuckDB oracle replays them bit-for-bit. Output: one row per cut —
+    ``cut_bp n_train slope intercept test_mse``.
+    """
+    from .sampling import hash_bucket
+
+    b = hash_bucket(F.col(id_col), salt)
+    cuts = sorted(int(c) for c in cuts_bp)
+    band = F.lit(None).cast("int")
+    for i, c in enumerate(reversed(cuts)):
+        band = F.when(b < c, F.lit(len(cuts) - i)).otherwise(band)
+    band = F.when(b >= int(test_lo_bp), F.lit(0)).otherwise(band)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.select(
+        band.alias("__band"), x.alias("__x"), y.alias("__y")
+    ).where(F.col("__band").isNotNull())
+    xx, yy = F.col("__x"), F.col("__y")
+    g = base.groupBy("__band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xx).alias("sx"),
+        F.sum(yy).alias("sy"),
+        F.sum(d(xx) * xx).alias("sxx"),
+        F.sum(d(xx) * yy).alias("sxy"),
+        F.sum(d(yy) * yy).alias("syy"),
+    )
+    wcum = (
+        Window.orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tr = (
+        g.where(F.col("__band") > 0)
+        .select(
+            "__band",
+            F.sum("n").over(wcum).alias("n"),
+            F.sum("sx").over(wcum).alias("sx"),
+            F.sum("sy").over(wcum).alias("sy"),
+            F.sum("sxx").over(wcum).alias("sxx"),
+            F.sum("sxy").over(wcum).alias("sxy"),
+        )
+    )
+    te = g.where(F.col("__band") == 0).select(
+        F.col("n").alias("tn"),
+        F.col("sx").alias("tsx"),
+        F.col("sy").alias("tsy"),
+        F.col("sxx").alias("tsxx"),
+        F.col("sxy").alias("tsxy"),
+        F.col("syy").alias("tsyy"),
+    )
+    num = d(F.col("n")) * F.col("sxy") - d(F.col("sx")) * F.col("sy")
+    den = d(F.col("n")) * F.col("sxx") - d(F.col("sx")) * F.col("sx")
+    b1 = num.cast("double") / den.cast("double")
+    b0 = (
+        F.col("sy").cast("double") - b1 * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    joined = tr.crossJoin(F.broadcast(te)).select(
+        "__band", "n", b1.alias("b1"), b0.alias("b0"),
+        "tn", "tsx", "tsy", "tsxx", "tsxy", "tsyy",
+    )
+    sse = (
+        F.col("tsyy").cast("double")
+        - F.lit(2.0) * F.col("b0") * F.col("tsy").cast("double")
+        - F.lit(2.0) * F.col("b1") * F.col("tsxy").cast("double")
+        + F.col("tn").cast("double") * F.col("b0") * F.col("b0")
+        + F.lit(2.0) * F.col("b0") * F.col("b1")
+        * F.col("tsx").cast("double")
+        + F.col("b1") * F.col("b1") * F.col("tsxx").cast("double")
+    )
+    cut_map = F.array(*[F.lit(c) for c in cuts])
+    return joined.select(
+        F.element_at(cut_map, F.col("__band").cast("int")).alias("cut_bp"),
+        F.col("n").alias("n_train"),
+        F.col("b1").alias("slope"),
+        F.col("b0").alias("intercept"),
+        (sse / F.col("tn").cast("double")).alias("test_mse"),
     )

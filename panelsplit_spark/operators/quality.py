@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules",
            "GOPHER_STOPWORDS", "k_anonymity_audit", "benford_audit",
-           "BENFORD_PPM", "ndv_profile"]
+           "BENFORD_PPM", "ndv_profile", "gini_by_group", "ks_one_vs_rest"]
 
 #: Small closed-class word set used by the "document contains at least
 #: two stopwords" heuristic (Rae et al. 2021, "Scaling Language Models"
@@ -418,4 +418,159 @@ def ndv_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             (F.col("n_rows") / F.col("ndv")).alias("reduction"),
         )
         .orderBy("col_name")
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact Gini concentration coefficient of an integer-quantized
+    value per group — the inequality audit ("is 90% of revenue coming
+    from 1% of orders?") a curation pipeline runs on source / customer
+    mixes before training on them.
+
+    Identity used (values sorted ascending, rank i = 1..n):
+
+        G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+
+    Ties are order-safe: equal values contribute ``(i+j)·x`` no matter
+    which of the two carries which rank, so any deterministic tiebreak
+    (here ``id_col``) yields the same sum. ``Σ i·x_i`` accumulates as
+    decimal(38,0) (rank ≤ n, so the term product can exceed int64 long
+    before the sum does); the coefficient is ONE double division of two
+    exact integers — engine-bit-identical.
+
+    100 TB shape: one shuffle keyed by ``group_cols`` for the in-group
+    rank window, then the same keys' grouped aggregate — no global
+    sort, no second scan. Degenerate groups (Σx = 0) emit NULL.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    )
+    x = F.col(value_col).cast("long")
+    ranked = df.select(
+        *group_cols,
+        x.alias("__x"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(d(F.col("__i")) * F.col("__x")).alias("__a"),
+    )
+    num = F.lit(2).cast("decimal(38,0)") * F.col("__a") - d(
+        F.col("n") + F.lit(1)
+    ) * d(F.col("total"))
+    den = d(F.col("n")) * d(F.col("total"))
+    return g.select(
+        *group_cols,
+        "n",
+        F.col("total").alias("total_units"),
+        F.when(
+            F.col("total") != 0,
+            num.cast("double") / den.cast("double"),
+        ).alias("gini"),
+    )
+
+
+def ks_one_vs_rest(
+    df: DataFrame,
+    segment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic of each segment's
+    integer-quantized value distribution against the pooled rest — the
+    drift test that answers "does THIS source / shard / day look like
+    everything else?" without binning error (PSI's weakness).
+
+    D = max_v |F_seg(v) − F_rest(v)| is evaluated at every pooled
+    distinct value on a dense (segment × distinct-value) grid, with the
+    numerator kept integer:
+
+        d_num = max | cum_seg·n_rest − cum_rest·n_seg |
+
+    so the statistic is ONE double division ``d_num / (n_seg·n_rest)``
+    and the asymptotic scaling ``λ = D·sqrt(n_seg·n_rest/n)`` uses only
+    sqrt (exact cross-engine). Output per segment: ``n_seg n_rest d_num
+    ks_d lambda``.
+
+    100 TB shape: the scan reduces to a (segment, value) count table
+    first (map-side combinable); the grid is |segments| × |distinct
+    values| — for a quantized metric column this is bounded by the
+    value domain, not the row count — and the cumulative windows
+    partition by segment, so no unpartitioned window ever sees more
+    than the distinct-value count.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    counts = (
+        df.select(F.col(segment_col).alias("segment"), v.alias("v"))
+        .groupBy("segment", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    segs = counts.groupBy("segment").agg(F.sum("c").alias("n_seg"))
+    vals = counts.select("v").distinct()
+    grid = vals.crossJoin(F.broadcast(segs))
+    joined = grid.join(counts, ["segment", "v"], "left").select(
+        "segment",
+        "v",
+        "n_seg",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    wseg = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # cum_all over the distinct-value axis: pooled count ≤ v per value,
+    # computed once on the (bounded) distinct-value table then joined in.
+    wall = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = counts.groupBy("v").agg(F.sum("c").alias("cv"))
+    cum_all = tot.select(
+        "v", F.sum("cv").over(wall).alias("cum_all")
+    )
+    cum = (
+        joined.withColumn("cum_seg", F.sum("c").over(wseg))
+        .join(F.broadcast(cum_all), "v")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    total = segs.agg(F.sum("n_seg").alias("n_all"))
+    cum = cum.crossJoin(F.broadcast(total)).select(
+        "segment",
+        "n_seg",
+        (F.col("n_all") - F.col("n_seg")).alias("n_rest"),
+        F.col("cum_seg"),
+        (F.col("cum_all") - F.col("cum_seg")).alias("cum_rest"),
+    )
+    dnum = F.abs(
+        d(F.col("cum_seg")) * d(F.col("n_rest"))
+        - d(F.col("cum_rest")) * d(F.col("n_seg"))
+    )
+    per_seg = cum.groupBy("segment", "n_seg", "n_rest").agg(
+        F.max(dnum).alias("__dnum")
+    )
+    prod = d(F.col("n_seg")) * d(F.col("n_rest"))
+    ks = F.col("__dnum").cast("double") / prod.cast("double")
+    lam = ks * F.sqrt(
+        prod.cast("double")
+        / (F.col("n_seg") + F.col("n_rest")).cast("double")
+    )
+    return per_seg.select(
+        "segment",
+        "n_seg",
+        "n_rest",
+        F.col("__dnum").cast("long").alias("d_num"),
+        ks.alias("ks_d"),
+        lam.alias("lambda_stat"),
     )

@@ -18,6 +18,7 @@ __all__ = ["hash_bucket", "hash_split", "hash_sample",
     "weighted_hash_sample", "stratified_topn",
            "pack_sequences", "rebalance_sources", "winsorize",
            "dsir_weights", "temperature_mix", "stratified_quota_sample", "collapse_rare",
+           "weighted_reservoir_topk",
 ]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
@@ -538,4 +539,56 @@ def collapse_rare(
             ).otherwise(F.lit(other_label)),
         )
         .drop("__cat", "__cnt")
+    )
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted reservoir sample of EXACTLY k rows
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir" — public paper, method only): each row draws a uniform
+    u from its content hash and keeps key u^(1/w); the sample is the k
+    largest keys, which selects each row with probability proportional
+    to its weight — the exact-size complement to
+    :func:`weighted_hash_sample`'s Bernoulli form (fixed k, not fixed
+    rate).
+
+    Determinism: u = (2·bucket + 1)/20000 from the md5 bucket (odd
+    numerator, so u is never 0 or 1), and the ordering key is
+    ln(u)/w — monotone in u^(1/w) — quantized to MICRO units AFTER the
+    transcendental (a 1-ulp libm disagreement moves the product by
+    ~1e-9 of a grid step, so a boundary flip needs a value within
+    1e-9·step of x.5 — negligible even at 10^12 rows, where a nano
+    grid would not be), with ``id_col`` as the final tiebreak; grid
+    ties break by id, so the selected set is identical on every
+    engine, every run, every partitioning.
+
+    100 TB shape: the plan is a TakeOrdered — each partition keeps its
+    own top-k and only k·n_partitions candidate rows ever move — no
+    global sort, no full shuffle. Rows with weight ≤ 0 are excluded
+    (the estimator is undefined for them).
+    """
+    w = F.col(weight_col).cast("long")
+    u = (
+        (hash_bucket(F.col(id_col), salt) * F.lit(2) + F.lit(1))
+        .cast("double")
+        / F.lit(float(2 * _BP))
+    )
+    score_micro = F.round(
+        F.log(u) / w.cast("double") * F.lit(1e6)
+    ).cast("long")
+    return (
+        df.where(w > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            score_micro.alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(int(k))
     )

@@ -30,6 +30,7 @@ __all__ = [
     "asof_join",
     "resample_daily_ffill",
     "group_trend_ols",
+    "group_ols2",
     "gap_detect",
     "rolling_distinct",
     "markov_transitions",
@@ -661,4 +662,84 @@ def cusum_detect(
             (F.col("cusum") > F.lit(int(threshold_h))).cast("int"),
         )
         .drop("__c")
+    )
+
+
+def group_ols2(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group TWO-regressor OLS (y on x1, x2 + intercept) solved in
+    closed form from exact integer moments — the multivariate step up
+    from :func:`group_trend_ols` ("price on quantity AND discount, per
+    return flag"), still ONE grouped aggregate, no iteration, no driver
+    math.
+
+    All inputs must be integer-quantized by the caller. The eight
+    moments (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y) accumulate
+    as exact LONGs; the centered normal-equation entries
+
+        A11 = n·Σx1² − (Σx1)²   A12 = n·Σx1x2 − Σx1·Σx2
+        A22 = n·Σx2² − (Σx2)²   B1  = n·Σx1y − Σx1·Σy
+                                B2  = n·Σx2y − Σx2·Σy
+
+    and Cramer's rule det = A11·A22 − A12², b1 = (A22·B1 − A12·B2)/det,
+    b2 = (A11·B2 − A12·B1)/det are computed in decimal(38,0) (the
+    oracle's HUGEINT twin), so each slope is ONE double division of two
+    exact integers and the intercept b0 = (Σy − b1·Σx1 − b2·Σx2)/n is a
+    fixed-order double expression — bit-identical cross-engine.
+
+    Overflow contract (caller owns the quantization): the deepest
+    product is A22·B1 ≈ n²·max(x2)²·n·max(x1)·max(y); with n ≤ 10^7,
+    x1 ≤ 10^2, x2 ≤ 10^2, y ≤ 10^6 that is ≤ ~10^37 < 10^38. Quantize
+    coarsely (dollars / percent, not micros / ppm) for the group sizes
+    at hand.
+
+    100 TB shape: one shuffle keyed by ``group_cols`` with map-side
+    partial aggregation — identical cost to a grouped count. Singular
+    groups (det = 0: collinear or constant regressors) emit NULL
+    coefficients instead of dividing by zero.
+    """
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    y = F.col(y_col).cast("long")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx1x1"),
+        F.sum(x1 * x2).alias("sx1x2"),
+        F.sum(x2 * x2).alias("sx2x2"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = d(F.col("n"))
+    a11 = n * F.col("sx1x1") - d(F.col("sx1")) * F.col("sx1")
+    a12 = n * F.col("sx1x2") - d(F.col("sx1")) * F.col("sx2")
+    a22 = n * F.col("sx2x2") - d(F.col("sx2")) * F.col("sx2")
+    b1n = n * F.col("sx1y") - d(F.col("sx1")) * F.col("sy")
+    b2n = n * F.col("sx2y") - d(F.col("sx2")) * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    beta1 = (a22 * b1n - a12 * b2n).cast("double") / det.cast("double")
+    beta2 = (a11 * b2n - a12 * b1n).cast("double") / det.cast("double")
+    beta0 = (
+        F.col("sy").cast("double")
+        - beta1 * F.col("sx1").cast("double")
+        - beta2 * F.col("sx2").cast("double")
+    ) / F.col("n").cast("double")
+    nz = det != F.lit(0).cast("decimal(38,0)")
+    return g.select(
+        *group_cols,
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        F.when(nz, beta1).alias("b1"),
+        F.when(nz, beta2).alias("b2"),
+        F.when(nz, beta0).alias("b0"),
     )

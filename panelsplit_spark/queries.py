@@ -442,3 +442,11 @@ from .queries_round5 import QUERIES12, oracles12  # noqa: E402
 
 QUERIES.update(QUERIES12)
 ORACLES.update(oracles12())
+
+# round-5b additions: inequality/KS audits, Cramer bivariate OLS,
+# conformal + learning-curve + CUPED evaluation, weighted reservoir,
+# incremental corpus dedup
+from .queries_round5b import QUERIES13, oracles13  # noqa: E402
+
+QUERIES.update(QUERIES13)
+ORACLES.update(oracles13())

@@ -1,0 +1,713 @@
+"""Query registry, part 13 (round 5, continued), eight queries:
+
+* inequality / drift audits — ``dq_gini`` (exact Gini concentration
+  per segment from the rank-sum identity), ``dq_ks_test`` (exact
+  two-sample Kolmogorov–Smirnov, one-vs-rest per segment, integer
+  numerator);
+* regression algebra — ``feat_group_ols2`` (per-group TWO-regressor
+  OLS via Cramer's rule over exact integer moments),
+  ``cv_learning_curve`` (held-out MSE at four nested training
+  fractions from ONE scan — cumulative sufficient statistics, SSE by
+  moment expansion, no per-row residual pass),
+  ``cv_conformal_interval`` (split-conformal prediction interval with
+  the coverage guarantee verified on a held-out split; the conformal
+  quantile is an exact integer order statistic);
+* experimentation — ``cv_cuped`` (CUPED variance-reduced A/B lift,
+  zero joins: one filtered-aggregate row);
+* sampling — ``pipe_weighted_reservoir`` (Efraimidis–Spirakis
+  exact-k weighted reservoir as a TakeOrdered plan);
+* dedup — ``dedup_incremental`` (steady-state ingest admission
+  against a corpus LSH band index — the daily-run shape whose
+  bootstrap is ``dedup_minhash_lsh``).
+
+Same cross-engine determinism rules as queries.py: exact-integer
+moments before any division (decimal(38,0) ↔ HUGEINT for products
+past int64), transcendentals quantized AFTER the call, unrounded
+doubles only when both engines compute them from identical integer
+inputs in identical operation order, identical aliases everywhere.
+
+Reference parity note: the reference library (4Freye/panelsplit) has
+no analytics surface beyond CV splitting/application
+(`panelsplit/cross_validation.py`, `pipeline.py`); this part extends
+the mandated LLM-pipeline/relational categories (SURVEY.md §2.8) —
+the CV-flavored entries (conformal, learning curve, CUPED) follow the
+reference's hash-split/closed-form idioms established in
+operators/application.py and operators/linear_fastpath.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.sampling import _BP, duckdb_hash_bucket, hash_bucket
+from .sources.tables import load_table
+
+# ======================================================================
+# dq_gini — exact Gini concentration per order-priority segment
+# ======================================================================
+
+
+def q_dq_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit (operators/quality.gini_by_group):
+    exact Gini coefficient of order value per priority segment. One
+    in-group rank window + one grouped aggregate — no global sort; the
+    coefficient is ONE double division of two exact decimal integers."""
+    from .operators.quality import gini_by_group
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey").alias("oid"),
+    )
+    return gini_by_group(orders, ["segment"], "cents", "oid")
+
+
+_SQL_GINI = """
+WITH q AS (
+  SELECT o_orderpriority AS segment,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         o_orderkey AS id
+  FROM orders
+),
+r AS (
+  SELECT segment, x,
+         CAST(row_number() OVER (PARTITION BY segment ORDER BY x, id)
+              AS BIGINT) AS i
+  FROM q
+),
+g AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS total,
+         sum(CAST(i AS HUGEINT) * x) AS a
+  FROM r GROUP BY 1
+)
+SELECT segment, n, total AS total_units,
+       CASE WHEN total <> 0 THEN
+         (2 * a - CAST(n + 1 AS HUGEINT) * total)::DOUBLE
+           / (CAST(n AS HUGEINT) * total)::DOUBLE
+       END AS gini
+FROM g
+"""
+
+
+# ======================================================================
+# dq_ks_test — exact two-sample KS, each event type vs pooled rest
+# ======================================================================
+
+
+def q_dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binning-free drift test (operators/quality.ks_one_vs_rest):
+    exact KS statistic of each event type's value distribution against
+    the pooled rest. The scan reduces to a (segment, value) count
+    table; D's numerator stays integer, so the statistic is ONE double
+    division and λ adds only sqrt (exact cross-engine)."""
+    from .operators.quality import ks_one_vs_rest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).where(F.col("cents").isNotNull())
+    return ks_one_vs_rest(ev, "event_type", "cents")
+
+
+_SQL_KS = """
+WITH q AS (
+  SELECT event_type AS segment,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) IS NOT NULL
+),
+c AS (
+  SELECT segment, v, CAST(count(*) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2
+),
+segs AS (
+  SELECT segment, CAST(sum(c) AS BIGINT) AS n_seg FROM c GROUP BY 1
+),
+vals AS (SELECT DISTINCT v FROM c),
+grid AS (SELECT s.segment, s.n_seg, vals.v FROM segs s CROSS JOIN vals),
+j AS (
+  SELECT g.segment, g.n_seg, g.v, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN c ON c.segment = g.segment AND c.v = g.v
+),
+tot AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM c GROUP BY 1),
+ca AS (
+  SELECT v, CAST(sum(cv) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_all
+  FROM tot
+),
+cum AS (
+  SELECT j.segment, j.n_seg,
+         CAST(sum(j.c) OVER (PARTITION BY j.segment ORDER BY j.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_seg,
+         ca.cum_all
+  FROM j JOIN ca ON ca.v = j.v
+),
+nall AS (SELECT CAST(sum(n_seg) AS BIGINT) AS n_all FROM segs),
+t AS (
+  SELECT segment, n_seg, n_all - n_seg AS n_rest,
+         abs(CAST(cum_seg AS HUGEINT) * (n_all - n_seg)
+             - CAST(cum_all - cum_seg AS HUGEINT) * n_seg) AS dn
+  FROM cum CROSS JOIN nall
+),
+p AS (
+  SELECT segment, n_seg, n_rest, max(dn) AS dnum
+  FROM t GROUP BY 1, 2, 3
+)
+SELECT segment, n_seg, n_rest, CAST(dnum AS BIGINT) AS d_num,
+       dnum::DOUBLE / (CAST(n_seg AS HUGEINT) * n_rest)::DOUBLE AS ks_d,
+       dnum::DOUBLE / (CAST(n_seg AS HUGEINT) * n_rest)::DOUBLE
+         * sqrt((CAST(n_seg AS HUGEINT) * n_rest)::DOUBLE
+                / (n_seg + n_rest)::DOUBLE) AS lambda_stat
+FROM p
+"""
+
+
+# ======================================================================
+# feat_group_ols2 — bivariate OLS per return flag (Cramer's rule)
+# ======================================================================
+
+
+def q_feat_group_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor per-group OLS (operators/timeseries.group_ols2):
+    extended price (dollars) on quantity AND discount (percent) per
+    return flag. Nine exact integer moments in one grouped aggregate;
+    each slope is ONE double division of two decimal-exact integers
+    (quantization chosen so the deepest Cramer product stays < 10^38)."""
+    from .operators.timeseries import group_ols2
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    return group_ols2(li, ["l_returnflag"], "x1", "x2", "y")
+
+
+_SQL_OLS2 = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS sx1,
+         CAST(sum(x2) AS BIGINT) AS sx2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+         CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+         CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+         CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         CAST(sum(x2 * y) AS BIGINT) AS sx2y
+  FROM q GROUP BY 1
+),
+m AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1 AS a11,
+         CAST(n AS HUGEINT) * sx1x2 - CAST(sx1 AS HUGEINT) * sx2 AS a12,
+         CAST(n AS HUGEINT) * sx2x2 - CAST(sx2 AS HUGEINT) * sx2 AS a22,
+         CAST(n AS HUGEINT) * sx1y - CAST(sx1 AS HUGEINT) * sy AS b1n,
+         CAST(n AS HUGEINT) * sx2y - CAST(sx2 AS HUGEINT) * sy AS b2n
+  FROM g
+),
+sl AS (
+  SELECT *, a11 * a22 - a12 * a12 AS det,
+         CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+           (a22 * b1n - a12 * b2n)::DOUBLE
+             / (a11 * a22 - a12 * a12)::DOUBLE
+         END AS b1,
+         CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+           (a11 * b2n - a12 * b1n)::DOUBLE
+             / (a11 * a22 - a12 * a12)::DOUBLE
+         END AS b2
+  FROM m
+)
+SELECT l_returnflag, n, sx1, sx2, sy, b1, b2,
+       CASE WHEN det <> 0 THEN
+         (sy::DOUBLE - b1 * sx1::DOUBLE - b2 * sx2::DOUBLE) / n::DOUBLE
+       END AS b0
+FROM sl
+"""
+
+
+# ======================================================================
+# cv_cuped — CUPED variance-reduced A/B lift (zero joins)
+# ======================================================================
+
+_CUPED_CUTOFF = "2024-01-16 00:00:00"
+_CUPED_SALT = "cuped"
+
+
+def q_cv_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted treatment effect (operators/evaluation.
+    cuped_adjust): per-user pre-period spend (x, cents before Jan 16)
+    and post-period spend (y, after) roll up in one groupBy; treatment
+    arms come from the content-addressed hash split; the estimator is
+    ONE filtered-aggregate row — the cheapest possible 100 TB shape
+    (no joins, no windows, no second scan)."""
+    from .operators.evaluation import cuped_adjust
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = F.col("ts") < F.lit(_CUPED_CUTOFF).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(~pre, cents).otherwise(F.lit(0))).alias("y"),
+    ).withColumn(
+        "treated",
+        (hash_bucket(F.col("user_id"), _CUPED_SALT) < _BP // 2).cast(
+            "int"
+        ),
+    )
+    return cuped_adjust(per_user, "x", "y", "treated")
+
+
+def _sql_cuped() -> str:
+    bucket = duckdb_hash_bucket("user_id", _CUPED_SALT)
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '{_CUPED_CUTOFF}')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT x, y,
+         CASE WHEN {bucket} < {_BP // 2} THEN 1 ELSE 0 END AS treated
+  FROM pu
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         CAST(count(*) FILTER (WHERE treated = 1) AS BIGINT) AS n_t,
+         CAST(sum(x) FILTER (WHERE treated = 1) AS BIGINT) AS sx_t,
+         CAST(sum(y) FILTER (WHERE treated = 1) AS BIGINT) AS sy_t
+  FROM t
+),
+m AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy,
+         n - n_t AS n_c
+  FROM g
+),
+f AS (
+  SELECT *,
+         CASE WHEN vx <> 0 THEN cxy::DOUBLE / vx::DOUBLE END AS theta,
+         sy_t::DOUBLE / n_t::DOUBLE
+           - (sy - sy_t)::DOUBLE / n_c::DOUBLE AS diff_raw,
+         sx_t::DOUBLE / n_t::DOUBLE
+           - (sx - sx_t)::DOUBLE / n_c::DOUBLE AS xdiff
+  FROM m
+)
+SELECT n_t, n_c, theta, diff_raw,
+       CASE WHEN vx <> 0 THEN diff_raw - theta * xdiff END AS diff_cuped,
+       CASE WHEN vx <> 0 THEN
+         cxy::DOUBLE * cxy::DOUBLE / (vx::DOUBLE * vy::DOUBLE)
+       END AS rho2
+FROM f
+"""
+
+
+# ======================================================================
+# pipe_weighted_reservoir — exact-k weighted sample as TakeOrdered
+# ======================================================================
+
+_RES_K = 50
+_RES_SALT = "res"
+
+
+def q_pipe_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional exact-k document sample (operators/sampling.
+    weighted_reservoir_topk): Efraimidis–Spirakis keys from the
+    content hash, top-k by the micro-quantized ln(u)/w key with id
+    tiebreak. The plan is a TakeOrdered — per-partition top-k, only
+    k·n_partitions rows move."""
+    from .operators.sampling import weighted_reservoir_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_topk(
+        docs, "doc_id", "n_chars", _RES_K, salt=_RES_SALT
+    )
+
+
+def _sql_weighted_reservoir() -> str:
+    bucket = duckdb_hash_bucket("doc_id", _RES_SALT)
+    return f"""
+WITH q AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(round(ln((2 * ({bucket}) + 1)::DOUBLE / {float(2 * _BP)!r})
+              / CAST(n_chars AS BIGINT)::DOUBLE * 1e6) AS BIGINT)
+           AS score_micro
+  FROM documents
+  WHERE CAST(n_chars AS BIGINT) > 0
+)
+SELECT doc_id, weight, score_micro
+FROM q ORDER BY score_micro DESC, doc_id LIMIT {_RES_K}
+"""
+
+# ======================================================================
+# cv_conformal_interval — split-conformal OLS with verified coverage
+# ======================================================================
+
+_CONF_SALT = "conformal"
+_CONF_ALPHA_BP = 1000  # α = 0.10 → target coverage 90%
+
+
+def q_cv_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval around the closed-form OLS of extended
+    price (cents) on quantity (operators/evaluation.
+    split_conformal_ols): hash-split train/calibration/test, exact
+    integer-moment fit, milli-unit nonconformity scores, conformal
+    quantile as an exact order statistic, coverage verified on test.
+    The only sort in the plan is the calibration split's single
+    integer column."""
+    from .operators.evaluation import split_conformal_ols
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return split_conformal_ols(
+        li, "rid", "x", "y", alpha_bp=_CONF_ALPHA_BP, salt=_CONF_SALT
+    )
+
+
+def _sql_conformal() -> str:
+    bucket = duckdb_hash_bucket("rid", _CONF_SALT)
+    keep_bp = _BP - _CONF_ALPHA_BP
+    return f"""
+WITH base AS (
+  SELECT concat(CAST(l_orderkey AS VARCHAR), '#',
+                CAST(l_linenumber AS VARCHAR)) AS rid,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+b AS (SELECT *, {bucket} AS bk FROM base),
+fitm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_train,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM b WHERE bk < {_BP // 2}
+),
+fit AS (
+  SELECT n_train,
+         (CAST(n_train AS HUGEINT) * sxy
+            - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n_train AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE AS b1,
+         sx, sy
+  FROM fitm
+),
+fit2 AS (
+  SELECT n_train, b1,
+         (sy::DOUBLE - b1 * sx::DOUBLE) / n_train::DOUBLE AS b0
+  FROM fit
+),
+cal AS (
+  SELECT b.rid,
+         CAST(round(abs(b.y::DOUBLE
+              - (f.b0 + f.b1 * b.x::DOUBLE)) * 1000.0) AS BIGINT)
+           AS score_mu
+  FROM b CROSS JOIN fit2 f
+  WHERE b.bk >= {_BP // 2} AND b.bk < {3 * _BP // 4}
+),
+nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         least(CAST(floor(((count(*) + 1) * {keep_bp} + {_BP - 1})
+                    / {_BP}) AS BIGINT),
+               CAST(count(*) AS BIGINT)) AS k
+  FROM cal
+),
+rk AS (
+  SELECT score_mu,
+         CAST(row_number() OVER (ORDER BY score_mu, rid) AS BIGINT)
+           AS r
+  FROM cal
+),
+qh AS (
+  SELECT nc.n_cal, nc.k, rk.score_mu AS qhat_mu
+  FROM rk CROSS JOIN nc WHERE rk.r = nc.k
+),
+te AS (
+  SELECT b.rid,
+         CAST(round(abs(b.y::DOUBLE
+              - (f.b0 + f.b1 * b.x::DOUBLE)) * 1000.0) AS BIGINT)
+           AS score_mu
+  FROM b CROSS JOIN fit2 f
+  WHERE b.bk >= {3 * _BP // 4}
+),
+cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         any_value(q.n_cal) AS n_cal,
+         any_value(q.k) AS k,
+         any_value(q.qhat_mu) AS qhat_mu,
+         CAST(sum(CASE WHEN te.score_mu <= q.qhat_mu THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered
+  FROM te CROSS JOIN qh q
+)
+SELECT f.n_train, c.n_cal, c.n_test, c.k, c.qhat_mu, c.n_covered,
+       c.n_covered::DOUBLE / c.n_test::DOUBLE AS coverage
+FROM cov c CROSS JOIN fit2 f
+"""
+
+
+# ======================================================================
+# cv_learning_curve — nested-fraction OLS curve from one scan
+# ======================================================================
+
+_LC_SALT = "lcurve"
+_LC_CUTS = (1000, 2000, 4000, 8000)
+_LC_TEST_LO = 9000
+
+
+def q_cv_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of the price-on-quantity OLS (operators/
+    evaluation.learning_curve_ols): per hash-band sufficient statistics
+    roll up cumulatively for four nested training fractions, and the
+    held-out MSE expands in the test split's own moments — the whole
+    curve from ONE aggregation, no per-row residual pass, no refits."""
+    from .operators.evaluation import learning_curve_ols
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return learning_curve_ols(
+        li, "rid", "x", "y",
+        cuts_bp=_LC_CUTS, test_lo_bp=_LC_TEST_LO, salt=_LC_SALT,
+    )
+
+
+def _sql_learning_curve() -> str:
+    bucket = duckdb_hash_bucket("rid", _LC_SALT)
+    c1, c2, c3, c4 = _LC_CUTS
+    return f"""
+WITH base AS (
+  SELECT concat(CAST(l_orderkey AS VARCHAR), '#',
+                CAST(l_linenumber AS VARCHAR)) AS rid,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+bd AS (
+  SELECT x, y,
+         CASE WHEN {bucket} >= {_LC_TEST_LO} THEN 0
+              WHEN {bucket} < {c1} THEN 1
+              WHEN {bucket} < {c2} THEN 2
+              WHEN {bucket} < {c3} THEN 3
+              WHEN {bucket} < {c4} THEN 4
+         END AS band
+  FROM base
+),
+g AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM bd WHERE band IS NOT NULL GROUP BY 1
+),
+tr AS (
+  SELECT band,
+         CAST(sum(n) OVER w AS BIGINT) AS n,
+         CAST(sum(sx) OVER w AS BIGINT) AS sx,
+         CAST(sum(sy) OVER w AS BIGINT) AS sy,
+         sum(sxx) OVER w AS sxx,
+         sum(sxy) OVER w AS sxy
+  FROM g WHERE band > 0
+  WINDOW w AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+te AS (
+  SELECT n AS tn, sx AS tsx, sy AS tsy, sxx AS tsxx, sxy AS tsxy,
+         syy AS tsyy
+  FROM g WHERE band = 0
+),
+sl AS (
+  SELECT tr.band, tr.n, tr.sx, tr.sy,
+         (CAST(tr.n AS HUGEINT) * tr.sxy
+            - CAST(tr.sx AS HUGEINT) * tr.sy)::DOUBLE
+           / (CAST(tr.n AS HUGEINT) * tr.sxx
+              - CAST(tr.sx AS HUGEINT) * tr.sx)::DOUBLE AS b1,
+         te.tn, te.tsx, te.tsy, te.tsxx, te.tsxy, te.tsyy
+  FROM tr CROSS JOIN te
+),
+sl2 AS (
+  SELECT *, (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0
+  FROM sl
+)
+SELECT ([{c1}, {c2}, {c3}, {c4}])[band] AS cut_bp,
+       n AS n_train, b1 AS slope, b0 AS intercept,
+       (tsyy::DOUBLE - 2.0 * b0 * tsy::DOUBLE - 2.0 * b1 * tsxy::DOUBLE
+        + tn::DOUBLE * b0 * b0 + 2.0 * b0 * b1 * tsx::DOUBLE
+        + b1 * b1 * tsxx::DOUBLE) / tn::DOUBLE AS test_mse
+FROM sl2
+"""
+
+
+# ======================================================================
+# dedup_incremental — steady-state ingest vs corpus LSH band index
+# ======================================================================
+
+_INC_SALT = "inc"
+_INC_CORPUS_BP = 8000  # 80% corpus / 20% incoming batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest admission (operators/dedup.incremental_band_dedup):
+    the corpus (80% hash split) contributes only its DISTINCT MinHash
+    band index; the incoming 20% batch is admitted / rejected per doc —
+    ``dup_corpus`` on any band hit, ``dup_batch`` on a surviving
+    exact-text twin with a smaller id, else ``admitted``. Steady-state
+    cost is one equi-join of batch bands against the index: no corpus
+    re-pairing, no corpus text re-scan."""
+    from .operators.dedup import incremental_band_dedup
+    from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), _INC_SALT)
+    corpus = docs.where(b < _INC_CORPUS_BP)
+    batch = docs.where(b >= _INC_CORPUS_BP)
+    return incremental_band_dedup(
+        corpus, batch,
+        n_hashes=MH_HASHES, band_size=MH_BAND, shingle_n=MH_SHINGLE,
+    )
+
+
+def _sql_incremental() -> str:
+    from .functions.hashing import MINHASH_P, minhash_params
+    from .queries_data import (
+        MH_BAND,
+        MH_HASHES,
+        MH_SHINGLE,
+        _duck_shingles,
+        _DUCK_TOKS,
+    )
+
+    bucket = duckdb_hash_bucket("doc_id", _INC_SALT)
+    params = minhash_params(MH_HASHES)
+    h = (
+        "(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) "
+        f"% {MINHASH_P})"
+    )
+    sig_aggs = ",\n    ".join(
+        f"min(({a} * {h} + {b}) % {MINHASH_P}) AS sig_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    n_bands = MH_HASHES // MH_BAND
+    band_selects = []
+    for bb in range(n_bands):
+        cols = [
+            f"CAST(sig_{j} AS VARCHAR)"
+            for j in range(bb * MH_BAND, (bb + 1) * MH_BAND)
+        ]
+        band_selects.append(
+            f"SELECT doc_id, {bb} AS band_id, "
+            + " || '|' || ".join(cols)
+            + " AS band_sig FROM sigs"
+        )
+    bands_union = "\n  UNION ALL\n".join(band_selects)
+    return f"""
+WITH split AS (
+  SELECT doc_id, text, ({bucket}) < {_INC_CORPUS_BP} AS in_corpus
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(MH_SHINGLE)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands_union}
+),
+corpus_index AS (
+  SELECT DISTINCT b.band_id, b.band_sig
+  FROM bands b JOIN split s USING (doc_id) WHERE s.in_corpus
+),
+dupc AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b
+  JOIN split s USING (doc_id)
+  JOIN corpus_index ci
+    ON ci.band_id = b.band_id AND ci.band_sig = b.band_sig
+  WHERE NOT s.in_corpus
+),
+flag AS (
+  SELECT s.doc_id, md5(s.text) AS content_hash,
+         (dc.doc_id IS NOT NULL) AS dupc
+  FROM split s LEFT JOIN dupc dc ON dc.doc_id = s.doc_id
+  WHERE NOT s.in_corpus
+)
+SELECT doc_id, content_hash,
+       CASE WHEN dupc THEN 'dup_corpus'
+            WHEN doc_id = min(CASE WHEN NOT dupc THEN doc_id END)
+                 OVER (PARTITION BY content_hash) THEN 'admitted'
+            ELSE 'dup_batch'
+       END AS status
+FROM flag
+"""
+
+
+# ======================================================================
+# registry
+# ======================================================================
+
+QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dq_gini": q_dq_gini,
+    "dq_ks_test": q_dq_ks_test,
+    "feat_group_ols2": q_feat_group_ols2,
+    "cv_cuped": q_cv_cuped,
+    "pipe_weighted_reservoir": q_pipe_weighted_reservoir,
+    "cv_conformal_interval": q_cv_conformal_interval,
+    "cv_learning_curve": q_cv_learning_curve,
+    "dedup_incremental": q_dedup_incremental,
+}
+
+
+def oracles13() -> Dict[str, str]:
+    return {
+        "dq_gini": _SQL_GINI,
+        "dq_ks_test": _SQL_KS,
+        "feat_group_ols2": _SQL_OLS2,
+        "cv_cuped": _sql_cuped(),
+        "pipe_weighted_reservoir": _sql_weighted_reservoir(),
+        "cv_conformal_interval": _sql_conformal(),
+        "cv_learning_curve": _sql_learning_curve(),
+        "dedup_incremental": _sql_incremental(),
+    }

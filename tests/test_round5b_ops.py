@@ -1,0 +1,279 @@
+"""Unit tests for the round-5b operators: Gini / KS audits, Cramer
+bivariate OLS, CUPED, conformal intervals, learning curves, weighted
+reservoir sampling, and incremental corpus dedup — known-answer and
+invariance properties the DuckDB oracle can't check."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------------
+# gini_by_group
+# ----------------------------------------------------------------------
+
+
+def test_gini_known_answers(spark):
+    """Equal values → G = 0 exactly; all mass on one of n holders →
+    G = (n−1)/n exactly (both are pure integer identities)."""
+    from panelsplit_spark.operators.quality import gini_by_group
+
+    rows = [("eq", 7, i) for i in range(5)] + [
+        ("conc", 0, 0), ("conc", 0, 1), ("conc", 0, 2), ("conc", 10, 3)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "id"])
+    out = {r["g"]: r for r in gini_by_group(df, ["g"], "x", "id").collect()}
+    assert out["eq"]["gini"] == 0.0
+    assert out["conc"]["gini"] == 0.75  # (n-1)/n with n=4
+    assert out["conc"]["total_units"] == 10
+
+
+def test_gini_zero_total_is_null(spark):
+    from panelsplit_spark.operators.quality import gini_by_group
+
+    df = spark.createDataFrame([("z", 0, 1), ("z", 0, 2)], ["g", "x", "id"])
+    assert gini_by_group(df, ["g"], "x", "id").collect()[0]["gini"] is None
+
+
+# ----------------------------------------------------------------------
+# ks_one_vs_rest
+# ----------------------------------------------------------------------
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    """Segment a on 1..10, segment b on 11..20: D = 1 exactly for both
+    one-vs-rest comparisons (d_num = n_seg·n_rest)."""
+    from panelsplit_spark.operators.quality import ks_one_vs_rest
+
+    rows = [("a", v) for v in range(1, 11)] + [
+        ("b", v) for v in range(11, 21)
+    ]
+    df = spark.createDataFrame(rows, ["seg", "v"])
+    out = {r["segment"]: r for r in ks_one_vs_rest(df, "seg", "v").collect()}
+    for s in ("a", "b"):
+        assert out[s]["ks_d"] == 1.0
+        assert out[s]["d_num"] == out[s]["n_seg"] * out[s]["n_rest"]
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    from panelsplit_spark.operators.quality import ks_one_vs_rest
+
+    rows = [(s, v) for s in ("a", "b") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, ["seg", "v"])
+    for r in ks_one_vs_rest(df, "seg", "v").collect():
+        assert r["ks_d"] == 0.0
+
+
+# ----------------------------------------------------------------------
+# group_ols2
+# ----------------------------------------------------------------------
+
+
+def test_group_ols2_recovers_planted_plane(spark):
+    """y = 3 + 2·x1 − 5·x2 exactly → coefficients are exact ratios of
+    integers and must come back as exact doubles."""
+    from panelsplit_spark.operators.timeseries import group_ols2
+
+    pts = [(x1, x2) for x1 in range(6) for x2 in range(4)]
+    rows = [("g", x1, x2, 3 + 2 * x1 - 5 * x2) for x1, x2 in pts]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    r = group_ols2(df, ["g"], "x1", "x2", "y").collect()[0]
+    assert r["b1"] == 2.0
+    assert r["b2"] == -5.0
+    assert r["b0"] == 3.0
+
+
+def test_group_ols2_singular_group_is_null(spark):
+    """Constant x2 is collinear with the intercept: det = 0 → NULLs,
+    never a division error."""
+    from panelsplit_spark.operators.timeseries import group_ols2
+
+    rows = [("g", x1, 9, 2 * x1) for x1 in range(5)]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    r = group_ols2(df, ["g"], "x1", "x2", "y").collect()[0]
+    assert r["b1"] is None and r["b2"] is None and r["b0"] is None
+
+
+# ----------------------------------------------------------------------
+# cuped_adjust
+# ----------------------------------------------------------------------
+
+
+def test_cuped_paired_covariate_exact(spark):
+    """x distribution identical in both arms and y = 2x + 10·treated:
+    θ = 2 exactly, raw lift = CUPED lift = 10 exactly (the covariate
+    explains none of the arm difference), ρ² strictly inside (0, 1)."""
+    from panelsplit_spark.operators.evaluation import cuped_adjust
+
+    rows = []
+    for t in (0, 1):
+        for x in (1, 2, 3):
+            rows.append((x, 2 * x + 10 * t, t))
+    df = spark.createDataFrame(rows, ["x", "y", "treated"])
+    r = cuped_adjust(df, "x", "y", "treated").collect()[0]
+    assert r["theta"] == 2.0
+    assert r["diff_raw"] == 10.0
+    assert r["diff_cuped"] == 10.0
+    assert 0.0 < r["rho2"] < 1.0
+    assert r["n_t"] == 3 and r["n_c"] == 3
+
+
+def test_cuped_constant_covariate_null_theta(spark):
+    from panelsplit_spark.operators.evaluation import cuped_adjust
+
+    rows = [(5, 1, 0), (5, 2, 1), (5, 3, 0), (5, 4, 1)]
+    df = spark.createDataFrame(rows, ["x", "y", "treated"])
+    r = cuped_adjust(df, "x", "y", "treated").collect()[0]
+    assert r["theta"] is None and r["diff_cuped"] is None
+    assert r["diff_raw"] == 1.0  # (2+4)/2 - (1+3)/2
+
+
+# ----------------------------------------------------------------------
+# split_conformal_ols / learning_curve_ols
+# ----------------------------------------------------------------------
+
+
+def test_conformal_noiseless_line_full_coverage(spark):
+    """y = 5x exactly: the fit is exact, every score is 0, q̂ = 0 and
+    test coverage is exactly 1.0; split sizes partition the input; the
+    conformal rank matches the textbook ⌈(n_cal+1)(1−α)⌉."""
+    from panelsplit_spark.operators.evaluation import split_conformal_ols
+
+    n = 400
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("rid"),
+        (F.col("id") % 37).alias("x"),
+        ((F.col("id") % 37) * 5).alias("y"),
+    )
+    r = split_conformal_ols(df, "rid", "x", "y", alpha_bp=1000).collect()[0]
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == n
+    assert r["qhat_mu"] == 0
+    assert r["coverage"] == 1.0
+    assert r["k"] == min(
+        math.ceil((r["n_cal"] + 1) * 0.9), r["n_cal"]
+    )
+
+
+def test_learning_curve_noiseless_line(spark):
+    """y = 7x exactly → every nested cut recovers slope 7, intercept 0,
+    test MSE 0; train sizes are strictly increasing (nested bands)."""
+    from panelsplit_spark.operators.evaluation import learning_curve_ols
+
+    df = spark.range(3000).select(
+        F.col("id").cast("string").alias("rid"),
+        (F.col("id") % 23).alias("x"),
+        ((F.col("id") % 23) * 7).alias("y"),
+    )
+    rows = sorted(
+        learning_curve_ols(df, "rid", "x", "y").collect(),
+        key=lambda r: r["cut_bp"],
+    )
+    assert [r["cut_bp"] for r in rows] == [1000, 2000, 4000, 8000]
+    ns = [r["n_train"] for r in rows]
+    assert ns == sorted(ns) and ns[0] < ns[-1]
+    for r in rows:
+        assert r["slope"] == 7.0
+        assert r["intercept"] == 0.0
+        assert r["test_mse"] == 0.0
+
+
+# ----------------------------------------------------------------------
+# weighted_reservoir_topk
+# ----------------------------------------------------------------------
+
+
+def test_reservoir_partition_invariant_and_exact_k(spark):
+    from panelsplit_spark.operators.sampling import weighted_reservoir_topk
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("w")
+    )
+    a = weighted_reservoir_topk(df, "doc_id", "w", 25).collect()
+    b = weighted_reservoir_topk(
+        df.repartition(7), "doc_id", "w", 25
+    ).collect()
+    assert len(a) == 25
+    assert {(r["doc_id"], r["score_micro"]) for r in a} == {
+        (r["doc_id"], r["score_micro"]) for r in b
+    }
+
+
+def test_reservoir_weight_bias(spark):
+    """Rows with 100× the weight must be overrepresented in the sample
+    relative to their population share (a smoke check of the ES-key
+    direction: heavier → larger ln(u)/w key)."""
+    from panelsplit_spark.operators.sampling import weighted_reservoir_topk
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit(1000)).otherwise(F.lit(10)).alias("w"),
+    )
+    picked = weighted_reservoir_topk(df, "doc_id", "w", 100).collect()
+    heavy = sum(1 for r in picked if r["doc_id"] < 100)
+    # heavy rows are 10% of the population but ~53% of total weight
+    assert heavy > 30
+
+
+def test_reservoir_drops_nonpositive_weights(spark):
+    from panelsplit_spark.operators.sampling import weighted_reservoir_topk
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, F.lit(0)).otherwise(F.lit(3)).alias("w"),
+    )
+    out = weighted_reservoir_topk(df, "doc_id", "w", 10).collect()
+    assert {r["doc_id"] for r in out} == set(range(5, 10))
+
+
+# ----------------------------------------------------------------------
+# incremental_band_dedup
+# ----------------------------------------------------------------------
+
+
+def test_incremental_dedup_statuses(spark):
+    """Exact corpus twin → dup_corpus; within-batch exact twin → the
+    smaller id is admitted, the larger is dup_batch; novel text →
+    admitted."""
+    from panelsplit_spark.operators.dedup import incremental_band_dedup
+
+    t_a = "the quick brown fox jumps over the lazy dog today"
+    t_b = "pack my box with five dozen liquor jugs right now"
+    t_c = "sphinx of black quartz judge my vow and more words"
+    corpus = spark.createDataFrame([(1, t_a)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, t_a), (11, t_b), (12, t_b), (13, t_c)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_band_dedup(corpus, batch).collect()
+    }
+    assert out == {
+        10: "dup_corpus",
+        11: "admitted",
+        12: "dup_batch",
+        13: "admitted",
+    }
+
+
+def test_incremental_dedup_corpus_dup_does_not_shadow_batch_twin(spark):
+    """A batch text whose only smaller-id twin was itself rejected as
+    dup_corpus must NOT be demoted to dup_batch: the surviving copy is
+    the one admitted."""
+    from panelsplit_spark.operators.dedup import incremental_band_dedup
+
+    t_a = "the quick brown fox jumps over the lazy dog today"
+    # doc 20 shares LSH bands with the corpus doc (same text); doc 21
+    # has DIFFERENT text that shares no shingles with the corpus but
+    # matches doc 20's md5? impossible — so instead: 20 is corpus-dup,
+    # 21 carries the same text as 20 (also corpus-dup). Both must be
+    # dup_corpus; neither becomes dup_batch.
+    corpus = spark.createDataFrame([(1, t_a)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(20, t_a), (21, t_a)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_band_dedup(corpus, batch).collect()
+    }
+    assert out == {20: "dup_corpus", 21: "dup_corpus"}

@@ -104,6 +104,9 @@ BNLJ_WHITELIST = {
     "text_tfidf_topk",       # single-row corpus doc-count scalar (nd)
     "rel_sketch_kmv",        # ≤5-label dense pair axis (labels × labels)
     "feat_woe_iv",           # single-row (min,max) bin-bounds scalar
+    "dq_ks_test",            # ≤|segments|-row totals + 1-row n_all scalar
+    "cv_conformal_interval",  # 1-row fit / n_cal / qhat scalars into scans
+    "cv_learning_curve",     # 1-row held-out-moment frame into 4 cut rows
 }
 
 
