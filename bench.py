@@ -278,6 +278,9 @@ HEADLINE = [
     "cv_conformal_interval",
     "cv_learning_curve",
     "dedup_incremental",
+    "feat_acf",
+    "cv_power_mde",
+    "stream_reservoir",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -92,10 +92,12 @@ from .operators.text import (
 from .operators.evaluation import (
     cuped_adjust,
     learning_curve_ols,
+    power_mde,
     split_conformal_ols,
 )
 from .operators.quality import gini_by_group, ks_one_vs_rest
 from .operators.timeseries import (
+    acf_lags,
     asof_join,
     group_ols2,
     resample_daily_ffill,
@@ -187,6 +189,8 @@ __all__ = [
     "cuped_adjust",
     "split_conformal_ols",
     "learning_curve_ols",
+    "power_mde",
+    "acf_lags",
     "gini_by_group",
     "ks_one_vs_rest",
     "compact_parquet",

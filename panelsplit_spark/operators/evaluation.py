@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["auc_ranksum", "calibration_bins", "mutual_info_cells",
            "chi2_2x2", "weighted_median", "cuped_adjust",
-           "split_conformal_ols", "learning_curve_ols"]
+           "split_conformal_ols", "learning_curve_ols", "power_mde"]
 
 
 def auc_ranksum(
@@ -621,4 +621,70 @@ def learning_curve_ols(
         F.col("b1").alias("slope"),
         F.col("b0").alias("intercept"),
         (sse / F.col("tn").cast("double")).alias("test_mse"),
+    )
+
+
+#: two-sided z for alpha = 0.05 and one-sided z for power = 0.80 —
+#: Python float literals interpolated identically into both engines
+Z_ALPHA_975 = 1.959963984540054
+Z_POWER_80 = 0.8416212335729143
+
+
+def power_mde(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    treated_col: str,
+    z_alpha: float = Z_ALPHA_975,
+    z_power: float = Z_POWER_80,
+) -> DataFrame:
+    """Per-group minimum detectable effect of a two-arm experiment at
+    the CURRENT sample sizes — the pre-registration question ("how
+    small a lift could this segment's traffic even see?") answered
+    from the same one-pass filtered aggregate as :func:`cuped_adjust`:
+
+        MDE = (z_{1−α/2} + z_{power}) · sqrt(s²·(1/n_t + 1/n_c))
+
+    with s² the group's sample variance from exact integer moments
+    ((nΣy² − (Σy)²)/(n(n−1)), decimal(38,0) products) and the z
+    quantiles fixed double literals, so the whole expression is
+    fixed-order double algebra over exact integers — engine-exact.
+    Output per group: ``n_t n_c mean_units var_units mde_abs mde_rel``
+    (NULLs when an arm is empty or the variance is undefined).
+
+    100 TB shape: one grouped aggregate with map-side partials; no
+    joins, no windows, no second scan.
+    """
+    y = F.col(value_col).cast("long")
+    t = F.col(treated_col).cast("int") == F.lit(1)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(d(y) * y).alias("syy"),
+        F.count(F.when(t, F.lit(1))).alias("n_t"),
+    )
+    n_c = F.col("n") - F.col("n_t")
+    var_num = d(F.col("n")) * F.col("syy") - d(F.col("sy")) * F.col("sy")
+    var = var_num.cast("double") / (
+        F.col("n").cast("double") * (F.col("n").cast("double") - F.lit(1.0))
+    )
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    zsum = float(z_alpha) + float(z_power)
+    mde = F.lit(zsum) * F.sqrt(
+        var
+        * (
+            F.lit(1.0) / F.col("n_t").cast("double")
+            + F.lit(1.0) / n_c.cast("double")
+        )
+    )
+    ok = (F.col("n_t") > 0) & (n_c > 0) & (F.col("n") > 1)
+    return g.select(
+        *group_cols,
+        "n_t",
+        n_c.alias("n_c"),
+        mean.alias("mean_units"),
+        F.when(F.col("n") > 1, var).alias("var_units"),
+        F.when(ok, mde).alias("mde_abs"),
+        F.when(ok & (F.col("sy") != 0), mde / mean).alias("mde_rel"),
     )

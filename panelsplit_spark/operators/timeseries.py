@@ -31,6 +31,7 @@ __all__ = [
     "resample_daily_ffill",
     "group_trend_ols",
     "group_ols2",
+    "acf_lags",
     "gap_detect",
     "rolling_distinct",
     "markov_transitions",
@@ -743,3 +744,71 @@ def group_ols2(
         F.when(nz, beta2).alias("b2"),
         F.when(nz, beta0).alias("b0"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of a daily integer-quantized series at
+    calendar lags 1..``max_lag`` — the seasonality screen ("is revenue
+    weekly-periodic?") computed without ever materializing a dense
+    calendar: pairs match by an explicit date equi-join, so gap days
+    simply drop out of a lag's pair set (n_pairs reports it) instead of
+    silently sliding positions the way a row-offset window would.
+
+    The series aggregates once (day → Σvalue as exact longs, one
+    shuffle); the tiny lag axis (max_lag rows) broadcast-joins against
+    it and each lag's Pearson correlation comes from exact
+    decimal(38,0) moments with the fixed-order double form
+
+        corr = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²)·sqrt(nΣy² − (Σy)²))
+
+    — sqrt is exact cross-engine, so the whole statistic is
+    engine-bit-identical. 100 TB shape: everything after the daily
+    rollup operates on |days| rows; the rollup itself is a grouped sum
+    with map-side partials.
+    """
+    daily = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("v")
+    )
+    lags = daily.sparkSession.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    left = daily.select("day", F.col("v").alias("x"))
+    # expand the lagged side BEFORE the join so the match key is
+    # computable from one side alone — this keeps it a hash equi-join
+    # on the day key (lag travels with the right rows), never a
+    # nested-loop over the day x day space
+    right = (
+        daily.select(F.col("day").alias("rday"), F.col("v").alias("y"))
+        .crossJoin(F.broadcast(lags))
+        .select(
+            F.expr("date_add(rday, lag)").alias("mday"), "lag", "y"
+        )
+    )
+    pairs = left.join(right, F.col("day") == F.col("mday"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(d(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(d(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(d(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    n = d(F.col("n_pairs"))
+    num = n * F.col("sxy") - d(F.col("sx")) * F.col("sy")
+    vx = n * F.col("sxx") - d(F.col("sx")) * F.col("sx")
+    vy = n * F.col("syy") - d(F.col("sy")) * F.col("sy")
+    corr = num.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    nz = (vx > F.lit(0).cast("decimal(38,0)")) & (
+        vy > F.lit(0).cast("decimal(38,0)")
+    )
+    return g.select(
+        "lag", "n_pairs", F.when(nz, corr).alias("acf")
+    ).orderBy("lag")

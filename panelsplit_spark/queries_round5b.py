@@ -685,6 +685,204 @@ FROM flag
 
 
 # ======================================================================
+# feat_acf — daily-revenue autocorrelation at calendar lags 1..7
+# ======================================================================
+
+_ACF_MAX_LAG = 7
+
+
+def q_feat_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality screen (operators/timeseries.acf_lags):
+    Pearson autocorrelation of the daily order-revenue series at
+    calendar lags 1..7. Pairs match by an explicit date equi-join (gap
+    days drop out, reported via n_pairs); each lag's correlation is
+    fixed-order double algebra over exact decimal moments."""
+    from .operators.timeseries import acf_lags
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return acf_lags(orders, "day", "cents", max_lag=_ACF_MAX_LAG)
+
+
+_SQL_ACF = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM orders GROUP BY 1
+),
+lags AS (
+  SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS INTEGER)
+    AS lag
+),
+r AS (
+  SELECT day + CAST(lag AS INTEGER) AS mday, lag, v AS y
+  FROM daily CROSS JOIN lags
+),
+p AS (
+  SELECT r.lag, l.v AS x, r.y
+  FROM daily l JOIN r ON l.day = r.mday
+),
+g AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM p GROUP BY 1
+),
+m AS (
+  SELECT *,
+         CAST(n_pairs AS HUGEINT) * sxy
+           - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n_pairs AS HUGEINT) * sxx
+           - CAST(sx AS HUGEINT) * sx AS vx,
+         CAST(n_pairs AS HUGEINT) * syy
+           - CAST(sy AS HUGEINT) * sy AS vy
+  FROM g
+)
+SELECT lag, n_pairs,
+       CASE WHEN vx > 0 AND vy > 0 THEN
+         num::DOUBLE / (sqrt(vx::DOUBLE) * sqrt(vy::DOUBLE))
+       END AS acf
+FROM m ORDER BY lag
+"""
+
+
+# ======================================================================
+# cv_power_mde — minimum detectable effect per event type
+# ======================================================================
+
+_MDE_SALT = "mde"
+
+
+def q_cv_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-sizing audit (operators/evaluation.power_mde):
+    per-event-type minimum detectable effect at α=0.05 / power=0.80
+    with arms assigned by the user-id content hash — one filtered
+    aggregate, variance from exact integer moments, z quantiles as
+    shared double literals."""
+    from .operators.evaluation import power_mde
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (hash_bucket(F.col("user_id"), _MDE_SALT) < _BP // 2).cast(
+            "int"
+        ).alias("treated"),
+    )
+    return power_mde(ev, ["event_type"], "cents", "treated")
+
+
+def _sql_power_mde() -> str:
+    from .operators.evaluation import Z_ALPHA_975, Z_POWER_80
+
+    zsum = Z_ALPHA_975 + Z_POWER_80
+    bucket = duckdb_hash_bucket("user_id", _MDE_SALT)
+    return f"""
+WITH q AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y,
+         CASE WHEN {bucket} < {_BP // 2} THEN 1 ELSE 0 END AS treated
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         CAST(count(*) FILTER (WHERE treated = 1) AS BIGINT) AS n_t
+  FROM q GROUP BY 1
+),
+m AS (
+  SELECT *, n - n_t AS n_c,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vnum
+  FROM g
+),
+f AS (
+  SELECT *,
+         vnum::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)) AS var_units,
+         sy::DOUBLE / n::DOUBLE AS mean_units
+  FROM m
+)
+SELECT event_type, n_t, n_c, mean_units,
+       CASE WHEN n > 1 THEN var_units END AS var_units,
+       CASE WHEN n_t > 0 AND n_c > 0 AND n > 1 THEN
+         {zsum!r} * sqrt(var_units
+           * (1.0 / n_t::DOUBLE + 1.0 / n_c::DOUBLE))
+       END AS mde_abs,
+       CASE WHEN n_t > 0 AND n_c > 0 AND n > 1 AND sy <> 0 THEN
+         {zsum!r} * sqrt(var_units
+           * (1.0 / n_t::DOUBLE + 1.0 / n_c::DOUBLE)) / mean_units
+       END AS mde_rel
+FROM f
+"""
+
+
+# ======================================================================
+# stream_reservoir — the 19th streaming gate
+# ======================================================================
+
+_SRES_BATCHES = 3
+
+
+def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted reservoir (streaming/rolling.
+    stream_weighted_reservoir): the documents feed arrives as three
+    deterministic micro-batches; each folds its own TakeOrdered top-k
+    into the ≤k-row running state. Top-k by the content-hashed
+    Efraimidis–Spirakis key is a semilattice fold (chop-invariant,
+    ties broken by id), so the drained state equals the batch operator
+    over the whole feed — the SQL oracle of pipe_weighted_reservoir
+    applies verbatim."""
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_shuffle_partitions,
+        stream_weighted_reservoir,
+        write_file_batches,
+    )
+
+    configure(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    name = "stream_reservoir_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("reservoir_feed")
+        write_file_batches(
+            [
+                docs.where(F.col("doc_id") % _SRES_BATCHES == j)
+                for j in range(_SRES_BATCHES)
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_sample = stream_weighted_reservoir(
+                stream, "doc_id", "n_chars", _RES_K,
+                salt=_RES_SALT, query_name=name,
+            )
+            q.awaitTermination()
+        sample = get_sample()
+        if sample is not None:
+            return sample.orderBy(
+                F.col("score_micro").desc(), F.col("doc_id").asc()
+            )
+    raise RuntimeError(
+        "stream_reservoir: drain processed zero non-empty batches twice"
+    )
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -697,6 +895,9 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_conformal_interval": q_cv_conformal_interval,
     "cv_learning_curve": q_cv_learning_curve,
     "dedup_incremental": q_dedup_incremental,
+    "feat_acf": q_feat_acf,
+    "cv_power_mde": q_cv_power_mde,
+    "stream_reservoir": q_stream_reservoir,
 }
 
 
@@ -710,4 +911,9 @@ def oracles13() -> Dict[str, str]:
         "cv_conformal_interval": _sql_conformal(),
         "cv_learning_curve": _sql_learning_curve(),
         "dedup_incremental": _sql_incremental(),
+        "feat_acf": _SQL_ACF,
+        "cv_power_mde": _sql_power_mde(),
+        # drained reservoir state == batch top-k (semilattice fold),
+        # so the batch reservoir oracle applies verbatim
+        "stream_reservoir": _sql_weighted_reservoir(),
     }

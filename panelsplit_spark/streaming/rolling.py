@@ -1132,3 +1132,59 @@ def stream_hll_registers(
         .start()
     )
     return q, lambda: state["df"]
+
+
+def stream_weighted_reservoir(
+    stream_df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "res",
+    query_name: str = "stream_reservoir",
+):
+    """Streaming weighted reservoir — the online form of
+    ``operators/sampling.weighted_reservoir_topk``. Top-k selection by
+    the deterministic Efraimidis–Spirakis key is a semilattice fold:
+
+        topk(A ∪ B) = topk(topk(A) ∪ topk(B))
+
+    (keys are content-hashed per row, so they never depend on batch
+    membership, and boundary ties break by id), which makes the
+    drained state provably independent of how the feed was chopped —
+    equal to the batch operator over the whole feed, which is what the
+    SQL oracle checks verbatim. State is ≤ k rows forever; per-batch
+    cost is the batch's own TakeOrdered plus a 2k-row merge — the
+    bounded-memory "keep a fair weighted sample of everything ever
+    ingested" shape a 100 TB feed needs.
+
+    Returns ``(query, get_sample)``.
+    """
+    from ..operators.sampling import weighted_reservoir_topk
+
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = weighted_reservoir_topk(
+            batch_df, id_col, weight_col, k, salt=salt
+        )
+        prev = state["df"]
+        cur = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .orderBy(
+                F.col("score_micro").desc(), F.col(id_col).asc()
+            )
+            .limit(int(k))
+        )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["df"]

@@ -277,3 +277,110 @@ def test_incremental_dedup_corpus_dup_does_not_shadow_batch_twin(spark):
         for r in incremental_band_dedup(corpus, batch).collect()
     }
     assert out == {20: "dup_corpus", 21: "dup_corpus"}
+
+
+# ----------------------------------------------------------------------
+# acf_lags
+# ----------------------------------------------------------------------
+
+
+def test_acf_periodic_series(spark):
+    """A period-7 series: ACF at lag 7 is ~1 (shifted vector equals the
+    original), and a deleted day shrinks only the touching lags'
+    n_pairs — the date equi-join must not slide positions."""
+    import datetime
+
+    from panelsplit_spark.operators.timeseries import acf_lags
+
+    base = datetime.date(2024, 3, 1)
+    pattern = [10, 40, 20, 50, 30, 70, 60]
+    rows = [
+        (base + datetime.timedelta(days=i), pattern[i % 7])
+        for i in range(35)
+        if i != 17  # gap day
+    ]
+    df = spark.createDataFrame(rows, ["day", "v"])
+    out = {r["lag"]: r for r in acf_lags(df, "day", "v", 7).collect()}
+    assert abs(out[7]["acf"] - 1.0) < 1e-12
+    # 34 observed days; lag-7 pairs lose BOTH the missing day and its
+    # +7 partner: 35-7=28 full pairs minus 2 broken ones
+    assert out[7]["n_pairs"] == 26
+
+def test_acf_constant_series_null(spark):
+    import datetime
+
+    from panelsplit_spark.operators.timeseries import acf_lags
+
+    base = datetime.date(2024, 3, 1)
+    rows = [(base + datetime.timedelta(days=i), 5) for i in range(10)]
+    df = spark.createDataFrame(rows, ["day", "v"])
+    for r in acf_lags(df, "day", "v", 3).collect():
+        assert r["acf"] is None
+
+
+# ----------------------------------------------------------------------
+# power_mde
+# ----------------------------------------------------------------------
+
+
+def test_power_mde_matches_python_formula(spark):
+    from panelsplit_spark.operators.evaluation import (
+        Z_ALPHA_975,
+        Z_POWER_80,
+        power_mde,
+    )
+
+    ys = [3, 7, 11, 2, 9, 5, 8, 4]
+    rows = [("g", y, i % 2) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, ["g", "y", "t"])
+    r = power_mde(df, ["g"], "y", "t").collect()[0]
+    n, sy, syy = len(ys), sum(ys), sum(y * y for y in ys)
+    var = (n * syy - sy * sy) / (n * (n - 1.0))
+    n_t = sum(1 for i in range(len(ys)) if i % 2 == 1)
+    n_c = n - n_t
+    mde = (Z_ALPHA_975 + Z_POWER_80) * math.sqrt(
+        var * (1.0 / n_t + 1.0 / n_c)
+    )
+    assert r["n_t"] == n_t and r["n_c"] == n_c
+    assert abs(r["var_units"] - var) < 1e-12
+    assert abs(r["mde_abs"] - mde) < 1e-12
+
+
+def test_power_mde_empty_arm_null(spark):
+    from panelsplit_spark.operators.evaluation import power_mde
+
+    rows = [("g", y, 0) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["g", "y", "t"])
+    r = power_mde(df, ["g"], "y", "t").collect()[0]
+    assert r["mde_abs"] is None and r["var_units"] is not None
+
+
+# ----------------------------------------------------------------------
+# streaming reservoir: the semilattice fold identity
+# ----------------------------------------------------------------------
+
+
+def test_reservoir_semilattice_fold(spark):
+    """topk(topk(A) ∪ topk(B)) == topk(A ∪ B) — the identity that makes
+    the streaming reservoir's drained state chop-invariant."""
+    from panelsplit_spark.operators.sampling import weighted_reservoir_topk
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 53 + 1).alias("w")
+    )
+    a = df.where(F.col("doc_id") % 2 == 0)
+    b = df.where(F.col("doc_id") % 2 == 1)
+    k = 20
+    whole = weighted_reservoir_topk(df, "doc_id", "w", k).collect()
+    # the stream merge re-folds on the stored key (order by score, id),
+    # never recomputing scores
+    merged = (
+        weighted_reservoir_topk(a, "doc_id", "w", k)
+        .unionByName(weighted_reservoir_topk(b, "doc_id", "w", k))
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    assert {(r["doc_id"], r["score_micro"]) for r in whole} == {
+        (r["doc_id"], r["score_micro"]) for r in merged
+    }

@@ -107,6 +107,7 @@ BNLJ_WHITELIST = {
     "dq_ks_test",            # ≤|segments|-row totals + 1-row n_all scalar
     "cv_conformal_interval",  # 1-row fit / n_cal / qhat scalars into scans
     "cv_learning_curve",     # 1-row held-out-moment frame into 4 cut rows
+    "feat_acf",              # 7-row lag axis crossed into the daily series
 }
 
 
