@@ -462,7 +462,12 @@ def split_conformal_ols(
     b0 = (
         F.col("sy").cast("double") - b1 * F.col("sx").cast("double")
     ) / F.col("n_train").cast("double")
-    fit = fit.select("n_train", b1.alias("b1"), b0.alias("b0"))
+    # the 1-row fit is consumed by BOTH the calibration and the test
+    # scoring scans (and the final n_train projection): checkpoint it so
+    # the train scan+aggregate runs once, not once per consumer
+    fit = fit.select(
+        "n_train", b1.alias("b1"), b0.alias("b0")
+    ).localCheckpoint(eager=True)
 
     def scored(split: DataFrame) -> DataFrame:
         sc = F.round(
@@ -477,21 +482,29 @@ def split_conformal_ols(
         )
 
     cal_sc = scored(cal)
-    ncal = cal_sc.agg(F.count(F.lit(1)).alias("n_cal"))
     keep_bp = _BP - int(alpha_bp)
-    k_expr = F.floor(
-        ((F.col("n_cal") + F.lit(1)) * F.lit(keep_bp) + F.lit(_BP - 1))
-        / F.lit(_BP)
-    ).cast("long")
+    # rank and calibration count come out of ONE pass over the scores:
+    # row_number over the sort order plus count over the whole frame,
+    # so the calibration scan is never replicated for a separate count
+    rk = Window.orderBy(F.col("score_mu").asc(), F.col("__id").asc())
+    whole = Window.partitionBy()
+    ranked = cal_sc.select(
+        "score_mu",
+        F.row_number().over(rk).cast("long").alias("__rk"),
+        F.count(F.lit(1)).over(whole).alias("n_cal"),
+    )
     # integer ceil((n_cal+1)·(1-α)); clamped so tiny calibration sets
     # degrade to the max score instead of an out-of-range rank
-    ncal = ncal.select(
-        "n_cal", F.least(k_expr, F.col("n_cal")).alias("k")
+    k_expr = F.least(
+        F.floor(
+            ((F.col("n_cal") + F.lit(1)) * F.lit(keep_bp)
+             + F.lit(_BP - 1))
+            / F.lit(_BP)
+        ).cast("long"),
+        F.col("n_cal"),
     )
-    rk = Window.orderBy(F.col("score_mu").asc(), F.col("__id").asc())
     qhat = (
-        cal_sc.withColumn("__rk", F.row_number().over(rk).cast("long"))
-        .crossJoin(F.broadcast(ncal))
+        ranked.withColumn("k", k_expr)
         .where(F.col("__rk") == F.col("k"))
         .select("n_cal", "k", F.col("score_mu").alias("qhat_mu"))
     )
@@ -571,7 +584,10 @@ def learning_curve_ols(
         F.sum(d(xx) * xx).alias("sxx"),
         F.sum(d(xx) * yy).alias("sxy"),
         F.sum(d(yy) * yy).alias("syy"),
-    )
+    ).localCheckpoint(eager=True)
+    # ≤ len(cuts)+1 rows; checkpointing stops the full input scan from
+    # replaying once for the cumulative train frame and once for the
+    # test-moment frame
     wcum = (
         Window.orderBy("__band")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

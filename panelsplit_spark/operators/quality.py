@@ -515,7 +515,12 @@ def ks_one_vs_rest(
         df.select(F.col(segment_col).alias("segment"), v.alias("v"))
         .groupBy("segment", "v")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
+    # the count table (segments × distinct values, domain-bounded) feeds
+    # four consumers (per-segment totals, the value axis, the grid join,
+    # the pooled cumulative); checkpointing it keeps the raw scan at ONE
+    # pass instead of four
     segs = counts.groupBy("segment").agg(F.sum("c").alias("n_seg"))
     vals = counts.select("v").distinct()
     grid = vals.crossJoin(F.broadcast(segs))

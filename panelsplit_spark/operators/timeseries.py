@@ -773,7 +773,9 @@ def acf_lags(
     """
     daily = df.groupBy(F.col(day_col).alias("day")).agg(
         F.sum(F.col(value_col).cast("long")).alias("v")
-    )
+    ).localCheckpoint(eager=True)
+    # |days| rows consumed by both join sides — checkpoint so the input
+    # scan+rollup runs once, not once per side
     lags = daily.sparkSession.range(1, int(max_lag) + 1).select(
         F.col("id").cast("int").alias("lag")
     )
