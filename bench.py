@@ -281,6 +281,7 @@ HEADLINE = [
     "feat_acf",
     "cv_power_mde",
     "stream_reservoir",
+    "dedup_survivorship",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

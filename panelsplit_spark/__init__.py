@@ -62,6 +62,7 @@ from .operators.dedup import (
     incremental_band_dedup,
     ngram_contamination,
     prefix_filter_candidates,
+    survivorship_golden,
 )
 from .operators.sampling import (
     hash_sample,
@@ -185,6 +186,7 @@ __all__ = [
     "resample_daily_ffill",
     "sessionize",
     "incremental_band_dedup",
+    "survivorship_golden",
     "weighted_reservoir_topk",
     "cuped_adjust",
     "split_conformal_ols",

@@ -61,6 +61,7 @@ __all__ = [
     "semdedup",
     "prefix_filter_candidates",
     "incremental_band_dedup",
+    "survivorship_golden",
 ]
 
 
@@ -1433,4 +1434,78 @@ def incremental_band_dedup(
         .when(F.col(id_col) == surv_min, F.lit("admitted"))
         .otherwise(F.lit("dup_batch"))
         .alias("status"),
+    )
+
+
+def survivorship_golden(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """Golden-record survivorship over duplicate clusters — the step
+    AFTER :func:`connected_components` that entity resolution actually
+    ships: one canonical row per cluster, each attribute chosen by an
+    explicit, deterministic rule instead of "whichever copy won the
+    shuffle":
+
+    * ``canonical_id`` — the longest member (``len_col`` desc), id
+      ascending as the tiebreak (keep-best-by-length, the curation
+      default for near-dup text);
+    * ``top_lang`` — the plurality vote over members, ties broken by
+      the value itself ascending (mode with a total order);
+    * ``n_members`` / ``n_sources`` / ``total_chars`` — cluster audit
+      facts (how much redundancy the cluster removes and whether it
+      spans sources, the cross-site-boilerplate signal).
+
+    100 TB shape: ONE equi-join of the cluster labels against the doc
+    attributes, then two cluster-keyed windows and one cluster-keyed
+    aggregate — everything shuffles on the cluster key once; no
+    all-pairs work, no driver-side anything.
+    """
+    members = clusters.select(
+        F.col("id").alias(id_col), "cluster"
+    ).join(
+        docs.select(id_col, len_col, lang_col, source_col), id_col
+    ).localCheckpoint(eager=True)
+    # clustered-member attributes feed three consumers (keep-best rank,
+    # language vote, audit facts); checkpointing stops the cluster
+    # labeling (an iterative job) from replaying per consumer
+    wbest = Window.partitionBy("cluster").orderBy(
+        F.col(len_col).desc(), F.col(id_col).asc()
+    )
+    best = (
+        members.withColumn("__rk", F.row_number().over(wbest))
+        .where(F.col("__rk") == 1)
+        .select(
+            "cluster",
+            F.col(id_col).alias("canonical_id"),
+            F.col(len_col).cast("long").alias("canonical_chars"),
+        )
+    )
+    lang_counts = members.groupBy("cluster", lang_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wlang = Window.partitionBy("cluster").orderBy(
+        F.col("__c").desc(), F.col(lang_col).asc()
+    )
+    top_lang = (
+        lang_counts.withColumn("__rk", F.row_number().over(wlang))
+        .where(F.col("__rk") == 1)
+        .select("cluster", F.col(lang_col).alias("top_lang"))
+    )
+    facts = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count_distinct(F.col(source_col)).alias("n_sources"),
+        F.sum(F.col(len_col).cast("long")).alias("total_chars"),
+    )
+    return (
+        facts.join(best, "cluster")
+        .join(top_lang, "cluster")
+        .select(
+            "cluster", "n_members", "canonical_id", "canonical_chars",
+            "top_lang", "n_sources", "total_chars",
+        )
     )

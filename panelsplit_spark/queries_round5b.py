@@ -883,6 +883,82 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# dedup_survivorship — golden record per duplicate cluster
+# ======================================================================
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution completion (operators/dedup.
+    survivorship_golden): MinHash-LSH pairs → connected components →
+    one canonical row per cluster with rule-based attribute selection
+    (longest member wins, plurality language with a total-order
+    tiebreak, redundancy/source-span audit facts). The oracle replays
+    the clusters with the same recursive-CTE transitive closure as
+    dedup_clusters and the survivorship rules as window ranks."""
+    from .operators import dedup
+    from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    clusters = dedup.connected_components(pairs)
+    return dedup.survivorship_golden(docs, clusters)
+
+
+def _sql_survivorship() -> str:
+    from .queries_nlp import _sql_dedup_clusters
+
+    # _sql_dedup_clusters is a full WITH RECURSIVE ... SELECT; reuse it
+    # as the cluster CTE body by nesting it as a subquery
+    clusters = _sql_dedup_clusters().strip()
+    return f"""
+WITH cl AS (
+  {clusters}
+),
+members AS (
+  SELECT cl.cluster, d.doc_id, d.n_chars, d.lang, d.source
+  FROM cl JOIN documents d ON d.doc_id = cl.id
+),
+best AS (
+  SELECT cluster, doc_id AS canonical_id,
+         CAST(n_chars AS BIGINT) AS canonical_chars
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster
+             ORDER BY n_chars DESC, doc_id) AS rk
+    FROM members
+  ) WHERE rk = 1
+),
+lc AS (
+  SELECT cluster, lang, count(*) AS c
+  FROM members GROUP BY 1, 2
+),
+tl AS (
+  SELECT cluster, lang AS top_lang
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster
+             ORDER BY c DESC, lang) AS rk
+    FROM lc
+  ) WHERE rk = 1
+),
+facts AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+  FROM members GROUP BY 1
+)
+SELECT f.cluster, f.n_members, b.canonical_id, b.canonical_chars,
+       t.top_lang, f.n_sources, f.total_chars
+FROM facts f
+JOIN best b ON b.cluster = f.cluster
+JOIN tl t ON t.cluster = f.cluster
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -898,6 +974,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_acf": q_feat_acf,
     "cv_power_mde": q_cv_power_mde,
     "stream_reservoir": q_stream_reservoir,
+    "dedup_survivorship": q_dedup_survivorship,
 }
 
 
@@ -916,4 +993,5 @@ def oracles13() -> Dict[str, str]:
         # drained reservoir state == batch top-k (semilattice fold),
         # so the batch reservoir oracle applies verbatim
         "stream_reservoir": _sql_weighted_reservoir(),
+        "dedup_survivorship": _sql_survivorship(),
     }

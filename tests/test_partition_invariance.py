@@ -144,3 +144,42 @@ def test_query_hash_is_aqe_invariant(spark, qname):
     assert hashes["true"] == hashes["false"], (
         f"{qname} result depends on AQE: {hashes}"
     )
+
+
+ROUND5B_SHAPES = [
+    # round-5b shapes where partition order could plausibly leak:
+    # in-group rank-sum (gini ranks), dense-grid cumulative KS,
+    # conformal order statistic + TakeOrdered reservoir selection,
+    # LSH band-index semi-join + min-per-content-hash admission
+    "dq_gini",
+    "dq_ks_test",
+    "cv_conformal_interval",
+    "pipe_weighted_reservoir",
+    "dedup_incremental",
+    "feat_acf",
+]
+
+
+@pytest.mark.parametrize("qname", ROUND5B_SHAPES)
+def test_round5b_hash_invariant_wide_spread(spark, qname):
+    """{4, 64} spread for the round-5b selection/rank-sensitive
+    queries — same rationale as the round-4b block above."""
+    import __spark_entry__ as entrymod
+
+    from panelsplit_spark.utils.storage import release_all_pinned
+
+    fn = entrymod.queries()[qname]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for n in ("4", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            df = fn(spark, SF_DIR)
+            rows = [tuple(r) for r in df.collect()]
+            hashes[n] = (len(rows), _co.value_hash(df.columns, rows))
+            release_all_pinned(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert hashes["4"] == hashes["64"], (
+        f"{qname} result depends on shuffle partition count: {hashes}"
+    )

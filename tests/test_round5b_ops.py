@@ -384,3 +384,55 @@ def test_reservoir_semilattice_fold(spark):
     assert {(r["doc_id"], r["score_micro"]) for r in whole} == {
         (r["doc_id"], r["score_micro"]) for r in merged
     }
+
+
+# ----------------------------------------------------------------------
+# survivorship_golden
+# ----------------------------------------------------------------------
+
+
+def test_survivorship_rules(spark):
+    """Longest member wins (id tiebreak), plurality language with
+    value-order tiebreak, audit facts exact."""
+    from panelsplit_spark.operators.dedup import survivorship_golden
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100, "en", "s1"),
+            (2, 300, "de", "s2"),
+            (3, 300, "de", "s1"),
+            (4, 50, "fr", "s3"),
+            (7, 80, "en", "s1"),
+            (8, 80, "en", "s1"),
+        ],
+        ["doc_id", "n_chars", "lang", "source"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7)],
+        ["id", "cluster"],
+    )
+    out = {
+        r["cluster"]: r
+        for r in survivorship_golden(docs, clusters).collect()
+    }
+    c1 = out[1]
+    assert c1["canonical_id"] == 2  # 300 chars, tie with 3 → min id
+    assert c1["canonical_chars"] == 300
+    assert c1["top_lang"] == "de"  # 2×de vs 1×en 1×fr
+    assert c1["n_members"] == 4
+    assert c1["n_sources"] == 3
+    assert c1["total_chars"] == 750
+    c7 = out[7]
+    assert c7["canonical_id"] == 7 and c7["top_lang"] == "en"
+
+
+def test_survivorship_lang_tie_breaks_by_value(spark):
+    from panelsplit_spark.operators.dedup import survivorship_golden
+
+    docs = spark.createDataFrame(
+        [(1, 10, "zz", "s"), (2, 10, "aa", "s")],
+        ["doc_id", "n_chars", "lang", "source"],
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], ["id", "cluster"])
+    r = survivorship_golden(docs, clusters).collect()[0]
+    assert r["top_lang"] == "aa"  # 1-1 tie → lexicographically first
