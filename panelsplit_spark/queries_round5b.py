@@ -1,4 +1,4 @@
-"""Query registry, part 13 (round 5, continued), eight queries:
+"""Query registry, part 13 (round 5, continued), twelve queries:
 
 * inequality / drift audits — ``dq_gini`` (exact Gini concentration
   per segment from the rank-sum identity), ``dq_ks_test`` (exact
@@ -18,7 +18,15 @@
   exact-k weighted reservoir as a TakeOrdered plan);
 * dedup — ``dedup_incremental`` (steady-state ingest admission
   against a corpus LSH band index — the daily-run shape whose
-  bootstrap is ``dedup_minhash_lsh``).
+  bootstrap is ``dedup_minhash_lsh``), ``dedup_survivorship``
+  (golden record per duplicate cluster: rule-based attribute
+  selection after connected components);
+* time series — ``feat_acf`` (daily-series autocorrelation at
+  calendar lags, gap-aware via an explicit date equi-join);
+* experimentation — ``cv_power_mde`` (per-segment minimum detectable
+  effect from one filtered aggregate);
+* streaming — ``stream_reservoir`` (the 19th gate: chop-invariant
+  weighted reservoir state, batch oracle verbatim).
 
 Same cross-engine determinism rules as queries.py: exact-integer
 moments before any division (decimal(38,0) ↔ HUGEINT for products
