@@ -282,6 +282,9 @@ HEADLINE = [
     "cv_power_mde",
     "stream_reservoir",
     "dedup_survivorship",
+    "pipe_rule_ablation",
+    "dq_referential",
+    "stream_mde",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

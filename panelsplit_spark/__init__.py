@@ -96,7 +96,12 @@ from .operators.evaluation import (
     power_mde,
     split_conformal_ols,
 )
-from .operators.quality import gini_by_group, ks_one_vs_rest
+from .operators.quality import (
+    gini_by_group,
+    ks_one_vs_rest,
+    referential_audit,
+    rule_ablation,
+)
 from .operators.timeseries import (
     acf_lags,
     asof_join,
@@ -195,6 +200,8 @@ __all__ = [
     "acf_lags",
     "gini_by_group",
     "ks_one_vs_rest",
+    "rule_ablation",
+    "referential_audit",
     "compact_parquet",
     "load_table",
     "read_source",

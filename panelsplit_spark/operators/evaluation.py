@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["auc_ranksum", "calibration_bins", "mutual_info_cells",
            "chi2_2x2", "weighted_median", "cuped_adjust",
-           "split_conformal_ols", "learning_curve_ols", "power_mde"]
+           "split_conformal_ols", "learning_curve_ols", "power_mde",
+           "mde_moments", "mde_from_moments"]
 
 
 def auc_ranksum(
@@ -671,15 +672,40 @@ def power_mde(
     100 TB shape: one grouped aggregate with map-side partials; no
     joins, no windows, no second scan.
     """
+    g = mde_moments(df, group_cols, value_col, treated_col)
+    return mde_from_moments(g, group_cols, z_alpha=z_alpha,
+                            z_power=z_power)
+
+
+def mde_moments(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    treated_col: str,
+) -> DataFrame:
+    """The per-group sufficient statistics behind :func:`power_mde` —
+    (n, Σy, Σy², n_t), all exact integers. Split out because the frame
+    is MERGEABLE: element-wise sums fold two moment frames into the
+    moments of the union, which is what the streaming gate exploits."""
     y = F.col(value_col).cast("long")
     t = F.col(treated_col).cast("int") == F.lit(1)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    g = df.groupBy(*group_cols).agg(
+    return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(y).alias("sy"),
         F.sum(d(y) * y).alias("syy"),
         F.count(F.when(t, F.lit(1))).alias("n_t"),
     )
+
+
+def mde_from_moments(
+    g: DataFrame,
+    group_cols: Sequence[str],
+    z_alpha: float = Z_ALPHA_975,
+    z_power: float = Z_POWER_80,
+) -> DataFrame:
+    """Finish :func:`power_mde` from a (merged) moment frame."""
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     n_c = F.col("n") - F.col("n_t")
     var_num = d(F.col("n")) * F.col("syy") - d(F.col("sy")) * F.col("sy")
     var = var_num.cast("double") / (

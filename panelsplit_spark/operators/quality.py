@@ -16,7 +16,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules",
            "GOPHER_STOPWORDS", "k_anonymity_audit", "benford_audit",
-           "BENFORD_PPM", "ndv_profile", "gini_by_group", "ks_one_vs_rest"]
+           "BENFORD_PPM", "ndv_profile", "gini_by_group", "ks_one_vs_rest",
+           "rule_ablation", "referential_audit"]
 
 #: Small closed-class word set used by the "document contains at least
 #: two stopwords" heuristic (Rae et al. 2021, "Scaling Language Models"
@@ -579,3 +580,123 @@ def ks_one_vs_rest(
         ks.alias("ks_d"),
         lam.alias("lambda_stat"),
     )
+
+
+def rule_ablation(
+    flagged: DataFrame,
+    mask_col: str = "fail_mask",
+    n_rules: int = 7,
+) -> DataFrame:
+    """Leave-one-out impact analysis of a rule-bitmask quality screen
+    (e.g. :func:`gopher_rules`): for every rule, how many documents it
+    fails, how many it is the SOLE blocker for (= documents reclaimed
+    by dropping it), and the pass rate with and without it — the
+    curation-tuning report that says which filter actually owns the
+    rejections, from ONE aggregate row over the flag column.
+
+    Identities used (all integer): rule i fails a doc iff bit i of the
+    mask is set; dropping rule i admits exactly the docs whose mask
+    equals ``1 << i``. Rates are single double divisions of exact
+    counts. 100 TB shape: one map-side-combinable aggregate over an
+    integer column — the ablation matrix costs one scan no matter how
+    many rules, where the naive form refilters the corpus per rule.
+
+    Output: one row per rule — ``rule_id n_docs n_pass n_fail
+    n_sole_blocker pass_rate pass_rate_without``.
+    """
+    m = F.col(mask_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((m == 0).cast("long")).alias("n_pass"),
+    ]
+    for i in range(n_rules):
+        bit = 1 << i
+        aggs.append(
+            F.sum((m.bitwiseAND(F.lit(bit)) != 0).cast("long")).alias(
+                f"__nf_{i}"
+            )
+        )
+        aggs.append(
+            F.sum((m == F.lit(bit)).cast("long")).alias(f"__ns_{i}")
+        )
+    one = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, __nf_{i}, __ns_{i}" for i in range(n_rules)
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({n_rules}, {stack_args})"
+                " AS (rule_id, n_fail, n_sole_blocker)"
+            ),
+            "n_docs",
+            "n_pass",
+        )
+        .select(
+            "rule_id",
+            "n_docs",
+            "n_pass",
+            "n_fail",
+            "n_sole_blocker",
+            (
+                F.col("n_pass").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("pass_rate"),
+            (
+                (F.col("n_pass") + F.col("n_sole_blocker")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("pass_rate_without"),
+        )
+        .orderBy("rule_id")
+    )
+
+
+def referential_audit(edges) -> DataFrame:
+    """Foreign-key orphan audit across a list of relationships — the
+    cross-table integrity half of :func:`dq_checks` (which validates
+    rows in isolation): for each ``(name, child_df, child_key,
+    parent_df, parent_key)`` edge, count child rows whose key has no
+    parent. The post-ingest gate that catches partial loads and
+    late-arriving dimensions before a join silently drops fact rows.
+
+    Per edge: the parent key column is deduplicated (shuffle of keys
+    only — never the parent payload) and LEFT-joined under the child
+    keys; orphans are NULL probes counted in the same aggregate as the
+    row/key totals, so each relationship costs one keyed join + one
+    aggregate regardless of table width. NULL child keys are orphans
+    (they match nothing) — both engines agree by construction.
+
+    Output: one row per edge — ``relationship n_child n_keys n_orphans
+    orphan_rate``.
+    """
+    outs = []
+    for name, child, child_key, parent, parent_key in edges:
+        pk = parent.select(
+            F.col(parent_key).alias("__pk")
+        ).distinct()
+        agg = (
+            child.select(F.col(child_key).alias("__ck"))
+            .join(pk, F.col("__ck") == F.col("__pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count_distinct(F.col("__ck")).alias("n_keys"),
+                F.sum(F.col("__pk").isNull().cast("long")).alias(
+                    "n_orphans"
+                ),
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_keys",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double")
+                ).alias("orphan_rate"),
+            )
+        )
+        outs.append(agg)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relationship")

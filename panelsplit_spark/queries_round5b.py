@@ -967,6 +967,179 @@ JOIN tl t ON t.cluster = f.cluster
 
 
 # ======================================================================
+# pipe_rule_ablation — leave-one-out quality-filter impact
+# ======================================================================
+
+
+def q_pipe_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-tuning report (operators/quality.rule_ablation): per
+    Gopher rule, fail counts, sole-blocker counts (docs reclaimed by
+    dropping just that rule) and pass rates with/without — the whole
+    leave-one-out matrix from ONE aggregate over the rule bitmask."""
+    from .operators.quality import gopher_rules, rule_ablation
+    from .queries_curate import GOPHER_MIN_WORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = gopher_rules(docs, "text", min_words=GOPHER_MIN_WORDS)
+    return rule_ablation(flagged, "fail_mask", n_rules=7)
+
+
+def _sql_rule_ablation() -> str:
+    from .queries_curate import _sql_gopher_rules
+
+    per_rule = []
+    fails = ",\n         ".join(
+        f"CAST(sum(CASE WHEN (fail_mask & {1 << i}) <> 0 THEN 1 ELSE 0"
+        f" END) AS BIGINT) AS nf_{i},\n         "
+        f"CAST(sum(CASE WHEN fail_mask = {1 << i} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS ns_{i}"
+        for i in range(7)
+    )
+    for i in range(7):
+        per_rule.append(
+            f"SELECT {i} AS rule_id, n_docs, n_pass, nf_{i} AS n_fail,"
+            f" ns_{i} AS n_sole_blocker,"
+            f" n_pass::DOUBLE / n_docs::DOUBLE AS pass_rate,"
+            f" (n_pass + ns_{i})::DOUBLE / n_docs::DOUBLE"
+            f" AS pass_rate_without FROM agg"
+        )
+    unions = "\n  UNION ALL\n  ".join(per_rule)
+    return f"""
+WITH g AS ({_sql_gopher_rules()}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+         {fails}
+  FROM g
+)
+SELECT * FROM (
+  {unions}
+) ORDER BY rule_id
+"""
+
+
+# ======================================================================
+# dq_referential — cross-table foreign-key orphan audit
+# ======================================================================
+
+_FK_EDGES = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+]
+
+
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit (operators/quality.
+    referential_audit) over the five fact/dimension edges of the
+    schema: orphan child rows per relationship, each edge one keyed
+    join + one aggregate (parent payload never moves — only its
+    deduplicated key column)."""
+    from .operators.quality import referential_audit
+
+    edges = [
+        (name,
+         load_table(spark, sf_dir, child_t), child_k,
+         load_table(spark, sf_dir, parent_t), parent_k)
+        for name, child_t, child_k, parent_t, parent_k in _FK_EDGES
+    ]
+    return referential_audit(edges)
+
+
+def _sql_referential() -> str:
+    parts = []
+    for name, child_t, child_k, parent_t, parent_k in _FK_EDGES:
+        parts.append(f"""SELECT '{name}' AS relationship,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(DISTINCT c.{child_k}) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         / count(*)::DOUBLE AS orphan_rate
+FROM {child_t} c
+LEFT JOIN (SELECT DISTINCT {parent_k} AS __pk FROM {parent_t}) p
+  ON p.__pk = c.{child_k}""")
+    unions = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT * FROM (
+{unions}
+) ORDER BY relationship
+"""
+
+
+# ======================================================================
+# stream_mde — the 20th streaming gate (mergeable moment state)
+# ======================================================================
+
+_SMDE_BATCHES = 3
+
+
+def q_stream_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming experiment-sizing monitor (streaming/rolling.
+    stream_mde_moments): the events feed arrives as three
+    deterministic micro-batches; each batch's (n, Σy, Σy², n_t) moment
+    frame folds into the running state with one keyed SUM — pure sums
+    are trivially chop-invariant, so the MDE computed from the drained
+    state must hash-match the batch cv_power_mde oracle verbatim."""
+    from .operators.evaluation import mde_from_moments
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_mde_moments,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (hash_bucket(F.col("user_id"), _MDE_SALT) < _BP // 2).cast(
+            "int"
+        ).alias("treated"),
+    )
+    name = "stream_mde_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("mde_feed")
+        write_file_batches(
+            [
+                ev.where(F.col("event_id") % _SMDE_BATCHES == j)
+                for j in range(_SMDE_BATCHES)
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_moments = stream_mde_moments(
+                stream, ["event_type"], "cents", "treated",
+                query_name=name,
+            )
+            q.awaitTermination()
+        moments = get_moments()
+        if moments is not None:
+            return mde_from_moments(moments, ["event_type"])
+    raise RuntimeError(
+        "stream_mde: drain processed zero non-empty batches twice"
+    )
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -983,6 +1156,9 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_power_mde": q_cv_power_mde,
     "stream_reservoir": q_stream_reservoir,
     "dedup_survivorship": q_dedup_survivorship,
+    "pipe_rule_ablation": q_pipe_rule_ablation,
+    "dq_referential": q_dq_referential,
+    "stream_mde": q_stream_mde,
 }
 
 
@@ -1002,4 +1178,9 @@ def oracles13() -> Dict[str, str]:
         # so the batch reservoir oracle applies verbatim
         "stream_reservoir": _sql_weighted_reservoir(),
         "dedup_survivorship": _sql_survivorship(),
+        "pipe_rule_ablation": _sql_rule_ablation(),
+        "dq_referential": _sql_referential(),
+        # drained moment state == batch moments (sums are
+        # chop-invariant), so the batch MDE oracle applies verbatim
+        "stream_mde": _sql_power_mde(),
     }

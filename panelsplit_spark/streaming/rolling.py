@@ -1188,3 +1188,56 @@ def stream_weighted_reservoir(
         .start()
     )
     return q, lambda: state["df"]
+
+
+def stream_mde_moments(
+    stream_df: DataFrame,
+    group_cols,
+    value_col: str,
+    treated_col: str,
+    query_name: str = "stream_mde",
+):
+    """Streaming experiment-sizing monitor — the online form of
+    ``operators/evaluation.power_mde``. The per-group sufficient
+    statistics (n, Σy, Σy², n_t) are pure sums, so each micro-batch's
+    moment frame folds into the running state with one keyed element-
+    wise SUM: the drained state equals the batch moments over the whole
+    feed regardless of chopping, and the MDE computed from it must
+    hash-match the batch oracle verbatim. State is ≤ |groups| rows
+    forever — the "how small an effect could we detect RIGHT NOW"
+    dashboard a continuously-running experiment platform keeps true at
+    ingest speed.
+
+    Returns ``(query, get_moments)``.
+    """
+    from ..operators.evaluation import mde_moments
+
+    gb = list(group_cols)
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = mde_moments(batch_df, gb, value_col, treated_col)
+        prev = state["df"]
+        cur = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy(*gb)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sy").alias("sy"),
+                F.sum("syy").cast("decimal(38,0)").alias("syy"),
+                F.sum("n_t").alias("n_t"),
+            )
+        )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["df"]

@@ -436,3 +436,76 @@ def test_survivorship_lang_tie_breaks_by_value(spark):
     clusters = spark.createDataFrame([(1, 1), (2, 1)], ["id", "cluster"])
     r = survivorship_golden(docs, clusters).collect()[0]
     assert r["top_lang"] == "aa"  # 1-1 tie → lexicographically first
+
+
+# ----------------------------------------------------------------------
+# rule_ablation / referential_audit / mergeable MDE moments
+# ----------------------------------------------------------------------
+
+
+def test_rule_ablation_known_masks(spark):
+    """Masks constructed by hand: rule 0 fails 3 docs and is sole
+    blocker for 2; rule 1 fails 2, sole for 1; rule 2 never fires."""
+    from panelsplit_spark.operators.quality import rule_ablation
+
+    masks = [0, 0, 1, 1, 3, 2]  # 2 pass, 2 sole-r0, 1 both, 1 sole-r1
+    df = spark.createDataFrame([(m,) for m in masks], ["fail_mask"])
+    out = {r["rule_id"]: r for r in rule_ablation(df, n_rules=3).collect()}
+    assert out[0]["n_fail"] == 3 and out[0]["n_sole_blocker"] == 2
+    assert out[1]["n_fail"] == 2 and out[1]["n_sole_blocker"] == 1
+    assert out[2]["n_fail"] == 0 and out[2]["n_sole_blocker"] == 0
+    assert out[0]["n_pass"] == 2 and out[0]["n_docs"] == 6
+    assert out[0]["pass_rate_without"] == (2 + 2) / 6
+
+
+def test_referential_audit_counts_orphans(spark):
+    from panelsplit_spark.operators.quality import referential_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "k: int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k: int")
+    r = referential_audit(
+        [("c.k->p", child, "k", parent, "k")]
+    ).collect()[0]
+    assert r["n_child"] == 5
+    assert r["n_keys"] == 3  # NULL not counted as a distinct key
+    assert r["n_orphans"] == 2  # 99 and NULL
+    assert r["orphan_rate"] == 0.4
+
+
+def test_mde_moments_merge_equals_whole(spark):
+    """Element-wise summed moment frames over two disjoint halves must
+    finish to the SAME MDE rows as the one-pass operator — the
+    streaming gate's chop-invariance, checked batch-side."""
+    from pyspark.sql import functions as SF
+
+    from panelsplit_spark.operators.evaluation import (
+        mde_from_moments,
+        mde_moments,
+        power_mde,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 17).alias("y"),
+        (F.col("id") % 2).alias("t"),
+    )
+    whole = power_mde(df, ["g"], "y", "t").collect()
+    lo = mde_moments(df.where(F.col("id") < 100), ["g"], "y", "t")
+    hi = mde_moments(df.where(F.col("id") >= 100), ["g"], "y", "t")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("g")
+        .agg(
+            SF.sum("n").alias("n"),
+            SF.sum("sy").alias("sy"),
+            SF.sum("syy").cast("decimal(38,0)").alias("syy"),
+            SF.sum("n_t").alias("n_t"),
+        )
+    )
+    folded = mde_from_moments(merged, ["g"]).collect()
+    key = lambda rows: {  # noqa: E731
+        r["g"]: tuple(r)[1:] for r in rows
+    }
+    assert key(whole) == key(folded)
