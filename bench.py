@@ -285,6 +285,7 @@ HEADLINE = [
     "pipe_rule_ablation",
     "dq_referential",
     "stream_mde",
+    "dedup_source_matrix",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path
@@ -500,7 +501,11 @@ def main() -> None:
                 except Exception:
                     pass
             budget = float(
-                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "600")
+                # 600 was sized for the 248-query registry (eee0ec2);
+                # round 5b appended 15 production-path queries (~50 s
+                # at sf1), so the default scales to keep zero
+                # _truncated_after risk without dropping witnesses
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "700")
             )
             t_start = time.time()
             for name in SF1_HEADLINE:

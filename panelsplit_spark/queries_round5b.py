@@ -1140,6 +1140,74 @@ def q_stream_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# dedup_source_matrix — which sources duplicate each other
+# ======================================================================
+
+
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-LSH near-dup pairs
+    rolled up by the (unordered) source pair — the curation report that
+    says which feeds copy from each other (mirrors, syndication,
+    scraper overlap) and how much of each source is redundant
+    cross-source vs within-source. One join of the pair list against
+    the doc→source map per side, then a keyed count; the pair list is
+    the already-bounded LSH candidate set, never all-pairs."""
+    from .operators import dedup
+    from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+    )
+    return labeled.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def _sql_source_matrix() -> str:
+    from .queries_data import _sql_minhash_lsh
+
+    return f"""
+WITH pairs AS (
+  {_sql_minhash_lsh().strip()}
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.id_a
+  JOIN documents db ON db.doc_id = pairs.id_b
+)
+SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY 1, 2
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1159,6 +1227,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_rule_ablation": q_pipe_rule_ablation,
     "dq_referential": q_dq_referential,
     "stream_mde": q_stream_mde,
+    "dedup_source_matrix": q_dedup_source_matrix,
 }
 
 
@@ -1183,4 +1252,5 @@ def oracles13() -> Dict[str, str]:
         # drained moment state == batch moments (sums are
         # chop-invariant), so the batch MDE oracle applies verbatim
         "stream_mde": _sql_power_mde(),
+        "dedup_source_matrix": _sql_source_matrix(),
     }

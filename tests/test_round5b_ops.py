@@ -509,3 +509,52 @@ def test_mde_moments_merge_equals_whole(spark):
         r["g"]: tuple(r)[1:] for r in rows
     }
     assert key(whole) == key(folded)
+
+
+# ----------------------------------------------------------------------
+# property-based invariants (hypothesis)
+# ----------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(vals=st.lists(st.integers(0, 1000), min_size=2, max_size=25))
+@settings(max_examples=10, deadline=None)
+def test_gini_bounds_and_scale_invariance(spark, vals):
+    """For ANY nonneg integer values with positive total: G ∈
+    [0, (n−1)/n], and G is exactly invariant under integer scaling
+    (numerator and denominator both scale by c — an integer identity,
+    so the doubles are bit-equal)."""
+    from panelsplit_spark.operators.quality import gini_by_group
+
+    if sum(vals) == 0:
+        vals = vals + [1]
+    n = len(vals)
+    rows = [("g", v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "x", "id"])
+    g1 = gini_by_group(df, ["g"], "x", "id").collect()[0]["gini"]
+    assert -1e-15 <= g1 <= (n - 1) / n + 1e-15
+    rows3 = [("g", 3 * v, i) for i, v in enumerate(vals)]
+    df3 = spark.createDataFrame(rows3, ["g", "x", "id"])
+    g3 = gini_by_group(df3, ["g"], "x", "id").collect()[0]["gini"]
+    assert g1 == g3
+
+
+@given(
+    a=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    b=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+)
+@settings(max_examples=10, deadline=None)
+def test_ks_two_segment_symmetry_and_bounds(spark, a, b):
+    """With exactly two segments, one-vs-rest is the classical
+    two-sample KS from both ends: identical d_num and ks_d, and
+    d_num ≤ n_a·n_b always."""
+    from panelsplit_spark.operators.quality import ks_one_vs_rest
+
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["seg", "v"])
+    out = {r["segment"]: r for r in ks_one_vs_rest(df, "seg", "v").collect()}
+    ra, rb = out["a"], out["b"]
+    assert ra["d_num"] == rb["d_num"]
+    assert ra["ks_d"] == rb["ks_d"]
+    assert 0 <= ra["d_num"] <= len(a) * len(b)
