@@ -286,6 +286,7 @@ HEADLINE = [
     "dq_referential",
     "stream_mde",
     "dedup_source_matrix",
+    "pipe_contrastive_triplets",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

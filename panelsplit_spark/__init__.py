@@ -69,6 +69,7 @@ from .operators.sampling import (
     hash_split,
     pack_sequences,
     rebalance_sources,
+    contrastive_triplets,
     stratified_topn,
     weighted_reservoir_topk,
 )
@@ -193,6 +194,7 @@ __all__ = [
     "incremental_band_dedup",
     "survivorship_golden",
     "weighted_reservoir_topk",
+    "contrastive_triplets",
     "cuped_adjust",
     "split_conformal_ols",
     "learning_curve_ols",

@@ -18,7 +18,7 @@ __all__ = ["hash_bucket", "hash_split", "hash_sample",
     "weighted_hash_sample", "stratified_topn",
            "pack_sequences", "rebalance_sources", "winsorize",
            "dsir_weights", "temperature_mix", "stratified_quota_sample", "collapse_rare",
-           "weighted_reservoir_topk",
+           "weighted_reservoir_topk", "contrastive_triplets",
 ]
 
 # basis points: split weights are resolved on a 0..9999 integer scale so
@@ -592,3 +592,72 @@ def weighted_reservoir_topk(
         .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def contrastive_triplets(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Mine (anchor, positive, negative) triplets for contrastive /
+    embedding training: positives are the near-dup candidate pairs
+    (MinHash-LSH — semantically close by construction), negatives are
+    the ANTIPODAL pick — the document half the corpus away in global
+    id-rank order — verified against the pair set so a negative is
+    provably NOT a near-dup candidate of its anchor.
+
+    Everything is deterministic: the global dense rank comes from the
+    distributed range-bucket scheme (operators/application.
+    with_row_key_distributed — no single-partition sort), the negative
+    for rank r is rank (r + N div 2) mod N with N taken from a count
+    window over the (id, rank) frame (N rows, 2 columns — never the
+    docs payload), and collision guards drop triplets whose antipode
+    happens to be the anchor, the positive, or any candidate pair of
+    the anchor (two-key anti-join against the symmetrized pair set).
+
+    100 TB shape: one rank assignment (two bounded exchanges), one
+    rank-arithmetic equi-join on the slim rank frame, one broadcast-
+    able anti-join on the pair set. The text payload never moves.
+    """
+    from .application import with_row_key_distributed
+
+    from pyspark.sql import Window
+
+    ids = docs.select(F.col(id_col))
+    rk = with_row_key_distributed(
+        ids, [id_col], key_col="r", n_buckets=n_buckets, eager=True
+    )
+    rk = rk.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    neg = rk.alias("a").join(
+        rk.select(F.col(id_col).alias("__negid"), F.col("r").alias("__r2"))
+        .alias("b"),
+        F.col("__r2")
+        == (F.col("a.r") + F.expr("n div 2")) % F.col("a.n"),
+    ).select(F.col(f"a.{id_col}").alias("anchor"),
+             F.col("__negid").alias("negative"))
+    tri = (
+        pairs.select(
+            F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
+        )
+        .join(neg, "anchor")
+        .where(
+            (F.col("negative") != F.col("positive"))
+            & (F.col("negative") != F.col("anchor"))
+        )
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("__u"), F.col("id_b").alias("__v")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("__u"), F.col("id_a").alias("__v")
+        )
+    )
+    return tri.join(
+        sym,
+        (F.col("anchor") == F.col("__u"))
+        & (F.col("negative") == F.col("__v")),
+        "left_anti",
+    ).select("anchor", "positive", "negative")

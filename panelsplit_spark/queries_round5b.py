@@ -1208,6 +1208,62 @@ FROM lab GROUP BY 1, 2
 
 
 # ======================================================================
+# pipe_contrastive_triplets — training-pair mining for embeddings
+# ======================================================================
+
+
+def q_pipe_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (operators/sampling.
+    contrastive_triplets): positives from MinHash-LSH near-dup pairs,
+    negatives by the deterministic antipodal rank pick, verified
+    non-candidates via a two-key anti-join. Rank assignment uses the
+    distributed range-bucket dense key — no single-partition sort."""
+    from .operators import dedup
+    from .operators.sampling import contrastive_triplets
+    from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    return contrastive_triplets(docs, pairs)
+
+
+def _sql_contrastive_triplets() -> str:
+    from .queries_data import _sql_minhash_lsh
+
+    return f"""
+WITH pairs AS (
+  {_sql_minhash_lsh().strip()}
+),
+rk AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM documents
+),
+neg AS (
+  SELECT a.doc_id AS anchor, b.doc_id AS negative
+  FROM rk a JOIN rk b ON b.r = (a.r + a.n // 2) % a.n
+),
+tri AS (
+  SELECT p.id_a AS anchor, p.id_b AS positive, n.negative
+  FROM pairs p JOIN neg n ON n.anchor = p.id_a
+  WHERE n.negative <> p.id_b AND n.negative <> p.id_a
+)
+SELECT anchor, positive, negative FROM tri t
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs q
+  WHERE (q.id_a = t.anchor AND q.id_b = t.negative)
+     OR (q.id_a = t.negative AND q.id_b = t.anchor)
+)
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1228,6 +1284,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_referential": q_dq_referential,
     "stream_mde": q_stream_mde,
     "dedup_source_matrix": q_dedup_source_matrix,
+    "pipe_contrastive_triplets": q_pipe_contrastive_triplets,
 }
 
 
@@ -1253,4 +1310,5 @@ def oracles13() -> Dict[str, str]:
         # chop-invariant), so the batch MDE oracle applies verbatim
         "stream_mde": _sql_power_mde(),
         "dedup_source_matrix": _sql_source_matrix(),
+        "pipe_contrastive_triplets": _sql_contrastive_triplets(),
     }

@@ -558,3 +558,30 @@ def test_ks_two_segment_symmetry_and_bounds(spark, a, b):
     assert ra["d_num"] == rb["d_num"]
     assert ra["ks_d"] == rb["ks_d"]
     assert 0 <= ra["d_num"] <= len(a) * len(b)
+
+
+# ----------------------------------------------------------------------
+# contrastive_triplets
+# ----------------------------------------------------------------------
+
+
+def test_contrastive_triplets_guards(spark):
+    """Antipodal negatives: with ids 0..9 the negative of rank r is
+    rank (r+5) mod 10; triplets whose antipode collides with the
+    anchor, the positive, or any candidate pair are dropped."""
+    from panelsplit_spark.operators.sampling import contrastive_triplets
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 7), (3, 4)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["anchor"], r["positive"]): r["negative"]
+        for r in contrastive_triplets(docs, pairs).collect()
+    }
+    # anchor 0 → antipode 5: valid
+    assert out[(0, 1)] == 5
+    # anchor 2 → antipode 7 == positive AND a pair of 2 → dropped
+    assert (2, 7) not in out
+    # anchor 3 → antipode 8: valid
+    assert out[(3, 4)] == 8
