@@ -287,6 +287,7 @@ HEADLINE = [
     "stream_mde",
     "dedup_source_matrix",
     "pipe_contrastive_triplets",
+    "ps_cpcv_folds",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -53,6 +53,7 @@ from .operators import (  # noqa: F401
     text,
 )
 from .operators.application import with_row_key_distributed
+from .operators.cross_validation import cpcv_panel_assign, purged_panel_assign
 from .operators.encoding import oof_target_encode
 from .operators.sampling import winsorize
 from .operators.dedup import (
@@ -175,6 +176,8 @@ __all__ = [
     "pack_sequences",
     "rebalance_sources",
     "with_row_key_distributed",
+    "cpcv_panel_assign",
+    "purged_panel_assign",
     "cosine_topk",
     "gram_matrix",
     "pca_fit",

@@ -36,6 +36,7 @@ __all__ = [
     "drop_splits",
     "date_period_bounds",
     "purged_panel_assign",
+    "cpcv_panel_assign",
 ]
 
 
@@ -517,6 +518,59 @@ def purged_panel_assign(
                 rows.append((i, "train", p))
     spec = df.sparkSession.createDataFrame(
         rows, ["fold_id", "role", "__fold_period"]
+    )
+    return df.join(
+        F.broadcast(spec),
+        df[period_col] == spec["__fold_period"],
+        "inner",
+    ).drop("__fold_period")
+
+
+def cpcv_panel_assign(
+    df,
+    period_col: str,
+    n_groups: int = 6,
+    n_test_groups: int = 2,
+    purge: int = 0,
+    embargo: int = 0,
+) -> "DataFrame":
+    """Combinatorial purged CV assignment (plans/fold_spec.cpcv_splits)
+    — one row per (data row, split membership) with ``split_id`` +
+    ``role``, where every C(G, k) combination of period groups serves
+    as a test set and train excludes each test block's
+    ``[lo − purge, hi + embargo)`` window. The scheme the reference's
+    walk-forward surface cannot express: multiple backtest paths per
+    period from one assignment.
+
+    Plan shape: identical to :func:`purged_panel_assign` — driver-small
+    distinct-period collect, a (split, role, period) spec of
+    C(G,k)·periods rows, ONE broadcast fan-out join of the fact table.
+    """
+    from ..plans.fold_spec import cpcv_splits
+
+    periods = [
+        r[0]
+        for r in df.select(period_col)
+        .where(F.col(period_col).isNotNull())
+        .distinct()
+        .orderBy(period_col)
+        .collect()
+    ]
+    n = len(periods)
+    splits = cpcv_splits(n, n_groups, n_test_groups, purge, embargo)
+    rows = []
+    for sid, blocks in splits:
+        excl = [
+            (max(0, lo - purge), min(n, hi + embargo))
+            for lo, hi in blocks
+        ]
+        for rk, p in enumerate(periods):
+            if any(lo <= rk < hi for lo, hi in blocks):
+                rows.append((sid, "test", p))
+            elif not any(lo <= rk < hi for lo, hi in excl):
+                rows.append((sid, "train", p))
+    spec = df.sparkSession.createDataFrame(
+        rows, ["split_id", "role", "__fold_period"]
     )
     return df.join(
         F.broadcast(spec),

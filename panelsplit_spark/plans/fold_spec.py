@@ -30,6 +30,7 @@ __all__ = [
     "time_series_fold_bounds",
     "FoldSpec",
     "build_fold_spec",
+    "cpcv_splits",
 ]
 
 
@@ -330,3 +331,45 @@ def build_fold_spec(
             )
         )
     return FoldSpec(unique_periods=up, folds=folds, n_splits=n_splits)
+
+
+def cpcv_splits(
+    n_periods: int,
+    n_groups: int = 6,
+    n_test_groups: int = 2,
+    purge: int = 0,
+    embargo: int = 0,
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """Combinatorial purged CV splits (de Prado, Advances in Financial
+    Machine Learning ch. 12 — public book, scheme only): the period
+    axis splits into ``n_groups`` contiguous blocks (numpy
+    ``array_split`` convention, same closed form as
+    :func:`purged_kfold_bounds`), and EVERY ``n_test_groups``-subset of
+    blocks becomes one split's test set — C(G, k) splits instead of
+    K, so every group is tested in many train-context combinations and
+    backtest paths can be assembled from the fold predictions.
+
+    Returns ``[(split_id, [(test_lo, test_hi), ...]), ...]`` with
+    split_id enumerating the lexicographic combinations. Train for a
+    split = periods outside every test block's exclusion window
+    ``[lo - purge, hi + embargo)``. Pure driver arithmetic, O(C(G,k)).
+    """
+    from itertools import combinations
+
+    if n_groups < 2 or not (0 < n_test_groups < n_groups):
+        raise ValueError(
+            f"need 2 <= n_groups and 0 < n_test_groups < n_groups, "
+            f"got {n_groups}/{n_test_groups}"
+        )
+    if n_periods < n_groups:
+        raise ValueError(
+            f"n_periods={n_periods} < n_groups={n_groups}"
+        )
+    q, r = divmod(n_periods, n_groups)
+    blk = lambda g: (  # noqa: E731
+        g * q + min(g, r), (g + 1) * q + min(g + 1, r)
+    )
+    out = []
+    for sid, combo in enumerate(combinations(range(n_groups), n_test_groups)):
+        out.append((sid, [blk(g) for g in combo]))
+    return out

@@ -1264,6 +1264,99 @@ WHERE NOT EXISTS (
 
 
 # ======================================================================
+# ps_cpcv_folds — combinatorial purged CV assignment
+# ======================================================================
+
+CPCV_G = 6
+CPCV_K = 2
+CPCV_PURGE = 1
+CPCV_EMBARGO = 1
+
+
+def q_ps_cpcv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combinatorial purged CV over the events panel (operators/
+    cross_validation.cpcv_panel_assign): every C(6,2)=15 pair of
+    period groups is one split's test set, train excludes each test
+    block's purge/embargo window — the multi-backtest-path scheme the
+    reference's walk-forward surface cannot express. One broadcast
+    fan-out join; the oracle replays the array_split block arithmetic
+    and the combination list in SQL."""
+    from .operators.cross_validation import cpcv_panel_assign
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("period", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    return (
+        cpcv_panel_assign(
+            ev, "period", CPCV_G, CPCV_K,
+            purge=CPCV_PURGE, embargo=CPCV_EMBARGO,
+        )
+        .groupBy("split_id", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("period").alias("n_periods"),
+            F.min("period").alias("min_period"),
+            F.max("period").alias("max_period"),
+        )
+    )
+
+
+def _sql_cpcv_folds() -> str:
+    from itertools import combinations
+
+    combo_vals = ", ".join(
+        f"({sid}, {g})"
+        for sid, combo in enumerate(
+            combinations(range(CPCV_G), CPCV_K)
+        )
+        for g in combo
+    )
+    return f"""
+WITH up AS (
+  SELECT period,
+         CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT) AS rk
+  FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS period FROM events
+        WHERE ts IS NOT NULL) t
+),
+np AS (SELECT count(*) AS n FROM up),
+combos AS (
+  SELECT CAST(c0 AS BIGINT) AS split_id, c1 AS tg
+  FROM (VALUES {combo_vals}) t(c0, c1)
+),
+b AS (
+  SELECT c.split_id, c.tg,
+         c.tg * (np.n // {CPCV_G}) + LEAST(c.tg, np.n % {CPCV_G})
+           AS glo,
+         (c.tg + 1) * (np.n // {CPCV_G})
+           + LEAST(c.tg + 1, np.n % {CPCV_G}) AS ghi,
+         np.n AS n
+  FROM combos c, np
+),
+assign AS (
+  SELECT b.split_id, 'test' AS role, u.period
+  FROM b JOIN up u ON u.rk >= b.glo AND u.rk < b.ghi
+  UNION ALL
+  SELECT s.split_id, 'train' AS role, u.period
+  FROM (SELECT DISTINCT split_id FROM combos) s
+  CROSS JOIN up u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM b
+    WHERE b.split_id = s.split_id
+      AND u.rk >= GREATEST(0, b.glo - {CPCV_PURGE})
+      AND u.rk < LEAST(b.n, b.ghi + {CPCV_EMBARGO})
+  )
+),
+ev AS (SELECT strftime(ts, '%Y-%m-%d') AS period FROM events)
+SELECT a.split_id, a.role, count(*) AS n_rows,
+       count(DISTINCT a.period) AS n_periods,
+       min(a.period) AS min_period, max(a.period) AS max_period
+FROM assign a JOIN ev ON ev.period = a.period
+GROUP BY a.split_id, a.role
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1285,6 +1378,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_mde": q_stream_mde,
     "dedup_source_matrix": q_dedup_source_matrix,
     "pipe_contrastive_triplets": q_pipe_contrastive_triplets,
+    "ps_cpcv_folds": q_ps_cpcv_folds,
 }
 
 
@@ -1311,4 +1405,5 @@ def oracles13() -> Dict[str, str]:
         "stream_mde": _sql_power_mde(),
         "dedup_source_matrix": _sql_source_matrix(),
         "pipe_contrastive_triplets": _sql_contrastive_triplets(),
+        "ps_cpcv_folds": _sql_cpcv_folds(),
     }

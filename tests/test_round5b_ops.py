@@ -585,3 +585,62 @@ def test_contrastive_triplets_guards(spark):
     assert (2, 7) not in out
     # anchor 3 → antipode 8: valid
     assert out[(3, 4)] == 8
+
+
+# ----------------------------------------------------------------------
+# CPCV
+# ----------------------------------------------------------------------
+
+
+def test_cpcv_splits_structure():
+    """C(G,k) splits; blocks partition the axis; each group appears in
+    exactly C(G-1, k-1) test sets."""
+    from math import comb
+
+    from panelsplit_spark.plans.fold_spec import cpcv_splits
+
+    G, K, N = 6, 2, 31
+    splits = cpcv_splits(N, G, K)
+    assert len(splits) == comb(G, K)
+    appearances = {}
+    for sid, blocks in splits:
+        assert len(blocks) == K
+        for lo, hi in blocks:
+            assert 0 <= lo < hi <= N
+            appearances[(lo, hi)] = appearances.get((lo, hi), 0) + 1
+    # 6 distinct blocks, each in C(5,1)=5 splits, covering N exactly
+    assert len(appearances) == G
+    assert all(v == comb(G - 1, K - 1) for v in appearances.values())
+    assert sum(hi - lo for lo, hi in appearances) == N
+
+
+def test_cpcv_assign_purge_embargo(spark):
+    """30 periods, G=6, k=2, purge=embargo=1: for the (0,1) split the
+    test ranks are 0..9; rank 10 is embargoed (neither role); rank 11+
+    train. No period is both train and test in one split."""
+    import datetime
+
+    from panelsplit_spark.operators.cross_validation import (
+        cpcv_panel_assign,
+    )
+
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        ((base + datetime.timedelta(days=i)).isoformat(), i)
+        for i in range(30)
+        for _ in range(2)
+    ]
+    df = spark.createDataFrame(rows, ["period", "v"])
+    out = cpcv_panel_assign(df, "period", 6, 2, purge=1, embargo=1)
+    s0 = {
+        (r["period"], r["role"])
+        for r in out.where(F.col("split_id") == 0).collect()
+    }
+    periods = sorted({p for p, _ in s0})
+    test_p = {p for p, role in s0 if role == "test"}
+    train_p = {p for p, role in s0 if role == "train"}
+    assert len(test_p & train_p) == 0
+    day = lambda i: (base + datetime.timedelta(days=i)).isoformat()  # noqa: E731
+    assert day(0) in test_p and day(9) in test_p
+    assert day(10) not in test_p and day(10) not in train_p  # embargo
+    assert day(11) in train_p
