@@ -1,4 +1,4 @@
-"""Query registry, part 13 (round 5, continued), twelve queries:
+"""Query registry, part 13 (round 5, continued), eighteen queries:
 
 * inequality / drift audits — ``dq_gini`` (exact Gini concentration
   per segment from the rank-sum identity), ``dq_ks_test`` (exact
@@ -26,7 +26,16 @@
 * experimentation — ``cv_power_mde`` (per-segment minimum detectable
   effect from one filtered aggregate);
 * streaming — ``stream_reservoir`` (the 19th gate: chop-invariant
-  weighted reservoir state, batch oracle verbatim).
+  weighted reservoir state, batch oracle verbatim), ``stream_mde``
+  (the 20th: mergeable experiment moments, one keyed SUM per batch);
+* curation analytics — ``pipe_rule_ablation`` (leave-one-out filter
+  impact from one aggregate over the rule bitmask),
+  ``dq_referential`` (cross-table FK orphan audit),
+  ``dedup_source_matrix`` (which sources copy from each other),
+  ``pipe_contrastive_triplets`` (anchor/positive/negative mining with
+  provably-non-candidate negatives);
+* panel CV — ``ps_cpcv_folds`` (combinatorial purged CV: C(G,k) test
+  combinations, purge/embargo exclusion, one fan-out join).
 
 Same cross-engine determinism rules as queries.py: exact-integer
 moments before any division (decimal(38,0) ↔ HUGEINT for products
