@@ -288,6 +288,7 @@ HEADLINE = [
     "dedup_source_matrix",
     "pipe_contrastive_triplets",
     "ps_cpcv_folds",
+    "cv_cpcv_paths",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -53,7 +53,11 @@ from .operators import (  # noqa: F401
     text,
 )
 from .operators.application import with_row_key_distributed
-from .operators.cross_validation import cpcv_panel_assign, purged_panel_assign
+from .operators.cross_validation import (
+    cpcv_backtest_paths,
+    cpcv_panel_assign,
+    purged_panel_assign,
+)
 from .operators.encoding import oof_target_encode
 from .operators.sampling import winsorize
 from .operators.dedup import (
@@ -177,6 +181,7 @@ __all__ = [
     "rebalance_sources",
     "with_row_key_distributed",
     "cpcv_panel_assign",
+    "cpcv_backtest_paths",
     "purged_panel_assign",
     "cosine_topk",
     "gram_matrix",

@@ -37,6 +37,7 @@ __all__ = [
     "date_period_bounds",
     "purged_panel_assign",
     "cpcv_panel_assign",
+    "cpcv_backtest_paths",
 ]
 
 
@@ -577,3 +578,127 @@ def cpcv_panel_assign(
         df[period_col] == spec["__fold_period"],
         "inner",
     ).drop("__fold_period")
+
+
+def cpcv_backtest_paths(
+    df,
+    period_col: str,
+    x_col: str,
+    y_col: str,
+    n_groups: int = 6,
+    n_test_groups: int = 2,
+    purge: int = 0,
+    embargo: int = 0,
+) -> "DataFrame":
+    """The POINT of CPCV: assemble the C(G−1, k−1) complete backtest
+    paths — each path covers every period group exactly once, taking
+    group g's out-of-sample predictions from the path-th split (in
+    lexicographic order) that tests g — and score each path's OOF MSE
+    of the closed-form OLS fit. The distribution ACROSS paths is what
+    a single walk-forward backtest cannot give: a variance estimate of
+    the backtest itself (de Prado ch. 12, public scheme).
+
+    Everything stays exact: per-split train moments are one filtered
+    grouped aggregate over the fan-out assignment (integer-quantized
+    ``x_col``/``y_col``), slopes are single divisions of decimal-exact
+    integers, per-row squared residuals quantize to MILLI-units after
+    the engine-identical double prediction, and each path's MSE is ONE
+    division of the exact residual sum. Path membership (split, group)
+    → path is pure combination arithmetic, broadcast as a literal map.
+
+    100 TB shape: the fact table passes twice (train-moment aggregate;
+    test-residual aggregate), both keyed by split — C(G,k) multiplies
+    only the driver-small spec frames, never the data passes.
+
+    Output: one row per path — ``path_id n_rows sse_milli mse``.
+    """
+    from itertools import combinations
+
+    from ..plans.fold_spec import cpcv_splits
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    assign = cpcv_panel_assign(
+        df, period_col, n_groups, n_test_groups, purge, embargo
+    )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    fit = (
+        assign.where(F.col("role") == "train")
+        .groupBy("split_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(d(x) * x).alias("sxx"),
+            F.sum(d(x) * y).alias("sxy"),
+        )
+    )
+    num = d(F.col("n")) * F.col("sxy") - d(F.col("sx")) * F.col("sy")
+    den = d(F.col("n")) * F.col("sxx") - d(F.col("sx")) * F.col("sx")
+    b1 = num.cast("double") / den.cast("double")
+    b0 = (
+        F.col("sy").cast("double") - b1 * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    fit = fit.select("split_id", b1.alias("b1"), b0.alias("b0"))
+
+    # (split, group) → path: for each group, the p-th split testing it
+    # (lexicographic combo order) belongs to path p — combination
+    # arithmetic only, independent of the data
+    by_group = {}
+    for sid, combo in enumerate(
+        combinations(range(n_groups), n_test_groups)
+    ):
+        for g in combo:
+            by_group.setdefault(g, []).append(sid)
+    path_rows = [
+        (sid, g, p)
+        for g, sids in by_group.items()
+        for p, sid in enumerate(sids)
+    ]
+    spark = df.sparkSession
+    path_map = spark.createDataFrame(
+        path_rows, ["split_id", "__g", "path_id"]
+    )
+
+    # group of each period rank, replayed from the SAME split geometry
+    periods = [
+        r[0]
+        for r in df.select(period_col)
+        .where(F.col(period_col).isNotNull())
+        .distinct()
+        .orderBy(period_col)
+        .collect()
+    ]
+    n = len(periods)
+    q, r = divmod(n, n_groups)
+    grp_rows = []
+    for g in range(n_groups):
+        lo, hi = g * q + min(g, r), (g + 1) * q + min(g + 1, r)
+        for rk in range(lo, hi):
+            grp_rows.append((periods[rk], g))
+    grp = spark.createDataFrame(grp_rows, [period_col, "__g"])
+
+    test = (
+        assign.where(F.col("role") == "test")
+        .join(F.broadcast(fit), "split_id")
+        .join(F.broadcast(grp), period_col)
+        .join(F.broadcast(path_map), ["split_id", "__g"])
+    )
+    resid = y.cast("double") - (
+        F.col("b0") + F.col("b1") * x.cast("double")
+    )
+    sq_milli = F.round(resid * resid * F.lit(1000.0)).cast("long")
+    out = test.groupBy("path_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(d(sq_milli)).alias("__sse"),
+    )
+    return out.select(
+        "path_id",
+        "n_rows",
+        F.col("__sse").cast("long").alias("sse_milli"),
+        (
+            F.col("__sse").cast("double")
+            / F.col("n_rows").cast("double")
+            / F.lit(1000.0)
+        ).alias("mse"),
+    )

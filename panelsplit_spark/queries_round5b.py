@@ -1366,6 +1366,155 @@ GROUP BY a.split_id, a.role
 
 
 # ======================================================================
+# cv_cpcv_paths — backtest-path MSE distribution from CPCV
+# ======================================================================
+
+
+def q_cv_cpcv_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest-path assembly (operators/cross_validation.
+    cpcv_backtest_paths): the C(5,1)=5 complete OOF paths CPCV yields —
+    each covers every period group exactly once — scored by the
+    closed-form OLS's per-path MSE. The ACROSS-path spread is the
+    backtest-variance estimate a single walk-forward cannot produce.
+    Two keyed passes of the fact table total, regardless of C(G,k)."""
+    from .operators.cross_validation import cpcv_backtest_paths
+    from .queries_curate import _MIN_2024
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("period", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn(
+            "x",
+            F.expr("unix_micros(ts) div 60000000") - F.lit(_MIN_2024),
+        )
+        .withColumn("y", F.round(F.col("value") * 100).cast("long"))
+    )
+    return cpcv_backtest_paths(
+        ev, "period", "x", "y", CPCV_G, CPCV_K,
+        purge=CPCV_PURGE, embargo=CPCV_EMBARGO,
+    )
+
+
+def _sql_cpcv_paths() -> str:
+    from itertools import combinations
+
+    from .queries_curate import _MIN_2024
+
+    combo_vals = ", ".join(
+        f"({sid}, {g})"
+        for sid, combo in enumerate(combinations(range(CPCV_G), CPCV_K))
+        for g in combo
+    )
+    by_group = {}
+    for sid, combo in enumerate(combinations(range(CPCV_G), CPCV_K)):
+        for g in combo:
+            by_group.setdefault(g, []).append(sid)
+    path_vals = ", ".join(
+        f"({sid}, {g}, {p})"
+        for g, sids in by_group.items()
+        for p, sid in enumerate(sids)
+    )
+    return f"""
+WITH up AS (
+  SELECT period,
+         CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT) AS rk
+  FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS period FROM events
+        WHERE ts IS NOT NULL) t
+),
+np AS (SELECT count(*) AS n FROM up),
+combos AS (
+  SELECT CAST(c0 AS BIGINT) AS split_id, c1 AS tg
+  FROM (VALUES {combo_vals}) t(c0, c1)
+),
+b AS (
+  SELECT c.split_id, c.tg,
+         c.tg * (np.n // {CPCV_G}) + LEAST(c.tg, np.n % {CPCV_G})
+           AS glo,
+         (c.tg + 1) * (np.n // {CPCV_G})
+           + LEAST(c.tg + 1, np.n % {CPCV_G}) AS ghi,
+         np.n AS n
+  FROM combos c, np
+),
+assign AS (
+  SELECT b.split_id, 'test' AS role, u.period
+  FROM b JOIN up u ON u.rk >= b.glo AND u.rk < b.ghi
+  UNION ALL
+  SELECT s.split_id, 'train' AS role, u.period
+  FROM (SELECT DISTINCT split_id FROM combos) s
+  CROSS JOIN up u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM b
+    WHERE b.split_id = s.split_id
+      AND u.rk >= GREATEST(0, b.glo - {CPCV_PURGE})
+      AND u.rk < LEAST(b.n, b.ghi + {CPCV_EMBARGO})
+  )
+),
+ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS period,
+         epoch_us(ts) // 60000000 - {_MIN_2024} AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+fitm AS (
+  SELECT a.split_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(e.x) AS BIGINT) AS sx,
+         CAST(sum(e.y) AS BIGINT) AS sy,
+         sum(CAST(e.x AS HUGEINT) * e.x) AS sxx,
+         sum(CAST(e.x AS HUGEINT) * e.y) AS sxy
+  FROM assign a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train'
+  GROUP BY 1
+),
+fit AS (
+  SELECT split_id,
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE AS b1,
+         n, sx, sy
+  FROM fitm
+),
+fit2 AS (
+  SELECT split_id, b1,
+         (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0
+  FROM fit
+),
+gb AS (
+  SELECT g.g,
+         g.g * (np.n // {CPCV_G}) + LEAST(g.g, np.n % {CPCV_G}) AS glo,
+         (g.g + 1) * (np.n // {CPCV_G})
+           + LEAST(g.g + 1, np.n % {CPCV_G}) AS ghi
+  FROM (SELECT unnest(generate_series(0, {CPCV_G - 1})) AS g) g, np
+),
+pgrp AS (
+  SELECT u.period, gb.g
+  FROM up u JOIN gb ON u.rk >= gb.glo AND u.rk < gb.ghi
+),
+pmap AS (
+  SELECT CAST(c0 AS BIGINT) AS split_id, c1 AS g,
+         CAST(c2 AS BIGINT) AS path_id
+  FROM (VALUES {path_vals}) t(c0, c1, c2)
+),
+te AS (
+  SELECT pm.path_id,
+         CAST(round((e.y::DOUBLE - (f.b0 + f.b1 * e.x::DOUBLE))
+              * (e.y::DOUBLE - (f.b0 + f.b1 * e.x::DOUBLE))
+              * 1000.0) AS BIGINT) AS sq_milli
+  FROM assign a
+  JOIN ev e ON e.period = a.period
+  JOIN fit2 f ON f.split_id = a.split_id
+  JOIN pgrp pg ON pg.period = a.period
+  JOIN pmap pm ON pm.split_id = a.split_id AND pm.g = pg.g
+  WHERE a.role = 'test'
+)
+SELECT path_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(sq_milli AS HUGEINT)) AS BIGINT) AS sse_milli,
+       sum(CAST(sq_milli AS HUGEINT))::DOUBLE / count(*)::DOUBLE
+         / 1000.0 AS mse
+FROM te GROUP BY 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1388,6 +1537,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_source_matrix": q_dedup_source_matrix,
     "pipe_contrastive_triplets": q_pipe_contrastive_triplets,
     "ps_cpcv_folds": q_ps_cpcv_folds,
+    "cv_cpcv_paths": q_cv_cpcv_paths,
 }
 
 
@@ -1415,4 +1565,5 @@ def oracles13() -> Dict[str, str]:
         "dedup_source_matrix": _sql_source_matrix(),
         "pipe_contrastive_triplets": _sql_contrastive_triplets(),
         "ps_cpcv_folds": _sql_cpcv_folds(),
+        "cv_cpcv_paths": _sql_cpcv_paths(),
     }

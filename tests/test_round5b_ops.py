@@ -644,3 +644,29 @@ def test_cpcv_assign_purge_embargo(spark):
     assert day(0) in test_p and day(9) in test_p
     assert day(10) not in test_p and day(10) not in train_p  # embargo
     assert day(11) in train_p
+
+
+def test_cpcv_paths_cover_all_groups(spark):
+    """Each backtest path must contain every period group exactly once:
+    with 30 periods and uniform rows per period, every path's n_rows is
+    the whole panel (each period tested once per path)."""
+    import datetime
+
+    from panelsplit_spark.operators.cross_validation import (
+        cpcv_backtest_paths,
+    )
+
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        ((base + datetime.timedelta(days=i)).isoformat(), i, 2 * i + 5)
+        for i in range(30)
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["period", "x", "y"])
+    out = cpcv_backtest_paths(df, "period", "x", "y", 6, 2).collect()
+    assert len(out) == 5  # C(5,1) paths
+    assert all(r["n_rows"] == 90 for r in out)  # every period, once
+    # y = 2x+5 exactly and every train set is big enough to fit it →
+    # every path's MSE is exactly 0
+    assert all(r["mse"] == 0.0 for r in out)
+    assert all(r["sse_milli"] == 0 for r in out)
