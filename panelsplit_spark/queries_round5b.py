@@ -1,4 +1,4 @@
-"""Query registry, part 13 (round 5, continued), eighteen queries:
+"""Query registry, part 13 (round 5, continued), nineteen queries:
 
 * inequality / drift audits — ``dq_gini`` (exact Gini concentration
   per segment from the rank-sum identity), ``dq_ks_test`` (exact
@@ -35,7 +35,9 @@
   ``pipe_contrastive_triplets`` (anchor/positive/negative mining with
   provably-non-candidate negatives);
 * panel CV — ``ps_cpcv_folds`` (combinatorial purged CV: C(G,k) test
-  combinations, purge/embargo exclusion, one fan-out join).
+  combinations, purge/embargo exclusion, one fan-out join),
+  ``cv_cpcv_paths`` (the C(G−1,k−1) assembled backtest paths, per-path
+  OOF MSE of the closed-form fit).
 
 Same cross-engine determinism rules as queries.py: exact-integer
 moments before any division (decimal(38,0) ↔ HUGEINT for products
