@@ -289,6 +289,7 @@ HEADLINE = [
     "pipe_contrastive_triplets",
     "ps_cpcv_folds",
     "cv_cpcv_paths",
+    "cv_nested_ridge",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -56,6 +56,7 @@ from .operators.application import with_row_key_distributed
 from .operators.cross_validation import (
     cpcv_backtest_paths,
     cpcv_panel_assign,
+    nested_ridge_cv,
     purged_panel_assign,
 )
 from .operators.encoding import oof_target_encode
@@ -182,6 +183,7 @@ __all__ = [
     "with_row_key_distributed",
     "cpcv_panel_assign",
     "cpcv_backtest_paths",
+    "nested_ridge_cv",
     "purged_panel_assign",
     "cosine_topk",
     "gram_matrix",

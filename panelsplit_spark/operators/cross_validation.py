@@ -38,6 +38,7 @@ __all__ = [
     "purged_panel_assign",
     "cpcv_panel_assign",
     "cpcv_backtest_paths",
+    "nested_ridge_cv",
 ]
 
 
@@ -702,3 +703,159 @@ def cpcv_backtest_paths(
             / F.lit(1000.0)
         ).alias("mse"),
     )
+
+
+def nested_ridge_cv(
+    df,
+    band_col: str,
+    bucket_col: str,
+    x_col: str,
+    y_col: str,
+    n_bands: int,
+    n_buckets: int,
+    lambdas=(0, 1, 10, 100),
+):
+    """Nested cross-validation as PURE sufficient-statistic algebra —
+    zero refits: outer folds are expanding time bands (outer o trains
+    on bands 0..o, tests band o+1), inner folds are content-hash
+    buckets of the outer train set, and the λ grid of a 1-feature
+    ridge is swept entirely from ONE (band × bucket) moment aggregate:
+
+    * leave-bucket-out train moments = total − bucket (moment
+      additivity — no data pass per inner fold);
+    * ridge slope b1 = (nΣxy − ΣxΣy) / ((nΣxx − (Σx)²) + λ·n²) — the
+      penalty λ·n² is an exact integer, so each slope is ONE double
+      division of two exact integers;
+    * validation/test SSE by the moment expansion
+      Σy² − 2b₀Σy − 2b₁Σxy + n·b₀² + 2b₀b₁Σx + b₁²Σx² — no per-row
+      residual pass for ANY (outer, inner, λ) combination.
+
+    Each inner fold's SSE quantizes to INTEGER units before the sum
+    over folds (a float sum's order is engine-undefined; an integer
+    sum is not), so λ* per outer fold = argmin of an EXACT integer,
+    ties to the smaller λ. Callers quantize y coarsely enough that
+    the SSE stays below 2^63 (the docstring contract of every moment
+    operator here). The whole procedure — C(outer)·|λ|·K fits — costs one
+    grouped aggregate over the data plus arithmetic on
+    n_bands·n_buckets rows, which is why it scales to 100 TB where
+    the classical nested loop (refit per cell) cannot. The moment
+    frame is driver-small by construction (≤ bands·buckets rows), so
+    the algebra runs driver-side and the result re-enters Spark as a
+    literal frame (the established IRLS-trace pattern); the oracle
+    replays the identical algebra in SQL over its own moment CTE.
+
+    Returns one row per outer fold:
+    ``outer_fold lambda_star inner_sse n_test test_mse``.
+    """
+    from pyspark.sql import types as T
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    g = (
+        df.groupBy(
+            F.col(band_col).alias("band"),
+            F.col(bucket_col).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(d(x) * x).alias("sxx"),
+            F.sum(d(x) * y).alias("sxy"),
+            F.sum(d(y) * y).alias("syy"),
+        )
+        .collect()
+    )
+    cells = {
+        (r["band"], r["bucket"]): tuple(
+            int(r[k]) for k in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        )
+        for r in g
+    }
+
+    def msum(pred):
+        t = [0] * 6
+        for key, m in cells.items():
+            if pred(*key):
+                t = [a + b for a, b in zip(t, m)]
+        return t
+
+    # float() on each exact-integer operand BEFORE every division /
+    # multiplication mirrors SQL's ::DOUBLE casts operand-by-operand —
+    # Python's int/int true division rounds differently on >2^53 inputs
+    def fit(m, lam):
+        n, sx, sy, sxx, sxy, _ = m
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) + lam * n * n
+        if den == 0:
+            return None
+        b1 = float(num) / float(den)
+        b0 = (float(sy) - b1 * float(sx)) / float(n)
+        return b0, b1
+
+    def sse(m, b0, b1):
+        n, sx, sy, sxx, sxy, syy = m
+        return (
+            float(syy)
+            - 2.0 * b0 * float(sy)
+            - 2.0 * b1 * float(sxy)
+            + float(n) * b0 * b0
+            + 2.0 * b0 * b1 * float(sx)
+            + b1 * b1 * float(sxx)
+        )
+
+    import math
+
+    # DuckDB round(x) = half away from zero on the identical double
+    def q_int(v):
+        return int(math.floor(abs(v) + 0.5)) * (-1 if v < 0 else 1)
+
+    rows = []
+    for o in range(n_bands - 1):
+        best = None
+        for lam in lambdas:
+            total = 0
+            ok = True
+            for i in range(n_buckets):
+                tr = msum(lambda b, k: b <= o and k != i)
+                va = msum(lambda b, k: b <= o and k == i)
+                if tr[0] == 0 or va[0] == 0:
+                    ok = False
+                    break
+                f = fit(tr, lam)
+                if f is None:
+                    ok = False
+                    break
+                total = total + q_int(sse(va, f[0], f[1]))
+            if ok and (best is None or total < best[0]):
+                best = (total, lam)
+        if best is None:
+            continue
+        inner_units, lam_star = best
+        inner_sse = float(inner_units)
+        full = msum(lambda b, k: b <= o)
+        te = msum(lambda b, k: b == o + 1)
+        f = fit(full, lam_star)
+        if f is None or te[0] == 0:
+            continue
+        t_sse = sse(te, f[0], f[1])
+        rows.append(
+            (
+                o,
+                int(lam_star),
+                inner_sse,
+                te[0],
+                t_sse / float(te[0]),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("outer_fold", T.IntegerType()),
+            T.StructField("lambda_star", T.IntegerType()),
+            T.StructField("inner_sse", T.DoubleType()),
+            T.StructField("n_test", T.LongType()),
+            T.StructField("test_mse", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(rows, schema)

@@ -1517,6 +1517,179 @@ FROM te GROUP BY 1
 
 
 # ======================================================================
+# cv_nested_ridge — nested CV as pure moment algebra, zero refits
+# ======================================================================
+
+_NR_LAMBDAS = (0, 1, 10, 100)
+_NR_BUCKETS = 4
+_NR_SALT = "nested"
+
+
+def q_cv_nested_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested CV (operators/cross_validation.nested_ridge_cv): outer
+    walk-forward year bands over l_shipdate, inner content-hash
+    buckets, a 4-point ridge λ grid — ALL fits and validations from
+    ONE (band × bucket) moment aggregate via moment additivity; inner
+    SSEs quantize to exact integers so λ* is an exact argmin. y in
+    dollars keeps every SSE below 2^63."""
+    from .operators.cross_validation import nested_ridge_cv
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+        F.year("l_shipdate").alias("yr"),
+    ).select(
+        "rid", "x", "y",
+        F.when(F.col("yr") <= 1996, F.lit(0))
+        .when(F.col("yr") == 1997, F.lit(1))
+        .when(F.col("yr") == 1998, F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("band"),
+        (hash_bucket(F.col("rid"), _NR_SALT) % _NR_BUCKETS).alias(
+            "bucket"
+        ),
+    )
+    return nested_ridge_cv(
+        li, "band", "bucket", "x", "y",
+        n_bands=4, n_buckets=_NR_BUCKETS, lambdas=_NR_LAMBDAS,
+    )
+
+
+def _sql_nested_ridge() -> str:
+    bucket = duckdb_hash_bucket("rid", _NR_SALT)
+    lam_vals = ", ".join(f"({v})" for v in _NR_LAMBDAS)
+    sse = (
+        "(syy::DOUBLE - 2.0 * b0 * sy::DOUBLE - 2.0 * b1 * sxy::DOUBLE"
+        " + n::DOUBLE * b0 * b0 + 2.0 * b0 * b1 * sx::DOUBLE"
+        " + b1 * b1 * sxx::DOUBLE)"
+    )
+    return f"""
+WITH base AS (
+  SELECT concat(CAST(l_orderkey AS VARCHAR), '#',
+                CAST(l_linenumber AS VARCHAR)) AS rid,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y,
+         CASE WHEN year(l_shipdate) <= 1996 THEN 0
+              WHEN year(l_shipdate) = 1997 THEN 1
+              WHEN year(l_shipdate) = 1998 THEN 2
+              ELSE 3 END AS band
+  FROM lineitem
+),
+bb AS (SELECT *, ({bucket}) % {_NR_BUCKETS} AS bucket FROM base),
+m AS (
+  SELECT band, bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM bb GROUP BY 1, 2
+),
+oo AS (SELECT unnest(generate_series(0, 2)) AS o),
+ii AS (SELECT unnest(generate_series(0, {_NR_BUCKETS - 1})) AS i),
+ll AS (SELECT CAST(l AS BIGINT) AS l FROM (VALUES {lam_vals}) t(l)),
+tr AS (
+  SELECT oo.o, ii.i, CAST(sum(m.n) AS BIGINT) AS n,
+         CAST(sum(m.sx) AS BIGINT) AS sx,
+         CAST(sum(m.sy) AS BIGINT) AS sy,
+         sum(m.sxx) AS sxx, sum(m.sxy) AS sxy, sum(m.syy) AS syy
+  FROM oo CROSS JOIN ii
+  JOIN m ON m.band <= oo.o AND m.bucket <> ii.i
+  GROUP BY 1, 2
+),
+va AS (
+  SELECT oo.o, ii.i, CAST(sum(m.n) AS BIGINT) AS n,
+         CAST(sum(m.sx) AS BIGINT) AS sx,
+         CAST(sum(m.sy) AS BIGINT) AS sy,
+         sum(m.sxx) AS sxx, sum(m.sxy) AS sxy, sum(m.syy) AS syy
+  FROM oo CROSS JOIN ii
+  JOIN m ON m.band <= oo.o AND m.bucket = ii.i
+  GROUP BY 1, 2
+),
+fitv AS (
+  SELECT tr.o, tr.i, ll.l,
+         (CAST(tr.n AS HUGEINT) * tr.sxy
+            - CAST(tr.sx AS HUGEINT) * tr.sy)::DOUBLE
+           / ((CAST(tr.n AS HUGEINT) * tr.sxx
+               - CAST(tr.sx AS HUGEINT) * tr.sx)
+              + CAST(ll.l AS HUGEINT) * tr.n * tr.n)::DOUBLE AS b1,
+         tr.n, tr.sx, tr.sy
+  FROM tr CROSS JOIN ll
+),
+fit2 AS (
+  SELECT o, i, l, b1,
+         (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0
+  FROM fitv
+),
+iss AS (
+  SELECT f.o, f.l,
+         CAST(sum(CAST(round(
+           (va.syy::DOUBLE - 2.0 * f.b0 * va.sy::DOUBLE
+            - 2.0 * f.b1 * va.sxy::DOUBLE
+            + va.n::DOUBLE * f.b0 * f.b0
+            + 2.0 * f.b0 * f.b1 * va.sx::DOUBLE
+            + f.b1 * f.b1 * va.sxx::DOUBLE)
+         ) AS BIGINT)) AS BIGINT) AS sse_units
+  FROM fit2 f JOIN va ON va.o = f.o AND va.i = f.i
+  GROUP BY 1, 2
+),
+pick AS (
+  SELECT o, l AS lambda_star, sse_units
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY o
+             ORDER BY sse_units, l) AS rk
+    FROM iss
+  ) WHERE rk = 1
+),
+full_tr AS (
+  SELECT oo.o, CAST(sum(m.n) AS BIGINT) AS n,
+         CAST(sum(m.sx) AS BIGINT) AS sx,
+         CAST(sum(m.sy) AS BIGINT) AS sy,
+         sum(m.sxx) AS sxx, sum(m.sxy) AS sxy
+  FROM oo JOIN m ON m.band <= oo.o GROUP BY 1
+),
+te AS (
+  SELECT oo.o, CAST(sum(m.n) AS BIGINT) AS n,
+         CAST(sum(m.sx) AS BIGINT) AS sx,
+         CAST(sum(m.sy) AS BIGINT) AS sy,
+         sum(m.sxx) AS sxx, sum(m.sxy) AS sxy, sum(m.syy) AS syy
+  FROM oo JOIN m ON m.band = oo.o + 1 GROUP BY 1
+),
+ffit AS (
+  SELECT p.o, p.lambda_star, p.sse_units,
+         (CAST(f.n AS HUGEINT) * f.sxy
+            - CAST(f.sx AS HUGEINT) * f.sy)::DOUBLE
+           / ((CAST(f.n AS HUGEINT) * f.sxx
+               - CAST(f.sx AS HUGEINT) * f.sx)
+              + CAST(p.lambda_star AS HUGEINT) * f.n * f.n)::DOUBLE
+           AS b1,
+         f.n AS ftn, f.sx AS ftsx, f.sy AS ftsy
+  FROM pick p JOIN full_tr f ON f.o = p.o
+),
+ffit2 AS (
+  SELECT o, lambda_star, sse_units, b1,
+         (ftsy::DOUBLE - b1 * ftsx::DOUBLE) / ftn::DOUBLE AS b0
+  FROM ffit
+)
+SELECT CAST(f.o AS INTEGER) AS outer_fold,
+       CAST(f.lambda_star AS INTEGER) AS lambda_star,
+       f.sse_units::DOUBLE AS inner_sse,
+       te.n AS n_test,
+       (te.syy::DOUBLE - 2.0 * f.b0 * te.sy::DOUBLE
+        - 2.0 * f.b1 * te.sxy::DOUBLE
+        + te.n::DOUBLE * f.b0 * f.b0
+        + 2.0 * f.b0 * f.b1 * te.sx::DOUBLE
+        + f.b1 * f.b1 * te.sxx::DOUBLE) / te.n::DOUBLE AS test_mse
+FROM ffit2 f JOIN te ON te.o = f.o
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1540,6 +1713,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_contrastive_triplets": q_pipe_contrastive_triplets,
     "ps_cpcv_folds": q_ps_cpcv_folds,
     "cv_cpcv_paths": q_cv_cpcv_paths,
+    "cv_nested_ridge": q_cv_nested_ridge,
 }
 
 
@@ -1568,4 +1742,5 @@ def oracles13() -> Dict[str, str]:
         "pipe_contrastive_triplets": _sql_contrastive_triplets(),
         "ps_cpcv_folds": _sql_cpcv_folds(),
         "cv_cpcv_paths": _sql_cpcv_paths(),
+        "cv_nested_ridge": _sql_nested_ridge(),
     }

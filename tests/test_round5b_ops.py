@@ -670,3 +670,26 @@ def test_cpcv_paths_cover_all_groups(spark):
     # every path's MSE is exactly 0
     assert all(r["mse"] == 0.0 for r in out)
     assert all(r["sse_milli"] == 0 for r in out)
+
+
+def test_nested_ridge_picks_zero_lambda_on_noiseless_line(spark):
+    """y = 2x exactly: the unpenalized fit is exact, every penalized
+    fit is biased → λ* = 0 for every outer fold, inner and test SSE
+    both exactly 0."""
+    from panelsplit_spark.operators.cross_validation import nested_ridge_cv
+
+    rows = []
+    for band in range(4):
+        for i in range(400):
+            x = (i % 13) + 1
+            rows.append((band, i % 4, x, 2 * x))
+    df = spark.createDataFrame(rows, ["band", "bucket", "x", "y"])
+    out = nested_ridge_cv(
+        df, "band", "bucket", "x", "y", n_bands=4, n_buckets=4
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["lambda_star"] == 0
+        assert r["inner_sse"] == 0.0
+        assert r["test_mse"] == 0.0
+        assert r["n_test"] == 400
