@@ -290,6 +290,7 @@ HEADLINE = [
     "ps_cpcv_folds",
     "cv_cpcv_paths",
     "cv_nested_ridge",
+    "text_bm25_topk",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -92,6 +92,7 @@ from .operators.sketches import (
 )
 from .operators.skew import salted_join
 from .operators.text import (
+    bm25_topk,
     chunk_documents,
     lm_unigram_score,
     register_ngram_udtf,
@@ -192,6 +193,7 @@ __all__ = [
     "salted_join",
     "register_ngram_udtf",
     "lm_unigram_score",
+    "bm25_topk",
     "chunk_documents",
     "repetition_signals",
     "cents",

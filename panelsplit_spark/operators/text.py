@@ -18,6 +18,7 @@ from ..functions.hashing import word_ngrams, word_tokens
 
 __all__ = [
     "STOPWORDS",
+    "bm25_topk",
     "PII_PATTERNS",
     "pii_scrub",
     "text_stats",
@@ -825,4 +826,100 @@ def inverted_index(
         dfreq.where(F.col("df") >= min_df)
         .join(capped, "term")
         .select("term", "df", "postings")
+    )
+
+
+def bm25_topk(
+    docs,
+    query_terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 top-k retrieval over an on-the-fly unigram inverted
+    index (Robertson & Zaragoza 2009, public method): for each query
+    (a list of ``(query_id, term)`` rows, parsed driver-side so both
+    engines see the same literals) score every matching document with
+
+        Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+
+    and keep the k best (score desc, id asc).
+
+    Cross-engine exactness: idf = ln((N−df+0.5)/(df+0.5)) is computed
+    as ln of ONE division of the exact odd integers (2(N−df)+1) and
+    (2df+1); len/avglen = (len·N)/Σlen is one division of exact
+    integers; each term's score quantizes to MICRO units AFTER the
+    fixed-order double chain, so the per-document sum over query
+    terms is an exact integer and ranking ties break by id.
+
+    100 TB shape: the inverted index materializes ONLY for the query
+    terms (a semi-join of the token explode against the tiny term
+    list); N and Σlen are one-row scalars broadcast into the scoring
+    projection; the final top-k is a per-query window over matching
+    docs. Documents containing no query term never shuffle.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import word_tokens
+
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(int(q), t) for q, t in query_terms], ["query_id", "term"]
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    )
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    hits = toks.join(F.broadcast(qt), "term")
+    tf = hits.groupBy("query_id", "term", id_col).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = (
+        tf.select("term", id_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n_docs")
+    idf = F.log(
+        (F.lit(2) * (nd - F.col("df")) + F.lit(1)).cast("double")
+        / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+    )
+    ratio = (F.col("dl") * nd).cast("double") / F.col(
+        "total_len"
+    ).cast("double")
+    tfd = F.col("tf").cast("double")
+    sat = (
+        tfd * F.lit(float(k1) + 1.0)
+        / (
+            tfd
+            + F.lit(float(k1))
+            * (F.lit(1.0 - float(b)) + F.lit(float(b)) * ratio)
+        )
+    )
+    term_micro = F.round(idf * sat * F.lit(1e6)).cast("long")
+    per_doc = scored.select(
+        "query_id", F.col(id_col), term_micro.alias("tm")
+    ).groupBy("query_id", id_col).agg(
+        F.sum("tm").alias("bm25_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= int(k))
+        .select("query_id", id_col, "bm25_micro", "rk")
     )

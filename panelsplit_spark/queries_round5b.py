@@ -1690,6 +1690,92 @@ FROM ffit2 f JOIN te ON te.o = f.o
 
 
 # ======================================================================
+# text_bm25_topk — Okapi BM25 retrieval over the unigram index
+# ======================================================================
+
+_BM25_QUERIES = ["hash join merge", "table scan filter",
+                 "stream window agg"]
+_BM25_K = 10
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/text.bm25_topk): three fixed queries
+    against the corpus, k=10 each. The inverted index materializes
+    ONLY for the query terms (semi-join of the token explode against
+    the term list); idf and length normalization are single divisions
+    of exact integers; per-term scores quantize to micro units before
+    the per-doc sum, so ranking is exact with id tiebreaks."""
+    from .operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qt = [
+        (qid, t)
+        for qid, q in enumerate(_BM25_QUERIES)
+        for t in q.split()
+    ]
+    return bm25_topk(docs, qt, k=_BM25_K)
+
+
+def _sql_bm25_topk() -> str:
+    qt_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(_BM25_QUERIES)
+        for t in q.split()
+    )
+    return f"""
+WITH qt AS (
+  SELECT CAST(q AS BIGINT) AS query_id, t AS term
+  FROM (VALUES {qt_vals}) v(q, t)
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+lens AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_len
+  FROM lens
+),
+tf AS (
+  SELECT q.query_id, q.term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN qt q ON q.term = t.term
+  GROUP BY 1, 2, 3
+),
+dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY 1
+),
+sc AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(round(
+           ln((2 * (s.n_docs - d.df) + 1)::DOUBLE
+              / (2 * d.df + 1)::DOUBLE)
+           * (tf.tf::DOUBLE * {1.2 + 1.0!r}
+              / (tf.tf::DOUBLE + {1.2!r}
+                 * ({1.0 - 0.75!r} + {0.75!r}
+                    * (l.dl * s.n_docs)::DOUBLE
+                    / s.total_len::DOUBLE)))
+           * 1e6) AS BIGINT) AS tm
+  FROM tf
+  JOIN dft d USING (term)
+  JOIN lens l ON l.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+pd AS (
+  SELECT query_id, doc_id, CAST(sum(tm) AS BIGINT) AS bm25_micro
+  FROM sc GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rk
+FROM pd QUALIFY rk <= {_BM25_K}
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1714,6 +1800,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ps_cpcv_folds": q_ps_cpcv_folds,
     "cv_cpcv_paths": q_cv_cpcv_paths,
     "cv_nested_ridge": q_cv_nested_ridge,
+    "text_bm25_topk": q_text_bm25_topk,
 }
 
 
@@ -1743,4 +1830,5 @@ def oracles13() -> Dict[str, str]:
         "ps_cpcv_folds": _sql_cpcv_folds(),
         "cv_cpcv_paths": _sql_cpcv_paths(),
         "cv_nested_ridge": _sql_nested_ridge(),
+        "text_bm25_topk": _sql_bm25_topk(),
     }

@@ -693,3 +693,19 @@ def test_nested_ridge_picks_zero_lambda_on_noiseless_line(spark):
         assert r["inner_sse"] == 0.0
         assert r["test_mse"] == 0.0
         assert r["n_test"] == 400
+
+
+def test_bm25_ranks_matching_docs(spark):
+    """A doc containing the query term twice outranks a doc with one
+    hit at equal length; docs with no query term never appear."""
+    from panelsplit_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "apple banana cherry dates"),
+        (2, "apple apple cherry dates"),
+    ] + [(i, "kiwi lemon mango nectar") for i in range(3, 11)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(docs, [(0, "apple")], k=5).collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rk"])]
+    assert ids == [2, 1]  # tf=2 beats tf=1 at equal length; rest absent
+    assert all(r["bm25_micro"] > 0 for r in out)
