@@ -1,4 +1,4 @@
-"""Query registry, part 13 (round 5, continued), nineteen queries:
+"""Query registry, part 13 (round 5, continued), twenty-one queries:
 
 * inequality / drift audits — ``dq_gini`` (exact Gini concentration
   per segment from the rank-sum identity), ``dq_ks_test`` (exact
@@ -37,7 +37,10 @@
 * panel CV — ``ps_cpcv_folds`` (combinatorial purged CV: C(G,k) test
   combinations, purge/embargo exclusion, one fan-out join),
   ``cv_cpcv_paths`` (the C(G−1,k−1) assembled backtest paths, per-path
-  OOF MSE of the closed-form fit).
+  OOF MSE of the closed-form fit), ``cv_nested_ridge`` (nested CV as
+  pure moment algebra — zero refits, exact integer λ argmin);
+* retrieval — ``text_bm25_topk`` (Okapi BM25 over a query-term-only
+  inverted index).
 
 Same cross-engine determinism rules as queries.py: exact-integer
 moments before any division (decimal(38,0) ↔ HUGEINT for products

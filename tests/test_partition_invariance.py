@@ -157,6 +157,11 @@ ROUND5B_SHAPES = [
     "pipe_weighted_reservoir",
     "dedup_incremental",
     "feat_acf",
+    # late round-5b additions: BM25 ranking (micro-sum + id ties),
+    # CPCV path SSE sums, nested-CV integer argmin over moments
+    "text_bm25_topk",
+    "cv_cpcv_paths",
+    "cv_nested_ridge",
 ]
 
 
