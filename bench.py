@@ -291,6 +291,7 @@ HEADLINE = [
     "cv_cpcv_paths",
     "cv_nested_ridge",
     "text_bm25_topk",
+    "dq_seasonal_anomaly",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -1779,6 +1779,104 @@ FROM pd QUALIFY rk <= {_BM25_K}
 
 
 # ======================================================================
+# dq_seasonal_anomaly — seasonal-profile + robust-MAD anomaly audit
+# ======================================================================
+
+
+def q_dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly audit: per hour-of-day, the event
+    value's deviation from that hour's mean is scored against the
+    hour's OWN robust scale (lower-median of absolute deviations) —
+    flagging a midnight value as anomalous by midnight's dispersion,
+    not the pooled day's. Deviations quantize to MILLI-cents after the
+    engine-identical double subtraction, so the MAD is an exact
+    integer order statistic (id tiebreak) and the 3×MAD flag is an
+    exact integer comparison. Two keyed windows + two keyed
+    aggregates, all partitioned by the 24-value hour key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    means = ev.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sc"),
+    ).select(
+        "hod", "n",
+        (F.col("sc").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+    ).localCheckpoint(eager=True)
+    dev = ev.join(F.broadcast(means), "hod").select(
+        "hod", "n", "event_id", "mean_cents",
+        F.round(
+            F.abs(F.col("cents").cast("double") - F.col("mean_cents"))
+            * F.lit(1000.0)
+        ).cast("long").alias("dev_milli"),
+    )
+    w = Window.partitionBy("hod").orderBy(
+        F.col("dev_milli").asc(), F.col("event_id").asc()
+    )
+    # lower median: the ((n+1) div 2)-th smallest deviation, exact
+    mads = (
+        dev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("hod", F.col("dev_milli").alias("mad_milli"))
+    )
+    return (
+        dev.join(F.broadcast(mads), "hod")
+        .groupBy("hod", "n", "mean_cents", "mad_milli")
+        .agg(
+            F.sum(
+                (
+                    F.col("dev_milli") > F.lit(3) * F.col("mad_milli")
+                ).cast("long")
+            ).alias("n_anomalies")
+        )
+        .select("hod", "n", "mean_cents", "mad_milli", "n_anomalies")
+    )
+
+
+_SQL_SEASONAL_ANOMALY = """
+WITH ev AS (
+  SELECT event_id, CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+means AS (
+  SELECT hod, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sc
+  FROM ev GROUP BY 1
+),
+m2 AS (
+  SELECT hod, n, sc::DOUBLE / n::DOUBLE AS mean_cents FROM means
+),
+dev AS (
+  SELECT e.hod, m.n, e.event_id, m.mean_cents,
+         CAST(round(abs(e.cents::DOUBLE - m.mean_cents) * 1000.0)
+              AS BIGINT) AS dev_milli
+  FROM ev e JOIN m2 m ON m.hod = e.hod
+),
+mads AS (
+  SELECT hod, dev_milli AS mad_milli
+  FROM (
+    SELECT hod, n, dev_milli,
+           CAST(row_number() OVER (PARTITION BY hod
+                ORDER BY dev_milli, event_id) AS BIGINT) AS rk
+    FROM dev
+  ) WHERE rk = (n + 1) // 2
+)
+SELECT d.hod, d.n, d.mean_cents, md.mad_milli,
+       CAST(sum(CASE WHEN d.dev_milli > 3 * md.mad_milli
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev d JOIN mads md ON md.hod = d.hod
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1804,6 +1902,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_cpcv_paths": q_cv_cpcv_paths,
     "cv_nested_ridge": q_cv_nested_ridge,
     "text_bm25_topk": q_text_bm25_topk,
+    "dq_seasonal_anomaly": q_dq_seasonal_anomaly,
 }
 
 
@@ -1834,4 +1933,5 @@ def oracles13() -> Dict[str, str]:
         "cv_cpcv_paths": _sql_cpcv_paths(),
         "cv_nested_ridge": _sql_nested_ridge(),
         "text_bm25_topk": _sql_bm25_topk(),
+        "dq_seasonal_anomaly": _SQL_SEASONAL_ANOMALY,
     }

@@ -709,3 +709,38 @@ def test_bm25_ranks_matching_docs(spark):
     ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rk"])]
     assert ids == [2, 1]  # tf=2 beats tf=1 at equal length; rest absent
     assert all(r["bm25_micro"] > 0 for r in out)
+
+
+def test_seasonal_anomaly_flags_planted_outlier(spark):
+    """One planted far-out value in a tight hour must be the hour's
+    only anomaly; a uniform hour has none."""
+    import __spark_entry__  # noqa: F401  (registry import path)
+    import datetime
+
+    from panelsplit_spark.queries_round5b import q_dq_seasonal_anomaly
+
+    # build a tiny parquet events table in a temp dir
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for i in range(50):  # hour 0: tight around 100 with one outlier
+        v = 100.0 if i < 49 else 100000.0
+        rows.append((eid, base + datetime.timedelta(minutes=i), 1, "c", v, "{}"))
+        eid += 1
+    for i in range(50):  # hour 1: all identical -> MAD 0, no anomalies... 
+        rows.append((eid, base + datetime.timedelta(hours=1, minutes=i), 1, "c", 7.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["hod"]: r for r in q_dq_seasonal_anomaly(spark, td).collect()}
+    assert out[0]["n_anomalies"] == 1
+    # identical values: every deviation is 0 = MAD -> nothing > 3*MAD
+    assert out[1]["n_anomalies"] == 0
