@@ -292,6 +292,7 @@ HEADLINE = [
     "cv_nested_ridge",
     "text_bm25_topk",
     "dq_seasonal_anomaly",
+    "cv_huber_irls",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

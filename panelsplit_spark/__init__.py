@@ -53,6 +53,7 @@ from .operators import (  # noqa: F401
     text,
 )
 from .operators.application import with_row_key_distributed
+from .operators.linear_fastpath import huber_irls
 from .operators.cross_validation import (
     cpcv_backtest_paths,
     cpcv_panel_assign,
@@ -185,6 +186,7 @@ __all__ = [
     "cpcv_panel_assign",
     "cpcv_backtest_paths",
     "nested_ridge_cv",
+    "huber_irls",
     "purged_panel_assign",
     "cosine_topk",
     "gram_matrix",

@@ -36,7 +36,7 @@ from ..estimators import (
     clone,
 )
 
-__all__ = ["suffstats_fit", "linear_predict_frame", "sweep_scores", "logistic_irls", "glm_irls"]
+__all__ = ["suffstats_fit", "linear_predict_frame", "sweep_scores", "logistic_irls", "glm_irls", "huber_irls"]
 
 # Moment aggregates are a function of (data, folds, columns, null rule) —
 # NOT of the estimator's hyper-parameters. A hyper-parameter search over
@@ -599,6 +599,76 @@ def glm_irls(
         if det == 0.0:
             raise RuntimeError(f"glm_irls[{family}]: singular Hessian")
         # nano-unit scales cancel in H^-1 g, so the deltas are unitful
+        d0 = (swxx * g0 - swx * g1) / det
+        d1 = (sw * g1 - swx * g0) / det
+        b0, b1 = b0 + d0, b1 + d1
+        out.append(
+            {
+                "it": it,
+                "sw": int(row["sw"]), "swx": int(row["swx"]),
+                "swxx": int(row["swxx"]),
+                "g0": int(row["g0"]), "g1": int(row["g1"]),
+                "beta0": b0, "beta1": b1,
+            }
+        )
+    return out
+
+
+def huber_irls(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    k: float,
+    n_iter: int = 2,
+    scale: float = 1_000_000_000.0,
+) -> List[dict]:
+    """Single-feature Huber robust regression via IRLS — the outlier-
+    resistant line fit (Huber 1964, public method), same trace/replay
+    contract as :func:`glm_irls` but with ZERO transcendentals: the
+    Huber working weight w = min(1, k/|r|) is rational, so every
+    iteration is libm-independent on every engine.
+
+    Iteration 1 uses w ≡ 1 (plain OLS — the standard IRLS start);
+    iterations 2+ reweight by the previous fit's residuals, with the
+    r = 0 case pinned to w = 1 on both engines (a raw k/0 would hit
+    engine-specific inf semantics). Per iteration ONE exact-integer
+    aggregation (nano-quantized terms; the scales cancel in H⁻¹g), a
+    2×2 solve in fixed-order double algebra, and a trace row the SQL
+    oracle replays as chained CTEs.
+    """
+    pts = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    b0, b1 = 0.0, 0.0
+    out: List[dict] = []
+    for it in range(1, n_iter + 1):
+        eta = F.lit(b0) + F.lit(b1) * F.col("x")
+        r = F.col("y") - eta
+        if it == 1:
+            w = F.lit(1.0)
+        else:
+            w = F.when(F.abs(r) == F.lit(0.0), F.lit(1.0)).otherwise(
+                F.least(F.lit(1.0), F.lit(float(k)) / F.abs(r))
+            )
+
+        def q(c: Column) -> Column:
+            return F.round(c * F.lit(scale)).cast("long")
+
+        row = pts.agg(
+            F.sum(q(w)).alias("sw"),
+            F.sum(q(w * F.col("x"))).alias("swx"),
+            F.sum(q(w * F.col("x") * F.col("x"))).alias("swxx"),
+            F.sum(q(w * r)).alias("g0"),
+            F.sum(q(w * r * F.col("x"))).alias("g1"),
+        ).collect()[0]
+        sw, swx, swxx = (
+            float(row["sw"]), float(row["swx"]), float(row["swxx"])
+        )
+        g0, g1 = float(row["g0"]), float(row["g1"])
+        det = sw * swxx - swx * swx
+        if det == 0.0:
+            raise RuntimeError("huber_irls: singular Hessian")
         d0 = (swxx * g0 - swx * g1) / det
         d1 = (sw * g1 - swx * g0) / det
         b0, b1 = b0 + d0, b1 + d1

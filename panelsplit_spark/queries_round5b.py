@@ -1877,6 +1877,105 @@ GROUP BY 1, 2, 3, 4
 
 
 # ======================================================================
+# cv_huber_irls — robust regression, zero transcendentals
+# ======================================================================
+
+_HUBER_K = 5.0
+_HUBER_ITER = 2
+
+
+def q_cv_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two IRLS steps of Huber robust regression (value-in-dollars on
+    hour-of-day, operators/linear_fastpath.huber_irls): iteration 1 is
+    plain OLS, iteration 2 reweights by min(1, k/|r|) — rational
+    weights, so unlike the GLM gates there is NO transcendental
+    anywhere; every sum is an exact nano-quantized integer and the
+    2×2 solves are fixed-order double algebra the oracle replays as
+    chained CTEs."""
+    from .operators.linear_fastpath import huber_irls
+    from .queries_curate import _irls_trace_frame
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.hour("ts").cast("long").cast("double").alias("x"),
+        (F.round(F.col("value") * 100).cast("long").cast("double")
+         / F.lit(100.0)).alias("y"),
+    )
+    return _irls_trace_frame(
+        spark, huber_irls(pts, "x", "y", k=_HUBER_K, n_iter=_HUBER_ITER)
+    )
+
+
+def _sql_huber_irls() -> str:
+    det = (
+        "(sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE)"
+    )
+    return f"""
+WITH pts AS (
+  SELECT CAST(hour(ts) AS BIGINT)::DOUBLE AS x,
+         CAST(round(value * 100) AS BIGINT)::DOUBLE / 100.0 AS y
+  FROM events
+),
+s1 AS (
+  SELECT
+    CAST(sum(CAST(round((1.0) * 1e9) AS BIGINT)) AS BIGINT) AS sw,
+    CAST(sum(CAST(round((1.0 * x) * 1e9) AS BIGINT)) AS BIGINT) AS swx,
+    CAST(sum(CAST(round((1.0 * x * x) * 1e9) AS BIGINT)) AS BIGINT)
+      AS swxx,
+    CAST(sum(CAST(round((1.0 * (y - (0.0 + 0.0 * x))) * 1e9)
+         AS BIGINT)) AS BIGINT) AS g0,
+    CAST(sum(CAST(round((1.0 * (y - (0.0 + 0.0 * x)) * x) * 1e9)
+         AS BIGINT)) AS BIGINT) AS g1
+  FROM pts
+),
+b1v AS (
+  SELECT sw, swx, swxx, g0, g1,
+         (swxx::DOUBLE * g0::DOUBLE - swx::DOUBLE * g1::DOUBLE)
+           / {det} AS beta0,
+         (sw::DOUBLE * g1::DOUBLE - swx::DOUBLE * g0::DOUBLE)
+           / {det} AS beta1
+  FROM s1
+),
+p2 AS (
+  SELECT p.x, p.y, b.beta0, b.beta1,
+         p.y - (b.beta0 + b.beta1 * p.x) AS r,
+         CASE WHEN abs(p.y - (b.beta0 + b.beta1 * p.x)) = 0.0 THEN 1.0
+              ELSE least(1.0, {_HUBER_K!r}
+                         / abs(p.y - (b.beta0 + b.beta1 * p.x)))
+         END AS w
+  FROM pts p CROSS JOIN b1v b
+),
+s2 AS (
+  SELECT
+    CAST(sum(CAST(round((w) * 1e9) AS BIGINT)) AS BIGINT) AS sw,
+    CAST(sum(CAST(round((w * x) * 1e9) AS BIGINT)) AS BIGINT) AS swx,
+    CAST(sum(CAST(round((w * x * x) * 1e9) AS BIGINT)) AS BIGINT)
+      AS swxx,
+    CAST(sum(CAST(round((w * r) * 1e9) AS BIGINT)) AS BIGINT) AS g0,
+    CAST(sum(CAST(round((w * r * x) * 1e9) AS BIGINT)) AS BIGINT) AS g1
+  FROM p2
+),
+b2v AS (
+  SELECT s2.sw, s2.swx, s2.swxx, s2.g0, s2.g1,
+         b.beta0 + (s2.swxx::DOUBLE * s2.g0::DOUBLE
+                    - s2.swx::DOUBLE * s2.g1::DOUBLE)
+           / (s2.sw::DOUBLE * s2.swxx::DOUBLE
+              - s2.swx::DOUBLE * s2.swx::DOUBLE) AS beta0,
+         b.beta1 + (s2.sw::DOUBLE * s2.g1::DOUBLE
+                    - s2.swx::DOUBLE * s2.g0::DOUBLE)
+           / (s2.sw::DOUBLE * s2.swxx::DOUBLE
+              - s2.swx::DOUBLE * s2.swx::DOUBLE) AS beta1
+  FROM s2 CROSS JOIN b1v b
+)
+SELECT CAST(1 AS BIGINT) AS it, sw, swx, swxx, g0, g1, beta0, beta1
+FROM b1v
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS it, sw, swx, swxx, g0, g1, beta0, beta1
+FROM b2v
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1903,6 +2002,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_nested_ridge": q_cv_nested_ridge,
     "text_bm25_topk": q_text_bm25_topk,
     "dq_seasonal_anomaly": q_dq_seasonal_anomaly,
+    "cv_huber_irls": q_cv_huber_irls,
 }
 
 
@@ -1934,4 +2034,5 @@ def oracles13() -> Dict[str, str]:
         "cv_nested_ridge": _sql_nested_ridge(),
         "text_bm25_topk": _sql_bm25_topk(),
         "dq_seasonal_anomaly": _SQL_SEASONAL_ANOMALY,
+        "cv_huber_irls": _sql_huber_irls(),
     }

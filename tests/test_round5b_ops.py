@@ -744,3 +744,18 @@ def test_seasonal_anomaly_flags_planted_outlier(spark):
     assert out[0]["n_anomalies"] == 1
     # identical values: every deviation is 0 = MAD -> nothing > 3*MAD
     assert out[1]["n_anomalies"] == 0
+
+
+def test_huber_downweights_outlier(spark):
+    """Clean line y = 3x with one gross outlier: iteration 1 (OLS) is
+    pulled toward the outlier; iteration 2's Huber reweighting must
+    land strictly closer to slope 3."""
+    from panelsplit_spark.operators.linear_fastpath import huber_irls
+
+    rows = [(float(x), 3.0 * x) for x in range(1, 21)] + [(10.0, 1000.0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    trace = huber_irls(df, "x", "y", k=2.0, n_iter=2)
+    b1_ols = trace[0]["beta1"]
+    b1_rob = trace[1]["beta1"]
+    assert abs(b1_rob - 3.0) < abs(b1_ols - 3.0)
+    assert trace[0]["it"] == 1 and trace[1]["it"] == 2
