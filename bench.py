@@ -293,6 +293,7 @@ HEADLINE = [
     "text_bm25_topk",
     "dq_seasonal_anomaly",
     "cv_huber_irls",
+    "text_rake_topk",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -95,6 +95,7 @@ from .operators.skew import salted_join
 from .operators.text import (
     bm25_topk,
     chunk_documents,
+    rake_topk,
     lm_unigram_score,
     register_ngram_udtf,
     repetition_signals,
@@ -196,6 +197,7 @@ __all__ = [
     "register_ngram_udtf",
     "lm_unigram_score",
     "bm25_topk",
+    "rake_topk",
     "chunk_documents",
     "repetition_signals",
     "cents",

@@ -19,6 +19,7 @@ from ..functions.hashing import word_ngrams, word_tokens
 __all__ = [
     "STOPWORDS",
     "bm25_topk",
+    "rake_topk",
     "PII_PATTERNS",
     "pii_scrub",
     "text_stats",
@@ -922,4 +923,90 @@ def bm25_topk(
         per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= int(k))
         .select("query_id", id_col, "bm25_micro", "rk")
+    )
+
+
+def rake_topk(
+    docs,
+    stopwords,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+):
+    """RAKE keyphrase extraction (Rose et al. 2010, public method),
+    corpus-level top-k: candidate phrases are maximal stopword-free
+    token runs (gaps-and-islands: island = pos − rank-over-nonstop, a
+    pure window identity), word scores are degree/frequency where
+    degree(w) = Σ length of the phrases w occurs in, and a phrase's
+    score is the sum of its words' scores.
+
+    Fully integer-exact: word score = (deg·10⁶) div freq (INTEGER
+    division — no doubles exist anywhere in the statistic), phrase
+    score = exact integer sum over its words, ranking ties break on
+    the phrase text. Phrase text itself is order-pinned
+    (Spark: sort_array over (pos, token) structs; oracle:
+    string_agg ORDER BY pos).
+
+    100 TB shape: one posexplode + doc-keyed window for islands, one
+    phrase-keyed aggregate, one corpus word-stat aggregate joined back
+    over the DISTINCT phrase vocabulary (≪ occurrences); final top-k
+    is a TakeOrdered.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    ns = toks.where(~F.col("tok").isin(*stopwords)).withColumn(
+        "island",
+        F.col("pos").cast("long")
+        - F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("pos"))
+        .cast("long"),
+    )
+    ph = ns.groupBy(id_col, "island").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstat = (
+        ns.join(ph, [id_col, "island"])
+        .groupBy("tok")
+        .agg(
+            F.sum("plen").alias("deg"),
+            F.count(F.lit(1)).alias("freq"),
+        )
+    )
+    wsc = wstat.select(
+        "tok",
+        F.expr("(deg * 1000000) div freq").alias("score_micro"),
+    )
+    dph = ph.select("phrase").distinct()
+    pw = dph.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("tok")
+    )
+    psc = (
+        pw.join(wsc, "tok")
+        .groupBy("phrase")
+        .agg(F.sum("score_micro").alias("score_micro"))
+    )
+    occ = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    return (
+        psc.join(occ, "phrase")
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(int(k))
+        .select("phrase", "n_occurrences", "n_docs", "score_micro")
     )

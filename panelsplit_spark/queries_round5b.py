@@ -1976,6 +1976,81 @@ FROM b2v
 
 
 # ======================================================================
+# text_rake_topk — RAKE keyphrases, fully integer-exact
+# ======================================================================
+
+_RAKE_K = 20
+
+
+def q_text_rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 RAKE keyphrases (operators/text.rake_topk) using
+    the Gopher stopword list as delimiters. No doubles exist anywhere
+    in the statistic: word score = (deg·10⁶) div freq (integer
+    division), phrase score = exact integer sum, ties on the phrase
+    text."""
+    from .operators.quality import GOPHER_STOPWORDS
+    from .operators.text import rake_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_topk(docs, GOPHER_STOPWORDS, k=_RAKE_K)
+
+
+def _sql_rake_topk() -> str:
+    from .operators.quality import GOPHER_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH pos0 AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        FROM documents)
+),
+toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, tk[i] AS tok
+  FROM pos0 WHERE tk[i] <> ''
+),
+ns AS (
+  SELECT doc_id, pos, tok,
+         pos - CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY pos) AS BIGINT) AS island
+  FROM toks WHERE tok NOT IN ({stop_list})
+),
+ph AS (
+  SELECT doc_id, island,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM ns GROUP BY 1, 2
+),
+wstat AS (
+  SELECT ns.tok, CAST(sum(ph.plen) AS BIGINT) AS deg,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM ns JOIN ph USING (doc_id, island)
+  GROUP BY 1
+),
+wsc AS (
+  SELECT tok, (deg * 1000000) // freq AS score_micro FROM wstat
+),
+dph AS (SELECT DISTINCT phrase FROM ph),
+pw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS tok FROM dph
+),
+psc AS (
+  SELECT pw.phrase, CAST(sum(w.score_micro) AS BIGINT) AS score_micro
+  FROM pw JOIN wsc w USING (tok) GROUP BY 1
+),
+occ AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ph GROUP BY 1
+)
+SELECT p.phrase, o.n_occurrences, o.n_docs, p.score_micro
+FROM psc p JOIN occ o USING (phrase)
+ORDER BY p.score_micro DESC, p.phrase
+LIMIT {_RAKE_K}
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -2003,6 +2078,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": q_text_bm25_topk,
     "dq_seasonal_anomaly": q_dq_seasonal_anomaly,
     "cv_huber_irls": q_cv_huber_irls,
+    "text_rake_topk": q_text_rake_topk,
 }
 
 
@@ -2035,4 +2111,5 @@ def oracles13() -> Dict[str, str]:
         "text_bm25_topk": _sql_bm25_topk(),
         "dq_seasonal_anomaly": _SQL_SEASONAL_ANOMALY,
         "cv_huber_irls": _sql_huber_irls(),
+        "text_rake_topk": _sql_rake_topk(),
     }

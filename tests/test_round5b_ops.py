@@ -759,3 +759,25 @@ def test_huber_downweights_outlier(spark):
     b1_rob = trace[1]["beta1"]
     assert abs(b1_rob - 3.0) < abs(b1_ols - 3.0)
     assert trace[0]["it"] == 1 and trace[1]["it"] == 2
+
+
+def test_rake_island_phrases_and_scores(spark):
+    """'the quick fox the quick fox dog the' → phrases 'quick fox' ×2
+    and 'quick fox dog' ×1; degree/freq follow the RAKE identities and
+    the longer phrase outranks the shorter (more word mass)."""
+    from panelsplit_spark.operators.text import rake_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox the quick fox dog the")],
+        ["doc_id", "text"],
+    )
+    out = {r["phrase"]: r for r in rake_topk(docs, ("the",), k=10).collect()}
+    assert set(out) == {"quick fox", "quick fox dog"}
+    # deg(quick)=2+3=... occurrences: in 'quick fox'(len2) and
+    # 'quick fox dog'(len3) -> appears twice? occurrences: islands are
+    # [quick fox] and [quick fox dog]: deg(quick)=2+3=5, freq=2 ->
+    # score 2_500_000; fox same; dog deg=3 freq=1 -> 3_000_000
+    assert out["quick fox"]["score_micro"] == 2 * 2_500_000
+    assert out["quick fox dog"]["score_micro"] == 2 * 2_500_000 + 3_000_000
+    assert out["quick fox"]["n_occurrences"] == 1
+    assert out["quick fox dog"]["n_occurrences"] == 1
