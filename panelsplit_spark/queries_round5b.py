@@ -1,4 +1,4 @@
-"""Query registry, part 13 (round 5, continued), twenty-one queries:
+"""Query registry, part 13 (round 5, continued), twenty-four queries:
 
 * inequality / drift audits — ``dq_gini`` (exact Gini concentration
   per segment from the rank-sum identity), ``dq_ks_test`` (exact
@@ -39,8 +39,11 @@
   ``cv_cpcv_paths`` (the C(G−1,k−1) assembled backtest paths, per-path
   OOF MSE of the closed-form fit), ``cv_nested_ridge`` (nested CV as
   pure moment algebra — zero refits, exact integer λ argmin);
-* retrieval — ``text_bm25_topk`` (Okapi BM25 over a query-term-only
-  inverted index).
+* retrieval / NLP — ``text_bm25_topk`` (Okapi BM25 over a
+  query-term-only inverted index), ``text_rake_topk`` (RAKE
+  keyphrases, fully integer-exact);
+* robust fitting — ``cv_huber_irls`` (transcendental-free IRLS),
+  ``dq_seasonal_anomaly`` (per-hour robust-MAD anomaly audit).
 
 Same cross-engine determinism rules as queries.py: exact-integer
 moments before any division (decimal(38,0) ↔ HUGEINT for products

@@ -162,6 +162,11 @@ ROUND5B_SHAPES = [
     "text_bm25_topk",
     "cv_cpcv_paths",
     "cv_nested_ridge",
+    # final round-5b batch: hour-median MAD selection, nano-quantized
+    # IRLS sums, RAKE island phrases + integer-div ranking
+    "dq_seasonal_anomaly",
+    "cv_huber_irls",
+    "text_rake_topk",
 ]
 
 
