@@ -294,6 +294,7 @@ HEADLINE = [
     "dq_seasonal_anomaly",
     "cv_huber_irls",
     "text_rake_topk",
+    "stream_ks",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -109,6 +109,7 @@ from .operators.evaluation import (
 from .operators.quality import (
     gini_by_group,
     ks_one_vs_rest,
+    ks_from_counts,
     referential_audit,
     rule_ablation,
 )
@@ -218,6 +219,7 @@ __all__ = [
     "acf_lags",
     "gini_by_group",
     "ks_one_vs_rest",
+    "ks_from_counts",
     "rule_ablation",
     "referential_audit",
     "compact_parquet",

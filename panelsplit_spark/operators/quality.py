@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules",
            "GOPHER_STOPWORDS", "k_anonymity_audit", "benford_audit",
            "BENFORD_PPM", "ndv_profile", "gini_by_group", "ks_one_vs_rest",
-           "rule_ablation", "referential_audit"]
+           "rule_ablation", "referential_audit", "ks_from_counts"]
 
 #: Small closed-class word set used by the "document contains at least
 #: two stopwords" heuristic (Rae et al. 2021, "Scaling Language Models"
@@ -522,6 +522,18 @@ def ks_one_vs_rest(
     # four consumers (per-segment totals, the value axis, the grid join,
     # the pooled cumulative); checkpointing it keeps the raw scan at ONE
     # pass instead of four
+    return ks_from_counts(counts)
+
+
+def ks_from_counts(counts: DataFrame) -> DataFrame:
+    """Finish :func:`ks_one_vs_rest` from a (segment, v, c) count
+    table. Split out because the count table is MERGEABLE (keyed SUM
+    folds two tables into the table of the union) — the streaming gate
+    folds per-batch count tables and finishes with this exact code,
+    which is why the batch oracle applies to the drained state
+    verbatim."""
+    from pyspark.sql import Window
+
     segs = counts.groupBy("segment").agg(F.sum("c").alias("n_seg"))
     vals = counts.select("v").distinct()
     grid = vals.crossJoin(F.broadcast(segs))

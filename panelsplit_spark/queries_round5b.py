@@ -2054,6 +2054,66 @@ LIMIT {_RAKE_K}
 
 
 # ======================================================================
+# stream_ks — the 21st streaming gate (mergeable count-table state)
+# ======================================================================
+
+_SKS_BATCHES = 3
+
+
+def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift monitor (streaming/rolling.stream_ks_counts):
+    the events feed arrives as three deterministic micro-batches; each
+    batch's (segment, value) count table folds into the running state
+    with one keyed SUM (a monoid — trivially chop-invariant), and the
+    KS finisher over the drained state must hash-match the batch
+    dq_ks_test oracle verbatim."""
+    from .operators.quality import ks_from_counts
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_ks_counts,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).where(F.col("cents").isNotNull())
+    name = "stream_ks_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("ks_feed")
+        write_file_batches(
+            [
+                ev.where(F.col("event_id") % _SKS_BATCHES == j)
+                for j in range(_SKS_BATCHES)
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_counts = stream_ks_counts(
+                stream, "event_type", "cents", query_name=name
+            )
+            q.awaitTermination()
+        counts = get_counts()
+        if counts is not None:
+            return ks_from_counts(counts)
+    raise RuntimeError(
+        "stream_ks: drain processed zero non-empty batches twice"
+    )
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -2082,6 +2142,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_seasonal_anomaly": q_dq_seasonal_anomaly,
     "cv_huber_irls": q_cv_huber_irls,
     "text_rake_topk": q_text_rake_topk,
+    "stream_ks": q_stream_ks,
 }
 
 
@@ -2115,4 +2176,7 @@ def oracles13() -> Dict[str, str]:
         "dq_seasonal_anomaly": _SQL_SEASONAL_ANOMALY,
         "cv_huber_irls": _sql_huber_irls(),
         "text_rake_topk": _sql_rake_topk(),
+        # drained count-table state == batch counts (keyed SUM is a
+        # monoid), so the batch KS oracle applies verbatim
+        "stream_ks": _SQL_KS,
     }

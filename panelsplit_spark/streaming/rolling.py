@@ -1241,3 +1241,53 @@ def stream_mde_moments(
         .start()
     )
     return q, lambda: state["df"]
+
+
+def stream_ks_counts(
+    stream_df: DataFrame,
+    segment_col: str,
+    value_col: str,
+    query_name: str = "stream_ks",
+):
+    """Streaming KS drift monitor — the online form of
+    ``operators/quality.ks_one_vs_rest``. The (segment, value) count
+    table is a monoid under keyed SUM, so each micro-batch's table
+    folds into the running state with one keyed aggregate; the drained
+    state equals the batch count table over the whole feed, and the KS
+    finisher over it must hash-match the batch oracle verbatim. State
+    is bounded by the quantized value DOMAIN × segments — independent
+    of row count — which is what lets a 100 TB feed keep an exact,
+    binning-free distribution test continuously true.
+
+    Returns ``(query, get_counts)``.
+    """
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = (
+            batch_df.select(
+                F.col(segment_col).alias("segment"),
+                F.col(value_col).cast("long").alias("v"),
+            )
+            .groupBy("segment", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        prev = state["df"]
+        cur = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy("segment", "v")
+            .agg(F.sum("c").alias("c"))
+        )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["df"]

@@ -781,3 +781,37 @@ def test_rake_island_phrases_and_scores(spark):
     assert out["quick fox dog"]["score_micro"] == 2 * 2_500_000 + 3_000_000
     assert out["quick fox"]["n_occurrences"] == 1
     assert out["quick fox dog"]["n_occurrences"] == 1
+
+
+def test_ks_counts_merge_equals_whole(spark):
+    """Keyed-SUM-merged per-half count tables must finish to the SAME
+    KS rows as the one-pass operator — the 21st gate's chop-invariance,
+    checked batch-side."""
+    from pyspark.sql import functions as SF
+
+    from panelsplit_spark.operators.quality import (
+        ks_from_counts,
+        ks_one_vs_rest,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("seg"),
+        (F.col("id") % 29).alias("v"),
+        F.col("id"),
+    )
+    whole = ks_one_vs_rest(df, "seg", "v").collect()
+
+    def counts(part):
+        return part.select(
+            F.col("seg").alias("segment"), F.col("v").cast("long").alias("v")
+        ).groupBy("segment", "v").agg(SF.count(SF.lit(1)).alias("c"))
+
+    merged = (
+        counts(df.where(F.col("id") < 150))
+        .unionByName(counts(df.where(F.col("id") >= 150)))
+        .groupBy("segment", "v")
+        .agg(SF.sum("c").alias("c"))
+    )
+    folded = ks_from_counts(merged).collect()
+    key = lambda rows: {r["segment"]: tuple(r)[1:] for r in rows}  # noqa: E731
+    assert key(whole) == key(folded)

@@ -109,6 +109,7 @@ BNLJ_WHITELIST = {
     "cv_learning_curve",     # 1-row held-out-moment frame into 4 cut rows
     "feat_acf",              # 7-row lag axis crossed into the daily series
     "text_bm25_topk",        # single-row (N, Σlen) corpus-stats scalar
+    "stream_ks",             # KS finisher: same tiny broadcasts as dq_ks_test
 }
 
 
