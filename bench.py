@@ -295,6 +295,7 @@ HEADLINE = [
     "cv_huber_irls",
     "text_rake_topk",
     "stream_ks",
+    "pipe_span_corruption",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -95,10 +95,11 @@ from .operators.skew import salted_join
 from .operators.text import (
     bm25_topk,
     chunk_documents,
-    rake_topk,
     lm_unigram_score,
+    rake_topk,
     register_ngram_udtf,
     repetition_signals,
+    span_corruption,
 )
 from .operators.evaluation import (
     cuped_adjust,
@@ -199,6 +200,7 @@ __all__ = [
     "lm_unigram_score",
     "bm25_topk",
     "rake_topk",
+    "span_corruption",
     "chunk_documents",
     "repetition_signals",
     "cents",

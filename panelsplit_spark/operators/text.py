@@ -20,6 +20,7 @@ __all__ = [
     "STOPWORDS",
     "bm25_topk",
     "rake_topk",
+    "span_corruption",
     "PII_PATTERNS",
     "pii_scrub",
     "text_stats",
@@ -1009,4 +1010,138 @@ def rake_topk(
         .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
         .limit(int(k))
         .select("phrase", "n_occurrences", "n_docs", "score_micro")
+    )
+
+
+def span_corruption(
+    docs,
+    mask_bp: int = 1500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "span",
+):
+    """T5-style span-corruption training pairs (Raffel et al. 2020,
+    public method): each token masks independently by its content hash
+    (``hash_bucket(doc#pos) < mask_bp`` — reproducible across runs,
+    engines, and repartitioning), consecutive masked tokens merge into
+    spans, and each document becomes an (input, target) pair —
+
+        input  = unmasked tokens with span k replaced by <extra_id_k>
+        target = <extra_id_k> followed by span k's tokens, for all k
+
+    Everything is deterministic string algebra: spans are
+    gaps-and-islands over the masked positions, sentinel indices are
+    per-doc ranks of the span start, and both strings render through
+    position-ordered aggregation (sort_array over (pos, token)
+    structs), so the oracle reproduces them byte-for-byte. Documents
+    with no masked token emit their token stream and an empty target.
+
+    100 TB shape: one posexplode + two doc-keyed windows + doc-keyed
+    aggregates — the corruption of a petabyte corpus is one shuffle
+    keyed by doc, and re-running it (or running it on an appended
+    batch) masks exactly the same tokens.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    toks = toks.withColumn(
+        "masked",
+        (
+            hash_bucket(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("#"),
+                    F.col("pos").cast("string"),
+                ),
+                salt,
+            )
+            < F.lit(int(mask_bp))
+        ).cast("int"),
+    )
+    mk = toks.where(F.col("masked") == 1).withColumn(
+        "island",
+        F.col("pos").cast("long")
+        - F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("pos"))
+        .cast("long"),
+    )
+    runs = mk.groupBy(id_col, "island").agg(
+        F.min("pos").alias("run_start"),
+        F.count(F.lit(1)).alias("run_len"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("span_text"),
+    ).withColumn(
+        "k",
+        F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("run_start"))
+        .cast("long")
+        - F.lit(1),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
+    )
+    pieces = toks.where(F.col("masked") == 0).select(
+        F.col(id_col), F.col("pos").cast("long").alias("pos"),
+        F.col("tok").alias("piece"),
+    ).unionByName(
+        runs.select(
+            F.col(id_col),
+            F.col("run_start").cast("long").alias("pos"),
+            sentinel.alias("piece"),
+        )
+    )
+    inputs = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "piece"))),
+                lambda x: x["piece"],
+            ),
+            " ",
+        ).alias("input_text")
+    )
+    targets = runs.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "k",
+                            F.concat(
+                                sentinel, F.lit(" "), F.col("span_text")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("target_text"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("run_len").alias("n_masked_tokens"),
+    )
+    return (
+        inputs.join(targets, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_masked_tokens"), F.lit(0)).alias(
+                "n_masked_tokens"
+            ),
+            "input_text",
+            F.coalesce(F.col("target_text"), F.lit("")).alias(
+                "target_text"
+            ),
+        )
     )

@@ -2114,6 +2114,97 @@ def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
+# pipe_span_corruption — T5-style masked-span training pairs
+# ======================================================================
+
+_SPAN_MASK_BP = 1500
+_SPAN_SALT = "span"
+
+
+def q_pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption pre-training pairs (operators/text.
+    span_corruption): 15% of tokens mask by content hash, consecutive
+    masks merge into sentinel spans, each doc emits the
+    (input, target) pair byte-exactly on both engines. Re-running (or
+    appending a batch) masks exactly the same tokens — the property a
+    resumable 100 TB corruption job needs."""
+    from .operators.text import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption(
+        docs, mask_bp=_SPAN_MASK_BP, salt=_SPAN_SALT
+    )
+
+
+def _sql_span_corruption() -> str:
+    bucket = duckdb_hash_bucket(
+        "concat(CAST(doc_id AS VARCHAR), '#', CAST(pos AS VARCHAR))",
+        _SPAN_SALT,
+    )
+    return f"""
+WITH tk0 AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+pos0 AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tk0
+),
+toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, tk[i] AS tok
+  FROM pos0 WHERE tk[i] <> ''
+),
+m AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN ({bucket}) < {_SPAN_MASK_BP} THEN 1 ELSE 0 END
+           AS masked
+  FROM toks
+),
+mk AS (
+  SELECT doc_id, pos, tok,
+         pos - CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY pos) AS BIGINT) AS island
+  FROM m WHERE masked = 1
+),
+runs AS (
+  SELECT doc_id, island, CAST(min(pos) AS BIGINT) AS run_start,
+         CAST(count(*) AS BIGINT) AS run_len,
+         string_agg(tok, ' ' ORDER BY pos) AS span_text
+  FROM mk GROUP BY 1, 2
+),
+runs2 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+           ORDER BY run_start) AS BIGINT) - 1 AS k
+  FROM runs
+),
+pieces AS (
+  SELECT doc_id, pos, tok AS piece FROM m WHERE masked = 0
+  UNION ALL
+  SELECT doc_id, run_start AS pos,
+         '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece
+  FROM runs2
+),
+inputs AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+  FROM pieces GROUP BY 1
+),
+targets AS (
+  SELECT doc_id,
+         string_agg('<extra_id_' || CAST(k AS VARCHAR) || '>' || ' '
+                    || span_text, ' ' ORDER BY k) AS target_text,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(run_len) AS BIGINT) AS n_masked_tokens
+  FROM runs2 GROUP BY 1
+)
+SELECT i.doc_id,
+       COALESCE(t.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       COALESCE(t.n_masked_tokens, CAST(0 AS BIGINT))
+         AS n_masked_tokens,
+       i.input_text,
+       COALESCE(t.target_text, '') AS target_text
+FROM inputs i LEFT JOIN targets t ON t.doc_id = i.doc_id
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -2143,6 +2234,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_huber_irls": q_cv_huber_irls,
     "text_rake_topk": q_text_rake_topk,
     "stream_ks": q_stream_ks,
+    "pipe_span_corruption": q_pipe_span_corruption,
 }
 
 
@@ -2179,4 +2271,5 @@ def oracles13() -> Dict[str, str]:
         # drained count-table state == batch counts (keyed SUM is a
         # monoid), so the batch KS oracle applies verbatim
         "stream_ks": _SQL_KS,
+        "pipe_span_corruption": _sql_span_corruption(),
     }

@@ -815,3 +815,36 @@ def test_ks_counts_merge_equals_whole(spark):
     folded = ks_from_counts(merged).collect()
     key = lambda rows: {r["segment"]: tuple(r)[1:] for r in rows}  # noqa: E731
     assert key(whole) == key(folded)
+
+
+def test_span_corruption_reconstruction_identity(spark):
+    """Structural invariants on real-ish text: (a) the number of
+    sentinels in input == n_spans == sentinels in target; (b) the
+    multiset of tokens in (input minus sentinels) plus (target minus
+    sentinels) equals the original token multiset; (c) re-running
+    produces byte-identical pairs."""
+    import re
+
+    from panelsplit_spark.operators.text import span_corruption
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out1 = {r["doc_id"]: r for r in span_corruption(docs, mask_bp=3000).collect()}
+    out2 = {r["doc_id"]: r for r in span_corruption(docs, mask_bp=3000).collect()}
+    assert out1.keys() == out2.keys()
+    sent = re.compile(r"<extra_id_\d+>")
+    for i, r in out1.items():
+        assert (r["input_text"], r["target_text"]) == (
+            out2[i]["input_text"], out2[i]["target_text"]
+        )
+        n_in = len(sent.findall(r["input_text"]))
+        n_tg = len(sent.findall(r["target_text"]))
+        assert n_in == r["n_spans"] == n_tg
+        toks_in = [t for t in r["input_text"].split() if not sent.match(t)]
+        toks_tg = [t for t in r["target_text"].split() if not sent.match(t)]
+        assert sorted(toks_in + toks_tg) == sorted(
+            f"w{j}" for j in range(30)
+        )
+        assert len(toks_tg) == r["n_masked_tokens"]
