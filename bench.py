@@ -296,6 +296,7 @@ HEADLINE = [
     "text_rake_topk",
     "stream_ks",
     "pipe_span_corruption",
+    "emb_kcenter_sample",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -83,6 +83,7 @@ from .operators.sampling import (
 from .operators.similarity import (
     cosine_topk,
     gram_matrix,
+    kcenter_sample,
     pca_fit,
     pca_project,
 )
@@ -192,6 +193,7 @@ __all__ = [
     "huber_irls",
     "purged_panel_assign",
     "cosine_topk",
+    "kcenter_sample",
     "gram_matrix",
     "pca_fit",
     "pca_project",

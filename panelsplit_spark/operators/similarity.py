@@ -33,6 +33,7 @@ from ..functions.vector import (
 
 __all__ = [
     "cosine_topk",
+    "kcenter_sample",
     "random_hyperplanes",
     "hyperplane_signature",
     "lsh_topk",
@@ -1053,3 +1054,87 @@ def topk_recall(
             ).alias("recall"),
         )
     )
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity sample (Gonzalez
+    1985, public method) — the coreset / diverse-subset selector a
+    curation pipeline uses when it wants k embeddings that COVER the
+    space rather than k random ones (2-approximation to the optimal
+    k-center cover).
+
+    Determinism follows the kmeans_fit contract exactly: the seed is
+    the row with the smallest (md5(id), id); each round scores every
+    point by its minimum squared-L2 distance to the selected set,
+    ROUNDED to ``round_to`` dp (the established cross-engine float
+    comparison convention), and picks the maximum with id tiebreak.
+    Selected vectors re-enter the plan as double literals (exact
+    float64 round trip), so each round is ONE scan with a
+    whole-stage-codegen least()-of-k expression — no joins, no
+    shuffles; k−1 rounds total, each a driver-small argmax collect.
+    The oracle replays the rounds as chained CTEs.
+
+    Output: one row per selected point —
+    ``sel_rank vec_id dmin_at_pick`` (NULL for the seed).
+    """
+    from ..functions.vector import as_double
+
+    v = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("x")
+    ).localCheckpoint(eager=True)
+    seed = (
+        v.select(
+            "id", "x", F.md5(F.col("id").cast("string")).alias("h")
+        )
+        .orderBy("h", "id")
+        .limit(1)
+        .collect()[0]
+    )
+    selected = [(int(seed["id"]), list(seed["x"]), None)]
+
+    def sq_l2(lit_vec):
+        arr = F.array(*[F.lit(float(c)) for c in lit_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("x"), arr, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            round_to,
+        )
+
+    for _ in range(int(k) - 1):
+        dmin = F.least(*[sq_l2(vec) for _, vec, _ in selected]) if len(
+            selected
+        ) > 1 else sq_l2(selected[0][1])
+        chosen_ids = [i for i, _, _ in selected]
+        row = (
+            v.where(~F.col("id").isin(chosen_ids))
+            .select("id", "x", dmin.alias("dmin"))
+            .orderBy(F.col("dmin").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((int(row["id"]), list(row["x"]), float(row["dmin"])))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("sel_rank", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("dmin_at_pick", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (rk, i, d) for rk, (i, _, d) in enumerate(selected)
+    ]
+    return emb.sparkSession.createDataFrame(rows, schema)

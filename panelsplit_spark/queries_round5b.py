@@ -2205,6 +2205,59 @@ FROM inputs i LEFT JOIN targets t ON t.doc_id = i.doc_id
 
 
 # ======================================================================
+# emb_kcenter_sample — greedy farthest-point diversity selection
+# ======================================================================
+
+_KC_K = 6
+
+
+def q_emb_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings table (operators/
+    similarity.kcenter_sample): 6 points that COVER the space —
+    deterministic seed (smallest md5), per-round argmax of the rounded
+    min-distance with id tiebreaks, selected vectors as double
+    literals so each round is one codegen scan. The oracle replays all
+    rounds as chained CTEs."""
+    from .operators.similarity import kcenter_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_sample(emb, _KC_K)
+
+
+def _sql_kcenter() -> str:
+    d = ("round(list_sum(list_transform(range(1, len(v.x) + 1), "
+         "j -> (v.x[j] - s.x[j]) * (v.x[j] - s.x[j]))), 6)")
+    parts = ["""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+sel0 AS (
+  SELECT id, 0 AS rk, CAST(NULL AS DOUBLE) AS dmin FROM (
+    SELECT id FROM (
+      SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM v
+    ) ORDER BY h, id LIMIT 1
+  )
+)"""]
+    for i in range(1, _KC_K):
+        parts.append(f""",
+pick{i} AS (
+  SELECT c.id, {i} AS rk, c.dmin FROM (
+    SELECT v.id, min({d}) AS dmin
+    FROM v JOIN v s ON s.id IN (SELECT id FROM sel{i - 1})
+    WHERE v.id NOT IN (SELECT id FROM sel{i - 1})
+    GROUP BY v.id
+  ) c ORDER BY c.dmin DESC, c.id LIMIT 1
+),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})""")
+    parts.append(f"""
+SELECT CAST(rk AS INTEGER) AS sel_rank, id AS vec_id,
+       dmin AS dmin_at_pick
+FROM sel{_KC_K - 1}
+""")
+    return "".join(parts)
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -2235,6 +2288,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_rake_topk": q_text_rake_topk,
     "stream_ks": q_stream_ks,
     "pipe_span_corruption": q_pipe_span_corruption,
+    "emb_kcenter_sample": q_emb_kcenter_sample,
 }
 
 
@@ -2272,4 +2326,5 @@ def oracles13() -> Dict[str, str]:
         # monoid), so the batch KS oracle applies verbatim
         "stream_ks": _SQL_KS,
         "pipe_span_corruption": _sql_span_corruption(),
+        "emb_kcenter_sample": _sql_kcenter(),
     }

@@ -848,3 +848,26 @@ def test_span_corruption_reconstruction_identity(spark):
             f"w{j}" for j in range(30)
         )
         assert len(toks_tg) == r["n_masked_tokens"]
+
+
+def test_kcenter_picks_far_points(spark):
+    """Three tight clusters at (0,0), (100,0), (0,100): the first
+    three picks must take one point from EACH cluster (farthest-point
+    coverage), and dmin_at_pick is non-increasing after pick 1."""
+    from panelsplit_spark.operators.similarity import kcenter_sample
+
+    pts = []
+    vid = 0
+    for cx, cy in [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]:
+        for dx in (0.0, 1.0, 2.0):
+            pts.append((vid, [cx + dx, cy]))
+            vid += 1
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = sorted(
+        kcenter_sample(df, 3, vec_col="embedding").collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    clusters = {r["vec_id"] // 3 for r in out}
+    assert clusters == {0, 1, 2}
+    assert out[0]["dmin_at_pick"] is None
+    assert out[1]["dmin_at_pick"] >= out[2]["dmin_at_pick"]
