@@ -1,4 +1,4 @@
-"""Query registry, part 13 (round 5, continued), twenty-four queries:
+"""Query registry, part 13 (round 5, continued), twenty-seven queries:
 
 * inequality / drift audits — ``dq_gini`` (exact Gini concentration
   per segment from the rank-sum identity), ``dq_ks_test`` (exact
@@ -43,7 +43,10 @@
   query-term-only inverted index), ``text_rake_topk`` (RAKE
   keyphrases, fully integer-exact);
 * robust fitting — ``cv_huber_irls`` (transcendental-free IRLS),
-  ``dq_seasonal_anomaly`` (per-hour robust-MAD anomaly audit).
+  ``dq_seasonal_anomaly`` (per-hour robust-MAD anomaly audit);
+* late additions — ``stream_ks`` (21st gate: monoid count-table
+  state), ``pipe_span_corruption`` (T5 masked-span pairs, byte-exact),
+  ``emb_kcenter_sample`` (greedy farthest-point coreset).
 
 Same cross-engine determinism rules as queries.py: exact-integer
 moments before any division (decimal(38,0) ↔ HUGEINT for products

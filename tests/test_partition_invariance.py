@@ -167,6 +167,9 @@ ROUND5B_SHAPES = [
     "dq_seasonal_anomaly",
     "cv_huber_irls",
     "text_rake_topk",
+    # last batch: byte-exact string assembly, iterative argmax rounds
+    "pipe_span_corruption",
+    "emb_kcenter_sample",
 ]
 
 
