@@ -513,10 +513,11 @@ def main() -> None:
                     pass
             budget = float(
                 # 600 was sized for the 248-query registry (eee0ec2);
-                # round 5b appended 15 production-path queries (~50 s
-                # at sf1), so the default scales to keep zero
-                # _truncated_after risk without dropping witnesses
-                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "700")
+                # round 5b grew it to 275 production-path witnesses —
+                # measured 641 s under neighbor load, so the default
+                # keeps ~20% headroom against zero _truncated_after
+                # risk without dropping witnesses
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "780")
             )
             t_start = time.time()
             for name in SF1_HEADLINE:
