@@ -297,6 +297,8 @@ HEADLINE = [
     "stream_ks",
     "pipe_span_corruption",
     "emb_kcenter_sample",
+    "cv_diff_in_diff",
+    "sim_knn_graph",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -104,6 +104,7 @@ from .operators.text import (
 )
 from .operators.evaluation import (
     cuped_adjust,
+    diff_in_diff,
     learning_curve_ols,
     power_mde,
     split_conformal_ols,
@@ -217,6 +218,7 @@ __all__ = [
     "weighted_reservoir_topk",
     "contrastive_triplets",
     "cuped_adjust",
+    "diff_in_diff",
     "split_conformal_ols",
     "learning_curve_ols",
     "power_mde",

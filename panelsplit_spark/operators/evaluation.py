@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["auc_ranksum", "calibration_bins", "mutual_info_cells",
            "chi2_2x2", "weighted_median", "cuped_adjust",
            "split_conformal_ols", "learning_curve_ols", "power_mde",
-           "mde_moments", "mde_from_moments"]
+           "mde_moments", "mde_from_moments", "diff_in_diff"]
 
 
 def auc_ranksum(
@@ -729,4 +729,68 @@ def mde_from_moments(
         F.when(F.col("n") > 1, var).alias("var_units"),
         F.when(ok, mde).alias("mde_abs"),
         F.when(ok & (F.col("sy") != 0), mde / mean).alias("mde_rel"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    y_col: str,
+    treated_col: str,
+    post_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator (canonical 2×2 design):
+
+        DiD = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    over an integer-quantized outcome with 0/1 treated/post flags —
+    the quasi-experimental lift estimate when randomization isn't
+    available and a parallel-trends control exists. Like
+    :func:`cuped_adjust`, the whole estimator is ONE filtered-
+    aggregate row (four cell sums + counts, all exact integers) and
+    the output is fixed-order double algebra over them — no joins, no
+    windows, engine-bit-identical.
+
+    Output: one row — the four cell means, their per-arm deltas, and
+    ``did`` (NULL when any cell is empty).
+    """
+    y = F.col(y_col).cast("long")
+    t = F.col(treated_col).cast("int") == F.lit(1)
+    p = F.col(post_col).cast("int") == F.lit(1)
+
+    def cell(cond, name):
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{name}"),
+            F.sum(F.when(cond, y).otherwise(F.lit(0))).alias(
+                f"s_{name}"
+            ),
+        ]
+
+    g = df.agg(
+        *cell(t & p, "tp"),
+        *cell(t & ~p, "t0"),
+        *cell(~t & p, "cp"),
+        *cell(~t & ~p, "c0"),
+    )
+    mean = lambda nm: (  # noqa: E731
+        F.col(f"s_{nm}").cast("double")
+        / F.col(f"n_{nm}").cast("double")
+    )
+    ok = (
+        (F.col("n_tp") > 0)
+        & (F.col("n_t0") > 0)
+        & (F.col("n_cp") > 0)
+        & (F.col("n_c0") > 0)
+    )
+    d_t = mean("tp") - mean("t0")
+    d_c = mean("cp") - mean("c0")
+    return g.select(
+        "n_tp", "n_t0", "n_cp", "n_c0",
+        F.when(ok, mean("tp")).alias("mean_treated_post"),
+        F.when(ok, mean("t0")).alias("mean_treated_pre"),
+        F.when(ok, mean("cp")).alias("mean_control_post"),
+        F.when(ok, mean("c0")).alias("mean_control_pre"),
+        F.when(ok, d_t).alias("delta_treated"),
+        F.when(ok, d_c).alias("delta_control"),
+        F.when(ok, d_t - d_c).alias("did"),
     )

@@ -2261,6 +2261,138 @@ FROM sel{_KC_K - 1}
 
 
 # ======================================================================
+# cv_diff_in_diff — quasi-experimental lift (2×2 DiD)
+# ======================================================================
+
+_DID_SALT = "did"
+
+
+def q_cv_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the events panel (operators/
+    evaluation.diff_in_diff): treated = user-hash arm, post = after
+    the Jan-16 cutoff (the CUPED design's quasi-experimental sibling
+    for when randomization is absent). The whole 2×2 estimator is ONE
+    filtered-aggregate row of exact integers."""
+    from .operators.evaluation import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (hash_bucket(F.col("user_id"), _DID_SALT) < _BP // 2).cast(
+            "int"
+        ).alias("treated"),
+        (
+            F.col("ts") >= F.lit(_CUPED_CUTOFF).cast("timestamp")
+        ).cast("int").alias("post"),
+    )
+    return diff_in_diff(ev, "cents", "treated", "post")
+
+
+def _sql_diff_in_diff() -> str:
+    bucket = duckdb_hash_bucket("user_id", _DID_SALT)
+    cells = {
+        "tp": "treated = 1 AND post = 1",
+        "t0": "treated = 1 AND post = 0",
+        "cp": "treated = 0 AND post = 1",
+        "c0": "treated = 0 AND post = 0",
+    }
+    aggs = ",\n         ".join(
+        f"CAST(count(*) FILTER (WHERE {cond}) AS BIGINT) AS n_{nm},"
+        f"\n         CAST(sum(CASE WHEN {cond} THEN y ELSE 0 END)"
+        f" AS BIGINT) AS s_{nm}"
+        for nm, cond in cells.items()
+    )
+    ok = "n_tp > 0 AND n_t0 > 0 AND n_cp > 0 AND n_c0 > 0"
+    m = lambda nm: f"s_{nm}::DOUBLE / n_{nm}::DOUBLE"  # noqa: E731
+    return f"""
+WITH q AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS y,
+         CASE WHEN {bucket} < {_BP // 2} THEN 1 ELSE 0 END AS treated,
+         CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}' THEN 1 ELSE 0 END
+           AS post
+  FROM events
+),
+g AS (
+  SELECT {aggs}
+  FROM q
+)
+SELECT n_tp, n_t0, n_cp, n_c0,
+       CASE WHEN {ok} THEN {m("tp")} END AS mean_treated_post,
+       CASE WHEN {ok} THEN {m("t0")} END AS mean_treated_pre,
+       CASE WHEN {ok} THEN {m("cp")} END AS mean_control_post,
+       CASE WHEN {ok} THEN {m("c0")} END AS mean_control_pre,
+       CASE WHEN {ok} THEN {m("tp")} - {m("t0")} END AS delta_treated,
+       CASE WHEN {ok} THEN {m("cp")} - {m("c0")} END AS delta_control,
+       CASE WHEN {ok} THEN ({m("tp")} - {m("t0")})
+            - ({m("cp")} - {m("c0")}) END AS did
+FROM g
+"""
+
+
+# ======================================================================
+# sim_knn_graph — k-NN graph from LSH candidates
+# ======================================================================
+
+_KNNG_K = 5
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (every node's top-k neighbors — the
+    building block of graph-based dedup/clustering/label propagation):
+    LSH candidate pairs symmetrize and each node ranks its candidates
+    by the 6dp-rounded exact cosine with id tiebreaks, keeping k=5.
+    Never all-pairs: a node only sees candidates that shared a
+    hyperplane bucket (operators/dedup.embedding_lsh_candidate_pairs),
+    so the graph build is one bucket self-join + one node-keyed
+    window. Recall is tunable via n_planes/n_tables exactly as in
+    emb_near_dup."""
+    from pyspark.sql import Window
+
+    from .operators import dedup
+    from .queries_data import EMB_DIM, LSH_PLANES, LSH_SEED, LSH_TABLES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nd = dedup.embedding_near_duplicates(
+        emb, threshold=-1.0, n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES, seed=LSH_SEED, dim=EMB_DIM,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cos6"))
+    sym = nd.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr"), "cos6"
+    ).unionByName(
+        nd.select(
+            F.col("id_b").alias("node"), F.col("id_a").alias("nbr"),
+            "cos6",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cos6").desc(), F.col("nbr").asc()
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _KNNG_K)
+        .select("node", "nbr", F.col("cos6").alias("cosine"), "rk")
+    )
+
+
+def _sql_knn_graph() -> str:
+    from .queries_data import _sql_emb_near_dup
+
+    return f"""
+WITH nd AS (
+  {_sql_emb_near_dup(thr=-1.0).strip()}
+),
+sym AS (
+  SELECT id_a AS node, id_b AS nbr, cosine AS cos6 FROM nd
+  UNION ALL
+  SELECT id_b AS node, id_a AS nbr, cosine AS cos6 FROM nd
+)
+SELECT node, nbr, cos6 AS cosine,
+       CAST(row_number() OVER (PARTITION BY node
+            ORDER BY cos6 DESC, nbr) AS BIGINT) AS rk
+FROM sym QUALIFY rk <= {_KNNG_K}
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -2292,6 +2424,8 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ks": q_stream_ks,
     "pipe_span_corruption": q_pipe_span_corruption,
     "emb_kcenter_sample": q_emb_kcenter_sample,
+    "cv_diff_in_diff": q_cv_diff_in_diff,
+    "sim_knn_graph": q_sim_knn_graph,
 }
 
 
@@ -2330,4 +2464,6 @@ def oracles13() -> Dict[str, str]:
         "stream_ks": _SQL_KS,
         "pipe_span_corruption": _sql_span_corruption(),
         "emb_kcenter_sample": _sql_kcenter(),
+        "cv_diff_in_diff": _sql_diff_in_diff(),
+        "sim_knn_graph": _sql_knn_graph(),
     }

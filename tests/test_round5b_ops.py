@@ -871,3 +871,32 @@ def test_kcenter_picks_far_points(spark):
     assert clusters == {0, 1, 2}
     assert out[0]["dmin_at_pick"] is None
     assert out[1]["dmin_at_pick"] >= out[2]["dmin_at_pick"]
+
+
+# ----------------------------------------------------------------------
+# diff_in_diff / knn graph
+# ----------------------------------------------------------------------
+
+
+def test_did_planted_effect(spark):
+    """Cells: control 10→12 (+2 trend), treated 20→27 (+7): DiD = 5
+    exactly from integer cell means."""
+    from panelsplit_spark.operators.evaluation import diff_in_diff
+
+    rows = (
+        [(10, 0, 0)] * 4 + [(12, 0, 1)] * 4
+        + [(20, 1, 0)] * 4 + [(27, 1, 1)] * 4
+    )
+    df = spark.createDataFrame(rows, ["y", "t", "p"])
+    r = diff_in_diff(df, "y", "t", "p").collect()[0]
+    assert r["did"] == 5.0
+    assert r["delta_treated"] == 7.0 and r["delta_control"] == 2.0
+
+
+def test_did_empty_cell_null(spark):
+    from panelsplit_spark.operators.evaluation import diff_in_diff
+
+    rows = [(10, 0, 0), (12, 0, 1), (20, 1, 0)]  # no treated-post
+    df = spark.createDataFrame(rows, ["y", "t", "p"])
+    r = diff_in_diff(df, "y", "t", "p").collect()[0]
+    assert r["did"] is None and r["n_tp"] == 0
