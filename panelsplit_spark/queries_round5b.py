@@ -1,4 +1,4 @@
-"""Query registry, part 13 (round 5, continued), twenty-seven queries:
+"""Query registry, part 13 (round 5, continued), twenty-nine queries:
 
 * inequality / drift audits — ``dq_gini`` (exact Gini concentration
   per segment from the rank-sum identity), ``dq_ks_test`` (exact
@@ -46,7 +46,9 @@
   ``dq_seasonal_anomaly`` (per-hour robust-MAD anomaly audit);
 * late additions — ``stream_ks`` (21st gate: monoid count-table
   state), ``pipe_span_corruption`` (T5 masked-span pairs, byte-exact),
-  ``emb_kcenter_sample`` (greedy farthest-point coreset).
+  ``emb_kcenter_sample`` (greedy farthest-point coreset),
+  ``cv_diff_in_diff`` (2×2 quasi-experimental lift, one aggregate),
+  ``sim_knn_graph`` (top-k neighbor graph over LSH candidates).
 
 Same cross-engine determinism rules as queries.py: exact-integer
 moments before any division (decimal(38,0) ↔ HUGEINT for products

@@ -170,6 +170,7 @@ ROUND5B_SHAPES = [
     # last batch: byte-exact string assembly, iterative argmax rounds
     "pipe_span_corruption",
     "emb_kcenter_sample",
+    "sim_knn_graph",
 ]
 
 
