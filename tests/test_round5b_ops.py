@@ -900,3 +900,50 @@ def test_did_empty_cell_null(spark):
     df = spark.createDataFrame(rows, ["y", "t", "p"])
     r = diff_in_diff(df, "y", "t", "p").collect()[0]
     assert r["did"] is None and r["n_tp"] == 0
+
+
+# ----------------------------------------------------------------------
+# closing property tests
+# ----------------------------------------------------------------------
+
+
+def test_conformal_coverage_near_target_on_noisy_data(spark):
+    """On noisy (deterministic pseudo-noise) data the finite-sample
+    guarantee says coverage ≥ 1−α in expectation; with n_test ≈ 500
+    the empirical value must land in a generous [0.85, 0.97] band for
+    α = 0.1."""
+    from panelsplit_spark.operators.evaluation import split_conformal_ols
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("rid"),
+        (F.col("id") % 41).alias("x"),
+        (
+            (F.col("id") % 41) * 7
+            + (F.hash(F.col("id").cast("string")) % 19)
+        ).alias("y"),
+    )
+    r = split_conformal_ols(df, "rid", "x", "y", alpha_bp=1000).collect()[0]
+    assert 0.85 <= r["coverage"] <= 0.97
+    assert r["qhat_mu"] > 0
+
+
+def test_incremental_dedup_exact_corpus_recall(spark):
+    """Recall theorem for exact twins: a batch doc whose text appears
+    verbatim in the corpus ALWAYS lands dup_corpus (identical text →
+    identical signatures → identical bands), independent of the LSH
+    parameters' probabilistic behavior on near-dups."""
+    from panelsplit_spark.operators.dedup import incremental_band_dedup
+
+    texts = [
+        " ".join(f"tok{i}{j}" for j in range(12)) for i in range(8)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = incremental_band_dedup(corpus, batch).collect()
+    assert all(r["status"] == "dup_corpus" for r in out)
+    assert len(out) == len(texts)
