@@ -299,6 +299,7 @@ HEADLINE = [
     "emb_kcenter_sample",
     "cv_diff_in_diff",
     "sim_knn_graph",
+    "stream_gini",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -112,6 +112,7 @@ from .operators.evaluation import (
 from .operators.quality import (
     gini_by_group,
     ks_one_vs_rest,
+    gini_from_counts,
     ks_from_counts,
     referential_audit,
     rule_ablation,
@@ -226,6 +227,7 @@ __all__ = [
     "gini_by_group",
     "ks_one_vs_rest",
     "ks_from_counts",
+    "gini_from_counts",
     "rule_ablation",
     "referential_audit",
     "compact_parquet",

@@ -17,7 +17,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["psi_drift", "dq_checks", "DQCheck", "gopher_rules",
            "GOPHER_STOPWORDS", "k_anonymity_audit", "benford_audit",
            "BENFORD_PPM", "ndv_profile", "gini_by_group", "ks_one_vs_rest",
-           "rule_ablation", "referential_audit", "ks_from_counts"]
+           "rule_ablation", "referential_audit", "ks_from_counts",
+           "gini_from_counts"]
 
 #: Small closed-class word set used by the "document contains at least
 #: two stopwords" heuristic (Rae et al. 2021, "Scaling Language Models"
@@ -712,3 +713,56 @@ def referential_audit(edges) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("relationship")
+
+
+def gini_from_counts(counts: DataFrame) -> DataFrame:
+    """Finish :func:`gini_by_group` from a (segment, v, c) value-count
+    table — the MERGEABLE form (keyed SUM folds two tables into the
+    table of the union) the streaming gate drains into.
+
+    Identity: the raw-row rank sum A = Σ i·x_i groups by value runs —
+    a run of c copies of value v starting after B prior rows
+    contributes v·(c·B + c(c+1)/2), all exact integers — so A here is
+    BIT-IDENTICAL to the row-rank form and the batch oracle applies
+    verbatim. One segment-keyed cumulative window over the
+    domain-bounded count table, then the same single division.
+    """
+    from pyspark.sql import Window
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "segment",
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("before"),
+    )
+    # c(c+1) is always even: integer div keeps the run's rank sum an
+    # exact LONG before the decimal widening (a decimal division would
+    # introduce fractional scale)
+    half = F.expr("c * (c + 1) div 2")
+    a_term = d(F.col("v")) * (
+        d(F.col("c")) * F.col("before") + d(half)
+    )
+    g = cum.groupBy("segment").agg(
+        F.sum("c").alias("n"),
+        F.sum(d(F.col("v")) * F.col("c")).cast("long").alias("total"),
+        F.sum(a_term).alias("__a"),
+    )
+    num = F.lit(2).cast("decimal(38,0)") * F.col("__a") - d(
+        F.col("n") + F.lit(1)
+    ) * d(F.col("total"))
+    den = d(F.col("n")) * d(F.col("total"))
+    return g.select(
+        "segment",
+        "n",
+        F.col("total").alias("total_units"),
+        F.when(
+            F.col("total") != 0,
+            num.cast("double") / den.cast("double"),
+        ).alias("gini"),
+    )

@@ -2395,6 +2395,67 @@ FROM sym QUALIFY rk <= {_KNNG_K}
 
 
 # ======================================================================
+# stream_gini — the 22nd streaming gate (same monoid state as stream_ks)
+# ======================================================================
+
+_SGINI_BATCHES = 3
+
+
+def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inequality monitor: the orders feed arrives as three
+    micro-batches; the (segment, value) count table folds by keyed SUM
+    (the same monoid state as stream_ks, streaming/rolling.
+    stream_ks_counts), and the drained state finishes through the
+    run-sum identity (operators/quality.gini_from_counts — proven
+    bit-identical to the row-rank form), so the batch dq_gini oracle
+    applies verbatim. State is bounded by the value domain × segments."""
+    from .operators.quality import gini_from_counts
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        stream_ks_counts,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    name = "stream_gini_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("gini_feed")
+        write_file_batches(
+            [
+                orders.where(F.col("o_orderkey") % _SGINI_BATCHES == j)
+                for j in range(_SGINI_BATCHES)
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_counts = stream_ks_counts(
+                stream, "segment", "cents", query_name=name
+            )
+            q.awaitTermination()
+        counts = get_counts()
+        if counts is not None:
+            return gini_from_counts(counts)
+    raise RuntimeError(
+        "stream_gini: drain processed zero non-empty batches twice"
+    )
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -2428,6 +2489,7 @@ QUERIES13: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kcenter_sample": q_emb_kcenter_sample,
     "cv_diff_in_diff": q_cv_diff_in_diff,
     "sim_knn_graph": q_sim_knn_graph,
+    "stream_gini": q_stream_gini,
 }
 
 
@@ -2468,4 +2530,8 @@ def oracles13() -> Dict[str, str]:
         "emb_kcenter_sample": _sql_kcenter(),
         "cv_diff_in_diff": _sql_diff_in_diff(),
         "sim_knn_graph": _sql_knn_graph(),
+        # drained count-table state == batch counts (keyed SUM monoid)
+        # and gini_from_counts == the row-rank form bit-exactly (run-sum
+        # identity, unit-tested), so the batch gini oracle applies
+        "stream_gini": _SQL_GINI,
     }

@@ -947,3 +947,37 @@ def test_incremental_dedup_exact_corpus_recall(spark):
     out = incremental_band_dedup(corpus, batch).collect()
     assert all(r["status"] == "dup_corpus" for r in out)
     assert len(out) == len(texts)
+
+
+def test_gini_from_counts_equals_row_rank_form(spark):
+    """The run-sum identity: the count-table gini must be BIT-identical
+    to the row-rank gini on the same data — the theorem the 22nd
+    streaming gate's verbatim batch oracle rests on."""
+    from pyspark.sql import functions as SF
+
+    from panelsplit_spark.operators.quality import (
+        gini_by_group,
+        gini_from_counts,
+    )
+
+    df = spark.range(400).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * F.col("id") % 83).alias("x"),
+        F.col("id"),
+    )
+    a = {
+        r["g"]: (r["n"], r["total_units"], r["gini"])
+        for r in gini_by_group(df, ["g"], "x", "id").collect()
+    }
+    counts = (
+        df.select(
+            F.col("g").alias("segment"), F.col("x").cast("long").alias("v")
+        )
+        .groupBy("segment", "v")
+        .agg(SF.count(SF.lit(1)).alias("c"))
+    )
+    b = {
+        r["segment"]: (r["n"], r["total_units"], r["gini"])
+        for r in gini_from_counts(counts).collect()
+    }
+    assert a == b
