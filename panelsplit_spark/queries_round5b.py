@@ -1,4 +1,4 @@
-"""Query registry, part 13 (round 5, continued), twenty-nine queries:
+"""Query registry, part 13 (round 5, continued), thirty queries:
 
 * inequality / drift audits — ``dq_gini`` (exact Gini concentration
   per segment from the rank-sum identity), ``dq_ks_test`` (exact
@@ -48,7 +48,9 @@
   state), ``pipe_span_corruption`` (T5 masked-span pairs, byte-exact),
   ``emb_kcenter_sample`` (greedy farthest-point coreset),
   ``cv_diff_in_diff`` (2×2 quasi-experimental lift, one aggregate),
-  ``sim_knn_graph`` (top-k neighbor graph over LSH candidates).
+  ``sim_knn_graph`` (top-k neighbor graph over LSH candidates),
+  ``stream_gini`` (22nd gate: the run-sum identity makes the batch
+  gini oracle verbatim over monoid count-table state).
 
 Same cross-engine determinism rules as queries.py: exact-integer
 moments before any division (decimal(38,0) ↔ HUGEINT for products
