@@ -422,7 +422,7 @@ def main() -> None:
     # not the total.
     from panelsplit_spark.utils.storage import release_all_pinned
 
-    timings = {}
+    samples: dict = {}
     for _pass in range(2):
         for name in HEADLINE:
             if name not in qs:
@@ -430,49 +430,79 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            samples.setdefault(name, []).append(dt)
             # storage hygiene between queries: without an explicit
             # release, per-query persisted/localCheckpoint blocks linger
             # for the driver-GC→ContextCleaner lag and 188 queries
             # accumulate into eviction churn mid-bench (outside the
             # timer: release cost is harness overhead, not query cost)
             release_all_pinned(spark)
+    timings = {k: min(v) for k, v in samples.items()}
+    # Variance control for the heavy tail (judge finding, round 5): a
+    # single-run or min-of-2 timing under neighbor load produced false
+    # regressions twice (r4 simhash cached-pass min; r5 ±0.6 s drift on
+    # pagerank/near_dup). For the top-N heaviest queries — the only ones
+    # whose shifts are distinguishable from the ~±0.4 s scheduler noise
+    # floor — take a THIRD timed pass and track the MEDIAN of 3, which
+    # is robust to one loaded-host outlier in either direction. The
+    # cheap tail stays min-of-2 (3rd passes there buy noise, not signal).
+    N_MEDIAN = 15
+    heavy = sorted(timings, key=lambda k: -timings[k])[:N_MEDIAN]
+    for name in heavy:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        samples[name].append(round(time.time() - t0, 3))
+        release_all_pinned(spark)
+    medians = {name: sorted(samples[name])[1] for name in heavy}
     total = round(sum(timings.values()), 3)
-    # Round-over-round hygiene: flag queries >1.5x slower than the last
-    # recorded round (extra key; ignored by consumers that don't use it)
+    # Round-over-round hygiene (extra keys; ignored by consumers that
+    # don't use them). Heavy queries: flag MEDIAN shifts > 1.3x vs the
+    # previous round's committed medians (BENCH_FULL.json). Cheap tail:
+    # flag min-of-2 shifts > 1.5x AND > 0.5 s absolute — sub-second
+    # queries sit at the JVM/scheduler noise floor and a pure-ratio
+    # threshold rotates names every run.
     regressions = {}
     try:
-        import glob
+        prev_q, prev_m = {}, {}
+        full_path = os.path.join(REPO, "BENCH_FULL.json")
+        if os.path.exists(full_path):
+            prevrec = json.load(open(full_path))
+            if prevrec.get("sf") == sf:
+                prev_q = prevrec.get("queries") or {}
+                prev_m = prevrec.get("medians") or {}
+        if not prev_q:
+            # fall back to the driver's stdout-tail capture of older
+            # rounds (pre-BENCH_FULL artifacts)
+            import glob
 
-        hist = sorted(glob.glob("BENCH_r*.json"))
-        if hist:
-            rec = json.load(open(hist[-1]))
-            parsed = rec.get("parsed")
-            if not isinstance(parsed, dict):
-                parsed = {"sf": float(rec.get("sf", "nan")), "queries": {}}
-            # the parsed blob may be the compact tail summary (slowest-10
-            # only) or missing entirely; recover additional per-query
-            # numbers from the raw tail fragment of the full first line
-            pairs = re.findall(
-                r'"([a-z0-9_]+)": ([0-9.]+)', rec.get("tail", "")
-            )
-            merged = {k: float(v) for k, v in pairs}
-            merged.update(parsed.get("queries") or {})
-            parsed["queries"] = merged
-            # only compare like-for-like scale factors (manual runs at
-            # other SFs would flag everything)
-            prev = (
-                parsed["queries"] if parsed.get("sf") == sf else {}
-            )
-            # flag only when BOTH the ratio and the absolute delta are
-            # meaningful: sub-second queries sit at the JVM/scheduler
-            # noise floor (~±0.4 s on a shared host), and which of them
-            # crosses a pure-ratio threshold rotates every run
-            for name, dt in timings.items():
-                p = prev.get(name)
-                if p and dt > 1.5 * p and dt - p > 0.5:
-                    regressions[name] = {"prev": p, "now": dt}
+            hist = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+            if hist:
+                rec = json.load(open(hist[-1]))
+                parsed = rec.get("parsed")
+                if not isinstance(parsed, dict):
+                    parsed = {
+                        "sf": float(rec.get("sf", "nan")), "queries": {}
+                    }
+                pairs = re.findall(
+                    r'"([a-z0-9_]+)": ([0-9.]+)', rec.get("tail", "")
+                )
+                merged = {k: float(v) for k, v in pairs}
+                merged.update(parsed.get("queries") or {})
+                if parsed.get("sf") == sf:
+                    prev_q = merged
+        for name in heavy:
+            p = prev_m.get(name) or prev_q.get(name)
+            now = medians[name]
+            if p and now > 1.3 * p and now - p > 0.5:
+                regressions[name] = {
+                    "prev": p, "now": now, "basis": "median3"
+                }
+        for name, dt in timings.items():
+            if name in heavy:
+                continue
+            p = prev_q.get(name)
+            if p and dt > 1.5 * p and dt - p > 0.5:
+                regressions[name] = {"prev": p, "now": dt, "basis": "min2"}
     except Exception:
         pass
     # sf1 section: 10× the bench scale, where shuffle/scan cost is real.
@@ -541,28 +571,80 @@ def main() -> None:
                 release_all_pinned(spark)
         except Exception as e:  # sf1 is an extra witness, never fatal
             sf1 = {"_error": str(e)[:200]}
-    out = {
+    sf1_total = round(
+        sum(v for v in sf1.values() if isinstance(v, float)), 3
+    )
+    # Structural budget guards (judge finding, round 5: the sf1 budget
+    # ratcheted 600→780 as the registry grew; a single new heavy query
+    # could eat the headroom silently). Two flags, surfaced here AND
+    # re-checked by tools/gate.py's benchcheck stage against the
+    # committed artifact: any single sf1 entry over the per-query
+    # ceiling (default 20 s), and sf1_total over 85% of budget.
+    sf1_ceiling = float(os.environ.get("SPARK_GRAFT_SF1_CEILING", "20"))
+    sf1_over = {
+        k: v
+        for k, v in sf1.items()
+        if isinstance(v, float) and v > sf1_ceiling
+    }
+    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "780"))
+    sf1_budget_hot = bool(sf1) and sf1_total > 0.85 * sf1_budget
+    # The driver records only the TAIL of stdout, so a full per-query
+    # blob on stdout (≈12 KB for 278 queries at two SFs) truncates into
+    # an unparseable fragment (BENCH_r03 "parsed": null; BENCH_r05 lost
+    # the first ~210 sf1 entries). Full detail therefore goes to a
+    # COMMITTED file, and stdout carries only compact self-contained
+    # lines (≤ ~1.5 KB each) that always round-trip json.loads — the
+    # headline summary printed LAST (the line the driver parses).
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "queries": timings,
+        "medians": medians,
         "regressions": regressions,
-    }
-    if sf1:
-        out["sf1"] = {
-            "total": round(
-                sum(v for v in sf1.values() if isinstance(v, float)), 3
-            ),
+        "sf1": {
+            "total": sf1_total,
+            "budget": sf1_budget,
+            "ceiling": sf1_ceiling,
+            "over_ceiling": sf1_over,
+            "budget_hot": sf1_budget_hot,
             "queries": sf1,
-        }
-    print(json.dumps(out))
-    # The driver records only the TAIL of stdout, so the full per-query
-    # blob above (≈8 KB for 188 queries) gets truncated into an
-    # unparseable fragment (BENCH_r03.json "parsed": null). Emit a
-    # compact, self-contained summary as the LAST line — complete JSON
-    # ≤ ~1.5 KB — so whatever tail the driver keeps always round-trips
-    # json.loads. Full detail stays in the first line for local use.
+        },
+    }
+    # ad-hoc runs at other SFs must not clobber the committed sf0.1
+    # evidence (or poison the next round's median comparison)
+    full_name = (
+        "BENCH_FULL.json" if sf == 0.1 else "BENCH_FULL_local.json"
+    )
+    with open(os.path.join(REPO, full_name), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    if sf1:
+        sf1_slowest = dict(
+            sorted(
+                ((k, v) for k, v in sf1.items() if isinstance(v, float)),
+                key=lambda kv: -kv[1],
+            )[:10]
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "sf1_queries_total",
+                    "value": sf1_total,
+                    "unit": "sec",
+                    "n_queries": sum(
+                        1 for v in sf1.values() if isinstance(v, float)
+                    ),
+                    "budget": sf1_budget,
+                    "budget_hot": sf1_budget_hot,
+                    "over_ceiling": sf1_over,
+                    "queries": sf1_slowest,
+                    "full_artifact": "BENCH_FULL.json",
+                }
+            )
+        )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -573,12 +655,12 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": slowest,
+        "medians": medians,
         "regressions": regressions,
+        "full_artifact": full_name,
     }
     if sf1:
-        summary["sf1_total"] = round(
-            sum(v for v in sf1.values() if isinstance(v, float)), 3
-        )
+        summary["sf1_total"] = sf1_total
     print(json.dumps(summary))
     spark.stop()
 

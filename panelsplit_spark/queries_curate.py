@@ -1620,20 +1620,20 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.rolling import stream_parquet_sink
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    from .streaming.rolling import file_stream
+
     base = os.path.join(
         os.getcwd(), "spark-warehouse", "sinks", "stream_sink_rt"
     )
     out_dir, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
+    # ONE source DF reused by both drains: the restart contract needs
+    # the identical source path under the same checkpoint (a fresh
+    # re-chopped feed per drain would look like new data). Exactly-once
+    # file-sink commits are additive — ANY key re-chop drains equal.
+    src = file_stream(spark, sf_dir, "events", key_col="event_id")
     for _ in range(2):  # second drain = restart, must commit nothing new
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        stream = normalize_event_ts(stream).select(
+        stream = normalize_event_ts(src).select(
             "event_id",
             "user_id",
             "event_type",

@@ -837,10 +837,11 @@ FROM events GROUP BY 1, 2
 
 
 def _li_cv(spark: SparkSession, sf_dir: str):
-    from .queries import _CV_CACHE
+    from .queries import cv_cache_for
 
-    key = (id(spark), sf_dir, "lineitem")
-    hit = _CV_CACHE.get(key)
+    per_session = cv_cache_for(spark)
+    key = (sf_dir, "lineitem")
+    hit = per_session.get(key)
     if hit is not None:
         return hit
     li = (
@@ -853,41 +854,30 @@ def _li_cv(spark: SparkSession, sf_dir: str):
         scan_col="l_shipdate",
         period_bounds=date_period_bounds("yyyy-MM"),
     )
-    _CV_CACHE[key] = (li, ps)
+    per_session[key] = (li, ps)
     return li, ps
 
 
-_LI_FOLD_CTE = f"""
-up AS (
-  SELECT period, CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT)
-           AS rk
-  FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS period
-        FROM lineitem) tt
-),
-np AS (SELECT count(*) AS n FROM up),
-bounds AS (
-  SELECT CAST(f.fold_id AS BIGINT) AS fold_id,
-         np.n - ({LI_K} - f.fold_id) * {LI_T} AS test_lo,
-         np.n - ({LI_K} - f.fold_id) * {LI_T} + {LI_T} AS test_hi,
-         np.n - ({LI_K} - f.fold_id) * {LI_T} AS train_hi,
-         GREATEST(0, np.n - ({LI_K} - f.fold_id) * {LI_T} - {LI_MTS})
-           AS train_lo
-  FROM (SELECT unnest(generate_series(0, {LI_K - 1})) AS fold_id) f, np
-),
-assign AS (
-  SELECT b.fold_id, 'train' AS role, u.period
-  FROM bounds b JOIN up u ON u.rk >= b.train_lo AND u.rk < b.train_hi
-  UNION ALL
-  SELECT b.fold_id, 'test' AS role, u.period
-  FROM bounds b JOIN up u ON u.rk >= b.test_lo AND u.rk < b.test_hi
-),
-li AS (
+# Same TimeSeriesSplit scaffold as queries._FOLD_CTE, month folds over
+# the fact table — generated from the shared single definition site
+# (oracle_fragments.fold_cte; hash-pinned in test_oracle_conventions).
+from .oracle_fragments import fold_cte as _fold_cte_builder  # noqa: E402
+
+_LI_FOLD_CTE = _fold_cte_builder(
+    table="lineitem",
+    period_expr="strftime(l_shipdate, '%Y-%m')",
+    k=LI_K,
+    t=LI_T,
+    gap=0,
+    mts=LI_MTS,
+    wrap_rk=True,
+    tail="""li AS (
   SELECT l_orderkey, l_linenumber,
          strftime(l_shipdate, '%Y-%m') AS period,
          l_quantity, l_extendedprice
   FROM lineitem
+)""",
 )
-"""
 
 
 def q_cv_li_ols_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,14 +960,12 @@ def q_stream_hourly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.rolling import windowed_panel_features
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    # file stream sources list a directory; glob-filter to one table
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from .streaming.rolling import file_stream
+
+    # complete-mode windowed agg: counters are a commutative monoid, so
+    # ANY chop of the feed drains to the same state (key_col re-chop
+    # under the invariance test)
+    stream = file_stream(spark, sf_dir, "events", key_col="event_id")
     from .sources.tables import normalize_event_ts
 
     stream = normalize_event_ts(stream)

@@ -547,12 +547,13 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.tables import configure, normalize_event_ts
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from .streaming.rolling import file_stream
+
+    # append-mode watermark eviction is batch-equal only under
+    # event-time-monotone arrival: invariance re-chop is contiguous
+    # (ts, event_id) ranges
+    stream = file_stream(
+        spark, sf_dir, "events", order_cols=["ts", "event_id"]
     )
     stream = normalize_event_ts(stream)
     sess = (
@@ -745,12 +746,13 @@ def q_stream_online_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from .streaming.rolling import file_stream
+
+    # the online recursion's per-row output depends on the processing
+    # ORDER (each prediction uses prior-row moments): invariance re-chop
+    # is contiguous (ts, event_id) ranges, replayed in order
+    stream = file_stream(
+        spark, sf_dir, "events", order_cols=["ts", "event_id"]
     )
     stream = normalize_event_ts(stream)
     feats = stream.select(

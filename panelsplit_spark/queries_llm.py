@@ -738,13 +738,11 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from .streaming.rolling import file_stream
+
+    # highest-version-wins merge with retained tombstones: chop-
+    # independent by construction, ANY key re-chop drains equal
+    stream = file_stream(spark, sf_dir, "events", key_col="event_id")
     changes = stream.select(
         F.col("user_id"),
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
@@ -1135,13 +1133,10 @@ def q_stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from .streaming.rolling import file_stream
+
+    # additive delta-merge view: ANY key re-chop drains equal
+    stream = file_stream(spark, sf_dir, "events", key_col="event_id")
     changes = stream.select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),

@@ -485,13 +485,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.rolling import stream_distinct
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from .streaming.rolling import file_stream
+
+    # distinct = set-union semilattice: ANY key re-chop drains equal
+    stream = file_stream(spark, sf_dir, "events", key_col="event_id")
     out = stream_distinct(stream, ["user_id", "event_type"])
     name = "stream_dedup_sink"
     for q in spark.streams.active:
@@ -990,13 +987,10 @@ def q_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = cross_val_fit(LinearRegression(), ev, ["hod"], "value", ps)
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from .streaming.rolling import file_stream
+
+    # stateless per-row scoring: ANY key re-chop drains equal
+    stream = file_stream(spark, sf_dir, "events", key_col="event_id")
     from .sources.tables import normalize_event_ts
 
     stream = normalize_event_ts(stream)

@@ -484,6 +484,7 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure
     from .streaming.rolling import (
+        chop_n,
         stream_histogram_quantiles,
         stream_shuffle_partitions,
         write_file_batches,
@@ -508,8 +509,8 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = _fresh_feed("quantile_feed")
         write_file_batches(
             [
-                ev.where(F.col("event_id") % SQ_BATCHES == j)
-                for j in range(SQ_BATCHES)
+                ev.where(F.col("event_id") % chop_n(SQ_BATCHES) == j)
+                for j in range(chop_n(SQ_BATCHES))
             ],
             feed,
         )

@@ -671,6 +671,7 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure
     from .streaming.rolling import (
+        chop_n,
         stream_shuffle_partitions,
         stream_table_fingerprint,
         write_file_batches,
@@ -690,7 +691,10 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
         feed = _fresh_feed("fingerprint_feed")
         write_file_batches(
-            [ev.where(key % SFP_BATCHES == j) for j in range(SFP_BATCHES)],
+            [
+                ev.where(key % chop_n(SFP_BATCHES) == j)
+                for j in range(chop_n(SFP_BATCHES))
+            ],
             feed,
         )
         stream = (
@@ -750,6 +754,7 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure
     from .streaming.rolling import (
+        chop_n,
         stream_auc,
         stream_shuffle_partitions,
         write_file_batches,
@@ -772,8 +777,9 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = _fresh_feed("auc_feed")
         write_file_batches(
             [
-                od.where(F.col("k") % SAUC_BATCHES == j).drop("k")
-                for j in range(SAUC_BATCHES)
+                od.where(F.col("k") % chop_n(SAUC_BATCHES) == j)
+                .drop("k")
+                for j in range(chop_n(SAUC_BATCHES))
             ],
             feed,
         )

@@ -1226,6 +1226,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
+        chop_n,
         stream_hll_registers,
         stream_shuffle_partitions,
         write_file_batches,
@@ -1243,8 +1244,8 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = _fresh_feed("hll_feed")
         write_file_batches(
             [
-                ev.where(F.col("event_id") % SHLL_BATCHES == j)
-                for j in range(SHLL_BATCHES)
+                ev.where(F.col("event_id") % chop_n(SHLL_BATCHES) == j)
+                for j in range(chop_n(SHLL_BATCHES))
             ],
             feed,
         )

@@ -871,6 +871,7 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
+        chop_n,
         stream_shuffle_partitions,
         stream_weighted_reservoir,
         write_file_batches,
@@ -888,8 +889,8 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = _fresh_feed("reservoir_feed")
         write_file_batches(
             [
-                docs.where(F.col("doc_id") % _SRES_BATCHES == j)
-                for j in range(_SRES_BATCHES)
+                docs.where(F.col("doc_id") % chop_n(_SRES_BATCHES) == j)
+                for j in range(chop_n(_SRES_BATCHES))
             ],
             feed,
         )
@@ -1117,6 +1118,7 @@ def q_stream_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
+        chop_n,
         stream_mde_moments,
         stream_shuffle_partitions,
         write_file_batches,
@@ -1139,8 +1141,8 @@ def q_stream_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = _fresh_feed("mde_feed")
         write_file_batches(
             [
-                ev.where(F.col("event_id") % _SMDE_BATCHES == j)
-                for j in range(_SMDE_BATCHES)
+                ev.where(F.col("event_id") % chop_n(_SMDE_BATCHES) == j)
+                for j in range(chop_n(_SMDE_BATCHES))
             ],
             feed,
         )
@@ -2078,6 +2080,7 @@ def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
+        chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
         write_file_batches,
@@ -2097,8 +2100,8 @@ def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = _fresh_feed("ks_feed")
         write_file_batches(
             [
-                ev.where(F.col("event_id") % _SKS_BATCHES == j)
-                for j in range(_SKS_BATCHES)
+                ev.where(F.col("event_id") % chop_n(_SKS_BATCHES) == j)
+                for j in range(chop_n(_SKS_BATCHES))
             ],
             feed,
         )
@@ -2415,6 +2418,7 @@ def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
+        chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
         write_file_batches,
@@ -2434,8 +2438,10 @@ def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = _fresh_feed("gini_feed")
         write_file_batches(
             [
-                orders.where(F.col("o_orderkey") % _SGINI_BATCHES == j)
-                for j in range(_SGINI_BATCHES)
+                orders.where(
+                    F.col("o_orderkey") % chop_n(_SGINI_BATCHES) == j
+                )
+                for j in range(chop_n(_SGINI_BATCHES))
             ],
             feed,
         )

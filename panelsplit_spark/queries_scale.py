@@ -672,13 +672,10 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from .streaming.rolling import file_stream
+
+    # complete-mode counters: commutative monoid, ANY chop drains equal
+    stream = file_stream(spark, sf_dir, "events", key_col="event_id")
     stream = normalize_event_ts(stream)
     counts = stream_window_counts(stream, window="1 hour")
     name = "stream_heavy_hitters_sink"

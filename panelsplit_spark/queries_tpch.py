@@ -286,20 +286,23 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.rolling import stream_interval_join
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    from .streaming.rolling import file_stream
+
+    # ONE file source, branched into both join sides (the canonical
+    # streaming self-join) so any re-chop is seen identically by both.
+    # Watermark state retention requires event-time-monotone arrival
+    # for batch-equality, so the invariance test re-chops along
+    # contiguous (ts, event_id) ranges.
+    base = file_stream(
+        spark, sf_dir, "events", order_cols=["ts", "event_id"]
+    )
 
     def _stream():
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
         # Watermarks require TIMESTAMP (tz-aware); the parquet holds
         # TIMESTAMP_NTZ. The cast shifts the epoch by the session zone,
         # but the join interval is shift-invariant and no timestamp is
         # emitted, so results are unaffected.
-        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return base.withColumn("ts", F.col("ts").cast("timestamp"))
 
     purchases = (
         _stream()

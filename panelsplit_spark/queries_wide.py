@@ -642,12 +642,13 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.rolling import stream_sessionize
 
     configure(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from .streaming.rolling import file_stream
+
+    # session state consumes rows in event-time order (the operator's
+    # documented arrival contract): the invariance test re-chops along
+    # CONTIGUOUS (ts, event_id) ranges, never by key
+    stream = file_stream(
+        spark, sf_dir, "events", order_cols=["ts", "event_id"]
     )
     from .sources.tables import normalize_event_ts
 

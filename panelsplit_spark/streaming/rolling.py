@@ -693,6 +693,97 @@ def stream_incremental_agg(
     return q, get_view
 
 
+# ----------------------------------------------------------------------
+# Batch-chopping test hook (judge task, round 6): every streaming gate's
+# drained state is a monoid/semilattice fold, so its drained output must
+# be IDENTICAL for any partition of the feed into micro-batches. The
+# universal property test (tests/test_streaming_chop.py) sets this
+# override to re-run each gate end-to-end at 1/2/5/17 batches; gates
+# whose SEMANTICS are batch-boundary-defined (late-data eviction,
+# per-batch decay weights, arrival-order admission) ignore it and are
+# documented as pinned in the test's spec table.
+# ----------------------------------------------------------------------
+CHOP_OVERRIDE = [None]
+
+
+def chop_n(default: int) -> int:
+    """The number of micro-batches a gate should chop its feed into:
+    the test override when set, else the gate's pinned default (which
+    the oracle SQL replays)."""
+    return CHOP_OVERRIDE[0] or default
+
+
+def ordered_chop(df: DataFrame, order_cols, n: int):
+    """Chop ``df`` into ``n`` contiguous chunks of a deterministic total
+    order — the re-chop for gates whose per-row output depends on
+    processing order (online recursions, session state): any contiguous
+    chop replayed in order must reproduce the single-batch run.
+    ``order_cols`` must be a total order (include a tiebreak id)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    total = df.count()
+    ranked = df.withColumn("_rn", F.row_number().over(w) - 1)
+    out = [
+        ranked.where(
+            (F.col("_rn") * n >= F.lit(j) * total)
+            & (F.col("_rn") * n < F.lit(j + 1) * total)
+        ).drop("_rn")
+        for j in range(n)
+    ]
+    return out
+
+
+def file_stream(
+    spark,
+    sf_dir: str,
+    table: str,
+    *,
+    key_col: Optional[str] = None,
+    order_cols=None,
+):
+    """The file-source boilerplate shared by every static-feed streaming
+    gate: stream the table's parquet from the sf_dir (glob-filtered to
+    one table, schema from a batch read). One definition site instead of
+    eleven copies — and the seam where the chop-invariance property test
+    injects alternative micro-batch choppings (CHOP_OVERRIDE above):
+
+    * ``key_col`` (monoid-state gates): re-chop as ``key % n`` batches —
+      batch COMPOSITION changes entirely, the drained fold must not.
+    * ``order_cols`` (order-sensitive gates): re-chop as n contiguous
+      chunks of the (order_cols) total order — boundaries move, the
+      replayed recursion must not.
+    """
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    n = CHOP_OVERRIDE[0]
+    if n is None:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", f"{table}.parquet")
+            .parquet(sf_dir)
+        )
+    from pyspark.sql import functions as F
+
+    from ..queries_round4b import _fresh_feed
+
+    df = spark.read.parquet(path)
+    if order_cols is not None:
+        batches = ordered_chop(df, order_cols, n)
+    else:
+        assert key_col is not None, "file_stream chop needs a key/order"
+        batches = [df.where(F.col(key_col) % n == j) for j in range(n)]
+    feed = _fresh_feed(f"chop_{table}")
+    write_file_batches(batches, feed)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+
+
 def write_file_batches(dfs, feed_dir: str) -> None:
     """Materialize each frame as ONE parquet file in ``feed_dir`` with
     strictly increasing mtimes, so a file-source stream with

@@ -250,3 +250,27 @@ def test_oracle_result_types_are_driver_safe():
         "(wrap aggregates in CAST(... AS BIGINT)):\n"
         + "\n".join(offenders)
     )
+
+
+def test_fold_cte_fragments_pinned():
+    """The TimeSeriesSplit fold scaffold has ONE definition site
+    (panelsplit_spark/oracle_fragments.fold_cte); the two composed
+    fragments every CV oracle builds on are hash-pinned here so a edit
+    to the shared builder is a deliberate, reviewed change (with an
+    oracle-sweep rerun), never silent drift across 200+ oracles.
+
+    Pinned at the round-6 refactor, byte-identical to the pre-refactor
+    inline strings (verified against the full 278-query oracle_sql()
+    hash snapshot when the builder landed).
+    """
+    import hashlib
+
+    from panelsplit_spark.queries import _FOLD_CTE
+    from panelsplit_spark.queries_data import _LI_FOLD_CTE
+
+    assert hashlib.sha256(_FOLD_CTE.encode()).hexdigest() == (
+        "e37dea7d81da759644b14757f813a4b9330b0fd525aebbce3a64be75ae728fb5"
+    )
+    assert hashlib.sha256(_LI_FOLD_CTE.encode()).hexdigest() == (
+        "614db70b01872d90f76a367dd962b017c8fb7a9e7586bd22234d12ceffbc559f"
+    )
