@@ -300,6 +300,8 @@ HEADLINE = [
     "cv_diff_in_diff",
     "sim_knn_graph",
     "stream_gini",
+    # round 6
+    "rel_skew_stress",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path
@@ -330,6 +332,84 @@ SF1_EVAL_TRUTH_SPLIT = {
     "dedup_jaccard": None,
     "dedup_containment": None,
 }
+
+
+def _sf1_skew_ab(spark, sf_dir):
+    """Skew witness A/B at sf1 (judge stretch task, round 6): the same
+    hot-key aggregate-join (one key holding ~30% of fact rows) timed
+    three ways under a FORCED shuffle join (broadcast disabled — at
+    100 TB the dimension side of a fact-fact skew join does not fit in
+    an executor):
+
+      salted         — operators/skew.salted_join, the engine's
+                       mitigation (dimension replicated n_salts ways)
+      unsalted_aqe   — plain join, AQE skew-join split enabled
+                       (Spark's own runtime mitigation)
+      unsalted_noaqe — plain join, skew split disabled (the naive plan
+                       a hand-rolled engine would run)
+
+    Returns {label: seconds}. Recorded in the sf1 section so committed
+    artifacts show the salted plan beating the naive one run over run.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as _F
+
+    from panelsplit_spark.operators.skew import salted_join
+    from panelsplit_spark.queries_round6 import (
+        SKEW_SALTS,
+        skew_dim,
+        skewed_fact,
+    )
+
+    def agg(joined):
+        return joined.groupBy("event_type").agg(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.sum("key_n").alias("sum_key_n"),
+        )
+
+    out = {}
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    skew_key = "spark.sql.adaptive.skewJoin.enabled"
+    old[skew_key] = spark.conf.get(skew_key)
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = skewed_fact(spark, sf_dir)
+        dim = skew_dim(fact).localCheckpoint(eager=True)
+        variants = [
+            (
+                "rel_skew_stress@salted",
+                lambda: agg(
+                    salted_join(fact, dim, on="hot_key", n_salts=SKEW_SALTS)
+                ),
+                "true",
+            ),
+            (
+                "rel_skew_stress@unsalted_aqe",
+                lambda: agg(fact.join(dim, "hot_key")),
+                "true",
+            ),
+            (
+                "rel_skew_stress@unsalted_noaqe",
+                lambda: agg(fact.join(dim, "hot_key")),
+                "false",
+            ),
+        ]
+        for label, build, skew_on in variants:
+            spark.conf.set(skew_key, skew_on)
+            t0 = _time.time()
+            build().count()
+            out[label] = round(_time.time() - t0, 3)
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    return out
 
 
 def _sf1_prefix_join_production(spark, sf_dir):
@@ -569,6 +649,12 @@ def main() -> None:
                 fn(spark, sf1_dir).count()
                 sf1[label] = round(time.time() - t0, 3)
                 release_all_pinned(spark)
+            # skew A/B witness (structural evidence, outside the
+            # ceiling check: the @unsalted variants are deliberately
+            # bad plans)
+            if "_truncated_after" not in sf1:
+                sf1.update(_sf1_skew_ab(spark, sf1_dir))
+                release_all_pinned(spark)
         except Exception as e:  # sf1 is an extra witness, never fatal
             sf1 = {"_error": str(e)[:200]}
     sf1_total = round(
@@ -584,7 +670,10 @@ def main() -> None:
     sf1_over = {
         k: v
         for k, v in sf1.items()
+        # @unsalted_* are the skew A/B's deliberately-bad comparison
+        # plans, not production paths — exempt from the ceiling
         if isinstance(v, float) and v > sf1_ceiling
+        and "@unsalted" not in k
     }
     sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "780"))
     sf1_budget_hot = bool(sf1) and sf1_total > 0.85 * sf1_budget

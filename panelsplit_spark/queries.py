@@ -460,3 +460,9 @@ from .queries_round5b import QUERIES13, oracles13  # noqa: E402
 
 QUERIES.update(QUERIES13)
 ORACLES.update(oracles13())
+
+# round-6 additions: skew/AQE stress witness + round-6 breadth
+from .queries_round6 import QUERIES14, oracles14  # noqa: E402
+
+QUERIES.update(QUERIES14)
+ORACLES.update(oracles14())
