@@ -302,6 +302,8 @@ HEADLINE = [
     "stream_gini",
     # round 6
     "rel_skew_stress",
+    "stream_scd2",
+    "cv_stack_blend",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

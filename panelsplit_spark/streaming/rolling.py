@@ -645,6 +645,57 @@ def stream_apply_changes(
     return q, get_state
 
 
+def stream_scd2_versions(
+    change_stream: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    query_name: str = "scd2_state",
+):
+    """Maintain the VERSION SET behind a slowly-changing-dimension
+    (type 2) table from a streaming change feed — the streaming half of
+    ``rel_scd2_intervals``: each micro-batch folds its change rows into
+    the per-key version state inside ``foreachBatch`` (one keyed
+    distinct over |state| + |batch| rows, localCheckpoint-ed so lineage
+    stays flat); the SCD2 validity intervals are derived from the
+    drained state with ONE lead() window pass at read time.
+
+    Because the interval table is a pure function of the version SET
+    (set union = an idempotent commutative monoid), the drained result
+    is independent of how the feed was chopped into batches — so the
+    BATCH SCD2 oracle applies verbatim. At 100 TB the state lives in a
+    key-bucketed table with an archival cutoff (closed intervals older
+    than the feed's lateness bound compact to cold storage); per batch
+    cost is |dirty keys|, never history length.
+
+    Returns ``(query, get_versions)``: await the query, then call
+    ``get_versions()`` for the deduplicated version frame.
+    """
+    cols = [*keys, *version_cols, *payload_cols]
+    holder = {"state": None}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(*cols)
+        state = holder["state"]
+        merged = b if state is None else state.unionByName(b)
+        holder["state"] = (
+            merged.dropDuplicates([*keys, *version_cols])
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        change_stream.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    def get_versions() -> Optional[DataFrame]:
+        return holder["state"]
+
+    return q, get_versions
+
+
 def stream_incremental_agg(
     change_stream: DataFrame,
     keys: Sequence[str],

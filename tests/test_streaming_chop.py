@@ -53,6 +53,7 @@ SPEC = {
     "stream_mde": "key",
     "stream_ks": "key",
     "stream_gini": "key",
+    "stream_scd2": "key",
     # ordered recursions / watermark-evicted state — contiguous re-chop
     "stream_sessionize": "ordered",
     "stream_session_window": "ordered",

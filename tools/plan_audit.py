@@ -70,6 +70,7 @@ def _counts(plan: str) -> dict:
 # explicitly tiny query/centroid set). A NEW query showing a bnlj fails
 # --check until it is reviewed and either re-planned or listed here.
 BNLJ_WHITELIST = {
+    "cv_stack_blend",      # single-row meta-coefficient broadcast
     "sim_cosine_topk",      # brute-force ANN baseline: tiny query set
     "sim_ivf_topk",         # centroid set + query set broadcasts
     "sim_kmeans_ivf_topk",  # same
