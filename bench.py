@@ -304,6 +304,13 @@ HEADLINE = [
     "rel_skew_stress",
     "stream_scd2",
     "cv_stack_blend",
+    "cv_group_kfold",
+    "feat_km_survival",
+    "pipe_length_buckets",
+    "text_zipf_fit",
+    "rel_bitmap_index",
+    "rel_position_attribution",
+    "cv_block_bootstrap",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -370,6 +370,688 @@ FROM feats f, meta m
 
 
 # ======================================================================
+# cv_group_kfold — entity-grouped K-fold with leave-one-fold-out means
+# ======================================================================
+
+GKF_K = 5
+
+
+def q_cv_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-grouped K-fold (sklearn GroupKFold semantics: every group
+    — here user — lands in exactly ONE test fold, so no entity leaks
+    across the split): groups are ranked by (size desc, id) and dealt
+    round-robin to folds, the distributed deterministic stand-in for
+    sklearn's greedy balancer (identical when group sizes are similar,
+    reproducible in pure SQL — which is what makes it oracle-checkable).
+    The leave-one-fold-out train mean comes FREE from the per-fold sums
+    (mean_f = (S − S_f)/(N − N_f)): one grouped aggregate + one 5-row
+    rollup, no second data pass — the grouped-CV shape that still works
+    when 'groups' means billions of users. (The global row_number here
+    is a single-reducer sort over the per-GROUP frame — fine while
+    groups ≪ rows; at extreme group cardinality swap in the
+    range-bucketed distributed dense rank used by
+    dedup_sorted_neighborhood, same semantics.)"""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("g_n"),
+        F.sum("cents").alias("g_sum"),
+    )
+    w = Window.orderBy(F.desc("g_n"), F.asc("user_id"))
+    folds = g.withColumn(
+        "fold_id", (F.row_number().over(w) - 1) % GKF_K
+    )
+    per_fold = folds.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("g_n").alias("n_rows"),
+        F.sum("g_sum").alias("sum_cents"),
+    )
+    tot = per_fold.agg(
+        F.sum("n_rows").alias("t_rows"),
+        F.sum("sum_cents").alias("t_cents"),
+    )
+    return per_fold.crossJoin(F.broadcast(tot)).select(
+        F.col("fold_id").cast("long").alias("fold_id"),
+        "n_users",
+        "n_rows",
+        "sum_cents",
+        (
+            (F.col("t_cents") - F.col("sum_cents")).cast("double")
+            / (F.col("t_rows") - F.col("n_rows")).cast("double")
+        ).alias("loo_mean_cents"),
+    )
+
+
+_SQL_GROUP_KFOLD = f"""
+WITH g AS (
+  SELECT user_id, count(*) AS g_n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS g_sum
+  FROM events GROUP BY user_id
+),
+folds AS (
+  SELECT *, CAST(
+      (row_number() OVER (ORDER BY g_n DESC, user_id) - 1) % {GKF_K}
+    AS BIGINT) AS fold_id
+  FROM g
+),
+pf AS (
+  SELECT fold_id, count(*) AS n_users,
+         CAST(sum(g_n) AS BIGINT) AS n_rows,
+         CAST(sum(g_sum) AS BIGINT) AS sum_cents
+  FROM folds GROUP BY fold_id
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS t_rows,
+         CAST(sum(sum_cents) AS BIGINT) AS t_cents
+  FROM pf
+)
+SELECT pf.fold_id, pf.n_users, pf.n_rows, pf.sum_cents,
+       (t.t_cents - pf.sum_cents)::DOUBLE
+         / (t.t_rows - pf.n_rows)::DOUBLE AS loo_mean_cents
+FROM pf, tot t
+"""
+
+
+# ======================================================================
+# feat_km_survival — Kaplan-Meier product-limit estimator
+# ======================================================================
+
+
+def q_feat_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve (Kaplan & Meier 1958)
+    over user lifetimes: per user, the observation span in whole days
+    (first → last event) with 'experienced an error event' as the event
+    indicator (else right-censored). The curve is computed on the
+    day-level risk table — n_at_risk(t) via one cumulative window over
+    the tiny distinct-duration domain — and the product Π(1 − d/n) is
+    carried in LOG space as a cumulative sum of nano-quantized ln terms
+    (each ln takes ONE division of exact integers; quantize-after-
+    transcendental absorbs ulp noise), so the running product never
+    touches float multiplication order. Two shuffles (per-user rollup,
+    per-day rollup) at any scale; state is days, not users."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts)))"
+            " div 86400000000"
+        ).alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("evt"),
+    )
+    n_total = u.groupBy().agg(F.count(F.lit(1)).alias("n_all"))
+    per_dur = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("evt").alias("d_events"),
+    )
+    w = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        per_dur.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_all")
+            - F.coalesce(F.sum("c_all").over(w), F.lit(0)),
+        )
+        .where(F.col("d_events") > 0)
+    )
+    term = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1000000000)
+        ).cast("long"),
+    )
+    w2 = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risk.withColumn("term", term)
+        .select(
+            F.col("dur").alias("t_days"),
+            "n_risk",
+            "d_events",
+            F.sum("term").over(w2).cast("long").alias("ln_s_nano"),
+        )
+    )
+
+
+_SQL_KM_SURVIVAL = """
+WITH u AS (
+  SELECT user_id,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000 AS dur,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS evt
+  FROM events GROUP BY user_id
+),
+nt AS (SELECT count(*) AS n_all FROM u),
+pd AS (
+  SELECT dur, count(*) AS c_all,
+         CAST(sum(evt) AS BIGINT) AS d_events
+  FROM u GROUP BY dur
+),
+risk AS (
+  SELECT pd.dur, pd.d_events,
+         nt.n_all - COALESCE(CAST(sum(pd.c_all) OVER (
+             ORDER BY pd.dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS n_risk
+  FROM pd, nt
+),
+terms AS (
+  SELECT dur, n_risk, d_events,
+         CASE WHEN d_events < n_risk THEN
+           CAST(round(ln((n_risk - d_events)::DOUBLE / n_risk::DOUBLE)
+                      * 1000000000) AS BIGINT)
+         END AS term
+  FROM risk WHERE d_events > 0
+)
+SELECT dur AS t_days, n_risk, d_events,
+       CAST(sum(term) OVER (
+           ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS ln_s_nano
+FROM terms
+"""
+
+
+# ======================================================================
+# pipe_length_buckets — token-length bucketed batching audit
+# ======================================================================
+
+
+def q_pipe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucketed batching plan: documents assigned to
+    power-of-two length buckets (the standard padding-waste mitigation
+    when batching variable-length sequences for training), with the
+    exact padding waste each bucket pays if every member pads to the
+    bucket capacity. Pure integer arithmetic end-to-end — the ⌊log2⌋
+    comes from length(bin(x)) and the capacity from shiftleft(1, k)
+    (exact powers of two cross-engine, never pow()); waste share is an
+    integer basis-point div. One narrow projection + one 10-row rollup
+    at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    b = docs.select(n_tok.alias("n_tok")).select(
+        "n_tok",
+        # exact power of two: shiftleft of a BIGINT one, never pow()
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " CAST(length(bin(greatest(n_tok - 1, 1))) AS INT))"
+        ).alias("cap"),
+    ).groupBy("cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum(F.col("cap") - F.col("n_tok")).alias("pad_waste"),
+    )
+    return b.select(
+        F.col("cap").alias("bucket_cap"),
+        "n_docs",
+        "sum_tokens",
+        "pad_waste",
+        F.expr(
+            "(10000 * pad_waste) div (n_docs * cap)"
+        ).alias("waste_bp"),
+    )
+
+
+_SQL_LENGTH_BUCKETS = """
+WITH d AS (
+  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT n_tok,
+         CAST(1 AS BIGINT)
+           << length(bin(greatest(n_tok - 1, 1))) AS cap
+  FROM d
+),
+g AS (
+  SELECT cap AS bucket_cap, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         CAST(sum(cap - n_tok) AS BIGINT) AS pad_waste
+  FROM b GROUP BY cap
+)
+SELECT bucket_cap, n_docs, sum_tokens, pad_waste,
+       (10000 * pad_waste) // (n_docs * bucket_cap) AS waste_bp
+FROM g
+"""
+
+
+# ======================================================================
+# text_zipf_fit — Zipf's-law exponent of the corpus term distribution
+# ======================================================================
+
+ZIPF_MIN_COUNT = 2
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: OLS of
+    ln(frequency) on ln(rank) over terms with count ≥ 2 — the classic
+    corpus-health diagnostic (natural text sits near slope −1; template
+    or machine-generated spam bends the tail). Both logs take ONE exact
+    integer input; each is micro-quantized before the moment sums, so
+    the slope is a double division of two decimal-exact integers
+    (group_ols pattern). Shape: one token explode + count shuffle, one
+    rank window over the distinct-term frame, one 1-row moment
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    from .functions.hashing import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= ZIPF_MIN_COUNT)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    pts = counts.withColumn("rk", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rk").cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("c").cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("ly"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(d(F.col("lx")) * F.col("lx")).alias("sxx"),
+        F.sum(d(F.col("lx")) * F.col("ly")).alias("sxy"),
+    )
+    num = d(F.col("n")) * F.col("sxy") - d(F.col("sx")) * F.col("sy")
+    den = d(F.col("n")) * F.col("sxx") - d(F.col("sx")) * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return m.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("zipf_intercept_micro"),
+    )
+
+
+_SQL_ZIPF_FIT = f"""
+WITH counts AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+        FROM documents) t
+  GROUP BY term HAVING count(*) >= {ZIPF_MIN_COUNT}
+),
+pts AS (
+  SELECT CAST(round(ln((row_number() OVER (ORDER BY c DESC, term))::DOUBLE)
+                    * 1000000) AS BIGINT) AS lx,
+         CAST(round(ln(c::DOUBLE) * 1000000) AS BIGINT) AS ly
+  FROM counts
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx,
+         CAST(sum(ly) AS BIGINT) AS sy,
+         sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+         sum(CAST(lx AS HUGEINT) * ly) AS sxy
+  FROM pts
+),
+s AS (
+  SELECT n, sx, sy,
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE AS slope
+  FROM m
+)
+SELECT n AS n_terms, slope AS zipf_slope,
+       (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE
+         AS zipf_intercept_micro
+FROM s
+"""
+
+
+# ======================================================================
+# rel_bitmap_index — bitmap-word set algebra over the user domain
+# ======================================================================
+
+
+def q_rel_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra (the roaring-bitmap idea in 64-bit
+    words): per event type, the user domain compresses to one BIGINT
+    mask per 64-user word (bit_or fold); pairwise type co-occurrence
+    then costs a word-aligned equi-join + popcount — never a row-level
+    user∩user join. The shape OLAP engines use for segment membership
+    at billions of users: |domain|/64 words per segment, intersection
+    cost linear in words, exact answers (unlike the HLL/KMV sketches,
+    which this complements). Outputs the full pairwise inclusion-
+    exclusion audit (|A|, |B|, |A∩B|, |A∪B|)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    words = ev.select(
+        "event_type",
+        F.expr("user_id div 63").alias("w"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+        ).alias("bit"),
+    )
+    bm = words.groupBy("event_type", "w").agg(
+        F.expr("bit_or(bit)").alias("mask")
+    )
+    card = bm.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(mask)")).cast("long").alias("n_users")
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.expr("bit_count(a.mask & b.mask)").alias("pc"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("pc").cast("long").alias("n_both"))
+    )
+    ca = card.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_users").alias("n_a"),
+    )
+    cb = card.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_users").alias("n_b"),
+    )
+    return (
+        inter.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias(
+                "n_either"
+            ),
+        )
+    )
+
+
+_SQL_BITMAP_INDEX = """
+WITH words AS (
+  SELECT event_type, user_id // 63 AS w,
+         CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER) AS bit
+  FROM events
+),
+bm AS (
+  SELECT event_type, w, bit_or(bit) AS mask
+  FROM words GROUP BY event_type, w
+),
+card AS (
+  SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n_users
+  FROM bm GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sum(bit_count(a.mask & b.mask)) AS BIGINT) AS n_both
+  FROM bm a JOIN bm b
+    ON a.w = b.w AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, ca.n_users AS n_a, cb.n_users AS n_b,
+       i.n_both, ca.n_users + cb.n_users - i.n_both AS n_either
+FROM inter i
+JOIN card ca ON ca.event_type = i.type_a
+JOIN card cb ON cb.event_type = i.type_b
+"""
+
+
+# ======================================================================
+# rel_position_attribution — position-based (U-shaped) multi-touch
+# ======================================================================
+
+
+def q_rel_position_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution over
+    per-user event journeys: first and last touch take 4000 basis
+    points each, the middle splits 2000 bp by integer division with the
+    remainder assigned to the last touch — so every journey's credits
+    sum to EXACTLY 10000 bp (single-touch journeys take all 10000;
+    two-touch 4000/6000 — the middle share rides with the last touch). One user-keyed window pass + one rollup; all
+    integer arithmetic, no float credit leakage at any scale."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    pos = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("pos") == 1, F.lit(4000))
+        .when(
+            F.col("pos") == F.col("n"),
+            F.when(F.col("n") == 2, F.lit(6000)).otherwise(
+                F.lit(4000)
+                + F.lit(2000)
+                - (F.col("n") - 2)
+                * F.expr("2000 div (n - 2)")
+            ),
+        )
+        .otherwise(F.expr("2000 div (n - 2)"))
+        .cast("long")
+    )
+    return (
+        pos.select("event_type", credit.alias("bp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("bp").alias("credit_bp"),
+        )
+    )
+
+
+_SQL_POSITION_ATTRIBUTION = """
+WITH pos AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+credit AS (
+  SELECT event_type,
+         CAST(CASE
+           WHEN n = 1 THEN 10000
+           WHEN pos = 1 THEN 4000
+           WHEN pos = n THEN CASE WHEN n = 2 THEN 6000
+             ELSE 4000 + 2000 - (n - 2) * (2000 // (n - 2)) END
+           ELSE 2000 // (n - 2)
+         END AS BIGINT) AS bp
+  FROM pos
+)
+SELECT event_type, count(*) AS n_touches,
+       CAST(sum(bp) AS BIGINT) AS credit_bp
+FROM credit GROUP BY event_type
+"""
+
+
+# ======================================================================
+# cv_block_bootstrap — moving-block bootstrap CI for a daily series
+# ======================================================================
+
+MBB_B, MBB_L = 200, 7
+MBB_LO_K, MBB_HI_K = 5, 196  # 2.5% / 97.5% order statistics of B=200
+
+
+def q_cv_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-block bootstrap (Künsch 1989) confidence interval for the
+    total daily revenue: B=200 resamples, each drawing ⌊n/L⌋
+    length-L=7 blocks of CONTIGUOUS days (blocks preserve the serial
+    dependence an iid bootstrap destroys) with content-addressed block
+    starts (md5 hash of (b, j) — reproducible across engines and
+    partitionings, no RNG state). Each resample total is an exact
+    integer-cents sum, so the 2.5%/97.5% bounds are exact order
+    statistics — no float quantile interpolation. Shape: one day-level
+    rollup of the fact table, then all resampling happens on the tiny
+    day frame (B·n rows), never rescanning facts."""
+    from pyspark.sql.window import Window
+
+    from .operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s")
+    )
+    wd = Window.orderBy("day")
+    days = days.select(
+        (F.row_number().over(wd) - 1).alias("rk"), "s"
+    ).localCheckpoint(eager=True)
+    meta = days.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("observed_sum"),
+    )
+    # ⌊n/L⌋ blocks per resample, the block-count bound a data-derived
+    # sequence (no oversized grid to prune)
+    picks = (
+        spark.range(MBB_B)
+        .select(F.col("id").alias("b"))
+        .crossJoin(F.broadcast(meta.select("n")))
+        .select(
+            "b",
+            "n",
+            F.explode(
+                F.expr(
+                    f"sequence(CAST(0 AS BIGINT), n div {MBB_L} - 1)"
+                )
+            ).alias("j"),
+        )
+        .select(
+            "b",
+            "j",
+            (
+                hash_bucket(
+                    F.concat_ws(":", F.col("b"), F.col("j")),
+                    salt="mbb",
+                )
+                % (F.col("n") - F.lit(MBB_L) + 1)
+            ).alias("st"),
+        )
+    )
+    offs = picks.select(
+        "b",
+        F.explode(
+            F.sequence(F.col("st"), F.col("st") + F.lit(MBB_L - 1))
+        ).alias("rk"),
+    )
+    sums = (
+        offs.join(F.broadcast(days), "rk")
+        .groupBy("b")
+        .agg(F.sum("s").alias("resample_sum"))
+    )
+    ws = Window.orderBy("resample_sum", "b")
+    ranked = sums.withColumn("q", F.row_number().over(ws))
+    lo = ranked.where(F.col("q") == MBB_LO_K).select(
+        F.col("resample_sum").alias("ci_lo_cents")
+    )
+    hi = ranked.where(F.col("q") == MBB_HI_K).select(
+        F.col("resample_sum").alias("ci_hi_cents")
+    )
+    return (
+        meta.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").alias("n_days"),
+            F.lit(MBB_B).cast("long").alias("n_resamples"),
+            F.lit(MBB_L).cast("long").alias("block_len"),
+            "observed_sum",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )
+
+
+def _sql_block_bootstrap() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket("concat(b, ':', j)", salt="mbb")
+    return f"""
+WITH days0 AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+),
+days AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS rk, s
+  FROM days0
+),
+meta AS (
+  SELECT count(*) AS n, CAST(sum(s) AS BIGINT) AS observed_sum
+  FROM days
+),
+picks AS (
+  SELECT g.b, g.j, {hb} % (g.n - {MBB_L} + 1) AS st
+  FROM (SELECT bb.b, m.n,
+               unnest(generate_series(CAST(0 AS BIGINT),
+                                      m.n // {MBB_L} - 1)) AS j
+        FROM (SELECT unnest(generate_series(0, {MBB_B - 1})) AS b) bb,
+             meta m) g
+),
+offs AS (
+  SELECT p.b, p.st + o.o AS rk
+  FROM picks p
+  JOIN (SELECT unnest(generate_series(0, {MBB_L - 1})) AS o) o ON TRUE
+),
+sums AS (
+  SELECT f.b, CAST(sum(d.s) AS BIGINT) AS resample_sum
+  FROM offs f JOIN days d ON d.rk = f.rk
+  GROUP BY f.b
+),
+ranked AS (
+  SELECT resample_sum,
+         row_number() OVER (ORDER BY resample_sum, b) AS q
+  FROM sums
+)
+SELECT m.n AS n_days,
+       CAST({MBB_B} AS BIGINT) AS n_resamples,
+       CAST({MBB_L} AS BIGINT) AS block_len,
+       m.observed_sum,
+       lo.resample_sum AS ci_lo_cents,
+       hi.resample_sum AS ci_hi_cents
+FROM meta m,
+     (SELECT resample_sum FROM ranked WHERE q = {MBB_LO_K}) lo,
+     (SELECT resample_sum FROM ranked WHERE q = {MBB_HI_K}) hi
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -377,6 +1059,13 @@ QUERIES14: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_skew_stress": q_rel_skew_stress,
     "stream_scd2": q_stream_scd2,
     "cv_stack_blend": q_cv_stack_blend,
+    "cv_group_kfold": q_cv_group_kfold,
+    "feat_km_survival": q_feat_km_survival,
+    "pipe_length_buckets": q_pipe_length_buckets,
+    "text_zipf_fit": q_text_zipf_fit,
+    "rel_bitmap_index": q_rel_bitmap_index,
+    "rel_position_attribution": q_rel_position_attribution,
+    "cv_block_bootstrap": q_cv_block_bootstrap,
 }
 
 
@@ -385,4 +1074,11 @@ def oracles14() -> Dict[str, str]:
         "rel_skew_stress": _SQL_SKEW_STRESS,
         "stream_scd2": _SQL_STREAM_SCD2,
         "cv_stack_blend": _sql_stack_blend(),
+        "cv_group_kfold": _SQL_GROUP_KFOLD,
+        "feat_km_survival": _SQL_KM_SURVIVAL,
+        "pipe_length_buckets": _SQL_LENGTH_BUCKETS,
+        "text_zipf_fit": _SQL_ZIPF_FIT,
+        "rel_bitmap_index": _SQL_BITMAP_INDEX,
+        "rel_position_attribution": _SQL_POSITION_ATTRIBUTION,
+        "cv_block_bootstrap": _sql_block_bootstrap(),
     }

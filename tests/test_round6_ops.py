@@ -82,3 +82,145 @@ def test_salting_balances_hot_key_partitions(spark):
     assert salted_max < 0.5 * unsalted_max, (
         f"salt did not balance: {salted_max} vs {unsalted_max}"
     )
+
+
+def test_group_kfold_partition_properties(spark):
+    """Every user lands in exactly one fold; round-robin dealing keeps
+    fold user-counts within 1 of each other; leave-one-fold-out means
+    recompose to the global mean."""
+    from panelsplit_spark.queries_round6 import GKF_K, q_cv_group_kfold
+
+    rows = {r["fold_id"]: r for r in q_cv_group_kfold(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(GKF_K))
+    sizes = [rows[f]["n_users"] for f in range(GKF_K)]
+    assert max(sizes) - min(sizes) <= 1
+    t_rows = sum(r["n_rows"] for r in rows.values())
+    t_cents = sum(r["sum_cents"] for r in rows.values())
+    for r in rows.values():
+        expect = (t_cents - r["sum_cents"]) / (t_rows - r["n_rows"])
+        assert abs(r["loo_mean_cents"] - expect) < 1e-9
+
+
+def test_km_survival_monotone(spark):
+    """The KM curve is nonincreasing: every ln-survival step is ≤ 0 and
+    the cumulative log-survival is nonincreasing in t; at-risk counts
+    are nonincreasing too."""
+    from panelsplit_spark.queries_round6 import q_feat_km_survival
+
+    rows = sorted(
+        q_feat_km_survival(spark, SF_DIR).collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert rows, "no event times"
+    prev_ln, prev_risk = 0, None
+    for r in rows:
+        assert r["d_events"] >= 1
+        if r["ln_s_nano"] is not None:
+            assert r["ln_s_nano"] <= prev_ln
+            prev_ln = r["ln_s_nano"]
+        if prev_risk is not None:
+            assert r["n_risk"] <= prev_risk
+        prev_risk = r["n_risk"]
+
+
+def test_position_attribution_conserves_credit(spark):
+    """Across all journeys the credit mass is exactly 10000 bp per user
+    — the integer remainder rule leaks nothing."""
+    from panelsplit_spark.queries_round6 import (
+        q_rel_position_attribution,
+    )
+    from panelsplit_spark.sources.tables import load_table
+
+    total_bp = sum(
+        r["credit_bp"]
+        for r in q_rel_position_attribution(spark, SF_DIR).collect()
+    )
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total_bp == 10000 * n_users
+
+
+def test_bitmap_index_matches_exact_intersections(spark):
+    """Bitmap popcount intersections must equal exact distinct-user
+    intersections for every type pair."""
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark.queries_round6 import q_rel_bitmap_index
+    from panelsplit_spark.sources.tables import load_table
+
+    got = {
+        (r["type_a"], r["type_b"]): r["n_both"]
+        for r in q_rel_bitmap_index(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id"
+    ).distinct()
+    a, b = ev.alias("a"), ev.alias("b")
+    exact = {
+        (r["ta"], r["tb"]): r["n"]
+        for r in (
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.event_type") < F.col("b.event_type")),
+            )
+            .groupBy(
+                F.col("a.event_type").alias("ta"),
+                F.col("b.event_type").alias("tb"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert got == exact
+
+
+def test_stack_blend_meta_fit_dominates_single_feature(spark):
+    """On the meta-fit set (the OOF frame), the two-feature OLS blend
+    cannot have larger SSE than either single-feature fit — nested
+    least squares. Checked in float on the collected tiny frame."""
+    import numpy as np
+
+    from panelsplit_spark.queries_round6 import q_cv_stack_blend
+    from panelsplit_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = q_cv_stack_blend(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", F.round("value").cast("long").alias("yd")
+    )
+    rows = out.join(ev, "event_id").collect()
+    x1 = np.array([r["x1"] for r in rows], dtype=float)
+    x2 = np.array([r["x2"] for r in rows], dtype=float)
+    y = np.array([r["yd"] for r in rows], dtype=float)
+    blend = np.array([r["blend"] for r in rows], dtype=float)
+    sse_blend = ((y - blend) ** 2).sum()
+
+    def sse_single(x):
+        A = np.vstack([np.ones_like(x), x]).T
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        return ((y - A @ beta) ** 2).sum()
+
+    assert sse_blend <= sse_single(x1) + 1e-6
+    assert sse_blend <= sse_single(x2) + 1e-6
+
+
+def test_block_bootstrap_ci_orders(spark):
+    from panelsplit_spark.queries_round6 import q_cv_block_bootstrap
+
+    r = q_cv_block_bootstrap(spark, SF_DIR).collect()[0]
+    assert r["ci_lo_cents"] <= r["ci_hi_cents"]
+    assert r["n_resamples"] == 200 and r["block_len"] == 7
+    assert r["n_days"] >= 14
+
+
+def test_zipf_slope_is_negative(spark):
+    from panelsplit_spark.queries_round6 import q_text_zipf_fit
+
+    r = q_text_zipf_fit(spark, SF_DIR).collect()[0]
+    assert r["zipf_slope"] < 0
+    assert r["n_terms"] > 10

@@ -71,6 +71,9 @@ def _counts(plan: str) -> dict:
 # --check until it is reviewed and either re-planned or listed here.
 BNLJ_WHITELIST = {
     "cv_stack_blend",      # single-row meta-coefficient broadcast
+    "cv_group_kfold",      # single-row grand-total broadcast
+    "feat_km_survival",    # single-row cohort-size broadcast
+    "cv_block_bootstrap",  # single-row day-count/CI-bound broadcasts
     "sim_cosine_topk",      # brute-force ANN baseline: tiny query set
     "sim_ivf_topk",         # centroid set + query set broadcasts
     "sim_kmeans_ivf_topk",  # same
