@@ -311,6 +311,10 @@ HEADLINE = [
     "rel_bitmap_index",
     "rel_position_attribution",
     "cv_block_bootstrap",
+    "stream_bitmap",
+    "cv_permutation_test",
+    "cv_fold_drift",
+    "feat_fourier_ols",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -1052,6 +1052,421 @@ FROM meta m,
 
 
 # ======================================================================
+# stream_bitmap — streaming exact-distinct bitmaps (24th gate)
+# ======================================================================
+
+_SBM_BATCHES = 3
+
+
+def q_stream_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact distinct-membership bitmaps: the events feed
+    arrives as three deterministic micro-batches; each folds its user
+    ids into per-type 63-bit word masks with one keyed bit_or
+    (streaming/rolling.stream_bitmap_words). Bitwise OR is an
+    idempotent commutative monoid, so the drained masks equal the batch
+    bitmap for ANY chop — popcount over the drained state must
+    therefore equal the batch COUNT(DISTINCT) exactly, which is the
+    oracle. The exact companion to the stream_hll estimate gate: same
+    ingest shape, bounded state (|user domain|/63 longs per type),
+    exact answers."""
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        chop_n,
+        stream_bitmap_words,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    name = "stream_bitmap_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("bitmap_feed")
+        write_file_batches(
+            [
+                ev.where(F.col("event_id") % chop_n(_SBM_BATCHES) == j)
+                for j in range(chop_n(_SBM_BATCHES))
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_masks = stream_bitmap_words(
+                stream, "user_id", ["event_type"], query_name=name
+            )
+            q.awaitTermination()
+        masks = get_masks()
+        if masks is not None:
+            return masks.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.expr("bit_count(mask)"))
+                .cast("long")
+                .alias("n_users"),
+            )
+    raise RuntimeError(
+        "stream_bitmap: drain processed zero non-empty batches twice"
+    )
+
+
+# drained OR-masks == batch OR-masks (bit_or is an idempotent
+# commutative monoid), so popcount == exact batch COUNT(DISTINCT)
+_SQL_STREAM_BITMAP = """
+WITH bm AS (
+  SELECT event_type, user_id // 63 AS w,
+         bit_or(CAST(1 AS BIGINT)
+                << CAST(user_id % 63 AS INTEGER)) AS mask
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_words,
+       CAST(sum(bit_count(mask)) AS BIGINT) AS n_users
+FROM bm GROUP BY event_type
+"""
+
+
+# ======================================================================
+# cv_permutation_test — content-addressed permutation inference
+# ======================================================================
+
+PERM_B = 100
+PERM_SALT = "permv1"
+
+
+def q_cv_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test (Fisher 1935) for an A/B spend difference with
+    content-addressed reassignment: permutation p re-deals each USER's
+    arm from md5(user:p), so the null distribution is reproducible on
+    any cluster and needs no RNG state. The test statistic is the
+    exact-integer cross statistic T = S_t·n_c − S_c·n_t (sign-equal to
+    the mean difference but division-free), and the p-value is an
+    integer-ratio in basis points — no float crosses engines anywhere.
+    Shape: one per-user rollup of the facts, then all B=100
+    permutations run on the tiny user frame (users × B) with ONE
+    grouped aggregate — facts are scanned once no matter how many
+    permutations."""
+    from .operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    # p = 0 is the OBSERVED assignment; p = 1..B are the permutations
+    grid = users.select(
+        "user_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B))).alias("p"),
+    ).select(
+        "p",
+        "cents",
+        (
+            hash_bucket(
+                F.concat_ws(":", F.col("user_id"), F.col("p")),
+                salt=PERM_SALT,
+            )
+            % 2
+        ).alias("arm"),
+    )
+    stats = grid.groupBy("p").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("cents"))).alias("s_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents"))).alias("s_c"),
+        F.sum(F.when(F.col("arm") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_c"),
+    ).select(
+        "p",
+        (
+            F.col("s_t") * F.col("n_c") - F.col("s_c") * F.col("n_t")
+        ).alias("t_stat"),
+    )
+    obs = stats.where(F.col("p") == 0).select(
+        F.col("t_stat").alias("t_obs")
+    )
+    perms = stats.where(F.col("p") > 0)
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy()
+        .agg(
+            F.max("t_obs").alias("t_obs"),
+            F.count(F.lit(1)).alias("n_perms"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("t_stat")) >= F.abs(F.col("t_obs")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_extreme"),
+        )
+        .select(
+            "t_obs",
+            "n_perms",
+            "n_extreme",
+            F.expr(
+                f"(10000 * (1 + n_extreme)) div ({PERM_B} + 1)"
+            ).alias("p_value_bp"),
+        )
+    )
+
+
+def _sql_permutation_test() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket("concat(user_id, ':', p)", salt=PERM_SALT)
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT u.user_id, u.cents, g.p, {hb} % 2 AS arm
+  FROM users u,
+       (SELECT unnest(generate_series(0, {PERM_B})) AS p) g
+),
+stats AS (
+  SELECT p,
+         CAST(sum(CASE WHEN arm = 1 THEN cents END) AS BIGINT) AS s_t,
+         CAST(sum(CASE WHEN arm = 0 THEN cents END) AS BIGINT) AS s_c,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+  FROM grid GROUP BY p
+),
+t AS (SELECT p, s_t * n_c - s_c * n_t AS t_stat FROM stats),
+obs AS (SELECT t_stat AS t_obs FROM t WHERE p = 0)
+SELECT o.t_obs,
+       count(*) AS n_perms,
+       CAST(sum(CASE WHEN abs(t.t_stat) >= abs(o.t_obs)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       (10000 * (1 + CAST(sum(CASE WHEN abs(t.t_stat) >= abs(o.t_obs)
+                                   THEN 1 ELSE 0 END) AS BIGINT)))
+         // ({PERM_B} + 1) AS p_value_bp
+FROM t, obs o
+WHERE t.p > 0
+GROUP BY o.t_obs
+"""
+
+
+# ======================================================================
+# cv_fold_drift — label-distribution drift between consecutive folds
+# ======================================================================
+
+
+def q_cv_fold_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-shift audit ACROSS CV folds: PSI of the event-type
+    distribution between each fold's test block and the previous
+    fold's — the diagnostic that tells you whether a walk-forward
+    backtest's folds are exchangeable or the panel drifts (in which
+    case per-fold scores are trend, not noise). Each PSI term is
+    ln of ONE ratio of exact integer products (cross-multiplied so no
+    per-engine division order exists), nano-quantized then summed.
+    Shape: one fan-out aggregate over (fold, type), then arithmetic on
+    the K×types frame."""
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    asg = ps.assign(ev).where(F.col("role") == "test")
+    ft = asg.groupBy(
+        F.col("fold_id").cast("long").alias("fold_id"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = ft.groupBy("fold_id").agg(F.sum("c").alias("n"))
+    cur = ft.join(tot, "fold_id").select(
+        "fold_id", "event_type", F.col("c").alias("c1"),
+        F.col("n").alias("n1"),
+    )
+    prev = cur.select(
+        (F.col("fold_id") + 1).alias("fold_id"),
+        "event_type",
+        F.col("c1").alias("c0"),
+        F.col("n1").alias("n0"),
+    )
+    j = cur.join(prev, ["fold_id", "event_type"])
+    term = F.round(
+        (
+            F.col("c1").cast("double") / F.col("n1").cast("double")
+            - F.col("c0").cast("double") / F.col("n0").cast("double")
+        )
+        * F.log(
+            (F.col("c1") * F.col("n0")).cast("double")
+            / (F.col("c0") * F.col("n1")).cast("double")
+        )
+        * F.lit(1000000000)
+    ).cast("long")
+    return j.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(term).alias("psi_nano"),
+    )
+
+
+def _sql_fold_drift() -> str:
+    from .queries import _FOLD_CTE
+
+    return f"""
+WITH {_FOLD_CTE},
+tev AS (
+  SELECT a.fold_id, e.event_type, count(*) AS c
+  FROM assign a
+  JOIN (SELECT {_EV_PERIOD_R6} AS period, event_type FROM events) e
+    ON e.period = a.period
+  WHERE a.role = 'test'
+  GROUP BY 1, 2
+),
+tot AS (SELECT fold_id, CAST(sum(c) AS BIGINT) AS n FROM tev GROUP BY 1),
+cur AS (
+  SELECT t.fold_id, t.event_type, t.c AS c1, x.n AS n1
+  FROM tev t JOIN tot x USING (fold_id)
+),
+prv AS (
+  SELECT fold_id + 1 AS fold_id, event_type, c1 AS c0, n1 AS n0
+  FROM cur
+),
+j AS (
+  SELECT cur.fold_id, cur.event_type, c1, n1, c0, n0,
+         CAST(round((c1::DOUBLE / n1::DOUBLE - c0::DOUBLE / n0::DOUBLE)
+                    * ln((c1 * n0)::DOUBLE / (c0 * n1)::DOUBLE)
+                    * 1000000000) AS BIGINT) AS term
+  FROM cur JOIN prv USING (fold_id, event_type)
+)
+SELECT fold_id, count(*) AS n_types,
+       CAST(sum(term) AS BIGINT) AS psi_nano
+FROM j GROUP BY fold_id
+"""
+
+
+_EV_PERIOD_R6 = "strftime(ts, '%Y-%m-%d')"
+
+
+# ======================================================================
+# feat_fourier_ols — seasonal harmonic fit on the daily series
+# ======================================================================
+
+
+def q_feat_fourier_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality harmonic fit: daily revenue regressed on the
+    first Fourier pair sin/cos(2π·dow/7) — the compact seasonal encoding
+    a feature store prefers over 7 dummies. The transcendental features
+    are micro-quantized immediately after the sin/cos call (ulp noise
+    absorbed), so the two-regressor fit reuses the exact decimal-guarded
+    Cramer closed form (operators/timeseries.group_ols2). One day-level
+    rollup + one 1-row aggregate; the fitted seasonal amplitude is a
+    fixed-order double of exact integers."""
+    from .operators.timeseries import group_ols2
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    # dayofweek is 1..7 (Sun..Sat) in Spark; DuckDB dayofweek is 0..6
+    # (Sun..Sat) — use ISO day-of-week arithmetic from the epoch day to
+    # stay engine-neutral: dow = (epoch_days + 4) % 7 (1970-01-01 was a
+    # Thursday = 4 with Sunday = 0)
+    pts = days.select(
+        (
+            (F.datediff(F.to_date("day"), F.lit("1970-01-01")) + 4) % 7
+        ).alias("dow"),
+        F.round(F.col("cents") / F.lit(100)).cast("long").alias("yd"),
+    ).select(
+        "yd",
+        F.round(
+            F.sin(
+                F.col("dow").cast("double")
+                * F.lit(2)
+                * F.expr("pi()")
+                / F.lit(7)
+            )
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("sx"),
+        F.round(
+            F.cos(
+                F.col("dow").cast("double")
+                * F.lit(2)
+                * F.expr("pi()")
+                / F.lit(7)
+            )
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("cx"),
+    )
+    return group_ols2(
+        pts.withColumn("g", F.lit(1)), ["g"], "sx", "cx", "yd"
+    ).select(
+        F.col("n").alias("n_days"),
+        F.col("b1").alias("beta_sin"),
+        F.col("b2").alias("beta_cos"),
+        F.col("b0").alias("beta_mean"),
+    )
+
+
+_SQL_FOURIER_OLS = """
+WITH days AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+pts AS (
+  SELECT CAST(round(cents / 100) AS BIGINT) AS yd,
+         CAST(round(sin(CAST((date_diff('day', DATE '1970-01-01',
+                                         CAST(day AS DATE)) + 4) % 7
+                             AS DOUBLE) * 2 * pi() / 7)
+                    * 1000000) AS BIGINT) AS sx,
+         CAST(round(cos(CAST((date_diff('day', DATE '1970-01-01',
+                                         CAST(day AS DATE)) + 4) % 7
+                             AS DOUBLE) * 2 * pi() / 7)
+                    * 1000000) AS BIGINT) AS cx
+  FROM days
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sx) AS BIGINT) AS sx1,
+         CAST(sum(cx) AS BIGINT) AS sx2,
+         CAST(sum(yd) AS BIGINT) AS sy,
+         sum(CAST(sx AS HUGEINT) * sx) AS sx1x1,
+         sum(CAST(sx AS HUGEINT) * cx) AS sx1x2,
+         sum(CAST(cx AS HUGEINT) * cx) AS sx2x2,
+         sum(CAST(sx AS HUGEINT) * yd) AS sx1y,
+         sum(CAST(cx AS HUGEINT) * yd) AS sx2y
+  FROM pts
+),
+ma AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1 AS a11,
+         CAST(n AS HUGEINT) * sx1x2 - CAST(sx1 AS HUGEINT) * sx2 AS a12,
+         CAST(n AS HUGEINT) * sx2x2 - CAST(sx2 AS HUGEINT) * sx2 AS a22,
+         CAST(n AS HUGEINT) * sx1y - CAST(sx1 AS HUGEINT) * sy AS b1n,
+         CAST(n AS HUGEINT) * sx2y - CAST(sx2 AS HUGEINT) * sy AS b2n
+  FROM m
+),
+ms AS (
+  SELECT *,
+         CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+           (a22 * b1n - a12 * b2n)::DOUBLE
+             / (a11 * a22 - a12 * a12)::DOUBLE END AS b1,
+         CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+           (a11 * b2n - a12 * b1n)::DOUBLE
+             / (a11 * a22 - a12 * a12)::DOUBLE END AS b2
+  FROM ma
+)
+SELECT n AS n_days, b1 AS beta_sin, b2 AS beta_cos,
+       CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+         (sy::DOUBLE - b1 * sx1::DOUBLE - b2 * sx2::DOUBLE) / n::DOUBLE
+       END AS beta_mean
+FROM ms
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1066,6 +1481,10 @@ QUERIES14: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_bitmap_index": q_rel_bitmap_index,
     "rel_position_attribution": q_rel_position_attribution,
     "cv_block_bootstrap": q_cv_block_bootstrap,
+    "stream_bitmap": q_stream_bitmap,
+    "cv_permutation_test": q_cv_permutation_test,
+    "cv_fold_drift": q_cv_fold_drift,
+    "feat_fourier_ols": q_feat_fourier_ols,
 }
 
 
@@ -1081,4 +1500,8 @@ def oracles14() -> Dict[str, str]:
         "rel_bitmap_index": _SQL_BITMAP_INDEX,
         "rel_position_attribution": _SQL_POSITION_ATTRIBUTION,
         "cv_block_bootstrap": _sql_block_bootstrap(),
+        "stream_bitmap": _SQL_STREAM_BITMAP,
+        "cv_permutation_test": _sql_permutation_test(),
+        "cv_fold_drift": _sql_fold_drift(),
+        "feat_fourier_ols": _SQL_FOURIER_OLS,
     }

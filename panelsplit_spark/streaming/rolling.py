@@ -696,6 +696,66 @@ def stream_scd2_versions(
     return q, get_versions
 
 
+def stream_bitmap_words(
+    change_stream: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str],
+    word_bits: int = 63,
+    query_name: str = "bitmap_state",
+):
+    """Maintain per-group membership BITMAPS from a stream — the
+    streaming half of ``rel_bitmap_index``: each micro-batch folds its
+    ids into per-(group, word) BIGINT masks with one keyed ``bit_or``
+    over |state| + |batch-words| rows. Bitwise OR is an idempotent
+    commutative monoid, so the drained masks equal the batch bitmap of
+    the whole feed for ANY chop — exact distinct counts (popcount) and
+    set algebra come free from the drained state, unlike the HLL gate's
+    estimates. State is |id domain| / word_bits longs per group; 63
+    usable bits per word (bit 63 is the sign bit and checked engines
+    reject shifting into it).
+
+    Returns ``(query, get_masks)``.
+    """
+    holder = {"state": None}
+    gcols = list(group_cols)
+
+    def to_words(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                *gcols,
+                F.expr(f"{id_col} div {word_bits}").alias("w"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({id_col} % {word_bits} AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy(*gcols, "w")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+        )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        b = to_words(batch)
+        state = holder["state"]
+        merged = b if state is None else (
+            state.unionByName(b)
+            .groupBy(*gcols, "w")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+        )
+        holder["state"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        change_stream.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    def get_masks() -> Optional[DataFrame]:
+        return holder["state"]
+
+    return q, get_masks
+
+
 def stream_incremental_agg(
     change_stream: DataFrame,
     keys: Sequence[str],

@@ -54,6 +54,7 @@ SPEC = {
     "stream_ks": "key",
     "stream_gini": "key",
     "stream_scd2": "key",
+    "stream_bitmap": "key",
     # ordered recursions / watermark-evicted state — contiguous re-chop
     "stream_sessionize": "ordered",
     "stream_session_window": "ordered",

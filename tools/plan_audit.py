@@ -74,6 +74,7 @@ BNLJ_WHITELIST = {
     "cv_group_kfold",      # single-row grand-total broadcast
     "feat_km_survival",    # single-row cohort-size broadcast
     "cv_block_bootstrap",  # single-row day-count/CI-bound broadcasts
+    "cv_permutation_test", # single-row observed-statistic broadcast
     "sim_cosine_topk",      # brute-force ANN baseline: tiny query set
     "sim_ivf_topk",         # centroid set + query set broadcasts
     "sim_kmeans_ivf_topk",  # same
