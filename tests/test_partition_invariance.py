@@ -197,3 +197,49 @@ def test_round5b_hash_invariant_wide_spread(spark, qname):
     assert hashes["4"] == hashes["64"], (
         f"{qname} result depends on shuffle partition count: {hashes}"
     )
+
+
+ROUND6_SHAPES = [
+    # round-6 shapes where partition order could plausibly leak:
+    # global row_number dealing (group folds), order-statistic CI
+    # bounds over hash-selected blocks, ln-rank moment fit (zipf),
+    # journey-position credits (user window ranks), word-mask bit_or
+    # folds, U-order base-pred quantization into the Cramer meta fit,
+    # KM cumulative log-survival windows, permutation arm re-deals
+    "cv_group_kfold",
+    "cv_block_bootstrap",
+    "text_zipf_fit",
+    "rel_position_attribution",
+    "rel_bitmap_index",
+    "cv_stack_blend",
+    "feat_km_survival",
+    "cv_permutation_test",
+    "cv_fold_drift",
+    "feat_fourier_ols",
+    "rel_skew_stress",
+]
+
+
+@pytest.mark.parametrize("qname", ROUND6_SHAPES)
+def test_round6_hash_invariant_wide_spread(spark, qname):
+    """{4, 64} spread for the round-6 selection/rank-sensitive queries
+    — same rationale as the round-4b/5b blocks above."""
+    import __spark_entry__ as entrymod
+
+    from panelsplit_spark.utils.storage import release_all_pinned
+
+    fn = entrymod.queries()[qname]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for n in ("4", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            df = fn(spark, SF_DIR)
+            rows = [tuple(r) for r in df.collect()]
+            hashes[n] = (len(rows), _co.value_hash(df.columns, rows))
+            release_all_pinned(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert hashes["4"] == hashes["64"], (
+        f"{qname} result depends on shuffle partition count: {hashes}"
+    )
