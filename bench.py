@@ -315,6 +315,7 @@ HEADLINE = [
     "cv_permutation_test",
     "cv_fold_drift",
     "feat_fourier_ols",
+    "dedup_phonetic",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -1467,6 +1467,122 @@ FROM ms
 
 
 # ======================================================================
+# dedup_phonetic — phonetic-key blocking (4th blocking family)
+# ======================================================================
+
+PHON_TOKS = 3     # block on the skeleton of the first 3 tokens
+PHON_BLOCK_CAP = 50  # df-cap: a block bigger than this is a stop-key
+
+
+def _phonetic_key_spark():
+    # per-token phonetic skeleton: first char + first 3 consonants of
+    # the remainder (RE2-safe: no backreferences, so the identical
+    # pattern runs on both engines)
+    return F.expr(
+        "array_join(transform(slice(split(lower(text), ' '), 1,"
+        f" {PHON_TOKS}),"
+        " x -> concat(substring(x, 1, 1),"
+        " substring(regexp_replace(substring(x, 2, 1000000),"
+        " '[aeiouy]', ''), 1, 3))), '-')"
+    )
+
+
+def q_dedup_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-key blocking — the FOURTH blocking family alongside LSH
+    banding (probabilistic), prefix filtering (exact, content-keyed)
+    and sorted neighborhood (rank-keyed): docs block on the phonetic
+    skeleton of their leading tokens (first char + leading consonants —
+    the Soundex idea reduced to an RE2-safe form both engines run
+    byte-identically), so typo/vowel-variant near-dups land in one
+    block without sharing exact shingles. Blocks are df-capped at
+    PHON_BLOCK_CAP (an oversized block is a stop-key, same discipline
+    as the prefix filter's df cap), so candidate count is bounded by
+    Σ C(block,2) ≤ blocks·cap²/2 — never all-pairs. Verification
+    reuses the shared candidate-pruned exact-Jaccard machinery."""
+    from .operators import dedup
+    from .queries_data import JACCARD_N, JACCARD_T
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", _phonetic_key_spark().alias("k"))
+    sizes = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("bn"))
+    kept = keyed.join(
+        F.broadcast(
+            sizes.where(
+                (F.col("bn") >= 2) & (F.col("bn") <= PHON_BLOCK_CAP)
+            ).select("k")
+        ),
+        "k",
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    out = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T, candidates=cands
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def _sql_dedup_phonetic() -> str:
+    from .queries_data import (
+        _DUCK_TOKS,
+        JACCARD_N,
+        JACCARD_T,
+        _duck_shingles,
+    )
+
+    key = (
+        f"array_to_string(list_transform(list_slice({_DUCK_TOKS}, 1,"
+        f" {PHON_TOKS}),"
+        " x -> substr(x, 1, 1) ||"
+        " substr(regexp_replace(substr(x, 2), '[aeiouy]', '', 'g'),"
+        " 1, 3)), '-')"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {key} AS k FROM documents
+),
+kept AS (
+  SELECT doc_id, k FROM keyed
+  WHERE k IN (SELECT k FROM keyed GROUP BY k
+              HAVING count(*) >= 2 AND count(*) <= {PHON_BLOCK_CAP})
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+),
+sh2 AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(JACCARD_N)})) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter2 AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cands c
+  JOIN sh2 a ON a.doc_id = c.id_a
+  JOIN sh2 b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
+FROM inter2
+JOIN sizes2 sa ON sa.doc_id = id_a
+JOIN sizes2 sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1485,6 +1601,7 @@ QUERIES14: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_permutation_test": q_cv_permutation_test,
     "cv_fold_drift": q_cv_fold_drift,
     "feat_fourier_ols": q_feat_fourier_ols,
+    "dedup_phonetic": q_dedup_phonetic,
 }
 
 
@@ -1504,4 +1621,5 @@ def oracles14() -> Dict[str, str]:
         "cv_permutation_test": _sql_permutation_test(),
         "cv_fold_drift": _sql_fold_drift(),
         "feat_fourier_ols": _SQL_FOURIER_OLS,
+        "dedup_phonetic": _sql_dedup_phonetic(),
     }

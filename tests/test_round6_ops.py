@@ -262,3 +262,42 @@ def test_fourier_ols_recovers_planted_weekly_cycle(spark):
     # coefficients exist and are finite
     for c in ("beta_sin", "beta_cos", "beta_mean"):
         assert r[c] is not None and np.isfinite(r[c])
+
+
+def test_phonetic_blocking_catches_twins_and_vowel_variants(spark, tmp_path):
+    """Identical docs always share the phonetic block key, and a
+    vowel-swapped variant of a doc lands in the SAME block (the point
+    of phonetic keys — it would never share exact leading shingles);
+    verified pairs all clear the Jaccard threshold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark.queries_round6 import q_dedup_phonetic
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    vowel = "the qick brawn fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base), (1, base), (2, vowel),
+        (3, "completely different words live in this document here"),
+        (4, "another unrelated pile of tokens with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q_dedup_phonetic(spark, sf).collect()
+    }
+    assert (0, 1) in pairs and abs(pairs[(0, 1)] - 1.0) < 1e-12
+    # the vowel variant shares the block (phonetic key ignores vowels
+    # beyond the first char) and survives the Jaccard verify
+    assert (0, 2) in pairs and (1, 2) in pairs
+    from panelsplit_spark.queries_data import JACCARD_T
+
+    assert all(j >= JACCARD_T for j in pairs.values())
