@@ -316,6 +316,7 @@ HEADLINE = [
     "cv_fold_drift",
     "feat_fourier_ols",
     "dedup_phonetic",
+    "pipe_dp_noisy_counts",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -1583,6 +1583,99 @@ WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}
 
 
 # ======================================================================
+# pipe_dp_noisy_counts — sensitivity-1 noisy count release
+# ======================================================================
+
+DP_EPS_BP = 10000  # ε = 1.0 in basis points
+DP_SALT = "dpv1"
+
+
+def q_pipe_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-SHAPED count release: per-type counts plus
+    inverse-CDF Laplace(1/ε) noise. The noise here is CONTENT-ADDRESSED
+    (md5 of the group key) so the gate is reproducible cross-engine —
+    a production release swaps in calibrated secure randomness; what
+    this gate pins is the release pipeline's arithmetic: the uniform
+    maps through u→ −sign(u)·(1/ε)·ln(1−2|u−½|) with the ln taking ONE
+    division of exact integers, nano-quantized after the call, so the
+    noisy totals are engine-exact. Sensitivity-1 count queries are the
+    canonical DP primitive a 100 TB curation pipeline releases stats
+    through; shape: one grouped count + per-row arithmetic."""
+    from .operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u_bp = hash_bucket(F.col("event_type"), salt=DP_SALT)  # [0, 10000)
+    # centered integer offset in [-9999, 9999], odd steps → never 0.5
+    off = u_bp * 2 - 9999
+    sign = F.when(off >= 0, F.lit(1)).otherwise(F.lit(-1))
+    # 1 - 2|u - 1/2| = (10000 - |off|) / 10000  — one exact division
+    ln_term = F.log(
+        (F.lit(10000) - F.abs(off)).cast("double") / F.lit(10000.0)
+    )
+    noise_nano = F.round(
+        -sign.cast("double")
+        * ln_term
+        * F.lit(10000.0)
+        / F.lit(float(DP_EPS_BP))
+        * F.lit(1000000000)
+    ).cast("long")
+    return (
+        counts.select(
+            "event_type", "true_n", noise_nano.alias("noise_nano")
+        )
+        .select(
+            "event_type",
+            "true_n",
+            "noise_nano",
+            (
+                F.col("true_n")
+                + F.expr(
+                    "CASE WHEN noise_nano >= 0"
+                    " THEN (noise_nano + 500000000) div 1000000000"
+                    " ELSE -((-noise_nano + 500000000) div 1000000000)"
+                    " END"
+                )
+            ).alias("noisy_n"),
+        )
+        .withColumn("eps_bp", F.lit(DP_EPS_BP).cast("long"))
+    )
+
+
+def _sql_dp_noisy_counts() -> str:
+    from .operators.sampling import duckdb_hash_bucket
+
+    hb = duckdb_hash_bucket("event_type", salt=DP_SALT)
+    return f"""
+WITH counts AS (
+  SELECT event_type, count(*) AS true_n FROM events GROUP BY 1
+),
+nz AS (
+  SELECT event_type, true_n,
+         ({hb}) * 2 - 9999 AS off
+  FROM counts
+),
+noise AS (
+  SELECT event_type, true_n,
+         CAST(round(-(CASE WHEN off >= 0 THEN 1 ELSE -1 END)::DOUBLE
+                    * ln((10000 - abs(off))::DOUBLE / 10000.0)
+                    * 10000.0 / {float(DP_EPS_BP)}
+                    * 1000000000) AS BIGINT) AS noise_nano
+  FROM nz
+)
+SELECT event_type, true_n, noise_nano,
+       true_n + (CASE WHEN noise_nano >= 0
+                 THEN (noise_nano + 500000000) // 1000000000
+                 ELSE -((-noise_nano + 500000000) // 1000000000)
+                 END) AS noisy_n,
+       CAST({DP_EPS_BP} AS BIGINT) AS eps_bp
+FROM noise
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1602,6 +1695,7 @@ QUERIES14: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_fold_drift": q_cv_fold_drift,
     "feat_fourier_ols": q_feat_fourier_ols,
     "dedup_phonetic": q_dedup_phonetic,
+    "pipe_dp_noisy_counts": q_pipe_dp_noisy_counts,
 }
 
 
@@ -1622,4 +1716,5 @@ def oracles14() -> Dict[str, str]:
         "cv_fold_drift": _sql_fold_drift(),
         "feat_fourier_ols": _SQL_FOURIER_OLS,
         "dedup_phonetic": _sql_dedup_phonetic(),
+        "pipe_dp_noisy_counts": _sql_dp_noisy_counts(),
     }
