@@ -69,3 +69,48 @@ def test_report_header_matches_whitelist():
         "with tools/plan_audit.py"
     )
     assert "the ONLY intended one is sim_cosine_topk" not in doc
+
+
+def test_benchcheck_stage_contract(tmp_path):
+    """gate.py's benchcheck stage: FAIL on structural evidence loss
+    (unparseable artifact, truncated sf1 loop), PASS-with-warn on the
+    load-dependent ceiling/budget breaches, SKIP when no artifact."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "gate", os.path.join(_REPO, "tools", "gate.py")
+    )
+    gate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gate)
+
+    p = tmp_path / "BENCH_FULL.json"
+    # missing → skip (rc 0)
+    assert gate.bench_artifact_check(str(p)) == 0
+    # unparseable → fail
+    p.write_text("{not json")
+    assert gate.bench_artifact_check(str(p)) == 1
+    # truncated sf1 → fail
+    p.write_text(json.dumps(
+        {"sf1": {"queries": {"_truncated_after": "q1"}}}
+    ))
+    assert gate.bench_artifact_check(str(p)) == 1
+    # over-ceiling / hot budget → warn, not fail
+    p.write_text(json.dumps({
+        "sf1": {
+            "total": 700.0, "budget": 780.0, "ceiling": 20.0,
+            "budget_hot": True,
+            "over_ceiling": {"q_heavy": 25.0},
+            "queries": {"q_heavy": 25.0},
+        }
+    }))
+    assert gate.bench_artifact_check(str(p)) == 0
+    # healthy → pass
+    p.write_text(json.dumps({
+        "sf1": {
+            "total": 400.0, "budget": 780.0, "ceiling": 20.0,
+            "budget_hot": False, "over_ceiling": {},
+            "queries": {"q1": 1.0},
+        }
+    }))
+    assert gate.bench_artifact_check(str(p)) == 0

@@ -56,7 +56,7 @@ STAGES = [
 ]
 
 
-def bench_artifact_check() -> int:
+def bench_artifact_check(path: str = None) -> int:
     """Validate the committed sf1 bench evidence (BENCH_FULL.json).
 
     FAIL only on structural problems (unparseable artifact, sf1 loop
@@ -67,7 +67,8 @@ def bench_artifact_check() -> int:
     """
     import json
 
-    path = os.path.join(REPO, "BENCH_FULL.json")
+    if path is None:
+        path = os.path.join(REPO, "BENCH_FULL.json")
     if not os.path.exists(path):
         print("gate: benchcheck SKIP (no BENCH_FULL.json yet)")
         return 0
