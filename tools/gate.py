@@ -95,6 +95,11 @@ def bench_artifact_check(path: str = None) -> int:
             f"{sf1.get('ceiling')}s per-query ceiling (plan-note or "
             "split it before the next registry growth)"
         )
+    for name, info in (sf1.get("over_ceiling_noted") or {}).items():
+        print(
+            f"gate: benchcheck NOTE — sf1 {name} = {info.get('sec')}s "
+            f"over ceiling, documented: {info.get('note')}"
+        )
     if sf1.get("budget_hot"):
         print(
             f"gate: benchcheck WARN — sf1_total {sf1.get('total')}s is "
