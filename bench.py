@@ -317,6 +317,9 @@ HEADLINE = [
     "feat_fourier_ols",
     "dedup_phonetic",
     "pipe_dp_noisy_counts",
+    "stream_psi",
+    "mm_tile_plan",
+    "src_partition_evolution",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -1676,6 +1676,324 @@ FROM noise
 
 
 # ======================================================================
+# stream_psi — streaming population-stability drift monitor (25th gate)
+# ======================================================================
+
+_SPSI_BATCHES = 3
+_SPSI_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: the events feed arrives as three
+    deterministic micro-batches; each folds its (arm, category) counts
+    into the running count table (streaming/rolling.stream_ks_counts —
+    the same keyed-SUM monoid state as the KS gate, different
+    finisher). The drained table equals the batch counts for ANY chop,
+    so the batch PSI oracle applies verbatim: reference arm = the first
+    half of the month, current arm = the rest; each term is
+    (p−q)·ln(p/q) with the ln taking ONE division of exact integer
+    cross-products, nano-quantized. Categories ride as ascii(first
+    char) codes (injective on this domain) so the monoid state stays a
+    (segment, long) table. State is |categories|×2 rows at any feed
+    size — the distribution-stability dashboard a 100 TB ingest keeps
+    continuously true."""
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure, normalize_event_ts
+    from .streaming.rolling import (
+        chop_n,
+        stream_ks_counts,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = normalize_event_ts(
+        load_table(spark, sf_dir, "events")
+    ).select(
+        "event_id",
+        F.when(
+            F.col("ts") < F.lit(_SPSI_CUTOFF).cast("timestamp"),
+            F.lit("ref"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("arm"),
+        F.ascii(F.substring("event_type", 1, 1)).alias("code"),
+    )
+    name = "stream_psi_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("psi_feed")
+        write_file_batches(
+            [
+                ev.where(F.col("event_id") % chop_n(_SPSI_BATCHES) == j)
+                for j in range(chop_n(_SPSI_BATCHES))
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_counts = stream_ks_counts(
+                stream, "arm", "code", query_name=name
+            )
+            q.awaitTermination()
+        counts = get_counts()
+        if counts is not None:
+            ref = counts.where(F.col("segment") == "ref").select(
+                F.col("v").alias("code"), F.col("c").alias("c_ref")
+            )
+            cur = counts.where(F.col("segment") == "cur").select(
+                F.col("v").alias("code"), F.col("c").alias("c_cur")
+            )
+            j = ref.join(cur, "code")
+            tot = j.groupBy().agg(
+                F.sum("c_ref").alias("n_ref"),
+                F.sum("c_cur").alias("n_cur"),
+            )
+            term = F.round(
+                (
+                    F.col("c_cur").cast("double")
+                    / F.col("n_cur").cast("double")
+                    - F.col("c_ref").cast("double")
+                    / F.col("n_ref").cast("double")
+                )
+                * F.log(
+                    (F.col("c_cur") * F.col("n_ref")).cast("double")
+                    / (F.col("c_ref") * F.col("n_cur")).cast("double")
+                )
+                * F.lit(1000000000)
+            ).cast("long")
+            return (
+                j.crossJoin(F.broadcast(tot))
+                .select(term.alias("term"))
+                .groupBy()
+                .agg(
+                    F.count(F.lit(1)).alias("n_categories"),
+                    F.sum("term").alias("psi_nano"),
+                )
+            )
+    raise RuntimeError(
+        "stream_psi: drain processed zero non-empty batches twice"
+    )
+
+
+# drained count table == batch counts (keyed SUM monoid), so the batch
+# PSI oracle applies verbatim
+_SQL_STREAM_PSI = f"""
+WITH ev AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{_SPSI_CUTOFF}' THEN 'ref'
+              ELSE 'cur' END AS arm,
+         ascii(substr(event_type, 1, 1)) AS code
+  FROM events
+),
+c AS (SELECT arm, code, count(*) AS c FROM ev GROUP BY 1, 2),
+j AS (
+  SELECT r.code, r.c AS c_ref, u.c AS c_cur
+  FROM (SELECT code, c FROM c WHERE arm = 'ref') r
+  JOIN (SELECT code, c FROM c WHERE arm = 'cur') u USING (code)
+),
+tot AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur
+  FROM j
+)
+SELECT count(*) AS n_categories,
+       CAST(sum(CAST(round((c_cur::DOUBLE / n_cur::DOUBLE
+                            - c_ref::DOUBLE / n_ref::DOUBLE)
+                    * ln((c_cur * n_ref)::DOUBLE
+                         / (c_ref * n_cur)::DOUBLE)
+                    * 1000000000) AS BIGINT)) AS BIGINT) AS psi_nano
+FROM j, tot
+"""
+
+
+# ======================================================================
+# mm_tile_plan — vision-encoder tiling manifest from media metadata
+# ======================================================================
+
+MM_TILE = 224  # ViT-style patch grid tile edge (pixels)
+
+
+def q_mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-encoder tiling manifest: for every media payload, the
+    grid of TILE×TILE pixel rects a patch-based encoder would crop —
+    computed from DECODED METADATA only (width/height via the
+    deterministic fake codec; payload bytes never leave the executors,
+    and a real decoder drops into the same mapInPandas seam). This is
+    the planning half of multimodal preprocessing at 100 TB: the tile
+    manifest is rows (cheap, joinable, shardable by (doc, tile)), the
+    pixel work happens later against exactly these rects. Tile count
+    per item is ⌈w/T⌉·⌈h/T⌉ with edge tiles clamped — all integer
+    arithmetic."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    meta = multimodal.with_media_meta(
+        payload, decoder=multimodal.fake_decoder
+    ).select(
+        "doc_id",
+        F.col("media_meta.width").cast("long").alias("w"),
+        F.col("media_meta.height").cast("long").alias("h"),
+    )
+    t = F.lit(MM_TILE)
+    g = meta.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(0 AS BIGINT),"
+                f" (w + {MM_TILE - 1}) div {MM_TILE} - 1)"
+            )
+        ).alias("tx"),
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "tx",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(0 AS BIGINT),"
+                f" (h + {MM_TILE - 1}) div {MM_TILE} - 1)"
+            )
+        ).alias("ty"),
+    )
+    return g.select(
+        "doc_id",
+        "tx",
+        "ty",
+        (F.col("tx") * t).alias("x0"),
+        (F.col("ty") * t).alias("y0"),
+        F.least(F.col("tx") * t + t, F.col("w")).alias("x1"),
+        F.least(F.col("ty") * t + t, F.col("h")).alias("y1"),
+    )
+
+
+_SQL_MM_TILE_PLAN = f"""
+WITH hsh AS (SELECT doc_id, md5(text) AS m FROM documents),
+meta AS (
+  SELECT doc_id,
+         CAST(64 + (CAST(concat('0x', substr(m, 3, 2)) AS INT) % 64)
+              * 16 AS BIGINT) AS w,
+         CAST(64 + (CAST(concat('0x', substr(m, 5, 2)) AS INT) % 64)
+              * 16 AS BIGINT) AS h
+  FROM hsh
+),
+gx AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(CAST(0 AS BIGINT),
+                (w + {MM_TILE - 1}) // {MM_TILE} - 1)) AS tx
+  FROM meta
+),
+g AS (
+  SELECT doc_id, w, h, tx,
+         unnest(generate_series(CAST(0 AS BIGINT),
+                (h + {MM_TILE - 1}) // {MM_TILE} - 1)) AS ty
+  FROM gx
+)
+SELECT doc_id, tx, ty,
+       tx * {MM_TILE} AS x0, ty * {MM_TILE} AS y0,
+       least(tx * {MM_TILE} + {MM_TILE}, w) AS x1,
+       least(ty * {MM_TILE} + {MM_TILE}, h) AS y1
+FROM g
+"""
+
+
+# ======================================================================
+# src_partition_evolution — directory-layout evolution witness
+# ======================================================================
+
+
+def q_src_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-layout EVOLUTION: the same fact data written
+    day-partitioned, then re-laid-out as (day, event_type) — the
+    repartitioning every growing lakehouse table eventually goes
+    through — with both layouts read back and audited (row counts must
+    be identical; partition-directory counts must equal the distinct
+    key combinations; a one-partition read must prune to that
+    partition's rows). Writes go to the session warehouse; reads use
+    partition discovery, so the pruning behavior under each layout is
+    the real Spark file-index path."""
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    base = os.path.join(
+        os.getcwd(), "spark-warehouse", "sinks", "part_evo"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    ev.write.partitionBy("day").parquet(v1)
+    ev.write.partitionBy("day", "event_type").parquet(v2)
+    # partition-column type inference can surface `day` as DATE on
+    # read-back; normalize to string so both layouts audit identically
+    r1 = spark.read.parquet(v1).withColumn(
+        "day", F.col("day").cast("string")
+    )
+    r2 = spark.read.parquet(v2).withColumn(
+        "day", F.col("day").cast("string")
+    )
+    first_day = ev.agg(F.min("day")).first()[0]
+
+    def layout_row(label, df, n_dirs_expr):
+        return df.groupBy().agg(
+            F.lit(label).alias("layout"),
+            F.count(F.lit(1)).alias("n_rows"),
+            n_dirs_expr.alias("n_partitions"),
+            F.sum(
+                F.when(F.col("day") == first_day, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("first_day_rows"),
+        )
+
+    one = layout_row(
+        "by_day", r1, F.countDistinct("day").cast("long")
+    )
+    two = layout_row(
+        "by_day_type",
+        r2,
+        F.countDistinct("day", "event_type").cast("long"),
+    )
+    return one.unionByName(two)
+
+
+_SQL_PARTITION_EVOLUTION = """
+WITH ev AS (
+  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, event_type
+  FROM events
+),
+fd AS (SELECT min(day) AS d FROM ev)
+SELECT 'by_day' AS layout, count(*) AS n_rows,
+       count(DISTINCT day) AS n_partitions,
+       CAST(sum(CASE WHEN day = (SELECT d FROM fd) THEN 1 ELSE 0 END)
+            AS BIGINT) AS first_day_rows
+FROM ev
+UNION ALL
+SELECT 'by_day_type' AS layout, count(*) AS n_rows,
+       count(DISTINCT day || '|' || event_type) AS n_partitions,
+       CAST(sum(CASE WHEN day = (SELECT d FROM fd) THEN 1 ELSE 0 END)
+            AS BIGINT) AS first_day_rows
+FROM ev
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1696,6 +2014,9 @@ QUERIES14: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_fourier_ols": q_feat_fourier_ols,
     "dedup_phonetic": q_dedup_phonetic,
     "pipe_dp_noisy_counts": q_pipe_dp_noisy_counts,
+    "stream_psi": q_stream_psi,
+    "mm_tile_plan": q_mm_tile_plan,
+    "src_partition_evolution": q_src_partition_evolution,
 }
 
 
@@ -1717,4 +2038,7 @@ def oracles14() -> Dict[str, str]:
         "feat_fourier_ols": _SQL_FOURIER_OLS,
         "dedup_phonetic": _sql_dedup_phonetic(),
         "pipe_dp_noisy_counts": _sql_dp_noisy_counts(),
+        "stream_psi": _SQL_STREAM_PSI,
+        "mm_tile_plan": _SQL_MM_TILE_PLAN,
+        "src_partition_evolution": _SQL_PARTITION_EVOLUTION,
     }

@@ -55,6 +55,7 @@ SPEC = {
     "stream_gini": "key",
     "stream_scd2": "key",
     "stream_bitmap": "key",
+    "stream_psi": "key",
     # ordered recursions / watermark-evicted state — contiguous re-chop
     "stream_sessionize": "ordered",
     "stream_session_window": "ordered",

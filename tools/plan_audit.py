@@ -75,6 +75,7 @@ BNLJ_WHITELIST = {
     "feat_km_survival",    # single-row cohort-size broadcast
     "cv_block_bootstrap",  # single-row day-count/CI-bound broadcasts
     "cv_permutation_test", # single-row observed-statistic broadcast
+    "stream_psi",          # single-row arm-totals broadcast
     "sim_cosine_topk",      # brute-force ANN baseline: tiny query set
     "sim_ivf_topk",         # centroid set + query set broadcasts
     "sim_kmeans_ivf_topk",  # same
