@@ -320,6 +320,8 @@ HEADLINE = [
     "stream_psi",
     "mm_tile_plan",
     "src_partition_evolution",
+    "cv_residual_dw",
+    "cv_horizon_decay",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -1994,6 +1994,291 @@ FROM ev
 
 
 # ======================================================================
+# cv_residual_dw — Durbin-Watson autocorrelation audit of OOF residuals
+# ======================================================================
+
+
+def q_cv_residual_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (Durbin & Watson 1950) of each fold's
+    OUT-OF-FOLD residuals in time order — the serial-correlation audit
+    a walk-forward CV owes its user: DW ≈ 2 means the per-fold model
+    left no temporal structure on the table, DW → 0 exposes positive
+    autocorrelation the iid-style MSE hides. Residuals come from the
+    same exact-integer-moment per-fold OLS as cv_stack_blend (bit-
+    identical doubles), are quantized to integer cents, and DW is ONE
+    double division of two exact integer sums (Σ(eᵗ−eᵗ⁻¹)² / Σe²) —
+    the lag runs inside a fold-keyed window, one shuffle."""
+    from pyspark.sql.window import Window
+
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    evq = ev.select(
+        "event_id",
+        "period",
+        F.col("hod").cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    asg = ps.assign(evq)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = (
+        asg.where(F.col("role") == "train")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        )
+    )
+    b1 = (
+        (d(F.col("n")) * F.col("sxy") - d(F.col("sx")) * F.col("sy"))
+        .cast("double")
+        / (d(F.col("n")) * F.col("sxx") - d(F.col("sx")) * F.col("sx"))
+        .cast("double")
+    )
+    coef = mom.select(
+        "fold_id",
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+    )
+    res = (
+        asg.where(F.col("role") == "test")
+        .join(F.broadcast(coef), "fold_id")
+        .select(
+            F.col("fold_id").cast("long").alias("fold_id"),
+            "period",
+            "event_id",
+            F.round(
+                F.col("yc").cast("double")
+                - (F.col("b0") + F.col("b1") * F.col("x").cast("double"))
+            )
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    w = Window.partitionBy("fold_id").orderBy("period", "event_id")
+    res = res.withColumn("e_prev", F.lag("e").over(w))
+    return res.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
+        ).alias("sum_diff2"),
+        F.sum(F.col("e") * F.col("e")).alias("sum_e2"),
+    ).select(
+        "fold_id",
+        "n",
+        "sum_diff2",
+        "sum_e2",
+        (
+            F.col("sum_diff2").cast("double")
+            / F.col("sum_e2").cast("double")
+        ).alias("dw"),
+    )
+
+
+def _sql_residual_dw() -> str:
+    from .queries import _FOLD_CTE
+
+    return f"""
+WITH {_FOLD_CTE},
+t AS (
+  SELECT a.fold_id, a.role, e.event_id, e.period,
+         CAST(e.hod AS BIGINT) AS x,
+         CAST(round(e.value * 100) AS BIGINT) AS yc
+  FROM assign a JOIN ev e ON e.period = a.period
+),
+fit AS (
+  SELECT fold_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * yc) AS BIGINT) AS sxy
+  FROM t WHERE role = 'train' GROUP BY fold_id
+),
+base AS (
+  SELECT fold_id,
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE AS b1,
+         n, sx, sy
+  FROM fit
+),
+coef AS (
+  SELECT fold_id, b1,
+         (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0
+  FROM base
+),
+res AS (
+  SELECT t.fold_id, t.period, t.event_id,
+         CAST(round(t.yc::DOUBLE
+                    - (c.b0 + c.b1 * CAST(t.x AS DOUBLE)))
+              AS BIGINT) AS e
+  FROM t JOIN coef c USING (fold_id) WHERE t.role = 'test'
+),
+lagd AS (
+  SELECT fold_id, e,
+         lag(e) OVER (PARTITION BY fold_id
+                      ORDER BY period, event_id) AS e_prev
+  FROM res
+)
+SELECT fold_id, count(*) AS n,
+       CAST(sum((e - e_prev) * (e - e_prev)) AS BIGINT) AS sum_diff2,
+       CAST(sum(e * e) AS BIGINT) AS sum_e2,
+       CAST(sum((e - e_prev) * (e - e_prev)) AS BIGINT)::DOUBLE
+         / CAST(sum(e * e) AS BIGINT)::DOUBLE AS dw
+FROM lagd GROUP BY fold_id
+"""
+
+
+# ======================================================================
+# cv_horizon_decay — forecast-skill decay by test horizon
+# ======================================================================
+
+
+def q_cv_horizon_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill decay over the test HORIZON: OOF squared error of
+    the per-fold monthly OLS (lineitem CV) pooled BY the test period's
+    distance from the fold's train end — the walk-forward diagnostic
+    that tells you how far a refreshed model stays usable (the per-fold
+    MSE hides it by averaging horizons together). Errors quantize to
+    integer cents before the horizon rollup, so each horizon's MSE is
+    one double division of exact integers. Shape: the same single
+    fold-moment aggregate as the other CV gates + one K·T-row
+    arithmetic join; horizon = the period's rank inside its test
+    block."""
+    from pyspark.sql.window import Window
+
+    from .queries_data import _li_cv
+
+    li, ps = _li_cv(spark, sf_dir)
+    liq = li.select(
+        "period",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    asg = ps.assign(liq)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = (
+        asg.where(F.col("role") == "train")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    b1 = (
+        (d(F.col("n")) * F.col("sxy") - d(F.col("sx")) * F.col("sy"))
+        .cast("double")
+        / (d(F.col("n")) * F.col("sxx") - d(F.col("sx")) * F.col("sx"))
+        .cast("double")
+    )
+    coef = mom.select(
+        "fold_id",
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+    )
+    test = asg.where(F.col("role") == "test")
+    wh = Window.partitionBy("fold_id").orderBy("period")
+    horizons = (
+        test.select("fold_id", "period")
+        .distinct()
+        .withColumn("h", F.dense_rank().over(wh).cast("long"))
+    )
+    scored = (
+        test.join(F.broadcast(coef), "fold_id")
+        .join(F.broadcast(horizons), ["fold_id", "period"])
+        .select(
+            "h",
+            F.round(
+                F.col("y").cast("double")
+                - (F.col("b0") + F.col("b1") * F.col("x").cast("double"))
+            )
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    return scored.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+    ).select(
+        "h",
+        "n",
+        "sse",
+        (F.col("sse").cast("double") / F.col("n").cast("double")).alias(
+            "mse"
+        ),
+    )
+
+
+def _sql_horizon_decay() -> str:
+    from .queries_data import _LI_FOLD_CTE
+
+    return f"""
+WITH {_LI_FOLD_CTE},
+t AS (
+  SELECT a.fold_id, a.role, l.period,
+         CAST(round(l.l_quantity) AS BIGINT) AS x,
+         CAST(round(l.l_extendedprice) AS BIGINT) AS y
+  FROM assign a JOIN li l ON l.period = a.period
+),
+fit AS (
+  SELECT fold_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t WHERE role = 'train' GROUP BY fold_id
+),
+base AS (
+  SELECT fold_id,
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE AS b1,
+         n, sx, sy
+  FROM fit
+),
+coef AS (
+  SELECT fold_id, b1,
+         (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0
+  FROM base
+),
+hz AS (
+  SELECT fold_id, period,
+         CAST(dense_rank() OVER (PARTITION BY fold_id ORDER BY period)
+              AS BIGINT) AS h
+  FROM (SELECT DISTINCT fold_id, period FROM t WHERE role = 'test') dp
+),
+scored AS (
+  SELECT hz.h,
+         CAST(round(t.y::DOUBLE
+                    - (c.b0 + c.b1 * CAST(t.x AS DOUBLE)))
+              AS BIGINT) AS e
+  FROM t
+  JOIN coef c ON c.fold_id = t.fold_id
+  JOIN hz ON hz.fold_id = t.fold_id AND hz.period = t.period
+  WHERE t.role = 'test'
+)
+SELECT h, count(*) AS n,
+       CAST(sum(e * e) AS BIGINT) AS sse,
+       CAST(sum(e * e) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS mse
+FROM scored GROUP BY h
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -2017,6 +2302,8 @@ QUERIES14: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_psi": q_stream_psi,
     "mm_tile_plan": q_mm_tile_plan,
     "src_partition_evolution": q_src_partition_evolution,
+    "cv_residual_dw": q_cv_residual_dw,
+    "cv_horizon_decay": q_cv_horizon_decay,
 }
 
 
@@ -2041,4 +2328,6 @@ def oracles14() -> Dict[str, str]:
         "stream_psi": _SQL_STREAM_PSI,
         "mm_tile_plan": _SQL_MM_TILE_PLAN,
         "src_partition_evolution": _SQL_PARTITION_EVOLUTION,
+        "cv_residual_dw": _sql_residual_dw(),
+        "cv_horizon_decay": _sql_horizon_decay(),
     }

@@ -301,3 +301,27 @@ def test_phonetic_blocking_catches_twins_and_vowel_variants(spark, tmp_path):
     from panelsplit_spark.queries_data import JACCARD_T
 
     assert all(j >= JACCARD_T for j in pairs.values())
+
+
+def test_residual_dw_in_range(spark):
+    """DW lives in [0, 4]; each fold's denominator is positive and the
+    statistic should sit near 2 on near-iid residuals (loose band)."""
+    from panelsplit_spark.queries_round6 import q_cv_residual_dw
+
+    rows = q_cv_residual_dw(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["sum_e2"] > 0
+        assert 0.0 <= r["dw"] <= 4.0
+        assert 1.0 < r["dw"] < 3.0  # hourly noise is near-iid
+
+
+def test_horizon_decay_shape(spark):
+    """One MSE row per test horizon (LI CV: 3 test months per fold),
+    each with positive mass; horizons are exactly 1..3."""
+    from panelsplit_spark.queries_round6 import q_cv_horizon_decay
+
+    rows = {r["h"]: r for r in q_cv_horizon_decay(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r["n"] > 0 and r["sse"] >= 0 and r["mse"] >= 0
