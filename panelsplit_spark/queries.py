@@ -466,3 +466,10 @@ from .queries_round6 import QUERIES14, oracles14  # noqa: E402
 
 QUERIES.update(QUERIES14)
 ORACLES.update(oracles14())
+
+# round-6b additions: forecast-inference diagnostics (Diebold-Mariano,
+# Ljung-Box, Murphy skill score, pinball/quantile loss)
+from .queries_round6b import QUERIES15, oracles15  # noqa: E402
+
+QUERIES.update(QUERIES15)
+ORACLES.update(oracles15())

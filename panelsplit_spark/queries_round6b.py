@@ -1,0 +1,599 @@
+"""Round-6 query part B (part 15): forecast-inference diagnostics for
+the panel CV — the statistics a walk-forward backtest owes its user
+beyond raw MSE: is model A *significantly* better than B
+(Diebold-Mariano), does the model beat the naive baseline (Murphy
+skill score), did it leave autocorrelation on the table at several
+lags (Ljung-Box), and how does it do under asymmetric loss
+(pinball/quantile loss).
+
+Same contract as every part file: each Spark query is paired with a
+byte-hash-equal DuckDB oracle over the same parquet; every statistic
+is carried as exact integers (cents-quantized residuals, HUGEINT /
+decimal(38,0) cross moments) up to a final double division so the
+cross-engine hash and the {4,64} shuffle-partition invariance hold by
+construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+# ======================================================================
+# shared: exact-integer per-fold OLS on the events CV (the same
+# moment arithmetic as queries_round6.q_cv_residual_dw, bit-identical)
+# ======================================================================
+
+
+def _dec(c):
+    return c.cast("decimal(38,0)")
+
+
+def _events_oof_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fold_id, period, event_id, yc, e_ols, e_mean): integer-cents
+    OOF residuals of the per-fold OLS (value_cents ~ hod) AND the
+    per-fold train-mean baseline, from one train-moment aggregate."""
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    evq = ev.select(
+        "event_id",
+        "period",
+        F.col("hod").cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    asg = ps.assign(evq)
+    mom = (
+        asg.where(F.col("role") == "train")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        )
+    )
+    b1 = (
+        (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy"))
+        .cast("double")
+        / (
+            _dec(F.col("n")) * F.col("sxx")
+            - _dec(F.col("sx")) * F.col("sx")
+        ).cast("double")
+    )
+    coef = mom.select(
+        "fold_id",
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+        (
+            F.col("sy").cast("double") / F.col("n").cast("double")
+        ).alias("ybar"),
+    )
+    return (
+        asg.where(F.col("role") == "test")
+        .join(F.broadcast(coef), "fold_id")
+        .select(
+            F.col("fold_id").cast("long").alias("fold_id"),
+            "period",
+            "event_id",
+            "yc",
+            F.round(
+                F.col("yc").cast("double")
+                - (F.col("b0") + F.col("b1") * F.col("x").cast("double"))
+            )
+            .cast("long")
+            .alias("e_ols"),
+            F.round(F.col("yc").cast("double") - F.col("ybar"))
+            .cast("long")
+            .alias("e_mean"),
+        )
+    )
+
+
+def _sql_events_oof_residuals() -> str:
+    """DuckDB twin of _events_oof_residuals: CTE fragment ending in
+    ``res(fold_id, period, event_id, yc, e_ols, e_mean)``."""
+    from .queries import _FOLD_CTE
+
+    return f"""{_FOLD_CTE},
+t AS (
+  SELECT a.fold_id, a.role, e.event_id, e.period,
+         CAST(e.hod AS BIGINT) AS x,
+         CAST(round(e.value * 100) AS BIGINT) AS yc
+  FROM assign a JOIN ev e ON e.period = a.period
+),
+fit AS (
+  SELECT fold_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * yc) AS BIGINT) AS sxy
+  FROM t WHERE role = 'train' GROUP BY fold_id
+),
+base AS (
+  SELECT fold_id,
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE AS b1,
+         n, sx, sy
+  FROM fit
+),
+coef AS (
+  SELECT fold_id, b1,
+         (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0,
+         sy::DOUBLE / n::DOUBLE AS ybar
+  FROM base
+),
+res AS (
+  SELECT t.fold_id, t.period, t.event_id, t.yc,
+         CAST(round(t.yc::DOUBLE
+                    - (c.b0 + c.b1 * CAST(t.x AS DOUBLE)))
+              AS BIGINT) AS e_ols,
+         CAST(round(t.yc::DOUBLE - c.ybar) AS BIGINT) AS e_mean
+  FROM t JOIN coef c USING (fold_id) WHERE t.role = 'test'
+)"""
+
+
+# ======================================================================
+# cv_dm_test — Diebold-Mariano forecast-accuracy comparison
+# ======================================================================
+
+
+def q_cv_dm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano test (Diebold & Mariano 1995, lag-0 variance
+    variant — the loss differential of ONE-period-style forecasts) per
+    fold: is the per-fold OLS *significantly* more accurate than the
+    train-mean baseline under squared loss, or is the MSE gap noise?
+    d_t = e_ols² − e_mean² per OOF row (exact integers from the
+    cents-quantized residual pair), DM = d̄ / √(s²_d / n) with the
+    sample variance — three exact integer sums (n, Σd, Σd²) per fold,
+    one subtraction, two double divisions. Negative DM ⇒ the model
+    beats the baseline. Shape: one fold-keyed aggregate over the OOF
+    frame; no extra shuffle beyond the residual window family."""
+    res = _events_oof_residuals(spark, sf_dir)
+    dd = res.select(
+        "fold_id",
+        (
+            F.col("e_ols") * F.col("e_ols")
+            - F.col("e_mean") * F.col("e_mean")
+        ).alias("d"),
+    )
+    agg = dd.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sum_d"),
+        F.sum(_dec(F.col("d")) * F.col("d")).cast("decimal(38,0)").alias(
+            "_sdd"
+        ),
+    )
+    dbar = F.col("sum_d").cast("double") / F.col("n").cast("double")
+    # s²_d = (Σd² − (Σd)²/n) / (n−1), carried as exact integers until
+    # the single ::DOUBLE conversion of the numerator
+    var_num = (
+        _dec(F.col("n")) * F.col("_sdd")
+        - _dec(F.col("sum_d")) * F.col("sum_d")
+    ).cast("double")
+    var_d = var_num / (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * (F.col("n") - 1).cast("double")
+    )
+    return agg.select(
+        "fold_id",
+        "n",
+        "sum_d",
+        dbar.alias("dbar"),
+        (dbar / F.sqrt(var_d / F.col("n").cast("double"))).alias("dm_stat"),
+    ).orderBy("fold_id")
+
+
+def _sql_dm_test() -> str:
+    return f"""
+WITH {_sql_events_oof_residuals()},
+dd AS (
+  SELECT fold_id, e_ols * e_ols - e_mean * e_mean AS d FROM res
+),
+agg AS (
+  SELECT fold_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sum_d,
+         sum(CAST(d AS HUGEINT) * d) AS sdd
+  FROM dd GROUP BY fold_id
+)
+SELECT fold_id, n, sum_d,
+       sum_d::DOUBLE / n::DOUBLE AS dbar,
+       (sum_d::DOUBLE / n::DOUBLE)
+         / sqrt(((CAST(n AS HUGEINT) * sdd
+                  - CAST(sum_d AS HUGEINT) * sum_d)::DOUBLE
+                 / (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE))
+                / n::DOUBLE) AS dm_stat
+FROM agg ORDER BY fold_id
+"""
+
+
+# ======================================================================
+# cv_ljungbox — Ljung-Box portmanteau test on OOF residuals
+# ======================================================================
+
+_LB_LAGS = 3
+
+
+def q_cv_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic (Ljung & Box 1978) on each
+    fold's OOF residuals in time order, lags 1..3 — the multi-lag
+    generalization of cv_residual_dw: Q = n(n+2) Σ_k ρ̂_k²/(n−k) with
+    ρ̂_k = Σ e_t e_{t−k} / Σ e_t². Each lag cross-sum and the energy
+    Σe² are exact integers (one fold-keyed window, three lag columns,
+    one aggregate); each ρ̂_k² is ONE division of two exact integer
+    products, so Q is reproducible bit-for-bit across engines and
+    partitionings. Large Q ⇒ the fold model left serial structure in
+    the residuals that a purged/embargoed split or richer features
+    should absorb."""
+    res = _events_oof_residuals(spark, sf_dir)
+    w = Window.partitionBy("fold_id").orderBy("period", "event_id")
+    lagd = res.select(
+        "fold_id",
+        "e_ols",
+        *[
+            F.lag("e_ols", k).over(w).alias(f"e{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    agg = lagd.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("e_ols") * F.col("e_ols")).alias("se2"),
+        *[
+            F.sum(F.col("e_ols") * F.col(f"e{k}")).alias(f"c{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    nf = F.col("n").cast("double")
+    den = (_dec(F.col("se2")) * F.col("se2")).cast("double")
+
+    def rho2(k: int):
+        return (_dec(F.col(f"c{k}")) * F.col(f"c{k}")).cast("double") / den
+
+    q_lb = (
+        nf
+        * (nf + F.lit(2.0))
+        * (
+            rho2(1) / (nf - F.lit(1.0))
+            + rho2(2) / (nf - F.lit(2.0))
+            + rho2(3) / (nf - F.lit(3.0))
+        )
+    )
+    return agg.select(
+        "fold_id", "n", "se2", "c1", "c2", "c3", q_lb.alias("q_lb")
+    ).orderBy("fold_id")
+
+
+def _sql_ljungbox() -> str:
+    return f"""
+WITH {_sql_events_oof_residuals()},
+lagd AS (
+  SELECT fold_id, e_ols,
+         lag(e_ols, 1) OVER w AS e1,
+         lag(e_ols, 2) OVER w AS e2,
+         lag(e_ols, 3) OVER w AS e3
+  FROM res
+  WINDOW w AS (PARTITION BY fold_id ORDER BY period, event_id)
+),
+agg AS (
+  SELECT fold_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(e_ols * e_ols) AS BIGINT) AS se2,
+         CAST(sum(e_ols * e1) AS BIGINT) AS c1,
+         CAST(sum(e_ols * e2) AS BIGINT) AS c2,
+         CAST(sum(e_ols * e3) AS BIGINT) AS c3
+  FROM lagd GROUP BY fold_id
+)
+SELECT fold_id, n, se2, c1, c2, c3,
+       n::DOUBLE * (n::DOUBLE + 2.0)
+         * ((CAST(c1 AS HUGEINT) * c1)::DOUBLE
+              / (CAST(se2 AS HUGEINT) * se2)::DOUBLE
+              / (n::DOUBLE - 1.0)
+            + (CAST(c2 AS HUGEINT) * c2)::DOUBLE
+              / (CAST(se2 AS HUGEINT) * se2)::DOUBLE
+              / (n::DOUBLE - 2.0)
+            + (CAST(c3 AS HUGEINT) * c3)::DOUBLE
+              / (CAST(se2 AS HUGEINT) * se2)::DOUBLE
+              / (n::DOUBLE - 3.0)) AS q_lb
+FROM agg ORDER BY fold_id
+"""
+
+
+# ======================================================================
+# cv_skill_score — Murphy MSE skill score vs the naive baseline
+# ======================================================================
+
+
+def q_cv_skill_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy mean-squared-error skill score (Murphy 1988) per monthly
+    lineitem fold: SS = 1 − SSE_model / SSE_naive, model = the per-fold
+    exact-moment OLS (extendedprice ~ quantity), naive = the fold's
+    train mean — the 'does the regression beat a constant' audit that a
+    raw per-fold MSE table (cv_li_fold_mse) cannot answer by itself.
+    Both SSEs are exact integer sums of rounded-dollar residuals; the
+    skill is one double division. SS ≤ 0 flags a fold where the model
+    is worse than predicting the mean."""
+    from .queries_data import _li_cv
+
+    li, ps = _li_cv(spark, sf_dir)
+    liq = li.select(
+        "period",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    asg = ps.assign(liq)
+    mom = (
+        asg.where(F.col("role") == "train")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    b1 = (
+        (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy"))
+        .cast("double")
+        / (
+            _dec(F.col("n")) * F.col("sxx")
+            - _dec(F.col("sx")) * F.col("sx")
+        ).cast("double")
+    )
+    coef = mom.select(
+        "fold_id",
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+        (
+            F.col("sy").cast("double") / F.col("n").cast("double")
+        ).alias("ybar"),
+    )
+    scored = (
+        asg.where(F.col("role") == "test")
+        .join(F.broadcast(coef), "fold_id")
+        .select(
+            F.col("fold_id").cast("long").alias("fold_id"),
+            F.round(
+                F.col("y").cast("double")
+                - (F.col("b0") + F.col("b1") * F.col("x").cast("double"))
+            )
+            .cast("long")
+            .alias("em"),
+            F.round(F.col("y").cast("double") - F.col("ybar"))
+            .cast("long")
+            .alias("en"),
+        )
+    )
+    agg = scored.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("em") * F.col("em")).alias("sse_model"),
+        F.sum(F.col("en") * F.col("en")).alias("sse_naive"),
+    )
+    return agg.select(
+        "fold_id",
+        "n",
+        "sse_model",
+        "sse_naive",
+        (
+            F.lit(1.0)
+            - F.col("sse_model").cast("double")
+            / F.col("sse_naive").cast("double")
+        ).alias("skill"),
+    ).orderBy("fold_id")
+
+
+def _sql_skill_score() -> str:
+    from .queries_data import _LI_FOLD_CTE
+
+    return f"""
+WITH {_LI_FOLD_CTE},
+t AS (
+  SELECT a.fold_id, a.role,
+         CAST(round(l.l_quantity) AS BIGINT) AS x,
+         CAST(round(l.l_extendedprice) AS BIGINT) AS y
+  FROM assign a JOIN li l ON l.period = a.period
+),
+fit AS (
+  SELECT fold_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t WHERE role = 'train' GROUP BY fold_id
+),
+base AS (
+  SELECT fold_id,
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE AS b1,
+         n, sx, sy
+  FROM fit
+),
+coef AS (
+  SELECT fold_id, b1,
+         (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0,
+         sy::DOUBLE / n::DOUBLE AS ybar
+  FROM base
+),
+scored AS (
+  SELECT t.fold_id,
+         CAST(round(t.y::DOUBLE
+                    - (c.b0 + c.b1 * CAST(t.x AS DOUBLE)))
+              AS BIGINT) AS em,
+         CAST(round(t.y::DOUBLE - c.ybar) AS BIGINT) AS en
+  FROM t JOIN coef c USING (fold_id) WHERE t.role = 'test'
+)
+SELECT fold_id, count(*) AS n,
+       CAST(sum(em * em) AS BIGINT) AS sse_model,
+       CAST(sum(en * en) AS BIGINT) AS sse_naive,
+       1.0 - CAST(sum(em * em) AS BIGINT)::DOUBLE
+               / CAST(sum(en * en) AS BIGINT)::DOUBLE AS skill
+FROM scored GROUP BY fold_id ORDER BY fold_id
+"""
+
+
+# ======================================================================
+# cv_quantile_loss — pinball loss of exact train-quantile forecasters
+# ======================================================================
+
+_QL_TAUS = (1, 2, 3)  # quarters: τ = k/4
+
+
+def q_cv_quantile_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast CV under pinball loss (Koenker & Bassett
+    1978): for each monthly lineitem fold the predictor at τ ∈
+    {¼, ½, ¾} is the EXACT train order statistic — the smallest
+    y-dollar value whose cumulative count reaches ⌈τ·n⌉ (a cumulative
+    window over per-value counts; value-deterministic, so ties can't
+    break cross-engine equality) — and the OOF pinball loss is carried
+    ×4 so it stays an exact integer: 4·L_τ(y,q) = k·(y−q)⁺ +
+    (4−k)·(q−y)⁺ for τ = k/4. The asymmetric-loss audit of a forecast
+    distribution: ½ gives the median-absolute family, ¼/¾ expose
+    over/under-prediction cost. One per-value aggregate + one
+    cumulative window on the train side, one broadcast join on the
+    test side."""
+    from .queries_data import _li_cv
+
+    li, ps = _li_cv(spark, sf_dir)
+    liq = li.select(
+        "period",
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    asg = ps.assign(liq)
+    tr = asg.where(F.col("role") == "train")
+    vc = tr.groupBy("fold_id", "y").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("fold_id")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("fold_id")
+    cum = vc.select(
+        "fold_id",
+        "y",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n_train"),
+    )
+    # q_k = min y with cum ≥ ⌈k·n/4⌉ ; ⌈k·n/4⌉ = (k·n + 3) DIV 4
+    qs = cum.groupBy("fold_id").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({k} * n_train + 3) div 4"),
+                    F.col("y"),
+                )
+            ).alias(f"q{k}")
+            for k in _QL_TAUS
+        ]
+    )
+    te = asg.where(F.col("role") == "test").join(
+        F.broadcast(qs), "fold_id"
+    )
+    pieces = []
+    for k in _QL_TAUS:
+        qk = F.col(f"q{k}")
+        over = F.greatest(F.col("y") - qk, F.lit(0))
+        under = F.greatest(qk - F.col("y"), F.lit(0))
+        pieces.append(
+            te.groupBy("fold_id")
+            .agg(
+                F.min(qk).alias("q"),
+                F.count(F.lit(1)).alias("n_test"),
+                F.sum(F.lit(k) * over + F.lit(4 - k) * under).alias(
+                    "loss4_sum"
+                ),
+            )
+            .withColumn("tau_bp", F.lit(k * 2500))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.col("tau_bp").cast("long").alias("tau_bp"),
+        "q",
+        "n_test",
+        "loss4_sum",
+        (
+            F.col("loss4_sum").cast("double")
+            / (F.lit(4.0) * F.col("n_test").cast("double"))
+        ).alias("mean_pinball"),
+    ).orderBy("fold_id", "tau_bp")
+
+
+def _sql_quantile_loss() -> str:
+    from .queries_data import _LI_FOLD_CTE
+
+    taus = ", ".join(str(k) for k in _QL_TAUS)
+    return f"""
+WITH {_LI_FOLD_CTE},
+t AS (
+  SELECT a.fold_id, a.role,
+         CAST(round(l.l_extendedprice) AS BIGINT) AS y
+  FROM assign a JOIN li l ON l.period = a.period
+),
+vc AS (
+  SELECT fold_id, y, CAST(count(*) AS BIGINT) AS c
+  FROM t WHERE role = 'train' GROUP BY fold_id, y
+),
+cum AS (
+  SELECT fold_id, y,
+         sum(c) OVER (PARTITION BY fold_id ORDER BY y
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY fold_id) AS n_train
+  FROM vc
+),
+ks AS (SELECT unnest([{taus}]) AS k),
+qs AS (
+  SELECT fold_id, k,
+         min(CASE WHEN cum >= (k * n_train + 3) // 4 THEN y END) AS q
+  FROM cum, ks GROUP BY fold_id, k
+)
+SELECT t.fold_id, CAST(q.k * 2500 AS BIGINT) AS tau_bp,
+       min(q.q) AS q,
+       count(*) AS n_test,
+       CAST(sum(q.k * GREATEST(t.y - q.q, 0)
+                + (4 - q.k) * GREATEST(q.q - t.y, 0)) AS BIGINT)
+         AS loss4_sum,
+       CAST(sum(q.k * GREATEST(t.y - q.q, 0)
+                + (4 - q.k) * GREATEST(q.q - t.y, 0)) AS BIGINT)::DOUBLE
+         / (4.0 * count(*)::DOUBLE) AS mean_pinball
+FROM t JOIN qs q USING (fold_id)
+WHERE t.role = 'test'
+GROUP BY t.fold_id, q.k
+ORDER BY t.fold_id, tau_bp
+"""
+
+
+# ======================================================================
+# registry
+# ======================================================================
+
+QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cv_dm_test": q_cv_dm_test,
+    "cv_ljungbox": q_cv_ljungbox,
+    "cv_skill_score": q_cv_skill_score,
+    "cv_quantile_loss": q_cv_quantile_loss,
+}
+
+
+def oracles15() -> Dict[str, str]:
+    return {
+        "cv_dm_test": _sql_dm_test(),
+        "cv_ljungbox": _sql_ljungbox(),
+        "cv_skill_score": _sql_skill_score(),
+        "cv_quantile_loss": _sql_quantile_loss(),
+    }

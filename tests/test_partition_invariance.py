@@ -217,6 +217,10 @@ ROUND6_SHAPES = [
     "cv_fold_drift",
     "feat_fourier_ols",
     "rel_skew_stress",
+    # round-6b shapes: multi-lag residual windows (Ljung-Box) and the
+    # cumulative-count order statistic behind the pinball predictors
+    "cv_ljungbox",
+    "cv_quantile_loss",
 ]
 
 
