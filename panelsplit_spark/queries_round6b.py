@@ -4,7 +4,10 @@ beyond raw MSE: is model A *significantly* better than B
 (Diebold-Mariano), does the model beat the naive baseline (Murphy
 skill score), did it leave autocorrelation on the table at several
 lags (Ljung-Box), and how does it do under asymmetric loss
-(pinball/quantile loss).
+(pinball/quantile loss) — plus corpus-science diagnostics (Heaps'-law
+vocabulary growth, Church-Gale term burstiness), the 26th streaming
+gate (Benford first-digit monitor over the keyed-SUM count-table
+monoid), and the equal-share epoch-repetition training-mix schedule.
 
 Same contract as every part file: each Spark query is paired with a
 byte-hash-equal DuckDB oracle over the same parquet; every statistic
@@ -578,6 +581,417 @@ ORDER BY t.fold_id, tau_bp
 """
 
 
+
+
+# ======================================================================
+# text_heaps_fit — Heaps'-law vocabulary-growth fit
+# ======================================================================
+
+from .sources.tables import load_table  # noqa: E402
+
+
+def q_text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit (Heaps 1978): V(N) ≈ K·N^β — how fast the corpus
+    vocabulary grows as documents stream in, the companion diagnostic
+    to text_zipf_fit (β ≈ 0.4-0.6 for natural text; β → 1 smells of
+    noise/IDs, β → 0 of template spam). Checkpoints are per-document in
+    doc_id order: V_d counts terms whose FIRST occurrence (min doc_id —
+    an exact, order-free aggregate) is ≤ d, N_d is the running token
+    count. ln N / ln V are micro-quantized before the moment sums, so
+    the slope is one double division of decimal-exact integers (the
+    zipf/group-OLS discipline). Shape: one token explode, one per-term
+    min, one per-doc rollup + cumulative window over the PER-DOC frame
+    (state = n_docs rows, never facts — past ~10^8 docs swap the window
+    for the range-bucketed distributed rank)."""
+    from .functions.hashing import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    new_terms = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("nv"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
+    toks = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = (
+        toks.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nt"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+        )
+        .select(
+            F.sum("nt").over(w).alias("bign"),
+            F.sum("nv").over(w).alias("bigv"),
+        )
+        .where((F.col("bign") > 0) & (F.col("bigv") > 0))
+        .select(
+            F.round(F.log(F.col("bign").cast("double")) * F.lit(1000000))
+            .cast("long")
+            .alias("lx"),
+            F.round(F.log(F.col("bigv").cast("double")) * F.lit(1000000))
+            .cast("long")
+            .alias("ly"),
+        )
+    )
+    m = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(_dec(F.col("lx")) * F.col("lx")).alias("sxx"),
+        F.sum(_dec(F.col("lx")) * F.col("ly")).alias("sxy"),
+    )
+    num = _dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy")
+    den = _dec(F.col("n")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sx")
+    beta = num.cast("double") / den.cast("double")
+    return m.select(
+        F.col("n").alias("n_checkpoints"),
+        beta.alias("heaps_beta"),
+        (
+            (
+                F.col("sy").cast("double")
+                - beta * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("heaps_lnk_micro"),
+    )
+
+
+_SQL_HEAPS_FIT = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+new_terms AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS nv
+  FROM (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term) f
+  GROUP BY first_doc
+),
+toks AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY doc_id
+),
+cumul AS (
+  SELECT sum(t.nt) OVER (ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING)
+           AS bign,
+         sum(coalesce(n.nv, 0))
+           OVER (ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS bigv
+  FROM toks t LEFT JOIN new_terms n USING (doc_id)
+),
+pts AS (
+  SELECT CAST(round(ln(bign::DOUBLE) * 1000000) AS BIGINT) AS lx,
+         CAST(round(ln(bigv::DOUBLE) * 1000000) AS BIGINT) AS ly
+  FROM cumul WHERE bign > 0 AND bigv > 0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx,
+         CAST(sum(ly) AS BIGINT) AS sy,
+         sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+         sum(CAST(lx AS HUGEINT) * ly) AS sxy
+  FROM pts
+)
+SELECT n AS n_checkpoints,
+       (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+         / (CAST(n AS HUGEINT) * sxx
+            - CAST(sx AS HUGEINT) * sx)::DOUBLE AS heaps_beta,
+       (sy::DOUBLE
+        - ((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE) * sx::DOUBLE)
+         / n::DOUBLE AS heaps_lnk_micro
+FROM m
+"""
+
+
+# ======================================================================
+# text_burstiness — per-term Fano factor (Church-Gale burstiness)
+# ======================================================================
+
+_BURST_MIN_DF = 5
+_BURST_TOPK = 20
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the Fano factor (Church & Gale 1995): a
+    term whose occurrences CLUMP into few documents (names, topics,
+    boilerplate runs) has variance ≫ mean across per-doc counts, while
+    function words sit near Poisson (Fano ≈ 1). Over all D docs with
+    zero-docs included: Fano = (D·Σc² − (Σc)²) / (D·Σc) — an exact
+    integer ratio; ranking uses the ppb-scaled integer quotient with a
+    term tiebreak so the top-k is value-deterministic cross-engine.
+    The curation use: high-Fano high-df terms are boilerplate/template
+    candidates that document-frequency alone misses. Shape: one token
+    explode + per-(doc,term) count + per-term rollup; the constant D
+    rides in as a broadcast scalar."""
+    from .functions.hashing import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("bigd"))
+    per = (
+        docs.select(
+            "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = stats.crossJoin(F.broadcast(n_docs)).where(
+        F.col("df") >= _BURST_MIN_DF
+    )
+    fano_num = _dec(F.col("bigd")) * F.col("s2") - _dec(F.col("tf")) * F.col(
+        "tf"
+    )
+    fano_den = _dec(F.col("bigd")) * F.col("tf")
+    scored = j.select(
+        "term",
+        "df",
+        "tf",
+        "s2",
+        (fano_num * 1000000000)
+        .cast("decimal(38,0)")
+        .alias("_n9"),
+        fano_den.alias("_d"),
+    ).select(
+        "term",
+        "df",
+        "tf",
+        "s2",
+        # integer FLOOR division (the numerator is ≥ 0 by
+        # Cauchy-Schwarz) to match DuckDB's `//` — a decimal divide
+        # would round half-up and drift the last ppb digit
+        F.expr("_n9 div _d").cast("long").alias("fano_ppb"),
+    )
+    return (
+        scored.orderBy(F.desc("fano_ppb"), F.asc("term"))
+        .limit(_BURST_TOPK)
+        .select("term", "df", "tf", "s2", "fano_ppb")
+    )
+
+
+_SQL_BURSTINESS = f"""
+WITH per AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents) t
+  GROUP BY doc_id, term
+),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS tf,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM per GROUP BY term
+),
+d AS (SELECT CAST(count(*) AS BIGINT) AS bigd FROM documents)
+SELECT term, df, tf, s2,
+       CAST((CAST(bigd AS HUGEINT) * s2 - CAST(tf AS HUGEINT) * tf)
+            * 1000000000
+            // (CAST(bigd AS HUGEINT) * tf) AS BIGINT) AS fano_ppb
+FROM stats, d
+WHERE df >= {_BURST_MIN_DF}
+ORDER BY fano_ppb DESC, term ASC
+LIMIT {_BURST_TOPK}
+"""
+
+
+# ======================================================================
+# stream_benford — 26th streaming gate: first-digit fraud monitor
+# ======================================================================
+
+_SBEN_BATCHES = 3
+
+
+def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford's-law monitor: lineitem prices arrive as three
+    deterministic micro-batches; each folds its first-significant-digit
+    counts into the running 9-row count table (the SAME keyed-SUM
+    monoid as the KS/PSI gates — streaming/rolling.stream_ks_counts
+    with one segment) and the drained table finishes through the exact
+    integer-ppm Benford arithmetic of operators/quality.benford_audit,
+    so the BATCH dq_benford oracle applies verbatim for ANY chop.
+    State is 9 rows at any feed size — the always-on fabricated-data
+    alarm a 100 TB monetary ingest keeps continuously true."""
+    from .operators.quality import BENFORD_PPM
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        chop_n,
+        stream_ks_counts,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit"),
+    ).where(F.col("digit").between(1, 9)).withColumn(
+        "seg", F.lit("all")
+    )
+    name = "stream_benford_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("benford_feed")
+        write_file_batches(
+            [
+                li.where(F.col("k") % chop_n(_SBEN_BATCHES) == j)
+                for j in range(chop_n(_SBEN_BATCHES))
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q, get_counts = stream_ks_counts(
+                stream, "seg", "digit", query_name=name
+            )
+            q.awaitTermination()
+        counts = get_counts()
+        if counts is not None:
+            exp = spark.createDataFrame(
+                [(k, v) for k, v in sorted(BENFORD_PPM.items())],
+                "digit long, expected_ppm long",
+            )
+            c = counts.select(
+                F.col("v").alias("digit"), F.col("c").alias("cnt")
+            )
+            tot = c.groupBy().agg(F.sum("cnt").alias("n_values"))
+            return (
+                exp.join(c, "digit", "left")
+                .select(
+                    "digit",
+                    F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                    "expected_ppm",
+                )
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "digit",
+                    "n_values",
+                    F.expr("(cnt * 1000000) div n_values").alias(
+                        "observed_ppm"
+                    ),
+                    "expected_ppm",
+                    (
+                        F.expr("(cnt * 1000000) div n_values")
+                        - F.col("expected_ppm")
+                    ).alias("dev_ppm"),
+                )
+                .orderBy("digit")
+            )
+    raise RuntimeError("stream_benford: drained state unavailable")
+
+
+# the batch Benford oracle applies verbatim to the drained state
+def _sql_stream_benford() -> str:
+    from .queries_round4b import _SQL_BENFORD
+
+    return _SQL_BENFORD
+
+
+# ======================================================================
+# pipe_epoch_mix — repetition schedule under a token budget
+# ======================================================================
+
+_MIX_MAX_EPOCHS = 4
+
+
+def q_pipe_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix repetition schedule: give every source an EQUAL
+    share of the token budget (budget = total corpus tokens, the
+    one-epoch-equivalent), repeating small sources up to
+    {max_epochs}× to fill their share — the 'upsample small
+    high-quality sources by extra epochs' knob every LLM data mix has
+    (cf. the public Llama/Gopher data-mix descriptions). All integer
+    arithmetic: share = budget div n_sources, epochs = min(max_epochs,
+    ceil(share/tokens)), used = min(share, epochs·tokens), shortfall =
+    share − used (> 0 ⇔ the cap bit). ONE per-source rollup + a
+    broadcast 1-row total; nothing scales past the source count."""
+    from .functions.hashing import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "source", F.size(word_tokens(F.col("text"))).alias("nt")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("tokens"),
+    )
+    tot = src.groupBy().agg(
+        F.sum("tokens").alias("budget"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = src.crossJoin(F.broadcast(tot))
+    share = F.expr("budget div n_sources")
+    epochs = F.least(
+        F.lit(_MIX_MAX_EPOCHS),
+        F.expr(f"(budget div n_sources + tokens - 1) div tokens"),
+    )
+    used = F.least(share, epochs * F.col("tokens"))
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens",
+        share.alias("share"),
+        epochs.alias("epochs"),
+        used.alias("used_tokens"),
+        (share - used).alias("shortfall"),
+    ).orderBy("source")
+
+
+def _sql_epoch_mix() -> str:
+    return f"""
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS budget,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM src
+)
+SELECT source, n_docs, tokens,
+       budget // n_sources AS share,
+       LEAST({_MIX_MAX_EPOCHS},
+             (budget // n_sources + tokens - 1) // tokens) AS epochs,
+       LEAST(budget // n_sources,
+             LEAST({_MIX_MAX_EPOCHS},
+                   (budget // n_sources + tokens - 1) // tokens)
+               * tokens) AS used_tokens,
+       budget // n_sources
+         - LEAST(budget // n_sources,
+                 LEAST({_MIX_MAX_EPOCHS},
+                       (budget // n_sources + tokens - 1) // tokens)
+                   * tokens) AS shortfall
+FROM src, tot
+ORDER BY source
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -587,6 +1001,10 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_ljungbox": q_cv_ljungbox,
     "cv_skill_score": q_cv_skill_score,
     "cv_quantile_loss": q_cv_quantile_loss,
+    "text_heaps_fit": q_text_heaps_fit,
+    "text_burstiness": q_text_burstiness,
+    "stream_benford": q_stream_benford,
+    "pipe_epoch_mix": q_pipe_epoch_mix,
 }
 
 
@@ -596,4 +1014,8 @@ def oracles15() -> Dict[str, str]:
         "cv_ljungbox": _sql_ljungbox(),
         "cv_skill_score": _sql_skill_score(),
         "cv_quantile_loss": _sql_quantile_loss(),
+        "text_heaps_fit": _SQL_HEAPS_FIT,
+        "text_burstiness": _SQL_BURSTINESS,
+        "stream_benford": _sql_stream_benford(),
+        "pipe_epoch_mix": _sql_epoch_mix(),
     }

@@ -217,10 +217,14 @@ ROUND6_SHAPES = [
     "cv_fold_drift",
     "feat_fourier_ols",
     "rel_skew_stress",
-    # round-6b shapes: multi-lag residual windows (Ljung-Box) and the
-    # cumulative-count order statistic behind the pinball predictors
+    # round-6b shapes: multi-lag residual windows (Ljung-Box), the
+    # cumulative-count order statistic behind the pinball predictors,
+    # the doc-ordered cumulative vocab checkpoints (Heaps), and the
+    # integer-ppb Fano ranking
     "cv_ljungbox",
     "cv_quantile_loss",
+    "text_heaps_fit",
+    "text_burstiness",
 ]
 
 

@@ -89,3 +89,49 @@ def test_quantile_loss_monotone_quantiles_and_median_optimality(spark):
     for fid, by_tau in folds.items():
         assert set(by_tau) == {2500, 5000, 7500}
         assert by_tau[2500]["q"] <= by_tau[5000]["q"] <= by_tau[7500]["q"]
+
+
+def test_heaps_beta_in_sublinear_band(spark):
+    """Natural-ish synthetic text must grow vocabulary sublinearly:
+    0 < β < 1, with checkpoints = every document."""
+    from panelsplit_spark.queries_round6b import q_text_heaps_fit
+
+    r = q_text_heaps_fit(spark, SF_DIR).collect()[0]
+    assert r["n_checkpoints"] > 10
+    assert 0.0 < r["heaps_beta"] < 1.0
+
+
+def test_burstiness_identity_and_floor(spark):
+    """fano_ppb recomputes exactly from the emitted integers (floor
+    division) and a term occurring at most once per doc has variance
+    ≤ mean ⇒ fano ≤ 1e9."""
+    from panelsplit_spark.queries_round6b import q_text_burstiness
+
+    rows = q_text_burstiness(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    # recompute D from the data the same way the query does
+    from panelsplit_spark.sources.tables import load_table
+
+    bigd = load_table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        num = (bigd * r["s2"] - r["tf"] * r["tf"]) * 1_000_000_000
+        den = bigd * r["tf"]
+        assert r["fano_ppb"] == num // den
+        assert r["df"] >= 5 and r["s2"] >= r["tf"]
+
+
+def test_epoch_mix_budget_conservation(spark):
+    """Equal-share schedule invariants: 1 ≤ epochs ≤ 4, used ≤ share,
+    used ≤ epochs·tokens, shortfall = share − used ≥ 0, and a source
+    with tokens ≥ share runs exactly one epoch."""
+    from panelsplit_spark.queries_round6b import q_pipe_epoch_mix
+
+    rows = q_pipe_epoch_mix(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["epochs"] <= 4
+        assert r["used_tokens"] <= r["share"]
+        assert r["used_tokens"] <= r["epochs"] * r["tokens"]
+        assert r["shortfall"] == r["share"] - r["used_tokens"] >= 0
+        if r["tokens"] >= r["share"]:
+            assert r["epochs"] == 1

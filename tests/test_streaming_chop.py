@@ -56,6 +56,7 @@ SPEC = {
     "stream_scd2": "key",
     "stream_bitmap": "key",
     "stream_psi": "key",
+    "stream_benford": "key",
     # ordered recursions / watermark-evicted state — contiguous re-chop
     "stream_sessionize": "ordered",
     "stream_session_window": "ordered",
