@@ -1138,3 +1138,96 @@ def kcenter_sample(
         (rk, i, d) for rk, (i, _, d) in enumerate(selected)
     ]
     return emb.sparkSession.createDataFrame(rows, schema)
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    one_minus_lam: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, public method) — the diversity-aware retrieval selector a
+    RAG pipeline runs over a candidate list: pick k results that are
+    RELEVANT to the query but not redundant with each other,
+    score(x) = λ·cos(x, query) − (1−λ)·max_{s∈S} cos(x, s).
+
+    Determinism follows the kcenter_sample contract: the query is the
+    row with the smallest (md5(id), id); every cosine is rounded to
+    ``round_to`` dp before comparison; argmax breaks ties by id. The
+    relevance column is computed ONCE against the query literal and
+    checkpointed; each round is one codegen scan with a
+    greatest()-of-|S| expression (no joins, no shuffles), k−1
+    driver-small argmax collects. λ and (1−λ) ride as explicit
+    constants so both engines evaluate the same literals (a Python
+    ``1−λ`` would drift the last ulp). The oracle replays the rounds
+    as chained CTEs.
+
+    Scale: at 100 TB the production form pools candidates first (ANN
+    top-N per query) and re-ranks the pool; this operator IS that
+    re-rank — the corpus-wide scan here doubles as the exhaustive
+    truth gate.
+
+    Output: one row per selected point —
+    ``sel_rank vec_id rel score_at_pick`` (NULL for the first pick,
+    which is chosen by pure relevance).
+    """
+    from ..functions.vector import as_double, cosine_similarity
+
+    v = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("x")
+    ).localCheckpoint(eager=True)
+    qrow = (
+        v.select("id", "x", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h", "id")
+        .limit(1)
+        .collect()[0]
+    )
+    qid = int(qrow["id"])
+
+    def cos_to(lit_vec):
+        arr = F.array(*[F.lit(float(c)) for c in lit_vec])
+        return F.round(cosine_similarity(F.col("x"), arr), round_to)
+
+    cands = (
+        v.where(F.col("id") != qid)
+        .select("id", "x", cos_to(list(qrow["x"])).alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    first = cands.orderBy(F.desc("rel"), F.asc("id")).limit(1).collect()[0]
+    selected = [(int(first["id"]), list(first["x"]), float(first["rel"]), None)]
+    for _ in range(int(k) - 1):
+        sims = [cos_to(vec) for _, vec, _, _ in selected]
+        simmax = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        score = F.round(
+            F.lit(lam) * F.col("rel") - F.lit(one_minus_lam) * simmax,
+            round_to,
+        )
+        chosen = [cid for cid, _, _, _ in selected]
+        row = (
+            cands.where(~F.col("id").isin(chosen))
+            .select("id", "x", "rel", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            (int(row["id"]), list(row["x"]), float(row["rel"]),
+             float(row["score"]))
+        )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("sel_rank", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("score_at_pick", T.DoubleType()),
+        ]
+    )
+    rows = [(rk, i, r, s) for rk, (i, _, r, s) in enumerate(selected)]
+    return emb.sparkSession.createDataFrame(rows, schema)

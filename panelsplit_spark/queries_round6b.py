@@ -992,6 +992,402 @@ ORDER BY source
 """
 
 
+
+
+# ======================================================================
+# sim_mmr_rerank — diversity-aware retrieval re-ranking
+# ======================================================================
+
+_MMR_K = 8
+_MMR_LAM = 0.7
+_MMR_OML = 0.3
+
+
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking over the embeddings table (operators/
+    similarity.mmr_rerank): 8 results that are relevant to the
+    md5-seeded query but mutually diverse — λ·relevance −
+    (1−λ)·max-similarity-to-already-picked, every cosine 6dp-rounded
+    with id tiebreaks (the kcenter determinism contract). The oracle
+    replays all rounds as chained CTEs."""
+    from .operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, _MMR_K, lam=_MMR_LAM, one_minus_lam=_MMR_OML
+    )
+
+
+def _sql_mmr_rerank() -> str:
+    parts = ["""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+q AS (
+  SELECT id, x FROM (
+    SELECT id, x, md5(CAST(id AS VARCHAR)) AS h FROM v
+  ) t ORDER BY h, id LIMIT 1
+),
+rels AS MATERIALIZED (
+  SELECT v.id, v.x, round(list_cosine_similarity(v.x, q.x), 6) AS rel
+  FROM v, q WHERE v.id <> q.id
+),
+sel0 AS MATERIALIZED (
+  SELECT id, 0 AS rk, rel, CAST(NULL AS DOUBLE) AS score
+  FROM rels ORDER BY rel DESC, id LIMIT 1
+)"""]
+    for i in range(1, _MMR_K):
+        parts.append(f""",
+pick{i} AS (
+  SELECT c.id, {i} AS rk, c.rel,
+         round({_MMR_LAM!r} * c.rel - {_MMR_OML!r} * c.smax, 6) AS score
+  FROM (
+    SELECT r.id, r.rel,
+           max(round(list_cosine_similarity(r.x, s.x), 6)) AS smax
+    FROM rels r JOIN v s ON s.id IN (SELECT id FROM sel{i - 1})
+    WHERE r.id NOT IN (SELECT id FROM sel{i - 1})
+    GROUP BY r.id, r.rel
+  ) c
+  ORDER BY round({_MMR_LAM!r} * c.rel - {_MMR_OML!r} * c.smax, 6) DESC,
+           c.id LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})""")
+    parts.append(f"""
+SELECT CAST(rk AS INTEGER) AS sel_rank, id AS vec_id, rel,
+       score AS score_at_pick
+FROM sel{_MMR_K - 1}
+""")
+    return "".join(parts)
+
+
+# ======================================================================
+# emb_maha_outlier — per-label diagonal Mahalanobis outlier audit
+# ======================================================================
+
+_MAHA_TOPK = 10
+
+
+def q_emb_maha_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: per label, the diagonal
+    Mahalanobis distance of each vector to its label's Gaussian —
+    the curation gate that catches corrupt/mislabeled embeddings a
+    norm check misses. Components micro-quantize to integers, so each
+    per-(label, dim) moment (n, Σq, Σq²) is exact; the per-dim z² is
+    ONE double division of exact integers ((q·n − s)² / (n·s2 − s²)
+    — the n-scaled identity avoids any mean float), nano-quantized to
+    a long so the 64-dim sum is an EXACT integer in any partition
+    order. Top-10 by (maha_nano desc, vec_id). Shape: one posexplode
+    + one (label,dim) moment rollup broadcast back + one per-vector
+    sum — two shuffles at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("j", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "j",
+        F.round(F.col("val").cast("double") * 1000000)
+        .cast("long")
+        .alias("qv"),
+    )
+    mom = comp.groupBy("label", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(_dec(F.col("qv")) * F.col("qv")).alias("s2"),
+    )
+    j = comp.join(F.broadcast(mom), ["label", "j"])
+    dev = _dec(F.col("qv")) * F.col("n") - _dec(F.col("s"))
+    var_num = _dec(F.col("n")) * F.col("s2") - _dec(F.col("s")) * F.col("s")
+    z2_nano = F.round(
+        (dev * dev * F.lit(1000000000)).cast("double")
+        / var_num.cast("double")
+    ).cast("long")
+    per_vec = j.select(
+        "vec_id", "label", z2_nano.alias("z2n")
+    ).groupBy("vec_id", "label").agg(
+        F.sum("z2n").alias("maha_nano"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+    return (
+        per_vec.orderBy(F.desc("maha_nano"), F.asc("vec_id"))
+        .limit(_MAHA_TOPK)
+        .select("vec_id", "label", "maha_nano", "n_dims")
+    )
+
+
+_SQL_MAHA_OUTLIER = f"""
+WITH comp AS (
+  SELECT vec_id, label, j - 1 AS j,
+         CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+           AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)
+),
+mom AS (
+  SELECT label, j, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qv) AS BIGINT) AS s,
+         sum(CAST(qv AS HUGEINT) * qv) AS s2
+  FROM comp GROUP BY label, j
+),
+z AS (
+  SELECT c.vec_id, c.label,
+         CAST(round(
+           ((CAST(c.qv AS HUGEINT) * m.n - m.s)
+            * (CAST(c.qv AS HUGEINT) * m.n - m.s)
+            * 1000000000)::DOUBLE
+           / (CAST(m.n AS HUGEINT) * m.s2
+              - CAST(m.s AS HUGEINT) * m.s)::DOUBLE
+         ) AS BIGINT) AS z2n
+  FROM comp c JOIN mom m USING (label, j)
+)
+SELECT vec_id, label, CAST(sum(z2n) AS BIGINT) AS maha_nano,
+       count(*) AS n_dims
+FROM z GROUP BY vec_id, label
+ORDER BY maha_nano DESC, vec_id ASC
+LIMIT {_MAHA_TOPK}
+"""
+
+
+
+
+# ======================================================================
+# cv_pbo — probability of backtest overfitting (CSCV)
+# ======================================================================
+
+_PBO_G = 8   # day-groups (S in the paper); combos = C(8,4) = 70
+_PBO_N = 8   # candidate strategies
+_PBO_IS = 4  # in-sample group count per combination
+
+
+def _pbo_combos():
+    from itertools import combinations
+
+    return list(combinations(range(_PBO_G), _PBO_IS))
+
+
+def q_cv_pbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability of Backtest Overfitting via CSCV (Bailey, Borwein,
+    López de Prado & Zhu 2015, public method): split the event panel
+    into 8 day-groups, and for each of the C(8,4)=70 in-sample/
+    out-of-sample group combinations select the strategy with the best
+    IS total return, then record that pick's RANK among all strategies
+    out-of-sample. The logit λ = ln(rank/(N+1−rank)) is negative when
+    the IS winner lands in the OOS bottom half; PBO = P(λ < 0). The 8
+    candidate 'strategies' are content-addressed ±1 signings of event
+    value (md5(event_id‖salt_n)) — pure noise by construction, so the
+    expected verdict is PBO ≈ ½: selection among noise is overfitting,
+    which is exactly what the diagnostic must report.
+
+    Exactness: the per-(group, strategy) return matrix is an exact
+    integer cents aggregate — ONE pass over facts producing 8
+    conditional sums per group (no explode), stacked to 64 rows;
+    every IS/OOS total, argmax, and rank is integer algebra on that
+    tiny frame; λ takes ONE division of exact integers, nano-
+    quantized. Output: one row per combination —
+    ``combo_id best_n is_best oos_best oos_rank lambda_nano``."""
+    from .operators.sampling import _BP
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    up = (
+        ev.select("period")
+        .distinct()
+        .select(
+            "period",
+            (
+                F.dense_rank().over(Window.orderBy("period")) - 1
+            ).cast("long").alias("rk"),
+        )
+    )
+    nper = up.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    grp = up.crossJoin(F.broadcast(nper)).select(
+        "period", F.expr(f"(rk * {_PBO_G}) div n").alias("g")
+    )
+    evg = ev.join(F.broadcast(grp), "period")
+
+    def sign(n: int):
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(f"pbo{n}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BP
+        )
+        return F.when(h < _BP // 2, F.lit(1)).otherwise(F.lit(-1))
+
+    r_wide = evg.groupBy("g").agg(
+        *[
+            F.sum(sign(n) * F.col("cents")).alias(f"r{n}")
+            for n in range(_PBO_N)
+        ]
+    )
+    stack_expr = "stack({}, {}) as (n, r)".format(
+        _PBO_N,
+        ", ".join(f"{n}L, r{n}" for n in range(_PBO_N)),
+    )
+    r = r_wide.select("g", F.expr(stack_expr))
+
+    combos = spark.createDataFrame(
+        [
+            (cid, g)
+            for cid, combo in enumerate(_pbo_combos())
+            for g in combo
+        ],
+        "combo_id long, g long",
+    )
+    tot = r.groupBy("n").agg(F.sum("r").alias("r_tot"))
+    is_sums = (
+        combos.join(r, "g")
+        .groupBy("combo_id", "n")
+        .agg(F.sum("r").alias("r_is"))
+        .join(F.broadcast(tot), "n")
+        .select(
+            "combo_id",
+            "n",
+            "r_is",
+            (F.col("r_tot") - F.col("r_is")).alias("r_oos"),
+        )
+    )
+    w = Window.partitionBy("combo_id").orderBy(
+        F.desc("r_is"), F.asc("n")
+    )
+    best = (
+        is_sums.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") == 1)
+        .select(
+            "combo_id",
+            F.col("n").alias("best_n"),
+            F.col("r_is").alias("is_best"),
+            F.col("r_oos").alias("oos_best"),
+        )
+    )
+    ranked = (
+        is_sums.join(best, "combo_id")
+        .groupBy("combo_id", "best_n", "is_best", "oos_best")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r_oos") < F.col("oos_best"))
+                    | (
+                        (F.col("r_oos") == F.col("oos_best"))
+                        & (F.col("n") <= F.col("best_n"))
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("oos_rank")
+        )
+    )
+    lam = F.round(
+        F.log(
+            F.col("oos_rank").cast("double")
+            / (F.lit(_PBO_N + 1) - F.col("oos_rank")).cast("double")
+        )
+        * F.lit(1000000000)
+    ).cast("long")
+    return ranked.select(
+        "combo_id",
+        "best_n",
+        "is_best",
+        "oos_best",
+        "oos_rank",
+        lam.alias("lambda_nano"),
+    ).orderBy("combo_id")
+
+
+def _sql_pbo() -> str:
+    from .operators.sampling import _BP, duckdb_hash_bucket
+
+    combo_vals = ", ".join(
+        f"({cid}, {g})"
+        for cid, combo in enumerate(_pbo_combos())
+        for g in combo
+    )
+    sign_cols = ", ".join(
+        "CAST(sum(CASE WHEN {h} < {half} THEN cents ELSE -cents END)"
+        " AS BIGINT) AS r{n}".format(
+            h=duckdb_hash_bucket("event_id", f"pbo{n}"),
+            half=_BP // 2,
+            n=n,
+        )
+        for n in range(_PBO_N)
+    )
+    unpiv = " UNION ALL ".join(
+        f"SELECT g, CAST({n} AS BIGINT) AS n, r{n} AS r FROM r_wide"
+        for n in range(_PBO_N)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, strftime(ts, '%Y-%m-%d') AS period,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+up AS (
+  SELECT period,
+         CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT) AS rk
+  FROM (SELECT DISTINCT period FROM ev) t
+),
+np AS (SELECT count(*) AS n FROM up),
+grp AS (
+  SELECT up.period, (up.rk * {_PBO_G}) // np.n AS g FROM up, np
+),
+evg AS (
+  SELECT e.event_id, e.cents, grp.g FROM ev e JOIN grp USING (period)
+),
+r_wide AS (
+  SELECT g, {sign_cols} FROM evg GROUP BY g
+),
+r AS ({unpiv}),
+combos AS (
+  SELECT CAST(c0 AS BIGINT) AS combo_id, CAST(c1 AS BIGINT) AS g
+  FROM (VALUES {combo_vals}) t(c0, c1)
+),
+tot AS (SELECT n, CAST(sum(r) AS BIGINT) AS r_tot FROM r GROUP BY n),
+is_sums AS (
+  SELECT c.combo_id, r.n,
+         CAST(sum(r.r) AS BIGINT) AS r_is,
+         t.r_tot - CAST(sum(r.r) AS BIGINT) AS r_oos
+  FROM combos c JOIN r USING (g) JOIN tot t ON t.n = r.n
+  GROUP BY c.combo_id, r.n, t.r_tot
+),
+best AS (
+  SELECT combo_id, n AS best_n, r_is AS is_best, r_oos AS oos_best
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY combo_id ORDER BY r_is DESC, n ASC
+    ) AS pos FROM is_sums
+  ) WHERE pos = 1
+),
+ranked AS (
+  SELECT s.combo_id, b.best_n, b.is_best, b.oos_best,
+         CAST(sum(CASE WHEN s.r_oos < b.oos_best
+                       OR (s.r_oos = b.oos_best AND s.n <= b.best_n)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS oos_rank
+  FROM is_sums s JOIN best b USING (combo_id)
+  GROUP BY s.combo_id, b.best_n, b.is_best, b.oos_best
+)
+SELECT combo_id, best_n, is_best, oos_best, oos_rank,
+       CAST(round(ln(oos_rank::DOUBLE
+                     / ({_PBO_N + 1} - oos_rank)::DOUBLE)
+                  * 1000000000) AS BIGINT) AS lambda_nano
+FROM ranked ORDER BY combo_id
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1005,6 +1401,9 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_burstiness": q_text_burstiness,
     "stream_benford": q_stream_benford,
     "pipe_epoch_mix": q_pipe_epoch_mix,
+    "sim_mmr_rerank": q_sim_mmr_rerank,
+    "emb_maha_outlier": q_emb_maha_outlier,
+    "cv_pbo": q_cv_pbo,
 }
 
 
@@ -1018,4 +1417,7 @@ def oracles15() -> Dict[str, str]:
         "text_burstiness": _SQL_BURSTINESS,
         "stream_benford": _sql_stream_benford(),
         "pipe_epoch_mix": _sql_epoch_mix(),
+        "sim_mmr_rerank": _sql_mmr_rerank(),
+        "emb_maha_outlier": _SQL_MAHA_OUTLIER,
+        "cv_pbo": _sql_pbo(),
     }

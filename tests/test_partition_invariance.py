@@ -225,6 +225,11 @@ ROUND6_SHAPES = [
     "cv_quantile_loss",
     "text_heaps_fit",
     "text_burstiness",
+    # batch 3: iterative rounded-argmax (MMR), nano-quantized z² top-k
+    # (Mahalanobis), IS-argmax + OOS-rank combination algebra (PBO)
+    "sim_mmr_rerank",
+    "emb_maha_outlier",
+    "cv_pbo",
 ]
 
 

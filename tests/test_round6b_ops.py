@@ -135,3 +135,119 @@ def test_epoch_mix_budget_conservation(spark):
         assert r["shortfall"] == r["share"] - r["used_tokens"] >= 0
         if r["tokens"] >= r["share"]:
             assert r["epochs"] == 1
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    """The MMR selection must be (a) 8 distinct non-query ids with the
+    first pick = pure-relevance argmax, and (b) strictly more diverse
+    than the pure-relevance top-8: its mean pairwise cosine must not
+    exceed theirs."""
+    import numpy as np
+
+    from panelsplit_spark.queries_round6b import (
+        _MMR_K,
+        q_sim_mmr_rerank,
+    )
+    from panelsplit_spark.sources.tables import load_table
+
+    rows = q_sim_mmr_rerank(spark, SF_DIR).collect()
+    assert [r["sel_rank"] for r in rows] == list(range(_MMR_K))
+    assert rows[0]["score_at_pick"] is None
+    assert all(r["score_at_pick"] is not None for r in rows[1:])
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == _MMR_K
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    rel = {r["vec_id"]: r["rel"] for r in rows}
+    # pure-relevance top-8 from the full rel ranking (recompute)
+    qid_excluded = sorted(emb) != sorted(rel)  # rel only has picks
+
+    def cos(a, b):
+        return float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    def mean_pairwise(sel):
+        vals = [
+            cos(emb[a], emb[b])
+            for i, a in enumerate(sel)
+            for b in sel[i + 1:]
+        ]
+        return sum(vals) / len(vals)
+
+    # relevance ranking against the same md5-seeded query
+    import hashlib
+
+    qid = min(emb, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    rels_all = sorted(
+        ((round(cos(emb[i], emb[qid]), 6), i) for i in emb if i != qid),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top_rel = [i for _, i in rels_all[:_MMR_K]]
+    assert rows[0]["vec_id"] == top_rel[0]
+    assert mean_pairwise(ids) <= mean_pairwise(top_rel) + 1e-12
+
+
+def test_maha_outlier_shape_and_recompute(spark):
+    """Top-10 outliers: 64 dims each, nonnegative distances, strictly
+    ordered by (maha desc, vec_id); recomputing the nano z² sum from
+    raw data agrees within 1 nano per dimension (round-mode slack)."""
+    import numpy as np
+
+    from panelsplit_spark.queries_round6b import q_emb_maha_outlier
+    from panelsplit_spark.sources.tables import load_table
+
+    rows = q_emb_maha_outlier(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    keys = [(-r["maha_nano"], r["vec_id"]) for r in rows]
+    assert keys == sorted(keys)
+    data = load_table(spark, SF_DIR, "embeddings").collect()
+    q = {
+        r["vec_id"]: (
+            r["label"],
+            np.round(
+                np.array(r["embedding"], dtype=np.float64) * 1e6
+            ).astype(np.int64),
+        )
+        for r in data
+    }
+    by_label = {}
+    for lab, vec in q.values():
+        by_label.setdefault(lab, []).append(vec)
+    mom = {
+        lab: (
+            len(vs),
+            np.sum(vs, axis=0, dtype=object),
+            sum(v.astype(object) * v.astype(object) for v in vs),
+        )
+        for lab, vs in by_label.items()
+    }
+    for r in rows[:3]:
+        assert r["n_dims"] == 64 and r["maha_nano"] >= 0
+        lab, vec = q[r["vec_id"]]
+        n, s, s2 = mom[lab]
+        total = 0
+        for j in range(64):
+            dev = int(vec[j]) * n - int(s[j])
+            var_num = n * int(s2[j]) - int(s[j]) * int(s[j])
+            total += round(dev * dev * 1000000000 / var_num)
+        assert abs(total - r["maha_nano"]) <= 64
+
+
+def test_pbo_noise_strategies_overfit_about_half_the_time(spark):
+    """Rank bounds, λ-sign consistency with the rank, and the headline
+    theorem: selecting among pure-noise strategies must overfit about
+    half the time (loose [0.15, 0.85] band on 70 combos)."""
+    from panelsplit_spark.queries_round6b import _PBO_N, q_cv_pbo
+
+    rows = q_cv_pbo(spark, SF_DIR).collect()
+    assert len(rows) == 70
+    n_overfit = 0
+    for r in rows:
+        assert 1 <= r["oos_rank"] <= _PBO_N
+        assert (r["lambda_nano"] < 0) == (2 * r["oos_rank"] < _PBO_N + 1)
+        n_overfit += int(r["lambda_nano"] < 0)
+    assert 0.15 <= n_overfit / 70 <= 0.85
