@@ -1388,6 +1388,335 @@ FROM ranked ORDER BY combo_id
 """
 
 
+
+
+# ======================================================================
+# stream_minhash — 27th streaming gate: online MinHash signatures
+# ======================================================================
+
+_SMH_BATCHES = 3
+_SMH_HASHES = 12
+_SMH_SHINGLE = 3
+
+
+def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash signature maintenance: document shingles
+    arrive as three deterministic micro-batches; each folds its
+    per-(segment, hash-position) universal-hash mins into the running
+    signature (streaming/rolling.stream_keyed_min). MIN is an
+    IDEMPOTENT commutative monoid, so the drained signatures equal the
+    batch signatures for ANY chop — the batch SQL oracle applies
+    verbatim — and duplicate delivery (at-least-once feeds) cannot
+    corrupt the state. Segments: English docs vs the rest; the
+    finisher lines both signatures up per position and flags matches
+    (their mean is the MinHash Jaccard estimate between the two
+    sub-corpora — the online form of the cross-corpus overlap audit).
+    State is 2×12 rows at any feed size; one md5 per shingle, the
+    other 11 components are codegen integer ops (the
+    minhash_signatures discipline)."""
+    from .functions.hashing import (
+        MINHASH_P,
+        md5_long,
+        minhash_params,
+        word_ngrams,
+        word_tokens,
+    )
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        chop_n,
+        stream_keyed_min,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("rest"))
+        .alias("seg"),
+        F.explode(
+            F.array_distinct(
+                word_ngrams(word_tokens(F.col("text")), _SMH_SHINGLE)
+            )
+        ).alias("shingle"),
+    ).select(
+        "seg", (md5_long(F.col("shingle")) % F.lit(MINHASH_P)).alias("h")
+    ).localCheckpoint(eager=True)  # 3 batch writes would re-explode
+    params = minhash_params(_SMH_HASHES)
+    stack_expr = "stack({}, {}) as (j, u)".format(
+        _SMH_HASHES,
+        ", ".join(
+            f"{j}L, ({a}L * h + {b}L) % {MINHASH_P}L"
+            for j, (a, b) in enumerate(params)
+        ),
+    )
+    name = "stream_minhash_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("minhash_feed")
+        # the feed carries the 1× (seg, base-hash) rows; the 12-way
+        # universal-hash stack runs INSIDE the stream (writing the
+        # stacked rows would 12× the feed I/O for pure arithmetic)
+        write_file_batches(
+            [
+                sh.where(F.col("h") % chop_n(_SMH_BATCHES) == j)
+                for j in range(chop_n(_SMH_BATCHES))
+            ],
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(sh.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        ).select("seg", F.expr(stack_expr))
+        with stream_shuffle_partitions(spark):
+            q, get_state = stream_keyed_min(
+                stream, ["seg", "j"], "u", query_name=name
+            )
+            q.awaitTermination()
+        sig = get_state()
+        if sig is not None:
+            en = sig.where(F.col("seg") == "en").select(
+                "j", F.col("v").alias("sig_en")
+            )
+            rest = sig.where(F.col("seg") == "rest").select(
+                "j", F.col("v").alias("sig_rest")
+            )
+            return (
+                en.join(rest, "j")
+                .select(
+                    "j",
+                    "sig_en",
+                    "sig_rest",
+                    (F.col("sig_en") == F.col("sig_rest"))
+                    .cast("long")
+                    .alias("is_match"),
+                )
+                .orderBy("j")
+            )
+    raise RuntimeError("stream_minhash: drained state unavailable")
+
+
+def _sql_stream_minhash() -> str:
+    from .functions.hashing import MINHASH_P, minhash_params
+    from .queries_data import _duck_md5_long, _duck_shingles, _DUCK_TOKS
+
+    params = minhash_params(_SMH_HASHES)
+    per_j = "\n  UNION ALL\n".join(
+        f"  SELECT seg, CAST({j} AS BIGINT) AS j,"
+        f" min(({a} * h + {b}) % {MINHASH_P}) AS v FROM sh GROUP BY seg"
+        for j, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH sh AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS seg,
+         {_duck_md5_long('shingle')} % {MINHASH_P} AS h
+  FROM (
+    SELECT lang,
+           unnest(list_distinct({_duck_shingles(_SMH_SHINGLE)})) AS shingle
+    FROM (SELECT lang, {_DUCK_TOKS} AS t FROM documents) d
+  ) s
+),
+sig AS (
+{per_j}
+)
+SELECT e.j, e.v AS sig_en, r.v AS sig_rest,
+       CAST(CASE WHEN e.v = r.v THEN 1 ELSE 0 END AS BIGINT) AS is_match
+FROM sig e JOIN sig r ON e.j = r.j AND e.seg = 'en' AND r.seg = 'rest'
+ORDER BY e.j
+"""
+
+
+# ======================================================================
+# cv_mincer_zarnowitz — OOF forecast-efficiency regression
+# ======================================================================
+
+
+def q_cv_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mincer-Zarnowitz forecast-efficiency regression (Mincer &
+    Zarnowitz 1969): regress realized y on the OOF forecast ŷ per fold
+    — an efficient forecast has intercept 0 and slope 1; slope < 1
+    exposes over-dispersion (the model should be shrunk), intercept ≠ 0
+    a level bias. Forecasts quantize to integer cents before the
+    moment sums (the suffstat discipline), so slope and intercept are
+    double divisions of exact integer cross-moments. Shape: the same
+    broadcast-coefficient OOF apply as the other CV gates + ONE
+    fold-keyed moment aggregate."""
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    evq = ev.select(
+        "event_id",
+        "period",
+        F.col("hod").cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    asg = ps.assign(evq)
+    mom = (
+        asg.where(F.col("role") == "train")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        )
+    )
+    b1 = (
+        (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy"))
+        .cast("double")
+        / (
+            _dec(F.col("n")) * F.col("sxx")
+            - _dec(F.col("sx")) * F.col("sx")
+        ).cast("double")
+    )
+    coef = mom.select(
+        "fold_id",
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+    )
+    oof = (
+        asg.where(F.col("role") == "test")
+        .join(F.broadcast(coef), "fold_id")
+        .select(
+            F.col("fold_id").cast("long").alias("fold_id"),
+            F.col("yc").alias("y"),
+            F.round(
+                F.col("b0") + F.col("b1") * F.col("x").cast("double")
+            )
+            .cast("long")
+            .alias("p"),
+        )
+    )
+    mz = oof.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+        F.sum(_dec(F.col("p")) * F.col("p")).alias("spp"),
+        F.sum(_dec(F.col("p")) * F.col("y")).alias("spy"),
+    )
+    slope = (
+        (_dec(F.col("n")) * F.col("spy") - _dec(F.col("sp")) * F.col("sy"))
+        .cast("double")
+        / (
+            _dec(F.col("n")) * F.col("spp")
+            - _dec(F.col("sp")) * F.col("sp")
+        ).cast("double")
+    )
+    return mz.select(
+        "fold_id",
+        "n",
+        slope.alias("mz_slope"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sp").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("mz_intercept"),
+    ).orderBy("fold_id")
+
+
+def _sql_mincer_zarnowitz() -> str:
+    return f"""
+WITH {_sql_events_oof_residuals()},
+oof AS (
+  SELECT fold_id, yc AS y, yc - e_ols AS p FROM res
+),
+mz AS (
+  SELECT fold_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p) AS BIGINT) AS sp,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(p AS HUGEINT) * p) AS spp,
+         sum(CAST(p AS HUGEINT) * y) AS spy
+  FROM oof GROUP BY fold_id
+)
+SELECT fold_id, n,
+       (CAST(n AS HUGEINT) * spy - CAST(sp AS HUGEINT) * sy)::DOUBLE
+         / (CAST(n AS HUGEINT) * spp
+            - CAST(sp AS HUGEINT) * sp)::DOUBLE AS mz_slope,
+       (sy::DOUBLE
+        - ((CAST(n AS HUGEINT) * spy - CAST(sp AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * spp
+              - CAST(sp AS HUGEINT) * sp)::DOUBLE) * sp::DOUBLE)
+         / n::DOUBLE AS mz_intercept
+FROM mz ORDER BY fold_id
+"""
+
+
+# ======================================================================
+# pipe_token_fertility — tokenizer fertility by language
+# ======================================================================
+
+_FERT_CHAR_NGRAM = 4
+
+
+def q_pipe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by language: subword-proxy tokens per
+    whitespace word — THE standard multilingual-tokenizer health
+    metric (fertility ≫ 1 for a language means its text costs
+    disproportionate sequence length; the motivation for
+    vocabulary-balance work in every multilingual LLM paper). The
+    subword proxy counts ceil(len/4) units per word (a fixed-width
+    stand-in for a BPE segmenter — the real segmenter plugs into the
+    same rollup via operators/bpe.py); fertility is emitted as an
+    exact integer permille quotient plus its exact numerator/
+    denominator. ONE explode + per-language aggregate."""
+    from .functions.hashing import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.explode(word_tokens(F.col("text"))).alias("w"),
+    ).where(F.length("w") > 0).select(
+        "lang",
+        F.expr(
+            f"(length(w) + {_FERT_CHAR_NGRAM - 1}) div {_FERT_CHAR_NGRAM}"
+        ).alias("units"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("units").alias("n_units"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_units",
+            F.expr("(n_units * 1000) div n_words").alias(
+                "fertility_permille"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_TOKEN_FERTILITY = f"""
+WITH per AS (
+  SELECT lang,
+         (length(w) + {_FERT_CHAR_NGRAM - 1}) // {_FERT_CHAR_NGRAM}
+           AS units
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) t
+  WHERE length(w) > 0
+)
+SELECT lang, count(*) AS n_words,
+       CAST(sum(units) AS BIGINT) AS n_units,
+       CAST(sum(units) AS BIGINT) * 1000 // count(*)
+         AS fertility_permille
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1404,6 +1733,9 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_mmr_rerank": q_sim_mmr_rerank,
     "emb_maha_outlier": q_emb_maha_outlier,
     "cv_pbo": q_cv_pbo,
+    "stream_minhash": q_stream_minhash,
+    "cv_mincer_zarnowitz": q_cv_mincer_zarnowitz,
+    "pipe_token_fertility": q_pipe_token_fertility,
 }
 
 
@@ -1420,4 +1752,7 @@ def oracles15() -> Dict[str, str]:
         "sim_mmr_rerank": _sql_mmr_rerank(),
         "emb_maha_outlier": _SQL_MAHA_OUTLIER,
         "cv_pbo": _sql_pbo(),
+        "stream_minhash": _sql_stream_minhash(),
+        "cv_mincer_zarnowitz": _sql_mincer_zarnowitz(),
+        "pipe_token_fertility": _SQL_TOKEN_FERTILITY,
     }

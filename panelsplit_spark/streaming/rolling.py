@@ -1493,3 +1493,54 @@ def stream_ks_counts(
         .start()
     )
     return q, lambda: state["df"]
+
+
+def stream_keyed_min(
+    stream_df: DataFrame,
+    key_cols,
+    value_col: str,
+    query_name: str = "stream_keyed_min",
+):
+    """Streaming keyed-MIN fold — the monoid behind online MinHash
+    signature maintenance (and any 'smallest seen so far per key'
+    index). MIN is an IDEMPOTENT commutative monoid, so each
+    micro-batch folds with one keyed aggregate, duplicate delivery is
+    harmless, and the drained state equals the batch min for ANY chop
+    — the batch oracle applies verbatim. State is bounded by the key
+    domain (segments × signature positions for MinHash), independent
+    of stream length.
+
+    Returns ``(query, get_state)`` where the drained state has the key
+    columns plus ``v`` = the running min of ``value_col``.
+    """
+    key_cols = list(key_cols)
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = (
+            batch_df.select(
+                *[F.col(k) for k in key_cols],
+                F.col(value_col).cast("long").alias("v"),
+            )
+            .groupBy(*key_cols)
+            .agg(F.min("v").alias("v"))
+        )
+        prev = state["df"]
+        cur = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy(*key_cols)
+            .agg(F.min("v").alias("v"))
+        )
+        state["df"] = cur.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["df"]

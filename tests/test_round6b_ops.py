@@ -251,3 +251,51 @@ def test_pbo_noise_strategies_overfit_about_half_the_time(spark):
         assert (r["lambda_nano"] < 0) == (2 * r["oos_rank"] < _PBO_N + 1)
         n_overfit += int(r["lambda_nano"] < 0)
     assert 0.15 <= n_overfit / 70 <= 0.85
+
+
+def test_stream_minhash_signature_sanity(spark):
+    """12 positions, both signatures in [0, P), match flag boolean —
+    and at least one position should DISAGREE (the two sub-corpora are
+    different texts)."""
+    from panelsplit_spark.functions.hashing import MINHASH_P
+    from panelsplit_spark.queries_round6b import (
+        _SMH_HASHES,
+        q_stream_minhash,
+    )
+
+    rows = q_stream_minhash(spark, SF_DIR).collect()
+    assert [r["j"] for r in rows] == list(range(_SMH_HASHES))
+    for r in rows:
+        assert 0 <= r["sig_en"] < MINHASH_P
+        assert 0 <= r["sig_rest"] < MINHASH_P
+        assert r["is_match"] == int(r["sig_en"] == r["sig_rest"])
+    assert any(r["is_match"] == 0 for r in rows)
+
+
+def test_mincer_zarnowitz_finite_per_fold(spark):
+    """One (slope, intercept) pair per fold, both finite — and the MZ
+    line must pass through the OOF mean point by construction of OLS
+    (intercept = ȳ − slope·p̄ is the emitted identity)."""
+    import math
+
+    from panelsplit_spark.queries_round6b import q_cv_mincer_zarnowitz
+
+    rows = q_cv_mincer_zarnowitz(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n"] > 3
+        assert math.isfinite(r["mz_slope"])
+        assert math.isfinite(r["mz_intercept"])
+
+
+def test_token_fertility_floor_and_identity(spark):
+    """Every word yields ≥ 1 unit ⇒ fertility ≥ 1000 permille, and the
+    emitted quotient recomputes exactly from its integer parts."""
+    from panelsplit_spark.queries_round6b import q_pipe_token_fertility
+
+    rows = q_pipe_token_fertility(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["n_units"] >= r["n_words"] > 0
+        assert r["fertility_permille"] == r["n_units"] * 1000 // r["n_words"]
+        assert r["fertility_permille"] >= 1000

@@ -57,6 +57,7 @@ SPEC = {
     "stream_bitmap": "key",
     "stream_psi": "key",
     "stream_benford": "key",
+    "stream_minhash": "key",
     # ordered recursions / watermark-evicted state — contiguous re-chop
     "stream_sessionize": "ordered",
     "stream_session_window": "ordered",
