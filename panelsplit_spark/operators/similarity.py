@@ -1175,11 +1175,14 @@ def mmr_rerank(
     ``sel_rank vec_id rel score_at_pick`` (NULL for the first pick,
     which is chosen by pure relevance).
     """
-    from ..functions.vector import as_double, cosine_similarity
+    import math
+
+    from ..functions.vector import sql_as_double, sql_double_array, sql_dot
 
     v = emb.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("x")
-    ).localCheckpoint(eager=True)
+        F.col(id_col).alias("id"),
+        F.expr(sql_as_double(vec_col)).alias("x"),
+    )
     qrow = (
         v.select("id", "x", F.md5(F.col("id").cast("string")).alias("h"))
         .orderBy("h", "id")
@@ -1188,28 +1191,49 @@ def mmr_rerank(
     )
     qid = int(qrow["id"])
 
-    def cos_to(lit_vec):
-        arr = F.array(*[F.lit(float(c)) for c in lit_vec])
-        return F.round(cosine_similarity(F.col("x"), arr), round_to)
+    # SQL-text expression builders (see functions/vector.py): one
+    # parsed expression per round instead of thousands of py4j Column
+    # nodes — same values to the last ulp. The literal-side norm is
+    # the identical left-to-right accumulation in Python floats.
+    def _norm(vec):
+        acc = 0.0
+        for c in vec:
+            acc += float(c) * float(c)
+        return math.sqrt(acc)
+
+    _NX = "sqrt(aggregate(x, 0.0D, (acc, v) -> acc + v * v))"
+
+    def cos_text(lit_vec):
+        arr = sql_double_array(float(c) for c in lit_vec)
+        return (
+            f"round({sql_dot('x', arr)} / ({_NX} * {_norm(lit_vec)!r}D),"
+            f" {round_to})"
+        )
 
     cands = (
         v.where(F.col("id") != qid)
-        .select("id", "x", cos_to(list(qrow["x"])).alias("rel"))
+        .select("id", "x", F.expr(cos_text(list(qrow["x"]))).alias("rel"))
+        # the k−1 argmax rounds each scan this frame: a handful of
+        # fat tasks beats 32 micro-tasks of driver scheduling (the
+        # frame is the re-rank pool, driver-small by construction)
+        .coalesce(8)
         .localCheckpoint(eager=True)
     )
     first = cands.orderBy(F.desc("rel"), F.asc("id")).limit(1).collect()[0]
     selected = [(int(first["id"]), list(first["x"]), float(first["rel"]), None)]
     for _ in range(int(k) - 1):
-        sims = [cos_to(vec) for _, vec, _, _ in selected]
-        simmax = F.greatest(*sims) if len(sims) > 1 else sims[0]
-        score = F.round(
-            F.lit(lam) * F.col("rel") - F.lit(one_minus_lam) * simmax,
-            round_to,
+        sims = [cos_text(vec) for _, vec, _, _ in selected]
+        simmax = (
+            "greatest(" + ", ".join(sims) + ")" if len(sims) > 1 else sims[0]
+        )
+        score = (
+            f"round({lam!r}D * rel - {one_minus_lam!r}D * {simmax},"
+            f" {round_to})"
         )
         chosen = [cid for cid, _, _, _ in selected]
         row = (
             cands.where(~F.col("id").isin(chosen))
-            .select("id", "x", "rel", score.alias("score"))
+            .select("id", "x", "rel", F.expr(score).alias("score"))
             .orderBy(F.desc("score"), F.asc("id"))
             .limit(1)
             .collect()[0]
