@@ -1717,6 +1717,253 @@ FROM per GROUP BY lang ORDER BY lang
 """
 
 
+
+
+# ======================================================================
+# text_winnowing — MOSS winnowing fingerprints + overlap pairs
+# ======================================================================
+
+_WIN_K = 4   # shingle width (words)
+_WIN_W = 5   # winnowing window (shingles); guarantee t = K + W - 1
+_WIN_CAP = 20   # stop-fingerprint df cap (bounds the pair join)
+_WIN_MIN_SHARED = 2
+_WIN_TOPK = 20
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): the winnowed fingerprint set of each document —
+    the window-min selection over hashed k-gram shingles (full
+    windows only). Split out so the guarantee property (any shared
+    run of ≥ k+w−1 words surfaces a shared fingerprint) is testable
+    on planted frames."""
+    from .functions.hashing import (
+        MINHASH_P,
+        md5_long,
+        word_ngrams,
+        word_tokens,
+    )
+
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            word_ngrams(word_tokens(F.col("text")), _WIN_K)
+        ).alias("pos", "shingle"),
+    ).select(
+        "doc_id",
+        "pos",
+        (md5_long(F.col("shingle")) % F.lit(MINHASH_P)).alias("h"),
+    )
+    wfwd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wn = Window.partitionBy("doc_id")
+    return (
+        sh.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wfwd).alias("fp"),
+            F.count(F.lit(1)).over(wn).alias("n_sh"),
+        )
+        # full windows only (0-based start positions 0 .. n_sh − w)
+        .where(F.col("pos") <= F.col("n_sh") - _WIN_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm, public method): slide a w-shingle
+    window over each document's hashed k-gram sequence and keep each
+    window's MINIMUM hash — any shared substring of ≥ k+w−1 words is
+    GUARANTEED to surface a shared fingerprint, at ~2/(w+1) of the
+    shingle storage. Pairs of documents sharing ≥ 2 winnowed
+    fingerprints are overlap candidates (the plagiarism/near-dup
+    shape that single-min fingerprinting misses). Selection is by
+    VALUE (window min), so the fingerprint set is partition- and
+    order-independent; fingerprints shared by > cap docs are dropped
+    stop-key style so the pair join stays bounded (the df-cap
+    discipline every similarity path here uses). Shape: one
+    posexplode + one doc-keyed forward window + distinct + capped
+    equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    # three consumers (df counts, both pair sides) would each replay
+    # the explode+window chain — pin the fingerprint set
+    fps = winnow_fingerprints(docs).localCheckpoint(eager=True)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _WIN_CAP))
+    )
+    pruned = fps.join(rare, "fp")
+    a = pruned.select(F.col("fp"), F.col("doc_id").alias("a"))
+    b = pruned.select(F.col("fp"), F.col("doc_id").alias("b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    return (
+        pairs.orderBy(F.desc("n_shared"), F.asc("a"), F.asc("b"))
+        .limit(_WIN_TOPK)
+        .select("a", "b", "n_shared")
+    )
+
+
+def _sql_winnowing() -> str:
+    from .functions.hashing import MINHASH_P
+    from .queries_data import _duck_md5_long, _DUCK_TOKS
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, u.pos,
+         {_duck_md5_long('u.s')} % {MINHASH_P} AS h
+  FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i,
+                     's': array_to_string(t[i:i+{_WIN_K - 1}], ' ')}}
+                   for i in range(1, greatest(len(t)-{_WIN_K - 1}, 0)+1)])
+             AS u
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents) d
+  ) s
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WIN_W - 1} FOLLOWING) AS fp,
+           count(*) OVER (PARTITION BY doc_id) AS n_sh
+    FROM sh
+  ) w
+  WHERE pos <= n_sh - {_WIN_W - 1}
+),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) >= 2 AND count(*) <= {_WIN_CAP}
+),
+pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+  FROM pruned x JOIN pruned y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+  HAVING count(*) >= {_WIN_MIN_SHARED}
+)
+SELECT a, b, n_shared FROM pairs
+ORDER BY n_shared DESC, a ASC, b ASC
+LIMIT {_WIN_TOPK}
+"""
+
+
+# ======================================================================
+# cv_adversarial_auc — per-fold adversarial validation (covariate shift)
+# ======================================================================
+
+
+def q_cv_adversarial_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial validation per fold: the exact rank-sum (Mann-
+    Whitney) AUC of the cents-quantized value at separating TEST rows
+    from TRAIN rows inside each fold — AUC ≈ ½ certifies the fold
+    boundary is exchangeable in this feature, a deviation quantifies
+    the covariate shift a walk-forward split induces (the univariate
+    form of the train-a-discriminator trick; the PSI gate cv_fold_drift
+    sees distribution distance, this sees separability). Same exact
+    integer rank algebra as operators/evaluation.auc_ranksum, run
+    fold-keyed: tie-adjusted rank sums from a per-value count table,
+    u2 exact, ONE double division."""
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    evq = ev.select(
+        "event_id",
+        "period",
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+    )
+    asg = ps.assign(evq).select(
+        F.col("fold_id").cast("long").alias("fold_id"),
+        "s",
+        (F.col("role") == "test").cast("long").alias("y"),
+    )
+    g = asg.groupBy("fold_id", "s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("fold_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = g.withColumn("cum", F.sum("cnt").over(w))
+    agg = g.groupBy("fold_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(
+            _dec(F.col("pos"))
+            * (F.lit(2) * F.col("cum") - F.col("cnt") + 1).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_r2"),
+    )
+    u2 = (
+        F.col("_r2")
+        - _dec(F.col("n_pos")) * (F.col("n_pos") + 1).cast("decimal(38,0)")
+    ).cast("long")
+    return agg.select(
+        "fold_id",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * (F.col("n") - F.col("n_pos")).cast("double")
+            )
+        ).alias("auc_adv"),
+    ).orderBy("fold_id")
+
+
+def _sql_adversarial_auc() -> str:
+    from .queries import _FOLD_CTE
+
+    return f"""
+WITH {_FOLD_CTE},
+t AS (
+  SELECT a.fold_id,
+         CAST(round(e.value * 100) AS BIGINT) AS s,
+         CASE WHEN a.role = 'test' THEN 1 ELSE 0 END AS y
+  FROM assign a JOIN ev e ON e.period = a.period
+),
+g AS (
+  SELECT fold_id, s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM t GROUP BY fold_id, s
+),
+c AS (
+  SELECT fold_id, s, cnt, pos,
+         sum(cnt) OVER (PARTITION BY fold_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+),
+agg AS (
+  SELECT fold_id, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         sum(CAST(pos AS HUGEINT) * (2 * cum - cnt + 1)) AS r2
+  FROM c GROUP BY fold_id
+)
+SELECT fold_id, n, n_pos, n - n_pos AS n_neg,
+       CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)::DOUBLE
+         / (2.0 * n_pos::DOUBLE * (n - n_pos)::DOUBLE) AS auc_adv
+FROM agg ORDER BY fold_id
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1736,6 +1983,8 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_minhash": q_stream_minhash,
     "cv_mincer_zarnowitz": q_cv_mincer_zarnowitz,
     "pipe_token_fertility": q_pipe_token_fertility,
+    "text_winnowing": q_text_winnowing,
+    "cv_adversarial_auc": q_cv_adversarial_auc,
 }
 
 
@@ -1755,4 +2004,6 @@ def oracles15() -> Dict[str, str]:
         "stream_minhash": _sql_stream_minhash(),
         "cv_mincer_zarnowitz": _sql_mincer_zarnowitz(),
         "pipe_token_fertility": _SQL_TOKEN_FERTILITY,
+        "text_winnowing": _sql_winnowing(),
+        "cv_adversarial_auc": _sql_adversarial_auc(),
     }

@@ -230,6 +230,10 @@ ROUND6_SHAPES = [
     "sim_mmr_rerank",
     "emb_maha_outlier",
     "cv_pbo",
+    # batch 5: window-min fingerprint selection + capped pair ranking
+    # (winnowing), fold-keyed tie-adjusted rank sums (adversarial AUC)
+    "text_winnowing",
+    "cv_adversarial_auc",
 ]
 
 

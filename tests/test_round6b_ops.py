@@ -299,3 +299,59 @@ def test_token_fertility_floor_and_identity(spark):
         assert r["n_units"] >= r["n_words"] > 0
         assert r["fertility_permille"] == r["n_units"] * 1000 // r["n_words"]
         assert r["fertility_permille"] >= 1000
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """The winnowing theorem (Schleimer et al. 2003): two documents
+    sharing a run of ≥ k+w−1 words MUST share at least one winnowed
+    fingerprint; two documents with disjoint vocabularies must share
+    none."""
+    from panelsplit_spark.queries_round6b import (
+        _WIN_K,
+        _WIN_W,
+        winnow_fingerprints,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(_WIN_K + _WIN_W - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + run + " delta epsilon zeta eta"),
+            (2, "one two three four " + run + " five six seven eight"),
+            (3, "planets orbit stars while comets cross the dark sky "
+                "and moons follow planets quietly"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "planted overlap must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_pairs_shape(spark):
+    """Pair output: a < b, n_shared ≥ 2, ordered by (n_shared desc,
+    a, b)."""
+    from panelsplit_spark.queries_round6b import q_text_winnowing
+
+    rows = q_text_winnowing(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["a"] < r["b"] and r["n_shared"] >= 2
+    keys = [(-r["n_shared"], r["a"], r["b"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_adversarial_auc_exchangeable_folds(spark):
+    """u2 bounds, AUC ∈ (0,1), and the stationary synthetic values
+    must look exchangeable across the fold boundary (loose band around
+    ½) — a large deviation would mean the CV split itself leaks."""
+    from panelsplit_spark.queries_round6b import q_cv_adversarial_auc
+
+    rows = q_cv_adversarial_auc(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
+        assert 0 <= r["u2"] <= 2 * r["n_pos"] * r["n_neg"]
+        assert 0.0 < r["auc_adv"] < 1.0
+        assert 0.35 < r["auc_adv"] < 0.65
