@@ -1964,6 +1964,329 @@ FROM agg ORDER BY fold_id
 """
 
 
+
+
+# ======================================================================
+# feat_adf_test — Dickey-Fuller stationarity audit per series
+# ======================================================================
+
+
+def q_feat_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (Dickey & Fuller 1979; the
+    lag-0 / constant-included variant — no augmentation terms,
+    documented) per event-type daily-revenue series: regress Δy_t on
+    y_{t−1}, DF = b̂₁/se(b̂₁); a unit root (non-stationary series, the
+    thing that invalidates naive CV on levels) shows DF ≈ 0 while a
+    stationary series drives DF strongly negative. The panel-CV
+    pre-flight: run it per entity before trusting level-based folds.
+    Daily sums are exact integer cents; residuals re-quantize to
+    integers, so n/Σx/Σy/Σxx/Σxy/Σe² are all exact and DF is a chain
+    of three double operations on them. One rollup + one lag window +
+    one moment aggregate per series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.lag("y").over(w).alias("x"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    ).where(F.col("x").isNotNull())
+    mom = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(_dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(_dec(F.col("x")) * F.col("dy")).alias("sxy"),
+    )
+    den = _dec(F.col("n")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sx")
+    b1 = (
+        (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy"))
+        .cast("double")
+        / den.cast("double")
+    )
+    coef = mom.select(
+        "event_type",
+        "n",
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+        den.cast("double").alias("den"),
+    )
+    res = (
+        pairs.join(F.broadcast(coef), "event_type")
+        .select(
+            "event_type",
+            F.round(
+                F.col("dy").cast("double")
+                - (F.col("b0") + F.col("b1") * F.col("x").cast("double"))
+            )
+            .cast("long")
+            .alias("e"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum(_dec(F.col("e")) * F.col("e")).alias("se2"))
+    )
+    out = coef.join(res, "event_type")
+    df_stat = F.col("b1") / F.sqrt(
+        (
+            F.col("se2").cast("double")
+            / (F.col("n") - 2).cast("double")
+        )
+        * F.col("n").cast("double")
+        / F.col("den")
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("se2").cast("long").alias("sse"),
+        F.col("b1").alias("rho_minus_1"),
+        df_stat.alias("df_stat"),
+    ).orderBy("event_type")
+
+
+def _sql_adf_test() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT event_type,
+         lag(y) OVER (PARTITION BY event_type ORDER BY day) AS x,
+         y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS dy
+  FROM daily
+),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(dy) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * dy) AS sxy
+  FROM pairs WHERE x IS NOT NULL GROUP BY event_type
+),
+coef AS (
+  SELECT event_type, n,
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx)::DOUBLE AS b1,
+         (CAST(n AS HUGEINT) * sxx
+          - CAST(sx AS HUGEINT) * sx)::DOUBLE AS den,
+         sx, sy
+  FROM mom
+),
+coef2 AS (
+  SELECT event_type, n, b1, den,
+         (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0
+  FROM coef
+),
+res AS (
+  SELECT p.event_type,
+         sum(CAST(CAST(round(p.dy::DOUBLE
+                             - (c.b0 + c.b1 * CAST(p.x AS DOUBLE)))
+                       AS BIGINT) AS HUGEINT)
+             * CAST(round(p.dy::DOUBLE
+                          - (c.b0 + c.b1 * CAST(p.x AS DOUBLE)))
+                    AS BIGINT)) AS se2
+  FROM pairs p JOIN coef2 c USING (event_type)
+  WHERE p.x IS NOT NULL
+  GROUP BY p.event_type
+)
+SELECT c.event_type, c.n, CAST(r.se2 AS BIGINT) AS sse,
+       c.b1 AS rho_minus_1,
+       c.b1 / sqrt((r.se2::DOUBLE / (c.n - 2)::DOUBLE)
+                   * c.n::DOUBLE / c.den) AS df_stat
+FROM coef2 c JOIN res r USING (event_type)
+ORDER BY c.event_type
+"""
+
+
+# ======================================================================
+# src_sorted_clustering — storage clustering vs scan-pruning audit
+# ======================================================================
+
+_CLU_PROBE_DAY = 1275
+_CLU_EPOCH = "1992-01-01"
+
+
+def q_src_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-clustering audit: the SAME lineitem facts written twice
+    — range-bucketed + sorted by ship-day vs hash-scattered — then
+    judged purely from parquet FOOTER statistics: per layout, the row
+    groups, the summed min/max day span, and how many row groups a
+    one-day probe predicate can SKIP. This is the 100 TB lever behind
+    Z-order/cluster-by: identical bytes of data, but the clustered
+    layout's zone maps prune all but one row group while the scattered
+    layout prunes none. Audit frame = driver-side footer census
+    (pyarrow; KBs), never a data scan; the DuckDB oracle reads the
+    SAME files through parquet_metadata()."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate"), F.lit(_CLU_EPOCH).cast("date")
+        ).cast("long").alias("d"),
+    )
+    base = os.path.join(os.getcwd(), "spark-warehouse", "sinks", "clustering")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        li.repartition(4, F.expr("d div 700"))
+        .sortWithinPartitions("d")
+        .write.parquet(os.path.join(base, "v_clustered"))
+    )
+    li.repartition(4, F.col("l_orderkey")).write.parquet(
+        os.path.join(base, "v_scattered")
+    )
+
+    rows = []
+    for layout in ("v_clustered", "v_scattered"):
+        d = os.path.join(base, layout)
+        n_rg = span = prunable = 0
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            names = [
+                md.schema.column(j).name for j in range(md.num_columns)
+            ]
+            j = names.index("d")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                n_rg += 1
+                span += int(st.max) - int(st.min) + 1
+                if not (int(st.min) <= _CLU_PROBE_DAY <= int(st.max)):
+                    prunable += 1
+        rows.append((layout, n_rg, span, prunable))
+    return spark.createDataFrame(
+        rows, "layout string, n_rowgroups long, span_days long,"
+        " n_prunable long"
+    )
+
+
+def _sql_sorted_clustering() -> str:
+    parts = []
+    for layout in ("v_clustered", "v_scattered"):
+        parts.append(f"""
+  SELECT '{layout}' AS layout, CAST(count(*) AS BIGINT) AS n_rowgroups,
+         CAST(sum(CAST(stats_max_value AS BIGINT)
+                  - CAST(stats_min_value AS BIGINT) + 1) AS BIGINT)
+           AS span_days,
+         CAST(sum(CASE WHEN CAST(stats_min_value AS BIGINT)
+                            <= {_CLU_PROBE_DAY}
+                        AND CAST(stats_max_value AS BIGINT)
+                            >= {_CLU_PROBE_DAY}
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_prunable
+  FROM parquet_metadata('spark-warehouse/sinks/clustering/{layout}/*.parquet')
+  WHERE path_in_schema = 'd'""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# ======================================================================
+# mm_av_sync_plan — audio/video alignment manifest from decoded meta
+# ======================================================================
+
+_AV_SEG_MS = 2000   # video keyframe segment length
+_AV_WIN_MS = 500    # audio window hop
+_AV_DOCS = 40       # manifest slice emitted by the gate
+
+
+def q_mm_av_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video alignment manifest: for every media payload, the
+    keyframe-segment rows a video-LM preprocessor would cut, each
+    carrying how many audio windows land inside it — computed from
+    DECODED METADATA only (duration via the deterministic fake codec
+    through the real mapInPandas seam; sample extraction happens later
+    against exactly these rows). Segments are ⌈duration/2s⌉ clamped to
+    the duration; audio windows are the global 500 ms grid assigned by
+    integer division — every quantity exact integer arithmetic. The
+    planning half of AV-sync at 100 TB: alignment is ROWS (joinable,
+    shardable by (doc, seg)), pixels/samples stay deferred."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _AV_DOCS
+    )
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    meta = multimodal.with_media_meta(
+        payload, decoder=multimodal.fake_decoder
+    ).select(
+        "doc_id",
+        F.col("media_meta.duration_ms").cast("long").alias("dur"),
+    ).where(F.col("dur") > 0)
+    segs = meta.select(
+        "doc_id",
+        "dur",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(0 AS BIGINT),"
+                f" (dur + {_AV_SEG_MS - 1}) div {_AV_SEG_MS} - 1)"
+            )
+        ).alias("seg"),
+    )
+    seg_start = F.col("seg") * _AV_SEG_MS
+    seg_end = F.least(
+        (F.col("seg") + 1) * F.lit(_AV_SEG_MS).cast("long"), F.col("dur")
+    )
+    # audio windows: global 500 ms grid, window w covers
+    # [w·500, (w+1)·500); assigned to segment (w·500) div 2000 —
+    # count = windows starting in [seg_start, seg_end)
+    n_win = F.expr(
+        f"(least((seg + 1) * {_AV_SEG_MS}, dur) + {_AV_WIN_MS - 1})"
+        f" div {_AV_WIN_MS} - (seg * {_AV_SEG_MS}) div {_AV_WIN_MS}"
+    )
+    return segs.select(
+        "doc_id",
+        "seg",
+        seg_start.alias("seg_start_ms"),
+        seg_end.alias("seg_end_ms"),
+        n_win.alias("n_audio_windows"),
+    ).orderBy("doc_id", "seg")
+
+
+def _sql_av_sync_plan() -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < {_AV_DOCS}
+),
+meta AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(m, 9, 4)) AS BIGINT) AS dur
+  FROM h
+),
+segs AS (
+  SELECT doc_id, dur, unnest(range(0, (dur + {_AV_SEG_MS - 1})
+                                      // {_AV_SEG_MS})) AS seg
+  FROM meta WHERE dur > 0
+)
+SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+       CAST(seg * {_AV_SEG_MS} AS BIGINT) AS seg_start_ms,
+       CAST(LEAST((seg + 1) * {_AV_SEG_MS}, dur) AS BIGINT)
+         AS seg_end_ms,
+       CAST((LEAST((seg + 1) * {_AV_SEG_MS}, dur) + {_AV_WIN_MS - 1})
+              // {_AV_WIN_MS}
+            - (seg * {_AV_SEG_MS}) // {_AV_WIN_MS} AS BIGINT)
+         AS n_audio_windows
+FROM segs
+ORDER BY doc_id, seg
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1985,6 +2308,9 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_token_fertility": q_pipe_token_fertility,
     "text_winnowing": q_text_winnowing,
     "cv_adversarial_auc": q_cv_adversarial_auc,
+    "feat_adf_test": q_feat_adf_test,
+    "src_sorted_clustering": q_src_sorted_clustering,
+    "mm_av_sync_plan": q_mm_av_sync_plan,
 }
 
 
@@ -2006,4 +2332,7 @@ def oracles15() -> Dict[str, str]:
         "pipe_token_fertility": _SQL_TOKEN_FERTILITY,
         "text_winnowing": _sql_winnowing(),
         "cv_adversarial_auc": _sql_adversarial_auc(),
+        "feat_adf_test": _sql_adf_test(),
+        "src_sorted_clustering": _sql_sorted_clustering(),
+        "mm_av_sync_plan": _sql_av_sync_plan(),
     }

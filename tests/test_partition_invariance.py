@@ -234,6 +234,8 @@ ROUND6_SHAPES = [
     # (winnowing), fold-keyed tie-adjusted rank sums (adversarial AUC)
     "text_winnowing",
     "cv_adversarial_auc",
+    # batch 6: per-series lag regression with quantized residuals
+    "feat_adf_test",
 ]
 
 

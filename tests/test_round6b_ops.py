@@ -355,3 +355,57 @@ def test_adversarial_auc_exchangeable_folds(spark):
         assert 0 <= r["u2"] <= 2 * r["n_pos"] * r["n_neg"]
         assert 0.0 < r["auc_adv"] < 1.0
         assert 0.35 < r["auc_adv"] < 0.65
+
+
+def test_adf_rejects_unit_root_on_iid_sums(spark):
+    """Daily sums of iid values are stationary: the difference
+    regression slope sits near −1 (in (−2, 0)) and the DF statistic is
+    strongly negative (< −2) for every series."""
+    from panelsplit_spark.queries_round6b import q_feat_adf_test
+
+    rows = q_feat_adf_test(spark, SF_DIR).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["n"] > 10 and r["sse"] >= 0
+        assert -2.0 < r["rho_minus_1"] < 0.0
+        assert r["df_stat"] < -2.0
+
+
+def test_sorted_clustering_prunes_and_tightens(spark):
+    """The clustered layout must let the one-day probe skip at least
+    one row group (the scattered one skips none) and must carry a
+    strictly smaller summed min/max span."""
+    from panelsplit_spark.queries_round6b import q_src_sorted_clustering
+
+    rows = {r["layout"]: r for r in
+            q_src_sorted_clustering(spark, SF_DIR).collect()}
+    assert set(rows) == {"v_clustered", "v_scattered"}
+    assert rows["v_scattered"]["n_prunable"] == 0
+    assert rows["v_clustered"]["n_prunable"] >= 1
+    assert rows["v_clustered"]["span_days"] < rows["v_scattered"]["span_days"]
+
+
+def test_av_sync_plan_covers_duration_exactly(spark):
+    """Per document: segments are contiguous from 0, each ends at
+    min((seg+1)·2s, duration), and the audio windows partition the
+    global grid — per-doc window counts sum to ⌈duration/500ms⌉."""
+    from collections import defaultdict
+
+    from panelsplit_spark.queries_round6b import (
+        _AV_SEG_MS,
+        _AV_WIN_MS,
+        q_mm_av_sync_plan,
+    )
+
+    rows = q_mm_av_sync_plan(spark, SF_DIR).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        per[r["doc_id"]].append(r)
+    for doc, rs in per.items():
+        rs.sort(key=lambda r: r["seg"])
+        assert [r["seg"] for r in rs] == list(range(len(rs)))
+        dur = rs[-1]["seg_end_ms"]
+        assert all(r["seg_start_ms"] == r["seg"] * _AV_SEG_MS for r in rs)
+        total = sum(r["n_audio_windows"] for r in rs)
+        assert total == (dur + _AV_WIN_MS - 1) // _AV_WIN_MS
