@@ -2287,6 +2287,355 @@ ORDER BY doc_id, seg
 """
 
 
+
+
+# ======================================================================
+# text_jsd_sources — pairwise Jensen-Shannon divergence between sources
+# ======================================================================
+
+_JSD_V = 200    # vocabulary cap: distributions restricted to top-V terms
+_JSD_TOPK = 20
+
+
+def q_text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (Lin 1991) — the training-mix diversity audit: which
+    sources say the same things (JSD → 0, dedup/reweight candidates)
+    and which bring genuinely different text. Distributions are
+    restricted to the global top-{V} vocabulary (value-deterministic
+    cap, the df-cap discipline), so the pair computation runs on a
+    |sources|×V dense frame — NEVER on the corpus. Each term's
+    p·ln(2p/(p+q)) takes ln of ONE ratio of exact integer products
+    (2·c_a·t_b / (c_a·t_b + c_b·t_a)) and is nano-quantized before the
+    per-pair sum, so the divergence is an exact integer in any
+    partition order. Output: the top-{k} most-divergent pairs
+    (2·JSD in nano-nats)."""
+    from .functions.hashing import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(word_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wtop = Window.orderBy(F.desc("gc"), F.asc("term"))
+    top = (
+        tf.groupBy("term")
+        .agg(F.sum("c").alias("gc"))
+        .withColumn("r", F.row_number().over(wtop))
+        .where(F.col("r") <= _JSD_V)
+        .select("term")
+    )
+    sources = docs.select("source").distinct()
+    dense = (
+        sources.crossJoin(F.broadcast(top))
+        .join(tf, ["source", "term"], "left")
+        .select(
+            "source", "term", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    tot = dense.groupBy("source").agg(F.sum("c").alias("t"))
+    dense = dense.join(F.broadcast(tot), "source").localCheckpoint(
+        eager=True
+    )
+    a = dense.select(
+        F.col("source").alias("sa"),
+        "term",
+        F.col("c").alias("ca"),
+        F.col("t").alias("ta"),
+    )
+    b = dense.select(
+        F.col("source").alias("sb"),
+        "term",
+        F.col("c").alias("cb"),
+        F.col("t").alias("tb"),
+    )
+    j = a.join(b, "term").where(F.col("sa") < F.col("sb"))
+
+    def side(c_own, t_own, c_oth, t_oth):
+        num = F.lit(2) * _dec(c_own) * t_oth
+        den = _dec(c_own) * t_oth + _dec(c_oth) * t_own
+        return F.when(
+            c_own > 0,
+            F.round(
+                (c_own.cast("double") / t_own.cast("double"))
+                * F.log(num.cast("double") / den.cast("double"))
+                * F.lit(1000000000)
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+
+    terms = j.select(
+        "sa",
+        "sb",
+        (
+            side(F.col("ca"), F.col("ta"), F.col("cb"), F.col("tb"))
+            + side(F.col("cb"), F.col("tb"), F.col("ca"), F.col("ta"))
+        ).alias("contrib"),
+    )
+    pairs = terms.groupBy("sa", "sb").agg(
+        F.sum("contrib").alias("jsd2_nano"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    return (
+        pairs.orderBy(F.desc("jsd2_nano"), F.asc("sa"), F.asc("sb"))
+        .limit(_JSD_TOPK)
+        .select("sa", "sb", "jsd2_nano", "n_terms")
+    )
+
+
+def _sql_jsd_sources() -> str:
+    return f"""
+WITH tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents) x
+  GROUP BY source, term
+),
+top AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY sum(c) DESC, term ASC) AS r
+    FROM tf GROUP BY term
+  ) WHERE r <= {_JSD_V}
+),
+dense AS MATERIALIZED (
+  SELECT s.source, t.term, coalesce(f.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN top t
+  LEFT JOIN tf f ON f.source = s.source AND f.term = t.term
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM dense GROUP BY source),
+d2 AS MATERIALIZED (
+  SELECT dense.source, dense.term, dense.c, tot.t
+  FROM dense JOIN tot USING (source)
+),
+j AS (
+  SELECT a.source AS sa, b.source AS sb,
+         a.c AS ca, a.t AS ta, b.c AS cb, b.t AS tb
+  FROM d2 a JOIN d2 b ON a.term = b.term AND a.source < b.source
+),
+terms AS (
+  SELECT sa, sb,
+         (CASE WHEN ca > 0 THEN CAST(round(
+            (ca::DOUBLE / ta::DOUBLE)
+            * ln((2 * CAST(ca AS HUGEINT) * tb)::DOUBLE
+                 / (CAST(ca AS HUGEINT) * tb
+                    + CAST(cb AS HUGEINT) * ta)::DOUBLE)
+            * 1000000000) AS BIGINT) ELSE 0 END)
+         + (CASE WHEN cb > 0 THEN CAST(round(
+            (cb::DOUBLE / tb::DOUBLE)
+            * ln((2 * CAST(cb AS HUGEINT) * ta)::DOUBLE
+                 / (CAST(cb AS HUGEINT) * ta
+                    + CAST(ca AS HUGEINT) * tb)::DOUBLE)
+            * 1000000000) AS BIGINT) ELSE 0 END) AS contrib
+  FROM j
+)
+SELECT sa, sb, CAST(sum(contrib) AS BIGINT) AS jsd2_nano,
+       count(*) AS n_terms
+FROM terms GROUP BY sa, sb
+ORDER BY jsd2_nano DESC, sa ASC, sb ASC
+LIMIT {_JSD_TOPK}
+"""
+
+
+# ======================================================================
+# cv_purge_effect — does purging/embargo change the OOF verdict?
+# ======================================================================
+
+_PE_G, _PE_K = 6, 2
+_PE_PURGE, _PE_EMBARGO = 2, 1
+
+
+def q_cv_purge_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purge/embargo ablation (the López de Prado leakage control,
+    quantified): run the SAME C(6,2) combinatorial CV twice — naive
+    (purge=0) vs purged (purge=2, embargo=1) — and pool the OOF
+    squared error of the per-split closed-form OLS over identical test
+    sets. On an exchangeable panel the two MSEs agree (the honest
+    null, asserted by the property test); on serially-leaking features
+    the naive variant flatters itself — this gate is how a user
+    measures that gap before trusting a backtest. Exact integer cents
+    errors; two broadcast fan-out assigns, two moment aggregates."""
+    from .operators.cross_validation import cpcv_panel_assign
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("period"),
+        F.hour("ts").cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    variants = [
+        ("naive", 0, 0),
+        ("purged", _PE_PURGE, _PE_EMBARGO),
+    ]
+    outs = []
+    for name, purge, embargo in variants:
+        asg = cpcv_panel_assign(
+            ev, "period", n_groups=_PE_G, n_test_groups=_PE_K,
+            purge=purge, embargo=embargo,
+        )
+        mom = (
+            asg.where(F.col("role") == "train")
+            .groupBy("split_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum("yc").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+            )
+        )
+        b1 = (
+            (
+                _dec(F.col("n")) * F.col("sxy")
+                - _dec(F.col("sx")) * F.col("sy")
+            ).cast("double")
+            / (
+                _dec(F.col("n")) * F.col("sxx")
+                - _dec(F.col("sx")) * F.col("sx")
+            ).cast("double")
+        )
+        coef = mom.select(
+            "split_id",
+            b1.alias("b1"),
+            (
+                (
+                    F.col("sy").cast("double")
+                    - b1 * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+            ).alias("b0"),
+        )
+        scored = (
+            asg.where(F.col("role") == "test")
+            .join(F.broadcast(coef), "split_id")
+            .select(
+                F.round(
+                    F.col("yc").cast("double")
+                    - (
+                        F.col("b0")
+                        + F.col("b1") * F.col("x").cast("double")
+                    )
+                )
+                .cast("long")
+                .alias("e")
+            )
+        )
+        outs.append(
+            scored.groupBy().agg(
+                F.lit(name).alias("variant"),
+                F.count(F.lit(1)).alias("n_oof"),
+                F.sum(_dec(F.col("e")) * F.col("e"))
+                .cast("decimal(38,0)")
+                .cast("long")
+                .alias("sse"),
+            ).select(
+                "variant",
+                "n_oof",
+                "sse",
+                (
+                    F.col("sse").cast("double")
+                    / F.col("n_oof").cast("double")
+                ).alias("mse"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("variant")
+
+
+def _sql_purge_effect() -> str:
+    from itertools import combinations
+
+    combo_vals = ", ".join(
+        f"({sid}, {g})"
+        for sid, combo in enumerate(
+            combinations(range(_PE_G), _PE_K)
+        )
+        for g in combo
+    )
+
+    def variant_cte(tag: str, purge: int, embargo: int) -> str:
+        return f"""
+assign_{tag} AS (
+  SELECT b.split_id, 'test' AS role, u.period
+  FROM b JOIN up u ON u.rk >= b.glo AND u.rk < b.ghi
+  UNION ALL
+  SELECT s.split_id, 'train' AS role, u.period
+  FROM (SELECT DISTINCT split_id FROM combos) s
+  CROSS JOIN up u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM b
+    WHERE b.split_id = s.split_id
+      AND u.rk >= GREATEST(0, b.glo - {purge})
+      AND u.rk < LEAST(b.n, b.ghi + {embargo})
+  )
+),
+fitm_{tag} AS (
+  SELECT a.split_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(e.x) AS BIGINT) AS sx,
+         CAST(sum(e.yc) AS BIGINT) AS sy,
+         sum(CAST(e.x AS HUGEINT) * e.x) AS sxx,
+         sum(CAST(e.x AS HUGEINT) * e.yc) AS sxy
+  FROM assign_{tag} a JOIN ev e ON e.period = a.period
+  WHERE a.role = 'train' GROUP BY 1
+),
+coef_{tag} AS (
+  SELECT split_id, b1, (sy::DOUBLE - b1 * sx::DOUBLE) / n::DOUBLE AS b0
+  FROM (
+    SELECT split_id,
+           (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+             / (CAST(n AS HUGEINT) * sxx
+                - CAST(sx AS HUGEINT) * sx)::DOUBLE AS b1,
+           n, sx, sy
+    FROM fitm_{tag}
+  )
+),
+score_{tag} AS (
+  SELECT '{tag}' AS variant, count(*) AS n_oof,
+         CAST(sum(CAST(CAST(round(e.yc::DOUBLE
+                    - (c.b0 + c.b1 * CAST(e.x AS DOUBLE))) AS BIGINT)
+                        AS HUGEINT)
+                  * CAST(round(e.yc::DOUBLE
+                    - (c.b0 + c.b1 * CAST(e.x AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS sse
+  FROM assign_{tag} a
+  JOIN ev e ON e.period = a.period
+  JOIN coef_{tag} c USING (split_id)
+  WHERE a.role = 'test'
+)"""
+
+    return f"""
+WITH up AS (
+  SELECT period,
+         CAST(dense_rank() OVER (ORDER BY period) - 1 AS BIGINT) AS rk
+  FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS period FROM events
+        WHERE ts IS NOT NULL) t
+),
+np AS (SELECT count(*) AS n FROM up),
+combos AS (
+  SELECT CAST(c0 AS BIGINT) AS split_id, c1 AS tg
+  FROM (VALUES {combo_vals}) t(c0, c1)
+),
+b AS (
+  SELECT c.split_id, c.tg,
+         c.tg * (np.n // {_PE_G}) + LEAST(c.tg, np.n % {_PE_G}) AS glo,
+         (c.tg + 1) * (np.n // {_PE_G})
+           + LEAST(c.tg + 1, np.n % {_PE_G}) AS ghi,
+         np.n AS n
+  FROM combos c, np
+),
+ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS period,
+         CAST(date_part('hour', ts) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events
+),{variant_cte("naive", 0, 0)},{variant_cte(
+        "purged", _PE_PURGE, _PE_EMBARGO)}
+SELECT variant, n_oof, sse, sse::DOUBLE / n_oof::DOUBLE AS mse
+FROM (SELECT * FROM score_naive UNION ALL SELECT * FROM score_purged)
+ORDER BY variant
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -2311,6 +2660,8 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_adf_test": q_feat_adf_test,
     "src_sorted_clustering": q_src_sorted_clustering,
     "mm_av_sync_plan": q_mm_av_sync_plan,
+    "text_jsd_sources": q_text_jsd_sources,
+    "cv_purge_effect": q_cv_purge_effect,
 }
 
 
@@ -2335,4 +2686,6 @@ def oracles15() -> Dict[str, str]:
         "feat_adf_test": _sql_adf_test(),
         "src_sorted_clustering": _sql_sorted_clustering(),
         "mm_av_sync_plan": _sql_av_sync_plan(),
+        "text_jsd_sources": _sql_jsd_sources(),
+        "cv_purge_effect": _sql_purge_effect(),
     }

@@ -236,6 +236,8 @@ ROUND6_SHAPES = [
     "cv_adversarial_auc",
     # batch 6: per-series lag regression with quantized residuals
     "feat_adf_test",
+    # batch 7: vocab-cap row_number + nano-term pair sums (JSD)
+    "text_jsd_sources",
 ]
 
 

@@ -409,3 +409,35 @@ def test_av_sync_plan_covers_duration_exactly(spark):
         assert all(r["seg_start_ms"] == r["seg"] * _AV_SEG_MS for r in rs)
         total = sum(r["n_audio_windows"] for r in rs)
         assert total == (dur + _AV_WIN_MS - 1) // _AV_WIN_MS
+
+
+def test_jsd_bounds_and_symmetry_floor(spark):
+    """2·JSD lives in [0, 2·ln2] nano-nats; pairs are canonical
+    (sa < sb) and ranked descending with tiebreaks."""
+    import math
+
+    from panelsplit_spark.queries_round6b import q_text_jsd_sources
+
+    rows = q_text_jsd_sources(spark, SF_DIR).collect()
+    assert rows
+    ceil_nano = 2 * math.log(2) * 1e9
+    for r in rows:
+        assert r["sa"] < r["sb"]
+        # quantization slack: each of ≤ 2·V terms contributes ±0.5 nano
+        assert -500 * r["n_terms"] <= r["jsd2_nano"] <= ceil_nano + 500 * r["n_terms"]
+    keys = [(-r["jsd2_nano"], r["sa"], r["sb"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_purge_effect_null_on_exchangeable_panel(spark):
+    """Identical OOF row counts for both variants (purging only
+    touches TRAIN), and on the exchangeable synthetic panel the purged
+    and naive MSEs agree within 2% — the honest null this ablation
+    exists to distinguish from a leak."""
+    from panelsplit_spark.queries_round6b import q_cv_purge_effect
+
+    rows = {r["variant"]: r for r in q_cv_purge_effect(spark, SF_DIR).collect()}
+    assert set(rows) == {"naive", "purged"}
+    assert rows["naive"]["n_oof"] == rows["purged"]["n_oof"] > 0
+    m_n, m_p = rows["naive"]["mse"], rows["purged"]["mse"]
+    assert abs(m_n - m_p) / max(m_n, m_p) < 0.02
