@@ -2636,6 +2636,91 @@ ORDER BY variant
 """
 
 
+
+
+# ======================================================================
+# stream_cusum — 28th streaming gate: online change-point monitor
+# ======================================================================
+
+_SCU_BATCHES = 3
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM change-point monitor over daily order revenue
+    per priority class (streaming/rolling.stream_cusum): the daily
+    rollup feed arrives as three contiguous day-range micro-batches
+    and the per-key recursion extends across batches from TWO exact
+    integer scalars of state — the always-on "did the level shift"
+    alarm a 100 TB revenue ingest keeps continuously true. Output rows
+    are the batch operator's shape, so the batch feat_cusum oracle
+    (window prefix identity) applies VERBATIM; the ordered-chop
+    property (contiguous re-chops at 1/2/5/17 replay identically) is
+    the streaming theorem."""
+    from .queries_round4b import CU_H, CU_K, _fresh_feed
+    from .sources.tables import configure
+    from .streaming.rolling import (
+        chop_n,
+        ordered_chop,
+        stream_cusum,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    name = "stream_cusum_sink"
+    for attempt in range(2):
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        feed = _fresh_feed("cusum_feed")
+        write_file_batches(
+            ordered_chop(daily, ["day", "prio"], chop_n(_SCU_BATCHES)),
+            feed,
+        )
+        stream = (
+            spark.readStream.schema(daily.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            scored = stream_cusum(
+                stream, "prio", "day", "cents",
+                drift_k=CU_K, threshold_h=CU_H,
+            )
+            q = (
+                scored.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.table(name)
+        if out.take(1):
+            return out.select(
+                "prio", "day", "cents", "cusum", "alarm"
+            ).orderBy("prio", "day")
+    raise RuntimeError("stream_cusum: sink empty")
+
+
+def _sql_stream_cusum() -> str:
+    from .queries_round4b import _SQL_CUSUM
+
+    return _SQL_CUSUM
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -2662,6 +2747,7 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_av_sync_plan": q_mm_av_sync_plan,
     "text_jsd_sources": q_text_jsd_sources,
     "cv_purge_effect": q_cv_purge_effect,
+    "stream_cusum": q_stream_cusum,
 }
 
 
@@ -2688,4 +2774,5 @@ def oracles15() -> Dict[str, str]:
         "mm_av_sync_plan": _sql_av_sync_plan(),
         "text_jsd_sources": _sql_jsd_sources(),
         "cv_purge_effect": _sql_purge_effect(),
+        "stream_cusum": _sql_stream_cusum(),
     }

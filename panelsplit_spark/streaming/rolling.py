@@ -1544,3 +1544,84 @@ def stream_keyed_min(
         .start()
     )
     return q, lambda: state["df"]
+
+
+def stream_cusum(
+    stream_df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    drift_k: int,
+    threshold_h: int,
+) -> DataFrame:
+    """Streaming one-sided CUSUM change-point monitor — the online form
+    of ``operators/timeseries.cusum_detect``: per key the recursion
+    S_t = max(0, S_{t−1} + x_t − k) alarms on a sustained upward
+    shift. State is TWO exact integers per key (the running prefix sum
+    C and its running minimum, with the virtual C₀ = 0 term folded
+    in), so every batch extends the recursion with one vectorized
+    cumulative pass and the replayed output is bit-equal to the batch
+    window identity S_t = C_t − min(0, min_{j≤t} C_j) for ANY
+    contiguous chop (ordered-arrival contract, same as the
+    sessionizer/online-linreg gates).
+
+    Emits the batch operator's row shape: (key, order, value, cusum,
+    alarm) — the batch oracle applies verbatim.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(order_col, T.StringType()),
+            T.StructField(value_col, T.LongType()),
+            T.StructField("cusum", T.LongType()),
+            T.StructField("alarm", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("c", T.LongType()), T.StructField("m", T.LongType())]
+    )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            c0, m0 = state.get
+        else:
+            c0, m0 = 0, 0  # m starts at the virtual C0 = 0 prefix term
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        merged = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values(order_col, kind="mergesort")
+        x = merged[value_col].to_numpy(dtype=np.int64)
+        c = c0 + np.cumsum(x - np.int64(drift_k), dtype=np.int64)
+        m = np.minimum(np.int64(m0), np.minimum.accumulate(c))
+        cusum = np.maximum(c - m, 0)
+        out = pd.DataFrame(
+            {
+                key_col: merged[key_col].to_numpy(),
+                order_col: merged[order_col].to_numpy(),
+                value_col: x,
+                "cusum": cusum,
+                "alarm": (cusum > np.int64(threshold_h)).astype("int32"),
+            }
+        )
+        state.update((int(c[-1]), int(m[-1])))
+        yield out
+
+    return (
+        stream_df.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

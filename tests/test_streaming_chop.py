@@ -63,6 +63,7 @@ SPEC = {
     "stream_session_window": "ordered",
     "stream_online_linreg": "ordered",
     "stream_interval_join": "ordered",
+    "stream_cusum": "ordered",
     # batch boundaries are the contract — rerun-determinism only
     "stream_late_data": "pinned",
     "stream_decay_counts": "pinned",
