@@ -322,6 +322,32 @@ HEADLINE = [
     "src_partition_evolution",
     "cv_residual_dw",
     "cv_horizon_decay",
+    # round-6b part 15: forecast inference, corpus science, retrieval
+    # diversity, storage clustering, gates 26-28
+    "cv_dm_test",
+    "cv_ljungbox",
+    "cv_skill_score",
+    "cv_quantile_loss",
+    "text_heaps_fit",
+    "text_burstiness",
+    "stream_benford",
+    "pipe_epoch_mix",
+    "sim_mmr_rerank",
+    "emb_maha_outlier",
+    "cv_pbo",
+    "stream_minhash",
+    "cv_mincer_zarnowitz",
+    "pipe_token_fertility",
+    "text_winnowing",
+    "cv_adversarial_auc",
+    "feat_adf_test",
+    "src_sorted_clustering",
+    "mm_av_sync_plan",
+    "text_jsd_sources",
+    "cv_purge_effect",
+    "stream_cusum",
+    "cv_loco_importance",
+    "sim_probe_sweep",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

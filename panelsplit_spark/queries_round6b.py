@@ -2721,6 +2721,338 @@ def _sql_stream_cusum() -> str:
     return _SQL_CUSUM
 
 
+
+
+# ======================================================================
+# cv_loco_importance — leave-one-covariate-out OOF importance
+# ======================================================================
+
+
+def q_cv_loco_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-covariate-out importance (LOCO — Lei et al. 2018)
+    over the monthly lineitem CV: per fold, fit the 2-regressor OLS
+    (extendedprice ~ quantity + discount_bp) AND both 1-regressor
+    ablations from the SAME nine exact integer moments (one grouped
+    aggregate — the full model is group_ols2's Cramer solve, each
+    ablation a 1-var closed form on the same sums), then charge each
+    covariate the OOF SSE its removal adds. The honest, refit-based
+    importance a panel CV can actually certify — unlike permutation
+    importance it prices the model's ability to COMPENSATE. All
+    residuals re-quantize to integer dollars, so every SSE and every
+    LOCO delta is exact."""
+    from .queries_data import _li_cv
+
+    li, ps = _li_cv(spark, sf_dir)
+    liq = li.select(
+        "period",
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    asg = ps.assign(liq)
+    g = (
+        asg.where(F.col("role") == "train")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x1").alias("sx1"),
+            F.sum("x2").alias("sx2"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+            F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+            F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+            F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+            F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        )
+    )
+    n = _dec(F.col("n"))
+    a11 = n * F.col("sx1x1") - _dec(F.col("sx1")) * F.col("sx1")
+    a12 = n * F.col("sx1x2") - _dec(F.col("sx1")) * F.col("sx2")
+    a22 = n * F.col("sx2x2") - _dec(F.col("sx2")) * F.col("sx2")
+    b1n = n * F.col("sx1y") - _dec(F.col("sx1")) * F.col("sy")
+    b2n = n * F.col("sx2y") - _dec(F.col("sx2")) * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    fb1 = (a22 * b1n - a12 * b2n).cast("double") / det.cast("double")
+    fb2 = (a11 * b2n - a12 * b1n).cast("double") / det.cast("double")
+    fb0 = (
+        F.col("sy").cast("double")
+        - fb1 * F.col("sx1").cast("double")
+        - fb2 * F.col("sx2").cast("double")
+    ) / F.col("n").cast("double")
+    # ablations from the SAME moments: y ~ x2 only, y ~ x1 only
+    s2b = b2n.cast("double") / a22.cast("double")
+    s2a = (
+        F.col("sy").cast("double") - s2b * F.col("sx2").cast("double")
+    ) / F.col("n").cast("double")
+    s1b = b1n.cast("double") / a11.cast("double")
+    s1a = (
+        F.col("sy").cast("double") - s1b * F.col("sx1").cast("double")
+    ) / F.col("n").cast("double")
+    coef = g.select(
+        "fold_id",
+        fb0.alias("fb0"), fb1.alias("fb1"), fb2.alias("fb2"),
+        s2a.alias("no1_b0"), s2b.alias("no1_b2"),
+        s1a.alias("no2_b0"), s1b.alias("no2_b1"),
+    )
+    te = asg.where(F.col("role") == "test").join(
+        F.broadcast(coef), "fold_id"
+    )
+    yd = F.col("y").cast("double")
+    x1d = F.col("x1").cast("double")
+    x2d = F.col("x2").cast("double")
+
+    def qerr(pred):
+        return F.round(yd - pred).cast("long")
+
+    e_full = qerr(F.col("fb0") + F.col("fb1") * x1d + F.col("fb2") * x2d)
+    e_no1 = qerr(F.col("no1_b0") + F.col("no1_b2") * x2d)
+    e_no2 = qerr(F.col("no2_b0") + F.col("no2_b1") * x1d)
+    agg = te.select(
+        F.col("fold_id").cast("long").alias("fold_id"),
+        e_full.alias("ef"), e_no1.alias("e1"), e_no2.alias("e2"),
+    ).groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(_dec(F.col("ef")) * F.col("ef")).cast("long").alias(
+            "sse_full"
+        ),
+        F.sum(_dec(F.col("e1")) * F.col("e1")).cast("long").alias(
+            "sse_no_x1"
+        ),
+        F.sum(_dec(F.col("e2")) * F.col("e2")).cast("long").alias(
+            "sse_no_x2"
+        ),
+    )
+    return agg.select(
+        "fold_id",
+        "n_test",
+        "sse_full",
+        "sse_no_x1",
+        "sse_no_x2",
+        (F.col("sse_no_x1") - F.col("sse_full")).alias("loco_x1"),
+        (F.col("sse_no_x2") - F.col("sse_full")).alias("loco_x2"),
+    ).orderBy("fold_id")
+
+
+def _sql_loco_importance() -> str:
+    from .oracle_fragments import fold_cte
+    from .queries_data import LI_K, LI_MTS, LI_T
+
+    scaffold = fold_cte(
+        table="lineitem",
+        period_expr="strftime(l_shipdate, '%Y-%m')",
+        k=LI_K,
+        t=LI_T,
+        gap=0,
+        mts=LI_MTS,
+        tail="""li AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS period,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+)""",
+    )
+    return f"""
+WITH {scaffold},
+t AS (
+  SELECT a.fold_id, a.role, l.x1, l.x2, l.y
+  FROM assign a JOIN li l ON l.period = a.period
+),
+g AS (
+  SELECT fold_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS sx1,
+         CAST(sum(x2) AS BIGINT) AS sx2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+         CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+         CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+         CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         CAST(sum(x2 * y) AS BIGINT) AS sx2y
+  FROM t WHERE role = 'train' GROUP BY fold_id
+),
+coef AS (
+  SELECT fold_id,
+         (a22 * b1n - a12 * b2n)::DOUBLE / det::DOUBLE AS fb1,
+         (a11 * b2n - a12 * b1n)::DOUBLE / det::DOUBLE AS fb2,
+         (sy::DOUBLE
+          - ((a22 * b1n - a12 * b2n)::DOUBLE / det::DOUBLE)
+            * sx1::DOUBLE
+          - ((a11 * b2n - a12 * b1n)::DOUBLE / det::DOUBLE)
+            * sx2::DOUBLE) / n::DOUBLE AS fb0,
+         b2n::DOUBLE / a22::DOUBLE AS no1_b2,
+         (sy::DOUBLE - (b2n::DOUBLE / a22::DOUBLE) * sx2::DOUBLE)
+           / n::DOUBLE AS no1_b0,
+         b1n::DOUBLE / a11::DOUBLE AS no2_b1,
+         (sy::DOUBLE - (b1n::DOUBLE / a11::DOUBLE) * sx1::DOUBLE)
+           / n::DOUBLE AS no2_b0
+  FROM (
+    SELECT fold_id, n, sx1, sx2, sy,
+           CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1
+             AS a11,
+           CAST(n AS HUGEINT) * sx1x2 - CAST(sx1 AS HUGEINT) * sx2
+             AS a12,
+           CAST(n AS HUGEINT) * sx2x2 - CAST(sx2 AS HUGEINT) * sx2
+             AS a22,
+           CAST(n AS HUGEINT) * sx1y - CAST(sx1 AS HUGEINT) * sy AS b1n,
+           CAST(n AS HUGEINT) * sx2y - CAST(sx2 AS HUGEINT) * sy AS b2n
+    FROM g
+  ) m
+  CROSS JOIN LATERAL (SELECT m.a11 * m.a22 - m.a12 * m.a12 AS det) dd
+),
+scored AS (
+  SELECT t.fold_id,
+         CAST(round(t.y::DOUBLE
+              - (c.fb0 + c.fb1 * CAST(t.x1 AS DOUBLE)
+                 + c.fb2 * CAST(t.x2 AS DOUBLE))) AS BIGINT) AS ef,
+         CAST(round(t.y::DOUBLE
+              - (c.no1_b0 + c.no1_b2 * CAST(t.x2 AS DOUBLE)))
+              AS BIGINT) AS e1,
+         CAST(round(t.y::DOUBLE
+              - (c.no2_b0 + c.no2_b1 * CAST(t.x1 AS DOUBLE)))
+              AS BIGINT) AS e2
+  FROM t JOIN coef c USING (fold_id) WHERE t.role = 'test'
+)
+SELECT fold_id, count(*) AS n_test,
+       CAST(sum(CAST(ef AS HUGEINT) * ef) AS BIGINT) AS sse_full,
+       CAST(sum(CAST(e1 AS HUGEINT) * e1) AS BIGINT) AS sse_no_x1,
+       CAST(sum(CAST(e2 AS HUGEINT) * e2) AS BIGINT) AS sse_no_x2,
+       CAST(sum(CAST(e1 AS HUGEINT) * e1) AS BIGINT)
+         - CAST(sum(CAST(ef AS HUGEINT) * ef) AS BIGINT) AS loco_x1,
+       CAST(sum(CAST(e2 AS HUGEINT) * e2) AS BIGINT)
+         - CAST(sum(CAST(ef AS HUGEINT) * ef) AS BIGINT) AS loco_x2
+FROM scored GROUP BY fold_id ORDER BY fold_id
+"""
+
+
+# ======================================================================
+# sim_probe_sweep — IVF recall-vs-probes tuning curve
+# ======================================================================
+
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def q_sim_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@k of the inverted-file ANN against the
+    exact top-k as the probe count sweeps 1 → 2 → 4 cells — THE
+    operating decision every vector-store deployment makes (probes buy
+    recall with latency; the curve says how much). Truth and all three
+    IVF runs reuse the existing operators; recall is exact integer
+    arithmetic (hits via an equi-join on (query, neighbor), permille
+    by integer division). Monotonicity in probes is a theorem (probing
+    more cells only adds candidates) — asserted by the property
+    test."""
+    from .operators import similarity
+    from .queries_data import IVF_CELLS, TOPK_K, TOPK_NQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < TOPK_NQ)
+    exact = similarity.cosine_topk(emb, queries, k=TOPK_K).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    outs = []
+    for p in _SWEEP_PROBES:
+        approx = similarity.ivf_topk(
+            emb, queries, k=TOPK_K, n_cells=IVF_CELLS, n_probe=p
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy().agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        outs.append(
+            hits.select(
+                F.lit(p).cast("long").alias("n_probe"),
+                F.lit(TOPK_NQ * TOPK_K).cast("long").alias("truth_pairs"),
+                F.col("hits").cast("long").alias("hits"),
+                F.expr(f"CAST(hits * 1000 div {TOPK_NQ * TOPK_K} AS BIGINT)")
+                .alias("recall_permille"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n_probe")
+
+
+def _sql_probe_sweep() -> str:
+    from .queries_data import IVF_CELLS, TOPK_K, TOPK_NQ
+
+    def ivf_cte(tag: str, p: int) -> str:
+        return f"""
+qa_{tag} AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY ccos DESC, cell_id
+    ) AS rn FROM (
+      SELECT query_id, qv, cell_id,
+             round(list_cosine_similarity(qv, cvec), 6) AS ccos
+      FROM q, cent
+    )
+  ) WHERE rn <= {p}
+),
+s_{tag} AS (
+  SELECT DISTINCT qa.query_id, ca.neighbor_id,
+         round(list_cosine_similarity(qa.qv, ca.cv), 6) AS cosine
+  FROM qa_{tag} qa JOIN ca ON qa.cell_id = ca.cell_id
+  WHERE qa.query_id <> ca.neighbor_id
+),
+topk_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM s_{tag}
+  ) WHERE rank <= {TOPK_K}
+),
+r_{tag} AS (
+  SELECT CAST({p} AS BIGINT) AS n_probe,
+         CAST({TOPK_NQ * TOPK_K} AS BIGINT) AS truth_pairs,
+         CAST(count(*) AS BIGINT) AS hits,
+         CAST(count(*) * 1000 // {TOPK_NQ * TOPK_K} AS BIGINT)
+           AS recall_permille
+  FROM topk_{tag} a JOIN exact e USING (query_id, neighbor_id)
+)"""
+
+    ivfs = ",".join(ivf_cte(f"p{p}", p) for p in _SWEEP_PROBES)
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM r_p{p}" for p in _SWEEP_PROBES
+    )
+    return f"""
+WITH cent AS MATERIALIZED (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < {IVF_CELLS}
+),
+c AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+ca AS MATERIALIZED (
+  SELECT neighbor_id, cv, cell_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY neighbor_id ORDER BY ccos DESC, cell_id
+    ) AS rn FROM (
+      SELECT neighbor_id, cv, cell_id,
+             round(list_cosine_similarity(cv, cvec), 6) AS ccos
+      FROM c, cent
+    )
+  ) WHERE rn = 1
+),
+q AS MATERIALIZED (
+  SELECT neighbor_id AS query_id, cv AS qv
+  FROM c WHERE neighbor_id < {TOPK_NQ}
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+  ) WHERE rank <= {TOPK_K}
+),{ivfs}
+SELECT * FROM ({unions}) ORDER BY n_probe
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -2748,6 +3080,8 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_jsd_sources": q_text_jsd_sources,
     "cv_purge_effect": q_cv_purge_effect,
     "stream_cusum": q_stream_cusum,
+    "cv_loco_importance": q_cv_loco_importance,
+    "sim_probe_sweep": q_sim_probe_sweep,
 }
 
 
@@ -2775,4 +3109,6 @@ def oracles15() -> Dict[str, str]:
         "text_jsd_sources": _sql_jsd_sources(),
         "cv_purge_effect": _sql_purge_effect(),
         "stream_cusum": _sql_stream_cusum(),
+        "cv_loco_importance": _sql_loco_importance(),
+        "sim_probe_sweep": _sql_probe_sweep(),
     }

@@ -274,3 +274,16 @@ def test_fold_cte_fragments_pinned():
     assert hashlib.sha256(_LI_FOLD_CTE.encode()).hexdigest() == (
         "614db70b01872d90f76a367dd962b017c8fb7a9e7586bd22234d12ceffbc559f"
     )
+
+
+def test_bench_headline_covers_registry_exactly():
+    """Every declared query must be benched (and nothing phantom):
+    bench.HEADLINE is an ordered list, so registry additions must be
+    appended — this guard turns the forgotten append (which silently
+    shrinks sf0.1/sf1 coverage) into a test failure."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    listed = list(bench.HEADLINE)
+    assert len(listed) == len(set(listed)), "duplicate HEADLINE entries"
+    assert set(listed) == set(entrymod.queries())

@@ -441,3 +441,37 @@ def test_purge_effect_null_on_exchangeable_panel(spark):
     assert rows["naive"]["n_oof"] == rows["purged"]["n_oof"] > 0
     m_n, m_p = rows["naive"]["mse"], rows["purged"]["mse"]
     assert abs(m_n - m_p) / max(m_n, m_p) < 0.02
+
+
+def test_loco_identities_and_nesting(spark):
+    """LOCO deltas recompute exactly from the emitted SSEs, and the
+    full model can never have larger TRAIN error than its ablations —
+    out of fold that inequality may flip (that's the point of LOCO),
+    so here we only pin the arithmetic identities and positivity."""
+    from panelsplit_spark.queries_round6b import q_cv_loco_importance
+
+    rows = q_cv_loco_importance(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["n_test"] > 0
+        assert r["sse_full"] > 0
+        assert r["loco_x1"] == r["sse_no_x1"] - r["sse_full"]
+        assert r["loco_x2"] == r["sse_no_x2"] - r["sse_full"]
+
+
+def test_probe_sweep_monotone_recall(spark):
+    """Probing more cells only ADDS candidates, so recall@k is
+    monotone nondecreasing in n_probe, and probing every cell would
+    reach the exact top-k (recall ≤ 1000 permille everywhere)."""
+    from panelsplit_spark.queries_round6b import q_sim_probe_sweep
+
+    rows = sorted(
+        q_sim_probe_sweep(spark, SF_DIR).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4]
+    rec = [r["recall_permille"] for r in rows]
+    assert rec == sorted(rec)
+    for r in rows:
+        assert 0 <= r["hits"] <= r["truth_pairs"]
+        assert r["recall_permille"] == r["hits"] * 1000 // r["truth_pairs"]
