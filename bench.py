@@ -348,6 +348,8 @@ HEADLINE = [
     "stream_cusum",
     "cv_loco_importance",
     "sim_probe_sweep",
+    "cv_forecast_combo",
+    "pipe_epoch_shuffle",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -3053,6 +3053,204 @@ SELECT * FROM ({unions}) ORDER BY n_probe
 """
 
 
+
+
+# ======================================================================
+# cv_forecast_combo — Bates-Granger optimal forecast combination
+# ======================================================================
+
+
+def q_cv_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal forecast combination (Bates & Granger 1969): per fold,
+    the variance-minimizing weight for blending the OLS forecast with
+    the train-mean baseline from their OOF error second moments —
+    w* = (Σe_m² − Σe_o e_m) / (Σe_o² + Σe_m² − 2Σe_o e_m) — plus the
+    SSE the combination would have achieved, compared against the
+    better single model (the combination-beats-selection diagnostic
+    every forecasting shop runs). The three error moments are exact
+    integers from the cents-quantized residual pair; w* is ONE double
+    division; the combined SSE expands algebraically in the SAME three
+    moments (w²Σe_o² + 2w(1−w)Σe_o e_m + (1−w)²Σe_m²) so no second
+    data pass is needed."""
+    res = _events_oof_residuals(spark, sf_dir)
+    mom = res.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("e_ols")) * F.col("e_ols")).cast("long").alias(
+            "soo"
+        ),
+        F.sum(_dec(F.col("e_mean")) * F.col("e_mean")).cast("long").alias(
+            "smm"
+        ),
+        F.sum(_dec(F.col("e_ols")) * F.col("e_mean")).cast("long").alias(
+            "som"
+        ),
+    )
+    denom = (
+        F.col("soo").cast("double")
+        + F.col("smm").cast("double")
+        - F.lit(2.0) * F.col("som").cast("double")
+    )
+    w = (
+        (F.col("smm").cast("double") - F.col("som").cast("double"))
+        / denom
+    )
+    sse_combo = (
+        w * w * F.col("soo").cast("double")
+        + F.lit(2.0) * w * (F.lit(1.0) - w) * F.col("som").cast("double")
+        + (F.lit(1.0) - w) * (F.lit(1.0) - w)
+        * F.col("smm").cast("double")
+    )
+    return mom.select(
+        "fold_id",
+        "n",
+        "soo",
+        "smm",
+        "som",
+        w.alias("w_ols"),
+        sse_combo.alias("sse_combo"),
+        (
+            sse_combo
+            / F.least(F.col("soo"), F.col("smm")).cast("double")
+        ).alias("combo_vs_best"),
+    ).orderBy("fold_id")
+
+
+def _sql_forecast_combo() -> str:
+    return f"""
+WITH {_sql_events_oof_residuals()},
+mom AS (
+  SELECT fold_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(e_ols AS HUGEINT) * e_ols) AS BIGINT) AS soo,
+         CAST(sum(CAST(e_mean AS HUGEINT) * e_mean) AS BIGINT) AS smm,
+         CAST(sum(CAST(e_ols AS HUGEINT) * e_mean) AS BIGINT) AS som
+  FROM res GROUP BY fold_id
+)
+SELECT fold_id, n, soo, smm, som,
+       (smm::DOUBLE - som::DOUBLE)
+         / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE) AS w_ols,
+       ((smm::DOUBLE - som::DOUBLE)
+          / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+         * ((smm::DOUBLE - som::DOUBLE)
+            / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+         * soo::DOUBLE
+       + 2.0 * ((smm::DOUBLE - som::DOUBLE)
+                / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+             * (1.0 - (smm::DOUBLE - som::DOUBLE)
+                      / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+             * som::DOUBLE
+       + (1.0 - (smm::DOUBLE - som::DOUBLE)
+                / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+         * (1.0 - (smm::DOUBLE - som::DOUBLE)
+                  / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+         * smm::DOUBLE AS sse_combo,
+       (((smm::DOUBLE - som::DOUBLE)
+          / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+         * ((smm::DOUBLE - som::DOUBLE)
+            / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+         * soo::DOUBLE
+       + 2.0 * ((smm::DOUBLE - som::DOUBLE)
+                / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+             * (1.0 - (smm::DOUBLE - som::DOUBLE)
+                      / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+             * som::DOUBLE
+       + (1.0 - (smm::DOUBLE - som::DOUBLE)
+                / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+         * (1.0 - (smm::DOUBLE - som::DOUBLE)
+                  / (soo::DOUBLE + smm::DOUBLE - 2.0 * som::DOUBLE))
+         * smm::DOUBLE)
+         / LEAST(soo, smm)::DOUBLE AS combo_vs_best
+FROM mom ORDER BY fold_id
+"""
+
+
+# ======================================================================
+# pipe_epoch_shuffle — content-addressed resumable training order
+# ======================================================================
+
+_ESH_EPOCHS = 2
+_ESH_HEAD = 10
+
+
+def q_pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable training-order plan: each epoch's document order is
+    the rank of md5(doc_id ‖ epoch) — content-addressed, so ANY worker
+    on ANY cluster reconstructs the identical order with no shuffle
+    file, no RNG state, no coordination (the property a resumable /
+    elastic training job needs from its data loader). The gate emits
+    each epoch's first {head} documents plus, per epoch, an
+    order-fingerprint Σ rank·doc_id mod 2^61−1 over the WHOLE corpus
+    (exact integer; two epochs sharing a fingerprint would mean the
+    re-deal failed). One window per epoch over the doc frame."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    merged = None
+    for ep in range(_ESH_EPOCHS):
+        h = F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f"|ep{ep}"))
+        )
+        w = Window.orderBy(h, "doc_id")
+        ranked = docs.select(
+            F.lit(ep).cast("long").alias("epoch"),
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("long").alias("rk"),
+        )
+        part = ranked.groupBy("epoch").agg(
+            F.sum(
+                (_dec(F.col("rk")) * F.col("doc_id"))
+                % F.lit(2305843009213693951).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("_fp_sum"),
+            F.count(F.lit(1)).alias("n_docs"),
+        ).select(
+            "epoch",
+            "n_docs",
+            (F.col("_fp_sum") % F.lit(2305843009213693951).cast(
+                "decimal(38,0)"
+            )).cast("long").alias("order_fp"),
+        )
+        head = ranked.where(F.col("rk") < _ESH_HEAD).select(
+            "epoch", "doc_id", "rk"
+        )
+        piece = head.join(part, "epoch")
+        merged = piece if merged is None else merged.unionByName(piece)
+    return merged.select(
+        "epoch", "rk", "doc_id", "n_docs", "order_fp"
+    ).orderBy("epoch", "rk")
+
+
+def _sql_epoch_shuffle() -> str:
+    parts = []
+    for ep in range(_ESH_EPOCHS):
+        parts.append(f"""
+ranked{ep} AS (
+  SELECT CAST({ep} AS BIGINT) AS epoch, doc_id,
+         CAST(row_number() OVER (
+           ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|ep{ep}')),
+                    doc_id
+         ) - 1 AS BIGINT) AS rk
+  FROM documents
+),
+fp{ep} AS (
+  SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum((CAST(rk AS HUGEINT) * doc_id)
+                  % 2305843009213693951)
+              % 2305843009213693951 AS BIGINT) AS order_fp
+  FROM ranked{ep} GROUP BY epoch
+),
+head{ep} AS (
+  SELECT r.epoch, r.rk, r.doc_id, f.n_docs, f.order_fp
+  FROM ranked{ep} r JOIN fp{ep} f USING (epoch)
+  WHERE r.rk < {_ESH_HEAD}
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM head{ep}" for ep in range(_ESH_EPOCHS)
+    )
+    return (
+        "\nWITH "
+        + ",".join(parts)
+        + f"\nSELECT epoch, rk, doc_id, n_docs, order_fp"
+          f" FROM ({unions}) ORDER BY epoch, rk\n"
+    )
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -3082,6 +3280,8 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cusum": q_stream_cusum,
     "cv_loco_importance": q_cv_loco_importance,
     "sim_probe_sweep": q_sim_probe_sweep,
+    "cv_forecast_combo": q_cv_forecast_combo,
+    "pipe_epoch_shuffle": q_pipe_epoch_shuffle,
 }
 
 
@@ -3111,4 +3311,6 @@ def oracles15() -> Dict[str, str]:
         "stream_cusum": _sql_stream_cusum(),
         "cv_loco_importance": _sql_loco_importance(),
         "sim_probe_sweep": _sql_probe_sweep(),
+        "cv_forecast_combo": _sql_forecast_combo(),
+        "pipe_epoch_shuffle": _sql_epoch_shuffle(),
     }

@@ -238,6 +238,8 @@ ROUND6_SHAPES = [
     "feat_adf_test",
     # batch 7: vocab-cap row_number + nano-term pair sums (JSD)
     "text_jsd_sources",
+    # batch 10: md5-ranked global permutation + modular fingerprint
+    "pipe_epoch_shuffle",
 ]
 
 

@@ -475,3 +475,49 @@ def test_probe_sweep_monotone_recall(spark):
     for r in rows:
         assert 0 <= r["hits"] <= r["truth_pairs"]
         assert r["recall_permille"] == r["hits"] * 1000 // r["truth_pairs"]
+
+
+def test_forecast_combo_never_beaten_by_blend_members(spark):
+    """The Bates-Granger weight minimizes the in-OOF quadratic, so
+    sse_combo ≤ min(soo, smm) (combo_vs_best ≤ 1) on the SAME errors
+    it was fitted on, and the emitted SSE recomputes from the three
+    moments."""
+    from panelsplit_spark.queries_round6b import q_cv_forecast_combo
+
+    rows = q_cv_forecast_combo(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["soo"] > 0 and r["smm"] > 0
+        w = r["w_ols"]
+        expect = (
+            w * w * r["soo"]
+            + 2.0 * w * (1.0 - w) * r["som"]
+            + (1.0 - w) * (1.0 - w) * r["smm"]
+        )
+        assert abs(expect - r["sse_combo"]) <= 1e-6 * max(1.0, expect)
+        assert r["combo_vs_best"] <= 1.0 + 1e-12
+
+
+def test_epoch_shuffle_redeal_and_fingerprints(spark):
+    """Each epoch emits a full permutation head (distinct docs, ranks
+    0..9), the two epochs' orders genuinely differ, and their corpus
+    order-fingerprints differ (the re-deal proof)."""
+    from collections import defaultdict
+
+    from panelsplit_spark.queries_round6b import q_pipe_epoch_shuffle
+
+    rows = q_pipe_epoch_shuffle(spark, SF_DIR).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["epoch"]].append(r)
+    assert set(per) == {0, 1}
+    fps = {}
+    heads = {}
+    for ep, rs in per.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(10))
+        assert len({r["doc_id"] for r in rs}) == 10
+        fps[ep] = rs[0]["order_fp"]
+        heads[ep] = [r["doc_id"] for r in rs]
+    assert fps[0] != fps[1]
+    assert heads[0] != heads[1]

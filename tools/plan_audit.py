@@ -116,6 +116,13 @@ BNLJ_WHITELIST = {
     "feat_acf",              # 7-row lag axis crossed into the daily series
     "text_bm25_topk",        # single-row (N, Σlen) corpus-stats scalar
     "stream_ks",             # KS finisher: same tiny broadcasts as dq_ks_test
+    # round-6b part 15
+    "text_burstiness",       # single-row corpus-size (D) scalar
+    "stream_benford",        # benford finisher: single-row n_values scalar
+    "pipe_epoch_mix",        # single-row (budget, n_sources) totals scalar
+    "cv_pbo",                # single-row period-count scalar into day ranks
+    "sim_probe_sweep",       # inherits sim_ivf_topk/cosine tiny-query
+                             # broadcasts + 1-row hit counters
 }
 
 
