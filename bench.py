@@ -350,6 +350,8 @@ HEADLINE = [
     "sim_probe_sweep",
     "cv_forecast_combo",
     "pipe_epoch_shuffle",
+    "feat_kpss_test",
+    "feat_variance_ratio",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -3251,6 +3251,241 @@ head{ep} AS (
     )
 
 
+
+
+# ======================================================================
+# feat_kpss_test — KPSS level-stationarity statistic per series
+# ======================================================================
+
+
+def q_feat_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt &
+    Shin 1992; lag-0 long-run variance, documented) per event-type
+    daily-revenue series — the complement of feat_adf_test: here the
+    NULL is stationarity, so ADF-rejects + KPSS-accepts is the
+    two-sided certificate a series is safe for level-based folds.
+    η = n⁻² Σ_t S_t² / σ̂² with S_t the cumulative demeaned series:
+    demeaning stays exact by scaling to d_t = n·y_t − Σy (integers),
+    whose cumsums S'_t = n·S_t make Σ S'_t² exact; the statistic is
+    ONE division of exact integers (the n² factors cancel against the
+    scaling). Shape: one rollup + one cumulative window + one moment
+    aggregate per series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    d = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "sy",
+        (_dec(F.col("n")) * F.col("y") - _dec(F.col("sy"))).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = d.select(
+        "event_type", "n", "sy", F.sum("d").over(w).alias("sp")
+    )
+    agg = s.groupBy("event_type", "n", "sy").agg(
+        F.sum(F.col("sp") * F.col("sp")).cast("decimal(38,0)").alias(
+            "ssp2"
+        )
+    )
+    # σ̂² of the raw series from exact moments: n·Σy² − (Σy)²
+    mom2 = daily.groupBy("event_type").agg(
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("syy")
+    )
+    out = agg.join(mom2, "event_type")
+    # η = Σ S_t²/(n²·σ̂²) with S'=n·S and σ̂² = (nΣy²−(Σy)²)/n²:
+    #   = Σ S'_t² / (n² · (nΣy² − (Σy)²))
+    eta = F.col("ssp2").cast("double") / (
+        (_dec(F.col("n")) * F.col("n"))
+        * (_dec(F.col("n")) * F.col("syy") - _dec(F.col("sy")) * F.col("sy"))
+    ).cast("double")
+    return out.select(
+        "event_type",
+        "n",
+        F.col("ssp2").cast("double").alias("ssp2_scaled"),
+        eta.alias("kpss_eta"),
+    ).orderBy("event_type")
+
+
+def _sql_kpss_test() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM daily GROUP BY event_type
+),
+d AS (
+  SELECT daily.event_type, daily.day, tot.n, tot.sy, tot.syy,
+         CAST(tot.n AS HUGEINT) * daily.y - tot.sy AS d
+  FROM daily JOIN tot USING (event_type)
+),
+s AS (
+  SELECT event_type, n, sy, syy,
+         sum(d) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS sp
+  FROM d
+),
+agg AS (
+  SELECT event_type, n, sy, syy, sum(sp * sp) AS ssp2
+  FROM s GROUP BY event_type, n, sy, syy
+)
+SELECT event_type, n, ssp2::DOUBLE AS ssp2_scaled,
+       ssp2::DOUBLE
+         / ((CAST(n AS HUGEINT) * n)
+            * (CAST(n AS HUGEINT) * syy
+               - CAST(sy AS HUGEINT) * sy))::DOUBLE AS kpss_eta
+FROM agg ORDER BY event_type
+"""
+
+
+# ======================================================================
+# feat_variance_ratio — Lo-MacKinlay random-walk test
+# ======================================================================
+
+_VR_QS = (2, 4)
+
+
+def q_feat_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-ratio test (Lo & MacKinlay 1988, calendar-bucketed
+    variant): VR(q) = Var(q-day sums) / (q · Var(1-day)) over the
+    daily revenue series — VR ≈ 1 under a random walk, VR < 1 flags
+    mean reversion, VR > 1 momentum. Days bucket by rank div q (exact
+    calendar blocks; ragged tail bucket dropped), so every variance
+    comes from exact integer moments of integer sums and VR is one
+    double ratio of two such variances. One rollup + one rank window +
+    one aggregate per (series, q)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.select(
+        "event_type", "y", (F.row_number().over(w) - 1).alias("rk")
+    ).localCheckpoint(eager=True)
+
+    def var_expr(nc, sc, s2c):
+        return (
+            (_dec(F.col(nc)) * F.col(s2c) - _dec(F.col(sc)) * F.col(sc))
+            .cast("double")
+            / (_dec(F.col(nc)) * (F.col(nc) - 1)).cast("double")
+        )
+
+    base = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("y").alias("s1"),
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("s11"),
+    )
+    outs = []
+    for q in _VR_QS:
+        blocks = (
+            ranked.withColumn("b", F.expr(f"rk div {q}"))
+            .groupBy("event_type", "b")
+            .agg(
+                F.count(F.lit(1)).alias("bc"),
+                F.sum("y").alias("by"),
+            )
+            .where(F.col("bc") == q)
+        )
+        bq = blocks.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("nq"),
+            F.sum("by").alias("sq"),
+            F.sum(_dec(F.col("by")) * F.col("by")).alias("sqq"),
+        )
+        j = base.join(bq, "event_type")
+        vr = var_expr("nq", "sq", "sqq") / (
+            F.lit(float(q)) * var_expr("n1", "s1", "s11")
+        )
+        outs.append(
+            j.select(
+                "event_type",
+                F.lit(q).cast("long").alias("q"),
+                F.col("n1"),
+                F.col("nq"),
+                vr.alias("vr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("event_type", "q")
+
+
+def _sql_variance_ratio() -> str:
+    def q_cte(q: int) -> str:
+        return f"""
+b{q} AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nq,
+         CAST(sum(by) AS BIGINT) AS sq,
+         sum(CAST(by AS HUGEINT) * by) AS sqq
+  FROM (
+    SELECT event_type, rk // {q} AS b, count(*) AS bc,
+           CAST(sum(y) AS BIGINT) AS by
+    FROM ranked GROUP BY event_type, rk // {q}
+  ) t WHERE bc = {q} GROUP BY event_type
+),
+r{q} AS (
+  SELECT base.event_type, CAST({q} AS BIGINT) AS q, base.n1, b{q}.nq,
+         ((CAST(nq AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq)::DOUBLE
+          / (CAST(nq AS HUGEINT) * (nq - 1))::DOUBLE)
+         / ({float(q)!r}
+            * ((CAST(n1 AS HUGEINT) * s11
+                - CAST(s1 AS HUGEINT) * s1)::DOUBLE
+               / (CAST(n1 AS HUGEINT) * (n1 - 1))::DOUBLE)) AS vr
+  FROM base JOIN b{q} USING (event_type)
+)"""
+
+    ctes = ",".join(q_cte(q) for q in _VR_QS)
+    unions = " UNION ALL ".join(f"SELECT * FROM r{q}" for q in _VR_QS)
+    return f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+),
+ranked AS MATERIALIZED (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              - 1 AS BIGINT) AS rk
+  FROM daily
+),
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(y) AS BIGINT) AS s1,
+         sum(CAST(y AS HUGEINT) * y) AS s11
+  FROM ranked GROUP BY event_type
+),{ctes}
+SELECT event_type, q, n1, nq, vr FROM ({unions})
+ORDER BY event_type, q
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -3282,6 +3517,8 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_probe_sweep": q_sim_probe_sweep,
     "cv_forecast_combo": q_cv_forecast_combo,
     "pipe_epoch_shuffle": q_pipe_epoch_shuffle,
+    "feat_kpss_test": q_feat_kpss_test,
+    "feat_variance_ratio": q_feat_variance_ratio,
 }
 
 
@@ -3313,4 +3550,6 @@ def oracles15() -> Dict[str, str]:
         "sim_probe_sweep": _sql_probe_sweep(),
         "cv_forecast_combo": _sql_forecast_combo(),
         "pipe_epoch_shuffle": _sql_epoch_shuffle(),
+        "feat_kpss_test": _sql_kpss_test(),
+        "feat_variance_ratio": _sql_variance_ratio(),
     }

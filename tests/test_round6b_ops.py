@@ -521,3 +521,33 @@ def test_epoch_shuffle_redeal_and_fingerprints(spark):
         heads[ep] = [r["doc_id"] for r in rs]
     assert fps[0] != fps[1]
     assert heads[0] != heads[1]
+
+
+def test_kpss_accepts_stationary_daily_sums(spark):
+    """iid daily sums are level-stationary — but at n = 30 days the
+    lag-0 KPSS is noisy and ~5% of series exceed the critical value by
+    chance (observed: 1 of 5 at sf0.001), so the honest pin is
+    positivity, a sane ceiling, and a MAJORITY below the 5% critical
+    value 0.463."""
+    from panelsplit_spark.queries_round6b import q_feat_kpss_test
+
+    rows = q_feat_kpss_test(spark, SF_DIR).collect()
+    assert len(rows) >= 3
+    below = 0
+    for r in rows:
+        assert r["n"] > 10
+        assert 0.0 < r["kpss_eta"] < 2.0
+        below += int(r["kpss_eta"] < 0.463)
+    assert below >= (len(rows) + 1) // 2
+
+
+def test_variance_ratio_near_random_walk_for_iid(spark):
+    """For iid daily sums the q-day variance is ≈ q · the 1-day
+    variance, so VR sits in a loose band around 1 at both horizons."""
+    from panelsplit_spark.queries_round6b import q_feat_variance_ratio
+
+    rows = q_feat_variance_ratio(spark, SF_DIR).collect()
+    assert len(rows) >= 6
+    for r in rows:
+        assert r["nq"] > 3
+        assert 0.3 < r["vr"] < 2.2
