@@ -352,6 +352,9 @@ HEADLINE = [
     "pipe_epoch_shuffle",
     "feat_kpss_test",
     "feat_variance_ratio",
+    "cv_coef_stability",
+    "mm_modality_balance",
+    "dedup_cluster_sizes",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -3486,6 +3486,254 @@ ORDER BY event_type, q
 """
 
 
+
+
+# ======================================================================
+# cv_coef_stability — walk-forward parameter-stability audit
+# ======================================================================
+
+
+def q_cv_coef_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter-stability audit across walk-forward folds: the
+    per-fold OLS slope (monthly lineitem CV), nano-quantized, against
+    the all-fold mean — a model whose coefficient swings fold to fold
+    is fitting noise even when every fold's MSE looks fine (the
+    parameter-constancy complement of cv_fold_mse; cf. the
+    Chow-test/rolling-beta tradition). Exact arithmetic: slopes come
+    from the usual decimal moment Cramer form, quantize to nano BEFORE
+    the cross-fold mean, so mean and absolute deviations are exact
+    integer algebra (mean·K kept as the integer sum to avoid a
+    division: dev_K = K·b − Σb)."""
+    from .queries_data import _li_cv
+
+    li, ps = _li_cv(spark, sf_dir)
+    liq = li.select(
+        "period",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    asg = ps.assign(liq)
+    mom = (
+        asg.where(F.col("role") == "train")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    b1 = (
+        (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy"))
+        .cast("double")
+        / (
+            _dec(F.col("n")) * F.col("sxx")
+            - _dec(F.col("sx")) * F.col("sx")
+        ).cast("double")
+    )
+    slopes = mom.select(
+        F.col("fold_id").cast("long").alias("fold_id"),
+        F.round(b1 * F.lit(1000000000)).cast("long").alias("b1_nano"),
+    )
+    tot = slopes.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("b1_nano").alias("sb"),
+    )
+    return (
+        slopes.crossJoin(F.broadcast(tot))
+        .select(
+            "fold_id",
+            "b1_nano",
+            "k",
+            "sb",
+            # K·b − Σb: the K-scaled deviation from the fold mean,
+            # exact integers (no division)
+            (
+                _dec(F.col("b1_nano")) * F.col("k") - _dec(F.col("sb"))
+            ).cast("long").alias("dev_k_nano"),
+        )
+        .orderBy("fold_id")
+    )
+
+
+def _sql_coef_stability() -> str:
+    from .queries_data import _LI_FOLD_CTE
+
+    return f"""
+WITH {_LI_FOLD_CTE},
+t AS (
+  SELECT a.fold_id,
+         CAST(round(l.l_quantity) AS BIGINT) AS x,
+         CAST(round(l.l_extendedprice) AS BIGINT) AS y
+  FROM assign a JOIN li l ON l.period = a.period
+  WHERE a.role = 'train'
+),
+fit AS (
+  SELECT fold_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t GROUP BY fold_id
+),
+slopes AS (
+  SELECT fold_id,
+         CAST(round(
+           (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+             / (CAST(n AS HUGEINT) * sxx
+                - CAST(sx AS HUGEINT) * sx)::DOUBLE
+           * 1000000000) AS BIGINT) AS b1_nano
+  FROM fit
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(b1_nano) AS BIGINT) AS sb
+  FROM slopes
+)
+SELECT fold_id, b1_nano, k, sb,
+       CAST(CAST(b1_nano AS HUGEINT) * k - sb AS BIGINT) AS dev_k_nano
+FROM slopes, tot ORDER BY fold_id
+"""
+
+
+# ======================================================================
+# mm_modality_balance — corpus modality-mix audit from decoded meta
+# ======================================================================
+
+
+def q_mm_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-mix audit: per decoded media format, the item count,
+    total pixel area, total duration, and the corpus share in exact
+    integer permille — the dataset-card row a multimodal training mix
+    is balanced against (image-heavy vs audio-heavy drift is the first
+    thing a mixed-modality ingest monitors). Metadata comes through
+    the real mapInPandas decode seam (fake codec; a real decoder drops
+    in); everything after is one 4-group rollup."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    meta = multimodal.with_media_meta(
+        payload, decoder=multimodal.fake_decoder
+    ).select(
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.width").cast("long").alias("w"),
+        F.col("media_meta.height").cast("long").alias("h"),
+        F.col("media_meta.duration_ms").cast("long").alias("dur"),
+    )
+    tot = meta.groupBy().agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        meta.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("w") * F.col("h")).alias("total_pixels"),
+            F.sum("dur").alias("total_ms"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "format",
+            "n_items",
+            "total_pixels",
+            "total_ms",
+            F.expr("n_items * 1000 div n_all").alias("share_permille"),
+        )
+        .orderBy("format")
+    )
+
+
+def _sql_modality_balance() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) AS h0,
+    CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) AS h1,
+    CAST(concat('0x', substr(md5(text), 5, 2)) AS INT) AS h2,
+    CAST(concat('0x', substr(md5(text), 9, 4)) AS BIGINT) AS h45
+  FROM documents
+),
+meta AS (
+  SELECT ['jpeg', 'png', 'webp', 'wav'][(h0 % 4) + 1] AS format,
+         CAST(64 + (h1 % 64) * 16 AS BIGINT) AS w,
+         CAST(64 + (h2 % 64) * 16 AS BIGINT) AS h,
+         h45 AS dur
+  FROM b
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM meta)
+SELECT format, count(*) AS n_items,
+       CAST(sum(w * h) AS BIGINT) AS total_pixels,
+       CAST(sum(dur) AS BIGINT) AS total_ms,
+       count(*) * 1000 // n_all AS share_permille
+FROM meta, tot
+GROUP BY format, n_all ORDER BY format
+"""
+
+
+# ======================================================================
+# dedup_cluster_sizes — duplicate-cluster size telemetry
+# ======================================================================
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: power-of-two histogram of
+    the MinHash-LSH connected components plus the exact doc mass in
+    each bucket — the dedup telemetry every corpus report carries (a
+    fat tail here means boilerplate farms; all-2 clusters mean benign
+    near-twins). Rides the existing cluster machinery (one min-label
+    propagation) + one rollup; bucket = the size's bit length, exact
+    integers throughout."""
+    from .operators import dedup
+    from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=MH_HASHES, shingle_n=MH_SHINGLE
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_hashes=MH_HASHES, band_size=MH_BAND
+    )
+    clusters = dedup.connected_components(pairs)
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.select(
+            F.expr("length(bin(sz))").cast("long").alias("size_bucket"),
+            "sz",
+        )
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.min("sz").alias("min_size"),
+            F.max("sz").alias("max_size"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+def _sql_cluster_sizes() -> str:
+    from .queries_nlp import _sql_dedup_clusters
+
+    return f"""
+WITH clust AS (
+  {_sql_dedup_clusters().strip()}
+),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+  FROM clust GROUP BY cluster
+)
+SELECT CAST(length(bin(sz)) AS BIGINT) AS size_bucket,
+       count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       min(sz) AS min_size, max(sz) AS max_size
+FROM sizes GROUP BY 1 ORDER BY size_bucket
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -3519,6 +3767,9 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_epoch_shuffle": q_pipe_epoch_shuffle,
     "feat_kpss_test": q_feat_kpss_test,
     "feat_variance_ratio": q_feat_variance_ratio,
+    "cv_coef_stability": q_cv_coef_stability,
+    "mm_modality_balance": q_mm_modality_balance,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
 }
 
 
@@ -3552,4 +3803,7 @@ def oracles15() -> Dict[str, str]:
         "pipe_epoch_shuffle": _sql_epoch_shuffle(),
         "feat_kpss_test": _sql_kpss_test(),
         "feat_variance_ratio": _sql_variance_ratio(),
+        "cv_coef_stability": _sql_coef_stability(),
+        "mm_modality_balance": _sql_modality_balance(),
+        "dedup_cluster_sizes": _sql_cluster_sizes(),
     }

@@ -551,3 +551,46 @@ def test_variance_ratio_near_random_walk_for_iid(spark):
     for r in rows:
         assert r["nq"] > 3
         assert 0.3 < r["vr"] < 2.2
+
+
+def test_coef_stability_deviations_sum_to_zero(spark):
+    """K-scaled deviations from the fold mean must sum to EXACTLY zero
+    (integer identity), and k/sb are constant across rows."""
+    from panelsplit_spark.queries_round6b import q_cv_coef_stability
+
+    rows = q_cv_coef_stability(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    assert len({(r["k"], r["sb"]) for r in rows}) == 1
+    assert rows[0]["k"] == 6
+    assert sum(r["dev_k_nano"] for r in rows) == 0
+    for r in rows:
+        assert r["dev_k_nano"] == r["b1_nano"] * r["k"] - r["sb"]
+
+
+def test_modality_balance_shares(spark):
+    """Shares are floor-permille of the format mix and item counts sum
+    to the corpus size."""
+    from panelsplit_spark.queries_round6b import q_mm_modality_balance
+    from panelsplit_spark.sources.tables import load_table
+
+    rows = q_mm_modality_balance(spark, SF_DIR).collect()
+    n_all = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_items"] for r in rows) == n_all
+    for r in rows:
+        assert r["share_permille"] == r["n_items"] * 1000 // n_all
+        assert r["total_pixels"] > 0 and r["total_ms"] >= 0
+
+
+def test_cluster_sizes_mass_conservation(spark):
+    """Every cluster has ≥ 2 members (pairs build them), bucket bounds
+    are consistent (2^(b-1) ≤ size < 2^b), and doc mass equals
+    n_clusters-weighted sizes."""
+    from panelsplit_spark.queries_round6b import q_dedup_cluster_sizes
+
+    rows = q_dedup_cluster_sizes(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["min_size"] >= 2
+        assert 2 ** (r["size_bucket"] - 1) <= r["min_size"]
+        assert r["max_size"] < 2 ** r["size_bucket"]
+        assert r["n_docs"] >= 2 * r["n_clusters"]
