@@ -355,6 +355,8 @@ HEADLINE = [
     "cv_coef_stability",
     "mm_modality_balance",
     "dedup_cluster_sizes",
+    "feat_pacf",
+    "pipe_mix_entropy",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -3734,6 +3734,172 @@ FROM sizes GROUP BY 1 ORDER BY size_bucket
 """
 
 
+
+
+# ======================================================================
+# feat_pacf — partial autocorrelation via Durbin-Levinson (lags 1..3)
+# ======================================================================
+
+
+def q_feat_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 via the Durbin-Levinson
+    recursion over the calendar-join ACF (feat_acf's machinery) — the
+    AR-order selector: ACF says WHETHER memory exists, PACF says how
+    many AR lags carry it (φ33 ≈ 0 with φ11 ≠ 0 reads AR(1)). The
+    three ρ̂ values are the established fixed-order doubles from exact
+    decimal moments; the recursion (φ11 = ρ1, φ22 = (ρ2−ρ1²)/(1−ρ1²),
+    φ33 via the level-2 coefficients) is a fixed textual chain of
+    double arithmetic on them, written identically in both engines.
+    Pairwise-complete ACF variant (each lag its own moments),
+    documented."""
+    from .operators.timeseries import acf_lags
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    acf = acf_lags(orders, "day", "cents", max_lag=3)
+    piv = acf.groupBy().agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    p21 = r1 - p22 * r1
+    p33 = (r3 - p21 * r2 - p22 * r1) / (
+        F.lit(1.0) - p21 * r1 - p22 * r2
+    )
+    return piv.select(
+        "r1",
+        "r2",
+        "r3",
+        r1.alias("pacf1"),
+        p22.alias("pacf2"),
+        p33.alias("pacf3"),
+    )
+
+
+def _sql_pacf() -> str:
+    # the same pairwise-complete ACF as _SQL_ACF, capped at lag 3,
+    # pivoted, then the identical Durbin-Levinson text
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT CAST(unnest(generate_series(1, 3)) AS INTEGER) AS lag),
+pairs AS (
+  SELECT l.lag, a.v AS x, b.v AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON a.day = b.day + l.lag
+),
+g AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY lag
+),
+acf AS (
+  SELECT lag,
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+           / (sqrt((CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx)::DOUBLE)
+              * sqrt((CAST(n AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * sy)::DOUBLE)) AS r
+  FROM g
+),
+piv AS (
+  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+         max(CASE WHEN lag = 2 THEN r END) AS r2,
+         max(CASE WHEN lag = 3 THEN r END) AS r3
+  FROM acf
+)
+SELECT r1, r2, r3,
+       r1 AS pacf1,
+       (r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf2,
+       (r3 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) * r2
+           - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+         / (1.0 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) * r1
+                - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2) AS pacf3
+FROM piv
+"""
+
+
+# ======================================================================
+# pipe_mix_entropy — effective source count of the training mix
+# ======================================================================
+
+
+def q_pipe_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-diversity scalar: Shannon entropy of the source share
+    distribution and its exponential — the 'effective number of
+    sources' (perplexity of the mix) every data-mix report quotes; a
+    20-source corpus that behaves like 3 sources is a concentration
+    risk this one number exposes. Each −p·ln p term takes ln of ONE
+    integer ratio (n_i/N), nano-quantized before the sum, so H is an
+    exact integer; the exponential is the single double finisher."""
+    from .functions.hashing import word_tokens  # noqa: F401 (convention)
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = src.groupBy().agg(
+        F.sum("c").alias("n_docs"), F.count(F.lit(1)).alias("n_sources")
+    )
+    terms = src.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "n_sources",
+        F.round(
+            -(F.col("c").cast("double") / F.col("n_docs").cast("double"))
+            * F.log(
+                F.col("c").cast("double") / F.col("n_docs").cast("double")
+            )
+            * F.lit(1000000000)
+        ).cast("long").alias("t"),
+    )
+    return terms.groupBy("n_sources", "n_docs").agg(
+        F.sum("t").alias("h_nano")
+    ).select(
+        "n_sources",
+        "n_docs",
+        "h_nano",
+        F.exp(F.col("h_nano").cast("double") / F.lit(1000000000.0)).alias(
+            "eff_sources"
+        ),
+    )
+
+
+def _sql_mix_entropy() -> str:
+    return """
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM src
+),
+terms AS (
+  SELECT n_docs, n_sources,
+         CAST(round(-(c::DOUBLE / n_docs::DOUBLE)
+                    * ln(c::DOUBLE / n_docs::DOUBLE)
+                    * 1000000000) AS BIGINT) AS t
+  FROM src, tot
+)
+SELECT n_sources, n_docs, CAST(sum(t) AS BIGINT) AS h_nano,
+       exp(CAST(sum(t) AS BIGINT)::DOUBLE / 1000000000.0)
+         AS eff_sources
+FROM terms GROUP BY n_sources, n_docs
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -3770,6 +3936,8 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_coef_stability": q_cv_coef_stability,
     "mm_modality_balance": q_mm_modality_balance,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "feat_pacf": q_feat_pacf,
+    "pipe_mix_entropy": q_pipe_mix_entropy,
 }
 
 
@@ -3806,4 +3974,6 @@ def oracles15() -> Dict[str, str]:
         "cv_coef_stability": _sql_coef_stability(),
         "mm_modality_balance": _sql_modality_balance(),
         "dedup_cluster_sizes": _sql_cluster_sizes(),
+        "feat_pacf": _sql_pacf(),
+        "pipe_mix_entropy": _sql_mix_entropy(),
     }

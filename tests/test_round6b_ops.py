@@ -594,3 +594,27 @@ def test_cluster_sizes_mass_conservation(spark):
         assert 2 ** (r["size_bucket"] - 1) <= r["min_size"]
         assert r["max_size"] < 2 ** r["size_bucket"]
         assert r["n_docs"] >= 2 * r["n_clusters"]
+
+
+def test_pacf_level1_equals_acf1_and_bounds(spark):
+    """φ11 = ρ1 by definition; all PACF values live in [−1, 1]; on an
+    iid daily series every partial autocorrelation is small."""
+    from panelsplit_spark.queries_round6b import q_feat_pacf
+
+    r = q_feat_pacf(spark, SF_DIR).collect()[0]
+    assert r["pacf1"] == r["r1"]
+    for k in (1, 2, 3):
+        assert -1.0 <= r[f"pacf{k}"] <= 1.0
+        assert abs(r[f"pacf{k}"]) < 0.6  # iid series ⇒ weak partials
+
+
+def test_mix_entropy_uniform_corpus(spark):
+    """The synthetic corpus spreads docs evenly over its sources, so
+    the effective source count sits near the true count (≥ 80% of it)
+    and is bounded above by it."""
+    from panelsplit_spark.queries_round6b import q_pipe_mix_entropy
+
+    r = q_pipe_mix_entropy(spark, SF_DIR).collect()[0]
+    assert r["h_nano"] > 0
+    assert r["eff_sources"] <= r["n_sources"] + 1e-6
+    assert r["eff_sources"] >= 0.8 * r["n_sources"]
