@@ -123,6 +123,12 @@ BNLJ_WHITELIST = {
     "cv_pbo",                # single-row period-count scalar into day ranks
     "sim_probe_sweep",       # inherits sim_ivf_topk/cosine tiny-query
                              # broadcasts + 1-row hit counters
+    "pipe_epoch_shuffle",    # single-row (n_docs, order_fp) scalar
+    "cv_coef_stability",     # single-row (K, Σb) fold-mean scalar
+    "mm_modality_balance",   # single-row corpus-count scalar
+    "feat_pacf",             # 3-row lag axis crossed into the series
+                             # (feat_acf's whitelisted shape, capped)
+    "pipe_mix_entropy",      # single-row (n_docs, n_sources) scalar
 }
 
 
