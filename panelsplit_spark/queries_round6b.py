@@ -846,7 +846,8 @@ def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit"),
     ).where(F.col("digit").between(1, 9)).withColumn(
         "seg", F.lit("all")
-    )
+    ).localCheckpoint(eager=True)  # 3 batch writes would re-scan/pro-
+    # ject the full fact table each (measured 18 s at sf1 without it)
     name = "stream_benford_sink"
     for attempt in range(2):
         for q in spark.streams.active:
