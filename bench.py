@@ -357,6 +357,9 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "feat_pacf",
     "pipe_mix_entropy",
+    "text_dup_ngram_rate",
+    "cv_mase",
+    "stream_checkpoint_resume",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

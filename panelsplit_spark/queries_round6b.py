@@ -3901,6 +3901,305 @@ FROM terms GROUP BY n_sources, n_docs
 """
 
 
+
+
+# ======================================================================
+# text_dup_ngram_rate — token-level memorization-risk metric
+# ======================================================================
+
+_DNG_N = 8
+
+
+def q_text_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram rate (the memorization-risk metric of the
+    dedup literature, cf. Lee et al. 2022 'Deduplicating Training Data
+    Makes Language Models Better'): of all 8-gram INSTANCES in the
+    corpus, what fraction occur more than once — doc-level dedup can
+    be clean while boilerplate still repeats inside/through documents,
+    and this is the number that catches it. Per language: total
+    instances, duplicated instances (Σ c over n-grams with c ≥ 2),
+    distinct n-grams, and the rate in exact integer permille. One
+    explode + one count shuffle + one rollup."""
+    from .functions.hashing import word_ngrams, word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            word_ngrams(word_tokens(F.col("text")), _DNG_N)
+        ).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_instances"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).alias("n_dup_instances"),
+        )
+        .select(
+            "lang",
+            "n_instances",
+            "n_distinct",
+            "n_dup_instances",
+            F.expr(
+                "n_dup_instances * 1000 div n_instances"
+            ).alias("dup_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_dup_ngram_rate() -> str:
+    from .queries_data import _duck_shingles, _DUCK_TOKS
+
+    return f"""
+WITH grams AS (
+  SELECT lang, unnest({_duck_shingles(_DNG_N)}) AS g
+  FROM (SELECT lang, {_DUCK_TOKS} AS t FROM documents) d
+),
+counts AS (
+  SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+  FROM grams GROUP BY lang, g
+)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_instances,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+         AS n_dup_instances,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) * 1000
+         // CAST(sum(c) AS BIGINT) AS dup_permille
+FROM counts GROUP BY lang ORDER BY lang
+"""
+
+
+# ======================================================================
+# cv_mase — mean absolute scaled error of the OOF forecasts
+# ======================================================================
+
+
+def q_cv_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (Hyndman & Koehler 2006) per fold: OOF mean absolute
+    error scaled by the TRAIN set's one-step naive MAE — the
+    scale-free forecast metric that lets folds (and series) be
+    compared directly; MASE < 1 means beating the naive random walk
+    on the training scale. Numerator and denominator are exact
+    integer |e| sums (cents residuals; train naive differences via
+    one time-ordered lag window), the ratio one double division of
+    the two cross-multiplied exact sums."""
+    from .queries import _events_cv
+
+    ev, ps = _events_cv(spark, sf_dir)
+    evq = ev.select(
+        "event_id",
+        "period",
+        F.col("hod").cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    asg = ps.assign(evq)
+    mom = (
+        asg.where(F.col("role") == "train")
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        )
+    )
+    b1 = (
+        (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy"))
+        .cast("double")
+        / (
+            _dec(F.col("n")) * F.col("sxx")
+            - _dec(F.col("sx")) * F.col("sx")
+        ).cast("double")
+    )
+    coef = mom.select(
+        "fold_id",
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+    )
+    oof = (
+        asg.where(F.col("role") == "test")
+        .join(F.broadcast(coef), "fold_id")
+        .select(
+            F.col("fold_id").cast("long").alias("fold_id"),
+            F.abs(
+                F.round(
+                    F.col("yc").cast("double")
+                    - (
+                        F.col("b0")
+                        + F.col("b1") * F.col("x").cast("double")
+                    )
+                ).cast("long")
+            ).alias("ae"),
+        )
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_oof"),
+            F.sum("ae").alias("sae_oof"),
+        )
+    )
+    w = Window.partitionBy("fold_id").orderBy("period", "event_id")
+    naive = (
+        asg.where(F.col("role") == "train")
+        .select(
+            F.col("fold_id").cast("long").alias("fold_id"),
+            "period",
+            "event_id",
+            "yc",
+        )
+        .withColumn("prev", F.lag("yc").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "fold_id", F.abs(F.col("yc") - F.col("prev")).alias("nd")
+        )
+        .groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_naive"),
+            F.sum("nd").alias("sae_naive"),
+        )
+    )
+    j = oof.join(naive, "fold_id")
+    mase = (
+        (_dec(F.col("sae_oof")) * F.col("n_naive")).cast("double")
+        / (_dec(F.col("sae_naive")) * F.col("n_oof")).cast("double")
+    )
+    return j.select(
+        "fold_id", "n_oof", "sae_oof", "n_naive", "sae_naive",
+        mase.alias("mase"),
+    ).orderBy("fold_id")
+
+
+def _sql_mase() -> str:
+    return f"""
+WITH {_sql_events_oof_residuals()},
+oof AS (
+  SELECT fold_id, CAST(count(*) AS BIGINT) AS n_oof,
+         CAST(sum(abs(e_ols)) AS BIGINT) AS sae_oof
+  FROM res GROUP BY fold_id
+),
+tr AS (
+  SELECT fold_id, period, event_id, yc,
+         lag(yc) OVER (PARTITION BY fold_id
+                       ORDER BY period, event_id) AS prev
+  FROM t WHERE role = 'train'
+),
+naive AS (
+  SELECT fold_id, CAST(count(*) AS BIGINT) AS n_naive,
+         CAST(sum(abs(yc - prev)) AS BIGINT) AS sae_naive
+  FROM tr WHERE prev IS NOT NULL GROUP BY fold_id
+)
+SELECT o.fold_id, o.n_oof, o.sae_oof, n.n_naive, n.sae_naive,
+       (CAST(o.sae_oof AS HUGEINT) * n.n_naive)::DOUBLE
+         / (CAST(n.sae_naive AS HUGEINT) * o.n_oof)::DOUBLE AS mase
+FROM oof o JOIN naive n USING (fold_id)
+ORDER BY o.fold_id
+"""
+
+
+# ======================================================================
+# stream_checkpoint_resume — 29th gate: restart-from-checkpoint proof
+# ======================================================================
+
+_SCR_BATCHES = 3
+_SCR_MOD = 1000
+
+
+def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-restart witness — the streaming property none of the
+    other 28 gates exercises: a stateful query (streaming
+    dropDuplicates on a derived key) drains PART of the feed, STOPS,
+    and a brand-new query object resumes from the same
+    checkpointLocation over the grown feed. Exactly-once across the
+    restart requires Spark to restore BOTH the source offsets (batch-1
+    files must not replay into the sink) and the dedup state (batch-1
+    keys arriving again in later batches must stay suppressed) — the
+    recovery contract a 100 TB ingest actually relies on, proven here
+    because every key lands in the file sink EXACTLY once and the key
+    set equals the batch DISTINCT oracle. Output: (key, n_sink_rows=1)
+    per distinct key."""
+    import os
+    import shutil
+
+    from .queries_round4b import _fresh_feed
+    from .sources.tables import configure, normalize_event_ts
+    from .streaming.rolling import (
+        chop_n,
+        stream_shuffle_partitions,
+        write_file_batches,
+    )
+
+    configure(spark)
+    ev = normalize_event_ts(
+        load_table(spark, sf_dir, "events")
+    ).select((F.col("user_id") % _SCR_MOD).alias("kk"), "event_id")
+    nb = chop_n(_SCR_BATCHES)
+    batches = [
+        ev.where(F.col("event_id") % nb == j) for j in range(nb)
+    ]
+    feed = _fresh_feed("ckpt_feed")
+    base = os.path.join(os.getcwd(), "spark-warehouse", "sinks", "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt, sink = os.path.join(base, "cp"), os.path.join(base, "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        with stream_shuffle_partitions(spark):
+            q = (
+                stream.select("kk")
+                .dropDuplicates(["kk"])
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    # phase 1: only the first file exists; drain and STOP
+    write_file_batches(batches[:1], feed)
+    drain()
+    # phase 2: the feed grows; a NEW query resumes from the checkpoint
+    for i, b in enumerate(batches[1:], start=1):
+        tmp = feed + f".tmp{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+
+        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(feed, f"batch{i:03d}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    drain()
+    out = spark.read.parquet(sink)
+    return (
+        out.groupBy("kk")
+        .agg(F.count(F.lit(1)).alias("n_sink_rows"))
+        .select(F.col("kk").cast("long").alias("kk"), "n_sink_rows")
+        .orderBy("kk")
+    )
+
+
+_SQL_CHECKPOINT_RESUME = f"""
+SELECT DISTINCT CAST(user_id % {_SCR_MOD} AS BIGINT) AS kk,
+       CAST(1 AS BIGINT) AS n_sink_rows
+FROM events ORDER BY kk
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -3939,6 +4238,9 @@ QUERIES15: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "feat_pacf": q_feat_pacf,
     "pipe_mix_entropy": q_pipe_mix_entropy,
+    "text_dup_ngram_rate": q_text_dup_ngram_rate,
+    "cv_mase": q_cv_mase,
+    "stream_checkpoint_resume": q_stream_checkpoint_resume,
 }
 
 
@@ -3977,4 +4279,7 @@ def oracles15() -> Dict[str, str]:
         "dedup_cluster_sizes": _sql_cluster_sizes(),
         "feat_pacf": _sql_pacf(),
         "pipe_mix_entropy": _sql_mix_entropy(),
+        "text_dup_ngram_rate": _sql_dup_ngram_rate(),
+        "cv_mase": _sql_mase(),
+        "stream_checkpoint_resume": _SQL_CHECKPOINT_RESUME,
     }

@@ -618,3 +618,57 @@ def test_mix_entropy_uniform_corpus(spark):
     assert r["h_nano"] > 0
     assert r["eff_sources"] <= r["n_sources"] + 1e-6
     assert r["eff_sources"] >= 0.8 * r["n_sources"]
+
+
+def test_dup_ngram_rate_identities(spark):
+    """n_dup ≤ n_instances, permille recomputes by floor division, and
+    instance mass ≥ distinct count."""
+    from panelsplit_spark.queries_round6b import q_text_dup_ngram_rate
+
+    rows = q_text_dup_ngram_rate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_instances"] <= r["n_instances"]
+        assert r["n_distinct"] <= r["n_instances"]
+        assert (
+            r["dup_permille"]
+            == r["n_dup_instances"] * 1000 // r["n_instances"]
+        )
+
+
+def test_mase_positive_and_ratio_identity(spark):
+    """MASE recomputes from the four exact integers and is positive on
+    every fold."""
+    from panelsplit_spark.queries_round6b import q_cv_mase
+
+    rows = q_cv_mase(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["sae_naive"] > 0 and r["n_oof"] > 0
+        expect = (r["sae_oof"] * r["n_naive"]) / (
+            r["sae_naive"] * r["n_oof"]
+        )
+        assert abs(expect - r["mase"]) < 1e-12 * max(1.0, expect)
+        assert r["mase"] > 0
+
+
+def test_checkpoint_resume_exactly_once(spark):
+    """THE restart theorem: after stop + resume from the checkpoint,
+    every key sits in the sink exactly once and the key set equals the
+    batch distinct set."""
+    from panelsplit_spark.queries_round6b import (
+        _SCR_MOD,
+        q_stream_checkpoint_resume,
+    )
+    from panelsplit_spark.sources.tables import load_table
+
+    rows = q_stream_checkpoint_resume(spark, SF_DIR).collect()
+    assert all(r["n_sink_rows"] == 1 for r in rows)
+    expect = {
+        r[0]
+        for r in load_table(spark, SF_DIR, "events")
+        .selectExpr(f"user_id % {_SCR_MOD} AS kk")
+        .distinct()
+        .collect()
+    }
+    assert {r["kk"] for r in rows} == expect

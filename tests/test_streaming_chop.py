@@ -58,6 +58,10 @@ SPEC = {
     "stream_psi": "key",
     "stream_benford": "key",
     "stream_minhash": "key",
+    # restart-from-checkpoint witness: state restore makes the drained
+    # sink equal the batch DISTINCT for ANY chop of the grown feed
+    # (the restart always happens after the first file)
+    "stream_checkpoint_resume": "key",
     # ordered recursions / watermark-evicted state — contiguous re-chop
     "stream_sessionize": "ordered",
     "stream_session_window": "ordered",
