@@ -1,17 +1,33 @@
-"""Round-6 query part B (part 15): forecast-inference diagnostics for
-the panel CV — the statistics a walk-forward backtest owes its user
-beyond raw MSE: is model A *significantly* better than B
-(Diebold-Mariano), does the model beat the naive baseline (Murphy
-skill score), did it leave autocorrelation on the table at several
-lags (Ljung-Box), and how does it do under asymmetric loss
-(pinball/quantile loss) — plus corpus-science diagnostics (Heaps'-law
-vocabulary growth, Church-Gale term burstiness), the 26th streaming
-gate (Benford first-digit monitor over the keyed-SUM count-table
-monoid), and the equal-share epoch-repetition training-mix schedule.
+"""Round-6 query part B (part 15): thirty-six oracle-gated queries.
+
+Forecast-INFERENCE for the panel CV — the statistics a walk-forward
+backtest owes its user beyond raw MSE: Diebold-Mariano (is A better
+than B or is the gap noise), Ljung-Box (multi-lag residual memory),
+Murphy skill score, pinball/quantile loss, MASE, Mincer-Zarnowitz
+efficiency, Bates-Granger combination, CSCV probability of backtest
+overfitting, purge/embargo ablation, adversarial-validation AUC,
+LOCO importance, coefficient stability, and the stationarity
+pre-flight (Dickey-Fuller, KPSS, Lo-MacKinlay variance ratio, PACF).
+
+Corpus science and training-data pipeline: Heaps'-law vocabulary
+growth, Church-Gale burstiness, duplicate-8-gram memorization rate,
+MOSS winnowing fingerprints, source-pair Jensen-Shannon divergence,
+equal-share epoch repetition, content-addressed epoch shuffle order,
+tokenizer fertility, mix entropy, MMR diversity re-ranking,
+Mahalanobis embedding outliers, IVF probe-sweep tuning curve,
+modality balance, AV-sync alignment manifest, duplicate-cluster size
+telemetry, and the storage-clustering scan-pruning audit.
+
+Streaming gates 26-29: Benford first-digit monitor (keyed-SUM count
+monoid), online MinHash signatures (keyed-MIN idempotent monoid),
+CUSUM change-point monitor (two-integer ordered recursion via
+applyInPandasWithState), and the checkpoint-restart witness (a new
+query resumes a stateful dropDuplicates from its checkpointLocation
+with exactly-once across the restart).
 
 Same contract as every part file: each Spark query is paired with a
 byte-hash-equal DuckDB oracle over the same parquet; every statistic
-is carried as exact integers (cents-quantized residuals, HUGEINT /
+is carried as exact integers (cents/nano quantization, HUGEINT /
 decimal(38,0) cross moments) up to a final double division so the
 cross-engine hash and the {4,64} shuffle-partition invariance hold by
 construction.
