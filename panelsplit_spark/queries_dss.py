@@ -767,7 +767,10 @@ def q_stream_online_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    with stream_shuffle_partitions(spark):
+    from .streaming.rolling import stream_parts_for
+
+    n_feed = load_table(spark, sf_dir, "events").count()
+    with stream_shuffle_partitions(spark, stream_parts_for(spark, n_feed)):
         q = (
             scored.writeStream.format("memory")
             .queryName(name)

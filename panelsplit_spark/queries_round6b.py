@@ -1460,7 +1460,13 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     ).select(
         "seg", (md5_long(F.col("shingle")) % F.lit(MINHASH_P)).alias("h")
-    ).localCheckpoint(eager=True)  # 3 batch writes would re-explode
+    ).distinct().localCheckpoint(eager=True)  # MIN is idempotent, so
+    # producer-side dedup of the (seg, base-hash) rows changes nothing
+    # downstream (min over distinct = min over all, for ANY chop — the
+    # chop predicate is on h itself) while cutting the feed and the
+    # 12-way stacked drain ~5× (80% of sf1 shingle rows are repeats);
+    # the localCheckpoint stops the 3 batch writes re-exploding the
+    # corpus
     params = minhash_params(_SMH_HASHES)
     stack_expr = "stack({}, {}) as (j, u)".format(
         _SMH_HASHES,

@@ -660,9 +660,13 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    from .streaming.rolling import stream_shuffle_partitions
+    from .streaming.rolling import (
+        stream_parts_for,
+        stream_shuffle_partitions,
+    )
 
-    with stream_shuffle_partitions(spark):
+    n_feed = load_table(spark, sf_dir, "events").count()
+    with stream_shuffle_partitions(spark, stream_parts_for(spark, n_feed)):
         q = (
             sess.writeStream.format("memory")
             .queryName(name)

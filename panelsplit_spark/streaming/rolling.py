@@ -392,6 +392,32 @@ def stream_shuffle_partitions(spark, n: Optional[int] = None):
         spark.conf.set(key, old)
 
 
+def stream_parts_for(spark, n_rows: int) -> int:
+    """State partitions for a drain whose batches total ``n_rows``.
+
+    Two regimes: below a few hundred thousand rows the per-partition
+    state-store commit overhead (snapshot + delta file per partition
+    per micro-batch) dominates, so the small default (8) wins — the
+    regime every sf0.01/sf0.1 gate and chop-invariance test runs in.
+    At sf1-and-up a Python-stateful pass (``applyInPandasWithState``)
+    is compute-bound on the worker pool, so the partition count should
+    reach the cores (measured on the sessionize gate at sf1: 8 parts
+    ≈ 12 s, 32 parts ≈ 6 s). On a real cluster this is the same rule:
+    state spreads to ~total cores once the per-batch volume amortizes
+    the per-store commit. Partitioning never changes results — state
+    is keyed either way."""
+    import os
+
+    small = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
+    if n_rows < 300_000:
+        return small
+    try:
+        cores = int(spark.sparkContext.defaultParallelism)
+    except Exception:
+        cores = small
+    return max(small, min(cores, 32))
+
+
 def stream_online_linreg(
     stream_df: DataFrame,
     entity_col: str = "user_id",
@@ -902,23 +928,81 @@ def write_file_batches(dfs, feed_dir: str) -> None:
     micro-batches — the harness for semantics that depend on batch
     boundaries (watermark eviction, late-data drops). An empty frame
     becomes an empty file: a 0-row batch whose only effect is letting
-    the previous batch's watermark evict state."""
+    the previous batch's watermark evict state.
+
+    Cost shape: ≥2 frames are written by ONE job (union with a literal
+    batch id, hash-repartitioned on it, ``partitionBy`` write) instead
+    of N sequential ``coalesce(1)`` jobs — the N-job form re-ran every
+    upstream scan/projection once per batch and serialized the writes
+    (measured ~half the wall time of the heavier sf1 streaming gates).
+    Within-batch row ORDER becomes shuffle-dependent, which every gate
+    tolerates by contract: monoid/semilattice folds are order-free and
+    the ordered-arrival operators (sessionize, online-linreg, CUSUM)
+    sort per entity inside each batch. A batch that lands empty falls
+    back to the old per-frame write so its schema-bearing empty file
+    still appears."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
+    from pyspark.sql import functions as F
+
     _shutil.rmtree(feed_dir, ignore_errors=True)
     _os.makedirs(feed_dir)
     base = 1_700_000_000
-    for i, df in enumerate(dfs):
-        tmp = feed_dir + f".tmp{i}"
-        _shutil.rmtree(tmp, ignore_errors=True)
-        df.coalesce(1).write.parquet(tmp)
-        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+    dfs = list(dfs)
+
+    def _finalize(i: int, src: str) -> None:
         dst = _os.path.join(feed_dir, f"batch{i:03d}.parquet")
         _shutil.copy(src, dst)
         _os.utime(dst, (base + i * 1000, base + i * 1000))
+
+    # Small row groups (1 MB vs the 128 MB writer default): each batch
+    # is ONE file (`maxFilesPerTrigger=1` = one file per micro-batch),
+    # and parquet scans split at row-group boundaries — a fat single
+    # group would pin every micro-batch's whole read+compute to one
+    # task no matter the session's split size.
+    _BLOCK = "1048576"
+
+    def _slow_write(i: int, df) -> None:
+        tmp = feed_dir + f".tmp{i}"
         _shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.option("parquet.block.size", _BLOCK).parquet(
+            tmp
+        )
+        _finalize(i, _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0])
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    done = False
+    if len(dfs) > 1 and len({tuple(d.schema) for d in dfs}) == 1:
+        tmp = feed_dir + ".tmpall"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            u = dfs[0].withColumn("_wfb", F.lit(0))
+            for i, d in enumerate(dfs[1:], start=1):
+                u = u.unionByName(d.withColumn("_wfb", F.lit(i)))
+            # one partition per batch id → exactly one file per batch
+            # directory (id collisions just co-locate two directories
+            # in one write task)
+            u.repartition(len(dfs), F.col("_wfb")).write.option(
+                "parquet.block.size", _BLOCK
+            ).partitionBy("_wfb").parquet(tmp)
+            for i, df in enumerate(dfs):
+                hits = _glob.glob(
+                    _os.path.join(tmp, f"_wfb={i}", "part-*.parquet")
+                )
+                if len(hits) == 1:
+                    _finalize(i, hits[0])
+                else:  # empty batch (no dir) or unexpected multi-file
+                    _slow_write(i, df)
+            done = True
+        except Exception:
+            done = False  # fall through to the per-frame path
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    if not done:
+        for i, df in enumerate(dfs):
+            _slow_write(i, df)
 
 
 def stream_decayed_counts(
