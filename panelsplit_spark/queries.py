@@ -473,3 +473,86 @@ from .queries_round6b import QUERIES15, oracles15  # noqa: E402
 
 QUERIES.update(QUERIES15)
 ORACLES.update(oracles15())
+
+# ----------------------------------------------------------------------
+# Driver-coverage rotation (judge task, round 6 → implemented round 7).
+# The driver's correctness gate compares the FIRST 50 registry entries
+# (dict insertion order) against their oracles each round — which had
+# frozen its coverage to the same 50 queries since round 1, leaving the
+# other 285 only locally/judge-verified. Reorder the registry so the
+# driver sweeps fresh queries every round:
+#
+#   [0:10)  a stable flagship prefix — one per operator family, all
+#           members of the rounds-1–6 driver-verified set, so the core
+#           contract stays driver-witnessed every single round;
+#   [10:50) a 40-query rotation window over the queries the driver has
+#           NEVER verified (deterministic name order, advanced by
+#           _ROTATION_EPOCH each round — full registry coverage in ~8
+#           rounds);
+#   [50:)   everything else, original insertion order.
+#
+# Rotation bookkeeping is explicit and additive: each round, bump
+# _ROTATION_EPOCH by 1 and append the previous window to
+# _DRIVER_VERIFIED (the names whose driver witness is already recorded
+# in a committed CORRECTNESS_r*.json).
+# ----------------------------------------------------------------------
+
+_FLAGSHIP = [
+    "ps_fold_assignment",   # core splitting
+    "cv_ols_oof",           # per-fold fit/apply (closed-form fast path)
+    "cv_fold_mse",          # metrics/scorers
+    "cv_pipe_scaled_ols",   # pipeline chaining
+    "search_ridge_grid",    # model selection
+    "dedup_minhash_lsh",    # dedup family
+    "sim_cosine_topk",      # similarity search
+    "text_stats",           # text analysis
+    "rel_region_revenue",   # relational core (broadcast join + agg)
+    "stream_sessionize",    # streaming (custom stateful operator)
+]
+
+# Driver-verified queries: CORRECTNESS_r01–r06 all checked the same
+# first-50 prefix of the pre-rotation registry (all green, 6 rounds).
+_DRIVER_VERIFIED = [
+    "ps_fold_assignment", "ps_train_labels", "ps_test_labels",
+    "ps_gen_snapshots", "ps_fold_stats", "cv_mean_oof", "cv_ols_oof",
+    "cv_fold_mse", "cv_target_encode", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_jaccard", "dedup_jaccard_lsh",
+    "dedup_containment", "dedup_containment_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "emb_near_dup", "text_stats", "text_langid",
+    "text_fingerprint", "sim_cosine_topk", "sim_lsh_topk",
+    "rel_pricing_summary", "rel_region_revenue",
+    "rel_last_ship_per_supplier", "rel_json_props",
+    "rel_hourly_activity", "feat_user_lag", "stream_hourly_features",
+    "rel_sessionize", "rel_asof_join", "rel_rollup_revenue",
+    "sim_ivf_topk", "mm_media_meta", "cv_li_ols_oof", "cv_li_fold_mse",
+    "feat_resample_ffill", "search_ridge_grid", "search_random_ridge",
+    "cv_cls_prior_acc", "rel_cube_revenue", "rel_cust_no_orders",
+    "rel_top_orders_per_cust", "rel_daily_revenue_ma7",
+    "rel_nation_setops", "rel_scalar_gallery", "rel_value_deciles",
+    "stream_sessionize", "cv_pipe_scaled_ols",
+]
+
+_ROTATION_EPOCH = 0  # round 7; bump by 1 per round
+_ROTATION_WINDOW = 40
+
+
+def _rotated_registry(queries):
+    names = list(queries)
+    flagship = [n for n in _FLAGSHIP if n in queries]
+    placed = set(flagship)
+    fresh = sorted(
+        n
+        for n in names
+        if n not in placed and n not in set(_DRIVER_VERIFIED)
+    )
+    if fresh:
+        start = (_ROTATION_WINDOW * _ROTATION_EPOCH) % len(fresh)
+        window = (fresh[start:] + fresh[:start])[:_ROTATION_WINDOW]
+    else:
+        window = []
+    placed.update(window)
+    rest = [n for n in names if n not in placed]
+    return {n: queries[n] for n in flagship + window + rest}
+
+
+QUERIES = _rotated_registry(QUERIES)
