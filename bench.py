@@ -745,8 +745,49 @@ def main() -> None:
             if "_truncated_after" not in sf1:
                 sf1.update(_sf1_skew_ab(spark, sf1_dir))
                 release_all_pinned(spark)
+            # Median-of-3 for the sf1 heavy tail (judge task, round 6):
+            # sf1 entries were single-run, and three rounds in a row a
+            # 1.3-1.5× load swing on one heavy query triggered
+            # regression forensics (r4 simhash, r5 pagerank, r6
+            # prefix-join 27↔41 s). Two extra passes over the top
+            # N_SF1_MEDIAN only — the cheap tail's swings sit inside
+            # the noise floor — and only when the single-pass total
+            # left headroom (a hot run must not add wall clock).
+            N_SF1_MEDIAN = 12
+            sf1_medians = {}
+            if (
+                "_truncated_after" not in sf1
+                and time.time() - t_start < 0.9 * budget
+            ):
+                heavy1 = sorted(
+                    (
+                        k
+                        for k, v in sf1.items()
+                        if isinstance(v, float) and "@unsalted" not in k
+                    ),
+                    key=lambda k: -sf1[k],
+                )[:N_SF1_MEDIAN]
+                for label in heavy1:
+                    name = label.split("@")[0]
+                    fn = (
+                        globals()[SF1_EVAL_TRUTH_SPLIT[name]]
+                        if label.endswith("@production")
+                        else qs.get(name)
+                    )
+                    if fn is None:
+                        continue
+                    runs = [sf1[label]]
+                    for _ in range(2):
+                        t0 = time.time()
+                        fn(spark, sf1_dir).count()
+                        runs.append(round(time.time() - t0, 3))
+                        release_all_pinned(spark)
+                    sf1_medians[label] = sorted(runs)[1]
         except Exception as e:  # sf1 is an extra witness, never fatal
             sf1 = {"_error": str(e)[:200]}
+            sf1_medians = {}
+    else:
+        sf1_medians = {}
     sf1_total = round(
         sum(v for v in sf1.values() if isinstance(v, float)), 3
     )
@@ -797,9 +838,30 @@ def main() -> None:
             "over_ceiling": sf1_over,
             "over_ceiling_noted": sf1_over_noted,
             "budget_hot": sf1_budget_hot,
+            "medians": sf1_medians,
             "queries": sf1,
         },
     }
+    # sf1 regression check on the median basis (the single-pass sf1
+    # numbers stay for totals/budget; cross-round comparisons use the
+    # medians so a one-off load spike stops reading as a regression)
+    try:
+        prev_sf1_m = {}
+        if os.path.exists(os.path.join(REPO, "BENCH_FULL.json")):
+            prevrec = json.load(
+                open(os.path.join(REPO, "BENCH_FULL.json"))
+            )
+            prev_sf1 = prevrec.get("sf1") or {}
+            prev_sf1_m = prev_sf1.get("medians") or {}
+        for name, now in sf1_medians.items():
+            p = prev_sf1_m.get(name)
+            if p and now > 1.3 * p and now - p > 2.0:
+                regressions[name] = {
+                    "prev": p, "now": now, "basis": "sf1_median3"
+                }
+        full["regressions"] = regressions
+    except Exception:
+        pass
     # ad-hoc runs at other SFs must not clobber the committed sf0.1
     # evidence (or poison the next round's median comparison)
     full_name = (
