@@ -474,6 +474,19 @@ from .queries_round6b import QUERIES15, oracles15  # noqa: E402
 QUERIES.update(QUERIES15)
 ORACLES.update(oracles15())
 
+# round-6c: corpus science / training-data pipeline (split out of the
+# part-15 file in round 7 — pure move, same queries and oracles)
+from .queries_round6c import QUERIES16, oracles16  # noqa: E402
+
+QUERIES.update(QUERIES16)
+ORACLES.update(oracles16())
+
+# round-6d: streaming gates 26-29 (same split)
+from .queries_round6d import QUERIES17, oracles17  # noqa: E402
+
+QUERIES.update(QUERIES17)
+ORACLES.update(oracles17())
+
 # ----------------------------------------------------------------------
 # Driver-coverage rotation (judge task, round 6 → implemented round 7).
 # The driver's correctness gate compares the FIRST 50 registry entries

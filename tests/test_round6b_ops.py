@@ -94,7 +94,7 @@ def test_quantile_loss_monotone_quantiles_and_median_optimality(spark):
 def test_heaps_beta_in_sublinear_band(spark):
     """Natural-ish synthetic text must grow vocabulary sublinearly:
     0 < β < 1, with checkpoints = every document."""
-    from panelsplit_spark.queries_round6b import q_text_heaps_fit
+    from panelsplit_spark.queries_round6c import q_text_heaps_fit
 
     r = q_text_heaps_fit(spark, SF_DIR).collect()[0]
     assert r["n_checkpoints"] > 10
@@ -105,7 +105,7 @@ def test_burstiness_identity_and_floor(spark):
     """fano_ppb recomputes exactly from the emitted integers (floor
     division) and a term occurring at most once per doc has variance
     ≤ mean ⇒ fano ≤ 1e9."""
-    from panelsplit_spark.queries_round6b import q_text_burstiness
+    from panelsplit_spark.queries_round6c import q_text_burstiness
 
     rows = q_text_burstiness(spark, SF_DIR).collect()
     assert 0 < len(rows) <= 20
@@ -124,7 +124,7 @@ def test_epoch_mix_budget_conservation(spark):
     """Equal-share schedule invariants: 1 ≤ epochs ≤ 4, used ≤ share,
     used ≤ epochs·tokens, shortfall = share − used ≥ 0, and a source
     with tokens ≥ share runs exactly one epoch."""
-    from panelsplit_spark.queries_round6b import q_pipe_epoch_mix
+    from panelsplit_spark.queries_round6c import q_pipe_epoch_mix
 
     rows = q_pipe_epoch_mix(spark, SF_DIR).collect()
     assert rows
@@ -144,7 +144,7 @@ def test_mmr_trades_relevance_for_diversity(spark):
     exceed theirs."""
     import numpy as np
 
-    from panelsplit_spark.queries_round6b import (
+    from panelsplit_spark.queries_round6c import (
         _MMR_K,
         q_sim_mmr_rerank,
     )
@@ -197,7 +197,7 @@ def test_maha_outlier_shape_and_recompute(spark):
     raw data agrees within 1 nano per dimension (round-mode slack)."""
     import numpy as np
 
-    from panelsplit_spark.queries_round6b import q_emb_maha_outlier
+    from panelsplit_spark.queries_round6c import q_emb_maha_outlier
     from panelsplit_spark.sources.tables import load_table
 
     rows = q_emb_maha_outlier(spark, SF_DIR).collect()
@@ -241,7 +241,10 @@ def test_pbo_noise_strategies_overfit_about_half_the_time(spark):
     """Rank bounds, λ-sign consistency with the rank, and the headline
     theorem: selecting among pure-noise strategies must overfit about
     half the time (loose [0.15, 0.85] band on 70 combos)."""
-    from panelsplit_spark.queries_round6b import _PBO_N, q_cv_pbo
+    from panelsplit_spark.queries_round6b import (
+        _PBO_N,
+        q_cv_pbo,
+    )
 
     rows = q_cv_pbo(spark, SF_DIR).collect()
     assert len(rows) == 70
@@ -258,7 +261,7 @@ def test_stream_minhash_signature_sanity(spark):
     and at least one position should DISAGREE (the two sub-corpora are
     different texts)."""
     from panelsplit_spark.functions.hashing import MINHASH_P
-    from panelsplit_spark.queries_round6b import (
+    from panelsplit_spark.queries_round6d import (
         _SMH_HASHES,
         q_stream_minhash,
     )
@@ -291,7 +294,7 @@ def test_mincer_zarnowitz_finite_per_fold(spark):
 def test_token_fertility_floor_and_identity(spark):
     """Every word yields ≥ 1 unit ⇒ fertility ≥ 1000 permille, and the
     emitted quotient recomputes exactly from its integer parts."""
-    from panelsplit_spark.queries_round6b import q_pipe_token_fertility
+    from panelsplit_spark.queries_round6c import q_pipe_token_fertility
 
     rows = q_pipe_token_fertility(spark, SF_DIR).collect()
     assert len(rows) >= 2
@@ -306,7 +309,7 @@ def test_winnowing_guarantee_on_planted_overlap(spark):
     sharing a run of ≥ k+w−1 words MUST share at least one winnowed
     fingerprint; two documents with disjoint vocabularies must share
     none."""
-    from panelsplit_spark.queries_round6b import (
+    from panelsplit_spark.queries_round6c import (
         _WIN_K,
         _WIN_W,
         winnow_fingerprints,
@@ -333,7 +336,7 @@ def test_winnowing_guarantee_on_planted_overlap(spark):
 def test_winnowing_pairs_shape(spark):
     """Pair output: a < b, n_shared ≥ 2, ordered by (n_shared desc,
     a, b)."""
-    from panelsplit_spark.queries_round6b import q_text_winnowing
+    from panelsplit_spark.queries_round6c import q_text_winnowing
 
     rows = q_text_winnowing(spark, SF_DIR).collect()
     for r in rows:
@@ -375,7 +378,7 @@ def test_sorted_clustering_prunes_and_tightens(spark):
     """The clustered layout must let the one-day probe skip at least
     one row group (the scattered one skips none) and must carry a
     strictly smaller summed min/max span."""
-    from panelsplit_spark.queries_round6b import q_src_sorted_clustering
+    from panelsplit_spark.queries_round6c import q_src_sorted_clustering
 
     rows = {r["layout"]: r for r in
             q_src_sorted_clustering(spark, SF_DIR).collect()}
@@ -391,7 +394,7 @@ def test_av_sync_plan_covers_duration_exactly(spark):
     global grid — per-doc window counts sum to ⌈duration/500ms⌉."""
     from collections import defaultdict
 
-    from panelsplit_spark.queries_round6b import (
+    from panelsplit_spark.queries_round6c import (
         _AV_SEG_MS,
         _AV_WIN_MS,
         q_mm_av_sync_plan,
@@ -416,7 +419,7 @@ def test_jsd_bounds_and_symmetry_floor(spark):
     (sa < sb) and ranked descending with tiebreaks."""
     import math
 
-    from panelsplit_spark.queries_round6b import q_text_jsd_sources
+    from panelsplit_spark.queries_round6c import q_text_jsd_sources
 
     rows = q_text_jsd_sources(spark, SF_DIR).collect()
     assert rows
@@ -463,7 +466,7 @@ def test_probe_sweep_monotone_recall(spark):
     """Probing more cells only ADDS candidates, so recall@k is
     monotone nondecreasing in n_probe, and probing every cell would
     reach the exact top-k (recall ≤ 1000 permille everywhere)."""
-    from panelsplit_spark.queries_round6b import q_sim_probe_sweep
+    from panelsplit_spark.queries_round6c import q_sim_probe_sweep
 
     rows = sorted(
         q_sim_probe_sweep(spark, SF_DIR).collect(),
@@ -504,7 +507,7 @@ def test_epoch_shuffle_redeal_and_fingerprints(spark):
     order-fingerprints differ (the re-deal proof)."""
     from collections import defaultdict
 
-    from panelsplit_spark.queries_round6b import q_pipe_epoch_shuffle
+    from panelsplit_spark.queries_round6c import q_pipe_epoch_shuffle
 
     rows = q_pipe_epoch_shuffle(spark, SF_DIR).collect()
     per = defaultdict(list)
@@ -570,7 +573,7 @@ def test_coef_stability_deviations_sum_to_zero(spark):
 def test_modality_balance_shares(spark):
     """Shares are floor-permille of the format mix and item counts sum
     to the corpus size."""
-    from panelsplit_spark.queries_round6b import q_mm_modality_balance
+    from panelsplit_spark.queries_round6c import q_mm_modality_balance
     from panelsplit_spark.sources.tables import load_table
 
     rows = q_mm_modality_balance(spark, SF_DIR).collect()
@@ -585,7 +588,7 @@ def test_cluster_sizes_mass_conservation(spark):
     """Every cluster has ≥ 2 members (pairs build them), bucket bounds
     are consistent (2^(b-1) ≤ size < 2^b), and doc mass equals
     n_clusters-weighted sizes."""
-    from panelsplit_spark.queries_round6b import q_dedup_cluster_sizes
+    from panelsplit_spark.queries_round6c import q_dedup_cluster_sizes
 
     rows = q_dedup_cluster_sizes(spark, SF_DIR).collect()
     assert rows
@@ -612,7 +615,7 @@ def test_mix_entropy_uniform_corpus(spark):
     """The synthetic corpus spreads docs evenly over its sources, so
     the effective source count sits near the true count (≥ 80% of it)
     and is bounded above by it."""
-    from panelsplit_spark.queries_round6b import q_pipe_mix_entropy
+    from panelsplit_spark.queries_round6c import q_pipe_mix_entropy
 
     r = q_pipe_mix_entropy(spark, SF_DIR).collect()[0]
     assert r["h_nano"] > 0
@@ -623,7 +626,7 @@ def test_mix_entropy_uniform_corpus(spark):
 def test_dup_ngram_rate_identities(spark):
     """n_dup ≤ n_instances, permille recomputes by floor division, and
     instance mass ≥ distinct count."""
-    from panelsplit_spark.queries_round6b import q_text_dup_ngram_rate
+    from panelsplit_spark.queries_round6c import q_text_dup_ngram_rate
 
     rows = q_text_dup_ngram_rate(spark, SF_DIR).collect()
     assert rows
@@ -656,7 +659,7 @@ def test_checkpoint_resume_exactly_once(spark):
     """THE restart theorem: after stop + resume from the checkpoint,
     every key sits in the sink exactly once and the key set equals the
     batch distinct set."""
-    from panelsplit_spark.queries_round6b import (
+    from panelsplit_spark.queries_round6d import (
         _SCR_MOD,
         q_stream_checkpoint_resume,
     )
