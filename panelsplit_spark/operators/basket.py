@@ -45,28 +45,59 @@ def co_occurrence_pairs(
     ``lift`` = pair_cnt·n_groups / (cnt1·cnt2) as one exact-integer
     double division.
     """
-    items = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("i")
-    ).distinct()
-    w = Window.partitionBy("g").orderBy("i")
-    items = (
-        items.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= max_items_per_group)
-        .drop("__rk")
+    # ONE group-keyed shuffle builds the capped per-group item array:
+    # sort_array(collect_set) ascending + slice ≡ the old distinct +
+    # rank-window cap (keep the max_items_per_group smallest items),
+    # but in a single exchange instead of distinct's (g,i) shuffle
+    # followed by a g-window re-shuffle. Pairs then expand INLINE from
+    # the array (≤ C(cap,2) per group, all codegen — the old g-keyed
+    # self-join shuffled the item table a second time to produce the
+    # same rows). NULL items are dropped (collect_set semantics); the
+    # pair join and lift marginals never counted them usefully anyway.
+    grp = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("i")
+        )
+        .where(F.col("i").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("i")),
+                1,
+                int(max_items_per_group),
+            ).alias("__arr")
+        )
+        # three consumers (pair expansion, marginals, group count):
+        # materialize the ~|groups|-row array table once — at
+        # production scale write it out as a table instead
+        .localCheckpoint(eager=True)
     )
     # item frequency AFTER the cap so lift's marginals and the pair
     # support are drawn from the same (capped) universe — keeps
     # lift ≤ n_groups/den exact and the audit internally consistent
-    item_cnt = items.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
-    n_groups = items.select("g").distinct().agg(
-        F.count(F.lit(1)).alias("n_groups")
+    item_cnt = grp.select(F.explode("__arr").alias("i")).groupBy(
+        "i"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    n_groups = grp.agg(F.count(F.lit(1)).alias("n_groups"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__arr"),
+            lambda x, j: F.transform(
+                # elements strictly after position j (sorted, distinct
+                # → i1 < i2 by construction)
+                F.slice(
+                    F.col("__arr"),
+                    j + F.lit(2),
+                    int(max_items_per_group),
+                ),
+                lambda y: F.struct(x.alias("i1"), y.alias("i2")),
+            ),
+        )
     )
-    a = items
-    b = items.select(F.col("g"), F.col("i").alias("i2"))
     pairs = (
-        a.join(b, "g")
-        .where(F.col("i") < F.col("i2"))
-        .groupBy(F.col("i").alias("i1"), "i2")
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.i1").alias("i1"), F.col("p.i2").alias("i2"))
+        .groupBy("i1", "i2")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .where(F.col("pair_cnt") >= min_pair_count)
     )

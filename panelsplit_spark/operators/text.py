@@ -961,12 +961,28 @@ def rake_topk(
             F.split(F.lower(F.col(text_col)), " ")
         ).alias("pos", "tok"),
     ).where(F.col("tok") != "")
-    ns = toks.where(~F.col("tok").isin(*stopwords)).withColumn(
-        "island",
-        F.col("pos").cast("long")
-        - F.row_number()
-        .over(Window.partitionBy(id_col).orderBy("pos"))
-        .cast("long"),
+    # plen rides a second window over the SAME doc-keyed shuffle as the
+    # island rank (hash-partitioning on id satisfies the (id, island)
+    # clustering requirement — no second exchange), so every token
+    # carries its phrase length without the old tokens⋈phrases join;
+    # checkpoint because three aggregates consume the exploded table
+    # (at production scale: write the token table out instead)
+    ns = (
+        toks.where(~F.col("tok").isin(*stopwords))
+        .withColumn(
+            "island",
+            F.col("pos").cast("long")
+            - F.row_number()
+            .over(Window.partitionBy(id_col).orderBy("pos"))
+            .cast("long"),
+        )
+        .withColumn(
+            "plen",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(id_col, "island")
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     ph = ns.groupBy(id_col, "island").agg(
         F.array_join(
@@ -980,13 +996,9 @@ def rake_topk(
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
     )
-    wstat = (
-        ns.join(ph, [id_col, "island"])
-        .groupBy("tok")
-        .agg(
-            F.sum("plen").alias("deg"),
-            F.count(F.lit(1)).alias("freq"),
-        )
+    wstat = ns.groupBy("tok").agg(
+        F.sum("plen").alias("deg"),
+        F.count(F.lit(1)).alias("freq"),
     )
     wsc = wstat.select(
         "tok",
