@@ -132,6 +132,17 @@ BNLJ_WHITELIST = {
 }
 
 
+# Exchange-count ratchet (judge stretch task, round 6): the audit
+# already counts exchanges per query; the pin file freezes those counts
+# so a refactor that silently DOUBLES a query's shuffle count while
+# staying correct fails --check instead of shipping. Budgets are
+# per-query (finer than per-family — a family ceiling would let the
+# cheapest member grow to the most expensive member's count unnoticed).
+# Regenerate deliberately with --pin after reviewing the new plans; the
+# diff of docs/EXCHANGE_BUDGETS.json IS the whitelist note.
+BUDGET_FILE = os.path.join(REPO, "docs", "EXCHANGE_BUDGETS.json")
+
+
 def main() -> int:
     # strict flag handling: round 3 shipped a destroyed PLAN_AUDIT.md
     # because `--help` was silently taken as the sf_dir and every query
@@ -144,7 +155,14 @@ def main() -> int:
     ap.add_argument(
         "--check", action="store_true",
         help="CI-gate mode: exit 1 on row-Python / unlisted BNLJ / "
-        "build errors instead of just reporting",
+        "build errors / exchange counts above the pinned budget "
+        "(docs/EXCHANGE_BUDGETS.json) instead of just reporting",
+    )
+    ap.add_argument(
+        "--pin", action="store_true",
+        help="(re)write docs/EXCHANGE_BUDGETS.json from this run's "
+        "exchange counts — the deliberate act that accepts new plan "
+        "shapes; requires a full-registry run (no query subset)",
     )
     ap.add_argument(
         "sf_dir", nargs="?", default="/root/testdata/sf0.001",
@@ -247,6 +265,23 @@ def main() -> int:
         print(f"wrote {dest}", end="; ")
     n_row_py = sum(c["row_py"] for _, c, _ in rows if c)
     print(f"{len(rows)} queries, row_py total = {n_row_py}")
+    import json
+
+    if ns.pin:
+        if only:
+            ap.error("--pin requires a full-registry run (no subset)")
+        budgets = {
+            name: counts["exchanges"]
+            for name, counts, _ in rows
+            if counts is not None
+        }
+        with open(BUDGET_FILE, "w") as f:
+            json.dump(budgets, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"pinned {len(budgets)} exchange budgets to {BUDGET_FILE}")
+    budgets = {}
+    if os.path.exists(BUDGET_FILE):
+        budgets = json.load(open(BUDGET_FILE))
     if check:
         violations = []
         for name, counts, note in rows:
@@ -266,12 +301,33 @@ def main() -> int:
                     f"{name}: BroadcastNestedLoopJoin outside the "
                     "whitelist — re-plan or review+whitelist"
                 )
+            elif (
+                counts
+                and name in budgets
+                and counts["exchanges"] > budgets[name]
+            ):
+                violations.append(
+                    f"{name}: {counts['exchanges']} exchanges exceeds "
+                    f"the pinned budget {budgets[name]} — re-plan, or "
+                    "accept deliberately via --pin (the diff of "
+                    "docs/EXCHANGE_BUDGETS.json is the review note)"
+                )
         if violations:
             print("PLAN CHECK FAILED:")
             for v in violations:
                 print("  " + v)
             return 1
-        print("PLAN CHECK OK")
+        unpinned = [
+            n for n, c, _ in rows
+            if c is not None and n not in budgets and budgets
+        ]
+        if unpinned:
+            print(
+                f"PLAN CHECK OK ({len(unpinned)} queries without an "
+                "exchange pin — run --pin on the full registry)"
+            )
+        else:
+            print("PLAN CHECK OK")
     return 0
 
 
