@@ -360,6 +360,7 @@ HEADLINE = [
     "text_dup_ngram_rate",
     "cv_mase",
     "stream_checkpoint_resume",
+    "text_unigram_lm",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -1,0 +1,269 @@
+"""Unigram-LM (SentencePiece-style) tokenizer induction by hard-EM
+(Viterbi training) — the companion to the BPE induction in
+``operators/bpe.py`` and the tokenizer family modern multilingual
+models actually use (Kudo 2018, "Subword Regularization", public
+method; SentencePiece is its public implementation).
+
+Formulation chosen for exactness and SQL replay, the same oracle-able
+moment discipline as the round-6 suite:
+
+* The corpus is reduced to its DISTINCT WORDS with exact BIGINT
+  frequencies — the Heaps-law-bounded frame every tokenizer trainer
+  (BPE here included) operates on. No driver loops: the Viterbi DP
+  runs as ONE codegen ``aggregate`` expression per distinct word,
+  fully distributed.
+* Candidate pieces = all character substrings of length 1..MAX_PIECE;
+  initial counts c0(p) = Σ_w wf(w)·occ(p, w) are exact integers.
+* Piece scores are the quantized log-probabilities
+  ``s(p) = round(ln(c/T)·10^6)`` — BIGINTs, so the per-word DP is
+  integer arithmetic and the cross-engine argmax is bit-identical
+  (ties broken by the SHORTEST candidate piece, pinned in both
+  engines).
+* Hard-EM round: segment every word by Viterbi under s_t, recount
+  pieces along the chosen paths (c_{t+1} exact integers), drop pieces
+  with zero count, requantize. Monotonicity: the Viterbi-EM objective
+  Σ_w wf(w)·best_t(w) is non-decreasing round over round (the chosen
+  segmentation of round t stays available and the M-step re-estimates
+  the multinomial MLE over exactly the pieces that segmentation used —
+  the classic hard-EM argument; feasibility is preserved because every
+  round-t path piece has count ≥ 1). Quantization at 10^-6 is shared
+  by both engines, so the property is checked on the quantized
+  objective the engines actually optimize.
+
+Scale: the word table is vocabulary-bounded (sublinear in corpus
+size), the piece table ≤ MAX_WORD·MAX_PIECE·|words| rows, and every
+join is words⋈pieces on the piece string — broadcast-shaped at any
+corpus size. Words longer than MAX_WORD characters are excluded from
+the model universe in BOTH engines (documented cap, counted nowhere
+else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_WORD = 12    # DP positions (corpus max observed: 8)
+MAX_PIECE = 4    # max piece length
+LOG_SCALE = 1_000_000  # ln quantization (micro units)
+BIG_NEG = -(10 ** 12)  # "piece not in vocab" score (micro units)
+
+__all__ = [
+    "distinct_words",
+    "piece_counts",
+    "scores_from_counts",
+    "viterbi_segment",
+    "unigram_lm_rounds",
+    "MAX_WORD",
+    "MAX_PIECE",
+    "LOG_SCALE",
+]
+
+
+def distinct_words(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(w, wf): distinct lowercase whitespace words with exact corpus
+    frequencies, capped at MAX_WORD characters (documented universe)."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("w")
+        )
+        .where(
+            (F.col("w") != "") & (F.length("w") <= MAX_WORD)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+
+
+def _word_pieces(words: DataFrame) -> DataFrame:
+    """(w, wf, a, l, piece): every substring occurrence, a = 1-based
+    start, l = length ≤ MAX_PIECE."""
+    grid = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda a: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(
+                            F.lit(MAX_PIECE),
+                            F.length("w") - a + F.lit(1),
+                        ),
+                    ),
+                    lambda l: F.struct(a.alias("a"), l.alias("l")),
+                ),
+            )
+        )
+    ).alias("al")
+    return words.select("w", "wf", grid).select(
+        "w",
+        "wf",
+        F.col("al.a").alias("a"),
+        F.col("al.l").alias("l"),
+        F.expr("substring(w, al.a, al.l)").alias("piece"),
+    )
+
+
+def piece_counts(words: DataFrame) -> DataFrame:
+    """Initial candidate-piece counts: c0(p) = Σ_w wf(w)·occ(p, w)."""
+    return (
+        _word_pieces(words)
+        .groupBy("piece")
+        .agg(F.sum("wf").alias("c"))
+    )
+
+
+def scores_from_counts(counts: DataFrame) -> DataFrame:
+    """(piece, s): quantized log-probabilities from exact counts —
+    s = round(ln(c / Σc)·10^6) as BIGINT."""
+    tot = counts.agg(F.sum("c").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+            * LOG_SCALE
+        )
+        .cast("long")
+        .alias("s"),
+    )
+
+
+def _dp_exprs() -> tuple:
+    """The Viterbi DP as Spark SQL lambda expressions over (w, __m)
+    where __m is the word's piece→score map. Returns (best_bt, path):
+
+    * best_bt: struct(best array<long>, bt array<int>) — best[i+1] =
+      best score of w[1..i] (best[1] = 0 for the empty prefix), bt[i]
+      = the chosen piece length at position i (ties → SHORTEST piece,
+      the pinned cross-engine rule).
+    * path: array<string> of the chosen pieces, from a bounded
+      backtrack (MAX_WORD steps).
+    """
+    # candidate l at position i: best(i-l) + s(w[i-l+1 .. i])
+    def cand(l: int) -> str:
+        return (
+            f"CASE WHEN i >= {l} THEN element_at(acc.best, i - {l} + 1)"
+            f" + coalesce(element_at(__m, substring(w, i - {l} + 1,"
+            f" {l})), {BIG_NEG}L) END"
+        )
+
+    cands = ", ".join(cand(l) for l in range(1, MAX_PIECE + 1))
+    pick = " ".join(
+        f"WHEN ({cand(l)}) = __b THEN {l}"
+        for l in range(1, MAX_PIECE + 1)
+    )
+    best_bt = (
+        "aggregate(sequence(1, length(w)), "
+        "named_struct('best', array(0L), 'bt', array(0)), "
+        "(acc, i) -> ("
+        f"  SELECT named_struct("
+        "    'best', array_append(acc.best, __b), "
+        f"   'bt', array_append(acc.bt, CASE {pick} END)) "
+        f"  FROM (SELECT greatest({cands}) AS __b)"
+        "))"
+    )
+    # Spark lambdas cannot contain subqueries; inline __b instead.
+    best_expr = f"greatest({cands})"
+    pick_expr = " ".join(
+        f"WHEN ({cand(l)}) = ({best_expr}) THEN {l}"
+        for l in range(1, MAX_PIECE + 1)
+    )
+    best_bt = (
+        "aggregate(sequence(1, length(w)), "
+        "named_struct('best', array(0L), 'bt', array(0)), "
+        "(acc, i) -> named_struct("
+        f"'best', array_append(acc.best, {best_expr}), "
+        f"'bt', array_append(acc.bt, CASE {pick_expr} END)))"
+    )
+    # bounded backtrack: walk pos from length(w) down via bt
+    path = (
+        f"aggregate(sequence(1, {MAX_WORD}), "
+        "named_struct('pos', length(w), "
+        "'arr', cast(array() as array<string>)), "
+        "(st, k) -> IF(st.pos > 0, named_struct("
+        "'pos', st.pos - element_at(__dp.bt, st.pos + 1), "
+        "'arr', array_append(st.arr, substring(w, "
+        "st.pos - element_at(__dp.bt, st.pos + 1) + 1, "
+        "element_at(__dp.bt, st.pos + 1)))), st)).arr"
+    )
+    return best_bt, path
+
+
+def viterbi_segment(
+    words: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """Segment every distinct word under the quantized piece scores:
+    (w, wf, obj = best total score, path = array of chosen pieces).
+    One piece-score join + one codegen DP expression per word — no
+    Python, no iteration over rows."""
+    wp = (
+        _word_pieces(words)
+        .select("w", "piece")
+        .distinct()
+        .join(vocab, "piece")
+    )
+    maps = wp.groupBy("w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "s"))
+        ).alias("__m")
+    )
+    best_bt, path = _dp_exprs()
+    dp = (
+        words.join(maps, "w")
+        .withColumn("__dp", F.expr(best_bt))
+        .select(
+            "w",
+            "wf",
+            F.expr("element_at(__dp.best, length(w) + 1)").alias(
+                "obj"
+            ),
+            F.expr(path).alias("path"),
+        )
+    )
+    return dp
+
+
+def unigram_lm_rounds(
+    docs: DataFrame, text_col: str = "text", n_rounds: int = 2
+) -> DataFrame:
+    """Run ``n_rounds`` of Viterbi hard-EM and emit one summary row per
+    round: (round, n_pieces, total_count, objective_micro) — piece
+    inventory size, Σ counts feeding the round's scores, and the
+    corpus Viterbi objective Σ_w wf·best(w) in micro log units. The
+    EM property: objective_micro is non-decreasing in round."""
+    words = distinct_words(docs, text_col).localCheckpoint(eager=True)
+    counts = piece_counts(words)
+    out = None
+    for r in range(1, n_rounds + 1):
+        counts = counts.localCheckpoint(eager=True)
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.sum("c").alias("total_count"),
+        )
+        vocab = scores_from_counts(counts)
+        seg = viterbi_segment(words, vocab).localCheckpoint(eager=True)
+        obj = seg.agg(
+            F.sum(F.col("wf") * F.col("obj")).alias("objective_micro")
+        )
+        row = (
+            stats.crossJoin(F.broadcast(obj))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_pieces",
+                "total_count",
+                "objective_micro",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        # M-step: recount pieces along the chosen paths; 0-count
+        # pieces drop out of the vocabulary (feasibility preserved:
+        # every chosen path's pieces have count ≥ 1)
+        counts = (
+            seg.select("wf", F.explode("path").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("wf").alias("c"))
+        )
+    return out.orderBy("round")

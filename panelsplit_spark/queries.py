@@ -487,6 +487,13 @@ from .queries_round6d import QUERIES17, oracles17  # noqa: E402
 QUERIES.update(QUERIES17)
 ORACLES.update(oracles17())
 
+# round-7: unigram-LM tokenizer induction (the one stretch addition of
+# the otherwise-frozen round-7 registry)
+from .queries_round7 import QUERIES18, oracles18  # noqa: E402
+
+QUERIES.update(QUERIES18)
+ORACLES.update(oracles18())
+
 # ----------------------------------------------------------------------
 # Driver-coverage rotation (judge task, round 6 → implemented round 7).
 # The driver's correctness gate compares the FIRST 50 registry entries

@@ -129,6 +129,9 @@ BNLJ_WHITELIST = {
     "feat_pacf",             # 3-row lag axis crossed into the series
                              # (feat_acf's whitelisted shape, capped)
     "pipe_mix_entropy",      # single-row (n_docs, n_sources) scalar
+    # round-7
+    "text_unigram_lm",       # single-row total-count / objective
+                             # scalars crossed into the round summary
 }
 
 
