@@ -229,7 +229,18 @@ def ancestor_closure(
         rounds = max_rounds
     acc = base
     jump = base
-    n_jump = jump.count()
+    # With a caller-known depth bound the loop shape is FIXED, so the
+    # per-round eager materializations (an acc count over the growing
+    # cached pair set + a jump count per round — the fixpoint test) are
+    # pure overhead: leave every round lazy-but-persisted and let the
+    # caller's first action materialize the whole cascade once. The
+    # persists must stay either way — acc_k references acc_{k-1} twice
+    # (union + join), so an unpersisted chain would recompute
+    # exponentially. Unknown depth keeps the eager counts: they ARE the
+    # fixpoint detection.
+    lazy = known_max_depth is not None
+    persisted = [base]
+    n_jump = -1 if lazy else jump.count()
     for k in range(rounds):
         if n_jump == 0:
             break
@@ -248,12 +259,15 @@ def ancestor_closure(
             F.col("_a").alias("anc"),
             (F.col("dist") + F.col("_d")).alias("dist"),
         ).persist()
-        n_jump = nxt_jump.count()  # tiny: ≤ one row per node
-        nxt_acc.count()            # materialize before the next round
-        if acc is not base:
-            acc.unpersist()
-        if jump is not base:
-            jump.unpersist()
+        if lazy:
+            persisted += [nxt_acc, nxt_jump]
+        else:
+            n_jump = nxt_jump.count()  # tiny: ≤ one row per node
+            nxt_acc.count()            # materialize before next round
+            if acc is not base:
+                acc.unpersist()
+            if jump is not base:
+                jump.unpersist()
         acc, jump = nxt_acc, nxt_jump
     if n_jump != 0:
         # jumps of exactly 2^rounds may coexist with a COMPLETE closure
@@ -275,6 +289,13 @@ def ancestor_closure(
                     f"rounds (cycle, or depth > 2^{max_rounds})"
                 )
             )
+    if lazy:
+        # the safety probe above was the single materializing action;
+        # every persisted round (base, accs, jumps) must stay alive
+        # until the caller is done with the closure — expose them all
+        # for release afterwards
+        acc.persisted_intermediates = tuple(persisted)
+        return acc
     if jump is not base:
         jump.unpersist()
     if acc is not base:
@@ -336,7 +357,11 @@ def shortest_paths(
             .agg(F.min("dist").alias("dist"))
             .persist()
         )
-        relaxed.count()  # materialize before dropping the parent
+        # materialize each round eagerly: dist_k is referenced twice by
+        # round k+1, and a persisted-but-lazy frame referenced twice in
+        # ONE action double-computes under parallel stages (cache-fill
+        # race) — measured 7 → 14 s at sf1 when this count was removed
+        relaxed.count()
         persisted.append(relaxed)
         dist = relaxed
     dist.persisted_intermediates = persisted
