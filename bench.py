@@ -535,11 +535,80 @@ def _sf1_prefix_join_production(spark, sf_dir):
 SF1_HEADLINE = list(HEADLINE)
 
 
+def _machine_fingerprint() -> dict:
+    """CPU count + a short single-thread calibration score.
+
+    Regression comparisons are only meaningful between runs made on
+    machines of like speed: round 7's detector compared driver-machine
+    medians against the builder's quiet-machine pins of the SAME HEAD
+    and flagged two "regressions" that were pure machine deltas (judge
+    finding, round 7). Each artifact now carries this fingerprint and
+    the detector only compares same-fingerprint bases. The calibration
+    loop is single-thread on purpose — it tracks effective core speed
+    (incl. ambient load / frequency scaling), not parallelism.
+    """
+    t0 = time.perf_counter()
+    x, n = 0, 0
+    while time.perf_counter() - t0 < 0.25:
+        for _ in range(10000):
+            x += 1
+        n += 1
+    return {"cpus": os.cpu_count(), "calib_kops": n * 10}
+
+
+def _fingerprints_match(prev_fp, now_fp) -> bool:
+    """Same cpu count and calibration within a 1.3× band. A missing or
+    malformed prev fingerprint (pre-round-8 artifact) is a mismatch —
+    better to skip one round of flags than to flag machine deltas."""
+    if not isinstance(prev_fp, dict) or not isinstance(now_fp, dict):
+        return False
+    if prev_fp.get("cpus") != now_fp.get("cpus"):
+        return False
+    p, n = prev_fp.get("calib_kops"), now_fp.get("calib_kops")
+    if not p or not n:
+        return False
+    return 1 / 1.3 <= (n / p) <= 1.3
+
+
+def _median_basis_total(values: dict, medians: dict) -> float:
+    """Sum of per-query times on the median basis: the same-run median
+    where one exists, the single-pass time elsewhere. The budget guard
+    keys on this so a load spike the run's own medians disprove cannot
+    fire budget_hot."""
+    return round(
+        sum(
+            medians.get(k, v)
+            for k, v in values.items()
+            if isinstance(v, float)
+        ),
+        3,
+    )
+
+
+def _sf1_median_labels(sf1: dict, n: int) -> list:
+    """Top-n heaviest sf1 labels eligible for median re-runs. Any
+    '@'-suffixed label other than '@production' is a special
+    experimental setup (skew A/B variants) whose builder is NOT
+    resolvable from the registry — re-running it would time the plain
+    registry query and record a median mixing two setups (advisor
+    finding, round 7)."""
+    return sorted(
+        (
+            k
+            for k, v in sf1.items()
+            if isinstance(v, float)
+            and ("@" not in k or k.endswith("@production"))
+        ),
+        key=lambda k: -sf1[k],
+    )[:n]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    fingerprint = _machine_fingerprint()
 
     from pyspark.sql import SparkSession
 
@@ -633,14 +702,17 @@ def main() -> None:
     # queries sit at the JVM/scheduler noise floor and a pure-ratio
     # threshold rotates names every run.
     regressions = {}
+    regression_check = {"fingerprint": fingerprint}
     try:
         prev_q, prev_m = {}, {}
+        prev_fp = None
         full_path = os.path.join(REPO, "BENCH_FULL.json")
         if os.path.exists(full_path):
             prevrec = json.load(open(full_path))
             if prevrec.get("sf") == sf:
                 prev_q = prevrec.get("queries") or {}
                 prev_m = prevrec.get("medians") or {}
+                prev_fp = prevrec.get("machine_fingerprint")
         if not prev_q:
             # fall back to the driver's stdout-tail capture of older
             # rounds (pre-BENCH_FULL artifacts)
@@ -661,19 +733,31 @@ def main() -> None:
                 merged.update(parsed.get("queries") or {})
                 if parsed.get("sf") == sf:
                     prev_q = merged
-        for name in heavy:
-            p = prev_m.get(name) or prev_q.get(name)
-            now = medians[name]
-            if p and now > 1.3 * p and now - p > 0.5:
-                regressions[name] = {
-                    "prev": p, "now": now, "basis": "median3"
-                }
-        for name, dt in timings.items():
-            if name in heavy:
-                continue
-            p = prev_q.get(name)
-            if p and dt > 1.5 * p and dt - p > 0.5:
-                regressions[name] = {"prev": p, "now": dt, "basis": "min2"}
+        # Same-machine gate (round-8, judge task #2): only flag when the
+        # previous artifact was produced on a like machine; cross-machine
+        # numbers of the same HEAD are not regressions.
+        fp_ok = _fingerprints_match(prev_fp, fingerprint)
+        regression_check["prev_fingerprint"] = prev_fp
+        regression_check["fingerprint_match"] = fp_ok
+        if fp_ok:
+            for name in heavy:
+                # medians compare ONLY to medians (warm-rerun basis,
+                # see medians_basis) — never backfill from single-pass
+                # numbers (advisor finding, round 7)
+                p = prev_m.get(name)
+                now = medians[name]
+                if p and now > 1.3 * p and now - p > 0.5:
+                    regressions[name] = {
+                        "prev": p, "now": now, "basis": "median3"
+                    }
+            for name, dt in timings.items():
+                if name in heavy:
+                    continue
+                p = prev_q.get(name)
+                if p and dt > 1.5 * p and dt - p > 0.5:
+                    regressions[name] = {
+                        "prev": p, "now": dt, "basis": "min2"
+                    }
     except Exception:
         pass
     # sf1 section: 10× the bench scale, where shuffle/scan cost is real.
@@ -760,14 +844,7 @@ def main() -> None:
                 "_truncated_after" not in sf1
                 and time.time() - t_start < 0.9 * budget
             ):
-                heavy1 = sorted(
-                    (
-                        k
-                        for k, v in sf1.items()
-                        if isinstance(v, float) and "@unsalted" not in k
-                    ),
-                    key=lambda k: -sf1[k],
-                )[:N_SF1_MEDIAN]
+                heavy1 = _sf1_median_labels(sf1, N_SF1_MEDIAN)
                 for label in heavy1:
                     name = label.split("@")[0]
                     fn = (
@@ -792,6 +869,14 @@ def main() -> None:
     sf1_total = round(
         sum(v for v in sf1.values() if isinstance(v, float)), 3
     )
+    # Median-basis total (round-8, judge task #1): where the same run
+    # produced a median-of-3, use it; single-pass elsewhere. The guard
+    # and ceiling checks key on THIS basis so a one-off load spike that
+    # the run's own medians disprove (round 7: text_lm_bigram 24.7 s
+    # single vs 7.0 s median fired budget_hot at 86.1% when steady
+    # state was ~82%) stops crying wolf. Single-pass numbers stay in
+    # the artifact for history.
+    sf1_total_median_basis = _median_basis_total(sf1, sf1_medians)
     # Structural budget guards (judge finding, round 5: the sf1 budget
     # 600→780→900 as the registry grew 235→278→332 (round-6 session 2:
     # +54 queries measured at +84 s sf1 on a quiet machine, plus a
@@ -806,16 +891,26 @@ def main() -> None:
     for k, v in sf1.items():
         # @unsalted_* are the skew A/B's deliberately-bad comparison
         # plans, not production paths — exempt from the ceiling
-        if not isinstance(v, float) or v <= sf1_ceiling:
+        if not isinstance(v, float):
+            continue
+        # ceiling check on the median basis: a query whose same-run
+        # median sits under the ceiling was load-spiked, not slow
+        basis_v = sf1_medians.get(k, v)
+        if basis_v <= sf1_ceiling:
             continue
         if "@unsalted" in k:
             continue
         if k in SF1_CEILING_NOTES:
-            sf1_over_noted[k] = {"sec": v, "note": SF1_CEILING_NOTES[k]}
+            sf1_over_noted[k] = {
+                "sec": basis_v, "single_pass": v,
+                "note": SF1_CEILING_NOTES[k],
+            }
         else:
-            sf1_over[k] = v
+            sf1_over[k] = basis_v
     sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "900"))
-    sf1_budget_hot = bool(sf1) and sf1_total > 0.85 * sf1_budget
+    sf1_budget_hot = (
+        bool(sf1) and sf1_total_median_basis > 0.85 * sf1_budget
+    )
     # The driver records only the TAIL of stdout, so a full per-query
     # blob on stdout (≈12 KB for 278 queries at two SFs) truncates into
     # an unparseable fragment (BENCH_r03 "parsed": null; BENCH_r05 lost
@@ -831,15 +926,24 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "medians": medians,
+        # medians come from warm back-to-back re-runs (OS page cache +
+        # JIT warmed by the recorded first pass) — comparable ONLY to
+        # other medians, never to single-pass history
+        "medians_basis": "warm-rerun median-of-3",
+        "machine_fingerprint": fingerprint,
+        "regression_check": regression_check,
         "regressions": regressions,
         "sf1": {
             "total": sf1_total,
+            "total_median_basis": sf1_total_median_basis,
             "budget": sf1_budget,
             "ceiling": sf1_ceiling,
             "over_ceiling": sf1_over,
             "over_ceiling_noted": sf1_over_noted,
             "budget_hot": sf1_budget_hot,
+            "budget_hot_basis": "total_median_basis",
             "medians": sf1_medians,
+            "medians_basis": "warm-rerun median-of-3",
             "queries": sf1,
         },
     }
@@ -848,18 +952,22 @@ def main() -> None:
     # medians so a one-off load spike stops reading as a regression)
     try:
         prev_sf1_m = {}
+        prev_fp1 = None
         if os.path.exists(os.path.join(REPO, "BENCH_FULL.json")):
             prevrec = json.load(
                 open(os.path.join(REPO, "BENCH_FULL.json"))
             )
             prev_sf1 = prevrec.get("sf1") or {}
             prev_sf1_m = prev_sf1.get("medians") or {}
-        for name, now in sf1_medians.items():
-            p = prev_sf1_m.get(name)
-            if p and now > 1.3 * p and now - p > 2.0:
-                regressions[name] = {
-                    "prev": p, "now": now, "basis": "sf1_median3"
-                }
+            prev_fp1 = prevrec.get("machine_fingerprint")
+        # same-machine gate, same rationale as the sf0.1 block above
+        if _fingerprints_match(prev_fp1, fingerprint):
+            for name, now in sf1_medians.items():
+                p = prev_sf1_m.get(name)
+                if p and now > 1.3 * p and now - p > 2.0:
+                    regressions[name] = {
+                        "prev": p, "now": now, "basis": "sf1_median3"
+                    }
         full["regressions"] = regressions
     except Exception:
         pass
@@ -883,6 +991,7 @@ def main() -> None:
                 {
                     "metric": "sf1_queries_total",
                     "value": sf1_total,
+                    "median_basis_total": sf1_total_median_basis,
                     "unit": "sec",
                     "n_queries": sum(
                         1 for v in sf1.values() if isinstance(v, float)

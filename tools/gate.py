@@ -101,14 +101,17 @@ def bench_artifact_check(path: str = None) -> int:
             f"over ceiling, documented: {info.get('note')}"
         )
     if sf1.get("budget_hot"):
+        basis_total = sf1.get("total_median_basis", sf1.get("total"))
         print(
-            f"gate: benchcheck WARN — sf1_total {sf1.get('total')}s is "
-            f"over 85% of the {sf1.get('budget')}s budget: headroom is "
-            "nearly gone, reclaim time before adding sf1 entries"
+            f"gate: benchcheck WARN — sf1 median-basis total "
+            f"{basis_total}s is over 85% of the {sf1.get('budget')}s "
+            "budget: headroom is nearly gone, reclaim time before "
+            "adding sf1 entries"
         )
     print(
-        f"gate: benchcheck PASS (sf1_total={sf1.get('total')}s of "
-        f"{sf1.get('budget')}s, {len(qs)} sf1 entries, "
+        f"gate: benchcheck PASS (sf1_total={sf1.get('total')}s "
+        f"single-pass / {sf1.get('total_median_basis', 'n/a')}s "
+        f"median-basis of {sf1.get('budget')}s, {len(qs)} sf1 entries, "
         f"{len(sf1.get('over_ceiling') or {})} over-ceiling warnings)"
     )
     return 0
