@@ -44,6 +44,15 @@ def co_occurrence_pairs(
     (groups containing both), ``cnt1 cnt2`` (groups containing each),
     ``lift`` = pair_cnt·n_groups / (cnt1·cnt2) as one exact-integer
     double division.
+
+    NULL contract: NULL items are dropped BEFORE grouping. A NULL item
+    can never form a pair (both pair construction and any SQL ``<``
+    comparison reject it), so dropping it early only affects the lift
+    denominators: groups whose items are ALL NULL do not count toward
+    ``n_groups``, and NULL never appears in the per-item marginals.
+    Any SQL twin must apply the same ``item IS NOT NULL`` filter before
+    its DISTINCT/group stage or its ``n_groups`` will differ on data
+    containing all-NULL groups (the paired oracle does).
     """
     # ONE group-keyed shuffle builds the capped per-group item array:
     # sort_array(collect_set) ascending + slice ≡ the old distinct +

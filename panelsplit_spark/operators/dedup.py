@@ -320,9 +320,9 @@ def _shingle_pair_core(
     # production scale write the shingle table out instead. Skip when
     # the caller already handed us a materialized frame and no pruning
     # narrowed it (checkpointing a checkpoint would copy the blocks for
-    # nothing), and in the candidates form, where the packed-array
-    # table below is the single consumer and gets checkpointed itself
-    # (50k array rows vs millions of shingle rows).
+    # nothing), and in the candidates form, where each verify branch
+    # checkpoints the (candidate-pruned, much smaller) frame itself
+    # right before its own consumers.
     if candidates is None and not (
         shingles is not None and max_shingle_df is None
     ):
@@ -382,6 +382,12 @@ def _shingle_pair_core(
         # On the (cosmically rare) collision the code keeps the string
         # arrays, so results never depend on hash luck. At 100 TB run
         # the check on the same pass that builds the shingle table.
+        # Two consumers below (this aggregate + the packed-array build):
+        # materialize the candidate-pruned frame once so a LAZY
+        # caller-supplied shingles frame doesn't re-run its whole
+        # tokenize/explode/semi-join chain per consumer (advisor
+        # finding, round 7).
+        sh = sh.localCheckpoint(eager=True)
         chk = sh.agg(
             F.countDistinct("shingle").alias("s"),
             F.countDistinct(F.xxhash64("shingle")).alias("h"),

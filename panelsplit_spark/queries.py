@@ -550,9 +550,24 @@ _DRIVER_VERIFIED = [
     "rel_top_orders_per_cust", "rel_daily_revenue_ma7",
     "rel_nation_setops", "rel_scalar_gallery", "rel_value_deciles",
     "stream_sessionize", "cv_pipe_scaled_ols",
+    # round-7 rotation window (CORRECTNESS_r07.json, 40/40 green)
+    "cv_adversarial_auc", "cv_auc_price", "cv_block_bootstrap",
+    "cv_bootstrap_ci", "cv_calibration_bins", "cv_coef_stability",
+    "cv_conformal_interval", "cv_cpcv_paths", "cv_cuped",
+    "cv_diff_in_diff", "cv_dm_test", "cv_fold_drift",
+    "cv_forecast_combo", "cv_group_kfold", "cv_horizon_decay",
+    "cv_huber_irls", "cv_learning_curve", "cv_ljungbox",
+    "cv_loco_importance", "cv_logit_irls", "cv_mase",
+    "cv_mincer_zarnowitz", "cv_nested_ridge", "cv_pbo",
+    "cv_permutation_test", "cv_poisson_irls", "cv_power_mde",
+    "cv_purge_effect", "cv_quantile_loss", "cv_residual_dw",
+    "cv_skill_score", "cv_stack_blend", "cv_weighted_ols_oof",
+    "dedup_cluster_sizes", "dedup_clusters", "dedup_clusters_star",
+    "dedup_incremental", "dedup_keep_best", "dedup_lsh_recall",
+    "dedup_phonetic",
 ]
 
-_ROTATION_EPOCH = 0  # round 7; bump by 1 per round
+_ROTATION_EPOCH = 1  # round 8; bump by 1 per round
 _ROTATION_WINDOW = 40
 
 

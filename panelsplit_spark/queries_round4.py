@@ -938,7 +938,8 @@ def q_pipe_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_ITEM_PAIRS = """
-WITH items0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+WITH items0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem WHERE l_partkey IS NOT NULL),
 items AS (
   SELECT g, i FROM (
     SELECT g, i, row_number() OVER (PARTITION BY g ORDER BY i) AS rk
