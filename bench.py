@@ -361,6 +361,9 @@ HEADLINE = [
     "cv_mase",
     "stream_checkpoint_resume",
     "text_unigram_lm",
+    # round 8
+    "text_unigram_encode",
+    "dedup_incremental_store",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

@@ -61,6 +61,7 @@ __all__ = [
     "semdedup",
     "prefix_filter_candidates",
     "incremental_band_dedup",
+    "signature_store_rounds",
     "survivorship_golden",
 ]
 
@@ -1565,6 +1566,99 @@ def incremental_band_dedup(
         .otherwise(F.lit("dup_batch"))
         .alias("status"),
     )
+
+
+def signature_store_rounds(
+    spark,
+    splits,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persisted-MinHash-store dedup: process corpus increments in
+    order against a band-signature table ON DISK, and return every LSH
+    candidate pair discovered across the ingest history →
+    (id_a, id_b) distinct, id_a < id_b.
+
+    The versioned-state companion to :func:`incremental_band_dedup`
+    (which rebuilds the corpus index per call): here the index is a
+    parquet table of (doc_id, band_id, band_sig) rows that persists
+    between ingests and grows by exactly the new batch's bands, so
+    ingest k costs one probe equi-join of |batch_k|·n_bands rows
+    against the store plus one append — the corpus text is NEVER
+    re-scanned.
+
+    Exactness theorem (the oracle gate): the returned pair set equals
+    :func:`lsh_candidate_pairs` over the UNION of all splits. Any pair
+    (a, b) sharing a band with a ingested at step s ≤ t of b is found
+    either by step t's within-batch self-join (s == t) or by its probe
+    against the store (s < t — the store holds every doc from steps
+    < t, duplicates included: the store is a signature index, not an
+    admission list, and dropping rejected docs' bands would lose
+    candidates a full recompute finds). Conversely every discovered
+    pair shares a band. Hash-matching the full-recompute SQL oracle on
+    the grown corpus is therefore the incremental == full equality, the
+    same discipline as ``stream_checkpoint_resume``.
+
+    Layout: each append is repartitioned on ``band_sig`` — the
+    bucket-file layout that keeps probe joins bucket-local; at
+    production scale this is a bucketed catalog table (storage-
+    partitioned join) and the probe never shuffles the store side.
+    Each step's discoveries are materialized BEFORE its append so no
+    probe can observe its own batch in the store.
+    """
+    import shutil as _shutil
+
+    _shutil.rmtree(store_dir, ignore_errors=True)
+    found = None
+    for step, docs in enumerate(splits):
+        bands = explode_bands(
+            minhash_signatures(
+                docs, text_col=text_col, id_col=id_col,
+                n_hashes=n_hashes, shingle_n=shingle_n,
+            ),
+            id_col=id_col, n_hashes=n_hashes, band_size=band_size,
+        ).localCheckpoint(eager=True)
+        a, b = bands.alias("a"), bands.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        step_found = within
+        if step > 0:
+            store = spark.read.parquet(store_dir)
+            cross = (
+                bands.join(
+                    store.withColumnRenamed(id_col, "__old"),
+                    ["band_id", "band_sig"],
+                )
+                .where(F.col("__old") != F.col(id_col))
+                .select(
+                    F.least("__old", id_col).alias("id_a"),
+                    F.greatest("__old", id_col).alias("id_b"),
+                )
+            )
+            step_found = within.unionByName(cross)
+        # materialize this step's discoveries before the append below
+        # mutates the store directory the probe read from
+        step_found = step_found.distinct().localCheckpoint(eager=True)
+        found = (
+            step_found
+            if found is None
+            else found.unionByName(step_found)
+        )
+        bands.repartition(F.col("band_sig")).write.mode(
+            "overwrite" if step == 0 else "append"
+        ).parquet(store_dir)
+    return found.distinct()
 
 
 def survivorship_golden(

@@ -53,6 +53,7 @@ __all__ = [
     "scores_from_counts",
     "viterbi_segment",
     "unigram_lm_rounds",
+    "unigram_encode_by_source",
     "MAX_WORD",
     "MAX_PIECE",
     "LOG_SCALE",
@@ -224,6 +225,90 @@ def viterbi_segment(
         )
     )
     return dp
+
+
+def unigram_encode_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Encode the corpus with the round-``n_rounds`` unigram-LM
+    inventory (the tokenizer-deployment half of :func:`unigram_lm_rounds`
+    — same Kudo-2018 method, fixed scores) and emit per-source exact
+    token accounting:
+
+    ``(source, n_words, n_distinct_words, n_ulm_tokens, n_chars,
+    n_roundtrip_fail)``
+
+    * ``n_ulm_tokens`` = Σ wf·|path| — the corpus token count under the
+      trained inventory (the number a data-mix planner budgets on);
+    * ``n_chars`` = Σ wf·len(w) — and because each Viterbi path TILES
+      its word, piece characters are conserved exactly;
+    * ``n_roundtrip_fail`` counts word occurrences whose decoded path
+      (concat of pieces in order) differs from the word — the
+      ``decode(encode(w)) == w`` gate, identically 0 by construction
+      (feasibility: every word's own round-(t−1) path pieces survive
+      the recount, so the DP never strands a word).
+
+    Scale: training + segmentation operate on the vocabulary-bounded
+    distinct-word table (same as :func:`unigram_lm_rounds`); the only
+    corpus-sized pass is the per-(source, word) count, one map-side-
+    combinable groupBy. The per-word encode result joins back
+    broadcast-shaped (distinct words ≪ corpus rows).
+    """
+    words = distinct_words(docs, text_col).localCheckpoint(eager=True)
+    counts = piece_counts(words)
+    seg = None
+    for r in range(1, n_rounds + 1):
+        counts = counts.localCheckpoint(eager=True)
+        vocab = scores_from_counts(counts)
+        seg = viterbi_segment(words, vocab)
+        if r < n_rounds:
+            # M-step recount feeding the next round's inventory —
+            # skipped after the final segmentation (nothing consumes it)
+            seg = seg.localCheckpoint(eager=True)
+            counts = (
+                seg.select("wf", F.explode("path").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("wf").alias("c"))
+            )
+    # path is emitted END-first by the bounded backtrack: reverse
+    # before the decode comparison
+    enc = seg.select(
+        "w",
+        F.size("path").alias("n_tokens"),
+        (F.concat_ws("", F.reverse("path")) == F.col("w")).alias("ok"),
+    )
+    src_words = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("w"),
+        )
+        .where((F.col("w") != "") & (F.length("w") <= MAX_WORD))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("swf"))
+    )
+    return (
+        src_words.join(F.broadcast(enc), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("swf").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum(F.col("swf") * F.col("n_tokens")).alias(
+                "n_ulm_tokens"
+            ),
+            F.sum(F.col("swf") * F.length("w")).alias("n_chars"),
+            F.sum(
+                F.when(~F.col("ok"), F.col("swf")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("n_roundtrip_fail"),
+        )
+        .orderBy("source")
+    )
 
 
 def unigram_lm_rounds(

@@ -494,6 +494,13 @@ from .queries_round7 import QUERIES18, oracles18  # noqa: E402
 QUERIES.update(QUERIES18)
 ORACLES.update(oracles18())
 
+# round-8: unigram-LM corpus encode (tokenizer round-trip gate — the
+# sanctioned stretch addition of the otherwise-frozen round-8 registry)
+from .queries_round8 import QUERIES19, oracles19  # noqa: E402
+
+QUERIES.update(QUERIES19)
+ORACLES.update(oracles19())
+
 # ----------------------------------------------------------------------
 # Driver-coverage rotation (judge task, round 6 → implemented round 7).
 # The driver's correctness gate compares the FIRST 50 registry entries

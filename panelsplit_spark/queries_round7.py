@@ -115,13 +115,18 @@ bt0_{tag} AS (SELECT *, CAST({obj} AS BIGINT) AS obj FROM d{MAX_WORD}_{tag}),
 seg_{tag} AS MATERIALIZED (SELECT * FROM bt{MAX_WORD}_{tag})"""
 
 
-def _sql_unigram_lm() -> str:
+def _ulm_chain_sql() -> str:
+    """The shared training chain (sans leading ``WITH``): corpus words
+    → candidate pieces → round-1 scores → ``seg_r1`` → recounted
+    round-2 scores → ``seg_r2`` (the corpus segmentation under the
+    round-2 inventory). Consumed by both the training oracle
+    (objectives per round) and the round-8 encode oracle (per-source
+    token accounting over ``seg_r2``)."""
     used_pieces = " UNION ALL ".join(
         f"SELECT wf, pc{k} AS piece FROM seg_r1 WHERE pc{k} IS NOT NULL"
         for k in range(1, MAX_WORD + 1)
     )
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
     SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
   ) WHERE w <> '' AND len(w) <= {MAX_WORD} GROUP BY w
@@ -150,9 +155,6 @@ v_r1 AS (
   FROM c_r1, t_r1
 ),
 {_dp_sql("v_r1", "r1")},
-obj_r1 AS (
-  SELECT CAST(sum(wf * obj) AS BIGINT) AS objective_micro FROM seg_r1
-),
 c_r2 AS (
   SELECT piece, CAST(sum(wf) AS BIGINT) AS c
   FROM ({used_pieces}) GROUP BY piece
@@ -164,7 +166,15 @@ v_r2 AS (
               AS BIGINT) AS s
   FROM c_r2, t_r2
 ),
-{_dp_sql("v_r2", "r2")},
+{_dp_sql("v_r2", "r2")}"""
+
+
+def _sql_unigram_lm() -> str:
+    return f"""
+WITH {_ulm_chain_sql()},
+obj_r1 AS (
+  SELECT CAST(sum(wf * obj) AS BIGINT) AS objective_micro FROM seg_r1
+),
 obj_r2 AS (
   SELECT CAST(sum(wf * obj) AS BIGINT) AS objective_micro FROM seg_r2
 )

@@ -1,0 +1,150 @@
+"""Round-8 additions (part 19): unigram-LM corpus encode.
+
+One sanctioned stretch capability (judge task #8, round 7): encode the
+corpus with the round-7 unigram-LM inventory and gate the tokenizer
+round trip — ``decode(encode(w)) == w`` for every word occurrence —
+plus exact token-count conservation against a DuckDB twin, closing the
+loop with ``text_bpe_encode``'s existing per-source accounting pattern.
+The oracle reuses the round-7 training chain verbatim
+(:func:`queries_round7._ulm_chain_sql`, the generated unrolled DP) and
+reads the per-word paths out of ``seg_r2``'s backtrack columns, so the
+two queries gate the SAME inventory.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.unigram_lm import MAX_WORD, unigram_encode_by_source
+from .queries_round7 import _ULM_ROUNDS, _ulm_chain_sql
+from .sources.tables import load_table
+
+
+def q_text_unigram_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token accounting of the corpus encoded with the
+    trained unigram-LM inventory (operators/unigram_lm.py): word and
+    distinct-word counts, total unigram-LM tokens, total characters,
+    and the round-trip-failure count (identically 0 — the
+    decode(encode(w)) == w gate, hash-matched against the DuckDB
+    replay of the same Viterbi DP)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_encode_by_source(docs, n_rounds=_ULM_ROUNDS)
+
+
+def _sql_unigram_encode() -> str:
+    n_tokens = " + ".join(
+        f"CASE WHEN pc{k} IS NOT NULL THEN 1 ELSE 0 END"
+        for k in range(1, MAX_WORD + 1)
+    )
+    # the backtrack emits pieces END-first: concat in reverse k order
+    # reconstructs the word
+    decode = " || ".join(
+        f"coalesce(pc{k}, '')" for k in range(MAX_WORD, 0, -1)
+    )
+    return f"""
+WITH {_ulm_chain_sql()},
+enc AS (
+  SELECT w,
+         CAST({n_tokens} AS BIGINT) AS n_tokens,
+         (({decode}) = w) AS ok
+  FROM seg_r2
+),
+src_words AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS swf FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE w <> '' AND len(w) <= {MAX_WORD} GROUP BY source, w
+)
+SELECT s.source,
+       CAST(sum(s.swf) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(s.swf * e.n_tokens) AS BIGINT) AS n_ulm_tokens,
+       CAST(sum(s.swf * len(s.w)) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN NOT e.ok THEN s.swf ELSE 0 END) AS BIGINT)
+         AS n_roundtrip_fail
+FROM src_words s JOIN enc e USING (w)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+_STORE_SALT = "store"
+_STORE_CUTS = (7000, 8500)  # base 70%, increment 15%, increment 15%
+
+
+def _store_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.getcwd(), "spark-warehouse", "roundtrip", "sig_store"
+    )
+
+
+def q_dedup_incremental_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Versioned-dedup-state gate (judge task #7, round 7): the corpus
+    arrives as a 70% bootstrap plus two 15% increments; each ingest
+    probes and then grows a PERSISTED MinHash band-signature table
+    (operators/dedup.signature_store_rounds — parquet on disk,
+    band_sig-clustered appends, no corpus text re-scans), and the
+    accumulated candidate pairs are exact-Jaccard-verified once against
+    the grown corpus (candidate-pruned, new×all only). The oracle is
+    the FULL RECOMPUTE — dedup_jaccard_lsh's all-at-once SQL over the
+    same documents — so the driver's hash match IS the
+    incremental == full equality, cross-engine (the
+    stream_checkpoint_resume discipline applied to dedup state)."""
+    from .operators import dedup
+    from .operators.sampling import hash_bucket
+    from .queries_data import (
+        JACCARD_N,
+        JACCARD_T,
+        MH_BAND,
+        MH_HASHES,
+        MH_SHINGLE,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), _STORE_SALT)
+    lo, hi = _STORE_CUTS
+    splits = [
+        docs.where(b < lo),
+        docs.where((b >= lo) & (b < hi)),
+        docs.where(b >= hi),
+    ]
+    cands = dedup.signature_store_rounds(
+        spark, splits, _store_dir(),
+        n_hashes=MH_HASHES, band_size=MH_BAND, shingle_n=MH_SHINGLE,
+    )
+    out = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=JACCARD_N, threshold=JACCARD_T,
+        candidates=cands,
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def _sql_incremental_store() -> str:
+    # the oracle IS the full recompute: identical SQL to
+    # dedup_jaccard_lsh over the same grown corpus — hash equality of
+    # the incremental-store run against it is the theorem being gated
+    from .queries_data import _sql_jaccard_lsh
+
+    return _sql_jaccard_lsh()
+
+
+QUERIES19: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_unigram_encode": q_text_unigram_encode,
+    "dedup_incremental_store": q_dedup_incremental_store,
+}
+
+
+def oracles19() -> Dict[str, str]:
+    return {
+        "text_unigram_encode": _sql_unigram_encode(),
+        "dedup_incremental_store": _sql_incremental_store(),
+    }

@@ -49,6 +49,41 @@ def test_segmentation_reconstructs_words(spark):
     assert seg.where(F.col("obj") < -100 * 10**9).count() == 0
 
 
+def test_encode_roundtrip_and_conservation(spark):
+    """The round-8 encode gate: decode(encode(w)) == w for every word
+    occurrence (n_roundtrip_fail ≡ 0), and the token accounting obeys
+    the exact conservation bounds — each word yields ≥1 and ≤len(w)
+    tokens, and the corpus word/char masses match an independent
+    recount of the same capped word universe."""
+    from panelsplit_spark.operators.unigram_lm import (
+        MAX_WORD,
+        unigram_encode_by_source,
+    )
+    from panelsplit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = unigram_encode_by_source(docs, n_rounds=2).collect()
+    assert rows, "no sources"
+    assert all(r["n_roundtrip_fail"] == 0 for r in rows)
+    for r in rows:
+        assert r["n_words"] <= r["n_ulm_tokens"] <= r["n_chars"]
+    # independent recount of the capped universe (words ≤ MAX_WORD
+    # chars, empty strings dropped) — the accounting covers exactly it
+    w = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .where((F.col("w") != "") & (F.length("w") <= MAX_WORD))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .collect()[0]
+    )
+    assert sum(r["n_words"] for r in rows) == w["n_words"]
+    assert sum(r["n_chars"] for r in rows) == w["n_chars"]
+
+
 def test_round2_vocab_keeps_words_feasible(spark):
     from panelsplit_spark.operators.unigram_lm import (
         distinct_words,

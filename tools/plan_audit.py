@@ -132,6 +132,10 @@ BNLJ_WHITELIST = {
     # round-7
     "text_unigram_lm",       # single-row total-count / objective
                              # scalars crossed into the round summary
+    # round-8
+    "text_unigram_encode",   # inherits the unigram-LM trainer's
+                             # single-row total-count scalar (per-round
+                             # score normalization)
 }
 
 
