@@ -413,7 +413,8 @@ SF1_CEILING_NOTES = {
         "frame cut the sf1 floor to ~9.1-9.9 s warm (round-8 A/B, "
         "identical output) from the round-6 ~12 s floor / 18-22 s "
         "under load — any future over-ceiling reading here is load "
-        "variance on the ~9.5 s median-basis floor, not plan drift"
+        "variance on the ~8.4-9.9 s median-basis floor (committed r8 "
+        "BENCH_FULL median 8.38 s), not plan drift"
     ),
 }
 
