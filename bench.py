@@ -605,6 +605,58 @@ def _median_basis_total(values: dict, medians: dict) -> float:
     )
 
 
+def _same_machine_prev(repo: str, sf, fingerprint: dict):
+    """Walk the previous-run records newest-first — the committed
+    BENCH_FULL.json, then the driver-captured chain BENCH_r*.json
+    (each stores the final stdout summary under 'parsed') — and return
+    the first one at the same sf whose machine fingerprint matches:
+    ``(queries, medians, sf1_medians, source)``. This is the judge's
+    round-7 task #2 basis rule made concrete: builder runs compare
+    against the builder's committed artifact, driver runs against the
+    driver's own BENCH_r0N chain (from the first round whose captures
+    carry a fingerprint), and cross-machine numbers of the same HEAD
+    are never compared at all. Records without a fingerprint
+    (pre-round-8) never match — better one silent round than a false
+    regression.
+    """
+    import glob
+    import json as _json
+
+    candidates = []
+    full_path = os.path.join(repo, "BENCH_FULL.json")
+    if os.path.exists(full_path):
+        candidates.append(("BENCH_FULL.json", full_path))
+    for h in sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")), reverse=True
+    ):
+        candidates.append((os.path.basename(h), h))
+    for src, path in candidates:
+        try:
+            rec = _json.load(open(path))
+        except Exception:
+            continue
+        if src != "BENCH_FULL.json":
+            rec = rec.get("parsed")
+            if not isinstance(rec, dict):
+                continue
+        if rec.get("sf") != sf:
+            continue
+        if not _fingerprints_match(
+            rec.get("machine_fingerprint"), fingerprint
+        ):
+            continue
+        sf1_m = (rec.get("sf1") or {}).get("medians") or rec.get(
+            "sf1_medians"
+        ) or {}
+        return (
+            rec.get("queries") or {},
+            rec.get("medians") or {},
+            sf1_m,
+            src,
+        )
+    return {}, {}, {}, None
+
+
 def _sf1_median_labels(sf1: dict, n: int) -> list:
     """Top-n heaviest sf1 labels eligible for median re-runs. Any
     '@'-suffixed label other than '@production' is a special
@@ -723,61 +775,36 @@ def main() -> None:
     # threshold rotates names every run.
     regressions = {}
     regression_check = {"fingerprint": fingerprint}
+    prev_sf1_m = {}
     try:
-        prev_q, prev_m = {}, {}
-        prev_fp = None
-        full_path = os.path.join(REPO, "BENCH_FULL.json")
-        if os.path.exists(full_path):
-            prevrec = json.load(open(full_path))
-            if prevrec.get("sf") == sf:
-                prev_q = prevrec.get("queries") or {}
-                prev_m = prevrec.get("medians") or {}
-                prev_fp = prevrec.get("machine_fingerprint")
-        if not prev_q:
-            # fall back to the driver's stdout-tail capture of older
-            # rounds (pre-BENCH_FULL artifacts)
-            import glob
-
-            hist = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-            if hist:
-                rec = json.load(open(hist[-1]))
-                parsed = rec.get("parsed")
-                if not isinstance(parsed, dict):
-                    parsed = {
-                        "sf": float(rec.get("sf", "nan")), "queries": {}
-                    }
-                pairs = re.findall(
-                    r'"([a-z0-9_]+)": ([0-9.]+)', rec.get("tail", "")
-                )
-                merged = {k: float(v) for k, v in pairs}
-                merged.update(parsed.get("queries") or {})
-                if parsed.get("sf") == sf:
-                    prev_q = merged
-        # Same-machine gate (round-8, judge task #2): only flag when the
-        # previous artifact was produced on a like machine; cross-machine
-        # numbers of the same HEAD are not regressions.
-        fp_ok = _fingerprints_match(prev_fp, fingerprint)
-        regression_check["prev_fingerprint"] = prev_fp
-        regression_check["fingerprint_match"] = fp_ok
-        if fp_ok:
-            for name in heavy:
-                # medians compare ONLY to medians (warm-rerun basis,
-                # see medians_basis) — never backfill from single-pass
-                # numbers (advisor finding, round 7)
-                p = prev_m.get(name)
-                now = medians[name]
-                if p and now > 1.3 * p and now - p > 0.5:
-                    regressions[name] = {
-                        "prev": p, "now": now, "basis": "median3"
-                    }
-            for name, dt in timings.items():
-                if name in heavy:
-                    continue
-                p = prev_q.get(name)
-                if p and dt > 1.5 * p and dt - p > 0.5:
-                    regressions[name] = {
-                        "prev": p, "now": dt, "basis": "min2"
-                    }
+        # Same-machine gate (round-8, judge task #2): compare only
+        # against the newest prior record with a MATCHING machine
+        # fingerprint — the committed BENCH_FULL for builder runs, the
+        # BENCH_r0N driver-capture chain for driver runs. Cross-machine
+        # numbers of the same HEAD are never compared.
+        prev_q, prev_m, prev_sf1_m, prev_src = _same_machine_prev(
+            REPO, sf, fingerprint
+        )
+        regression_check["prev_source"] = prev_src
+        regression_check["fingerprint_match"] = prev_src is not None
+        for name in heavy:
+            # medians compare ONLY to medians (warm-rerun basis, see
+            # medians_basis) — never backfill from single-pass numbers
+            # (advisor finding, round 7)
+            p = prev_m.get(name)
+            now = medians[name]
+            if p and now > 1.3 * p and now - p > 0.5:
+                regressions[name] = {
+                    "prev": p, "now": now, "basis": "median3"
+                }
+        for name, dt in timings.items():
+            if name in heavy:
+                continue
+            p = prev_q.get(name)
+            if p and dt > 1.5 * p and dt - p > 0.5:
+                regressions[name] = {
+                    "prev": p, "now": dt, "basis": "min2"
+                }
     except Exception:
         pass
     # sf1 section: 10× the bench scale, where shuffle/scan cost is real.
@@ -971,23 +998,14 @@ def main() -> None:
     # numbers stay for totals/budget; cross-round comparisons use the
     # medians so a one-off load spike stops reading as a regression)
     try:
-        prev_sf1_m = {}
-        prev_fp1 = None
-        if os.path.exists(os.path.join(REPO, "BENCH_FULL.json")):
-            prevrec = json.load(
-                open(os.path.join(REPO, "BENCH_FULL.json"))
-            )
-            prev_sf1 = prevrec.get("sf1") or {}
-            prev_sf1_m = prev_sf1.get("medians") or {}
-            prev_fp1 = prevrec.get("machine_fingerprint")
-        # same-machine gate, same rationale as the sf0.1 block above
-        if _fingerprints_match(prev_fp1, fingerprint):
-            for name, now in sf1_medians.items():
-                p = prev_sf1_m.get(name)
-                if p and now > 1.3 * p and now - p > 2.0:
-                    regressions[name] = {
-                        "prev": p, "now": now, "basis": "sf1_median3"
-                    }
+        # prev_sf1_m came from the same same-machine record selected
+        # above — one basis for both scales
+        for name, now in sf1_medians.items():
+            p = prev_sf1_m.get(name)
+            if p and now > 1.3 * p and now - p > 2.0:
+                regressions[name] = {
+                    "prev": p, "now": now, "basis": "sf1_median3"
+                }
         full["regressions"] = regressions
     except Exception:
         pass
@@ -1035,11 +1053,17 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": slowest,
         "medians": medians,
+        # fingerprint + sf1 medians ride in the summary so the driver's
+        # BENCH_r0N capture of this line becomes a valid same-machine
+        # comparison basis for FUTURE driver runs (_same_machine_prev)
+        "machine_fingerprint": fingerprint,
         "regressions": regressions,
         "full_artifact": full_name,
     }
     if sf1:
         summary["sf1_total"] = sf1_total
+        summary["sf1_total_median_basis"] = sf1_total_median_basis
+        summary["sf1_medians"] = sf1_medians
     print(json.dumps(summary))
     spark.stop()
 

@@ -67,6 +67,50 @@ def test_fingerprint_match_band_and_missing_prev():
     assert not bench._fingerprints_match({}, now)
 
 
+def test_same_machine_prev_prefers_matching_fingerprint(tmp_path):
+    """A driver run must skip the builder's committed BENCH_FULL (its
+    fingerprint differs) and fall through to the newest BENCH_r0N
+    driver capture whose summary carries a matching fingerprint."""
+    import json
+
+    me = {"cpus": 32, "calib_kops": 1000}
+    builder = {"cpus": 32, "calib_kops": 2000}  # outside the 1.3x band
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps({
+        "sf": 0.1, "machine_fingerprint": builder,
+        "queries": {"q": 5.0}, "medians": {"q": 5.0},
+        "sf1": {"medians": {"q": 50.0}},
+    }))
+    # older capture without a fingerprint (pre-round-8) — never matches
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps({
+        "parsed": {"sf": 0.1, "queries": {"q": 9.9}},
+    }))
+    # newest driver capture with MY fingerprint
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({
+        "parsed": {
+            "sf": 0.1, "machine_fingerprint": {
+                "cpus": 32, "calib_kops": 950
+            },
+            "queries": {"q": 7.0}, "medians": {"q": 7.0},
+            "sf1_medians": {"q": 70.0},
+        },
+    }))
+    q, m, sf1m, src = bench._same_machine_prev(str(tmp_path), 0.1, me)
+    assert src == "BENCH_r08.json"
+    assert q == {"q": 7.0} and m == {"q": 7.0} and sf1m == {"q": 70.0}
+    # builder fingerprint → the committed full artifact wins
+    q, m, sf1m, src = bench._same_machine_prev(
+        str(tmp_path), 0.1, {"cpus": 32, "calib_kops": 1900}
+    )
+    assert src == "BENCH_FULL.json"
+    assert sf1m == {"q": 50.0}
+    # nothing matches → no basis, no flags
+    assert bench._same_machine_prev(
+        str(tmp_path), 0.1, {"cpus": 8, "calib_kops": 10}
+    ) == ({}, {}, {}, None)
+    # sf mismatch is never a basis
+    assert bench._same_machine_prev(str(tmp_path), 1.0, me)[3] is None
+
+
 def test_machine_fingerprint_shape():
     fp = bench._machine_fingerprint()
     assert fp["cpus"] == os.cpu_count()
