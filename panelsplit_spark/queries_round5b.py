@@ -2362,6 +2362,12 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=-1.0, n_planes=LSH_PLANES,
         n_tables=LSH_TABLES, seed=LSH_SEED, dim=EMB_DIM,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cos6"))
+    # the symmetrize union consumes nd twice and its branches differ in
+    # projection, so the LSH-bucket join + cosine pipeline would run
+    # once per branch — materialize the (small) pair list instead
+    # (round-8 A/B at sf1: 7.0-8.0 -> 4.8-6.6 s, identical output; at
+    # production scale the pair list is a written table)
+    nd = nd.localCheckpoint(eager=True)
     sym = nd.select(
         F.col("id_a").alias("node"), F.col("id_b").alias("nbr"), "cos6"
     ).unionByName(
