@@ -565,15 +565,26 @@ def _machine_fingerprint() -> dict:
     finding, round 7). Each artifact now carries this fingerprint and
     the detector only compares same-fingerprint bases. The calibration
     loop is single-thread on purpose — it tracks effective core speed
-    (incl. ambient load / frequency scaling), not parallelism.
+    (incl. ambient load / frequency scaling), not parallelism — and
+    takes the MAX of three short samples: slowdowns only ever subtract
+    (scheduler preemption, residual neighbor load), so the max is the
+    stable estimate of the machine's speed class (measured: a single
+    0.25 s sample on this host swung 5190↔8490 kops with residual JVM
+    shutdown in the background; max-of-3 settles within ~5%).
     """
-    t0 = time.perf_counter()
-    x, n = 0, 0
-    while time.perf_counter() - t0 < 0.25:
-        for _ in range(10000):
-            x += 1
-        n += 1
-    return {"cpus": os.cpu_count(), "calib_kops": n * 10}
+    best = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x, n = 0, 0
+        while time.perf_counter() - t0 < 0.12:
+            for _ in range(10000):
+                x += 1
+            n += 1
+        elapsed = time.perf_counter() - t0
+        # thousand increments per second — a true rate, so the unit is
+        # sample-window independent
+        best = max(best, round(n * 10000 / elapsed / 1000))
+    return {"cpus": os.cpu_count(), "calib_kops": best}
 
 
 def _fingerprints_match(prev_fp, now_fp) -> bool:
