@@ -1609,10 +1609,15 @@ def signature_store_rounds(
     partitioned join) and the probe never shuffles the store side.
     Each step's discoveries are materialized BEFORE its append so no
     probe can observe its own batch in the store.
-    """
-    import shutil as _shutil
 
-    _shutil.rmtree(store_dir, ignore_errors=True)
+    Bootstrap semantics: stale state from an earlier run is replaced by
+    step 0's ``mode("overwrite")`` write — storage-agnostic (works the
+    same on object stores, no driver-local filesystem assumption).
+    An empty ``splits`` returns an empty (id_a, id_b) frame and leaves
+    any existing store untouched.
+    """
+    if not splits:
+        return spark.createDataFrame([], "id_a long, id_b long")
     found = None
     for step, docs in enumerate(splits):
         bands = explode_bands(

@@ -572,9 +572,24 @@ _DRIVER_VERIFIED = [
     "dedup_cluster_sizes", "dedup_clusters", "dedup_clusters_star",
     "dedup_incremental", "dedup_keep_best", "dedup_lsh_recall",
     "dedup_phonetic",
+    # round-8 rotation window (CORRECTNESS_r08.json, 40/40 green)
+    "feat_pacf", "feat_rolling_corr", "feat_row_key_dist",
+    "feat_seasonal_decompose", "feat_trend_ols", "feat_variance_ratio",
+    "feat_weighted_median", "feat_woe_iv", "mm_av_sync_plan",
+    "mm_chunk_dedup", "mm_chunk_manifest", "mm_decode_stats",
+    "mm_modality_balance", "mm_tile_plan", "pipe_contrastive_triplets",
+    "pipe_corpus_clean", "pipe_curation_funnel", "pipe_dataset_card",
+    "pipe_dp_noisy_counts", "pipe_dsir_weights", "pipe_epoch_mix",
+    "pipe_epoch_shuffle", "pipe_gopher_rules", "pipe_hash_split",
+    "pipe_host_stats", "pipe_item_pairs", "pipe_length_buckets",
+    "pipe_mix_entropy", "pipe_negative_sample", "pipe_pack_efficiency",
+    "pipe_pack_sequences", "pipe_quality_buckets", "pipe_quality_model",
+    "pipe_quota_sample", "pipe_rebalance_mix", "pipe_rule_ablation",
+    "pipe_span_corruption", "pipe_span_trim", "pipe_temperature_mix",
+    "pipe_token_fertility",
 ]
 
-_ROTATION_EPOCH = 1  # round 8; bump by 1 per round
+_ROTATION_EPOCH = 2  # round 9; bump by 1 per round
 _ROTATION_WINDOW = 40
 
 

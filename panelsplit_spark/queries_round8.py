@@ -76,11 +76,17 @@ _STORE_SALT = "store"
 _STORE_CUTS = (7000, 8500)  # base 70%, increment 15%, increment 15%
 
 
-def _store_dir() -> str:
+def _store_dir(spark: SparkSession) -> str:
+    # per-run unique path (applicationId) so concurrent sessions in the
+    # same repo (gate + bench) can't rmtree/append each other's store
+    # mid-probe
     import os
 
     return os.path.join(
-        os.getcwd(), "spark-warehouse", "roundtrip", "sig_store"
+        os.getcwd(),
+        "spark-warehouse",
+        "roundtrip",
+        f"sig_store_{spark.sparkContext.applicationId}",
     )
 
 
@@ -117,10 +123,19 @@ def q_dedup_incremental_store(
         docs.where((b >= lo) & (b < hi)),
         docs.where(b >= hi),
     ]
-    cands = dedup.signature_store_rounds(
-        spark, splits, _store_dir(),
-        n_hashes=MH_HASHES, band_size=MH_BAND, shingle_n=MH_SHINGLE,
-    )
+    store_dir = _store_dir(spark)
+    try:
+        cands = dedup.signature_store_rounds(
+            spark, splits, store_dir,
+            n_hashes=MH_HASHES, band_size=MH_BAND, shingle_n=MH_SHINGLE,
+        )
+    finally:
+        # every per-step discovery is localCheckpoint-ed inside
+        # signature_store_rounds, so the returned frame never re-reads
+        # the store — safe to reclaim the per-run directory now
+        import shutil
+
+        shutil.rmtree(store_dir, ignore_errors=True)
     out = dedup.ngram_jaccard_pairs(
         docs, shingle_n=JACCARD_N, threshold=JACCARD_T,
         candidates=cands,

@@ -977,10 +977,15 @@ def write_file_batches(dfs, feed_dir: str) -> None:
     if len(dfs) > 1 and len({tuple(d.schema) for d in dfs}) == 1:
         tmp = feed_dir + ".tmpall"
         _shutil.rmtree(tmp, ignore_errors=True)
-        u = dfs[0].withColumn("_wfb", F.lit(0))
-        for i, d in enumerate(dfs[1:], start=1):
-            u = u.unionByName(d.withColumn("_wfb", F.lit(i)))
         try:
+            # Lazy union construction stays inside the guarded region:
+            # it triggers no jobs, but unionByName can still raise at
+            # analysis time (e.g. nested-field nullability quirks the
+            # tuple-schema pre-check above misses), and those failures
+            # must take the per-frame fallback too.
+            u = dfs[0].withColumn("_wfb", F.lit(0))
+            for i, d in enumerate(dfs[1:], start=1):
+                u = u.unionByName(d.withColumn("_wfb", F.lit(i)))
             # one partition per batch id → exactly one file per batch
             # directory (id collisions just co-locate two directories
             # in one write task)

@@ -107,3 +107,20 @@ def test_signature_store_bootstrap_overwrites_stale_state(
     assert spark.read.parquet(store).count() == n1
     assert _pairs_set(first) == _pairs_set(second)
     assert os.path.isdir(store)
+
+
+def test_signature_store_empty_splits_returns_empty(spark, tmp_path):
+    """No splits → empty (id_a, id_b) frame, and no store mutation
+    (ADVICE r8: previously crashed on found=None and rmtree'd the
+    caller's store_dir)."""
+    from panelsplit_spark.operators.dedup import signature_store_rounds
+
+    store = str(tmp_path / "untouched")
+    os.makedirs(store)
+    marker = os.path.join(store, "keep.txt")
+    with open(marker, "w") as fh:
+        fh.write("stale state must survive an empty ingest\n")
+    out = signature_store_rounds(spark, [], store, **_MH)
+    assert out.columns == ["id_a", "id_b"]
+    assert out.count() == 0
+    assert os.path.exists(marker)
