@@ -62,6 +62,8 @@ __all__ = [
     "prefix_filter_candidates",
     "incremental_band_dedup",
     "signature_store_rounds",
+    "signature_store_bucketed_rounds",
+    "bucketed_store_probe",
     "survivorship_golden",
 ]
 
@@ -1664,6 +1666,112 @@ def signature_store_rounds(
             "overwrite" if step == 0 else "append"
         ).parquet(store_dir)
     return found.distinct()
+
+
+def signature_store_bucketed_rounds(
+    spark,
+    splits,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """:func:`signature_store_rounds` in its PRODUCTION layout: the
+    persisted band-signature store is a catalog table BUCKETED BY the
+    probe keys (band_id, band_sig) (``bucketBy(n).sortBy(...).
+    saveAsTable``), so each ingest's probe equi-join reads the store's
+    buckets in place — the executed plan has NO Exchange above the
+    store-side scan, ever, no matter how large the store has grown.
+    Only the (small) incoming batch's bands are shuffled, to the
+    store's bucket count. A store-side in-place Sort remains: each
+    append adds files per bucket, and Spark only trusts ``sortBy``
+    metadata with one file per bucket — but a sort never moves data
+    across the cluster; the claim being pinned is ZERO store-side
+    exchanges, i.e. probe cost is O(batch shuffle + store bucket
+    sort-merge), independent of store size.
+
+    Semantics are identical to :func:`signature_store_rounds` (same
+    exactness theorem; appends grow the table by exactly the batch's
+    bands; step 0 overwrites stale state; empty splits → empty result,
+    store untouched). The shape is pinned by
+    ``tests/test_round9_ops.py::test_bucketed_store_probe_no_store_side_exchange``.
+    """
+    if not splits:
+        return spark.createDataFrame([], "id_a long, id_b long")
+    # Bootstrap: replace stale state. DROP TABLE removes a previous
+    # session's catalog entry AND its data; with a session-scoped
+    # (in-memory) catalog a leftover table LOCATION can survive the
+    # entry, so clear it through the Hadoop FileSystem API (works on
+    # any storage the warehouse lives on, not just local disk).
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc.sc()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    loc.getFileSystem(jsc.hadoopConfiguration()).delete(loc, True)
+    found = None
+    for step, docs in enumerate(splits):
+        bands = explode_bands(
+            minhash_signatures(
+                docs, text_col=text_col, id_col=id_col,
+                n_hashes=n_hashes, shingle_n=shingle_n,
+            ),
+            id_col=id_col, n_hashes=n_hashes, band_size=band_size,
+        ).localCheckpoint(eager=True)
+        a, b = bands.alias("a"), bands.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        step_found = within
+        if step > 0:
+            cross = bucketed_store_probe(
+                spark, bands, table, id_col=id_col
+            )
+            step_found = within.unionByName(cross)
+        step_found = step_found.distinct().localCheckpoint(eager=True)
+        found = (
+            step_found
+            if found is None
+            else found.unionByName(step_found)
+        )
+        (
+            bands.write.bucketBy(n_buckets, "band_id", "band_sig")
+            .sortBy("band_id", "band_sig")
+            .mode("overwrite" if step == 0 else "append")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    return found.distinct()
+
+
+def bucketed_store_probe(
+    spark, bands: DataFrame, table: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """One ingest probe against the bucketed signature store: the
+    incoming batch's bands equi-joined to the catalog table on
+    (band_id, band_sig) → cross-batch candidate pairs. Factored out so
+    the no-store-side-exchange plan shape can be asserted directly."""
+    store = spark.table(table)
+    return (
+        bands.join(
+            store.withColumnRenamed(id_col, "__old"),
+            ["band_id", "band_sig"],
+        )
+        .where(F.col("__old") != F.col(id_col))
+        .select(
+            F.least("__old", id_col).alias("id_a"),
+            F.greatest("__old", id_col).alias("id_b"),
+        )
+    )
 
 
 def survivorship_golden(

@@ -93,6 +93,7 @@ def pagerank(
     scale: float = 1_000_000_000.0,
     round_to: int = 9,
     broadcast_ranks_below: int = 4_000_000,
+    nodes: DataFrame = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list →
     (node, rank). Nodes are everything appearing as ``src`` or ``dst``;
@@ -131,19 +132,31 @@ def pagerank(
     fit an executor.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_t").alias("node")))
-        .distinct()
-        .persist()
-    )
+    if nodes is None:
+        # default derivation: everything appearing on either side.
+        # Callers that can produce the node set more cheaply (e.g. a
+        # bipartite graph whose two sides have disjoint key domains —
+        # two per-side distincts, no cross-side dedup pass over 2×
+        # the edge rows) pass ``nodes`` (single column ``node``).
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .union(e.select(F.col("_t").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.persist()
     n = nodes.count()  # driver-small boundary: a single scalar
     base = (1.0 - damping) / n
     init = 1.0 / n
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ed = e.join(deg, "_s").persist()
-    ranks = nodes.select("node", F.lit(init).alias("rank"))
     bcast = n < broadcast_ranks_below
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # deg is node-sized — when the graph is small enough to broadcast
+    # ranks it is small enough to broadcast degrees, and doing so
+    # removes the only edge-sized exchange left in the whole fixpoint
+    # (the e⋈deg hash partitioning on _s buys nothing downstream: the
+    # per-round rank join is broadcast and the contribution aggregate
+    # shuffles on _t, not _s)
+    ed = e.join(F.broadcast(deg) if bcast else deg, "_s").persist()
+    ranks = nodes.select("node", F.lit(init).alias("rank"))
     for _ in range(n_iter):
         rhs = F.broadcast(ranks) if bcast else ranks
         contrib = (

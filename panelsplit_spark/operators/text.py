@@ -457,9 +457,16 @@ def lm_bigram_score(
     bigrams = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("cb")
     )
-    unigrams = df.select(
-        F.explode(toks).alias("w")
-    ).groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    # vocab-sized and consumed THREE times (w1-context join, w2 join,
+    # T/V totals) — left lazy, each consumer re-ran the full
+    # scan+explode+aggregate pipeline (measured: 3 extra corpus scans
+    # in the executed plan); materialize the small table once
+    unigrams = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=True)
+    )
     ctx = unigrams.select(
         F.col("w").alias("w1c"), F.col("cu").alias("c1")
     )

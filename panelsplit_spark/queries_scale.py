@@ -501,7 +501,15 @@ def q_rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    ranks = pagerank(edges, n_iter=PR_ITER, damping=PR_DAMPING)
+    # the packed-key domains are disjoint (odd=supplier, even=customer)
+    # so the node set is two per-side distincts over the cached pairs —
+    # no cross-side dedup pass over the doubled edge list
+    nodes = pairs.select(F.col("a").alias("node")).distinct().union(
+        pairs.select(F.col("b").alias("node")).distinct()
+    )
+    ranks = pagerank(
+        edges, n_iter=PR_ITER, damping=PR_DAMPING, nodes=nodes
+    )
     decoded = ranks.select(
         F.when(
             F.col("node") % 2 == 1,
