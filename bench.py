@@ -364,6 +364,8 @@ HEADLINE = [
     # round 8
     "text_unigram_encode",
     "dedup_incremental_store",
+    # round 9
+    "pipe_pack_ulm",
 ]
 
 # Eval-truth gates whose cost is the deliberately-quadratic truth path

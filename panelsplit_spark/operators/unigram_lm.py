@@ -53,7 +53,9 @@ __all__ = [
     "scores_from_counts",
     "viterbi_segment",
     "unigram_lm_rounds",
+    "unigram_encode_table",
     "unigram_encode_by_source",
+    "unigram_doc_token_counts",
     "MAX_WORD",
     "MAX_PIECE",
     "LOG_SCALE",
@@ -227,6 +229,88 @@ def viterbi_segment(
     return dp
 
 
+def unigram_encode_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Train the round-``n_rounds`` unigram-LM inventory and encode the
+    DISTINCT-WORD table with it → ``(w, n_tokens, ok)`` where
+    ``n_tokens`` = |Viterbi path of w| and ``ok`` is the
+    ``decode(encode(w)) == w`` round trip (identically true by the
+    tiling construction). The deployment primitive both
+    :func:`unigram_encode_by_source` (corpus accounting) and the
+    token-budget packers build on: everything here is vocabulary-
+    bounded, so consumers join it back broadcast-shaped."""
+    words = distinct_words(docs, text_col).localCheckpoint(eager=True)
+    counts = piece_counts(words)
+    seg = None
+    for r in range(1, n_rounds + 1):
+        counts = counts.localCheckpoint(eager=True)
+        vocab = scores_from_counts(counts)
+        seg = viterbi_segment(words, vocab)
+        if r < n_rounds:
+            # M-step recount feeding the next round's inventory —
+            # skipped after the final segmentation (nothing consumes it)
+            seg = seg.localCheckpoint(eager=True)
+            counts = (
+                seg.select("wf", F.explode("path").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("wf").alias("c"))
+            )
+    # path is emitted END-first by the bounded backtrack: reverse
+    # before the decode comparison
+    return seg.select(
+        "w",
+        F.size("path").alias("n_tokens"),
+        (F.concat_ws("", F.reverse("path")) == F.col("w")).alias("ok"),
+    )
+
+
+def unigram_doc_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Per-document unigram-LM token counts under the trained
+    inventory → ``(id_col, n_tokens)`` with one row per input document
+    (documents with no encodable word — empty, or every word longer
+    than ``MAX_WORD`` — count 0, they still occupy a packing slot).
+
+    This is the number a training-batch planner actually budgets on
+    (exact tokenizer tokens, not whitespace words). Plan shape: ONE
+    corpus-sized map-side-combinable (doc, word) count, a broadcast
+    join against the vocabulary-bounded encode table, and a doc-keyed
+    aggregate — the id-side left join restores zero-token documents.
+    """
+    enc = unigram_encode_table(docs, text_col, n_rounds=n_rounds)
+    doc_words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("w"),
+        )
+        .where((F.col("w") != "") & (F.length("w") <= MAX_WORD))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("dwf"))
+    )
+    counted = (
+        doc_words.join(F.broadcast(enc), "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("dwf") * F.col("n_tokens")).alias("n_tokens")
+        )
+    )
+    return docs.select(id_col).join(counted, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+
+
 def unigram_encode_by_source(
     docs: DataFrame,
     text_col: str = "text",
@@ -257,29 +341,7 @@ def unigram_encode_by_source(
     combinable groupBy. The per-word encode result joins back
     broadcast-shaped (distinct words ≪ corpus rows).
     """
-    words = distinct_words(docs, text_col).localCheckpoint(eager=True)
-    counts = piece_counts(words)
-    seg = None
-    for r in range(1, n_rounds + 1):
-        counts = counts.localCheckpoint(eager=True)
-        vocab = scores_from_counts(counts)
-        seg = viterbi_segment(words, vocab)
-        if r < n_rounds:
-            # M-step recount feeding the next round's inventory —
-            # skipped after the final segmentation (nothing consumes it)
-            seg = seg.localCheckpoint(eager=True)
-            counts = (
-                seg.select("wf", F.explode("path").alias("piece"))
-                .groupBy("piece")
-                .agg(F.sum("wf").alias("c"))
-            )
-    # path is emitted END-first by the bounded backtrack: reverse
-    # before the decode comparison
-    enc = seg.select(
-        "w",
-        F.size("path").alias("n_tokens"),
-        (F.concat_ws("", F.reverse("path")) == F.col("w")).alias("ok"),
-    )
+    enc = unigram_encode_table(docs, text_col, n_rounds=n_rounds)
     src_words = (
         docs.select(
             F.col(source_col).alias("source"),

@@ -501,6 +501,13 @@ from .queries_round8 import QUERIES19, oracles19  # noqa: E402
 QUERIES.update(QUERIES19)
 ORACLES.update(oracles19())
 
+# round-9: tokenizer-aware sequence packing (sanctioned stretch — the
+# trained unigram-LM token budget wired into the packing pipeline)
+from .queries_round9 import QUERIES20, oracles20  # noqa: E402
+
+QUERIES.update(QUERIES20)
+ORACLES.update(oracles20())
+
 # ----------------------------------------------------------------------
 # Driver-coverage rotation (judge task, round 6 → implemented round 7).
 # The driver's correctness gate compares the FIRST 50 registry entries

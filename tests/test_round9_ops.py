@@ -127,3 +127,31 @@ def test_bucketed_store_empty_splits(spark):
     out = signature_store_bucketed_rounds(spark, [], "sig_store_bkt_e")
     assert out.columns == ["id_a", "id_b"]
     assert out.count() == 0
+
+
+def test_pack_ulm_token_conservation(spark):
+    """Σ packed tokens == Σ n_ulm_tokens from the corpus encode (the
+    judge's conservation property for the round-9 stretch): packing
+    reassigns layout, never token mass, and the per-doc counts the
+    packer budgets on are exactly the encoder's per-source totals."""
+    from panelsplit_spark.operators.unigram_lm import (
+        unigram_doc_token_counts,
+        unigram_encode_by_source,
+    )
+    from panelsplit_spark.queries_round9 import q_pipe_pack_ulm
+    from panelsplit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    packed = q_pipe_pack_ulm(spark, SF_DIR)
+    packed_total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    enc_total = (
+        unigram_encode_by_source(docs)
+        .agg(F.sum("n_ulm_tokens"))
+        .collect()[0][0]
+    )
+    assert packed_total == enc_total
+    # one packing slot per document, zero-token docs included
+    assert packed.count() == docs.count()
+    dt = unigram_doc_token_counts(docs)
+    assert dt.count() == docs.count()
+    assert dt.agg(F.sum("n_tokens")).collect()[0][0] == enc_total

@@ -136,6 +136,9 @@ BNLJ_WHITELIST = {
     "text_unigram_encode",   # inherits the unigram-LM trainer's
                              # single-row total-count scalar (per-round
                              # score normalization)
+    # round-9
+    "pipe_pack_ulm",         # same inherited trainer scalar as
+                             # text_unigram_encode (shared encode chain)
 }
 
 
