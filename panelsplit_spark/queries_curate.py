@@ -651,8 +651,8 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure, normalize_event_ts
     from .streaming.rolling import (
+        ensure_feed,
         stream_shuffle_partitions,
-        write_file_batches,
     )
 
     configure(spark)
@@ -664,11 +664,8 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = ev.where(
         (F.col("event_id") % 2 == 1) & (F.col("ts") < F.lit(fh))
     )
-    feed = os.path.join(
-        os.getcwd(), "spark-warehouse", "sinks", "late_data_feed"
-    )
-    write_file_batches(
-        [on_time, ev.where(F.lit(False)), late], feed
+    feed = ensure_feed(
+        [on_time, ev.where(F.lit(False)), late], "late_data_feed"
     )
     stream = (
         spark.readStream.schema(ev.schema)
@@ -998,18 +995,16 @@ def q_stream_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure, normalize_event_ts
     from .streaming.rolling import (
+        ensure_feed,
         stream_decayed_counts,
         stream_shuffle_partitions,
-        write_file_batches,
     )
 
     configure(spark)
     ev = load_table(spark, sf_dir, "events")
-    feed = os.path.join(
-        os.getcwd(), "spark-warehouse", "sinks", "decay_feed"
-    )
-    write_file_batches(
-        [ev.where(F.col("event_id") % 3 == j) for j in range(3)], feed
+    feed = ensure_feed(
+        [ev.where(F.col("event_id") % 3 == j) for j in range(3)],
+        "decay_feed",
     )
     stream = (
         spark.readStream.schema(ev.schema)
@@ -2071,18 +2066,16 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure
     from .streaming.rolling import (
+        ensure_feed,
         stream_near_dup_admit,
         stream_shuffle_partitions,
-        write_file_batches,
     )
 
     configure(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    feed = os.path.join(
-        os.getcwd(), "spark-warehouse", "sinks", "near_dup_feed"
-    )
-    write_file_batches(
-        [docs.where(F.col("doc_id") % 3 == j) for j in range(3)], feed
+    feed = ensure_feed(
+        [docs.where(F.col("doc_id") % 3 == j) for j in range(3)],
+        "near_dup_feed",
     )
     stream = (
         spark.readStream.schema(docs.schema)

@@ -487,7 +487,7 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_histogram_quantiles,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -495,7 +495,6 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    from .queries_round4b import _fresh_feed
 
     name = "stream_quantile_sink"
     hist = None
@@ -506,13 +505,12 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fresh dir per invocation: a fixed feed path intermittently
         # drained zero batches when a long bench session re-invoked the
         # gate (same hardening as stream_fingerprint / stream_auc)
-        feed = _fresh_feed("quantile_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 ev.where(F.col("event_id") % chop_n(SQ_BATCHES) == j)
                 for j in range(chop_n(SQ_BATCHES))
             ],
-            feed,
+            "quantile_feed",
         )
         stream = (
             spark.readStream.schema(ev.schema)

@@ -674,7 +674,7 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_shuffle_partitions,
         stream_table_fingerprint,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -689,13 +689,12 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("fingerprint_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 ev.where(key % chop_n(SFP_BATCHES) == j)
                 for j in range(chop_n(SFP_BATCHES))
             ],
-            feed,
+            "fingerprint_feed",
         )
         stream = (
             spark.readStream.schema(ev.schema)
@@ -757,7 +756,7 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_auc,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -774,14 +773,13 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("auc_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 od.where(F.col("k") % chop_n(SAUC_BATCHES) == j)
                 .drop("k")
                 for j in range(chop_n(SAUC_BATCHES))
             ],
-            feed,
+            "auc_feed",
         )
         stream = (
             spark.readStream.schema(od.drop("k").schema)

@@ -1254,13 +1254,12 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-cardinality monitor a 100 TB ingest keeps continuously
     true in ≤ groups·2^p rows of state."""
     from .operators.sketches import hll_estimate
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_hll_registers,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -1272,13 +1271,12 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("hll_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 ev.where(F.col("event_id") % chop_n(SHLL_BATCHES) == j)
                 for j in range(chop_n(SHLL_BATCHES))
             ],
-            feed,
+            "hll_feed",
         )
         stream = (
             spark.readStream.schema(ev.schema)

@@ -868,13 +868,12 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties broken by id), so the drained state equals the batch operator
     over the whole feed — the SQL oracle of pipe_weighted_reservoir
     applies verbatim."""
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_shuffle_partitions,
         stream_weighted_reservoir,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -886,13 +885,12 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("reservoir_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 docs.where(F.col("doc_id") % chop_n(_SRES_BATCHES) == j)
                 for j in range(chop_n(_SRES_BATCHES))
             ],
-            feed,
+            "reservoir_feed",
         )
         stream = (
             spark.readStream.schema(docs.schema)
@@ -1115,13 +1113,12 @@ def q_stream_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     are trivially chop-invariant, so the MDE computed from the drained
     state must hash-match the batch cv_power_mde oracle verbatim."""
     from .operators.evaluation import mde_from_moments
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_mde_moments,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -1138,13 +1135,12 @@ def q_stream_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("mde_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 ev.where(F.col("event_id") % chop_n(_SMDE_BATCHES) == j)
                 for j in range(chop_n(_SMDE_BATCHES))
             ],
-            feed,
+            "mde_feed",
         )
         stream = (
             spark.readStream.schema(ev.schema)
@@ -2077,13 +2073,12 @@ def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     KS finisher over the drained state must hash-match the batch
     dq_ks_test oracle verbatim."""
     from .operators.quality import ks_from_counts
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -2097,13 +2092,12 @@ def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("ks_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 ev.where(F.col("event_id") % chop_n(_SKS_BATCHES) == j)
                 for j in range(chop_n(_SKS_BATCHES))
             ],
-            feed,
+            "ks_feed",
         )
         stream = (
             spark.readStream.schema(ev.schema)
@@ -2421,13 +2415,12 @@ def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the row-rank form), so the batch dq_gini oracle
     applies verbatim. State is bounded by the value domain × segments."""
     from .operators.quality import gini_from_counts
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -2441,15 +2434,14 @@ def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("gini_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 orders.where(
                     F.col("o_orderkey") % chop_n(_SGINI_BATCHES) == j
                 )
                 for j in range(chop_n(_SGINI_BATCHES))
             ],
-            feed,
+            "gini_feed",
         )
         stream = (
             spark.readStream.schema(orders.schema)

@@ -111,13 +111,12 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream without rebuilding history'."""
     from pyspark.sql.window import Window
 
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_scd2_versions,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -136,13 +135,12 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("scd2_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 ev.where(F.col("event_id") % chop_n(_SCD2_BATCHES) == j)
                 for j in range(chop_n(_SCD2_BATCHES))
             ],
-            feed,
+            "scd2_feed",
         )
         stream = (
             spark.readStream.schema(ev.schema)
@@ -1069,13 +1067,12 @@ def q_stream_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. The exact companion to the stream_hll estimate gate: same
     ingest shape, bounded state (|user domain|/63 longs per type),
     exact answers."""
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_bitmap_words,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -1087,13 +1084,12 @@ def q_stream_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("bitmap_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 ev.where(F.col("event_id") % chop_n(_SBM_BATCHES) == j)
                 for j in range(chop_n(_SBM_BATCHES))
             ],
-            feed,
+            "bitmap_feed",
         )
         stream = (
             spark.readStream.schema(ev.schema)
@@ -1697,13 +1693,12 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (segment, long) table. State is |categories|×2 rows at any feed
     size — the distribution-stability dashboard a 100 TB ingest keeps
     continuously true."""
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure, normalize_event_ts
     from .streaming.rolling import (
         chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -1724,13 +1719,12 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("psi_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 ev.where(F.col("event_id") % chop_n(_SPSI_BATCHES) == j)
                 for j in range(chop_n(_SPSI_BATCHES))
             ],
-            feed,
+            "psi_feed",
         )
         stream = (
             spark.readStream.schema(ev.schema)

@@ -40,13 +40,12 @@ def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is 9 rows at any feed size — the always-on fabricated-data
     alarm a 100 TB monetary ingest keeps continuously true."""
     from .operators.quality import BENFORD_PPM
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -63,20 +62,23 @@ def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit"),
     ).where(F.col("digit").between(1, 9)).withColumn(
         "seg", F.lit("all")
-    ).localCheckpoint(eager=True)  # 3 batch writes would re-scan/pro-
-    # ject the full fact table each (measured 18 s at sf1 without it)
+    )  # left LAZY on purpose (round 9): the batches must stay
+    # file-backed plans so ensure_feed can content-address the feed —
+    # a cache hit skips the write entirely, and on a miss the one-job
+    # partitionBy writer's three branches share one ReusedExchange-d
+    # scan (the pre-round-9 localCheckpoint guarded the old N-job
+    # writer's triple re-scan, measured 18 s at sf1 back then)
     name = "stream_benford_sink"
     for attempt in range(2):
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("benford_feed")
-        write_file_batches(
+        feed = ensure_feed(
             [
                 li.where(F.col("k") % chop_n(_SBEN_BATCHES) == j)
                 for j in range(chop_n(_SBEN_BATCHES))
             ],
-            feed,
+            "benford_feed",
         )
         stream = (
             spark.readStream.schema(li.schema)
@@ -160,13 +162,12 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams,
         word_tokens,
     )
-    from .queries_round4b import _fresh_feed
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         stream_keyed_min,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -182,13 +183,14 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     ).select(
         "seg", (md5_long(F.col("shingle")) % F.lit(MINHASH_P)).alias("h")
-    ).distinct().localCheckpoint(eager=True)  # MIN is idempotent, so
-    # producer-side dedup of the (seg, base-hash) rows changes nothing
-    # downstream (min over distinct = min over all, for ANY chop — the
-    # chop predicate is on h itself) while cutting the feed and the
-    # 12-way stacked drain ~5× (80% of sf1 shingle rows are repeats);
-    # the localCheckpoint stops the 3 batch writes re-exploding the
-    # corpus
+    ).distinct()  # MIN is idempotent, so producer-side dedup of the
+    # (seg, base-hash) rows changes nothing downstream (min over
+    # distinct = min over all, for ANY chop — the chop predicate is on
+    # h itself) while cutting the feed and the 12-way stacked drain ~5×
+    # (80% of sf1 shingle rows are repeats). Left LAZY (round 9) so
+    # ensure_feed can content-address the feed; on a cache miss the
+    # one-job writer's branches share the distinct's exchange via
+    # ReusedExchange, so the corpus still explodes only once
     params = minhash_params(_SMH_HASHES)
     stack_expr = "stack({}, {}) as (j, u)".format(
         _SMH_HASHES,
@@ -202,16 +204,15 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("minhash_feed")
         # the feed carries the 1× (seg, base-hash) rows; the 12-way
         # universal-hash stack runs INSIDE the stream (writing the
         # stacked rows would 12× the feed I/O for pure arithmetic)
-        write_file_batches(
+        feed = ensure_feed(
             [
                 sh.where(F.col("h") % chop_n(_SMH_BATCHES) == j)
                 for j in range(chop_n(_SMH_BATCHES))
             ],
-            feed,
+            "minhash_feed",
         )
         stream = (
             spark.readStream.schema(sh.schema)
@@ -293,14 +294,14 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window prefix identity) applies VERBATIM; the ordered-chop
     property (contiguous re-chops at 1/2/5/17 replay identically) is
     the streaming theorem."""
-    from .queries_round4b import CU_H, CU_K, _fresh_feed
+    from .queries_round4b import CU_H, CU_K
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
         ordered_chop,
         stream_cusum,
         stream_shuffle_partitions,
-        write_file_batches,
+        ensure_feed,
     )
 
     configure(spark)
@@ -321,10 +322,9 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = _fresh_feed("cusum_feed")
-        write_file_batches(
+        feed = ensure_feed(
             ordered_chop(daily, ["day", "prio"], chop_n(_SCU_BATCHES)),
-            feed,
+            "cusum_feed",
         )
         stream = (
             spark.readStream.schema(daily.schema)

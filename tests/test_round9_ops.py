@@ -155,3 +155,44 @@ def test_pack_ulm_token_conservation(spark):
     dt = unigram_doc_token_counts(docs)
     assert dt.count() == docs.count()
     assert dt.agg(F.sum("n_tokens")).collect()[0][0] == enc_total
+
+
+def test_ensure_feed_content_addressed_cache(spark, tmp_path, monkeypatch):
+    """The feed cache (round 9): same batches → same directory, no
+    rewrite (mtimes untouched); different chop or different source
+    content → different key; non-file-backed (checkpointed) batches
+    never cache. write_file_batches itself stays the writer."""
+    import glob
+    import os
+
+    from panelsplit_spark.sources.tables import load_table
+    from panelsplit_spark.streaming.rolling import (
+        ensure_feed,
+        feed_fingerprint,
+    )
+
+    monkeypatch.chdir(tmp_path)  # sandbox spark-warehouse/sinks
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    batches = [ev.where(F.col("event_id") % 3 == j) for j in range(3)]
+    d1 = ensure_feed(batches, "t_feed")
+    files = sorted(glob.glob(os.path.join(d1, "batch*.parquet")))
+    assert len(files) == 3
+    stamps = [os.path.getmtime(f) for f in files]
+    d2 = ensure_feed(batches, "t_feed")
+    assert d2 == d1
+    assert [os.path.getmtime(f) for f in files] == stamps  # no rewrite
+    # a different chop keys differently
+    alt = [ev.where(F.col("event_id") % 2 == j) for j in range(2)]
+    d3 = ensure_feed(alt, "t_feed")
+    assert d3 != d1
+    # stability + sensitivity at the fingerprint level
+    assert feed_fingerprint(batches) == feed_fingerprint(
+        [ev.where(F.col("event_id") % 3 == j) for j in range(3)]
+    )
+    assert feed_fingerprint(batches) != feed_fingerprint(alt)
+    # checkpointed inputs are not content-addressable -> fresh dir
+    ck = ev.limit(10).localCheckpoint(eager=True)
+    assert feed_fingerprint([ck]) is None
+    d4 = ensure_feed([ck], "t_feed")
+    d5 = ensure_feed([ck], "t_feed")
+    assert d4 != d5  # per-call fresh fallback, never reused
