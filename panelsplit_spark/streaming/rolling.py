@@ -941,8 +941,26 @@ def feed_fingerprint(dfs) -> Optional[str]:
     h = hashlib.sha256()
     h.update(str(len(dfs)).encode())
     any_file = False
-    for df in dfs:
-        txt = df._jdf.queryExecution().executedPlan().toString()
+    # Render plans UNtruncated: the default 100-char metadata cut is
+    # applied BEFORE id normalization, so the cut point shifts with
+    # expression-id digit width and the "same" plan hashed differently
+    # run to run (observed: benford's sf0.1 feed re-keyed every bench
+    # pass). A large limit also keeps multi-file Location lists whole,
+    # so the mtime component covers every source file.
+    sess = dfs[0].sparkSession if dfs else None
+    _LIMIT_KEY = "spark.sql.maxMetadataStringLength"
+    prev_limit = sess.conf.get(_LIMIT_KEY) if sess else None
+    if sess is not None:
+        sess.conf.set(_LIMIT_KEY, "65536")
+    try:
+        plan_txts = [
+            df._jdf.queryExecution().executedPlan().toString()
+            for df in dfs
+        ]
+    finally:
+        if sess is not None:
+            sess.conf.set(_LIMIT_KEY, prev_limit)
+    for df, txt in zip(dfs, plan_txts):
         if "ExistingRDD" in txt or "InMemoryTableScan" in txt:
             return None
         for p in sorted(set(_re.findall(r"file:[^\s\],]+", txt))):

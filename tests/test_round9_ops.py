@@ -196,3 +196,43 @@ def test_ensure_feed_content_addressed_cache(spark, tmp_path, monkeypatch):
     d4 = ensure_feed([ck], "t_feed")
     d5 = ensure_feed([ck], "t_feed")
     assert d4 != d5  # per-call fresh fallback, never reused
+
+
+def test_feed_fingerprint_stable_under_metadata_truncation(spark):
+    """Regression (round-9 bench): FileScan metadata is truncated at
+    spark.sql.maxMetadataStringLength BEFORE id normalization, so a
+    long DataFilters list re-keyed the 'same' feed whenever expression
+    ids grew a digit. The fingerprint must be invariant to expression-id
+    width — pinned by comparing two structurally identical builds after
+    burning thousands of expression ids between them."""
+    from panelsplit_spark.sources.tables import load_table
+    from panelsplit_spark.streaming.rolling import feed_fingerprint
+
+    def build():
+        # long projection/filter chain → metadata well past 100 chars
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            F.col("l_orderkey").alias("k"),
+            F.substring(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit"),
+        ).where(F.col("digit").between(1, 9))
+        return [li.where(F.col("k") % 3 == j) for j in range(3)]
+
+    k1 = feed_fingerprint(build())
+    # burn expression ids so the second build's ids are wider
+    df = load_table(spark, SF_DIR, "lineitem")
+    for _ in range(12):
+        df = df.select(*[F.col(c).alias(c) for c in df.columns])
+    df.schema  # force analysis
+    k2 = feed_fingerprint(build())
+    assert k1 == k2
+    # and the conf tweak must not leak out of the helper
+    assert (
+        spark.conf.get("spark.sql.maxMetadataStringLength") != "65536"
+    )
