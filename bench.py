@@ -969,10 +969,30 @@ def main() -> None:
                     if affordable
                     else []
                 )
-                for label in _ceiling_breachers(sf1, sf1_ceiling):
+                forced = _ceiling_breachers(sf1, sf1_ceiling)
+                for label in forced:
                     if label not in heavy1:
                         heavy1.append(label)
+                # Budget-envelope cap (round 9): the 0.9 pre-gate alone
+                # let a ~80%-of-budget single pass add ~220 s of median
+                # re-runs and land the section's true wall clock past
+                # the budget (r9 builder: 948 s of 900). Re-runs are
+                # ordered heaviest-first, so stop — and record what was
+                # dropped, no silent truncation — once the budget is
+                # spent. Forced ceiling-breacher re-runs are exempt
+                # (bounded ≤3; adjudication beats the envelope).
+                capped = False
                 for label in heavy1:
+                    if (
+                        label not in forced
+                        and time.time() - t_start > budget
+                    ):
+                        # skip, don't break: forced labels may still
+                        # sit later in the list
+                        if not capped:
+                            sf1["_medians_capped_after"] = label
+                            capped = True
+                        continue
                     name = label.split("@")[0]
                     fn = (
                         globals()[SF1_EVAL_TRUTH_SPLIT[name]]
