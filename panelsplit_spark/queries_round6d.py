@@ -62,12 +62,11 @@ def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit"),
     ).where(F.col("digit").between(1, 9)).withColumn(
         "seg", F.lit("all")
-    )  # left LAZY on purpose (round 9): the batches must stay
-    # file-backed plans so ensure_feed can content-address the feed —
-    # a cache hit skips the write entirely, and on a miss the one-job
-    # partitionBy writer's three branches share one ReusedExchange-d
-    # scan (the pre-round-9 localCheckpoint guarded the old N-job
-    # writer's triple re-scan, measured 18 s at sf1 back then)
+    )  # left LAZY on purpose (round 9): the one-job partitionBy
+    # writer's three branches share one ReusedExchange-d scan, so the
+    # pre-round-9 localCheckpoint (which guarded the old N-job writer's
+    # triple re-scan, measured 18 s at sf1 back then) is a pure extra
+    # materialization now
     name = "stream_benford_sink"
     for attempt in range(2):
         for q in spark.streams.active:
@@ -187,8 +186,7 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (seg, base-hash) rows changes nothing downstream (min over
     # distinct = min over all, for ANY chop — the chop predicate is on
     # h itself) while cutting the feed and the 12-way stacked drain ~5×
-    # (80% of sf1 shingle rows are repeats). Left LAZY (round 9) so
-    # ensure_feed can content-address the feed; on a cache miss the
+    # (80% of sf1 shingle rows are repeats). Left LAZY (round 9): the
     # one-job writer's branches share the distinct's exchange via
     # ReusedExchange, so the corpus still explodes only once
     params = minhash_params(_SMH_HASHES)

@@ -38,7 +38,6 @@ __all__ = [
     "stream_incremental_agg",
     "stream_table_fingerprint",
     "stream_auc",
-    "feed_fingerprint",
     "ensure_feed",
 ]
 
@@ -920,144 +919,19 @@ def file_stream(
     )
 
 
-def feed_fingerprint(dfs) -> Optional[str]:
-    """Content key of a deterministic file-batch feed: hash of each
-    frame's normalized physical plan text (chop predicates, projections,
-    source paths — expression/plan ids stripped) plus the (mtime, size)
-    of every file-backed source path the plans reference. Two sessions
-    computing the same batches from the same on-disk inputs get the
-    same key; regenerated testdata or an edited chop changes it.
-
-    Returns ``None`` — "not content-addressable, always rewrite" —
-    when any frame reads a non-file source (cached/checkpointed RDD
-    scans have no path, so their CONTENT can differ under an identical
-    plan text).
-    """
-    import hashlib
-    import os as _os
-    import re as _re
-
-    dfs = list(dfs)
-    h = hashlib.sha256()
-    h.update(str(len(dfs)).encode())
-    any_file = False
-    # Render plans UNtruncated: the default 100-char metadata cut is
-    # applied BEFORE id normalization, so the cut point shifts with
-    # expression-id digit width and the "same" plan hashed differently
-    # run to run (observed: benford's sf0.1 feed re-keyed every bench
-    # pass). A large limit also keeps multi-file Location lists whole,
-    # so the mtime component covers every source file.
-    sess = dfs[0].sparkSession if dfs else None
-    _LIMIT_KEY = "spark.sql.maxMetadataStringLength"
-    prev_limit = sess.conf.get(_LIMIT_KEY) if sess else None
-    if sess is not None:
-        sess.conf.set(_LIMIT_KEY, "65536")
-    try:
-        plan_txts = [
-            df._jdf.queryExecution().executedPlan().toString()
-            for df in dfs
-        ]
-    finally:
-        if sess is not None:
-            sess.conf.set(_LIMIT_KEY, prev_limit)
-    for df, txt in zip(dfs, plan_txts):
-        if "ExistingRDD" in txt or "InMemoryTableScan" in txt:
-            return None
-        for p in sorted(set(_re.findall(r"file:[^\s\],]+", txt))):
-            local = p[len("file:"):]
-            try:
-                st = _os.stat(local)
-                h.update(
-                    f"{p}:{st.st_mtime_ns}:{st.st_size}".encode()
-                )
-                any_file = True
-            except OSError:
-                h.update(p.encode())
-        norm = _re.sub(r"#\d+", "#x", txt)
-        norm = _re.sub(r"(plan_id|id)=\d+", r"\1=x", norm)
-        # higher-order-function lambda variables carry a session-global
-        # counter (`lambda x_12#x`) — same plan, different serial
-        norm = _re.sub(r"\b([A-Za-z]+)_\d+#", r"\1_n#", norm)
-        h.update(norm.encode())
-        h.update(df.schema.json().encode())
-    return h.hexdigest()[:16] if any_file else None
-
-
 def ensure_feed(dfs, leaf: str) -> str:
-    """Content-addressed :func:`write_file_batches`: return a feed
-    directory holding exactly these batches, writing them only if no
-    valid cached copy exists. The feed is a PURE function of its input
-    tables and chop spec — rewriting an identical feed on every drain
-    was the dominant repeated cost of the sf1 streaming gates
-    (measured 2.3-6.5 s per gate per run at sf1) — so it gets the same
-    cross-session cache treatment as ``ensure_splittable_layout``'s
-    source re-layout: both are source-prep, not operator work.
+    """Write these batches as a fresh file feed and return its
+    directory — one :func:`write_file_batches` call into a per-process
+    unique dir, every time. The feed is recomputed from the source
+    parquet on every drain by design: a cross-run cache of the chopped
+    feed would remove the chop computation from the measured region and
+    make a bench pass read pre-materialized state instead of the
+    inputs. The write itself is the thing to keep cheap (the one-job
+    ``partitionBy`` writer below), not to skip."""
+    from ..queries_round4b import _fresh_feed
 
-    Safety: the key (see :func:`feed_fingerprint`) covers source file
-    mtimes/sizes, so regenerated inputs rewrite; non-file-backed
-    batches fall back to a fresh per-process dir (never cached);
-    writes land in a process-unique temp dir and ``os.rename`` into
-    place, so concurrent sessions race to an identical artifact rather
-    than truncating each other mid-read; stale same-leaf variants are
-    GC'd only after an age threshold. Cached-feed staleness that
-    somehow escaped all of that would still surface as an oracle hash
-    mismatch in the driver's correctness gate — the feed is upstream
-    of every streaming result it checks.
-    """
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import time as _time
-
-    dfs = list(dfs)
-    key = feed_fingerprint(dfs)
-    base = _os.path.join(_os.getcwd(), "spark-warehouse", "sinks")
-    if key is None:
-        from ..queries_round4b import _fresh_feed
-
-        d = _fresh_feed(leaf)
-        write_file_batches(dfs, d)
-        return d
-
-    d = _os.path.join(base, f"{leaf}_k{key}")
-    marker = _os.path.join(d, "_FEED_KEY")
-
-    def _valid() -> bool:
-        try:
-            with open(marker) as fh:
-                if fh.read().strip() != key:
-                    return False
-        except OSError:
-            return False
-        return len(
-            _glob.glob(_os.path.join(d, "batch*.parquet"))
-        ) == len(dfs)
-
-    if _valid():
-        return d
-    # GC stale variants of this leaf (different key), but only aged
-    # ones — a concurrently-running session's fresh feed must survive
-    now = _time.time()
-    if _os.path.isdir(base):
-        for old in _os.listdir(base):
-            full = _os.path.join(base, old)
-            if (
-                old.startswith(leaf + "_k")
-                and full != d
-                and now - _os.path.getmtime(full) > 3600
-            ):
-                _shutil.rmtree(full, ignore_errors=True)
-    tmp = f"{d}.w{_os.getpid()}"
-    write_file_batches(dfs, tmp)
-    with open(_os.path.join(tmp, "_FEED_KEY"), "w") as fh:
-        fh.write(key)
-    try:
-        _os.rename(tmp, d)
-    except OSError:
-        # another session won the race; use whichever copy is valid
-        _shutil.rmtree(d if not _valid() else tmp, ignore_errors=True)
-        if not _os.path.isdir(d):
-            _os.rename(tmp, d)
+    d = _fresh_feed(leaf)
+    write_file_batches(list(dfs), d)
     return d
 
 

@@ -157,19 +157,16 @@ def test_pack_ulm_token_conservation(spark):
     assert dt.agg(F.sum("n_tokens")).collect()[0][0] == enc_total
 
 
-def test_ensure_feed_content_addressed_cache(spark, tmp_path, monkeypatch):
-    """The feed cache (round 9): same batches → same directory, no
-    rewrite (mtimes untouched); different chop or different source
-    content → different key; non-file-backed (checkpointed) batches
-    never cache. write_file_batches itself stays the writer."""
+def test_ensure_feed_writes_fresh_every_call(spark, tmp_path, monkeypatch):
+    """Every drain recomputes its feed from the source parquet: two
+    calls with identical batches land in two distinct directories, each
+    holding one file per batch — no cross-call (let alone cross-run)
+    reuse of the chopped feed."""
     import glob
     import os
 
     from panelsplit_spark.sources.tables import load_table
-    from panelsplit_spark.streaming.rolling import (
-        ensure_feed,
-        feed_fingerprint,
-    )
+    from panelsplit_spark.streaming.rolling import ensure_feed
 
     monkeypatch.chdir(tmp_path)  # sandbox spark-warehouse/sinks
     ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
@@ -177,62 +174,6 @@ def test_ensure_feed_content_addressed_cache(spark, tmp_path, monkeypatch):
     d1 = ensure_feed(batches, "t_feed")
     files = sorted(glob.glob(os.path.join(d1, "batch*.parquet")))
     assert len(files) == 3
-    stamps = [os.path.getmtime(f) for f in files]
     d2 = ensure_feed(batches, "t_feed")
-    assert d2 == d1
-    assert [os.path.getmtime(f) for f in files] == stamps  # no rewrite
-    # a different chop keys differently
-    alt = [ev.where(F.col("event_id") % 2 == j) for j in range(2)]
-    d3 = ensure_feed(alt, "t_feed")
-    assert d3 != d1
-    # stability + sensitivity at the fingerprint level
-    assert feed_fingerprint(batches) == feed_fingerprint(
-        [ev.where(F.col("event_id") % 3 == j) for j in range(3)]
-    )
-    assert feed_fingerprint(batches) != feed_fingerprint(alt)
-    # checkpointed inputs are not content-addressable -> fresh dir
-    ck = ev.limit(10).localCheckpoint(eager=True)
-    assert feed_fingerprint([ck]) is None
-    d4 = ensure_feed([ck], "t_feed")
-    d5 = ensure_feed([ck], "t_feed")
-    assert d4 != d5  # per-call fresh fallback, never reused
-
-
-def test_feed_fingerprint_stable_under_metadata_truncation(spark):
-    """Regression (round-9 bench): FileScan metadata is truncated at
-    spark.sql.maxMetadataStringLength BEFORE id normalization, so a
-    long DataFilters list re-keyed the 'same' feed whenever expression
-    ids grew a digit. The fingerprint must be invariant to expression-id
-    width — pinned by comparing two structurally identical builds after
-    burning thousands of expression ids between them."""
-    from panelsplit_spark.sources.tables import load_table
-    from panelsplit_spark.streaming.rolling import feed_fingerprint
-
-    def build():
-        # long projection/filter chain → metadata well past 100 chars
-        li = load_table(spark, SF_DIR, "lineitem").select(
-            F.col("l_orderkey").alias("k"),
-            F.substring(
-                F.round(F.col("l_extendedprice") * 100)
-                .cast("long")
-                .cast("string"),
-                1,
-                1,
-            )
-            .cast("long")
-            .alias("digit"),
-        ).where(F.col("digit").between(1, 9))
-        return [li.where(F.col("k") % 3 == j) for j in range(3)]
-
-    k1 = feed_fingerprint(build())
-    # burn expression ids so the second build's ids are wider
-    df = load_table(spark, SF_DIR, "lineitem")
-    for _ in range(12):
-        df = df.select(*[F.col(c).alias(c) for c in df.columns])
-    df.schema  # force analysis
-    k2 = feed_fingerprint(build())
-    assert k1 == k2
-    # and the conf tweak must not leak out of the helper
-    assert (
-        spark.conf.get("spark.sql.maxMetadataStringLength") != "65536"
-    )
+    assert d2 != d1  # fresh dir per call, never reused
+    assert len(glob.glob(os.path.join(d2, "batch*.parquet"))) == 3
