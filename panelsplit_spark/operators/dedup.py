@@ -263,6 +263,13 @@ def doc_shingles(
     )
 
 
+# Candidate-verify branch switch (module-level so tests can force the
+# packed-array branch on small data): below this many candidate pairs
+# the classic candidates⋈shingles⋈shingles explode join wins; above it
+# the packed-array codegen verify amortizes its fixed costs.
+_ARRAY_VERIFY_MIN_CANDS = 1_000_000
+
+
 def _shingle_pair_core(
     df: DataFrame,
     text_col: str,
@@ -301,7 +308,6 @@ def _shingle_pair_core(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
-    _ARRAY_VERIFY_MIN_CANDS = 1_000_000
     if candidates is not None:
         # Candidate pairs are sparse: prune the shingle table to docs
         # that appear in some pair BEFORE any further shuffle. The
@@ -435,10 +441,22 @@ def _shingle_pair_core(
                 # sizes joins whenever these columns are present
                 F.size("__aa").alias("__na"),
                 F.size("__ab").alias("__nb"),
+                # Pushdown barrier: without a nondeterministic field in
+                # this Project, Catalyst pushes this filter AND the
+                # caller's threshold filter through it into the
+                # broadcast-join condition, re-deriving n_inter from
+                # array_intersect up to 5× per candidate pair (3× in
+                # the join condition + 2× here — seen in the committed
+                # r9 before-plan). One never-true OR arm referencing
+                # the column keeps it alive through column pruning;
+                # monotonically_increasing_id() is non-negative by
+                # construction, so results are identical.
+                F.monotonically_increasing_id().alias("__nd"),
             )
             # the old join form only materialized pairs sharing ≥1
             # shingle; keep that contract for downstream ratios
-            .where(F.col("n_inter") > 0)
+            .where((F.col("n_inter") > 0) | (F.col("__nd") < 0))
+            .drop("__nd")
         )
     return inter, sizes
 

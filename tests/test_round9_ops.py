@@ -177,3 +177,37 @@ def test_ensure_feed_writes_fresh_every_call(spark, tmp_path, monkeypatch):
     d2 = ensure_feed(batches, "t_feed")
     assert d2 != d1  # fresh dir per call, never reused
     assert len(glob.glob(os.path.join(d2, "batch*.parquet"))) == 3
+
+
+def test_array_verify_single_intersect_eval(spark, monkeypatch):
+    """The packed-array candidate-verify branch must (a) return exactly
+    the explode-branch's pairs and (b) evaluate ``array_intersect``
+    ONCE per candidate pair: without the pushdown barrier the caller's
+    threshold filter is pushed into the broadcast-join condition and
+    the intersect is re-derived up to 5x per pair (r9 before-plan)."""
+    from panelsplit_spark.operators import dedup
+    from panelsplit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    cands = dedup.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+    explode_out = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, shingle_n=3, threshold=0.2, candidates=cands
+        ).collect()
+    )
+    monkeypatch.setattr(dedup, "_ARRAY_VERIFY_MIN_CANDS", 0)
+    arr_df = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.2, candidates=cands
+    )
+    # plan assertion BEFORE execution: a post-collect AQE explain
+    # prints Final + Initial plan sections and would double-count
+    plan = arr_df._sc._jvm.PythonSQLUtils.explainString(
+        arr_df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("array_intersect") == 1, plan
+    arr_out = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in arr_df.collect()
+    )
+    assert arr_out == explode_out and len(arr_out) > 0
