@@ -130,6 +130,10 @@ TT_SHINGLE_N = 3
 TT_DF_CAP = 100   # pair dot products only via shingles with df ≤ cap
 TT_TOP = 3
 TT_IDF_MILLI = 1000  # idf quantization: round(ln(N/df)·1000) → BIGINT
+# broadcast the doc-sized norm table into the cosine join below this
+# many documents; above it (norms won't fit an executor) keep the
+# shuffle join — same scale discipline as pagerank broadcast_ranks_below
+TT_BCAST_NORMS_BELOW = 4_000_000
 
 
 def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,9 +209,23 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plan audit caught 35 exchanges / 4 bnlj in the naive form; at
     # production scale write the index out as a table instead)
     w = w.localCheckpoint(eager=True)
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.col("w") * F.col("w")).alias("norm2")
+    # norms are doc-sized (one row per document) and consumed by BOTH
+    # sides of the cosine join: left lazy, each consumer re-ran the
+    # full norm aggregate over the checkpointed index AND the planner
+    # joined them as two pair-table-sized SMJ exchanges (r9
+    # before-plan, ops 16-35). Materialize once and BROADCAST into the
+    # dot table while the corpus is below the broadcast band — the dot
+    # table then keeps its aggregate partitioning untouched until the
+    # top-k window. Web-scale corpora (n_docs above the band) keep the
+    # shuffle join, the only shape that works when the norm table
+    # doesn't fit an executor (same discipline as pagerank's
+    # broadcast_ranks_below).
+    norms = (
+        w.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+        .localCheckpoint(eager=True)
     )
+    bcast_norms = norms.count() < TT_BCAST_NORMS_BELOW
     capped = w.where(F.col("df") <= TT_DF_CAP).select(
         "doc_id", "shingle", "w"
     )
@@ -233,6 +251,8 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = norms.select(
         F.col("doc_id").alias("id_b"), F.col("norm2").alias("norm2_b")
     )
+    if bcast_norms:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     cos = (
         dots.join(na, "id_a")
         .join(nb, "id_b")
