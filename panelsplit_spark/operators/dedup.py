@@ -266,8 +266,16 @@ def doc_shingles(
 # Candidate-verify branch switch (module-level so tests can force the
 # packed-array branch on small data): below this many candidate pairs
 # the classic candidates⋈shingles⋈shingles explode join wins; above it
-# the packed-array codegen verify amortizes its fixed costs.
-_ARRAY_VERIFY_MIN_CANDS = 1_000_000
+# the packed-array codegen verify amortizes its fixed costs (bijection
+# check, array build, two broadcasts). The original 1M crossover was
+# measured with the pre-r9 verify that re-evaluated array_intersect up
+# to 5× per pair; with the single-evaluation barrier the array branch
+# is ~3× cheaper per pair and the measured crossover moved down:
+# interleaved A/B (r9) — 200k pairs (sorted_neighborhood sf1) array
+# wins 20.9 → 16.1 s median, ~320k (prefix_join sf0.1) array wins
+# 10.0 → 9.7 s, 20k (sorted_neighborhood sf0.1) explode wins
+# 4.5 vs 5.0 s.
+_ARRAY_VERIFY_MIN_CANDS = 150_000
 
 
 def _shingle_pair_core(
