@@ -651,21 +651,24 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure, normalize_event_ts
     from .streaming.rolling import (
-        ensure_feed,
+        ensure_feed_by,
         stream_shuffle_partitions,
     )
 
     configure(spark)
     ev = load_table(spark, sf_dir, "events")
     fh = ev.agg(F.date_trunc("hour", F.max("ts")).alias("h")).first()["h"]
-    on_time = ev.where(
-        (F.col("event_id") % 2 == 0) | (F.col("ts") >= F.lit(fh))
-    )
-    late = ev.where(
-        (F.col("event_id") % 2 == 1) & (F.col("ts") < F.lit(fh))
-    )
-    feed = ensure_feed(
-        [on_time, ev.where(F.lit(False)), late], "late_data_feed"
+    # batch 0 = on-time rows, batch 1 = the deliberate watermark-advance
+    # gap (empty by construction), batch 2 = the late rows; the two
+    # predicates partition ev, so one scan with a CASE batch id
+    # replaces the three-branch union
+    on_time = (F.col("event_id") % 2 == 0) | (F.col("ts") >= F.lit(fh))
+    feed = ensure_feed_by(
+        ev,
+        F.when(on_time, F.lit(0)).otherwise(F.lit(2)),
+        3,
+        "late_data_feed",
+        empty_batches=(1,),
     )
     stream = (
         spark.readStream.schema(ev.schema)
@@ -995,16 +998,15 @@ def q_stream_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure, normalize_event_ts
     from .streaming.rolling import (
-        ensure_feed,
+        ensure_feed_by,
         stream_decayed_counts,
         stream_shuffle_partitions,
     )
 
     configure(spark)
     ev = load_table(spark, sf_dir, "events")
-    feed = ensure_feed(
-        [ev.where(F.col("event_id") % 3 == j) for j in range(3)],
-        "decay_feed",
+    feed = ensure_feed_by(
+        ev, F.col("event_id") % 3, 3, "decay_feed"
     )
     stream = (
         spark.readStream.schema(ev.schema)
@@ -2066,16 +2068,15 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.tables import configure
     from .streaming.rolling import (
-        ensure_feed,
+        ensure_feed_by,
         stream_near_dup_admit,
         stream_shuffle_partitions,
     )
 
     configure(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    feed = ensure_feed(
-        [docs.where(F.col("doc_id") % 3 == j) for j in range(3)],
-        "near_dup_feed",
+    feed = ensure_feed_by(
+        docs, F.col("doc_id") % 3, 3, "near_dup_feed"
     )
     stream = (
         spark.readStream.schema(docs.schema)

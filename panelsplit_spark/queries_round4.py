@@ -487,7 +487,7 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_histogram_quantiles,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -505,11 +505,10 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fresh dir per invocation: a fixed feed path intermittently
         # drained zero batches when a long bench session re-invoked the
         # gate (same hardening as stream_fingerprint / stream_auc)
-        feed = ensure_feed(
-            [
-                ev.where(F.col("event_id") % chop_n(SQ_BATCHES) == j)
-                for j in range(chop_n(SQ_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            ev,
+            F.col("event_id") % chop_n(SQ_BATCHES),
+            chop_n(SQ_BATCHES),
             "quantile_feed",
         )
         stream = (

@@ -674,7 +674,7 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_shuffle_partitions,
         stream_table_fingerprint,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -689,11 +689,10 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                ev.where(key % chop_n(SFP_BATCHES) == j)
-                for j in range(chop_n(SFP_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            ev,
+            key % chop_n(SFP_BATCHES),
+            chop_n(SFP_BATCHES),
             "fingerprint_feed",
         )
         stream = (
@@ -756,7 +755,7 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_auc,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -773,13 +772,12 @@ def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                od.where(F.col("k") % chop_n(SAUC_BATCHES) == j)
-                .drop("k")
-                for j in range(chop_n(SAUC_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            od,
+            F.col("k") % chop_n(SAUC_BATCHES),
+            chop_n(SAUC_BATCHES),
             "auc_feed",
+            drop=("k",),
         )
         stream = (
             spark.readStream.schema(od.drop("k").schema)

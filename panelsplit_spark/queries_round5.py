@@ -1279,7 +1279,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_hll_registers,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -1291,11 +1291,10 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                ev.where(F.col("event_id") % chop_n(SHLL_BATCHES) == j)
-                for j in range(chop_n(SHLL_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            ev,
+            F.col("event_id") % chop_n(SHLL_BATCHES),
+            chop_n(SHLL_BATCHES),
             "hll_feed",
         )
         stream = (

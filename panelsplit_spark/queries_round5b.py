@@ -873,7 +873,7 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_shuffle_partitions,
         stream_weighted_reservoir,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -885,11 +885,10 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                docs.where(F.col("doc_id") % chop_n(_SRES_BATCHES) == j)
-                for j in range(chop_n(_SRES_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            docs,
+            F.col("doc_id") % chop_n(_SRES_BATCHES),
+            chop_n(_SRES_BATCHES),
             "reservoir_feed",
         )
         stream = (
@@ -1118,7 +1117,7 @@ def q_stream_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_mde_moments,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -1135,11 +1134,10 @@ def q_stream_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                ev.where(F.col("event_id") % chop_n(_SMDE_BATCHES) == j)
-                for j in range(chop_n(_SMDE_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            ev,
+            F.col("event_id") % chop_n(_SMDE_BATCHES),
+            chop_n(_SMDE_BATCHES),
             "mde_feed",
         )
         stream = (
@@ -2078,7 +2076,7 @@ def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -2092,11 +2090,10 @@ def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                ev.where(F.col("event_id") % chop_n(_SKS_BATCHES) == j)
-                for j in range(chop_n(_SKS_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            ev,
+            F.col("event_id") % chop_n(_SKS_BATCHES),
+            chop_n(_SKS_BATCHES),
             "ks_feed",
         )
         stream = (
@@ -2420,7 +2417,7 @@ def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -2434,13 +2431,10 @@ def q_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                orders.where(
-                    F.col("o_orderkey") % chop_n(_SGINI_BATCHES) == j
-                )
-                for j in range(chop_n(_SGINI_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            orders,
+            F.col("o_orderkey") % chop_n(_SGINI_BATCHES),
+            chop_n(_SGINI_BATCHES),
             "gini_feed",
         )
         stream = (

@@ -116,7 +116,7 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_scd2_versions,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -135,11 +135,10 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                ev.where(F.col("event_id") % chop_n(_SCD2_BATCHES) == j)
-                for j in range(chop_n(_SCD2_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            ev,
+            F.col("event_id") % chop_n(_SCD2_BATCHES),
+            chop_n(_SCD2_BATCHES),
             "scd2_feed",
         )
         stream = (
@@ -1072,7 +1071,7 @@ def q_stream_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_bitmap_words,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -1084,11 +1083,10 @@ def q_stream_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                ev.where(F.col("event_id") % chop_n(_SBM_BATCHES) == j)
-                for j in range(chop_n(_SBM_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            ev,
+            F.col("event_id") % chop_n(_SBM_BATCHES),
+            chop_n(_SBM_BATCHES),
             "bitmap_feed",
         )
         stream = (
@@ -1698,7 +1696,7 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -1719,11 +1717,10 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                ev.where(F.col("event_id") % chop_n(_SPSI_BATCHES) == j)
-                for j in range(chop_n(_SPSI_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            ev,
+            F.col("event_id") % chop_n(_SPSI_BATCHES),
+            chop_n(_SPSI_BATCHES),
             "psi_feed",
         )
         stream = (

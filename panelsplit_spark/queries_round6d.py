@@ -45,7 +45,7 @@ def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_ks_counts,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -62,21 +62,20 @@ def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit"),
     ).where(F.col("digit").between(1, 9)).withColumn(
         "seg", F.lit("all")
-    )  # left LAZY on purpose (round 9): the one-job partitionBy
-    # writer's three branches share one ReusedExchange-d scan, so the
-    # pre-round-9 localCheckpoint (which guarded the old N-job writer's
-    # triple re-scan, measured 18 s at sf1 back then) is a pure extra
-    # materialization now
+    )  # left LAZY on purpose (round 9): the one-scan ensure_feed_by
+    # writer reads lineitem exactly once, so the pre-round-9
+    # localCheckpoint (which guarded the old N-job writer's triple
+    # re-scan, measured 18 s at sf1 back then) is a pure extra
+    # materialization
     name = "stream_benford_sink"
     for attempt in range(2):
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            [
-                li.where(F.col("k") % chop_n(_SBEN_BATCHES) == j)
-                for j in range(chop_n(_SBEN_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            li,
+            F.col("k") % chop_n(_SBEN_BATCHES),
+            chop_n(_SBEN_BATCHES),
             "benford_feed",
         )
         stream = (
@@ -166,7 +165,7 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         chop_n,
         stream_keyed_min,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_by,
     )
 
     configure(spark)
@@ -187,8 +186,8 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct = min over all, for ANY chop — the chop predicate is on
     # h itself) while cutting the feed and the 12-way stacked drain ~5×
     # (80% of sf1 shingle rows are repeats). Left LAZY (round 9): the
-    # one-job writer's branches share the distinct's exchange via
-    # ReusedExchange, so the corpus still explodes only once
+    # one-scan ensure_feed_by writer runs the corpus explode exactly
+    # once
     params = minhash_params(_SMH_HASHES)
     stack_expr = "stack({}, {}) as (j, u)".format(
         _SMH_HASHES,
@@ -205,11 +204,10 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the feed carries the 1× (seg, base-hash) rows; the 12-way
         # universal-hash stack runs INSIDE the stream (writing the
         # stacked rows would 12× the feed I/O for pure arithmetic)
-        feed = ensure_feed(
-            [
-                sh.where(F.col("h") % chop_n(_SMH_BATCHES) == j)
-                for j in range(chop_n(_SMH_BATCHES))
-            ],
+        feed = ensure_feed_by(
+            sh,
+            F.col("h") % chop_n(_SMH_BATCHES),
+            chop_n(_SMH_BATCHES),
             "minhash_feed",
         )
         stream = (
@@ -296,10 +294,9 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.tables import configure
     from .streaming.rolling import (
         chop_n,
-        ordered_chop,
         stream_cusum,
         stream_shuffle_partitions,
-        ensure_feed,
+        ensure_feed_ordered,
     )
 
     configure(spark)
@@ -320,9 +317,8 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in spark.streams.active:
             if q.name == name:
                 q.stop()
-        feed = ensure_feed(
-            ordered_chop(daily, ["day", "prio"], chop_n(_SCU_BATCHES)),
-            "cusum_feed",
+        feed = ensure_feed_ordered(
+            daily, ["day", "prio"], chop_n(_SCU_BATCHES), "cusum_feed"
         )
         stream = (
             spark.readStream.schema(daily.schema)

@@ -39,6 +39,8 @@ __all__ = [
     "stream_table_fingerprint",
     "stream_auc",
     "ensure_feed",
+    "ensure_feed_by",
+    "ensure_feed_ordered",
 ]
 
 
@@ -907,11 +909,12 @@ def file_stream(
 
     df = spark.read.parquet(path)
     if order_cols is not None:
-        batches = ordered_chop(df, order_cols, n)
+        feed = ensure_feed_ordered(df, order_cols, n, f"chop_{table}")
     else:
         assert key_col is not None, "file_stream chop needs a key/order"
-        batches = [df.where(F.col(key_col) % n == j) for j in range(n)]
-    feed = ensure_feed(batches, f"chop_{table}")
+        feed = ensure_feed_by(
+            df, F.col(key_col) % n, n, f"chop_{table}"
+        )
     return (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -933,6 +936,149 @@ def ensure_feed(dfs, leaf: str) -> str:
     d = _fresh_feed(leaf)
     write_file_batches(list(dfs), d)
     return d
+
+
+def ensure_feed_by(
+    df, batch_id, n: int, leaf: str, *, drop=(), empty_batches=()
+) -> str:
+    """One-scan variant of :func:`ensure_feed` for feeds whose batches
+    are defined by a batch-id EXPRESSION over one source frame — the
+    ubiquitous ``key % n == j`` chop. ``ensure_feed`` unions ``n``
+    filtered branches of the same plan, which re-scans the source once
+    per branch whenever no exchange is available for ReusedExchange
+    (scan→filter feeds like benford's lineitem chop paid ``n`` full
+    scans inside the one write job). Here the id is computed as a
+    column on a SINGLE scan and the ``partitionBy`` writer splits it.
+
+    Row contract: batch ``j`` holds exactly the rows of
+    ``df.where(batch_id == j)``; rows whose id is NULL or outside
+    ``0..n-1`` are excluded, matching the filter form. Within-batch
+    order is shuffle-dependent, same as ensure_feed's one-job path.
+    ``drop`` columns are removed after the id is computed (for feeds
+    whose chop key is not part of the batch schema). ``empty_batches``
+    marks ids that are empty BY CONSTRUCTION (late-data's gap batch) so
+    their schema-bearing empty file is written from a constant-folded
+    empty frame instead of a contradiction scan."""
+    from ..queries_round4b import _fresh_feed
+
+    d = _fresh_feed(leaf)
+    write_file_batches_by(
+        df, batch_id, int(n), d, drop=drop, empty_batches=empty_batches
+    )
+    return d
+
+
+# Small row groups (1 MB vs the 128 MB writer default): each batch
+# is ONE file (`maxFilesPerTrigger=1` = one file per micro-batch),
+# and parquet scans split at row-group boundaries — a fat single
+# group would pin every micro-batch's whole read+compute to one
+# task no matter the session's split size.
+_BLOCK = "1048576"
+_FEED_MTIME_BASE = 1_700_000_000
+
+
+def _finalize_batch(feed_dir: str, i: int, src: str) -> None:
+    import os as _os
+    import shutil as _shutil
+
+    dst = _os.path.join(feed_dir, f"batch{i:03d}.parquet")
+    _shutil.copy(src, dst)
+    t = _FEED_MTIME_BASE + i * 1000
+    _os.utime(dst, (t, t))
+
+
+def _slow_write_batch(feed_dir: str, i: int, df) -> None:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    tmp = feed_dir + f".tmp{i}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.option("parquet.block.size", _BLOCK).parquet(tmp)
+    _finalize_batch(
+        feed_dir, i, _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+    )
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ensure_feed_ordered(df, order_cols, n: int, leaf: str) -> str:
+    """:func:`ensure_feed_by` over the same contiguous chunks as
+    :func:`ordered_chop`, with the chunk id as a COLUMN
+    (``(rn*n) div total``) so the one-scan writer splits one global
+    window pass instead of unioning ``n`` re-evaluations of it.
+    ``order_cols`` must be a total order (include a tiebreak id)."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    total = df.count()
+    ranked = df.withColumn("_rn", F.row_number().over(w) - 1)
+    return ensure_feed_by(
+        ranked,
+        F.expr(f"(_rn * {int(n)}) div {int(total)}"),
+        n,
+        leaf,
+        drop=("_rn",),
+    )
+
+
+def write_file_batches_by(
+    df, batch_id, n: int, feed_dir: str, *, drop=(), empty_batches=()
+) -> None:
+    """One-scan sibling of :func:`write_file_batches` (see
+    :func:`ensure_feed_by` for the row contract): the batch id is a
+    column computed on a single pass over ``df``, hash-repartitioned
+    into one partition per id, ``partitionBy``-written, and finalized
+    into the same mtime-ordered one-file-per-batch layout. A batch
+    whose directory is missing (empty batch) falls back to the
+    per-frame writer on ``df.where(batch_id == i)`` — or on a
+    constant-folded empty frame for ids listed in ``empty_batches``."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    _shutil.rmtree(feed_dir, ignore_errors=True)
+    _os.makedirs(feed_dir)
+
+    def _branch(i: int):
+        b = df.where(F.lit(False)) if i in empty_batches else df.where(
+            batch_id.cast("int") == i
+        )
+        return b.drop(*drop) if drop else b
+
+    u = df.withColumn("_wfb", batch_id.cast("int")).where(
+        F.col("_wfb").isNotNull() & (F.col("_wfb") >= 0) & (F.col("_wfb") < n)
+    )
+    if drop:
+        u = u.drop(*drop)
+    tmp = feed_dir + ".tmpall"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        u.repartition(n, F.col("_wfb")).write.option(
+            "parquet.block.size", _BLOCK
+        ).partitionBy("_wfb").parquet(tmp)
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            "write_file_batches_by: one-job partitionBy write failed "
+            f"for {feed_dir!r}; falling back to the per-branch "
+            f"writer (n upstream re-runs). Cause: {e!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        for i in range(n):
+            _slow_write_batch(feed_dir, i, _branch(i))
+    else:
+        for i in range(n):
+            hits = _glob.glob(
+                _os.path.join(tmp, f"_wfb={i}", "part-*.parquet")
+            )
+            if len(hits) == 1:
+                _finalize_batch(feed_dir, i, hits[0])
+            else:  # empty batch (no dir) or unexpected multi-file
+                _slow_write_batch(feed_dir, i, _branch(i))
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_file_batches(dfs, feed_dir: str) -> None:
@@ -963,29 +1109,13 @@ def write_file_batches(dfs, feed_dir: str) -> None:
 
     _shutil.rmtree(feed_dir, ignore_errors=True)
     _os.makedirs(feed_dir)
-    base = 1_700_000_000
     dfs = list(dfs)
 
     def _finalize(i: int, src: str) -> None:
-        dst = _os.path.join(feed_dir, f"batch{i:03d}.parquet")
-        _shutil.copy(src, dst)
-        _os.utime(dst, (base + i * 1000, base + i * 1000))
-
-    # Small row groups (1 MB vs the 128 MB writer default): each batch
-    # is ONE file (`maxFilesPerTrigger=1` = one file per micro-batch),
-    # and parquet scans split at row-group boundaries — a fat single
-    # group would pin every micro-batch's whole read+compute to one
-    # task no matter the session's split size.
-    _BLOCK = "1048576"
+        _finalize_batch(feed_dir, i, src)
 
     def _slow_write(i: int, df) -> None:
-        tmp = feed_dir + f".tmp{i}"
-        _shutil.rmtree(tmp, ignore_errors=True)
-        df.coalesce(1).write.option("parquet.block.size", _BLOCK).parquet(
-            tmp
-        )
-        _finalize(i, _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0])
-        _shutil.rmtree(tmp, ignore_errors=True)
+        _slow_write_batch(feed_dir, i, df)
 
     done = False
     if len(dfs) > 1 and len({tuple(d.schema) for d in dfs}) == 1:
