@@ -26,6 +26,8 @@ def bfs_levels(
     node: str = "node",
     max_hops: int = 4,
     broadcast_frontier_below: int = 4_000_000,
+    undirected: bool = False,
+    bipartite: bool = False,
 ) -> DataFrame:
     """Multi-source breadth-first search → (node, dist) for every node
     reachable from ``sources`` within ``max_hops`` hops (dist = exact
@@ -49,7 +51,22 @@ def bfs_levels(
     nodes) keys on the node id. Nothing is collected to the driver.
     The persisted edge frame is exposed as
     ``result.persisted_intermediates`` — unpersist when done.
+
+    ``undirected=True`` declares that ``edges`` carries each undirected
+    edge ONCE (one (src, dst) row, no reversed copy): the pair list is
+    persisted at half the doubled form's storage/materialization cost
+    and each round probes BOTH orientations of the single copy.
+    ``bipartite=True`` (requires ``undirected``) further declares that
+    every edge crosses from the ``src`` side to the ``dst`` side and
+    every source node lies on the ``src`` side — then round k's
+    frontier lies entirely on one side (src side for even k), so each
+    round probes the pair list in ONE orientation, halving the
+    per-round probe volume again. Both are declarations about the
+    caller's graph, not behavior changes: the reached set per round is
+    identical to passing the doubled edge list to the default path.
     """
+    if bipartite and not undirected:
+        raise ValueError("bipartite BFS requires undirected=True")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).persist()
     settled = sources.select(
         F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
@@ -65,11 +82,16 @@ def bfs_levels(
         f = frontier.select(F.col("node").alias("_f"))
         if n_front < broadcast_frontier_below:
             f = F.broadcast(f)
-        reached = (
-            e.join(f, e["_s"] == f["_f"])
-            .select(F.col("_t").alias("node"))
-            .distinct()
-        )
+        fwd = e.join(f, e["_s"] == f["_f"]).select(F.col("_t").alias("node"))
+        rev = e.join(f, e["_t"] == f["_f"]).select(F.col("_s").alias("node"))
+        if bipartite:
+            # sources sit on the src side, edges always cross: odd-hop
+            # frontiers are dst-side, even-hop frontiers src-side
+            reached = (fwd if hop % 2 == 1 else rev).distinct()
+        elif undirected:
+            reached = fwd.unionByName(rev).distinct()
+        else:
+            reached = fwd.distinct()
         frontier = (
             reached.join(settled, "node", "left_anti")
             .select("node", F.lit(hop).cast("long").alias("dist"))

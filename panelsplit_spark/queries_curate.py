@@ -1759,15 +1759,19 @@ def q_rel_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # supplier↔customer edges always cross sides and the sources are
+    # all suppliers, so the pair list goes in ONCE (no reversed union:
+    # half the persisted edge volume) and each BFS round probes the
+    # single orientation its frontier side needs (bipartite mode)
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
-    ).union(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     sources = su.where(F.col("s_nationkey") == BFS_NATION).select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    dist = bfs_levels(edges, sources, max_hops=BFS_HOPS)
+    dist = bfs_levels(
+        edges, sources, max_hops=BFS_HOPS, undirected=True, bipartite=True
+    )
     # materialize the node-sized result, then RELEASE the edge-sized
     # persisted intermediates (same discipline as rel_pagerank — a
     # long-lived session must not leave an edge list in storage memory)
