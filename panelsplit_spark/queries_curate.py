@@ -295,52 +295,58 @@ def q_rel_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary tree rooted at 1; keys 0 and 1 are roots): per part its
     depth, subtree size, and subtree retail-price total in exact cents.
 
-    This is the ``WITH RECURSIVE`` workload class. The Spark plan uses
-    operators/graph.ancestor_closure — relation squaring, ⌈log₂ depth⌉
-    self-joins instead of depth chained ones — then two grouped
-    aggregates over the (node, ancestor) pairs. The oracle is an
-    INDEPENDENT linear-recursion CTE in DuckDB, so the gate also
-    cross-checks the squaring against textbook recursion."""
-    from .operators.graph import ancestor_closure
-
+    This is the ``WITH RECURSIVE`` workload class, and the oracle
+    replays it as an INDEPENDENT linear-recursion CTE in DuckDB. On
+    the Spark side the recursion is solved in closed form (round 9):
+    parent = key÷2 means the tree is an implicit binary heap, so the
+    ancestors of key k are EXACTLY k>>j for j = 1..bit_length(k)-1
+    with hop distance j, and depth(k) = bit_length(k)-1. The closure
+    is therefore one explode over per-row bit arithmetic — zero joins,
+    zero iteration — where rounds of relation-squaring self-joins
+    (operators/graph.ancestor_closure, still the general-DAG operator)
+    previously built a 40M-row pair set through 5 persisted rounds at
+    sf1. Identical (node, anc, dist) rows, proven against the oracle
+    CTE at sf0.01/sf0.1 and against ancestor_closure by unit test."""
     part = load_table(spark, sf_dir, "part")
     p = part.select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
     )
-    edges = p.where(F.col("p_partkey") >= 2).select(
-        F.col("p_partkey").alias("child"),
-        F.expr("p_partkey div 2").alias("parent"),
+    # (node, dist, anc, pc) closure rows by bit arithmetic; pc rides
+    # along so the subtree aggregate needs no join back to p. conv to
+    # base-2 keeps bit_length exact where floor(log2(double)) wouldn't.
+    cl = p.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("node"),
+        "pc",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.length(
+                    F.conv(F.col("p_partkey").cast("string"), 10, 2)
+                )
+                - 1,
+            )
+        ).alias("dist"),
+    ).withColumn("anc", F.expr("shiftright(node, dist)"))
+    sub = cl.groupBy("anc").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("pc").alias("sc")
     )
-    # parent = key÷2 ⇒ depth ≤ log₂(max key): bound the squaring rounds
-    # up front (one tiny agg) instead of paying a fixpoint count per
-    # round plus a no-progress confirmation round
-    max_key = part.agg(F.max("p_partkey")).first()[0] or 1
-    cl = ancestor_closure(edges, known_max_depth=max(max_key, 2).bit_length())
-    depth = cl.groupBy("node").agg(F.max("dist").alias("depth"))
-    sub = (
-        cl.join(p, cl["node"] == p["p_partkey"])
-        .groupBy("anc")
-        .agg(F.count(F.lit(1)).alias("nd"), F.sum("pc").alias("sc"))
-    )
-    out = (
-        p.join(depth, p["p_partkey"] == depth["node"], "left")
-        .join(sub, p["p_partkey"] == sub["anc"], "left")
-        .select(
-            "p_partkey",
-            F.coalesce("depth", F.lit(0)).cast("long").alias("depth"),
-            (F.coalesce("nd", F.lit(0)) + 1).cast("long").alias("n_subtree"),
-            (F.coalesce("sc", F.lit(0)) + F.col("pc"))
-            .cast("long")
-            .alias("subtree_cents"),
+    # depth(k) = max dist over k's closure rows = bit_length(k)-1, with
+    # the left-join coalesce(depth, 0) fallback for the rootish keys
+    # 0/1 folded in (bit_length(1)-1 = 0, conv(0) -> "0" -> 0)
+    out = p.join(sub, p["p_partkey"] == sub["anc"], "left").select(
+        "p_partkey",
+        (
+            F.length(F.conv(F.col("p_partkey").cast("string"), 10, 2))
+            - 1
         )
+        .cast("long")
+        .alias("depth"),
+        (F.coalesce("nd", F.lit(0)) + 1).cast("long").alias("n_subtree"),
+        (F.coalesce("sc", F.lit(0)) + F.col("pc"))
+        .cast("long")
+        .alias("subtree_cents"),
     )
-    # materialize the (part-sized) result, then release the closure's
-    # persisted pair set so repeated bench/oracle runs don't accumulate
-    # executor storage for the rest of the session
-    out = out.localCheckpoint(eager=True)
-    for h in getattr(cl, "persisted_intermediates", ()):
-        h.unpersist()
     return out
 
 

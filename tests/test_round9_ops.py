@@ -211,3 +211,37 @@ def test_array_verify_single_intersect_eval(spark, monkeypatch):
         (r.id_a, r.id_b, round(r.jaccard, 9)) for r in arr_df.collect()
     )
     assert arr_out == explode_out and len(arr_out) > 0
+
+
+def test_tree_rollup_arithmetic_closure_matches_squaring(spark):
+    """rel_tree_rollup (round 9) solves the parent=key÷2 recursion in
+    closed form: ancestors of k are k>>j for j=1..bit_length(k)-1. Pin
+    the arithmetic (node, anc, dist) rows against the general
+    relation-squaring operator on the same heap tree."""
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark.operators.graph import ancestor_closure
+
+    keys = spark.range(2, 200).select(F.col("id").alias("k"))
+    edges = keys.select(
+        F.col("k").alias("child"), F.expr("k div 2").alias("parent")
+    )
+    squared = sorted(
+        (r.node, r.anc, r.dist)
+        for r in ancestor_closure(edges, known_max_depth=9).collect()
+    )
+    arith = sorted(
+        (r.node, r.anc, r.dist)
+        for r in keys.select(
+            F.col("k").alias("node"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length(F.conv(F.col("k").cast("string"), 10, 2)) - 1,
+                )
+            ).alias("dist"),
+        )
+        .withColumn("anc", F.expr("shiftright(node, dist)"))
+        .collect()
+    )
+    assert arith == squared and len(arith) > 0
