@@ -349,6 +349,7 @@ def shortest_paths(
     dst: str = "dst",
     weight: str = "w",
     node: str = "node",
+    undirected: bool = False,
 ) -> DataFrame:
     """Multi-source single-source-shortest-path over POSITIVE integer
     edge weights: ``n_rounds`` synchronous Bellman-Ford relaxations →
@@ -366,6 +367,13 @@ def shortest_paths(
     exact integers: no float creeps in, u2-style overflow is impossible
     for weights·hops < 2^63. Persisted frames are exposed via
     ``result.persisted_intermediates`` — unpersist when done.
+
+    ``undirected=True`` declares that ``edges`` carries each undirected
+    edge ONCE (no reversed copy): the edge list is persisted at half
+    the doubled form's materialization cost and every round relaxes
+    BOTH orientations of the single copy — the relaxation candidate
+    set is identical to running the doubled list through the default
+    path.
     """
     e = edges.select(
         F.col(src).alias("_s"),
@@ -381,13 +389,20 @@ def shortest_paths(
     )
     persisted = [e, dist]
     for _ in range(n_rounds):
-        relaxed = (
-            dist.join(e, dist["node"] == e["_s"])
-            .select(
-                F.col("_t").alias("node"),
-                (F.col("dist") + F.col("_w")).alias("dist"),
+        fwd = dist.join(e, dist["node"] == e["_s"]).select(
+            F.col("_t").alias("node"),
+            (F.col("dist") + F.col("_w")).alias("dist"),
+        )
+        candidates = fwd
+        if undirected:
+            candidates = fwd.unionByName(
+                dist.join(e, dist["node"] == e["_t"]).select(
+                    F.col("_s").alias("node"),
+                    (F.col("dist") + F.col("_w")).alias("dist"),
+                )
             )
-            .unionByName(dist.select("node", "dist"))
+        relaxed = (
+            candidates.unionByName(dist.select("node", "dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .persist()

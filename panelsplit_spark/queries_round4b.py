@@ -1148,17 +1148,20 @@ def q_rel_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.min(F.expr("cents div 10000")) + 1).alias("w"))
     )
+    # the pair list goes in ONCE (undirected mode relaxes both
+    # orientations of the single persisted copy: half the doubled
+    # list's materialization volume, identical relaxation candidates)
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
-    ).unionByName(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
     # key-mod source set: non-empty at every scale factor (a nation
     # filter is empty at sf0.001 where only a handful of suppliers exist)
     sources = su.where(F.col("s_suppkey") % 5 == SP_NATION).select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    dist = shortest_paths(edges, sources, n_rounds=SP_ROUNDS)
+    dist = shortest_paths(
+        edges, sources, n_rounds=SP_ROUNDS, undirected=True
+    )
     out = dist.select(
         F.when(
             F.col("node") % 2 == 1,
