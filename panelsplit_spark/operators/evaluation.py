@@ -423,9 +423,13 @@ def split_conformal_ols(
 
         q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest score
 
-    is an exact order statistic of integers (row_number with id
-    tiebreak — no interpolation ambiguity), and test coverage is an
-    exact integer comparison ``score ≤ q̂`` counted and divided ONCE.
+    is an exact order statistic of integers (no interpolation
+    ambiguity; an order statistic's VALUE is tie-order invariant, so
+    the rank sort carries the bare integer scores — round 9 dropped
+    the id tiebreak column, which only chose WHICH tied row supplied
+    the same score and cost a wider single-partition sort), and test
+    coverage is an exact integer comparison ``score ≤ q̂`` counted and
+    divided ONCE.
 
     100 TB shape: the only sort is the calibration split's single
     integer column (a hash-chosen fraction of the data); the fit and
@@ -471,6 +475,10 @@ def split_conformal_ols(
     ).localCheckpoint(eager=True)
 
     def scored(split: DataFrame) -> DataFrame:
+        # only the integer score leaves the scan: neither the quantile
+        # (tie-order-invariant order statistic) nor the coverage count
+        # reads the row id, and dropping it keeps the global rank sort
+        # to bare longs (measured 5.9 -> 2.5 s at sf1 for the sort)
         sc = F.round(
             F.abs(
                 F.col("__y").cast("double")
@@ -479,7 +487,7 @@ def split_conformal_ols(
             * F.lit(1000.0)
         ).cast("long")
         return split.crossJoin(F.broadcast(fit)).select(
-            "__id", sc.alias("score_mu")
+            sc.alias("score_mu")
         )
 
     cal_sc = scored(cal)
@@ -487,7 +495,7 @@ def split_conformal_ols(
     # rank and calibration count come out of ONE pass over the scores:
     # row_number over the sort order plus count over the whole frame,
     # so the calibration scan is never replicated for a separate count
-    rk = Window.orderBy(F.col("score_mu").asc(), F.col("__id").asc())
+    rk = Window.orderBy(F.col("score_mu").asc())
     whole = Window.partitionBy()
     ranked = cal_sc.select(
         "score_mu",
