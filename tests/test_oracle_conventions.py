@@ -21,6 +21,7 @@ not a query — is broken, which is exactly the regression this file
 exists to catch.
 """
 
+import glob
 import importlib.util
 import os
 
@@ -234,6 +235,24 @@ def test_oracle_result_types_are_driver_safe():
         if os.path.exists(path):
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    # src_sorted_clustering's oracle reads parquet FOOTERS that the
+    # Spark query itself writes (spark-warehouse/sinks/clustering/...).
+    # On a fresh checkout those files don't exist yet and DuckDB's
+    # parquet_metadata() fails at BIND time with IOException. Its bind
+    # schema is fixed (independent of file contents), so a stub parquet
+    # at each path lets the type lint cover that oracle too; the query
+    # rmtree's the directory before writing, so stubs never leak into
+    # real results.
+    for layout in ("v_clustered", "v_scattered"):
+        d = os.path.join(
+            os.getcwd(), "spark-warehouse", "sinks", "clustering", layout
+        )
+        if not glob.glob(os.path.join(d, "*.parquet")):
+            os.makedirs(d, exist_ok=True)
+            con.execute(
+                "COPY (SELECT CAST(1 AS BIGINT) AS d) TO "
+                f"'{os.path.join(d, 'stub.parquet')}' (FORMAT PARQUET)"
             )
     offenders = []
     for name, sql in sorted(entrymod.oracle_sql().items()):
