@@ -73,24 +73,37 @@ def with_media_meta(
     content_col: str = "content",
     meta_col: str = "media_meta",
     decoder: Optional[Callable[[bytes], dict]] = None,
+    keep_cols: Optional[list] = None,
 ) -> DataFrame:
     """Decode metadata for a binary media column → adds a typed struct
     column. Runs as ``mapInPandas`` over Arrow batches; payload bytes
-    never leave the executors."""
+    never leave the executors.
+
+    ``keep_cols``: emit only these input columns (plus ``meta_col``)
+    back across the Arrow boundary. The mapInPandas node is opaque to
+    Catalyst, so a ``.select`` ABOVE it cannot stop the declared output
+    columns from crossing Python→JVM — a consumer that only needs
+    ``(id, meta)`` otherwise pays the full payload's return transfer.
+    Default ``None`` keeps the append-to-all-columns contract."""
     decoder = decoder or _not_implemented
+    base = (
+        list(df.schema.fields)
+        if keep_cols is None
+        else [df.schema[c] for c in keep_cols]
+    )
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(meta_col, MEDIA_SCHEMA, True)]
+        base + [T.StructField(meta_col, MEDIA_SCHEMA, True)]
     )
 
     def fn(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
             metas = [
                 decoder(bytes(b)) if b is not None else None
                 for b in pdf[content_col]
             ]
-            out = pdf.copy()
+            out = (
+                pdf if keep_cols is None else pdf[list(keep_cols)]
+            ).copy()
             out[meta_col] = metas
             yield out
 
@@ -102,19 +115,28 @@ def decode_media(
     content_col: str = "content",
     out_col: str = "decoded",
     decoder: Optional[Callable[[bytes], bytes]] = None,
+    keep_cols: Optional[list] = None,
 ) -> DataFrame:
     """Payload → decoded-payload transform (resize/transcode/feature
     bytes). Same Arrow-batched shape as metadata decode; output stays a
-    binary column so downstream operators keep column-pruning wins."""
+    binary column so downstream operators keep column-pruning wins.
+    ``keep_cols``: as in :func:`with_media_meta` — emit only these input
+    columns (plus ``out_col``) back across the Arrow boundary."""
     decoder = decoder or _not_implemented
-    out_schema = T.StructType(
+    base = (
         list(df.schema.fields)
-        + [T.StructField(out_col, T.BinaryType(), True)]
+        if keep_cols is None
+        else [df.schema[c] for c in keep_cols]
+    )
+    out_schema = T.StructType(
+        base + [T.StructField(out_col, T.BinaryType(), True)]
     )
 
     def fn(batches: Iterator) -> Iterator:
         for pdf in batches:
-            out = pdf.copy()
+            out = (
+                pdf if keep_cols is None else pdf[list(keep_cols)]
+            ).copy()
             out[out_col] = [
                 decoder(bytes(b)) if b is not None else None
                 for b in pdf[content_col]

@@ -1229,9 +1229,15 @@ def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
+    # keep_cols: only (doc_id, media_meta) cross Python→JVM — the
+    # payload bytes cross INTO the decode exactly once and never come
+    # back (guide §4.1). The decode output feeds TWO consumers (frame
+    # sampling and the final projection); without materialization the
+    # opaque mapInPandas subtree is evaluated once per consumer (guide
+    # §4.4), so pin the doc-sized post-seam frame once.
     meta = multimodal.with_media_meta(
-        payload, decoder=multimodal.fake_decoder
-    )
+        payload, decoder=multimodal.fake_decoder, keep_cols=["doc_id"]
+    ).localCheckpoint(eager=True)
     frames = (
         multimodal.frame_sample(meta, every_n=2)
         .groupBy("doc_id")

@@ -287,16 +287,20 @@ def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
+    # the aggregation below consumes ONLY the decoded bytes: ship just
+    # the payload into the seam and just the features back (guide §4.1
+    # — mapInPandas is opaque to Catalyst, so unused columns would
+    # cross the boundary in BOTH directions otherwise)
     payload = docs.select(
-        "doc_id",
-        "source",
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
 
     def md5_decoder(b: bytes) -> bytes:
         return hashlib.md5(b).digest()
 
-    decoded = multimodal.decode_media(payload, decoder=md5_decoder)
+    decoded = multimodal.decode_media(
+        payload, decoder=md5_decoder, keep_cols=[]
+    )
     hx = F.lower(F.hex(F.col("decoded")))
     b0 = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
     b15 = F.conv(F.substring(hx, 31, 2), 16, 10).cast("long")

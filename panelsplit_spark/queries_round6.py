@@ -1827,8 +1827,10 @@ def q_mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
+    # keep_cols: the payload crosses into the decode once and never
+    # crosses back through the Arrow boundary (guide §4.1)
     meta = multimodal.with_media_meta(
-        payload, decoder=multimodal.fake_decoder
+        payload, decoder=multimodal.fake_decoder, keep_cols=["doc_id"]
     ).select(
         "doc_id",
         F.col("media_meta.width").cast("long").alias("w"),

@@ -791,7 +791,7 @@ def q_mm_av_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
     meta = multimodal.with_media_meta(
-        payload, decoder=multimodal.fake_decoder
+        payload, decoder=multimodal.fake_decoder, keep_cols=["doc_id"]
     ).select(
         "doc_id",
         F.col("media_meta.duration_ms").cast("long").alias("dur"),
@@ -1236,22 +1236,32 @@ def q_mm_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
+    # keep_cols=[]: only the meta struct returns across the Arrow
+    # boundary (guide §4.1 — the payload never crosses back). The
+    # corpus total is Σ n_items of the per-format rollup (same number
+    # as a count over meta), so ONE decode pass feeds everything; the
+    # format-count rollup is materialized (rows = #formats) so the
+    # opaque seam is not re-evaluated for the total (guide §4.4).
     meta = multimodal.with_media_meta(
-        payload, decoder=multimodal.fake_decoder
+        payload, decoder=multimodal.fake_decoder, keep_cols=[]
     ).select(
         F.col("media_meta.format").alias("format"),
         F.col("media_meta.width").cast("long").alias("w"),
         F.col("media_meta.height").cast("long").alias("h"),
         F.col("media_meta.duration_ms").cast("long").alias("dur"),
     )
-    tot = meta.groupBy().agg(F.count(F.lit(1)).alias("n_all"))
-    return (
+    g = (
         meta.groupBy("format")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum(F.col("w") * F.col("h")).alias("total_pixels"),
             F.sum("dur").alias("total_ms"),
         )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.groupBy().agg(F.sum("n_items").alias("n_all"))
+    return (
+        g
         .crossJoin(F.broadcast(tot))
         .select(
             "format",

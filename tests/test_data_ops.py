@@ -219,6 +219,41 @@ def test_multimodal_plumbing(spark):
         assert r["frame_idx"] <= r["n_frames"] - 1 if r["n_frames"] > 0 else True
 
 
+def test_media_meta_keep_cols_matches_default(spark):
+    """keep_cols trims the columns returning across the Arrow boundary
+    (guide §4.1) without changing a single decoded value: the slim form
+    must equal the default form projected to the same columns, nulls
+    included."""
+    rows = [(i, bytes([i]) * 50) for i in range(8)] + [(99, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    full = multimodal.with_media_meta(df, decoder=multimodal.fake_decoder)
+    slim = multimodal.with_media_meta(
+        df, decoder=multimodal.fake_decoder, keep_cols=["media_id"]
+    )
+    assert slim.columns == ["media_id", "media_meta"]
+    a = sorted(
+        map(tuple, full.select("media_id", "media_meta.*").collect()),
+        key=str,
+    )
+    b = sorted(
+        map(tuple, slim.select("media_id", "media_meta.*").collect()),
+        key=str,
+    )
+    assert a == b
+    # keep_cols=[] emits only the produced column
+    only = multimodal.decode_media(
+        df, decoder=lambda x: x[::-1], keep_cols=[]
+    )
+    assert only.columns == ["decoded"]
+    got = sorted(
+        bytes(r["decoded"])
+        for r in only.collect()
+        if r["decoded"] is not None
+    )
+    exp = sorted(bytes([i]) * 50 for i in range(8))
+    assert got == exp
+
+
 def test_multimodal_stub_raises(spark):
     df = spark.createDataFrame([(1, b"xx")], "media_id long, content binary")
     from pyspark.errors.exceptions.captured import PythonException
