@@ -918,11 +918,14 @@ def main() -> None:
                     pass
             budget = float(
                 # 600 was sized for the 248-query registry (eee0ec2);
-                # round 5b grew it to 275 production-path witnesses —
-                # measured 641 s under neighbor load, so the default
-                # keeps ~20% headroom against zero _truncated_after
-                # risk without dropping witnesses
-                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "900")
+                # round 5b grew it to 275 (measured 641 s under load);
+                # by round 9 the registry reached 339 and the 900 s
+                # default truncated the driver's sweep at 270/339 with
+                # ZERO medians (judge task #1, round 9). 1800 fits the
+                # full registry + median re-runs on a loaded host
+                # (round-9 builder: complete 338-entry sweep, wall
+                # 1611 s at SPARK_GRAFT_SF1_BUDGET=1800).
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "1800")
             )
             t_start = time.time()
             for name in SF1_HEADLINE:
@@ -944,7 +947,8 @@ def main() -> None:
             # skew A/B witness (structural evidence, outside the
             # ceiling check: the @unsalted variants are deliberately
             # bad plans)
-            if "_truncated_after" not in sf1:
+            truncated = "_truncated_after" in sf1
+            if not truncated:
                 sf1.update(_sf1_skew_ab(spark, sf1_dir))
                 release_all_pinned(spark)
             # Median-of-3 for the sf1 heavy tail (judge task, round 6):
@@ -957,57 +961,63 @@ def main() -> None:
             # left headroom (a hot run must not add wall clock).
             N_SF1_MEDIAN = 12
             sf1_medians = {}
-            if "_truncated_after" not in sf1:
-                # the economy rule (no general warm re-runs past 90% of
-                # budget: a hot run must not add wall clock) applies to
-                # the top-N set only — ceiling breachers are ALWAYS
-                # re-run (bounded, _ceiling_breachers) so a breach is
-                # never recorded unadjudicated (round 9, judge task #1)
-                affordable = time.time() - t_start < 0.9 * budget
-                heavy1 = (
-                    _sf1_median_labels(sf1, N_SF1_MEDIAN)
-                    if affordable
-                    else []
+            # the economy rule (no general warm re-runs past 90% of
+            # budget: a hot run must not add wall clock) applies to
+            # the top-N set only — ceiling breachers are ALWAYS
+            # re-run (bounded, _ceiling_breachers), EVEN when the
+            # sweep truncated: round 9's driver artifact truncated
+            # at 270/339 and the old `not truncated` gate here
+            # skipped the entire adjudication block, leaving every
+            # heavy number an unadjudicated single pass exactly
+            # when medians were most needed (judge task #1, r10)
+            affordable = (
+                not truncated
+                and time.time() - t_start < 0.9 * budget
+            )
+            heavy1 = (
+                _sf1_median_labels(sf1, N_SF1_MEDIAN)
+                if affordable
+                else []
+            )
+            forced = _ceiling_breachers(sf1, sf1_ceiling)
+            for label in forced:
+                if label not in heavy1:
+                    heavy1.append(label)
+            # Budget-envelope cap (round 9): the 0.9 pre-gate alone
+            # let a ~80%-of-budget single pass add ~220 s of median
+            # re-runs and land the section's true wall clock past
+            # the budget (r9 builder: 948 s of 900). Re-runs are
+            # ordered heaviest-first, so stop — and record what was
+            # dropped, no silent truncation — once the budget is
+            # spent. Forced ceiling-breacher re-runs are exempt
+            # (bounded ≤3; adjudication beats the envelope).
+            capped = False
+            for label in heavy1:
+                if (
+                    label not in forced
+                    and time.time() - t_start > budget
+                ):
+                    # skip, don't break: forced labels may still
+                    # sit later in the list
+                    if not capped:
+                        sf1["_medians_capped_after"] = label
+                        capped = True
+                    continue
+                name = label.split("@")[0]
+                fn = (
+                    globals()[SF1_EVAL_TRUTH_SPLIT[name]]
+                    if label.endswith("@production")
+                    else qs.get(name)
                 )
-                forced = _ceiling_breachers(sf1, sf1_ceiling)
-                for label in forced:
-                    if label not in heavy1:
-                        heavy1.append(label)
-                # Budget-envelope cap (round 9): the 0.9 pre-gate alone
-                # let a ~80%-of-budget single pass add ~220 s of median
-                # re-runs and land the section's true wall clock past
-                # the budget (r9 builder: 948 s of 900). Re-runs are
-                # ordered heaviest-first, so stop — and record what was
-                # dropped, no silent truncation — once the budget is
-                # spent. Forced ceiling-breacher re-runs are exempt
-                # (bounded ≤3; adjudication beats the envelope).
-                capped = False
-                for label in heavy1:
-                    if (
-                        label not in forced
-                        and time.time() - t_start > budget
-                    ):
-                        # skip, don't break: forced labels may still
-                        # sit later in the list
-                        if not capped:
-                            sf1["_medians_capped_after"] = label
-                            capped = True
-                        continue
-                    name = label.split("@")[0]
-                    fn = (
-                        globals()[SF1_EVAL_TRUTH_SPLIT[name]]
-                        if label.endswith("@production")
-                        else qs.get(name)
-                    )
-                    if fn is None:
-                        continue
-                    runs = [sf1[label]]
-                    for _ in range(2):
-                        t0 = time.time()
-                        fn(spark, sf1_dir).count()
-                        runs.append(round(time.time() - t0, 3))
-                        release_all_pinned(spark)
-                    sf1_medians[label] = sorted(runs)[1]
+                if fn is None:
+                    continue
+                runs = [sf1[label]]
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf1_dir).count()
+                    runs.append(round(time.time() - t0, 3))
+                    release_all_pinned(spark)
+                sf1_medians[label] = sorted(runs)[1]
             # true wall clock of the whole sf1 section (cold sweep +
             # A/B + median re-runs) — recorded so the median-basis
             # budget guard cannot mask a genuinely over-budget run
