@@ -420,6 +420,11 @@ SF1_CEILING_NOTES = {
     ),
 }
 
+# one default for BOTH read sites (the in-loop sweep budget and the
+# artifact/budget_hot field) so they cannot drift apart again (the
+# round-10 baseline run swept under 1800 but recorded budget 900)
+SF1_BUDGET_DEFAULT = "1800"
+
 SF1_EVAL_TRUTH_SPLIT = {
     # prefix-filter candidates + verify, WITHOUT the all-pairs truth
     # join (the only sf1 witness of the ppjoin production path)
@@ -925,7 +930,7 @@ def main() -> None:
                 # full registry + median re-runs on a loaded host
                 # (round-9 builder: complete 338-entry sweep, wall
                 # 1611 s at SPARK_GRAFT_SF1_BUDGET=1800).
-                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "1800")
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", SF1_BUDGET_DEFAULT)
             )
             t_start = time.time()
             for name in SF1_HEADLINE:
@@ -1023,6 +1028,96 @@ def main() -> None:
             # budget guard cannot mask a genuinely over-budget run
             # (advisor finding, round 8)
             sf1_wall = round(time.time() - t_start, 3)
+            # sf1 scaling witness (round 10, judge task #10): the c8/c32
+            # ratios at sf0.1 are all ≈1 because sf0.1 is overhead-bound
+            # (the round-9 8-core run's TOTAL beat the 32-core run).
+            # Parallel speedup can only be witnessed where data size
+            # makes it possible, so re-run the top-5 heaviest sf1
+            # queries on a fresh low-core session and record the pair.
+            # Skipped on truncated/over-budget runs (never adds wall
+            # clock to a hot run); disable with SPARK_GRAFT_SF1_SCALING=off.
+            if (
+                not truncated
+                and sf1_wall < budget
+                and os.environ.get("SPARK_GRAFT_SF1_SCALING", "auto")
+                != "off"
+            ):
+                try:
+                    low = int(
+                        os.environ.get("SPARK_GRAFT_SF1_SCALING_CPUS", "8")
+                    )
+                    basis = {
+                        k: sf1_medians.get(k, v)
+                        for k, v in sf1.items()
+                        if isinstance(v, float)
+                        and ("@" not in k or k.endswith("@production"))
+                    }
+                    top5 = sorted(basis, key=lambda k: -basis[k])[:5]
+                    spark.stop()
+                    spark = (
+                        SparkSession.builder.master(f"local[{low}]")
+                        .appName("panelsplit_spark-bench-sf1-scaling")
+                        .config(
+                            "spark.sql.shuffle.partitions",
+                            str(max(low, 16)),
+                        )
+                        .config("spark.sql.session.timeZone", "UTC")
+                        .config("spark.sql.adaptive.enabled", "true")
+                        .config(
+                            "spark.sql.files.maxPartitionBytes",
+                            os.environ.get(
+                                "SPARK_GRAFT_MAX_PARTITION_BYTES",
+                                "2097152",
+                            ),
+                        )
+                        .config(
+                            "spark.sql.files.openCostInBytes", "262144"
+                        )
+                        .config("spark.driver.memory", "16g")
+                        .config("spark.ui.enabled", "false")
+                        .getOrCreate()
+                    )
+                    spark.sparkContext.setLogLevel("ERROR")
+                    spark.range(1000).mapInPandas(
+                        lambda it: it, schema="id long"
+                    ).count()
+                    low_times = {}
+                    for label in top5:
+                        lname = label.split("@")[0]
+                        fn = (
+                            globals()[SF1_EVAL_TRUTH_SPLIT[lname]]
+                            if label.endswith("@production")
+                            else qs.get(lname)
+                        )
+                        if fn is None:
+                            continue
+                        # warm codegen/worker pool at the tiny SF so the
+                        # timed pass measures steady state, like the
+                        # main loop's warm-up
+                        try:
+                            fn(spark, warm_dir).count()
+                        except Exception:
+                            pass
+                        release_all_pinned(spark)
+                        t0 = time.time()
+                        fn(spark, sf1_dir).count()
+                        low_times[label] = round(time.time() - t0, 3)
+                        release_all_pinned(spark)
+                    sf1["_scaling"] = {
+                        "cpus_main": int(cpus),
+                        "cpus_low": low,
+                        "low": low_times,
+                        "main_basis": {
+                            k: basis[k] for k in low_times if k in basis
+                        },
+                        "basis_note": (
+                            "main_basis = this run's median where "
+                            "available, else single pass; low = one "
+                            "warmed pass on a fresh low-core session"
+                        ),
+                    }
+                except Exception as e:
+                    sf1["_scaling"] = {"_error": str(e)[:200]}
         except Exception as e:  # sf1 is an extra witness, never fatal
             sf1 = {"_error": str(e)[:200]}
             sf1_medians = {}
@@ -1079,7 +1174,7 @@ def main() -> None:
             }
         else:
             sf1_over[k] = basis_v
-    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "900"))
+    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", SF1_BUDGET_DEFAULT))
     sf1_budget_hot = (
         bool(sf1) and sf1_total_median_basis > 0.85 * sf1_budget
     )

@@ -116,12 +116,26 @@ def exact_dedup_groups(
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep one row per distinct text (the min-id row): a semi-join of the
-    input against the canonical set — no payload shuffle of losers."""
-    winners = exact_dedup_groups(df, text_col, id_col).select(
-        F.col("canonical_id").alias(id_col)
+    """Keep one row per distinct text (the min-id row).
+
+    Round-10 shape (guide §2.4): one unordered MIN window over the
+    content-hash partition, then keep rows whose id equals it — ONE
+    exchange and ONE input scan. The previous hash-group + left-semi
+    form planned three exchanges (hash groupBy, probe-side re-shuffle
+    by id, winner ids) and re-computed the input subtree for the probe
+    side (Spark shares no common subplans across join inputs), which
+    doubled upstream scoring work in pipe_corpus_clean. Shuffled
+    payload volume is unchanged — each row crosses one exchange either
+    way — and the kept row set is identical (ids are unique, winners
+    are exactly the rows with the group-minimum id)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        df.withColumn("__min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
     )
-    return df.join(winners, id_col, "left_semi")
 
 
 def minhash_signatures(

@@ -17,6 +17,18 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["pagerank", "ancestor_closure", "bfs_levels", "shortest_paths"]
 
+# shortest_paths undirected-mode crossover (round-10): below this many
+# undirected edges, run each relaxation as ONE join on a doubled edge
+# list; above it, keep the single persisted copy and probe both
+# orientations. The doubled list costs 2E rows of extra persisted
+# volume ONCE; the two-probe form costs two extra plan stages
+# (join+union) PER ROUND, a fixed per-operator overhead that dominates
+# when E is small. Measured on the supplier↔customer graph
+# (rel_shortest_path, 3 rounds): sf0.1 (~0.5M edges) the doubled list
+# wins (driver PERF_r09: two-probe regressed 15%); sf1 (~4.5M edges)
+# the two-probe wins (r9 interleaved A/B: 14.8 → 8.7 s cold).
+TWO_PROBE_MIN_EDGES = 2_000_000
+
 
 def bfs_levels(
     edges: DataFrame,
@@ -374,6 +386,16 @@ def shortest_paths(
     BOTH orientations of the single copy — the relaxation candidate
     set is identical to running the doubled list through the default
     path.
+
+    Size gate (round-10; driver PERF_r09 measured the two-probe form
+    15% SLOWER at sf0.1 where per-operator overhead dominates): below
+    ``two_probe_min_edges`` undirected edges the reversed copy is
+    appended to the (already persisted and counted) single list and
+    each round runs ONE join on the doubled list — the exact pre-r9
+    plan shape, identical relaxation candidates. Above the threshold
+    the two-probe form keeps the halved materialization volume that
+    wins at sf1-and-up. The count that decides the branch fills the
+    very cache round 1 would fill anyway, so it adds no extra pass.
     """
     e = edges.select(
         F.col(src).alias("_s"),
@@ -388,13 +410,26 @@ def shortest_paths(
         .persist()
     )
     persisted = [e, dist]
+    two_probe = undirected
+    if undirected and e.count() < TWO_PROBE_MIN_EDGES:
+        # doubled list reads from the just-materialized single copy —
+        # a narrow cached-scan union, small by the gate's definition
+        e = e.unionByName(
+            e.select(
+                F.col("_t").alias("_s"),
+                F.col("_s").alias("_t"),
+                F.col("_w"),
+            )
+        ).persist()
+        persisted.append(e)
+        two_probe = False
     for _ in range(n_rounds):
         fwd = dist.join(e, dist["node"] == e["_s"]).select(
             F.col("_t").alias("node"),
             (F.col("dist") + F.col("_w")).alias("dist"),
         )
         candidates = fwd
-        if undirected:
+        if two_probe:
             candidates = fwd.unionByName(
                 dist.join(e, dist["node"] == e["_t"]).select(
                     F.col("_s").alias("node"),

@@ -68,6 +68,25 @@ def _not_implemented(payload: bytes) -> dict:
     )
 
 
+def _validate_keep_cols(df: DataFrame, keep_cols, produced: str) -> None:
+    """``keep_cols`` must name existing input columns and must not
+    collide with the produced output column — otherwise the error
+    surfaces as a bare ``KeyError`` from ``StructType.__getitem__`` (or
+    a duplicate output column) at plan-construction time (ADVICE r09)."""
+    if keep_cols is None:
+        return
+    missing = [c for c in keep_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"keep_cols {missing!r} not in input columns {df.columns!r}"
+        )
+    if produced in keep_cols:
+        raise ValueError(
+            f"keep_cols must not contain the produced column "
+            f"{produced!r} (it is appended automatically)"
+        )
+
+
 def with_media_meta(
     df: DataFrame,
     content_col: str = "content",
@@ -86,6 +105,7 @@ def with_media_meta(
     ``(id, meta)`` otherwise pays the full payload's return transfer.
     Default ``None`` keeps the append-to-all-columns contract."""
     decoder = decoder or _not_implemented
+    _validate_keep_cols(df, keep_cols, meta_col)
     base = (
         list(df.schema.fields)
         if keep_cols is None
@@ -123,6 +143,7 @@ def decode_media(
     ``keep_cols``: as in :func:`with_media_meta` — emit only these input
     columns (plus ``out_col``) back across the Arrow boundary."""
     decoder = decoder or _not_implemented
+    _validate_keep_cols(df, keep_cols, out_col)
     base = (
         list(df.schema.fields)
         if keep_cols is None

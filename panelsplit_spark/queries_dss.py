@@ -1035,9 +1035,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak — integer-exact on every engine). The decision rule real
     pipelines apply after near-dup clustering: drop all but the best
     representative. Cluster frame is duplicate-sized (tiny vs corpus);
-    the ranking window shuffles only (id, cluster, n_tokens)."""
-    from pyspark.sql.window import Window
-
+    the keep-best argmax is one max_by hash aggregate (no sort, partial
+    map-side aggregation) over (id, cluster, n_tokens)."""
     from .operators import dedup
     from .queries_data import MH_BAND, MH_HASHES, MH_SHINGLE
 
@@ -1058,21 +1057,19 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = clusters.join(
         toks, clusters.id == toks.doc_id
     )
-    w = Window.partitionBy("cluster").orderBy(
-        F.desc("n_tokens"), F.asc("doc_id")
-    )
-    return (
-        member.withColumn("_rk", F.row_number().over(w))
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max(F.when(F.col("_rk") == 1, F.col("doc_id"))).alias(
-                "keep_id"
-            ),
-            F.max(F.when(F.col("_rk") == 1, F.col("n_tokens"))).alias(
-                "keep_tokens"
-            ),
-        )
+    # keep-best as ONE hash aggregate (round-10, guide §2.3/§2.4): the
+    # old row_number window + groupBy shared the cluster exchange but
+    # paid a full sort and shuffled every member row; max_by over the
+    # (n_tokens, -doc_id) struct is the same argmax (longest member,
+    # min-id tiebreak — the struct key is UNIQUE per row, so partial
+    # map-side aggregation is deterministic) and keep_tokens is just
+    # the max n_tokens. Sort removed; the exchange now carries one
+    # partial row per (cluster, map partition) instead of all members.
+    best = F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("_ni"))
+    return member.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by("doc_id", best).alias("keep_id"),
+        F.max("n_tokens").alias("keep_tokens"),
     )
 
 

@@ -244,26 +244,40 @@ def test_oracle_result_types_are_driver_safe():
     # at each path lets the type lint cover that oracle too; the query
     # rmtree's the directory before writing, so stubs never leak into
     # real results.
+    stubs = []
     for layout in ("v_clustered", "v_scattered"):
         d = os.path.join(
             os.getcwd(), "spark-warehouse", "sinks", "clustering", layout
         )
         if not glob.glob(os.path.join(d, "*.parquet")):
             os.makedirs(d, exist_ok=True)
+            stub = os.path.join(d, "stub.parquet")
             con.execute(
                 "COPY (SELECT CAST(1 AS BIGINT) AS d) TO "
-                f"'{os.path.join(d, 'stub.parquet')}' (FORMAT PARQUET)"
+                f"'{stub}' (FORMAT PARQUET)"
             )
-    offenders = []
-    for name, sql in sorted(entrymod.oracle_sql().items()):
-        rel = con.sql(sql)
-        bad = [
-            f"{c}={t}"
-            for c, t in zip(rel.columns, [str(t) for t in rel.types])
-            if not scan.type_ok(t)
-        ]
-        if bad:
-            offenders.append(f"{name}: {', '.join(bad)}")
+            stubs.append(stub)
+    try:
+        offenders = []
+        for name, sql in sorted(entrymod.oracle_sql().items()):
+            rel = con.sql(sql)
+            bad = [
+                f"{c}={t}"
+                for c, t in zip(rel.columns, [str(t) for t in rel.types])
+                if not scan.type_ok(t)
+            ]
+            if bad:
+                offenders.append(f"{name}: {', '.join(bad)}")
+    finally:
+        # the stubs exist only for bind-time schema resolution: left
+        # behind, a standalone DuckDB run of the src_sorted_clustering
+        # oracle would silently return stub-derived rows where it
+        # previously failed loudly (ADVICE r09)
+        for stub in stubs:
+            try:
+                os.remove(stub)
+            except OSError:
+                pass
     assert not offenders, (
         "oracle result columns outside the driver-safe type set "
         "(wrap aggregates in CAST(... AS BIGINT)):\n"

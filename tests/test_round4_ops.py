@@ -864,6 +864,34 @@ def test_shortest_paths_closed_form(spark):
     assert got2["t"] == 11 and got2["a"] == 3
 
 
+def test_shortest_paths_undirected_branches_agree(spark, monkeypatch):
+    """The round-10 size gate (doubled single-join list below
+    TWO_PROBE_MIN_EDGES, two-probe above) must be a pure physical
+    choice: identical distances from both branches on an undirected
+    graph where orientation matters (the cheap path uses an edge
+    against its stored direction)."""
+    from panelsplit_spark.operators import graph
+
+    # stored orientation: a->b; the cheap path s-b-a-t needs b->a
+    edges = spark.createDataFrame(
+        [("s", "a", 10), ("s", "b", 1), ("a", "b", 2), ("a", "t", 1)],
+        ["src", "dst", "w"],
+    )
+    srcs = spark.createDataFrame([("s",)], ["node"])
+
+    results = {}
+    for label, threshold in (("doubled", 10**9), ("two_probe", 0)):
+        monkeypatch.setattr(graph, "TWO_PROBE_MIN_EDGES", threshold)
+        d = graph.shortest_paths(
+            edges, srcs, n_rounds=3, undirected=True
+        )
+        results[label] = {r["node"]: r["dist"] for r in d.collect()}
+        for f in d.persisted_intermediates:
+            f.unpersist()
+    assert results["doubled"] == results["two_probe"]
+    assert results["doubled"] == {"s": 0, "a": 3, "b": 1, "t": 4}
+
+
 def test_ndv_profile_exact(spark):
     from panelsplit_spark.operators.quality import ndv_profile
 

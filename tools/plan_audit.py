@@ -65,6 +65,63 @@ def _counts(plan: str) -> dict:
     return c
 
 
+class _CheckpointSeamTracker:
+    """Count Python seams EXECUTED inside eager ``localCheckpoint`` calls
+    during query construction (ADVICE r09): an eager checkpoint replaces
+    its subtree with a materialized-RDD scan, so a MapInPandas /
+    BatchEvalPython that runs on every query invocation disappears from
+    the FINAL plan the audit tabulates — the row-Python ratchet could
+    otherwise be satisfied by pre-executing seams instead of eliminating
+    them. Install() wraps DataFrame.localCheckpoint to tally the
+    to-be-checkpointed subtree's seam counts; read-and-reset per query."""
+
+    def __init__(self):
+        self.arrow_py = 0
+        self.row_py = 0
+        self._orig = None
+
+    @staticmethod
+    def _df_class():
+        # Spark 4 splits the API: pyspark.sql.DataFrame is the abstract
+        # base and the CONCRETE classic.dataframe.DataFrame overrides
+        # localCheckpoint — patching the base never intercepts anything
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as _DF
+        except ImportError:  # Spark 3.x layout
+            from pyspark.sql import DataFrame as _DF
+        return _DF
+
+    def install(self):
+        _DF = self._df_class()
+        tracker = self
+        self._orig = _DF.localCheckpoint
+
+        def wrapped(df_self, eager=True):
+            try:
+                plan = (
+                    df_self._jdf.queryExecution().executedPlan().toString()
+                )
+                c = _counts(plan)
+                tracker.arrow_py += c["arrow_py"]
+                tracker.row_py += c["row_py"]
+            except Exception:
+                pass
+            return tracker._orig(df_self, eager=eager)
+
+        _DF.localCheckpoint = wrapped
+
+    def uninstall(self):
+        if self._orig is not None:
+            self._df_class().localCheckpoint = self._orig
+            self._orig = None
+
+    def take(self) -> dict:
+        out = {"ckpt_arrow_py": self.arrow_py, "ckpt_row_py": self.row_py}
+        self.arrow_py = 0
+        self.row_py = 0
+        return out
+
+
 # Every BroadcastNestedLoopJoin in the tree must be one of these named,
 # documented patterns (broadcast of a single-row global aggregate or an
 # explicitly tiny query/centroid set). A NEW query showing a bnlj fails
@@ -207,22 +264,31 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
-    for name, fn in entrymod.queries().items():
-        if only and name not in only:
-            continue
-        if name in SKIP:
-            rows.append((name, None, "streaming — audited in tests"))
-            continue
-        try:
-            df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as e:
-            rows.append((name, None, f"error: {str(e).splitlines()[0][:60]}"))
-            continue
-        counts = _counts(plan)
-        pushed = "yes" if re.search(
-            r"PushedFilters: \[(?!\])", plan) else "—"
-        rows.append((name, counts, pushed))
+    tracker = _CheckpointSeamTracker()
+    tracker.install()
+    try:
+        for name, fn in entrymod.queries().items():
+            if only and name not in only:
+                continue
+            if name in SKIP:
+                rows.append((name, None, "streaming — audited in tests"))
+                continue
+            try:
+                df = fn(spark, sf_dir)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            except Exception as e:
+                tracker.take()
+                rows.append(
+                    (name, None, f"error: {str(e).splitlines()[0][:60]}")
+                )
+                continue
+            counts = _counts(plan)
+            counts.update(tracker.take())
+            pushed = "yes" if re.search(
+                r"PushedFilters: \[(?!\])", plan) else "—"
+            rows.append((name, counts, pushed))
+    finally:
+        tracker.uninstall()
 
     out = [
         "# Physical-plan audit (generated by tools/plan_audit.py at "
@@ -236,21 +302,33 @@ def main() -> int:
         "whitelisted queries in `tools/plan_audit.py:BNLJ_WHITELIST` "
         "(each a documented broadcast of a single-row global-aggregate "
         "scalar or an explicitly tiny query/centroid/threshold set); "
-        "`--check` fails on any bnlj outside that list.",
+        "`--check` fails on any bnlj outside that list. "
+        "`ckpt python` counts seams EXECUTED inside eager "
+        "localCheckpoints during query construction (ADVICE r09): they "
+        "run on every invocation but are absent from the final plan, "
+        "shown as `arrow+row`; checkpoint-hidden row-Python also fails "
+        "`--check`.",
         "",
         "| query | exchanges | broadcast joins | sort-merge joins | "
         "nested-loop joins | codegen spans | arrow-python ops | "
-        "row-python ops | pushed filters |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "row-python ops | ckpt python | pushed filters |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, counts, note in rows:
         if counts is None:
-            out.append(f"| {name} | — | — | — | — | — | — | — | {note} |")
+            out.append(
+                f"| {name} | — | — | — | — | — | — | — | — | {note} |"
+            )
             continue
+        ck = (
+            f"{counts['ckpt_arrow_py']}+{counts['ckpt_row_py']}"
+            if counts["ckpt_arrow_py"] or counts["ckpt_row_py"]
+            else "—"
+        )
         out.append(
             f"| {name} | {counts['exchanges']} | {counts['bhj']} | "
             f"{counts['smj']} | {counts['bnlj']} | {counts['codegen']} | "
-            f"{counts['arrow_py']} | {counts['row_py']} | {note} |"
+            f"{counts['arrow_py']} | {counts['row_py']} | {ck} | {note} |"
         )
     text = "\n".join(out) + "\n"
     n_err = sum(
@@ -301,6 +379,13 @@ def main() -> int:
                 violations.append(
                     f"{name}: {counts['row_py']} row-at-a-time Python "
                     "operator(s) — use a Pandas UDF / built-ins"
+                )
+            elif counts and counts.get("ckpt_row_py", 0) > 0:
+                violations.append(
+                    f"{name}: {counts['ckpt_row_py']} row-at-a-time "
+                    "Python operator(s) executed inside an eager "
+                    "localCheckpoint — hidden from the final plan but "
+                    "paid on every run; use a Pandas UDF / built-ins"
                 )
             elif (
                 counts
