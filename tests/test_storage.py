@@ -51,3 +51,43 @@ def test_release_all_pinned_counts_and_idempotent(spark):
     assert pinned_rdd_ids(spark) == []
     # idempotent on an empty map
     assert release_all_pinned(spark) == 0
+
+
+def test_release_all_pinned_scopes_moment_memo_to_one_invocation(spark):
+    """The suffstats moment memo exists so ONE invocation (a grid sweep)
+    aggregates its fold moments once — it must NOT serve a later query
+    or a bench median re-run rows it never computed. release_all_pinned
+    is the between-queries terminal, so after it runs the memo is empty
+    and the next invocation recomputes from the inputs."""
+    from pyspark.sql import functions as F
+
+    from panelsplit_spark import PanelSplit
+    from panelsplit_spark.estimators import LinearRegression
+    from panelsplit_spark.operators import linear_fastpath as lf
+
+    df = spark.range(200).select(
+        "id",
+        (F.col("id") % 10).cast("string").alias("period"),
+        (F.col("id") % 7).cast("double").alias("x"),
+        (F.col("id") % 3).cast("double").alias("y"),
+    )
+    cv = PanelSplit(df, "period", n_splits=3)
+    calls = []
+    real = lf._fold_moments
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    lf._fold_moments = counting
+    try:
+        assert lf.suffstats_fit(LinearRegression(), df, ["x"], "y", cv)
+        # same-invocation reuse: second call with the memo warm is free
+        assert lf.suffstats_fit(LinearRegression(), df, ["x"], "y", cv)
+        assert len(calls) == 1
+        release_all_pinned(spark)
+        assert not lf._MOMENT_CACHE, "terminal must drop the moment memo"
+        assert lf.suffstats_fit(LinearRegression(), df, ["x"], "y", cv)
+        assert len(calls) == 2, "post-release invocation must recompute"
+    finally:
+        lf._fold_moments = real
