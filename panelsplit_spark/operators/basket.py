@@ -83,10 +83,21 @@ def co_occurrence_pairs(
     )
     # item frequency AFTER the cap so lift's marginals and the pair
     # support are drawn from the same (capped) universe — keeps
-    # lift ≤ n_groups/den exact and the audit internally consistent
-    item_cnt = grp.select(F.explode("__arr").alias("i")).groupBy(
-        "i"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # lift ≤ n_groups/den exact and the audit internally consistent.
+    # The marginal table feeds TWO joins (cnt1, cnt2) whose projections
+    # differ, so without a lineage cut each join re-runs the
+    # explode+aggregate over every group array — materialize it once
+    # (|item_cnt| = distinct capped items; at production scale write it
+    # out as a table instead). Join strategy is left to AQE, which
+    # converts the statically-planned SMJs to broadcast at runtime from
+    # the actual shuffle sizes (the post-filter pair table and the
+    # marginal table are both small by construction).
+    item_cnt = (
+        grp.select(F.explode("__arr").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     n_groups = grp.agg(F.count(F.lit(1)).alias("n_groups"))
     pair_arr = F.flatten(
         F.transform(
