@@ -863,8 +863,22 @@ def embedding_near_duplicates(
                 dot(F.col("va"), F.col("vb"))
                 / (F.col("_na") * F.col("_nb"))
             ).alias("cosine"),
+            # Pushdown barrier (same idiom as _shingle_pair_core):
+            # without a nondeterministic field in this Project, Catalyst
+            # pushes the threshold filter through it into the verify
+            # join's CONDITION, re-deriving the interpreted per-pair dot
+            # product there on top of the projection's own evaluation —
+            # every candidate pays the O(dim) lambda aggregate twice.
+            # The never-true OR arm keeps the field alive through column
+            # pruning; monotonically_increasing_id() is non-negative by
+            # construction, so results are identical (NaN cosines still
+            # fail the >= and are dropped, exactly as before).
+            F.monotonically_increasing_id().alias("__nd"),
         )
-        .where(F.col("cosine") >= F.lit(threshold))
+        .where(
+            (F.col("cosine") >= F.lit(threshold)) | (F.col("__nd") < 0)
+        )
+        .drop("__nd")
     )
 
 
