@@ -210,6 +210,40 @@ def lsh_topk(
     )
 
 
+def _cell_assign(
+    df: DataFrame,
+    cent: DataFrame,
+    out_id: str,
+    vec_out: str,
+    rank_max: int,
+    round_to: Optional[int],
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Voronoi cell assignment against a (cell_id, cvec) centroid set:
+    each row keeps its ``rank_max`` nearest cells (broadcast cross-join
+    + per-row rank window — the corpus is never shuffled). ``keep_rank``
+    additionally emits ``crank``, the 1-based nearness rank, which is
+    what lets one assignment at the LARGEST probe count serve every
+    smaller one (``crank <= p`` ≡ an assignment computed at
+    ``rank_max=p``, because row_number does not depend on the cutoff)."""
+    cos = cosine_similarity(F.col(vec_out), F.col("cvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    w = Window.partitionBy(out_id).orderBy(
+        F.desc("ccos"), F.asc("cell_id")
+    )
+    cols = [out_id, vec_out, "cell_id"] + (
+        ["crank"] if keep_rank else []
+    )
+    return (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cos)
+        .withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= rank_max)
+        .select(*cols)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -242,30 +276,14 @@ def ivf_topk(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
     )
 
-    def assign(df: DataFrame, out_id: str, vec_out: str, rank_max: int
-               ) -> DataFrame:
-        cos = cosine_similarity(F.col(vec_out), F.col("cvec"))
-        if round_to is not None:
-            cos = F.round(cos, round_to)
-        w = Window.partitionBy(out_id).orderBy(
-            F.desc("ccos"), F.asc("cell_id")
-        )
-        return (
-            df.crossJoin(F.broadcast(cent))
-            .withColumn("ccos", cos)
-            .withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= rank_max)
-            .select(out_id, vec_out, "cell_id")
-        )
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c_cells = assign(c, "neighbor_id", "cv", 1)
-    q_cells = assign(q, "query_id", "qv", n_probe)
+    c_cells = _cell_assign(c, cent, "neighbor_id", "cv", 1, round_to)
+    q_cells = _cell_assign(q, cent, "query_id", "qv", n_probe, round_to)
 
     cos = cosine_similarity(F.col("qv"), F.col("cv"))
     if round_to is not None:
@@ -286,6 +304,83 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_probe_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int,
+    probes,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[DataFrame] = None,
+    round_to: Optional[int] = 6,
+):
+    """:func:`ivf_topk` at several probe counts from ONE scored pass —
+    the tuning-curve shape. Per probe count ``p`` the result is
+    EXACTLY ``ivf_topk(..., n_probe=p)``, because probe candidate sets
+    nest: a query's ``p``-probe candidates are its ``max(probes)``-probe
+    candidates with cell-nearness rank ``crank <= p``. So the corpus
+    cell assignment, the candidate join, and every per-candidate
+    interpreted cosine are computed once at the largest probe count and
+    materialized; each smaller count is a filter + re-rank over that
+    table, instead of its own full IVF run (a 3-point sweep used to pay
+    3 corpus assignments and ~sum(p) candidate cosines — compute-once
+    over the dominant interpreted-lambda cost).
+
+    Returns ``{p: DataFrame}`` with the same columns as ivf_topk.
+    """
+    probes = sorted({int(p) for p in probes})
+    pmax = probes[-1]
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c_cells = _cell_assign(c, cent, "neighbor_id", "cv", 1, round_to)
+    q_cells = _cell_assign(
+        q, cent, "query_id", "qv", pmax, round_to, keep_rank=True
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    # one candidate pass at pmax, scored once; the per-pair cosine is
+    # the whole verify cost, so the sweep materializes it instead of
+    # re-deriving it per probe point (at production scale write this
+    # table out instead)
+    scored = (
+        c_cells.join(
+            F.broadcast(
+                q_cells.select("query_id", "qv", "cell_id", "crank")
+            ),
+            "cell_id",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cos.alias("cosine"), "crank"
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = {}
+    for p in probes:
+        out[p] = (
+            scored.where(F.col("crank") <= p)
+            .drop("crank")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+    return out
 
 
 def label_centroids(

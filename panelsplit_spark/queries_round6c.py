@@ -1027,11 +1027,16 @@ def q_sim_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(emb, queries, k=TOPK_K).select(
         "query_id", "neighbor_id"
     ).localCheckpoint(eager=True)
+    # one scored IVF pass at the largest probe count serves the whole
+    # sweep (operators/similarity.ivf_probe_sweep): per-p results are
+    # exactly ivf_topk's, but the corpus assignment and per-candidate
+    # cosines are computed once instead of once per sweep point
+    sweep = similarity.ivf_probe_sweep(
+        emb, queries, k=TOPK_K, n_cells=IVF_CELLS, probes=_SWEEP_PROBES
+    )
     outs = []
     for p in _SWEEP_PROBES:
-        approx = similarity.ivf_topk(
-            emb, queries, k=TOPK_K, n_cells=IVF_CELLS, n_probe=p
-        ).select("query_id", "neighbor_id")
+        approx = sweep[p].select("query_id", "neighbor_id")
         hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy().agg(
             F.count(F.lit(1)).alias("hits")
         )

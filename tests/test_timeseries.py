@@ -241,3 +241,28 @@ def test_resample_daily_ffill_gaps(spark):
         (3, "2024-01-02"): (1, None),
         (3, "2024-01-03"): (0, 30),
     }
+
+
+def test_ivf_probe_sweep_matches_per_probe_ivf_topk(spark):
+    """One scored pass at max(probes) must reproduce ivf_topk exactly
+    at EVERY probe count — candidate sets nest, so crank<=p over the
+    materialized sweep table is the p-probe run."""
+    import random
+
+    from panelsplit_spark.operators.similarity import ivf_probe_sweep
+
+    rng = random.Random(23)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows)
+    qs = emb.where(F.col("vec_id") < 4)
+    sweep = ivf_probe_sweep(emb, qs, k=5, n_cells=4, probes=(1, 2, 4))
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in df.collect()
+    )
+    for p in (1, 2, 4):
+        ref = ivf_topk(emb, qs, k=5, n_cells=4, n_probe=p)
+        assert key(sweep[p]) == key(ref), f"probe {p} diverged"
