@@ -507,25 +507,44 @@ def q_cv_quantile_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     te = asg.where(F.col("role") == "test").join(
         F.broadcast(qs), "fold_id"
     )
-    pieces = []
+    # ONE fold-keyed aggregate computes every tau's loss column (the
+    # per-tau union re-ran the assign fan-out + test filter + join once
+    # per tau — three lineitem passes for three numbers per fold); the
+    # per-tau rows then unpivot from the folds-sized aggregate for free
+    aggs = [F.count(F.lit(1)).alias("n_test")]
     for k in _QL_TAUS:
         qk = F.col(f"q{k}")
         over = F.greatest(F.col("y") - qk, F.lit(0))
         under = F.greatest(qk - F.col("y"), F.lit(0))
-        pieces.append(
-            te.groupBy("fold_id")
-            .agg(
-                F.min(qk).alias("q"),
-                F.count(F.lit(1)).alias("n_test"),
-                F.sum(F.lit(k) * over + F.lit(4 - k) * under).alias(
-                    "loss4_sum"
-                ),
+        aggs.append(F.min(qk).alias(f"__q{k}"))
+        aggs.append(
+            F.sum(F.lit(k) * over + F.lit(4 - k) * under).alias(
+                f"__loss{k}"
             )
-            .withColumn("tau_bp", F.lit(k * 2500))
         )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
+    wide = te.groupBy("fold_id").agg(*aggs)
+    out = wide.select(
+        "fold_id",
+        "n_test",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k * 2500).alias("tau_bp"),
+                        F.col(f"__q{k}").alias("q"),
+                        F.col(f"__loss{k}").alias("loss4_sum"),
+                    )
+                    for k in _QL_TAUS
+                ]
+            )
+        ).alias("__t"),
+    ).select(
+        "fold_id",
+        F.col("__t.tau_bp").alias("tau_bp"),
+        F.col("__t.q").alias("q"),
+        "n_test",
+        F.col("__t.loss4_sum").alias("loss4_sum"),
+    )
     return out.select(
         F.col("fold_id").cast("long").alias("fold_id"),
         F.col("tau_bp").cast("long").alias("tau_bp"),
@@ -670,7 +689,14 @@ def q_cv_pbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PBO_N,
         ", ".join(f"{n}L, r{n}" for n in range(_PBO_N)),
     )
-    r = r_wide.select("g", F.expr(stack_expr))
+    # the (g, n, r) return matrix is G×N = 64 rows but costs a full
+    # events pass with 8 md5-signings per row; it feeds every
+    # downstream branch (totals, IS sums, argmax, rank), so without a
+    # lineage cut the final plan re-runs that pass once per branch —
+    # materialize the matrix once
+    r = r_wide.select("g", F.expr(stack_expr)).localCheckpoint(
+        eager=True
+    )
 
     combos = spark.createDataFrame(
         [
