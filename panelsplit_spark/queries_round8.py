@@ -75,6 +75,40 @@ ORDER BY s.source
 _STORE_SALT = "store"
 _STORE_CUTS = (7000, 8500)  # base 70%, increment 15%, increment 15%
 
+# Store-layout switch for the incremental gate (round-9 verdict item 7:
+# wire or retire the bucketed store). Interleaved A/B of the two
+# operators, identical pair sets: at a 200k-band-row store (sf1 docs,
+# 5.7 MB parquet) the directory store wins by 0.3-1.3 s (the bucketed
+# catalog's per-append bucketBy+sortBy write costs more than the saved
+# store-side exchange); at 2M band rows (sf10, 57 MB) they are at
+# parity (bucketed 20.4-22.9 s vs dir 16.8-23.1 s across orders). The
+# saved exchange grows with store size while the write overhead is
+# per-batch, so the bucketed layout is wired for corpora well past the
+# measured parity point and the directory store keeps the small sizes
+# it wins. Size is read from the parquet footprint (no extra job); env
+# override for tests and deployments.
+_BUCKETED_STORE_MIN_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_BUCKETED_STORE_MIN_BYTES", str(256 * 1024 * 1024)
+    )
+)
+
+
+def _corpus_bytes(sf_dir: str) -> int:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if not f.startswith((".", "_"))
+        )
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 0
+
 
 def _store_dir(spark: SparkSession) -> str:
     # per-run unique path (applicationId) so concurrent sessions in the
@@ -123,11 +157,35 @@ def q_dedup_incremental_store(
         docs.where((b >= lo) & (b < hi)),
         docs.where(b >= hi),
     ]
+    kw = dict(
+        n_hashes=MH_HASHES, band_size=MH_BAND, shingle_n=MH_SHINGLE,
+    )
+    if _corpus_bytes(sf_dir) >= _BUCKETED_STORE_MIN_BYTES:
+        # Large corpus → the store outgrows each ingest batch enough
+        # that the bucketed catalog layout's exchange-free probe pays
+        # for its costlier appends (see the threshold note above);
+        # results are identical by the operators' shared exactness
+        # theorem, pinned by test_incremental_store_branches_agree.
+        table = f"sig_store_{spark.sparkContext.applicationId}".replace(
+            "-", "_"
+        )
+        try:
+            cands = dedup.signature_store_bucketed_rounds(
+                spark, splits, table, **kw
+            )
+        finally:
+            # discoveries are localCheckpoint-ed inside the operator;
+            # the per-run catalog table can be reclaimed now
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        out = dedup.ngram_jaccard_pairs(
+            docs, shingle_n=JACCARD_N, threshold=JACCARD_T,
+            candidates=cands,
+        )
+        return out.select("id_a", "id_b", "jaccard")
     store_dir = _store_dir(spark)
     try:
         cands = dedup.signature_store_rounds(
-            spark, splits, store_dir,
-            n_hashes=MH_HASHES, band_size=MH_BAND, shingle_n=MH_SHINGLE,
+            spark, splits, store_dir, **kw
         )
     finally:
         # every per-step discovery is localCheckpoint-ed inside

@@ -124,3 +124,20 @@ def test_signature_store_empty_splits_returns_empty(spark, tmp_path):
     assert out.columns == ["id_a", "id_b"]
     assert out.count() == 0
     assert os.path.exists(marker)
+
+
+def test_incremental_store_branches_agree(spark, monkeypatch):
+    """The corpus-size switch between the directory store and the
+    bucketed catalog store must be invisible in the result: forcing
+    the bucketed branch (threshold 0) returns exactly the default
+    (directory) branch's pairs."""
+    from panelsplit_spark import queries_round8 as r8
+
+    base = r8.q_dedup_incremental_store(spark, SF_DIR)
+    rows_dir = sorted(map(tuple, base.collect()))
+    monkeypatch.setattr(r8, "_BUCKETED_STORE_MIN_BYTES", 0)
+    rows_bucketed = sorted(
+        map(tuple, r8.q_dedup_incremental_store(spark, SF_DIR).collect())
+    )
+    assert rows_dir == rows_bucketed
+    assert rows_dir, "gate corpus must produce at least one pair"
