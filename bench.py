@@ -1185,6 +1185,13 @@ def main() -> None:
     # COMMITTED file, and stdout carries only compact self-contained
     # lines (≤ ~1.5 KB each) that always round-trip json.loads — the
     # headline summary printed LAST (the line the driver parses).
+    # the scaling witness was recorded into the sf1 label→time dict for
+    # convenience; lift it out so the artifact's "queries" map holds
+    # only query timings (it landed under queries._scaling in the first
+    # round-10 run — placement fix, no measurement change)
+    sf1_scaling = (
+        sf1.pop("_scaling", None) if isinstance(sf1, dict) else None
+    )
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -1220,6 +1227,7 @@ def main() -> None:
             "wall_clock_over_budget": (
                 bool(sf1_wall) and sf1_wall > sf1_budget
             ),
+            "scaling": sf1_scaling,
             "queries": sf1,
         },
     }
