@@ -594,9 +594,22 @@ _DRIVER_VERIFIED = [
     "pipe_quota_sample", "pipe_rebalance_mix", "pipe_rule_ablation",
     "pipe_span_corruption", "pipe_span_trim", "pipe_temperature_mix",
     "pipe_token_fertility",
+    # round-9 rotation window (CORRECTNESS_r09.json, 40/40 green)
+    "rel_psi_drift", "rel_quantile_sketch", "rel_range_window",
+    "rel_repair_plan", "rel_retention_cohorts", "rel_rolling_distinct",
+    "rel_salted_join", "rel_scd2_intervals", "rel_sequence_pattern",
+    "rel_shj_join", "rel_shortest_path", "rel_sketch_cm_error",
+    "rel_sketch_cmcount", "rel_sketch_distinct", "rel_sketch_hll",
+    "rel_sketch_kmv", "rel_sketch_setops", "rel_skew_audit",
+    "rel_skew_stress", "rel_skyline", "rel_snapshot_diff",
+    "rel_sql_gateway", "rel_table_fingerprint", "rel_top_paths",
+    "rel_tpch_q10", "rel_tpch_q11", "rel_tpch_q12", "rel_tpch_q13",
+    "rel_tpch_q14", "rel_tpch_q15", "rel_tpch_q16", "rel_tpch_q17",
+    "rel_tpch_q18", "rel_tpch_q19", "rel_tpch_q2", "rel_tpch_q20",
+    "rel_tpch_q21", "rel_tpch_q22", "rel_tpch_q3", "rel_tpch_q4",
 ]
 
-_ROTATION_EPOCH = 2  # round 9; bump by 1 per round
+_ROTATION_EPOCH = 3  # round 10; bump by 1 per round
 _ROTATION_WINDOW = 40
 
 
